@@ -1,0 +1,180 @@
+package graft
+
+import graft.capture.ChangeCapture
+import graft.log.ChangeLog
+import graft.model.CdcTableSpec
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic CDC fixture over the driver testdata.
+  *
+  * The CDC operators act on a change log, which the testdata doesn't ship —
+  * so we derive one reproducibly: a fixed mutation set over `orders`
+  * (delete keys %97=0, restatus+reprice keys %13=0, insert key+50M clones
+  * of keys %101=0), captured with the engine's own snapshot-diff operator
+  * at a pinned `changed_at`. Every derived DataFrame here has an exact SQL
+  * twin in [[FixtureSql]] runnable by the DuckDB oracle on the same
+  * parquet, which is what makes the full CDC surface hash-checkable.
+  */
+object Fixtures {
+
+  val OrdersSpec: CdcTableSpec = CdcTableSpec(
+    "orders",
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority"),
+    "o_orderkey")
+
+  /** Pinned capture / sync timestamps (UTC; session TZ is UTC). */
+  val T0: java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.parse("2026-01-01T00:00:00Z"))
+  val T1: java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.parse("2026-01-02T00:00:00Z"))
+
+  def orders(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/orders.parquet")
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+
+  def customer(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/customer.parquet")
+
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to map
+    * to TimestampType; read it as long nanos (legacy conf) and convert to
+    * a microsecond timestamp (the testdata is µs-aligned, so no precision
+    * is lost; truncation would be deterministic anyway).
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+  }
+
+  /** The post-mutation snapshot ("after" state) of orders. */
+  def after(orders: DataFrame): DataFrame = {
+    val upd = col("o_orderkey") % 13 === 0
+    val survivors = orders
+      .filter(col("o_orderkey") % 97 =!= 0)
+      .withColumn("o_orderstatus", when(upd, lit("X")).otherwise(col("o_orderstatus")))
+      .withColumn("o_totalprice", when(upd, col("o_totalprice") + 1.0d).otherwise(col("o_totalprice")))
+    val inserts = orders
+      .filter(col("o_orderkey") % 101 === 0)
+      .select(
+        (col("o_orderkey") + 50000000L).as("o_orderkey"),
+        col("o_custkey"),
+        lit("N").as("o_orderstatus"),
+        col("o_totalprice"),
+        col("o_orderdate"),
+        lit("NEW").as("o_orderpriority"))
+    survivors.unionByName(inserts)
+  }
+
+  /** Raw captured diff (no ids/bookkeeping yet). */
+  def captured(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir)
+    ChangeCapture.captureChanges(o, after(o), OrdersSpec, changedAt = lit(T0))
+  }
+
+  /** Canonical change log: captured diff + global cdc_ids + synced flags
+    * (every third change marked synced at T1, exercising markSynced).
+    */
+  def changeLog(spark: SparkSession, dir: String): DataFrame = {
+    val log = ChangeLog.assignCdcIds(
+      ChangeCapture.finishLogSchema(captured(spark, dir)), global = true)
+    ChangeLog.markSynced(
+      log,
+      log.filter(col(ChangeLog.CdcId) % 3 === 0).select(col(ChangeLog.CdcId)),
+      at = lit(T1))
+  }
+
+  /** A second change batch on top of [[after]]: keys %13=0 and %2=0 get
+    * status 'Y' — overlapping batch-1's updates, so per-key conflict
+    * resolution has real work to do.
+    */
+  def secondBatchLog(spark: SparkSession, dir: String): DataFrame = {
+    val a1 = after(orders(spark, dir))
+    val upd2 = col("o_orderkey") % 13 === 0 && col("o_orderkey") % 2 === 0
+    val a2 = a1.withColumn("o_orderstatus", when(upd2, lit("Y")).otherwise(col("o_orderstatus")))
+    ChangeLog.assignCdcIds(
+      ChangeCapture.finishLogSchema(
+        ChangeCapture.captureChanges(a1, a2, OrdersSpec, changedAt = lit(T1))),
+      base = 1000000L, global = true)
+  }
+}
+
+/** DuckDB-dialect SQL twins of [[Fixtures]], shared by the oracle entries
+  * in [[SparkEntry.oracleSql]]. Everything is expressed as CTEs over the
+  * `orders` table the driver registers from the same parquet.
+  */
+object FixtureSql {
+
+  /** after_t: the post-mutation snapshot. */
+  val AfterCte: String =
+    """after_t AS (
+      |  SELECT o_orderkey, o_custkey,
+      |         CASE WHEN o_orderkey % 13 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+      |         CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+      |         o_orderdate, o_orderpriority
+      |  FROM orders WHERE o_orderkey % 97 <> 0
+      |  UNION ALL
+      |  SELECT o_orderkey + 50000000, o_custkey, 'N', o_totalprice, o_orderdate, 'NEW'
+      |  FROM orders WHERE o_orderkey % 101 = 0
+      |)""".stripMargin
+
+  /** diff_t: the captured change set with flattened old/new images. */
+  val DiffCte: String =
+    """diff_t AS (
+      |  SELECT CASE WHEN b.o_orderkey IS NULL THEN 'INSERT'
+      |              WHEN a.o_orderkey IS NULL THEN 'DELETE'
+      |              ELSE 'UPDATE' END AS operation,
+      |         COALESCE(a.o_orderkey, b.o_orderkey) AS record_id,
+      |         b.o_orderstatus AS old_status, b.o_totalprice AS old_totalprice,
+      |         a.o_orderstatus AS new_status, a.o_totalprice AS new_totalprice
+      |  FROM orders b FULL OUTER JOIN after_t a ON b.o_orderkey = a.o_orderkey
+      |  WHERE b.o_orderkey IS NULL OR a.o_orderkey IS NULL
+      |     OR b.o_custkey       IS DISTINCT FROM a.o_custkey
+      |     OR b.o_orderstatus   IS DISTINCT FROM a.o_orderstatus
+      |     OR b.o_totalprice    IS DISTINCT FROM a.o_totalprice
+      |     OR b.o_orderdate     IS DISTINCT FROM a.o_orderdate
+      |     OR b.o_orderpriority IS DISTINCT FROM a.o_orderpriority
+      |)""".stripMargin
+
+  /** logm_t: diff + global cdc_ids (row_number by record_id — ties
+    * impossible: one op per key) + synced flags (cdc_id %3=0).
+    */
+  val LogCte: String =
+    s"""$AfterCte,
+       |$DiffCte,
+       |log_t AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY record_id) AS BIGINT) AS cdc_id, *
+       |  FROM diff_t
+       |),
+       |logm_t AS (
+       |  SELECT *, CASE WHEN cdc_id % 3 = 0 THEN 1 ELSE 0 END AS synced FROM log_t
+       |)""".stripMargin
+
+  /** log2_t: the second (overlapping) change batch, ids offset by 1e6. */
+  val Log2Cte: String =
+    """after2_t AS (
+      |  SELECT o_orderkey,
+      |         CASE WHEN o_orderkey % 13 = 0 AND o_orderkey % 2 = 0 THEN 'Y'
+      |              ELSE o_orderstatus END AS o_orderstatus
+      |  FROM after_t
+      |),
+      |diff2_t AS (
+      |  SELECT 'UPDATE' AS operation, a.o_orderkey AS record_id,
+      |         b.o_orderstatus AS old_status, a.o_orderstatus AS new_status
+      |  FROM after_t b JOIN after2_t a ON b.o_orderkey = a.o_orderkey
+      |  WHERE b.o_orderstatus IS DISTINCT FROM a.o_orderstatus
+      |),
+      |log2_t AS (
+      |  SELECT CAST(1000000 + row_number() OVER (ORDER BY record_id) AS BIGINT) AS cdc_id, *
+      |  FROM diff2_t
+      |)""".stripMargin
+}

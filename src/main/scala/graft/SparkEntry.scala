@@ -1,13 +1,531 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.apply.ChangeApplier
+import graft.capture.ChangeCapture
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.log.ChangeLog
+import graft.monitor.CdcMonitor
+import graft.verify.ReplicationVerifier
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator of the engine is registered here twice: a Spark query in
+  * [[queries]] and (where ANSI-SQL-expressible) a DuckDB twin in
+  * [[oracleSql]] over the same parquet tables. Column names and types are
+  * aligned pairwise — the driver's compare sorts columns by name and
+  * hashes values, so aliases must match exactly. All outputs are
+  * deterministically ordered on a unique key and use only
+  * exactly-reproducible arithmetic (decimal sums cast back to double,
+  * round(x, 6) before any rank or filter on a float score).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  import Fixtures._
+
+  private val TsCutoff =
+    java.sql.Timestamp.from(java.time.Instant.parse("1999-01-01T00:00:00Z"))
+  private val ShipCutoff =
+    java.sql.Timestamp.from(java.time.Instant.parse("2000-09-02T00:00:00Z"))
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("lineitem_agg")(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- CDC core
+
+  private def qCaptureDiff(s: SparkSession, dir: String): DataFrame =
+    captured(s, dir)
+      .select(
+        col("operation"), col("record_id"),
+        col("old_data.o_orderstatus").as("old_status"),
+        col("old_data.o_totalprice").as("old_totalprice"),
+        col("new_data.o_orderstatus").as("new_status"),
+        col("new_data.o_totalprice").as("new_totalprice"))
+      .orderBy("record_id")
+
+  private def qCaptureByTimestamp(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir).select(OrdersSpec.columns.map(col): _*)
+    ChangeCapture.captureByTimestamp(after(o), o, OrdersSpec, "o_orderdate", lit(TsCutoff))
+      .select(col("operation"), col("record_id"),
+        col("new_data.o_orderstatus").as("new_status"))
+      .orderBy("record_id")
+  }
+
+  private def qPendingScan(s: SparkSession, dir: String): DataFrame =
+    ChangeLog.pendingChanges(changeLog(s, dir), Some(500))
+      .select(col("cdc_id"), col("operation"), col("record_id"), col("synced"))
+
+  private def qMarkSynced(s: SparkSession, dir: String): DataFrame =
+    changeLog(s, dir)
+      .groupBy(col("synced"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("cdc_id")).as("min_id"),
+        max(col("cdc_id")).as("max_id"),
+        sum(when(col("sync_timestamp").isNotNull, 1).otherwise(0)).as("n_ts"))
+      .orderBy("synced")
+
+  private def qDedupLatest(s: SparkSession, dir: String): DataFrame = {
+    val keep = Seq("cdc_id", "operation", "record_id")
+    val combined = changeLog(s, dir).select(keep.map(col): _*)
+      .unionByName(secondBatchLog(s, dir).select(keep.map(col): _*))
+    ChangeApplier.dedupToLatest(combined)
+      .select(keep.map(col): _*)
+      .orderBy("record_id")
+  }
+
+  private def qApplyChanges(s: SparkSession, dir: String): DataFrame =
+    ChangeApplier.applyChanges(
+      orders(s, dir).select(OrdersSpec.columns.map(col): _*),
+      changeLog(s, dir), OrdersSpec)
+      .orderBy("o_orderkey")
+
+  private def qStatistics(s: SparkSession, dir: String): DataFrame =
+    CdcMonitor.statistics(changeLog(s, dir)).orderBy("operation")
+
+  private def qStatisticsWide(s: SparkSession, dir: String): DataFrame =
+    CdcMonitor.statisticsWide(changeLog(s, dir)).toDF(
+      "insert_total", "insert_pending", "insert_synced",
+      "update_total", "update_pending", "update_synced",
+      "delete_total", "delete_pending", "delete_synced")
+
+  private def qHealthReport(s: SparkSession, dir: String): DataFrame =
+    CdcMonitor.healthReport(changeLog(s, dir))
+
+  private def qVerifyDiff(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir).select(OrdersSpec.columns.map(col): _*)
+    ReplicationVerifier.diff(o, after(o))
+      .withColumnRenamed("__side", "side")
+      .orderBy("o_orderkey", "side")
+  }
+
+  private def qJsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val rowSchema = orders(s, dir).select(OrdersSpec.columns.map(col): _*).schema
+    ChangeCapture.parseJsonImages(
+        ChangeCapture.withJsonImages(changeLog(s, dir)), rowSchema)
+      .filter(col("operation") === "UPDATE")
+      .select(col("record_id"),
+        col("new_data.o_orderstatus").as("rt_status"),
+        col("new_data.o_totalprice").as("rt_totalprice"))
+      .orderBy("record_id")
+  }
+
+  // ------------------------------------------------------------ LLM pipeline
+
+  private def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedup(documents(s, dir), "text", "doc_id").orderBy("fp")
+
+  private def qDedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardDedup(documents(s, dir), "text", "doc_id",
+        col("lang"), n = 3, threshold = 0.2)
+      .orderBy("id_a", "id_b")
+
+  private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshDedup(documents(s, dir), "text", "doc_id",
+        n = 3, bands = 16, rowsPerBand = 8, threshold = 0.5)
+      .orderBy("id_a", "id_b")
+
+  private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashDedup(documents(s, dir), "text", "doc_id", maxHamming = 3)
+      .orderBy("id_a", "id_b")
+
+  private def qTextStats(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.textStats(documents(s, dir), "text")
+      .select("doc_id", "n_tokens", "n_bpeish_tokens", "avg_token_len",
+        "punct_ratio", "stopword_ratio", "quality", "lang_guess", "fingerprint")
+      .orderBy("doc_id")
+
+  private def qTextRollingHash(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("doc_id"),
+        TextAnalysis.rollingHash(col("text")).as("rolling_hash"))
+      .orderBy("doc_id")
+
+  private def qMediaMeta(s: SparkSession, dir: String): DataFrame =
+    Multimodal.mediaMeta(
+        Multimodal.withFakePayload(documents(s, dir), "doc_id", "text"))
+      .orderBy("media_id")
+
+  private def embQueries(s: SparkSession, dir: String): DataFrame =
+    embeddings(s, dir).filter(col("vec_id") % 50 === 0)
+
+  private def embCentroids(s: SparkSession, dir: String): DataFrame =
+    embeddings(s, dir).filter(col("vec_id") % 61 === 0)
+
+  private def qAnnBruteForce(s: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(embeddings(s, dir), embQueries(s, dir),
+        "vec_id", "embedding", "vec_id", "embedding", k = 10)
+      .orderBy("query_id", "rnk")
+
+  private def qAnnLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(embeddings(s, dir), embQueries(s, dir),
+        "vec_id", "embedding", "vec_id", "embedding", k = 10, planes = 8)
+      .orderBy("query_id", "rnk")
+
+  private def qAnnIvfAssign(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfAssign(embeddings(s, dir), embCentroids(s, dir),
+        "vec_id", "embedding", "vec_id", "embedding")
+      .select(col("vec_id"), col("centroid_id"))
+      .orderBy("vec_id")
+
+  private def qAnnIvfTopK(s: SparkSession, dir: String): DataFrame = {
+    val assigned = Similarity.ivfAssign(embeddings(s, dir), embCentroids(s, dir),
+      "vec_id", "embedding", "vec_id", "embedding")
+    Similarity.ivfTopK(assigned, embCentroids(s, dir), embQueries(s, dir),
+        "vec_id", "embedding", "vec_id", "embedding", "vec_id", "embedding",
+        k = 10, nprobe = 3)
+      .orderBy("query_id", "rnk")
+  }
+
+  private def qEmbNearDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingNearDup(embeddings(s, dir), "vec_id", "embedding",
+        threshold = 0.8, planes = 8)
+      .orderBy("id_a", "id_b")
+
+  // ----------------------------------------------------------- analytics/agg
+
+  private def qEventsHourly(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 3).as("sum_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("hour_start", "event_type")
+
+  private def qLineitemAgg(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit(ShipCutoff))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private def qTopRevenue(s: SparkSession, dir: String): DataFrame = {
+    val c = customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    lineitem(s, dir)
+      .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy("o_orderkey")
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(DecimalType(18, 4))).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_capture_diff" -> (qCaptureDiff _),
+    "cdc_capture_by_timestamp" -> (qCaptureByTimestamp _),
+    "cdc_pending_scan" -> (qPendingScan _),
+    "cdc_mark_synced" -> (qMarkSynced _),
+    "cdc_dedup_latest" -> (qDedupLatest _),
+    "cdc_apply_changes" -> (qApplyChanges _),
+    "cdc_statistics" -> (qStatistics _),
+    "cdc_statistics_wide" -> (qStatisticsWide _),
+    "cdc_health_report" -> (qHealthReport _),
+    "cdc_verify_diff" -> (qVerifyDiff _),
+    "cdc_json_roundtrip" -> (qJsonRoundtrip _),
+    "dedup_exact" -> (qDedupExact _),
+    "dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
+    "dedup_minhash_lsh" -> (qDedupMinhash _),
+    "dedup_simhash" -> (qDedupSimhash _),
+    "text_stats" -> (qTextStats _),
+    "text_rolling_hash" -> (qTextRollingHash _),
+    "media_meta" -> (qMediaMeta _),
+    "ann_brute_force" -> (qAnnBruteForce _),
+    "ann_lsh" -> (qAnnLsh _),
+    "ann_ivf_assign" -> (qAnnIvfAssign _),
+    "ann_ivf_topk" -> (qAnnIvfTopK _),
+    "emb_near_dup" -> (qEmbNearDup _),
+    "events_hourly" -> (qEventsHourly _),
+    "lineitem_agg" -> (qLineitemAgg _),
+    "top_revenue_join" -> (qTopRevenue _))
+
+  // ------------------------------------------------------------- oracle SQL
+
+  /** DuckDB dot-product of two DOUBLE[] columns, sequential left fold like
+    * Spark's `aggregate(zip_with(...))`.
+    */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a)+1), i -> $a[i]*$b[i]))"
+
+  /** Shared scored-cosine CTE body: query set x corpus with dp/na/nb. */
+  private val EmbBase: String =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 61 = 0)""".stripMargin
+
+  private def cosScoreSql(raw: String, out: String): String =
+    s"""$out AS (SELECT * EXCLUDE (dp, na, nb),
+       |  round(CASE WHEN na*nb = 0 THEN 0.0 ELSE dp/(na*nb) END, 6) AS score
+       |  FROM $raw)""".stripMargin
+
+  private val TextTokensCte: String =
+    """t AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks,
+      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |         ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS ltoks
+      |  FROM documents)""".stripMargin
+
+  private val StopwordsSql = "['the','a','an','of','and','to','in','is','it','that']"
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for ops whose semantics depend on
+    * engine-internal hashing (xxhash64 minhash/simhash signatures, seeded
+    * random hyperplanes) → driver records a weaker rows-only check.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "cdc_capture_diff" ->
+      s"""WITH ${FixtureSql.AfterCte}, ${FixtureSql.DiffCte}
+         |SELECT operation, record_id, old_status, old_totalprice, new_status, new_totalprice
+         |FROM diff_t ORDER BY record_id""".stripMargin,
+
+    "cdc_capture_by_timestamp" ->
+      s"""WITH ${FixtureSql.AfterCte},
+         |delta_t AS (SELECT * FROM after_t WHERE o_orderdate > TIMESTAMP '1999-01-01 00:00:00')
+         |SELECT CASE WHEN b.o_orderkey IS NULL THEN 'INSERT' ELSE 'UPDATE' END AS operation,
+         |       d.o_orderkey AS record_id, d.o_orderstatus AS new_status
+         |FROM delta_t d LEFT JOIN orders b ON d.o_orderkey = b.o_orderkey
+         |WHERE b.o_orderkey IS NULL
+         |   OR b.o_custkey       IS DISTINCT FROM d.o_custkey
+         |   OR b.o_orderstatus   IS DISTINCT FROM d.o_orderstatus
+         |   OR b.o_totalprice    IS DISTINCT FROM d.o_totalprice
+         |   OR b.o_orderdate     IS DISTINCT FROM d.o_orderdate
+         |   OR b.o_orderpriority IS DISTINCT FROM d.o_orderpriority
+         |ORDER BY record_id""".stripMargin,
+
+    "cdc_pending_scan" ->
+      s"""WITH ${FixtureSql.LogCte}
+         |SELECT cdc_id, operation, record_id, synced
+         |FROM logm_t WHERE synced = 0 ORDER BY cdc_id LIMIT 500""".stripMargin,
+
+    "cdc_mark_synced" ->
+      s"""WITH ${FixtureSql.LogCte}
+         |SELECT synced, CAST(COUNT(*) AS BIGINT) AS n, MIN(cdc_id) AS min_id,
+         |       MAX(cdc_id) AS max_id,
+         |       CAST(SUM(CASE WHEN synced = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ts
+         |FROM logm_t GROUP BY synced ORDER BY synced""".stripMargin,
+
+    "cdc_dedup_latest" ->
+      s"""WITH ${FixtureSql.LogCte}, ${FixtureSql.Log2Cte},
+         |combined AS (
+         |  SELECT cdc_id, operation, record_id FROM logm_t
+         |  UNION ALL SELECT cdc_id, operation, record_id FROM log2_t),
+         |dd AS (SELECT *, row_number() OVER (PARTITION BY record_id ORDER BY cdc_id DESC) AS rn
+         |       FROM combined)
+         |SELECT cdc_id, operation, record_id FROM dd WHERE rn = 1 ORDER BY record_id""".stripMargin,
+
+    "cdc_apply_changes" ->
+      s"""WITH ${FixtureSql.AfterCte}
+         |SELECT * FROM after_t ORDER BY o_orderkey""".stripMargin,
+
+    "cdc_statistics" ->
+      s"""WITH ${FixtureSql.LogCte}
+         |SELECT operation, CAST(COUNT(*) AS BIGINT) AS total,
+         |       CAST(SUM(CASE WHEN synced = 0 THEN 1 ELSE 0 END) AS BIGINT) AS pending,
+         |       CAST(SUM(CASE WHEN synced = 1 THEN 1 ELSE 0 END) AS BIGINT) AS synced
+         |FROM logm_t GROUP BY operation ORDER BY operation""".stripMargin,
+
+    "cdc_statistics_wide" ->
+      s"""WITH ${FixtureSql.LogCte}
+         |SELECT
+         |  CAST(SUM(CASE WHEN operation = 'INSERT' THEN 1 ELSE 0 END) AS BIGINT) AS insert_total,
+         |  CAST(SUM(CASE WHEN operation = 'INSERT' AND synced = 0 THEN 1 ELSE 0 END) AS BIGINT) AS insert_pending,
+         |  CAST(SUM(CASE WHEN operation = 'INSERT' AND synced = 1 THEN 1 ELSE 0 END) AS BIGINT) AS insert_synced,
+         |  CAST(SUM(CASE WHEN operation = 'UPDATE' THEN 1 ELSE 0 END) AS BIGINT) AS update_total,
+         |  CAST(SUM(CASE WHEN operation = 'UPDATE' AND synced = 0 THEN 1 ELSE 0 END) AS BIGINT) AS update_pending,
+         |  CAST(SUM(CASE WHEN operation = 'UPDATE' AND synced = 1 THEN 1 ELSE 0 END) AS BIGINT) AS update_synced,
+         |  CAST(SUM(CASE WHEN operation = 'DELETE' THEN 1 ELSE 0 END) AS BIGINT) AS delete_total,
+         |  CAST(SUM(CASE WHEN operation = 'DELETE' AND synced = 0 THEN 1 ELSE 0 END) AS BIGINT) AS delete_pending,
+         |  CAST(SUM(CASE WHEN operation = 'DELETE' AND synced = 1 THEN 1 ELSE 0 END) AS BIGINT) AS delete_synced
+         |FROM logm_t""".stripMargin,
+
+    "cdc_health_report" ->
+      s"""WITH ${FixtureSql.LogCte}
+         |SELECT CAST(COUNT(*) AS BIGINT) AS total_changes,
+         |       CAST(SUM(CASE WHEN synced = 0 THEN 1 ELSE 0 END) AS BIGINT) AS pending_changes,
+         |       CAST(SUM(CASE WHEN synced = 1 THEN 1 ELSE 0 END) AS BIGINT) AS synced_changes,
+         |       CASE WHEN SUM(CASE WHEN synced = 0 THEN 1 ELSE 0 END) < 1000
+         |            THEN 'healthy' ELSE 'warning' END AS health
+         |FROM logm_t""".stripMargin,
+
+    "cdc_verify_diff" ->
+      s"""WITH ${FixtureSql.AfterCte}
+         |SELECT *, 'source_only' AS side FROM
+         |  (SELECT * FROM orders EXCEPT ALL SELECT * FROM after_t)
+         |UNION ALL
+         |SELECT *, 'target_only' AS side FROM
+         |  (SELECT * FROM after_t EXCEPT ALL SELECT * FROM orders)
+         |ORDER BY o_orderkey, side""".stripMargin,
+
+    "cdc_json_roundtrip" ->
+      s"""WITH ${FixtureSql.LogCte}
+         |SELECT record_id, new_status AS rt_status, new_totalprice AS rt_totalprice
+         |FROM logm_t WHERE operation = 'UPDATE' ORDER BY record_id""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |       MIN(doc_id) AS keep_id, CAST(COUNT(*) AS BIGINT) AS n_dups
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH $TextTokensCte,
+         |docs_l AS (SELECT d.doc_id, d.lang, t.ltoks FROM documents d JOIN t ON d.doc_id = t.doc_id),
+         |sh AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN len(ltoks) < 3 THEN [array_to_string(ltoks, ' ')]
+         |         ELSE list_distinct(list_transform(range(1, len(ltoks)-1),
+         |                i -> array_to_string(ltoks[i:i+2], ' '))) END AS sh
+         |  FROM docs_l),
+         |pr AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sa, b.sh AS sb
+         |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id),
+         |j AS (
+         |  SELECT id_a, id_b,
+         |    round(CASE WHEN len(list_distinct(list_concat(sa, sb))) = 0 THEN 0.0
+         |          ELSE CAST(len(list_filter(sa, x -> list_contains(sb, x))) AS DOUBLE)
+         |               / len(list_distinct(list_concat(sa, sb))) END, 6) AS jac
+         |  FROM pr)
+         |SELECT id_a, id_b, jac FROM j WHERE jac >= 0.2 ORDER BY id_a, id_b""".stripMargin,
+
+    "text_stats" ->
+      s"""WITH $TextTokensCte,
+         |m AS (
+         |  SELECT doc_id, text, toks, ltoks,
+         |    CASE WHEN length(text) = 0 THEN 0.0
+         |         ELSE length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
+         |              / CAST(length(text) AS DOUBLE) END AS praw,
+         |    CASE WHEN len(ltoks) = 0 THEN 0.0
+         |         ELSE len(list_filter(ltoks, x -> list_contains($StopwordsSql, x)))
+         |              / CAST(len(ltoks) AS DOUBLE) END AS sraw,
+         |    len(list_filter(ltoks, x -> list_contains(['the','a','of','and','to','is'], x))) AS s_en,
+         |    len(list_filter(ltoks, x -> list_contains(['der','die','das','und','ist','ein'], x))) AS s_de,
+         |    len(list_filter(ltoks, x -> list_contains(['el','la','de','y','es','un'], x))) AS s_es,
+         |    len(list_filter(ltoks, x -> list_contains(['le','la','et','les','des','un'], x))) AS s_fr,
+         |    len(list_filter(ltoks, x -> list_contains(['的','是','在','了','我','有'], x))) AS s_zh
+         |  FROM t)
+         |SELECT doc_id,
+         |  CAST(len(toks) AS INTEGER) AS n_tokens,
+         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INTEGER) AS n_bpeish_tokens,
+         |  CASE WHEN len(toks) = 0 THEN 0.0
+         |       ELSE round(CAST(list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT))) AS DOUBLE)
+         |                  / len(toks), 6) END AS avg_token_len,
+         |  round(praw, 6) AS punct_ratio,
+         |  round(sraw, 6) AS stopword_ratio,
+         |  round(least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.3
+         |        + (1.0 - least(praw * 4.0, 1.0)) * 0.3
+         |        + least(sraw * 4.0, 1.0) * 0.4, 6) AS quality,
+         |  CASE WHEN s_en > 0 AND s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
+         |       WHEN s_de > 0 AND s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
+         |       WHEN s_es > 0 AND s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
+         |       WHEN s_fr > 0 AND s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
+         |       WHEN s_zh > 0 AND s_zh = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'zh'
+         |       ELSE 'und' END AS lang_guess,
+         |  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "media_meta" ->
+      """SELECT doc_id AS media_id, 'image' AS kind,
+        |       CAST(doc_id % 1024 + 32 AS INTEGER) AS width,
+        |       CAST(doc_id % 768 + 32 AS INTEGER) AS height,
+        |       CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
+        |       md5(text) AS payload_md5
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "ann_brute_force" ->
+      s"""WITH $EmbBase,
+         |raw AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |         ${dotSql("e.v", "q.qv")} AS dp,
+         |         sqrt(${dotSql("e.v", "e.v")}) AS na,
+         |         sqrt(${dotSql("q.qv", "q.qv")}) AS nb
+         |  FROM e, q WHERE e.vec_id <> q.query_id),
+         |${cosScoreSql("raw", "scored")},
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+         |      FROM scored)
+         |SELECT query_id, neighbor_id, score, CAST(rn AS INT) AS rnk
+         |FROM r WHERE rn <= 10 ORDER BY query_id, rnk""".stripMargin,
+
+    "ann_ivf_assign" ->
+      s"""WITH $EmbBase,
+         |rawc AS (
+         |  SELECT e.vec_id, c.cid,
+         |         ${dotSql("e.v", "c.cv")} AS dp,
+         |         sqrt(${dotSql("e.v", "e.v")}) AS na,
+         |         sqrt(${dotSql("c.cv", "c.cv")}) AS nb
+         |  FROM e, c),
+         |${cosScoreSql("rawc", "sc")},
+         |a1 AS (SELECT vec_id, cid FROM
+         |        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn FROM sc)
+         |       WHERE rn = 1)
+         |SELECT vec_id, cid AS centroid_id FROM a1 ORDER BY vec_id""".stripMargin,
+
+    "ann_ivf_topk" ->
+      s"""WITH $EmbBase,
+         |rawc AS (
+         |  SELECT e.vec_id, c.cid,
+         |         ${dotSql("e.v", "c.cv")} AS dp,
+         |         sqrt(${dotSql("e.v", "e.v")}) AS na,
+         |         sqrt(${dotSql("c.cv", "c.cv")}) AS nb
+         |  FROM e, c),
+         |${cosScoreSql("rawc", "sc")},
+         |a1 AS (SELECT vec_id, cid FROM
+         |        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn FROM sc)
+         |       WHERE rn = 1),
+         |praw AS (
+         |  SELECT q.query_id, c.cid,
+         |         ${dotSql("q.qv", "c.cv")} AS dp,
+         |         sqrt(${dotSql("q.qv", "q.qv")}) AS na,
+         |         sqrt(${dotSql("c.cv", "c.cv")}) AS nb
+         |  FROM q, c),
+         |${cosScoreSql("praw", "ps")},
+         |probes AS (SELECT query_id, cid FROM
+         |            (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cid) AS rn FROM ps)
+         |           WHERE rn <= 3),
+         |craw AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id,
+         |         ${dotSql("e.v", "q.qv")} AS dp,
+         |         sqrt(${dotSql("e.v", "e.v")}) AS na,
+         |         sqrt(${dotSql("q.qv", "q.qv")}) AS nb
+         |  FROM probes p
+         |  JOIN a1 a ON a.cid = p.cid
+         |  JOIN e ON e.vec_id = a.vec_id
+         |  JOIN q ON q.query_id = p.query_id
+         |  WHERE a.vec_id <> p.query_id),
+         |${cosScoreSql("craw", "cs")},
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+         |      FROM cs)
+         |SELECT query_id, neighbor_id, score, CAST(rn AS INT) AS rnk
+         |FROM r WHERE rn <= 10 ORDER BY query_id, rnk""".stripMargin,
+
+    "events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |       event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       round(SUM(value), 3) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "lineitem_agg" ->
+      """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |       round(AVG(l_discount), 6) AS avg_disc
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "top_revenue_join" ->
+      """SELECT o_orderkey,
+        |       CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin)
 }

@@ -54,10 +54,14 @@ object ChangeApplier {
     * `target` columns must equal `spec.columns`; `changes` is a canonical
     * change-log batch (see [[graft.log.ChangeLog.schema]]).
     *
-    * Scale notes: `latest` is small relative to the target in steady state —
-    * Catalyst broadcast-joins it (AQE converts at runtime); the anti-join
-    * and the union are the only wide operations. With a date-partitioned
-    * target the anti-join prunes to the partitions containing changed keys.
+    * Scale notes: `latest` is small relative to the target in steady
+    * state, and AQE converts the anti-join to broadcast-hash at runtime
+    * from actual shuffle stats — deliberately NOT a forced `broadcast()`
+    * hint, because a backlog replay with millions of pending changes
+    * would OOM a forced broadcast; AQE keeps that case sort-merge. The
+    * anti-join and the union are the only wide operations. With a
+    * date-partitioned target the anti-join prunes to the partitions
+    * containing changed keys.
     */
   def applyChanges(
       target: DataFrame,
@@ -74,7 +78,7 @@ object ChangeApplier {
 
     // Every changed key leaves the old target state (replaced or deleted).
     val changedKeys = latest.select(col(RecordId).as(spec.pkCol))
-    val untouched = target.join(broadcast(changedKeys), Seq(spec.pkCol), "left_anti")
+    val untouched = target.join(changedKeys, Seq(spec.pkCol), "left_anti")
 
     untouched.unionByName(upserts)
   }

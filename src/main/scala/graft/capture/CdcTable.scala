@@ -61,12 +61,20 @@ final class CdcTable private (
     }
   }
 
+  /** Mutation timestamp, captured EAGERLY per mutation as a literal so the
+    * lazy log plan re-evaluates to the same value on every action (a lazy
+    * `current_timestamp()` would re-stamp `changed_at` per read until the
+    * next localCheckpoint).
+    */
+  private def nowLit: org.apache.spark.sql.Column =
+    lit(java.sql.Timestamp.from(java.time.Instant.now()))
+
   /** INSERT: append rows; capture op=INSERT with new images
     * (reference trigger: cdc_system.py:143-159).
     */
   def insert(rows: DataFrame): Unit = {
     val after = snapshotDf.unionByName(rows.select(spec.columns.map(col): _*))
-    commit(after, ChangeCapture.captureChanges(snapshotDf, after, spec))
+    commit(after, ChangeCapture.captureChanges(snapshotDf, after, spec, changedAt = nowLit))
   }
 
   /** UPDATE: `set` maps column -> expression applied where `cond` holds;
@@ -77,7 +85,7 @@ final class CdcTable private (
     val after = spec.columns.foldLeft(snapshotDf) { (df, c) =>
       set.get(c).fold(df)(e => df.withColumn(c, when(cond, e).otherwise(col(c))))
     }
-    commit(after, ChangeCapture.captureChanges(snapshotDf, after, spec))
+    commit(after, ChangeCapture.captureChanges(snapshotDf, after, spec, changedAt = nowLit))
   }
 
   /** DELETE rows matching `cond`; capture op=DELETE with old images
@@ -85,7 +93,7 @@ final class CdcTable private (
     */
   def delete(cond: org.apache.spark.sql.Column): Unit = {
     val after = snapshotDf.filter(!coalesce(cond, lit(false)))
-    commit(after, ChangeCapture.captureChanges(snapshotDf, after, spec))
+    commit(after, ChangeCapture.captureChanges(snapshotDf, after, spec, changedAt = nowLit))
   }
 }
 

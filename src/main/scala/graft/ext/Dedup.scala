@@ -36,7 +36,7 @@ object Dedup {
     when(size(tk) < n, array(concat_ws(" ", tk)))
       .otherwise(array_distinct(
         transform(sequence(lit(0), size(tk) - n),
-          i => concat_ws(" ", slice(tk, i + 1, n)))))
+          i => concat_ws(" ", slice(tk, i + 1, lit(n))))))
   }
 
   /** Exact Jaccard similarity of two pre-distinct shingle arrays. */
@@ -88,13 +88,17 @@ object Dedup {
     */
   def lshBandBuckets(sig: Column, bands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)),
-      bnd => xxhash64(bnd, slice(sig, bnd * rowsPerBand + 1, rowsPerBand)))
+      bnd => xxhash64(bnd, slice(sig, bnd * rowsPerBand + 1, lit(rowsPerBand))))
 
   /** MinHash+LSH near-duplicate pairs, verified by exact Jaccard.
     *
     * Pipeline: shingle → signature (map) → explode bands (map) →
-    * self-join on (band, bucket) = candidates (the ONLY shuffle that
-    * scales with collision rate) → exact-Jaccard verify on candidates.
+    * ID-ONLY self-join on (band, bucket) → distinct candidate pairs →
+    * join back to fetch each side's shingles ONCE per surviving pair →
+    * exact-Jaccard verify. The band self-join carries only (id, band,
+    * bucket) triples, not shingle arrays — candidate-generation shuffle
+    * weight is bands × 24 bytes/doc instead of bands × shingle-bytes/doc,
+    * which is what keeps this runnable when documents are MB-sized.
     * Defaults 16 bands × 8 rows = 128 hashes: 50% capture at s≈0.77.
     */
   def minhashLshDedup(
@@ -105,21 +109,26 @@ object Dedup {
       bands: Int = 16,
       rowsPerBand: Int = 8,
       threshold: Double = 0.8): DataFrame = {
-    val withSig = df.select(
+    val base = df.select(
       col(idCol).as("id"),
       shingles(col(textCol), n).as("sh"))
+
+    val buckets = base
       .withColumn("sig", minhashSignature(col("sh"), bands * rowsPerBand))
-      .withColumn("bkt", lshBandBuckets(col("sig"), bands, rowsPerBand))
+      .select(col("id"),
+        posexplode(lshBandBuckets(col("sig"), bands, rowsPerBand))
+          .as(Seq("band", "bucket")))
 
-    val buckets = withSig.select(col("id"), col("sh"),
-      posexplode(col("bkt")).as(Seq("band", "bucket")))
-
-    val a = buckets.select(col("id").as("id_a"), col("sh").as("sh_a"), col("band"), col("bucket"))
-    val b = buckets.select(col("id").as("id_b"), col("sh").as("sh_b"), col("band"), col("bucket"))
-    a.join(b, Seq("band", "bucket"))
+    val a = buckets.select(col("id").as("id_a"), col("band"), col("bucket"))
+    val b = buckets.select(col("id").as("id_b"), col("band"), col("bucket"))
+    val pairs = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b") // same pair may collide in several bands
+
+    pairs
+      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jac", round(jaccard(col("sh_a"), col("sh_b")), 6))
       .filter(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"), col("jac"))

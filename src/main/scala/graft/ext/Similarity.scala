@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Vector similarity search over embedding columns (`array<float>`) —
@@ -12,14 +11,16 @@ import org.apache.spark.sql.functions._
   *
   *  - [[bruteForceTopK]] — exact baseline: broadcast the (small) query set
   *    against the corpus; the corpus is scanned ONCE regardless of query
-  *    count. At 100 TB this is the correct exact plan: the cross product
-  *    is queries × corpus but only top-k per query survives the
-  *    partial-aggregation, so nothing quadratic is shuffled.
+  *    count, and the per-query top-k is a partial-aggregating
+  *    [[TopKAggregator]] — each map task reduces its partition to <= k
+  *    candidates per query before the shuffle, so nothing quadratic (and
+  *    nothing corpus-sized) is ever shuffled or held by one task.
   *  - [[lshTopK]] — approximate: random-hyperplane sign buckets prune the
   *    corpus to same-bucket candidates (recall tunable via planes/probes).
   *  - [[ivfTopK]] — approximate: IVF coarse quantization; corpus vectors
-  *    are assigned to their nearest centroid once (materializable), and a
-  *    query searches only its `nprobe` nearest inverted lists.
+  *    are assigned to their nearest centroid once ([[ivfAssign]], a
+  *    zero-shuffle map using a literal centroid table), and a query
+  *    searches only its `nprobe` nearest inverted lists.
   */
 object Similarity {
 
@@ -47,13 +48,21 @@ object Similarity {
       .otherwise(transform(a, x => x.cast("double") / n))
   }
 
+  /** Vector length of the first non-null vector in `vecCol` — used to
+    * size hyperplanes when the caller doesn't pass `dim`. One tiny
+    * driver-side action on a single row (LIMIT 1 scan, no shuffle).
+    */
+  def inferDim(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol)).as("d")).filter(col("d") > 0).head().getInt(0)
+
   /** Exact top-k cosine neighbors for each query vector.
     *
     * `queries` must be small (it is broadcast); `corpus` is arbitrary
     * size. Plan: one corpus scan → broadcast-nested-loop against queries →
-    * per-query top-k via window. Scores are rounded to 6 dp BEFORE ranking
-    * so rank boundaries are stable under floating-point noise; ties break
-    * on the neighbor id.
+    * per-query top-k via [[TopKAggregator]] (partial aggregation; see its
+    * doc for why a window would not scale here). Scores are rounded to
+    * 6 dp BEFORE ranking so rank boundaries are stable under
+    * floating-point noise; ties break on the neighbor id.
     */
   def bruteForceTopK(
       corpus: DataFrame,
@@ -68,10 +77,7 @@ object Similarity {
       .crossJoin(broadcast(queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("score", round(cosine(col("__cv"), col("__qv")), 6))
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+    TopK.perGroup(scored, Seq("query_id"), col("score"), col("neighbor_id"), k)
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rnk"))
   }
 
@@ -85,6 +91,11 @@ object Similarity {
 
   /** Sign-pattern LSH bucket id for a vector: bit i = sign of the dot
     * product with hyperplane i, folded into one long.
+    *
+    * The hyperplane dim must equal the vector length: `zip_with` pads the
+    * short side with nulls, which would silently null out the dot product.
+    * [[lshTopK]] / [[embeddingNearDup]] infer the dim from the data when
+    * not given; callers composing [[lshBucket]] directly must match dims.
     */
   def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
@@ -95,6 +106,7 @@ object Similarity {
     * bucket. With `planes` = 12–16 the corpus is cut by ~2^planes while
     * keeping high-cosine pairs (their sign patterns agree w.h.p.).
     * Same output shape as [[bruteForceTopK]]; recall < 1 by construction.
+    * Pass `dim <= 0` to infer the vector length from the corpus.
     */
   def lshTopK(
       corpus: DataFrame,
@@ -105,8 +117,9 @@ object Similarity {
       queryVec: String,
       k: Int,
       planes: Int = 12,
-      dim: Int = 64): DataFrame = {
-    val hp = hyperplanes(planes, dim)
+      dim: Int = -1): DataFrame = {
+    val d = if (dim > 0) dim else inferDim(corpus, corpusVec)
+    val hp = hyperplanes(planes, d)
     val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"),
       lshBucket(col(corpusVec), hp).as("__bkt"))
     val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"),
@@ -114,16 +127,41 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("__bkt"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("score", round(cosine(col("__cv"), col("__qv")), 6))
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+    TopK.perGroup(scored, Seq("query_id"), col("score"), col("neighbor_id"), k)
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rnk"))
   }
 
+  /** Nearest-centroid id for a vector, computed per row against a literal
+    * centroid table — a pure map expression: NO join, NO shuffle, no
+    * window. `aggregate` loops over the centroid array at runtime, so the
+    * expression size is constant in the number of centroids. Ties break
+    * on the smaller centroid id; scores are rounded to 6 dp first so the
+    * argmax is stable under float noise.
+    */
+  def nearestCentroid(vec: Column, cents: Seq[(Long, Seq[Double])]): Column = {
+    require(cents.nonEmpty, "centroid set must be non-empty")
+    val arr = typedLit(cents)
+    aggregate(
+      arr,
+      struct(lit(-2.0).as("s"), lit(Long.MaxValue).as("c")),
+      (acc, ct) => {
+        val s = round(cosine(vec, ct.getField("_2")), 6)
+        val cid = ct.getField("_1")
+        when(s > acc.getField("s") ||
+             (s === acc.getField("s") && cid < acc.getField("c")),
+          struct(s.as("s"), cid.cast("long").as("c"))).otherwise(acc)
+      }).getField("c")
+  }
+
   /** Assign every corpus vector to its nearest centroid (IVF list).
-    * `centroids` must be small (broadcast). Output adds `centroid_id`.
-    * At scale this assignment is computed once and persisted partitioned
-    * by `centroid_id`, making [[ivfTopK]]'s probe a partition-pruned scan.
+    *
+    * `centroids` must be small — it is collected to the driver and shipped
+    * inside the plan as a literal (same size constraint a broadcast would
+    * impose; IVF coarse codebooks are 2^8..2^16 entries). The assignment
+    * itself is a narrow map over the corpus: zero shuffle, in contrast to
+    * the naive crossJoin+window formulation which shuffles N×C rows.
+    * At scale the output is persisted partitioned by `centroid_id`, making
+    * [[ivfTopK]]'s probe a partition-pruned scan.
     */
   def ivfAssign(
       corpus: DataFrame,
@@ -132,19 +170,27 @@ object Similarity {
       corpusVec: String,
       centroidId: String,
       centroidVec: String): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(
-        centroids.select(col(centroidId).as("centroid_id"), col(centroidVec).as("__ctv"))))
-      .withColumn("__cdist", round(cosine(col(corpusVec), col("__ctv")), 6))
-    val w = Window.partitionBy(col(corpusId))
-      .orderBy(col("__cdist").desc, col("centroid_id").asc)
-    scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn", "__ctv", "__cdist")
+    val cents = collectCentroids(centroids, centroidId, centroidVec)
+    corpus.withColumn("centroid_id", nearestCentroid(col(corpusVec), cents))
   }
+
+  private def collectCentroids(
+      centroids: DataFrame,
+      centroidId: String,
+      centroidVec: String): Seq[(Long, Seq[Double])] =
+    centroids
+      .select(col(centroidId).cast("long"), col(centroidVec).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toVector))
+      .toVector
+      .sortBy(_._1)
 
   /** IVF approximate top-k: search only the `nprobe` inverted lists whose
     * centroids are nearest to the query. `assigned` is [[ivfAssign]]
-    * output (corpus + centroid_id).
+    * output (corpus + centroid_id). The probe-list choice is a per-query
+    * map over the literal centroid table ([[TopKAggregator]] over a tiny
+    * queries×nprobe frame); the candidate scan shuffles only rows in the
+    * probed lists, then reduces per query via partial top-k aggregation.
     */
   def ivfTopK(
       assigned: DataFrame,
@@ -158,29 +204,34 @@ object Similarity {
       queryVec: String,
       k: Int,
       nprobe: Int = 4): DataFrame = {
-    // nprobe nearest centroids per query — both sides tiny, driver-free.
+    val cents = collectCentroids(centroids, centroidId, centroidVec)
+    // nprobe nearest centroids per query: explode the literal centroid
+    // table against the (small) query set — queries×C rows, then top-nprobe
+    // per query via the same bounded aggregator.
     val qc = queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv"))
-      .crossJoin(broadcast(centroids.select(col(centroidId).as("centroid_id"), col(centroidVec).as("__ctv"))))
-      .withColumn("__cdist", round(cosine(col("__qv"), col("__ctv")), 6))
-    val wq = Window.partitionBy("query_id").orderBy(col("__cdist").desc, col("centroid_id").asc)
-    val probes = qc.withColumn("__rn", row_number().over(wq))
-      .filter(col("__rn") <= nprobe)
-      .select(col("query_id"), col("__qv"), col("centroid_id"))
+      .select(col("query_id"), col("__qv"),
+        explode(typedLit(cents)).as("__ct"))
+      .select(col("query_id"), col("__qv"),
+        col("__ct._1").cast("long").as("centroid_id"),
+        round(cosine(col("__qv"), col("__ct._2")), 6).as("__cdist"))
+    val probes = TopK.perGroup(qc, Seq("query_id"), col("__cdist"), col("centroid_id"), nprobe,
+        idAlias = "centroid_id", scoreAlias = "__cdist")
+      .select(col("query_id"), col("centroid_id"))
+      .join(queries.select(col(queryId).as("query_id"), col(queryVec).as("__qv")), Seq("query_id"))
 
     val scored = assigned
       .select(col(corpusId).as("neighbor_id"), col(corpusVec).as("__cv"), col("centroid_id"))
       .join(broadcast(probes), Seq("centroid_id"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("score", round(cosine(col("__cv"), col("__qv")), 6))
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+    TopK.perGroup(scored, Seq("query_id"), col("score"), col("neighbor_id"), k)
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rnk"))
   }
 
   /** Embedding near-duplicate pairs: cosine >= `threshold`, LSH-blocked
     * so only same-bucket pairs are compared (the scale path for
-    * "embedding-cosine near-dup" dedup).
+    * "embedding-cosine near-dup" dedup). Pass `dim <= 0` to infer the
+    * vector length from the data.
     */
   def embeddingNearDup(
       df: DataFrame,
@@ -188,8 +239,9 @@ object Similarity {
       vecCol: String,
       threshold: Double = 0.95,
       planes: Int = 8,
-      dim: Int = 64): DataFrame = {
-    val hp = hyperplanes(planes, dim)
+      dim: Int = -1): DataFrame = {
+    val d = if (dim > 0) dim else inferDim(df, vecCol)
+    val hp = hyperplanes(planes, d)
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       lshBucket(col(vecCol), hp).as("bkt"))
     val a = base.select(col("id").as("id_a"), col("v").as("v_a"), col("bkt"))

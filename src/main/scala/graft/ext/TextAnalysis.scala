@@ -111,13 +111,15 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
-  /** 64-bit polynomial rolling hash over tokens (base 31, natural Long
-    * overflow) — order-sensitive, unlike [[fingerprint]]'s content hash;
-    * the building block for shift-resistant chunk fingerprinting.
+  /** 64-bit rolling hash over tokens: a left-fold xxhash64 chain
+    * (`h_i = xxhash64(h_{i-1}, token_i)`) — order-sensitive, unlike
+    * [[fingerprint]]'s content hash; the building block for
+    * shift-resistant chunk fingerprinting. Chained hashing instead of a
+    * polynomial so it stays total under ANSI mode (no long overflow).
     */
   def rollingHash(text: Column): Column =
     aggregate(tokens(text), lit(1125899906842597L),
-      (acc, t) => acc * lit(31L) + xxhash64(t))
+      (acc, t) => xxhash64(acc, t))
 
   /** All text statistics as one struct-producing projection, so callers
     * get every metric from a single scan of the text column.

@@ -50,10 +50,19 @@ object ChangeLog {
     *  - `global = true` (test/golden-parity mode): `row_number()` over a
     *    single global window — single-partition sort, only acceptable for
     *    small batches / test fixtures.
-    *  - `global = false` (scale mode): `changed_at` major order with
-    *    `monotonically_increasing_id()` as tiebreaker packed into the id;
-    *    ids are monotone within each capture batch per partition and unique
-    *    across the log when offset by `base`. No shuffle.
+    *  - `global = false` (scale mode): ids pack `changed_at` into the high
+    *    bits so id order IS `changed_at`-major order across batches —
+    *    `unix_millis(changed_at) << 22 | partitionId << 12 | rowInPartition`.
+    *    No shuffle. Per-key last-write-wins over these ids therefore agrees
+    *    with wall-clock capture order at millisecond granularity, which is
+    *    the cross-batch ordering [[graft.apply.ChangeApplier.dedupToLatest]]
+    *    needs. CAVEAT (documented, enforced by nothing): ids are unique only
+    *    while a capture batch has < 1024 partitions and < 4096 rows per
+    *    partition per millisecond-distinct `changed_at`; two changes to the
+    *    SAME key in the same millisecond tie-break arbitrarily. Pipelines
+    *    needing a strict per-key total order at scale should use the
+    *    streaming path, where the micro-batch epoch disambiguates
+    *    (see [[graft.streaming.CdcStream]]).
     */
   def assignCdcIds(
       changes: DataFrame,
@@ -63,7 +72,13 @@ object ChangeLog {
       val w = Window.orderBy(col(ChangedAt), col(RecordId), col(Operation))
       changes.withColumn(CdcId, row_number().over(w).cast(LongType) + lit(base))
     } else {
-      changes.withColumn(CdcId, monotonically_increasing_id() + lit(base + 1L))
+      // monotonically_increasing_id() = partitionId << 33 | rowInPartition.
+      val mid = monotonically_increasing_id()
+      val pid = shiftrightunsigned(mid, 33).bitwiseAND(lit(0x3ffL))
+      val rowInPart = mid.bitwiseAND(lit(0xfffL))
+      changes.withColumn(CdcId,
+        shiftleft(unix_millis(col(ChangedAt)), 22)
+          .bitwiseOR(shiftleft(pid, 12)).bitwiseOR(rowInPart) + lit(base))
     }
   }
 
@@ -85,12 +100,15 @@ object ChangeLog {
     *
     * Mirrors `mark_as_synced` (reference: cdc_system.py:233-246):
     * `UPDATE ... SET synced=1, sync_timestamp=now WHERE cdc_id IN (...)`.
-    * Implemented as a broadcast left-semi membership test rather than an
-    * IN-list literal — an IN-list of 10^6 ids would not compile/plan; a
-    * broadcast join scales to arbitrarily large batches.
+    * Implemented as a join-based membership test rather than an IN-list
+    * literal — an IN-list of 10^6 ids would not compile/plan; a join
+    * scales to arbitrarily large batches. The join strategy is left to
+    * AQE: a normal-sized batch converts to broadcast-hash at runtime from
+    * actual shuffle stats, while a huge backlog replay (where a forced
+    * broadcast would OOM the driver) stays sort-merge.
     */
   def markSynced(log: DataFrame, syncedIds: DataFrame, at: Column = current_timestamp()): DataFrame = {
-    val ids = broadcast(syncedIds.select(col(CdcId).as("__synced_id")).distinct())
+    val ids = syncedIds.select(col(CdcId).as("__synced_id")).distinct()
     log
       .join(ids, col(CdcId) === col("__synced_id"), "left_outer")
       .withColumn(Synced, when(col("__synced_id").isNotNull, lit(1)).otherwise(col(Synced)))

@@ -90,3 +90,27 @@ final case class CdcConfig(
     metricsIntervalSeconds: Int = 60,
     /** pending < threshold => "healthy" (reference: cdc_system.py:373). */
     healthPendingThreshold: Long = 1000L)
+
+object CdcConfig {
+  /** Load from environment variables with the reference's names and
+    * defaults (reference: config.py:50-62). Unset/malformed vars fall back
+    * to the default, matching `os.getenv(..., default)` + int() behavior
+    * for the sane cases.
+    */
+  def fromEnv(env: Map[String, String] = sys.env): CdcConfig = {
+    def intVar(name: String, dflt: Int): Int =
+      env.get(name).flatMap(_.toIntOption).getOrElse(dflt)
+    def boolVar(name: String, dflt: Boolean): Boolean =
+      env.get(name).map(_.equalsIgnoreCase("true")).getOrElse(dflt)
+    val d = CdcConfig()
+    CdcConfig(
+      batchSize = intVar("CDC_BATCH_SIZE", d.batchSize),
+      syncIntervalSeconds = intVar("CDC_SYNC_INTERVAL", d.syncIntervalSeconds),
+      maxRetries = intVar("CDC_MAX_RETRIES", d.maxRetries),
+      retryDelaySeconds = intVar("CDC_RETRY_DELAY", d.retryDelaySeconds),
+      cdcStrategy = env.getOrElse("CDC_STRATEGY", d.cdcStrategy),
+      enableMetrics = boolVar("CDC_ENABLE_METRICS", d.enableMetrics),
+      metricsIntervalSeconds = intVar("CDC_METRICS_INTERVAL", d.metricsIntervalSeconds),
+      healthPendingThreshold = d.healthPendingThreshold)
+  }
+}

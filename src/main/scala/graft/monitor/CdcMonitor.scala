@@ -48,15 +48,19 @@ object CdcMonitor {
           .otherwise(lit("warning")))
 
   /** Pivot of [[statistics]] to one wide row — the reference renders its
-    * stats as a nested dict keyed by operation
-    * (reference: cdc_system.py:260-267); the relational analogue is a
-    * pivot. Operations are an enumerated domain so the pivot needs no
-    * extra pass to discover keys.
+    * stats as a nested dict keyed by operation with total/pending/synced
+    * per op (reference: cdc_system.py:260-267); the relational analogue is
+    * a pivot carrying all three aggregates. Operations are an enumerated
+    * domain so the pivot needs no extra pass to discover keys. Columns:
+    * {INSERT,UPDATE,DELETE}_{total,pending,synced}.
     */
   def statisticsWide(log: DataFrame): DataFrame =
     log.groupBy()
       .pivot(Operation, Seq("INSERT", "UPDATE", "DELETE"))
-      .agg(count(lit(1)))
+      .agg(
+        count(lit(1)).as("total"),
+        sum(when(col(Synced) === 0, 1).otherwise(0)).as("pending"),
+        sum(when(col(Synced) === 1, 1).otherwise(0)).as("synced"))
       .na.fill(0L)
 
   /** Driver-side report object, the only place log data crosses to the

@@ -1,0 +1,179 @@
+package graft.streaming
+
+import graft.apply.ChangeApplier
+import graft.model.{CdcConfig, CdcTableSpec, ConflictStrategy}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, Trigger}
+import org.apache.spark.sql.types.StructType
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+/** Structured-Streaming replication — the Spark-native form of the
+  * reference's hand-rolled poll loop
+  * (reference: example_usage.py:192-233: poll every `sync_interval` s,
+  * `replicate_changes(batch_size)`, final drain after the loop).
+  *
+  * Model mapping (SURVEY §2.9):
+  *  - T1 poll interval → `Trigger.ProcessingTime(s"$syncIntervalSeconds seconds")`
+  *  - T2 batch cap     → `maxFilesPerTrigger` on the file source
+  *  - T3 synced flags  → the streaming checkpoint (WAL + committed offsets);
+  *                       rows are never rewritten to mark them synced
+  *  - T4 delivery      → at-least-once from the checkpoint; end-to-end
+  *                       effectively-once because the target write is
+  *                       keyed by epoch (idempotent re-run of a batch)
+  *  - T5 ordering      → per-key last-write-wins inside each batch via
+  *                       [[graft.apply.ChangeApplier.dedupToLatest]]; the
+  *                       epoch number disambiguates across batches
+  *  - T10 final drain  → [[drain]] = one `Trigger.AvailableNow` pass
+  *
+  * ==Target storage==
+  * Plain parquet has no transactional MERGE, so the target snapshot is
+  * kept in EPOCH-VERSIONED directories: `target/v=<epoch>` plus a
+  * `_current` pointer file. Each micro-batch reads the pointed-at version,
+  * applies the changes, writes `v=<epoch>` (overwrite — re-running the
+  * same epoch after a crash produces the same directory), then flips the
+  * pointer. In production this whole dance is one Delta/Iceberg MERGE; the
+  * version-dir swap is the dependency-free equivalent with the same
+  * idempotence contract.
+  */
+object CdcStream {
+
+  /** Read the current target snapshot (empty-schema DataFrame when no
+    * version has been committed yet).
+    */
+  def readTarget(spark: SparkSession, targetDir: String, rowSchema: StructType): DataFrame =
+    currentVersion(targetDir) match {
+      case Some(v) => spark.read.schema(rowSchema).parquet(s"$targetDir/v=$v")
+      case None =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rowSchema)
+    }
+
+  def currentVersion(targetDir: String): Option[Long] = {
+    val p = Paths.get(targetDir, "_current")
+    if (Files.exists(p)) Some(Files.readString(p).trim.toLong) else None
+  }
+
+  private def commitVersion(targetDir: String, epoch: Long): Unit = {
+    Files.createDirectories(Paths.get(targetDir))
+    Files.writeString(Paths.get(targetDir, "_current"), epoch.toString,
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING,
+      StandardOpenOption.WRITE)
+  }
+
+  /** One micro-batch application: read current target, merge the batch,
+    * write the next version, flip the pointer. Public so tests and
+    * [[drain]]/[[start]] share the exact same body.
+    */
+  def applyBatch(
+      batch: DataFrame,
+      epoch: Long,
+      targetDir: String,
+      spec: CdcTableSpec,
+      rowSchema: StructType,
+      strategy: ConflictStrategy = ConflictStrategy.LastWriteWins): Unit = {
+    val spark = batch.sparkSession
+    if (!batch.isEmpty) {
+      val target = readTarget(spark, targetDir, rowSchema)
+      val next = ChangeApplier.applyChanges(target, batch, spec, strategy)
+      next.write.mode("overwrite").parquet(s"$targetDir/v=$epoch")
+      commitVersion(targetDir, epoch)
+    }
+  }
+
+  /** Start continuous replication: stream the change-log directory and
+    * merge each micro-batch into the versioned target.
+    *
+    * @param logDir       append-only directory of parquet change-log files
+    * @param targetDir    versioned target root (see class doc)
+    * @param checkpointDir streaming checkpoint (replaces `synced` flags)
+    * @param maxFilesPerTrigger batch-size cap (T2); reference default 100
+    *                     changes/batch ≈ one capture file per trigger here
+    */
+  def start(
+      spark: SparkSession,
+      logDir: String,
+      targetDir: String,
+      checkpointDir: String,
+      spec: CdcTableSpec,
+      rowSchema: StructType,
+      config: CdcConfig = CdcConfig(),
+      trigger: Option[Trigger] = None,
+      maxFilesPerTrigger: Int = 100,
+      strategy: ConflictStrategy = ConflictStrategy.LastWriteWins): StreamingQuery = {
+    val logSchema = graft.log.ChangeLog.schema(rowSchema)
+    val stream = spark.readStream
+      .schema(logSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(logDir)
+    stream.writeStream
+      .queryName(s"cdc-replicate-${spec.table}")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger.getOrElse(
+        Trigger.ProcessingTime(s"${config.syncIntervalSeconds} seconds")))
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        applyBatch(batch, epoch, targetDir, spec, rowSchema, strategy)
+      }
+      .start()
+  }
+
+  /** Drain all pending changes once and stop — the reference's final
+    * `replicate_changes` after the poll loop ends
+    * (reference: example_usage.py:221-223). `Trigger.AvailableNow`
+    * processes everything committed to the log, then terminates.
+    */
+  def drain(
+      spark: SparkSession,
+      logDir: String,
+      targetDir: String,
+      checkpointDir: String,
+      spec: CdcTableSpec,
+      rowSchema: StructType,
+      strategy: ConflictStrategy = ConflictStrategy.LastWriteWins): Unit = {
+    val q = start(spark, logDir, targetDir, checkpointDir, spec, rowSchema,
+      trigger = Some(Trigger.AvailableNow()), strategy = strategy)
+    q.awaitTermination()
+  }
+
+  /** Run a streaming query with the reference's retry policy
+    * (reference: config.py:35-36: max_retries=3, retry_delay_seconds=10):
+    * on failure, restart from the checkpoint up to `maxRetries` times —
+    * the checkpoint guarantees no committed batch is lost or re-ordered,
+    * only the failed batch is retried (at-least-once, T4/T8).
+    */
+  def runWithRetries(
+      config: CdcConfig)(startQuery: () => StreamingQuery): Unit = {
+    var attempt = 0
+    var done = false
+    while (!done) {
+      val q = startQuery()
+      try {
+        q.awaitTermination()
+        done = true
+      } catch {
+        case e: Throwable if attempt < config.maxRetries =>
+          attempt += 1
+          System.err.println(
+            s"[cdc-stream] query failed (${e.getMessage}); retry $attempt/${config.maxRetries} " +
+              s"in ${config.retryDelaySeconds}s")
+          Thread.sleep(config.retryDelaySeconds * 1000L)
+      }
+    }
+  }
+
+  /** Streaming health monitor (T9): emits the A1/A3/A5 health report on
+    * every query-progress event, at the cadence the trigger provides —
+    * the streaming analogue of the reference's `metrics_interval_seconds`
+    * report loop (reference: config.py:39-40, cdc_system.py:359-393).
+    */
+  final class HealthListener(
+      log: () => DataFrame,
+      config: CdcConfig = CdcConfig(),
+      emit: Map[String, Any] => Unit = r => println(s"[cdc-health] $r"))
+      extends StreamingQueryListener {
+    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+      if (config.enableMetrics)
+        emit(graft.monitor.CdcMonitor.healthReportRow(log(), config))
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+  }
+}

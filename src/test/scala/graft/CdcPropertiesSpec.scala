@@ -1,0 +1,103 @@
+package graft
+
+import graft.apply.ChangeApplier
+import graft.capture.CdcTable
+import graft.model.CdcTableSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => ScTest}
+
+/** The two fundamental CDC invariants as properties (SURVEY §5):
+  *
+  *  1. apply(changeLog) over the initial snapshot ≡ the final snapshot,
+  *     for ANY sequence of insert/update/delete operations;
+  *  2. applying the same batch twice ≡ applying it once (idempotence —
+  *     the reference's `INSERT OR REPLACE` semantics, cdc_system.py:327).
+  *
+  * Spark actions are expensive, so the search space is kept small
+  * (sequences of ≤ 10 ops over ≤ 6 keys, few cases) — the point is the
+  * invariant, not volume.
+  */
+class CdcPropertiesSpec extends SparkSpecBase {
+
+  /** Run a ScalaCheck property inline (scalatest-scalacheck bridge is not
+    * on the offline resolver; raw ScalaCheck is).
+    */
+  private def checkProp(prop: Prop, minSuccessful: Int): Unit = {
+    val res = ScTest.check(
+      ScTest.Parameters.default.withMinSuccessfulTests(minSuccessful), prop)
+    assert(res.passed, s"property failed: ${res.status}")
+  }
+
+  private lazy val s = spark
+  import s.implicits._
+
+  private val spec = CdcTableSpec("prop_table", Seq("id", "name", "value"), "id")
+
+  sealed private trait Op
+  private case class Ins(id: Long, v: Long) extends Op
+  private case class Upd(id: Long, v: Long) extends Op
+  private case class Del(id: Long) extends Op
+
+  private val genOp: Gen[Op] = for {
+    id <- Gen.choose(1L, 6L)
+    v <- Gen.choose(0L, 99L)
+    op <- Gen.oneOf[Op](Ins(id, v), Upd(id, v), Del(id))
+  } yield op
+
+  private val genOps: Gen[List[Op]] = Gen.listOfN(8, genOp)
+
+  /** Replay ops through the write-through table; returns it. Inserts of an
+    * existing key and updates/deletes of a missing key are no-ops at the
+    * snapshot level (insert-existing would violate PK uniqueness), so we
+    * guard them like an application would.
+    */
+  private def replay(ops: List[Op]): CdcTable = {
+    val t = CdcTable(Seq.empty[(Long, String, Long)].toDF("id", "name", "value"), spec)
+    var present = Set.empty[Long]
+    ops.foreach {
+      case Ins(id, v) if !present(id) =>
+        t.insert(Seq((id, s"n$id", v)).toDF("id", "name", "value"))
+        present += id
+      case Upd(id, v) if present(id) =>
+        t.update(col("id") === id, Map("value" -> lit(v)))
+      case Del(id) if present(id) =>
+        t.delete(col("id") === id)
+        present -= id
+      case _ => ()
+    }
+    t
+  }
+
+  private def sameRows(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame): Boolean =
+    a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty
+
+  test("property: applying the change log to the initial snapshot yields the final snapshot") {
+    checkProp(Prop.forAll(genOps) { ops =>
+      val t = replay(ops)
+      val initial = Seq.empty[(Long, String, Long)].toDF("id", "name", "value")
+      val applied = ChangeApplier.applyChanges(initial, t.changeLog, spec)
+      sameRows(applied, t.snapshot)
+    }, minSuccessful = 6)
+  }
+
+  test("property: re-applying the same batch is idempotent") {
+    checkProp(Prop.forAll(genOps) { ops =>
+      val t = replay(ops)
+      val initial = Seq.empty[(Long, String, Long)].toDF("id", "name", "value")
+      val once = ChangeApplier.applyChanges(initial, t.changeLog, spec)
+      val twice = ChangeApplier.applyChanges(once, t.changeLog, spec)
+      sameRows(once, twice)
+    }, minSuccessful = 4)
+  }
+
+  test("dedupToLatest collapses DELETE→INSERT on one key to the final state") {
+    val t = CdcTable(Seq((1L, "a", 1L)).toDF("id", "name", "value"), spec)
+    t.delete(col("id") === 1)
+    t.insert(Seq((1L, "reborn", 2L)).toDF("id", "name", "value"))
+    val applied = ChangeApplier.applyChanges(
+      Seq((1L, "a", 1L)).toDF("id", "name", "value"), t.changeLog, spec)
+    val r = applied.collect()
+    assert(r.length === 1)
+    assert(r.head.getString(1) === "reborn")
+  }
+}

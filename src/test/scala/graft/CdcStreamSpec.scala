@@ -1,0 +1,95 @@
+package graft
+
+import graft.capture.{CdcTable, DemoWorkload}
+import graft.log.ChangeLog
+import graft.monitor.CdcMonitor
+import graft.streaming.CdcStream
+import graft.verify.ReplicationVerifier
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** End-to-end streaming parity with the reference's continuous-sync demo
+  * (reference: example_usage.py:168-233): replay the demo workload
+  * (10 inserts, 5 updates, 2 deletes), stream the change log through
+  * foreachBatch replication with an AvailableNow drain, and assert
+  * source ≡ target plus the statistics {INSERT:10, UPDATE:5, DELETE:2}.
+  */
+class CdcStreamSpec extends SparkSpecBase {
+
+  private lazy val s = spark
+
+  test("demo workload streams to a fully replicated target") {
+    val tmp = Files.createTempDirectory("cdcstream").toString
+    val logDir = s"$tmp/log"
+    val targetDir = s"$tmp/target"
+    val checkpointDir = s"$tmp/chk"
+
+    // 1. replay the demo workload through write-through capture
+    val table = DemoWorkload.replay(
+      CdcTable(
+        DemoWorkload.users(s, 0),
+        DemoWorkload.UsersSpec),
+      s, inserts = 10, updates = 5, deletes = 2)
+
+    // statistics parity (reference: example_usage.py:141-143 workload)
+    val stats = CdcMonitor.statistics(table.changeLog)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stats === Map("INSERT" -> 10L, "UPDATE" -> 5L, "DELETE" -> 2L))
+
+    // 2. commit the log to the streaming source directory
+    table.changeLog.write.mode("overwrite").parquet(logDir)
+    val rowSchema = table.snapshot.schema
+
+    // 3. drain (Trigger.AvailableNow — T10 final drain semantics)
+    CdcStream.drain(s, logDir, targetDir, checkpointDir,
+      DemoWorkload.UsersSpec, rowSchema)
+
+    // 4. target ≡ source snapshot
+    val target = CdcStream.readTarget(s, targetDir, rowSchema)
+    assert(target.count() === 8) // 10 inserts - 2 deletes
+    assert(ReplicationVerifier.fullyReplicated(table.snapshot, target))
+
+    // 5. restart the drain on the same checkpoint: no-op, target unchanged
+    val v1 = CdcStream.currentVersion(targetDir)
+    CdcStream.drain(s, logDir, targetDir, checkpointDir,
+      DemoWorkload.UsersSpec, rowSchema)
+    assert(CdcStream.currentVersion(targetDir) === v1)
+    assert(ReplicationVerifier.fullyReplicated(table.snapshot,
+      CdcStream.readTarget(s, targetDir, rowSchema)))
+
+    // 6. late batch: more inserts land in the log; a second drain catches up
+    table.insert(DemoWorkload.users(s, 3, startId = 100L))
+    table.changeLog.filter(col("record_id") >= 100L)
+      .write.mode("append").parquet(logDir)
+    CdcStream.drain(s, logDir, targetDir, checkpointDir,
+      DemoWorkload.UsersSpec, rowSchema)
+    val target2 = CdcStream.readTarget(s, targetDir, rowSchema)
+    assert(target2.count() === 11)
+    assert(ReplicationVerifier.fullyReplicated(table.snapshot, target2))
+  }
+
+  test("health listener emits a report per progress event") {
+    val tmp = Files.createTempDirectory("cdclisten").toString
+    val table = DemoWorkload.replay(
+      CdcTable(DemoWorkload.users(s, 0), DemoWorkload.UsersSpec), s)
+    table.changeLog.write.mode("overwrite").parquet(s"$tmp/log")
+    val rowSchema = table.snapshot.schema
+
+    val reports = new java.util.concurrent.ConcurrentLinkedQueue[Map[String, Any]]()
+    val listener = new CdcStream.HealthListener(
+      () => s.read.schema(ChangeLog.schema(rowSchema)).parquet(s"$tmp/log"),
+      emit = r => { reports.add(r); () })
+    s.streams.addListener(listener)
+    try {
+      CdcStream.drain(s, s"$tmp/log", s"$tmp/target", s"$tmp/chk",
+        DemoWorkload.UsersSpec, rowSchema)
+      // listener events are delivered asynchronously — poll briefly
+      val deadline = System.nanoTime() + 15_000_000_000L
+      while (reports.isEmpty && System.nanoTime() < deadline) Thread.sleep(200)
+      assert(!reports.isEmpty, "no health report within 15s of drain")
+      val r = reports.peek()
+      assert(r("total_changes").asInstanceOf[Long] === 17L)
+      assert(r("health") === "healthy")
+    } finally s.streams.removeListener(listener)
+  }
+}

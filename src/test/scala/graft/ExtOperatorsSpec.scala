@@ -1,0 +1,140 @@
+package graft
+
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Golden checks for the LLM-pipeline operators on tiny hand-checkable
+  * inputs, plus a brute-force-vs-window cross-check for the top-k
+  * aggregator rewrite.
+  */
+class ExtOperatorsSpec extends SparkSpecBase {
+
+  private lazy val s = spark
+  import s.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", "en"),
+    (2L, "the quick brown fox jumps over the lazy cat", "en"),
+    (3L, "completely different text about spark engines", "en"),
+    (4L, "the quick brown fox jumps over the lazy dog", "en"), // exact dup of 1
+    (5L, "", "en"),
+    (6L, "une phrase en français pour le test", "fr"))
+    .toDF("doc_id", "text", "lang")
+
+  test("exactDedup groups exact duplicates and keeps the lowest id") {
+    val d = Dedup.exactDedup(docs, "text", "doc_id")
+    val dup = d.filter(col("n_dups") > 1).collect()
+    assert(dup.length === 1)
+    assert(dup.head.getAs[Long]("keep_id") === 1L)
+    assert(dup.head.getAs[Long]("n_dups") === 2L)
+    assert(d.count() === 5) // 6 docs, one pair merged
+  }
+
+  test("ngramJaccardDedup finds the near-dup pair and the exact pair, not the distinct doc") {
+    val pairs = Dedup.ngramJaccardDedup(docs, "text", "doc_id", col("lang"), n = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L))) // exact dup → jaccard 1
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 4L))) // one-word diff
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhashLshDedup finds exact duplicates (jaccard 1 pairs always collide)") {
+    val pairs = Dedup.minhashLshDedup(docs, "text", "doc_id", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 4L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simhashDedup: identical docs at distance 0; hamming is symmetric-safe") {
+    val pairs = Dedup.simhashDedup(docs, "text", "doc_id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 0))
+  }
+
+  test("textStats computes token counts, ratios and language guess") {
+    val st = TextAnalysis.textStats(docs, "text")
+      .select("doc_id", "n_tokens", "stopword_ratio", "lang_guess", "quality")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(st(1L).getInt(1) === 9)
+    assert(st(5L).getInt(1) === 0) // empty text → 0 tokens, no NaNs
+    assert(st(1L).getString(3) === "en")
+    assert(st(6L).getString(3) === "fr")
+    assert(st(5L).getDouble(4) >= 0.0) // quality defined on empty docs
+  }
+
+  test("rollingHash is order-sensitive where fingerprint is not") {
+    val df = Seq((1L, "a b c"), (2L, "c b a")).toDF("id", "t")
+    val r = df.select(
+      TextAnalysis.rollingHash(col("t")).as("rh"),
+      TextAnalysis.fingerprint(col("t")).as("fp")).collect()
+    assert(r(0).getLong(0) !== r(1).getLong(0))
+  }
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+    (3L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+    (4L, Array(0.5f, 0.5f, 0.0f, 0.0f)),
+    (5L, Array(0.0f, 0.0f, 0.0f, 0.0f))) // zero vector: cosine defined as 0
+    .toDF("vec_id", "embedding")
+
+  test("bruteForceTopK ranks by cosine with deterministic ties") {
+    val q = vecs.filter(col("vec_id") === 0)
+    val top = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", "vec_id", "embedding", 3)
+      .orderBy("rnk").collect()
+    assert(top.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(1L, 4L, 2L))
+    assert(top.head.getAs[Double]("score") > 0.99)
+  }
+
+  test("top-k aggregator matches a window-based reference implementation") {
+    val q = vecs.filter(col("vec_id") <= 1)
+    val viaAgg = Similarity.bruteForceTopK(vecs, q, "vec_id", "embedding", "vec_id", "embedding", 4)
+    // reference: same scoring, window rank (fine at test scale)
+    val scored = vecs.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      .crossJoin(q.select(col("vec_id").as("query_id"), col("embedding").as("qv")))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score", round(Similarity.cosine(col("cv"), col("qv")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score").desc, col("neighbor_id").asc)
+    val viaWindow = scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 4)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rnk").cast("int"))
+    assertSameRows(viaAgg, viaWindow, "topk-agg vs window")
+  }
+
+  test("ivfAssign picks the nearest centroid with zero-shuffle plan") {
+    val cents = vecs.filter(col("vec_id").isin(0L, 2L, 3L))
+    val assigned = Similarity.ivfAssign(vecs, cents, "vec_id", "embedding", "vec_id", "embedding")
+    val m = assigned.select("vec_id", "centroid_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) === 0L) // 0.9/0.1 → nearest axis x
+    assert(m(4L) === 0L) // tie between centroids 0 and 2 → smaller id
+    assert(m(2L) === 2L)
+    // zero-shuffle: no Exchange in the assignment plan
+    val plan = assigned.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), s"ivfAssign plan must not shuffle:\n$plan")
+  }
+
+  test("embeddingNearDup finds the high-cosine pair") {
+    val pairs = Similarity.embeddingNearDup(vecs, "vec_id", "embedding", threshold = 0.95, planes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+  }
+
+  test("multimodal plumbing: fake payload → features and frames, meta is exact") {
+    import Multimodal._
+    val media = withFakePayload(docs.filter(col("doc_id") <= 2), "doc_id", "text")
+    val meta = mediaMeta(media).orderBy("media_id").collect()
+    assert(meta.length === 2)
+    assert(meta.head.getAs[Int]("byte_len") === docs.head().getString(1).getBytes("UTF-8").length)
+    val typed = media.as[MediaRecord](org.apache.spark.sql.Encoders.product[MediaRecord])
+    val feats = extractFeatures(typed, dim = 8).collect()
+    assert(feats.forall(_.features.length == 8))
+    // determinism: same payload → same checksum
+    val again = extractFeatures(typed, dim = 8).collect()
+    assert(feats.map(_.checksum).toSeq === again.map(_.checksum).toSeq)
+    val frames = sampleFrames(media, 4)
+    assert(frames.count() === 8)
+  }
+}

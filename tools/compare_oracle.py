@@ -1,0 +1,61 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle compare.
+
+Reads /tmp/verify_out/<name> (spark parquet dirs) + oracle_sql.json,
+runs each oracle SQL in DuckDB with tables registered from the sf dir,
+and compares: row count, schema (column names+types after sorting by
+name), and per-value equality.
+"""
+import duckdb, glob, json, math, os, sys
+
+sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for f in glob.glob(f"{sfdir}/*.parquet"):
+    name = os.path.basename(f)[:-8]
+    con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{f}'")
+
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+fails = []
+for name, sql in sorted(oracle.items()):
+    spark_dir = f"{outdir}/{name}"
+    if not os.path.isdir(spark_dir):
+        print(f"{name}: MISSING spark output"); fails.append(name); continue
+    try:
+        sdf = con.sql(f"SELECT * FROM '{spark_dir}/*.parquet'").df()
+    except Exception as e:
+        print(f"{name}: spark read error {e}"); fails.append(name); continue
+    try:
+        odf = con.sql(sql).df()
+    except Exception as e:
+        print(f"{name}: ORACLE SQL ERROR {e}"); fails.append(name); continue
+    # sort columns by name
+    sdf = sdf[sorted(sdf.columns)]
+    odf = odf[sorted(odf.columns)]
+    ok = True
+    if list(sdf.columns) != list(odf.columns):
+        print(f"{name}: COLUMN MISMATCH spark={list(sdf.columns)} oracle={list(odf.columns)}"); ok = False
+    elif len(sdf) != len(odf):
+        print(f"{name}: ROWCOUNT spark={len(sdf)} oracle={len(odf)}"); ok = False
+    else:
+        st = [str(t) for t in sdf.dtypes]; ot = [str(t) for t in odf.dtypes]
+        if st != ot:
+            print(f"{name}: DTYPE MISMATCH spark={st} oracle={ot}")
+            ok = False  # still check values below
+        # value compare
+        for c in sdf.columns:
+            a, b = sdf[c].tolist(), odf[c].tolist()
+            for i, (x, y) in enumerate(zip(a, b)):
+                same = (x == y) or (x is None and y is None)
+                if not same and isinstance(x, float) and isinstance(y, float):
+                    same = (math.isnan(x) and math.isnan(y)) or x == y
+                if not same:
+                    print(f"{name}: VALUE row {i} col {c}: spark={x!r} oracle={y!r}")
+                    ok = False
+                    break
+            if not ok: break
+    print(f"{name}: {'OK rows=' + str(len(sdf)) if ok else 'FAIL'}")
+    if not ok: fails.append(name)
+print()
+print(f"=== {len(oracle) - len(fails)}/{len(oracle)} oracle queries match; failures: {fails}")
