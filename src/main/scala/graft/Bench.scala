@@ -10,10 +10,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Optional comma-separated query filter for focused runs.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = SparkEntry.queries.filter { case (name, _) =>
+      only.forall(_.contains(name))
+    }
     // A failed query must be visible as a failure, not counted as a fast
     // run: it reports -1 in the per-query map and is excluded from total.
     val results: Map[String, Either[String, Double]] =
-      SparkEntry.queries.map { case (name, fn) =>
+      selected.map { case (name, fn) =>
         val t0 = System.nanoTime()
         name -> (try {
           fn(spark, sfDir).count()

@@ -39,10 +39,13 @@ object Dedup {
           i => concat_ws(" ", slice(tk, i + 1, lit(n))))))
   }
 
-  /** Exact Jaccard similarity of two pre-distinct shingle arrays. */
+  /** Exact Jaccard similarity of two pre-distinct shingle arrays.
+    * |A∪B| is derived as |A|+|B|−|A∩B| (valid because inputs are
+    * distinct), saving the second hash-set build per pair.
+    */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
-    val union = size(array_union(a, b)).cast("double")
+    val union = (size(a) + size(b)).cast("double") - inter
     when(union === 0, lit(0.0)).otherwise(inter / union)
   }
 
@@ -50,8 +53,16 @@ object Dedup {
     *
     * `blockCol` bounds the quadratic comparison (same-language, same
     * source bucket, length band, ...). Output: (id_a, id_b, jac) with
-    * id_a < id_b. The self-join shuffles on the block key only; within a
-    * block the pair comparison is a codegen'd array intersect.
+    * id_a < id_b.
+    *
+    * The self-join is SALTED: joining on the block key alone caps
+    * parallelism at the number of distinct blocks (5 language blocks =
+    * 5 tasks doing O(block²) work each, regardless of cluster size). One
+    * side keeps a hash-salt per row, the other replicates each row across
+    * all `saltFanout` salts — each unordered pair still matches exactly
+    * once (at the left row's salt), but the quadratic verify work spreads
+    * over blocks × saltFanout tasks. Replication cost is saltFanout ×
+    * |block side|, which is linear, not quadratic.
     */
   def ngramJaccardDedup(
       df: DataFrame,
@@ -59,15 +70,29 @@ object Dedup {
       idCol: String,
       blockCol: Column,
       n: Int = 3,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8,
+      saltFanout: Int = 32): DataFrame = {
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
     val base = df.select(
       col(idCol).as("id"),
       blockCol.as("blk"),
       shingles(col(textCol), n).as("sh"))
     val a = base.select(col("id").as("id_a"), col("blk"), col("sh").as("sh_a"))
+      .withColumn("__salt", pmod(xxhash64(col("id_a")), lit(saltFanout)))
+    // Explicit repartition on the replicated side: when the planner
+    // broadcasts the other side, the O(block²) verify work runs in the
+    // probe side's partitions — which for a compact parquet scan can be a
+    // single task. An explicit partition count survives AQE coalescing.
     val b = base.select(col("id").as("id_b"), col("blk"), col("sh").as("sh_b"))
-    a.join(b, Seq("blk"))
+      .withColumn("__salt", explode(sequence(lit(0L), lit((saltFanout - 1).toLong))))
+      .repartition(parallelism, col("blk"), col("__salt"))
+    a.join(b, Seq("blk", "__salt"))
       .filter(col("id_a") < col("id_b"))
+      // size-ratio prefilter: jaccard <= min(|A|,|B|)/max(|A|,|B|), so
+      // pairs failing the ratio can never reach the threshold — pruned
+      // before the (expensive) intersection, without changing the result.
+      .filter(least(size(col("sh_a")), size(col("sh_b"))).cast("double")
+        >= greatest(size(col("sh_a")), size(col("sh_b"))) * threshold)
       .withColumn("jac", round(jaccard(col("sh_a"), col("sh_b")), 6))
       .filter(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"), col("jac"))
@@ -76,10 +101,23 @@ object Dedup {
   /** MinHash signature: `numHashes` independent permutations simulated by
     * seeded xxhash64; element i is min over shingles of hash_i(shingle).
     * Pure column algebra — computed inside the scan stage, no shuffle.
+    *
+    * Formulated as ONE aggregate fold over the shingle array (per shingle:
+    * hash under every seed, elementwise-min into the accumulator) rather
+    * than a per-seed transform that re-scans the shingles: higher-order
+    * functions re-evaluate their argument expression on every lambda
+    * invocation, so the per-seed formulation costs numHashes × the shingle
+    * expression — a silent 100×+ CPU blowup when `shingleArr` is an
+    * inlined expression rather than a materialized column.
     */
   def minhashSignature(shingleArr: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      seed => array_min(transform(shingleArr, s => xxhash64(seed, s))))
+    aggregate(
+      shingleArr,
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, s) => zip_with(
+        acc,
+        transform(sequence(lit(0), lit(numHashes - 1)), seed => xxhash64(seed, s)),
+        (a, h) => least(a, h)))
 
   /** LSH band buckets for a MinHash signature: `bands` buckets, each the
     * hash of `rowsPerBand` consecutive signature slots. Two docs share a
@@ -113,8 +151,19 @@ object Dedup {
       col(idCol).as("id"),
       shingles(col(textCol), n).as("sh"))
 
-    val buckets = base
-      .withColumn("sig", minhashSignature(col("sh"), bands * rowsPerBand))
+    // The repartition between signature and bucket derivation does two
+    // jobs: (1) it is a materialization barrier — without it, projection
+    // collapse inlines the signature expression into the 16-band bucket
+    // expression and the whole 128-hash signature is recomputed per band;
+    // (2) it spreads rows across the cluster, since a compact parquet
+    // input may arrive in very few scan partitions while the signature
+    // work is CPU-bound. Shuffle weight is one (id, sig) row per doc.
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    val sigd = base
+      .select(col("id"), minhashSignature(col("sh"), bands * rowsPerBand).as("sig"))
+      .repartition(parallelism)
+
+    val buckets = sigd
       .select(col("id"),
         posexplode(lshBandBuckets(col("sig"), bands, rowsPerBand))
           .as(Seq("band", "bucket")))
@@ -175,7 +224,10 @@ object Dedup {
       maxHamming: Int = 3): DataFrame = {
     val chunks = maxHamming + 1
     val bitsPer = 64 / chunks
+    // repartition: materialize the hash + spread CPU-bound rows (see
+    // minhashLshDedup for why); one (id, long) row per doc of shuffle.
     val withHash = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh64"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
     val exploded = withHash.select(col("id"), col("sh64"),
       posexplode(transform(sequence(lit(0), lit(chunks - 1)),
         i => call_function("shiftrightunsigned", col("sh64"), i * bitsPer)
