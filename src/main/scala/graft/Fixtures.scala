@@ -52,8 +52,11 @@ object Fixtures {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // integral `div`, NOT `/`: ns-since-epoch longs (~1.7e18) exceed a
+    // double's 53-bit mantissa, so float division silently loses the
+    // low microsecond bits.
     spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** The post-mutation snapshot ("after" state) of orders. */

@@ -2,7 +2,8 @@ package graft
 
 import graft.apply.ChangeApplier
 import graft.capture.ChangeCapture
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, EventAnalytics, Multimodal, Similarity, TextAnalysis}
+import graft.model.ConflictStrategy
 import graft.log.ChangeLog
 import graft.monitor.CdcMonitor
 import graft.verify.ReplicationVerifier
@@ -72,6 +73,15 @@ object SparkEntry {
     val combined = changeLog(s, dir).select(keep.map(col): _*)
       .unionByName(secondBatchLog(s, dir).select(keep.map(col): _*))
     ChangeApplier.dedupToLatest(combined)
+      .select(keep.map(col): _*)
+      .orderBy("record_id")
+  }
+
+  private def qDedupFirstWrite(s: SparkSession, dir: String): DataFrame = {
+    val keep = Seq("cdc_id", "operation", "record_id")
+    val combined = changeLog(s, dir).select(keep.map(col): _*)
+      .unionByName(secondBatchLog(s, dir).select(keep.map(col): _*))
+    ChangeApplier.dedupToLatest(combined, ConflictStrategy.FirstWriteWins)
       .select(keep.map(col): _*)
       .orderBy("record_id")
   }
@@ -195,6 +205,20 @@ object SparkEntry {
         col("event_type"), col("n"), col("sum_value"))
       .orderBy("hour_start", "event_type")
 
+  private def qEventsSessions(s: SparkSession, dir: String): DataFrame =
+    EventAnalytics.sessionStats(events(s, dir), "user_id", "ts", "event_id",
+        "value", maxGapMinutes = 30)
+      .orderBy("user_id", "session_seq")
+
+  private def qEventsUserStats(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 3).as("sum_value"))
+      .orderBy("event_type")
+
   private def qLineitemAgg(s: SparkSession, dir: String): DataFrame =
     lineitem(s, dir)
       .filter(col("l_shipdate") <= lit(ShipCutoff))
@@ -225,6 +249,7 @@ object SparkEntry {
     "cdc_pending_scan" -> (qPendingScan _),
     "cdc_mark_synced" -> (qMarkSynced _),
     "cdc_dedup_latest" -> (qDedupLatest _),
+    "cdc_dedup_first_write" -> (qDedupFirstWrite _),
     "cdc_apply_changes" -> (qApplyChanges _),
     "cdc_statistics" -> (qStatistics _),
     "cdc_statistics_wide" -> (qStatisticsWide _),
@@ -244,6 +269,8 @@ object SparkEntry {
     "ann_ivf_topk" -> (qAnnIvfTopK _),
     "emb_near_dup" -> (qEmbNearDup _),
     "events_hourly" -> (qEventsHourly _),
+    "events_sessions" -> (qEventsSessions _),
+    "events_user_stats" -> (qEventsUserStats _),
     "lineitem_agg" -> (qLineitemAgg _),
     "top_revenue_join" -> (qTopRevenue _))
 
@@ -320,6 +347,15 @@ object SparkEntry {
          |  SELECT cdc_id, operation, record_id FROM logm_t
          |  UNION ALL SELECT cdc_id, operation, record_id FROM log2_t),
          |dd AS (SELECT *, row_number() OVER (PARTITION BY record_id ORDER BY cdc_id DESC) AS rn
+         |       FROM combined)
+         |SELECT cdc_id, operation, record_id FROM dd WHERE rn = 1 ORDER BY record_id""".stripMargin,
+
+    "cdc_dedup_first_write" ->
+      s"""WITH ${FixtureSql.LogCte}, ${FixtureSql.Log2Cte},
+         |combined AS (
+         |  SELECT cdc_id, operation, record_id FROM logm_t
+         |  UNION ALL SELECT cdc_id, operation, record_id FROM log2_t),
+         |dd AS (SELECT *, row_number() OVER (PARTITION BY record_id ORDER BY cdc_id ASC) AS rn
          |       FROM combined)
          |SELECT cdc_id, operation, record_id FROM dd WHERE rn = 1 ORDER BY record_id""".stripMargin,
 
@@ -511,6 +547,30 @@ object SparkEntry {
         |       event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |       round(SUM(value), 3) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "events_sessions" ->
+      """WITH s AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              > 1800000000
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM events),
+        |s2 AS (
+        |  SELECT *, CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM s)
+        |SELECT user_id, session_seq, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       MIN(epoch_us(ts)) AS start_us,
+        |       MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us,
+        |       round(SUM(value), 3) AS sum_value
+        |FROM s2 GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+
+    "events_user_stats" ->
+      """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       round(SUM(value), 3) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "lineitem_agg" ->
       """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,

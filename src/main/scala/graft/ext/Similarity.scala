@@ -35,8 +35,21 @@ object Similarity {
   /** Euclidean norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; 0.0 when either vector is all-zero. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity; 0.0 when either vector is all-zero; null on
+    * length mismatch or null elements. Backed by the native codegen'd
+    * [[graft.expr.CosineSim]] expression (one fused loop inside
+    * whole-stage codegen); [[cosineColumnar]] is the equivalent pure
+    * `Column` formulation, kept as the built-ins-only reference — the
+    * two are bit-identical by construction and cross-checked in tests.
+    */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.expr.CosineSim(
+        org.apache.spark.sql.GraftSqlBridge.expression(a.cast("array<double>")),
+        org.apache.spark.sql.GraftSqlBridge.expression(b.cast("array<double>"))))
+
+  /** Pure-built-ins cosine (interpreted higher-order functions). */
+  def cosineColumnar(a: Column, b: Column): Column = {
     val d = norm(a) * norm(b)
     when(d === 0, lit(0.0)).otherwise(dot(a, b) / d)
   }

@@ -118,6 +118,30 @@ object ChangeLog {
       .drop("__synced_id")
   }
 
+  /** Typed view of a canonical (struct-image) change log as
+    * `Dataset[ChangeRecord]` — the F8 surface: row images are rendered to
+    * JSON text at this boundary, matching the reference's wire format
+    * (reference: cdc_system.py:145,221-228), while the engine internals
+    * keep native structs.
+    */
+  def asRecords(log: DataFrame): org.apache.spark.sql.Dataset[graft.model.ChangeRecord] = {
+    val spark = log.sparkSession
+    import spark.implicits._
+    def asJson(c: String): Column = log.schema(c).dataType match {
+      case _: StructType => when(col(c).isNotNull, to_json(col(c)))
+      case _             => col(c).cast(StringType)
+    }
+    log.select(
+      col(CdcId).as("cdcId"),
+      col(Operation).as("operation"),
+      col(RecordId).as("recordId"),
+      asJson(OldData).as("oldData"),
+      asJson(NewData).as("newData"),
+      col(ChangedAt).as("changedAt"),
+      col(Synced).as("synced"),
+      col(SyncTimestamp).as("syncTimestamp")).as[graft.model.ChangeRecord]
+  }
+
   /** Convenience: mark by a Scala id collection (small batches only). */
   def markSyncedIds(log: DataFrame, ids: Seq[Long], at: Column = current_timestamp()): DataFrame = {
     val spark = log.sparkSession

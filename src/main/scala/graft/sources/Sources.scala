@@ -1,0 +1,79 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink abstraction — the Spark form of the reference's
+  * `DatabaseConnection` ABC and `DatabaseType` selector
+  * (reference: cdc_system.py:39-56, config.py:6-30): the engine's
+  * operators are storage-agnostic DataFrame transforms; these small
+  * adapters are the only place a concrete format appears.
+  *
+  * Parquet is the canonical test/bench format (what the driver testdata
+  * ships); JDBC covers the reference's declared postgresql/mysql backends
+  * (reference: config.py:14-16 — declared, stubbed there too: no JDBC
+  * database exists in this environment, so the JDBC adapters are plumbing
+  * wired to `spark.read/write.format("jdbc")` and exercised only by
+  * construction in tests).
+  */
+sealed trait CdcSource {
+  def load(spark: SparkSession): DataFrame
+}
+
+sealed trait CdcSink {
+  def save(df: DataFrame): Unit
+}
+
+/** Parquet directory/file source; `schema` skips inference when given. */
+final case class ParquetSource(path: String, schema: Option[StructType] = None)
+    extends CdcSource {
+  override def load(spark: SparkSession): DataFrame = {
+    val r = spark.read
+    schema.fold(r)(r.schema).parquet(path)
+  }
+}
+
+/** JDBC table source (postgresql/mysql/...; driver inferred from url). */
+final case class JdbcSource(
+    url: String,
+    table: String,
+    options: Map[String, String] = Map.empty)
+    extends CdcSource {
+  override def load(spark: SparkSession): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .options(options).load()
+}
+
+final case class ParquetSink(path: String, mode: String = "overwrite")
+    extends CdcSink {
+  override def save(df: DataFrame): Unit =
+    df.write.mode(mode).parquet(path)
+}
+
+final case class JdbcSink(
+    url: String,
+    table: String,
+    mode: String = "append",
+    options: Map[String, String] = Map.empty)
+    extends CdcSink {
+  override def save(df: DataFrame): Unit =
+    df.write.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .options(options).mode(mode).save()
+}
+
+object CdcSource {
+  /** Config-driven selection (S11): mirrors the reference's env-driven
+    * `DatabaseType` switch (reference: config.py:50-52, `DB_TYPE`).
+    */
+  def forConfig(
+      dbType: String,
+      pathOrUrl: String,
+      table: String = "",
+      schema: Option[StructType] = None): CdcSource = dbType.toLowerCase match {
+    case "parquet" => ParquetSource(pathOrUrl, schema)
+    case "postgresql" | "mysql" | "jdbc" => JdbcSource(pathOrUrl, table)
+    case other => throw new IllegalArgumentException(s"unsupported db_type: $other")
+  }
+}

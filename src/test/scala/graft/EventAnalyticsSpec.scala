@@ -1,0 +1,80 @@
+package graft
+
+import graft.ext.EventAnalytics
+import graft.log.ChangeLog
+import graft.model.CdcTableSpec
+import graft.sources.{CdcSource, JdbcSource, ParquetSink, ParquetSource}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import java.sql.Timestamp
+
+class EventAnalyticsSpec extends SparkSpecBase {
+
+  private lazy val s = spark
+  import s.implicits._
+
+  private def ts(m: String) = Timestamp.valueOf(m)
+
+  private val evts = Seq(
+    // user 1: two sessions (45-min gap between events 2 and 3)
+    (1L, 10L, ts("2024-01-01 10:00:00"), 1.0),
+    (2L, 10L, ts("2024-01-01 10:10:00"), 2.0),
+    (3L, 10L, ts("2024-01-01 10:55:00"), 3.0),
+    // user 2: one session
+    (4L, 20L, ts("2024-01-01 09:00:00"), 4.0),
+    (5L, 20L, ts("2024-01-01 09:29:59"), 5.0))
+    .toDF("event_id", "user_id", "ts", "value")
+
+  test("sessionize splits on gaps > maxGap per user") {
+    val st = EventAnalytics.sessionStats(evts, "user_id", "ts", "event_id", "value", 30)
+      .orderBy("user_id", "session_seq").collect()
+    assert(st.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((10L, 1L, 2L), (10L, 2L, 1L), (20L, 1L, 2L)))
+    val s1 = st(0)
+    assert(s1.getAs[Long]("duration_us") === 10L * 60 * 1000000)
+    assert(s1.getAs[Double]("sum_value") === 3.0)
+  }
+
+  test("streaming hourly counts with watermark match the batch aggregate") {
+    val tmp = Files.createTempDirectory("evstream").toString
+    evts.write.mode("overwrite").parquet(s"$tmp/in")
+    val stream = s.readStream.schema(evts.schema).parquet(s"$tmp/in")
+    val agg = EventAnalytics.streamingHourlyCounts(stream, "ts", "user_id")
+    val q = agg.writeStream.format("memory").queryName("ev_hourly")
+      .outputMode("complete")
+      .option("checkpointLocation", s"$tmp/chk")
+      .start()
+    try {
+      q.processAllAvailable()
+      val got = s.table("ev_hourly")
+        .select(date_format(col("hour_start"), "HH:mm").as("h"), col("user_id"), col("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === Set(("10:00", 10L, 3L), ("09:00", 20L, 2L)))
+    } finally q.stop()
+  }
+
+  test("parquet source/sink round-trip and config-driven selection (S1/S11)") {
+    val tmp = Files.createTempDirectory("srcsink").toString
+    ParquetSink(s"$tmp/t").save(evts)
+    val back = ParquetSource(s"$tmp/t", Some(evts.schema)).load(s)
+    assert(back.count() === 5)
+    assert(CdcSource.forConfig("parquet", s"$tmp/t").isInstanceOf[ParquetSource])
+    assert(CdcSource.forConfig("postgresql", "jdbc:postgresql://h/db", "t")
+      .isInstanceOf[JdbcSource])
+    intercept[IllegalArgumentException](CdcSource.forConfig("sqlite3", "x"))
+  }
+
+  test("ChangeLog.asRecords gives a typed Dataset with JSON images (F8)") {
+    val spec = CdcTableSpec("t", Seq("id", "name", "value"), "id")
+    val t = graft.capture.CdcTable(
+      Seq.empty[(Long, String, Long)].toDF("id", "name", "value"), spec)
+    t.insert(Seq((1L, "typed", 9L)).toDF("id", "name", "value"))
+    val recs = ChangeLog.asRecords(t.changeLog).collect()
+    assert(recs.length === 1)
+    val r = recs.head
+    assert(r.operation === "INSERT")
+    assert(r.oldData.isEmpty)
+    assert(r.newData.exists(_.contains("\"typed\"")))
+    assert(r.synced === 0)
+  }
+}

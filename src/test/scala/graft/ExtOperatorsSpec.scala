@@ -122,6 +122,27 @@ class ExtOperatorsSpec extends SparkSpecBase {
     assert(pairs.contains((0L, 1L)))
   }
 
+  test("native cosine expression: bit-identical to the Column formulation, SQL-registered") {
+    // bit-equality over real embeddings (codegen path exercised by the scan)
+    val emb = Fixtures.embeddings(s, "/root/testdata/sf0.001").limit(100)
+    val both = emb.crossJoin(emb.select(col("vec_id").as("id2"), col("embedding").as("e2")).limit(5))
+      .select(
+        Similarity.cosine(col("embedding"), col("e2")).as("native"),
+        Similarity.cosineColumnar(col("embedding"), col("e2")).as("columnar"))
+    assert(both.filter(!(col("native") <=> col("columnar"))).count() === 0)
+    // SQL surface via GraftExtensions
+    val r = s.sql("SELECT graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c," +
+        " graft_cosine(array(1.0d, 0.0d), array(0.0d, 1.0d)) AS o," +
+        " graft_cosine(array(0.0d), array(0.0d)) AS z").head()
+    assert(r.getDouble(0) === 1.0)
+    assert(r.getDouble(1) === 0.0)
+    assert(r.getDouble(2) === 0.0)
+    // length mismatch and null element → null
+    val n = s.sql("SELECT graft_cosine(array(1.0d), array(1.0d, 2.0d)) AS a," +
+        " graft_cosine(array(1.0d, CAST(NULL AS DOUBLE)), array(1.0d, 2.0d)) AS b").head()
+    assert(n.isNullAt(0) && n.isNullAt(1))
+  }
+
   test("multimodal plumbing: fake payload → features and frames, meta is exact") {
     import Multimodal._
     val media = withFakePayload(docs.filter(col("doc_id") <= 2), "doc_id", "text")
