@@ -230,6 +230,15 @@ object SparkEntry {
         round(avg(col("l_discount")), 6).as("avg_disc"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  /** Same aggregate as [[qLineitemAgg]] expressed through `spark.sql` —
+    * demonstrates that the engine's SQL surface accepts the exact oracle
+    * SQL text (both engines run the same statement).
+    */
+  private def qLineitemAggSql(s: SparkSession, dir: String): DataFrame = {
+    lineitem(s, dir).createOrReplaceTempView("lineitem")
+    s.sql(oracleSql("lineitem_agg"))
+  }
+
   private def qTopRevenue(s: SparkSession, dir: String): DataFrame = {
     val c = customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
     lineitem(s, dir)
@@ -272,6 +281,7 @@ object SparkEntry {
     "events_sessions" -> (qEventsSessions _),
     "events_user_stats" -> (qEventsUserStats _),
     "lineitem_agg" -> (qLineitemAgg _),
+    "lineitem_agg_sql" -> (qLineitemAggSql _),
     "top_revenue_join" -> (qTopRevenue _))
 
   // ------------------------------------------------------------- oracle SQL
@@ -303,6 +313,15 @@ object SparkEntry {
       |  FROM documents)""".stripMargin
 
   private val StopwordsSql = "['the','a','an','of','and','to','in','is','it','that']"
+
+  /** Runs verbatim in BOTH Spark SQL and DuckDB (lineitem_agg_sql). */
+  private val LineitemAggSql: String =
+    """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |       round(AVG(l_discount), 6) AS avg_disc
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for ops whose semantics depend on
@@ -572,13 +591,8 @@ object SparkEntry {
         |       round(SUM(value), 3) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
-    "lineitem_agg" ->
-      """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
-        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
-        |       round(AVG(l_discount), 6) AS avg_disc
-        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "lineitem_agg" -> LineitemAggSql,
+    "lineitem_agg_sql" -> LineitemAggSql,
 
     "top_revenue_join" ->
       """SELECT o_orderkey,
