@@ -158,6 +158,15 @@ object SparkEntry {
         Multimodal.withFakePayload(documents(s, dir), "doc_id", "text"))
       .orderBy("media_id")
 
+  private def qMediaFrames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(
+        Multimodal.withFakePayload(documents(s, dir), "doc_id", "text"), n = 4)
+      .select(col("media_id"), col("frame_i"), col("frame_offset"),
+        // hex-string md5 so the DuckDB twin can compare without BLOB
+        // substring support: hex(slice(bytes)) == slice(hex(bytes)).
+        md5(hex(col("frame_bytes"))).as("frame_md5"))
+      .orderBy("media_id", "frame_i")
+
   private def embQueries(s: SparkSession, dir: String): DataFrame =
     embeddings(s, dir).filter(col("vec_id") % 50 === 0)
 
@@ -272,6 +281,7 @@ object SparkEntry {
     "text_stats" -> (qTextStats _),
     "text_rolling_hash" -> (qTextRollingHash _),
     "media_meta" -> (qMediaMeta _),
+    "media_frames" -> (qMediaFrames _),
     "ann_brute_force" -> (qAnnBruteForce _),
     "ann_lsh" -> (qAnnLsh _),
     "ann_ivf_assign" -> (qAnnIvfAssign _),
@@ -494,6 +504,16 @@ object SparkEntry {
         |       CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
         |       md5(text) AS payload_md5
         |FROM documents ORDER BY media_id""".stripMargin,
+
+    "media_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id AS media_id, i AS frame_i,
+        |         CAST(i * octet_length(encode(text)) // 4 AS INTEGER) AS frame_offset,
+        |         hex(encode(text)) AS hx
+        |  FROM documents, (SELECT unnest(range(0, 4)) AS i))
+        |SELECT media_id, CAST(frame_i AS INTEGER) AS frame_i, frame_offset,
+        |       md5(substring(hx, 2 * frame_offset + 1, 128)) AS frame_md5
+        |FROM f ORDER BY media_id, frame_i""".stripMargin,
 
     "ann_brute_force" ->
       s"""WITH $EmbBase,

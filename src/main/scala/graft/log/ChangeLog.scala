@@ -118,6 +118,25 @@ object ChangeLog {
       .drop("__synced_id")
   }
 
+  /** Persist a change-log batch partitioned by `change_date` =
+    * date(changed_at) — the scale layout (SURVEY §1.3): retention drops
+    * whole partitions, and time-bounded scans prune files instead of
+    * reading the full log (the Spark equivalent of the reference's
+    * covering index, cdc_system.py:129-132 / SURVEY S3).
+    */
+  def writePartitioned(log: DataFrame, path: String, mode: String = "append"): Unit =
+    log.withColumn("change_date", to_date(col(ChangedAt)))
+      .write.partitionBy("change_date").mode(mode).parquet(path)
+
+  /** Read a partitioned log; `since` prunes partitions at planning time. */
+  def readPartitioned(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      since: Option[java.time.LocalDate] = None): DataFrame = {
+    val log = spark.read.parquet(path)
+    since.fold(log)(d => log.filter(col("change_date") >= lit(java.sql.Date.valueOf(d))))
+  }
+
   /** Typed view of a canonical (struct-image) change log as
     * `Dataset[ChangeRecord]` — the F8 surface: row images are rendered to
     * JSON text at this boundary, matching the reference's wire format

@@ -64,6 +64,28 @@ class EventAnalyticsSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](CdcSource.forConfig("sqlite3", "x"))
   }
 
+  test("partitioned log write prunes partitions on time-bounded reads (S3)") {
+    val spec = CdcTableSpec("t", Seq("id", "name", "value"), "id")
+    val tmp = Files.createTempDirectory("logpart").toString
+    def batch(day: String, id: Long) = {
+      val t = graft.capture.CdcTable(
+        Seq.empty[(Long, String, Long)].toDF("id", "name", "value"), spec)
+      t.insert(Seq((id, s"d$day", id)).toDF("id", "name", "value"))
+      t.changeLog.withColumn("changed_at",
+        lit(Timestamp.valueOf(s"$day 12:00:00")))
+    }
+    ChangeLog.writePartitioned(batch("2026-01-01", 1L), tmp)
+    ChangeLog.writePartitioned(batch("2026-02-01", 2L), tmp)
+    val all = ChangeLog.readPartitioned(s, tmp)
+    assert(all.count() === 2)
+    val recent = ChangeLog.readPartitioned(s, tmp, Some(java.time.LocalDate.parse("2026-01-15")))
+    assert(recent.count() === 1)
+    // the date predicate must prune at planning time, not post-scan
+    val plan = recent.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("change_date"), plan.take(800))
+  }
+
   test("ChangeLog.asRecords gives a typed Dataset with JSON images (F8)") {
     val spec = CdcTableSpec("t", Seq("id", "name", "value"), "id")
     val t = graft.capture.CdcTable(
