@@ -167,6 +167,15 @@ object SparkEntry {
         md5(hex(col("frame_bytes"))).as("frame_md5"))
       .orderBy("media_id", "frame_i")
 
+  private def qMediaFeatures(s: SparkSession, dir: String): DataFrame = {
+    import Multimodal._
+    val typed = withFakePayload(documents(s, dir), "doc_id", "text")
+      .as[MediaRecord](org.apache.spark.sql.Encoders.product[MediaRecord])
+    extractFeatures(typed, dim = 16).toDF()
+      .select(col("media_id"), col("byte_len"), col("checksum"))
+      .orderBy("media_id")
+  }
+
   private def embQueries(s: SparkSession, dir: String): DataFrame =
     embeddings(s, dir).filter(col("vec_id") % 50 === 0)
 
@@ -282,6 +291,7 @@ object SparkEntry {
     "text_rolling_hash" -> (qTextRollingHash _),
     "media_meta" -> (qMediaMeta _),
     "media_frames" -> (qMediaFrames _),
+    "media_features" -> (qMediaFeatures _),
     "ann_brute_force" -> (qAnnBruteForce _),
     "ann_lsh" -> (qAnnLsh _),
     "ann_ivf_assign" -> (qAnnIvfAssign _),

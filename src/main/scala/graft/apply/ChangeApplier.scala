@@ -83,6 +83,26 @@ object ChangeApplier {
     untouched.unionByName(upserts)
   }
 
+  /** Split a change batch into (valid, quarantined) by the reference's
+    * null-pattern contract (cdc_system.py:147-196: INSERT needs a new
+    * image, DELETE an old image, UPDATE both; record_id always set).
+    *
+    * The reference wraps each row apply in try/except and silently skips
+    * failures (cdc_system.py:308-310) — which can reorder one key's
+    * changes across batches (SURVEY §7.4-3). The set-oriented form
+    * instead diverts malformed rows to a quarantine view BEFORE apply,
+    * so the applied set is clean and nothing is dropped silently.
+    */
+  def partitionValid(changes: DataFrame): (DataFrame, DataFrame) = {
+    val valid =
+      col(RecordId).isNotNull &&
+        col(Operation).isin("INSERT", "UPDATE", "DELETE") &&
+        (col(Operation) =!= "INSERT" || col(NewData).isNotNull) &&
+        (col(Operation) =!= "DELETE" || col(OldData).isNotNull) &&
+        (col(Operation) =!= "UPDATE" || (col(OldData).isNotNull && col(NewData).isNotNull))
+    (changes.filter(valid), changes.filter(!coalesce(valid, lit(false))))
+  }
+
   /** Replicate pending changes end-to-end, mirroring
     * `CDCReplicator.replicate_changes(batch_size)`
     * (reference: cdc_system.py:279-318): read pending in order, cap at

@@ -175,6 +175,19 @@ class CdcCoreSpec extends SparkSpecBase {
     assert((r.getLong(0), r.getString(1), r.getLong(2)) === ((7L, "json_row", 77L)))
   }
 
+  test("partitionValid quarantines malformed changes instead of skipping silently") {
+    val t = freshTable()
+    t.insert(Seq((1L, "good", 1L)).toDF("id", "name", "value"))
+    val good = t.changeLog
+    val bad = good
+      .withColumn("operation", lit("INSERT"))
+      .withColumn("new_data", lit(null).cast(good.schema("new_data").dataType))
+      .unionByName(good.withColumn("operation", lit("NOPE")))
+    val (valid, quarantined) = ChangeApplier.partitionValid(good.unionByName(bad))
+    assert(valid.count() === 1)
+    assert(quarantined.count() === 2)
+  }
+
   test("CdcConfig.fromEnv loads reference env vars with fallbacks (S11)") {
     val c = CdcConfig.fromEnv(Map(
       "CDC_BATCH_SIZE" -> "250", "CDC_SYNC_INTERVAL" -> "7",

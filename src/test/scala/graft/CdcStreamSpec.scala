@@ -68,6 +68,33 @@ class CdcStreamSpec extends SparkSpecBase {
     assert(ReplicationVerifier.fullyReplicated(table.snapshot, target2))
   }
 
+  test("ProcessingTime stream replicates batches that arrive while running (T1)") {
+    val tmp = Files.createTempDirectory("cdclive").toString
+    val table = DemoWorkload.replay(
+      CdcTable(DemoWorkload.users(s, 0), DemoWorkload.UsersSpec), s)
+    table.changeLog.write.mode("overwrite").parquet(s"$tmp/log")
+    val rowSchema = table.snapshot.schema
+
+    val q = CdcStream.start(s, s"$tmp/log", s"$tmp/target", s"$tmp/chk",
+      DemoWorkload.UsersSpec, rowSchema,
+      trigger = Some(org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds")))
+    try {
+      // late batch lands while the query is live
+      table.insert(DemoWorkload.users(s, 2, startId = 200L))
+      table.changeLog.filter(col("record_id") >= 200L)
+        .write.mode("append").parquet(s"$tmp/log")
+      val deadline = System.nanoTime() + 60_000_000_000L
+      def replicated(): Boolean =
+        CdcStream.currentVersion(s"$tmp/target").exists { _ =>
+          CdcStream.readTarget(s, s"$tmp/target", rowSchema).count() == 10
+        }
+      while (!replicated() && System.nanoTime() < deadline) Thread.sleep(500)
+      assert(replicated(), "live stream did not catch up within 60s")
+      assert(ReplicationVerifier.fullyReplicated(table.snapshot,
+        CdcStream.readTarget(s, s"$tmp/target", rowSchema)))
+    } finally q.stop()
+  }
+
   test("health listener emits a report per progress event") {
     val tmp = Files.createTempDirectory("cdclisten").toString
     val table = DemoWorkload.replay(
