@@ -138,7 +138,9 @@ object FixtureSql {
       |              ELSE 'UPDATE' END AS operation,
       |         COALESCE(a.o_orderkey, b.o_orderkey) AS record_id,
       |         b.o_orderstatus AS old_status, b.o_totalprice AS old_totalprice,
-      |         a.o_orderstatus AS new_status, a.o_totalprice AS new_totalprice
+      |         a.o_orderstatus AS new_status, a.o_totalprice AS new_totalprice,
+      |         a.o_custkey AS new_custkey, a.o_orderdate AS new_orderdate,
+      |         a.o_orderpriority AS new_priority
       |  FROM orders b FULL OUTER JOIN after_t a ON b.o_orderkey = a.o_orderkey
       |  WHERE b.o_orderkey IS NULL OR a.o_orderkey IS NULL
       |     OR b.o_custkey       IS DISTINCT FROM a.o_custkey

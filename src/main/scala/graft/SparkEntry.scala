@@ -92,6 +92,13 @@ object SparkEntry {
       changeLog(s, dir), OrdersSpec)
       .orderBy("o_orderkey")
 
+  private def qReplicateBatch(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir).select(OrdersSpec.columns.map(col): _*)
+    val (newTarget, _, _) = ChangeApplier.replicateChanges(
+      o, changeLog(s, dir), OrdersSpec, batchSize = 500)
+    newTarget.orderBy("o_orderkey")
+  }
+
   private def qStatistics(s: SparkSession, dir: String): DataFrame =
     CdcMonitor.statistics(changeLog(s, dir)).orderBy("operation")
 
@@ -278,6 +285,7 @@ object SparkEntry {
     "cdc_dedup_latest" -> (qDedupLatest _),
     "cdc_dedup_first_write" -> (qDedupFirstWrite _),
     "cdc_apply_changes" -> (qApplyChanges _),
+    "cdc_replicate_batch" -> (qReplicateBatch _),
     "cdc_statistics" -> (qStatistics _),
     "cdc_statistics_wide" -> (qStatisticsWide _),
     "cdc_health_report" -> (qHealthReport _),
@@ -401,6 +409,19 @@ object SparkEntry {
     "cdc_apply_changes" ->
       s"""WITH ${FixtureSql.AfterCte}
          |SELECT * FROM after_t ORDER BY o_orderkey""".stripMargin,
+
+    "cdc_replicate_batch" ->
+      s"""WITH ${FixtureSql.LogCte},
+         |batch AS (SELECT * FROM logm_t WHERE synced = 0 ORDER BY cdc_id LIMIT 500),
+         |merged AS (
+         |  SELECT * FROM orders
+         |  WHERE o_orderkey NOT IN (SELECT record_id FROM batch)
+         |  UNION ALL
+         |  SELECT record_id AS o_orderkey, new_custkey AS o_custkey,
+         |         new_status AS o_orderstatus, new_totalprice AS o_totalprice,
+         |         new_orderdate AS o_orderdate, new_priority AS o_orderpriority
+         |  FROM batch WHERE operation <> 'DELETE')
+         |SELECT * FROM merged ORDER BY o_orderkey""".stripMargin,
 
     "cdc_statistics" ->
       s"""WITH ${FixtureSql.LogCte}
