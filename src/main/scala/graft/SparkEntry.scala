@@ -264,6 +264,45 @@ object SparkEntry {
     s.sql(oracleSql("lineitem_agg"))
   }
 
+  /** Hierarchical totals via ROLLUP (grouping-sets surface). NULL group
+    * keys sort first in BOTH engines (explicit NULLS FIRST in the oracle;
+    * Spark's ascending default is nulls-first).
+    */
+  private def qOrdersRollup(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .rollup(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"))
+      .orderBy(col("o_orderpriority").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
+
+  /** Exact interpolated percentiles per group (Spark `percentile` ≡
+    * DuckDB `quantile_cont`), rounded before compare.
+    */
+  private def qLineitemQuantiles(s: SparkSession, dir: String): DataFrame =
+    lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95"))
+      .orderBy("l_returnflag")
+
+  /** Classic per-group top-n window: top 3 orders by price per customer.
+    * Unlike the ANN TopK aggregator, the window here partitions by a
+    * high-cardinality key (customer), so parallelism and per-task memory
+    * are bounded by per-customer order counts — the case where a window
+    * IS the right scale plan.
+    */
+  private def qCustomerTopOrders(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    orders(s, dir)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rnk"))
+      .orderBy("o_custkey", "rnk")
+  }
+
   private def qTopRevenue(s: SparkSession, dir: String): DataFrame = {
     val c = customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
     lineitem(s, dir)
@@ -310,6 +349,9 @@ object SparkEntry {
     "events_user_stats" -> (qEventsUserStats _),
     "lineitem_agg" -> (qLineitemAgg _),
     "lineitem_agg_sql" -> (qLineitemAggSql _),
+    "orders_rollup" -> (qOrdersRollup _),
+    "lineitem_quantiles" -> (qLineitemQuantiles _),
+    "customer_top_orders" -> (qCustomerTopOrders _),
     "top_revenue_join" -> (qTopRevenue _))
 
   // ------------------------------------------------------------- oracle SQL
@@ -644,6 +686,26 @@ object SparkEntry {
 
     "lineitem_agg" -> LineitemAggSql,
     "lineitem_agg_sql" -> LineitemAggSql,
+
+    "orders_rollup" ->
+      """SELECT o_orderpriority, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+
+    "lineitem_quantiles" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "customer_top_orders" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS INTEGER) AS rnk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        |  FROM orders)
+        |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
 
     "top_revenue_join" ->
       """SELECT o_orderkey,
