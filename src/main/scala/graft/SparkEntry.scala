@@ -215,8 +215,11 @@ object SparkEntry {
   }
 
   private def qEmbNearDup(s: SparkSession, dir: String): DataFrame =
+    // threshold 0.3: the synthetic embeddings have no true near-dups
+    // (max same-bucket cosine ≈ 0.45), so a production-like 0.95 would
+    // check an empty result; 0.3 keeps the oracle row-bearing.
     Similarity.embeddingNearDup(embeddings(s, dir), "vec_id", "embedding",
-        threshold = 0.8, planes = 8)
+        threshold = 0.3, planes = 8)
       .orderBy("id_a", "id_b")
 
   // ----------------------------------------------------------- analytics/agg
@@ -367,6 +370,21 @@ object SparkEntry {
     """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
       |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 61 = 0)""".stripMargin
+
+  /** Deterministic hyperplanes + sign-bucket CTEs mirroring
+    * [[Similarity.hyperplanes]] (closed-form integer formula, seed 42,
+    * 8 planes × dim 64) and [[Similarity.lshBucket]].
+    */
+  private val LshBucketCte: String =
+    """pl AS (
+      |  SELECT i, list_transform(range(0, 64),
+      |           j -> CAST(((i*64 + j)*2654435761 + 1701126) % 1009 AS DOUBLE)/1009.0 - 0.5) AS p
+      |  FROM (SELECT unnest(range(0, 8)) AS i)),
+      |bk AS (
+      |  SELECT e.vec_id, CAST(SUM(CASE
+      |           WHEN list_sum(list_transform(range(1, 65), k -> e.v[k]*p[k])) > 0
+      |           THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS bkt
+      |  FROM e, pl GROUP BY e.vec_id)""".stripMargin
 
   private def cosScoreSql(raw: String, out: String): String =
     s"""$out AS (SELECT * EXCLUDE (dp, na, nb),
@@ -659,6 +677,43 @@ object SparkEntry {
         |       event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |       round(SUM(value), 3) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "emb_near_dup" ->
+      s"""WITH $EmbBase,
+         |$LshBucketCte,
+         |cand AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bk a JOIN bk b ON a.bkt = b.bkt AND a.vec_id < b.vec_id),
+         |raw AS (
+         |  SELECT cand.id_a, cand.id_b,
+         |         ${dotSql("ea.v", "eb.v")} AS dp,
+         |         sqrt(${dotSql("ea.v", "ea.v")}) AS na,
+         |         sqrt(${dotSql("eb.v", "eb.v")}) AS nb
+         |  FROM cand JOIN e ea ON ea.vec_id = cand.id_a
+         |            JOIN e eb ON eb.vec_id = cand.id_b),
+         |${cosScoreSql("raw", "scored")}
+         |SELECT id_a, id_b, score FROM scored WHERE score >= 0.3
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "ann_lsh" ->
+      s"""WITH $EmbBase,
+         |$LshBucketCte,
+         |cand AS (
+         |  SELECT q.query_id, cb.vec_id AS neighbor_id, q.qv, ec.v AS cv
+         |  FROM q JOIN bk qb ON qb.vec_id = q.query_id
+         |         JOIN bk cb ON cb.bkt = qb.bkt AND cb.vec_id <> q.query_id
+         |         JOIN e ec ON ec.vec_id = cb.vec_id),
+         |raw AS (
+         |  SELECT query_id, neighbor_id,
+         |         ${dotSql("cv", "qv")} AS dp,
+         |         sqrt(${dotSql("cv", "cv")}) AS na,
+         |         sqrt(${dotSql("qv", "qv")}) AS nb
+         |  FROM cand),
+         |${cosScoreSql("raw", "scored")},
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+         |      FROM scored)
+         |SELECT query_id, neighbor_id, score, CAST(rn AS INT) AS rnk
+         |FROM r WHERE rn <= 10 ORDER BY query_id, rnk""".stripMargin,
 
     "events_sessions" ->
       """WITH s AS (

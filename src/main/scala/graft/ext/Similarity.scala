@@ -94,13 +94,17 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rnk"))
   }
 
-  /** Deterministic random hyperplanes: `planes` × `dim` doubles in
-    * [-0.5, 0.5) from a fixed-seed generator. Stable across cluster sizes.
+  /** Deterministic pseudo-random hyperplanes: `planes` × `dim` doubles in
+    * [-0.5, 0.5) from a CLOSED-FORM integer formula —
+    * `((i·dim + j)·2654435761 + seed·40503) mod 1009 / 1009 − 0.5` —
+    * rather than a JVM RNG, so any engine (including the DuckDB oracle)
+    * reproduces the exact same planes with integer arithmetic. Stable
+    * across cluster sizes, JVM versions, and engines.
     */
-  def hyperplanes(planes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
-    val rng = new scala.util.Random(seed)
-    Seq.fill(planes)(Seq.fill(dim)(rng.nextDouble() - 0.5))
-  }
+  def hyperplanes(planes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] =
+    Vector.tabulate(planes, dim) { (i, j) =>
+      (((i.toLong * dim + j) * 2654435761L + seed * 40503L) % 1009L).toDouble / 1009.0 - 0.5
+    }
 
   /** Sign-pattern LSH bucket id for a vector: bit i = sign of the dot
     * product with hyperplane i, folded into one long.
