@@ -57,6 +57,49 @@ object EventAnalytics {
         (max(unix_micros(col(tsCol))) - min(unix_micros(col(tsCol)))).as("duration_us"),
         round(sum(col(valueCol)), 3).as("sum_value"))
 
+  /** Per-event session assignment for a micro-batch of one user's events,
+    * continuing from carried state. Shared by the batch window path and
+    * the stateful streaming path so both produce identical numbering.
+    */
+  final case class SessionState(lastTsUs: Long, sessionSeq: Long)
+  final case class SessionedEvent(
+      user_id: Long, event_id: Long, ts_us: Long, session_seq: Long)
+
+  /** Stateful streaming sessionization via `flatMapGroupsWithState` —
+    * the custom-state surface of Structured Streaming: session numbering
+    * survives across micro-batches (a gap that spans two batches does
+    * NOT restart numbering, which the per-batch window formulation
+    * cannot express).
+    *
+    * Scale shape: state is one (lastTs, seq) pair per user key — O(users)
+    * state store entries, no per-event state growth. Events within a
+    * batch are sorted per group in memory; groups are the unit of
+    * parallelism.
+    */
+  def streamingSessionize(
+      events: org.apache.spark.sql.Dataset[(Long, Long, Long)], // (user_id, event_id, ts_us)
+      maxGapMinutes: Int = 30): org.apache.spark.sql.Dataset[SessionedEvent] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import org.apache.spark.sql.{Encoder, Encoders}
+    implicit val stateEnc: Encoder[SessionState] = Encoders.product[SessionState]
+    implicit val outEnc: Encoder[SessionedEvent] = Encoders.product[SessionedEvent]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    val gapUs = maxGapMinutes * 60L * 1000000L
+
+    events.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+      (user: Long, rows: Iterator[(Long, Long, Long)], state: GroupState[SessionState]) =>
+        var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L))
+        val out = rows.toVector.sortBy(r => (r._3, r._2)).map { case (_, eventId, tsUs) =>
+          val newSession = st.lastTsUs == Long.MinValue || tsUs - st.lastTsUs > gapUs
+          st = SessionState(tsUs, if (newSession) st.sessionSeq + 1 else st.sessionSeq)
+          SessionedEvent(user, eventId, tsUs, st.sessionSeq)
+        }
+        state.update(st)
+        out.iterator
+    }
+  }
+
   /** Streaming hourly counts with a watermark — the T6 surface: late rows
     * beyond `watermarkDelay` are dropped, state for closed windows is
     * evicted. Feed with `spark.readStream`; aggregate matches the batch

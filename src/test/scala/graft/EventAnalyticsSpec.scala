@@ -53,6 +53,38 @@ class EventAnalyticsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stateful streaming sessionization carries session numbering across batches") {
+    val tmp = Files.createTempDirectory("statesess").toString
+    val us = 1000000L
+    def write(rows: Seq[(Long, Long, Long)], mode: String): Unit =
+      rows.toDF("user_id", "event_id", "ts_us")
+        .write.mode(mode).parquet(s"$tmp/in")
+
+    // batch 1: user 10 events at t=0s and t=60s (one session, gap 1 min)
+    write(Seq((10L, 1L, 0L), (10L, 2L, 60L * us)), "overwrite")
+    val schema = Seq.empty[(Long, Long, Long)].toDF("user_id", "event_id", "ts_us").schema
+    val stream = s.readStream.schema(schema)
+      .parquet(s"$tmp/in")
+      .as[(Long, Long, Long)]
+    val sessions = graft.ext.EventAnalytics.streamingSessionize(stream, maxGapMinutes = 30)
+    val q = sessions.toDF().writeStream.format("memory").queryName("sess")
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/chk")
+      .start()
+    try {
+      q.processAllAvailable()
+      // batch 2: same user — one event 5 s after batch 1's last (same
+      // session), one 95 min in (new session). A per-batch recomputation
+      // would restart numbering; carried state must keep it global.
+      write(Seq((10L, 3L, 65L * us), (10L, 4L, 95L * 60L * us)), "append")
+      q.processAllAvailable()
+      val got = s.table("sess")
+        .select("event_id", "session_seq").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+    } finally q.stop()
+  }
+
   test("parquet source/sink round-trip and config-driven selection (S1/S11)") {
     val tmp = Files.createTempDirectory("srcsink").toString
     ParquetSink(s"$tmp/t").save(evts)
