@@ -51,12 +51,17 @@ object Fixtures {
     * is lost; truncation would be deterministic anyway).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // integral `div`, NOT `/`: ns-since-epoch longs (~1.7e18) exceed a
     // double's 53-bit mantissa, so float division silently loses the
     // low microsecond bits.
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try
+      spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    finally // schema is inferred eagerly by read(); don't leak the conf
+      prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
 
   /** The post-mutation snapshot ("after" state) of orders. */

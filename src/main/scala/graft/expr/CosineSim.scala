@@ -125,7 +125,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         Cast(children.head, ArrayType(DoubleType)),
         Cast(children(1), ArrayType(DoubleType)))))
     ext.injectFunction(fromColumns("graft_jaccard")(cs =>
-      graft.ext.Dedup.jaccard(cs.head, cs(1))))
+      // general form: SQL callers give no distinctness guarantee
+      graft.ext.Dedup.jaccardGeneral(cs.head, cs(1))))
     ext.injectFunction(fromColumns("graft_fingerprint")(cs =>
       graft.ext.TextAnalysis.fingerprint(cs.head)))
     ext.injectFunction(fromColumns("graft_token_count")(cs =>

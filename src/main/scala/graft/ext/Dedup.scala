@@ -39,15 +39,23 @@ object Dedup {
           i => concat_ws(" ", slice(tk, i + 1, lit(n))))))
   }
 
-  /** Exact Jaccard similarity of two pre-distinct shingle arrays.
-    * |A∪B| is derived as |A|+|B|−|A∩B| (valid because inputs are
-    * distinct), saving the second hash-set build per pair.
+  /** Exact Jaccard similarity of two PRE-DISTINCT shingle arrays.
+    * |A∪B| is derived as |A|+|B|−|A∩B| — valid ONLY for distinct inputs
+    * (every internal caller produces distinct shingle sets), saving the
+    * second hash-set build per pair. Callers with possibly-repeating
+    * arrays (e.g. the SQL surface) must use [[jaccardGeneral]].
     */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
     val union = (size(a) + size(b)).cast("double") - inter
     when(union === 0, lit(0.0)).otherwise(inter / union)
   }
+
+  /** Jaccard for arbitrary (possibly repeating) arrays: distinct-ifies
+    * both sides first.
+    */
+  def jaccardGeneral(a: Column, b: Column): Column =
+    jaccard(array_distinct(a), array_distinct(b))
 
   /** All pairs within the same block with n-gram Jaccard >= `threshold`.
     *
@@ -91,8 +99,11 @@ object Dedup {
       // size-ratio prefilter: jaccard <= min(|A|,|B|)/max(|A|,|B|), so
       // pairs failing the ratio can never reach the threshold — pruned
       // before the (expensive) intersection, without changing the result.
+      // The bound is loosened by the 6-dp rounding half-step (5e-7): the
+      // final filter accepts round(jac,6) >= t, i.e. jac >= t - 5e-7, so
+      // the prefilter must not cut pairs inside that half-step.
       .filter(least(size(col("sh_a")), size(col("sh_b"))).cast("double")
-        >= greatest(size(col("sh_a")), size(col("sh_b"))) * threshold)
+        >= greatest(size(col("sh_a")), size(col("sh_b"))) * (threshold - 5e-7))
       .withColumn("jac", round(jaccard(col("sh_a"), col("sh_b")), 6))
       .filter(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"), col("jac"))

@@ -66,7 +66,10 @@ object Similarity {
     * driver-side action on a single row (LIMIT 1 scan, no shuffle).
     */
   def inferDim(df: DataFrame, vecCol: String): Int =
-    df.select(size(col(vecCol)).as("d")).filter(col("d") > 0).head().getInt(0)
+    df.select(size(col(vecCol)).as("d")).filter(col("d") > 0).limit(1)
+      .collect().headOption.map(_.getInt(0))
+      .getOrElse(throw new IllegalArgumentException(
+        s"cannot infer vector dim: '$vecCol' has no non-empty vectors; pass dim explicitly"))
 
   /** Exact top-k cosine neighbors for each query vector.
     *
@@ -158,7 +161,7 @@ object Similarity {
   def nearestCentroid(vec: Column, cents: Seq[(Long, Seq[Double])]): Column = {
     require(cents.nonEmpty, "centroid set must be non-empty")
     val arr = typedLit(cents)
-    aggregate(
+    val best = aggregate(
       arr,
       struct(lit(-2.0).as("s"), lit(Long.MaxValue).as("c")),
       (acc, ct) => {
@@ -168,6 +171,10 @@ object Similarity {
              (s === acc.getField("s") && cid < acc.getField("c")),
           struct(s.as("s"), cid.cast("long").as("c"))).otherwise(acc)
       }).getField("c")
+    // all-NULL similarities (ragged/mismatched vector) leave the sentinel
+    // accumulator untouched — surface that as NULL, not Long.MaxValue
+    // (which would silently drop the row from every downstream join).
+    when(best === Long.MaxValue, lit(null).cast("long")).otherwise(best)
   }
 
   /** Assign every corpus vector to its nearest centroid (IVF list).

@@ -75,7 +75,11 @@ object TopK {
       idAlias: String = "neighbor_id",
       scoreAlias: String = "score"): org.apache.spark.sql.DataFrame = {
     val topk = udaf(new TopKAggregator(k))
-    df.groupBy(groupCols.map(col): _*)
+    // NULL scores (ragged vectors, null elements) are dropped up front:
+    // the aggregator's primitive Double input would NPE on them, and a
+    // null-scored candidate can never belong to a top-k anyway.
+    df.filter(scoreCol.isNotNull && idCol.isNotNull)
+      .groupBy(groupCols.map(col): _*)
       .agg(topk(scoreCol, idCol).as("__top"))
       .select(groupCols.map(col) :+ posexplode(col("__top")).as(Seq("__pos", "__e")): _*)
       .select(

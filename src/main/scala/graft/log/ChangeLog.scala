@@ -62,7 +62,10 @@ object ChangeLog {
     *    SAME key in the same millisecond tie-break arbitrarily. Pipelines
     *    needing a strict per-key total order at scale should use the
     *    streaming path, where the micro-batch epoch disambiguates
-    *    (see [[graft.streaming.CdcStream]]).
+    *    (see [[graft.streaming.CdcStream]]). Valid `changed_at` range:
+    *    1970-01-01 .. 2039-09 (41 millis bits before the packed id would
+    *    reach the sign bit); pre-1970 timestamps are clamped to epoch 0
+    *    rather than producing sign-flipped (order-inverting) ids.
     */
   def assignCdcIds(
       changes: DataFrame,
@@ -76,8 +79,10 @@ object ChangeLog {
       val mid = monotonically_increasing_id()
       val pid = shiftrightunsigned(mid, 33).bitwiseAND(lit(0x3ffL))
       val rowInPart = mid.bitwiseAND(lit(0xfffL))
+      val millis41 = greatest(unix_millis(col(ChangedAt)), lit(0L))
+        .bitwiseAND(lit((1L << 41) - 1))
       changes.withColumn(CdcId,
-        shiftleft(unix_millis(col(ChangedAt)), 22)
+        shiftleft(millis41, 22)
           .bitwiseOR(shiftleft(pid, 12)).bitwiseOR(rowInPart) + lit(base))
     }
   }

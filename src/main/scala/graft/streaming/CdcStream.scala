@@ -42,15 +42,45 @@ object CdcStream {
     * version has been committed yet).
     */
   def readTarget(spark: SparkSession, targetDir: String, rowSchema: StructType): DataFrame =
-    currentVersion(targetDir) match {
-      case Some(v) => spark.read.schema(rowSchema).parquet(s"$targetDir/v=$v")
-      case None =>
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rowSchema)
-    }
+    readVersion(spark, targetDir, rowSchema, currentVersion(targetDir))
+
+  private def readVersion(
+      spark: SparkSession,
+      targetDir: String,
+      rowSchema: StructType,
+      version: Option[Long]): DataFrame = version match {
+    case Some(v) => spark.read.schema(rowSchema).parquet(s"$targetDir/v=$v")
+    case None =>
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rowSchema)
+  }
 
   def currentVersion(targetDir: String): Option[Long] = {
     val p = Paths.get(targetDir, "_current")
     if (Files.exists(p)) Some(Files.readString(p).trim.toLong) else None
+  }
+
+  /** Latest committed version STRICTLY BELOW `epoch`, listed from disk.
+    * This — not `_current` — is the correct input when (re)applying
+    * `epoch`: after a crash that flipped `_current` to `epoch` but did
+    * not commit the checkpoint, the retry must neither read its own
+    * output directory (read+overwrite of one path is illegal) nor
+    * double-apply the batch; reading max(version < epoch) reproduces the
+    * exact input of the first attempt.
+    */
+  private[streaming] def versionBefore(targetDir: String, epoch: Long): Option[Long] = {
+    val root = Paths.get(targetDir)
+    if (!Files.isDirectory(root)) None
+    else {
+      val it = Files.list(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        it.iterator().asScala
+          .map(_.getFileName.toString)
+          .collect { case s if s.startsWith("v=") => s.stripPrefix("v=").toLong }
+          .filter(_ < epoch)
+          .maxOption
+      } finally it.close()
+    }
   }
 
   private def commitVersion(targetDir: String, epoch: Long): Unit = {
@@ -73,7 +103,7 @@ object CdcStream {
       strategy: ConflictStrategy = ConflictStrategy.LastWriteWins): Unit = {
     val spark = batch.sparkSession
     if (!batch.isEmpty) {
-      val target = readTarget(spark, targetDir, rowSchema)
+      val target = readVersion(spark, targetDir, rowSchema, versionBefore(targetDir, epoch))
       val next = ChangeApplier.applyChanges(target, batch, spec, strategy)
       next.write.mode("overwrite").parquet(s"$targetDir/v=$epoch")
       commitVersion(targetDir, epoch)
@@ -150,7 +180,9 @@ object CdcStream {
         q.awaitTermination()
         done = true
       } catch {
-        case e: Throwable if attempt < config.maxRetries =>
+        // NonFatal only: OOM/fatal VM errors and interrupts (shutdown
+        // requests) must propagate, not spin through restart+sleep.
+        case scala.util.control.NonFatal(e) if attempt < config.maxRetries =>
           attempt += 1
           System.err.println(
             s"[cdc-stream] query failed (${e.getMessage}); retry $attempt/${config.maxRetries} " +
@@ -170,10 +202,22 @@ object CdcStream {
       config: CdcConfig = CdcConfig(),
       emit: Map[String, Any] => Unit = r => println(s"[cdc-health] $r"))
       extends StreamingQueryListener {
+    // The report itself runs a Spark aggregation — off the shared
+    // listener bus thread, or a slow report would back up the bus and
+    // drop events. Single worker + discard-when-busy: at most one report
+    // in flight, stale ticks are skipped rather than queued.
+    private val worker = new java.util.concurrent.ThreadPoolExecutor(
+      1, 1, 0L, java.util.concurrent.TimeUnit.MILLISECONDS,
+      new java.util.concurrent.SynchronousQueue[Runnable](),
+      (r: Runnable) => {
+        val t = new Thread(r, "cdc-health-listener"); t.setDaemon(true); t
+      },
+      new java.util.concurrent.ThreadPoolExecutor.DiscardPolicy())
     override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
     override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
       if (config.enableMetrics)
-        emit(graft.monitor.CdcMonitor.healthReportRow(log(), config))
+        worker.execute(() =>
+          emit(graft.monitor.CdcMonitor.healthReportRow(log(), config)))
     override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
   }
 }

@@ -49,5 +49,9 @@ class ApplyScaleSpec extends SparkSpecBase {
     assert(r.getString(2) === "en")
     assert(math.abs(r.getDouble(3) - 1.0 / 3.0) < 1e-9)
     assert(r.getBoolean(4))
+    // duplicate elements: SQL surface uses the general (distinct-ifying)
+    // form — {'a','a'} vs {'a'} is identical as a set
+    val dup = s.sql("SELECT graft_jaccard(array('a','a'), array('a')) AS j").head()
+    assert(dup.getDouble(0) === 1.0)
   }
 }

@@ -68,6 +68,29 @@ class CdcStreamSpec extends SparkSpecBase {
     assert(ReplicationVerifier.fullyReplicated(table.snapshot, target2))
   }
 
+  test("re-applying a crashed epoch is idempotent and never reads its own output") {
+    val tmp = Files.createTempDirectory("cdccrash").toString
+    val table = DemoWorkload.replay(
+      CdcTable(DemoWorkload.users(s, 0), DemoWorkload.UsersSpec), s,
+      inserts = 4, updates = 1, deletes = 1)
+    val rowSchema = table.snapshot.schema
+    val log = table.changeLog
+    val batch1 = log.filter(col("cdc_id") <= 4)
+    val batch2 = log.filter(col("cdc_id") > 4)
+
+    CdcStream.applyBatch(batch1, 0L, s"$tmp/target", DemoWorkload.UsersSpec, rowSchema)
+    CdcStream.applyBatch(batch2, 1L, s"$tmp/target", DemoWorkload.UsersSpec, rowSchema)
+    val after = CdcStream.readTarget(s, s"$tmp/target", rowSchema).collect().toSet
+    // crash window: _current already points at epoch 1, checkpoint didn't
+    // commit → the runtime re-runs epoch 1. Must not read+overwrite its
+    // own output, must reproduce the same target.
+    CdcStream.applyBatch(batch2, 1L, s"$tmp/target", DemoWorkload.UsersSpec, rowSchema)
+    val replay = CdcStream.readTarget(s, s"$tmp/target", rowSchema).collect().toSet
+    assert(replay === after)
+    assert(ReplicationVerifier.fullyReplicated(table.snapshot,
+      CdcStream.readTarget(s, s"$tmp/target", rowSchema)))
+  }
+
   test("ProcessingTime stream replicates batches that arrive while running (T1)") {
     val tmp = Files.createTempDirectory("cdclive").toString
     val table = DemoWorkload.replay(

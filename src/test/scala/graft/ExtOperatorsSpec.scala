@@ -114,6 +114,12 @@ class ExtOperatorsSpec extends SparkSpecBase {
     // zero-shuffle: no Exchange in the assignment plan
     val plan = assigned.queryExecution.executedPlan.toString()
     assert(!plan.contains("Exchange"), s"ivfAssign plan must not shuffle:\n$plan")
+    // ragged vector (dim mismatch vs centroids) → NULL assignment, not a
+    // sentinel id that silently vanishes in joins
+    val ragged = Seq((9L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val r = Similarity.ivfAssign(ragged, cents, "vec_id", "embedding", "vec_id", "embedding")
+      .select("centroid_id").head()
+    assert(r.isNullAt(0))
   }
 
   test("embeddingNearDup finds the high-cosine pair") {
