@@ -148,6 +148,24 @@ object SparkEntry {
     Dedup.simhashDedup(documents(s, dir), "text", "doc_id", maxHamming = 3)
       .orderBy("id_a", "id_b")
 
+  private def qPartFuzzyPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.fuzzyPairs(
+        s.read.parquet(s"$dir/part.parquet"),
+        "p_name", "p_partkey",
+        struct(col("p_brand"), col("p_size")), maxDistance = 3)
+      .orderBy("id_a", "id_b")
+
+  private def qEventsPropsAgg(s: SparkSession, dir: String): DataFrame =
+    events(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
   private def qTextStats(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.textStats(documents(s, dir), "text")
       .select("doc_id", "n_tokens", "n_bpeish_tokens", "avg_token_len",
@@ -337,6 +355,8 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "dedup_minhash_lsh" -> (qDedupMinhash _),
     "dedup_simhash" -> (qDedupSimhash _),
+    "part_fuzzy_pairs" -> (qPartFuzzyPairs _),
+    "events_props_agg" -> (qEventsPropsAgg _),
     "text_stats" -> (qTextStats _),
     "text_rolling_hash" -> (qTextRollingHash _),
     "media_meta" -> (qMediaMeta _),
@@ -551,6 +571,23 @@ object SparkEntry {
          |               / len(list_distinct(list_concat(sa, sb))) END, 6) AS jac
          |  FROM pr)
          |SELECT id_a, id_b, jac FROM j WHERE jac >= 0.2 ORDER BY id_a, id_b""".stripMargin,
+
+    "part_fuzzy_pairs" ->
+      """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        | AND a.p_partkey < b.p_partkey
+        |WHERE abs(length(a.p_name) - length(b.p_name)) <= 3
+        |  AND levenshtein(a.p_name, b.p_name) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "events_props_agg" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |       CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+        |       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "text_stats" ->
       s"""WITH $TextTokensCte,

@@ -109,6 +109,31 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jac"))
   }
 
+  /** Blocked fuzzy (edit-distance) duplicate pairs: all pairs within a
+    * block whose `strCol` Levenshtein distance is <= `maxDistance` —
+    * the classic fuzzy-match dedup for short fields (names, titles,
+    * SKUs). Same blocking discipline as [[ngramJaccardDedup]]: the
+    * quadratic comparison never leaves a block. `levenshtein` is a
+    * codegen'd built-in in both Spark and the DuckDB oracle.
+    */
+  def fuzzyPairs(
+      df: DataFrame,
+      strCol: String,
+      idCol: String,
+      blockCol: Column,
+      maxDistance: Int = 2): DataFrame = {
+    val base = df.select(col(idCol).as("id"), blockCol.as("blk"), col(strCol).as("s"))
+    val a = base.select(col("id").as("id_a"), col("blk"), col("s").as("s_a"))
+    val b = base.select(col("id").as("id_b"), col("blk"), col("s").as("s_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      // cheap length prefilter: |len(a)-len(b)| is a Levenshtein lower bound
+      .filter(abs(length(col("s_a")) - length(col("s_b"))) <= maxDistance)
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
+      .filter(col("dist") <= maxDistance)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
   /** MinHash signature: `numHashes` independent permutations simulated by
     * seeded xxhash64; element i is min over shingles of hash_i(shingle).
     * Pure column algebra — computed inside the scan stage, no shuffle.
