@@ -109,10 +109,13 @@ object Fixtures {
     val a1 = after(orders(spark, dir))
     val upd2 = col("o_orderkey") % 13 === 0 && col("o_orderkey") % 2 === 0
     val a2 = a1.withColumn("o_orderstatus", when(upd2, lit("Y")).otherwise(col("o_orderstatus")))
+    // base 2^40: far above any batch-1 id at any scale factor (a fixed
+    // 1e6 would collide once the first capture diff exceeds 1M rows,
+    // making per-key cdc_id ordering ambiguous between the engines)
     ChangeLog.assignCdcIds(
       ChangeCapture.finishLogSchema(
         ChangeCapture.captureChanges(a1, a2, OrdersSpec, changedAt = lit(T1))),
-      base = 1000000L, global = true)
+      base = 1L << 40, global = true)
   }
 }
 
@@ -184,7 +187,7 @@ object FixtureSql {
       |  WHERE b.o_orderstatus IS DISTINCT FROM a.o_orderstatus
       |),
       |log2_t AS (
-      |  SELECT CAST(1000000 + row_number() OVER (ORDER BY record_id) AS BIGINT) AS cdc_id, *
+      |  SELECT CAST(1099511627776 + row_number() OVER (ORDER BY record_id) AS BIGINT) AS cdc_id, *
       |  FROM diff2_t
       |)""".stripMargin
 }

@@ -148,6 +148,10 @@ object SparkEntry {
     Dedup.simhashDedup(documents(s, dir), "text", "doc_id", maxHamming = 3)
       .orderBy("id_a", "id_b")
 
+  /** NOTE: at sf0.001 the (brand, size) blocks are near-singletons and
+    * this query is legitimately empty — the driver's correctness gate
+    * runs sf0.01, where it yields ~100 pairs (row-bearing check).
+    */
   private def qPartFuzzyPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.fuzzyPairs(
         s.read.parquet(s"$dir/part.parquet"),
@@ -224,11 +228,11 @@ object SparkEntry {
       .orderBy("vec_id")
 
   private def qAnnIvfTopK(s: SparkSession, dir: String): DataFrame = {
-    val assigned = Similarity.ivfAssign(embeddings(s, dir), embCentroids(s, dir),
-      "vec_id", "embedding", "vec_id", "embedding")
-    Similarity.ivfTopK(assigned, embCentroids(s, dir), embQueries(s, dir),
-        "vec_id", "embedding", "vec_id", "embedding", "vec_id", "embedding",
-        k = 10, nprobe = 3)
+    // collect the codebook once, share across assign + search
+    val cents = Similarity.collectCentroids(embCentroids(s, dir), "vec_id", "embedding")
+    val assigned = Similarity.ivfAssign(embeddings(s, dir), cents, "embedding")
+    Similarity.ivfTopK(assigned, cents, embQueries(s, dir),
+        "vec_id", "embedding", "vec_id", "embedding", k = 10, nprobe = 3)
       .orderBy("query_id", "rnk")
   }
 

@@ -16,11 +16,16 @@ import org.apache.spark.sql.SparkSessionExtensions
   * expression emits a single fused Java loop (one pass computing dot and
   * both norms) and participates in whole-stage codegen.
   *
-  * Semantics are BIT-EXACT with the Column formulation so the DuckDB
-  * oracle comparison is unaffected: sequential left-to-right accumulation
-  * of dot/na/nb, `sqrt(na)*sqrt(nb)` (not `sqrt(na*nb)`), `0.0` for
-  * zero-norm inputs, and NULL when lengths differ or any element is null
-  * (`zip_with` null padding ≡ the length check here).
+  * Semantics are BIT-EXACT with the Column formulation FOR EQUAL-LENGTH
+  * inputs (the only case the oracle queries exercise — embeddings are
+  * uniform-dim): sequential left-to-right accumulation of dot/na/nb,
+  * `sqrt(na)*sqrt(nb)` (not `sqrt(na*nb)`), `0.0` for zero-norm inputs,
+  * NULL for null elements. Deliberate divergence on RAGGED input: this
+  * expression returns NULL for any length mismatch, while the columnar
+  * form's zero-norm short-circuit can return 0.0 when the zero-norm side
+  * is also the shorter one — NULL is the honest answer for a malformed
+  * pair, so the native semantics win and the columnar form is retained
+  * only as the equal-length cross-check reference.
   */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -193,12 +193,24 @@ object Similarity {
       corpusId: String,
       corpusVec: String,
       centroidId: String,
-      centroidVec: String): DataFrame = {
-    val cents = collectCentroids(centroids, centroidId, centroidVec)
-    corpus.withColumn("centroid_id", nearestCentroid(col(corpusVec), cents))
-  }
+      centroidVec: String): DataFrame =
+    ivfAssign(corpus, collectCentroids(centroids, centroidId, centroidVec), corpusVec)
 
-  private def collectCentroids(
+  /** Overload taking a pre-collected centroid table, so a pipeline doing
+    * assign + search collects the codebook from the cluster ONCE (see
+    * [[collectCentroids]]) instead of once per stage.
+    */
+  def ivfAssign(
+      corpus: DataFrame,
+      cents: Seq[(Long, Seq[Double])],
+      corpusVec: String): DataFrame =
+    corpus.withColumn("centroid_id", nearestCentroid(col(corpusVec), cents))
+
+  /** Collect a (small) centroid table to the driver — structurally the
+    * same bound a broadcast implies; IVF coarse codebooks are 2^8..2^16
+    * entries. Collect once and share across [[ivfAssign]]/[[ivfTopK]].
+    */
+  def collectCentroids(
       centroids: DataFrame,
       centroidId: String,
       centroidVec: String): Seq[(Long, Seq[Double])] =
@@ -227,8 +239,21 @@ object Similarity {
       queryId: String,
       queryVec: String,
       k: Int,
+      nprobe: Int): DataFrame =
+    ivfTopK(assigned, collectCentroids(centroids, centroidId, centroidVec),
+      queries, corpusId, corpusVec, queryId, queryVec, k, nprobe)
+
+  /** Overload taking the pre-collected codebook (see [[ivfAssign]]). */
+  def ivfTopK(
+      assigned: DataFrame,
+      cents: Seq[(Long, Seq[Double])],
+      queries: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queryId: String,
+      queryVec: String,
+      k: Int,
       nprobe: Int = 4): DataFrame = {
-    val cents = collectCentroids(centroids, centroidId, centroidVec)
     // nprobe nearest centroids per query: explode the literal centroid
     // table against the (small) query set — queries×C rows, then top-nprobe
     // per query via the same bounded aggregator.

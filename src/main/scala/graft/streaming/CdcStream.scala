@@ -174,7 +174,13 @@ object CdcStream {
       config: CdcConfig)(startQuery: () => StreamingQuery): Unit = {
     var attempt = 0
     var done = false
+    // A failure after a healthy stretch is a NEW incident: the retry
+    // budget is per-incident (the reference's max_retries semantics,
+    // config.py:35), not lifetime-total. "Healthy" = the query ran
+    // longer than two retry delays before failing.
+    val healthyRunMs = config.retryDelaySeconds * 2 * 1000L
     while (!done) {
+      val startedAt = System.nanoTime()
       val q = startQuery()
       try {
         q.awaitTermination()
@@ -182,7 +188,10 @@ object CdcStream {
       } catch {
         // NonFatal only: OOM/fatal VM errors and interrupts (shutdown
         // requests) must propagate, not spin through restart+sleep.
-        case scala.util.control.NonFatal(e) if attempt < config.maxRetries =>
+        case scala.util.control.NonFatal(e) =>
+          val ranMs = (System.nanoTime() - startedAt) / 1000000L
+          if (ranMs > healthyRunMs) attempt = 0
+          if (attempt >= config.maxRetries) throw e
           attempt += 1
           System.err.println(
             s"[cdc-stream] query failed (${e.getMessage}); retry $attempt/${config.maxRetries} " +
@@ -219,5 +228,11 @@ object CdcStream {
         worker.execute(() =>
           emit(graft.monitor.CdcMonitor.healthReportRow(log(), config)))
     override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+
+    /** Release the worker thread. Call after `removeListener` — the
+      * listener interface has no lifecycle of its own, and the core
+      * thread would otherwise live for the process lifetime.
+      */
+    def close(): Unit = worker.shutdown()
   }
 }

@@ -140,6 +140,9 @@ class CdcStreamSpec extends SparkSpecBase {
       val r = reports.peek()
       assert(r("total_changes").asInstanceOf[Long] === 17L)
       assert(r("health") === "healthy")
-    } finally s.streams.removeListener(listener)
+    } finally {
+      s.streams.removeListener(listener)
+      listener.close()
+    }
   }
 }
