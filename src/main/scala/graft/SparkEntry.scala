@@ -54,6 +54,22 @@ object SparkEntry {
       .orderBy("record_id")
   }
 
+  /** Version-strategy capture over a derived integer version column
+    * (`unix_millis(o_orderdate)`) — same cutoff instant as the timestamp
+    * variant, exercising the third declared capture strategy.
+    */
+  private def qCaptureByVersion(s: SparkSession, dir: String): DataFrame = {
+    val withVer = (df: DataFrame) =>
+      df.withColumn("ver", unix_millis(col("o_orderdate").cast("timestamp")))
+    val spec = OrdersSpec.copy(columns = OrdersSpec.columns :+ "ver")
+    val o = withVer(orders(s, dir).select(OrdersSpec.columns.map(col): _*))
+    ChangeCapture.captureByVersion(withVer(after(orders(s, dir))), o, spec,
+        "ver", lastVersion = TsCutoff.getTime)
+      .select(col("operation"), col("record_id"),
+        col("new_data.o_orderstatus").as("new_status"))
+      .orderBy("record_id")
+  }
+
   private def qPendingScan(s: SparkSession, dir: String): DataFrame =
     ChangeLog.pendingChanges(changeLog(s, dir), Some(500))
       .select(col("cdc_id"), col("operation"), col("record_id"), col("synced"))
@@ -344,6 +360,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_capture_diff" -> (qCaptureDiff _),
     "cdc_capture_by_timestamp" -> (qCaptureByTimestamp _),
+    "cdc_capture_by_version" -> (qCaptureByVersion _),
     "cdc_pending_scan" -> (qPendingScan _),
     "cdc_mark_synced" -> (qMarkSynced _),
     "cdc_dedup_latest" -> (qDedupLatest _),
@@ -449,6 +466,23 @@ object SparkEntry {
     "cdc_capture_by_timestamp" ->
       s"""WITH ${FixtureSql.AfterCte},
          |delta_t AS (SELECT * FROM after_t WHERE o_orderdate > TIMESTAMP '1999-01-01 00:00:00')
+         |SELECT CASE WHEN b.o_orderkey IS NULL THEN 'INSERT' ELSE 'UPDATE' END AS operation,
+         |       d.o_orderkey AS record_id, d.o_orderstatus AS new_status
+         |FROM delta_t d LEFT JOIN orders b ON d.o_orderkey = b.o_orderkey
+         |WHERE b.o_orderkey IS NULL
+         |   OR b.o_custkey       IS DISTINCT FROM d.o_custkey
+         |   OR b.o_orderstatus   IS DISTINCT FROM d.o_orderstatus
+         |   OR b.o_totalprice    IS DISTINCT FROM d.o_totalprice
+         |   OR b.o_orderdate     IS DISTINCT FROM d.o_orderdate
+         |   OR b.o_orderpriority IS DISTINCT FROM d.o_orderpriority
+         |ORDER BY record_id""".stripMargin,
+
+    // identical delta semantics to the timestamp variant: the derived
+    // version is unix_millis(o_orderdate) and the watermark is the same
+    // instant, so the SQL twin differs only in spirit (documented).
+    "cdc_capture_by_version" ->
+      s"""WITH ${FixtureSql.AfterCte},
+         |delta_t AS (SELECT * FROM after_t WHERE epoch_ms(o_orderdate) > epoch_ms(TIMESTAMP '1999-01-01 00:00:00'))
          |SELECT CASE WHEN b.o_orderkey IS NULL THEN 'INSERT' ELSE 'UPDATE' END AS operation,
          |       d.o_orderkey AS record_id, d.o_orderstatus AS new_status
          |FROM delta_t d LEFT JOIN orders b ON d.o_orderkey = b.o_orderkey

@@ -102,6 +102,25 @@ object ChangeCapture {
     ), spec)
   }
 
+  /** Version-strategy capture — the third of the reference's declared
+    * strategies (reference: config.py:47 lists trigger|timestamp|version;
+    * only trigger is implemented there, cdc_system.py:92-98). Rows whose
+    * monotonically increasing `versionCol` exceeds `lastVersion` form the
+    * delta; classification against the target is identical to the
+    * timestamp strategy, including its blindness to deletes.
+    */
+  def captureByVersion(
+      source: DataFrame,
+      target: DataFrame,
+      spec: CdcTableSpec,
+      versionCol: String,
+      lastVersion: Long): DataFrame = {
+    val delta = source.filter(col(versionCol) > lastVersion)
+    captureChanges(target, delta.unionByName(
+      target.join(delta.select(spec.pkCol), Seq(spec.pkCol), "left_anti")
+    ), spec)
+  }
+
   /** Add `synced`/`sync_timestamp` bookkeeping columns so a captured diff
     * becomes a canonical change-log batch (reference: cdc_system.py:123-124).
     */

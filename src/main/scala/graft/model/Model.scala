@@ -85,7 +85,7 @@ final case class CdcConfig(
     syncIntervalSeconds: Int = 5,
     maxRetries: Int = 3,
     retryDelaySeconds: Int = 10,
-    cdcStrategy: String = "trigger", // trigger | timestamp (both implemented)
+    cdcStrategy: String = "trigger", // trigger | timestamp | version (all implemented)
     enableMetrics: Boolean = true,
     metricsIntervalSeconds: Int = 60,
     /** pending < threshold => "healthy" (reference: cdc_system.py:373). */

@@ -199,6 +199,17 @@ class CdcCoreSpec extends SparkSpecBase {
     assert(CdcConfig.fromEnv(Map.empty) === CdcConfig())
   }
 
+  test("version-strategy capture sees rows above the version watermark") {
+    val vspec = CdcTableSpec("t", Seq("id", "name", "ver"), "id")
+    val target = Seq((1L, "old", 3L), (2L, "keep", 2L)).toDF("id", "name", "ver")
+    val source = Seq((1L, "new", 7L), (2L, "keep", 2L), (3L, "ins", 6L))
+      .toDF("id", "name", "ver")
+    val d = ChangeCapture.captureByVersion(source, target, vspec, "ver", lastVersion = 5L)
+      .select("operation", "record_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(d === Set(("UPDATE", 1L), ("INSERT", 3L)))
+  }
+
   test("timestamp-strategy capture sees inserts+updates, not deletes") {
     val ts0 = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
     val ts1 = java.sql.Timestamp.valueOf("2025-06-01 00:00:00")
