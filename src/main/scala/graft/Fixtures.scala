@@ -169,7 +169,9 @@ object FixtureSql {
        |  FROM diff_t
        |),
        |logm_t AS (
-       |  SELECT *, CASE WHEN cdc_id % 3 = 0 THEN 1 ELSE 0 END AS synced FROM log_t
+       |  SELECT *, CASE WHEN cdc_id % 3 = 0 THEN 1 ELSE 0 END AS synced,
+       |         CASE WHEN cdc_id % 3 = 0 THEN TIMESTAMP '2026-01-02 00:00:00' END AS sync_timestamp
+       |  FROM log_t
        |)""".stripMargin
 
   /** log2_t: the second (overlapping) change batch, ids offset by 1e6. */

@@ -2,7 +2,7 @@ package graft
 
 import graft.apply.ChangeApplier
 import graft.capture.ChangeCapture
-import graft.ext.{Dedup, EventAnalytics, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, EventAnalytics, HashMode, Multimodal, PortableHash, Similarity, TextAnalysis}
 import graft.model.ConflictStrategy
 import graft.log.ChangeLog
 import graft.monitor.CdcMonitor
@@ -157,11 +157,13 @@ object SparkEntry {
 
   private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshDedup(documents(s, dir), "text", "doc_id",
-        n = 3, bands = 16, rowsPerBand = 8, threshold = 0.5)
+        n = 3, bands = 16, rowsPerBand = 8, threshold = 0.5,
+        mode = HashMode.Portable)
       .orderBy("id_a", "id_b")
 
   private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashDedup(documents(s, dir), "text", "doc_id", maxHamming = 3)
+    Dedup.simhashDedup(documents(s, dir), "text", "doc_id", maxHamming = 3,
+        mode = HashMode.Portable)
       .orderBy("id_a", "id_b")
 
   /** NOTE: at sf0.001 the (brand, size) blocks are near-singletons and
@@ -195,7 +197,7 @@ object SparkEntry {
   private def qTextRollingHash(s: SparkSession, dir: String): DataFrame =
     documents(s, dir)
       .select(col("doc_id"),
-        TextAnalysis.rollingHash(col("text")).as("rolling_hash"))
+        TextAnalysis.rollingHash(col("text"), HashMode.Portable).as("rolling_hash"))
       .orderBy("doc_id")
 
   private def qMediaMeta(s: SparkSession, dir: String): DataFrame =
@@ -443,6 +445,89 @@ object SparkEntry {
 
   private val StopwordsSql = "['the','a','an','of','and','to','in','is','it','that']"
 
+  /** Word-3-gram shingle CTE over `t` ([[TextTokensCte]]): doc_id +
+    * distinct lowercase shingles — mirrors [[Dedup.shingles]] (n = 3).
+    */
+  private val ShinglesCte: String =
+    """shg AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(ltoks) < 3 THEN [array_to_string(ltoks, ' ')]
+      |         ELSE list_distinct(list_transform(range(1, len(ltoks)-1),
+      |                i -> array_to_string(ltoks[i:i+2], ' '))) END AS sh
+      |  FROM t)""".stripMargin
+
+  /** DuckDB twin of [[Dedup.minhashLshDedup]] in portable-hash mode: the
+    * (a_i, b_i) universal-hash constants are generated once driver-side
+    * ([[PortableHash.minhashAB]]) and inlined as literals here AND into
+    * the Spark plan, so both engines compute identical signatures, band
+    * buckets, candidates, and (collision-free) jaccard values.
+    */
+  private def minhashOracleSql(
+      numHashes: Int, bands: Int, rowsPerBand: Int, threshold: Double): String = {
+    val ab = PortableHash.minhashAB(numHashes)
+    val aList = PortableHash.bigintListSql(ab.map(_._1))
+    val bList = PortableHash.bigintListSql(ab.map(_._2))
+    val P = PortableHash.P
+    s"""WITH $TextTokensCte,
+       |$ShinglesCte,
+       |ab AS (SELECT $aList AS ha, $bList AS hb),
+       |xs AS (SELECT doc_id, sh,
+       |         list_transform(sh, s -> ${PortableHash.hash32Sql("s")} % $P) AS x
+       |       FROM shg),
+       |sig AS (SELECT doc_id,
+       |          list_transform(range(1, ${numHashes + 1}),
+       |            i -> list_min(list_transform(x, v -> (ha[i]*v + hb[i]) % $P))) AS sig
+       |        FROM xs, ab),
+       |bnd AS (SELECT doc_id, b,
+       |          ${PortableHash.foldSql(
+                     s"sig[CAST(b*$rowsPerBand+1 AS INT):CAST((b+1)*$rowsPerBand AS INT)]",
+                     "b + 1")} AS bucket
+       |        FROM sig, (SELECT unnest(range(0, $bands)) AS b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+       |         FROM bnd a JOIN bnd c ON a.b = c.b AND a.bucket = c.bucket AND a.doc_id < c.doc_id),
+       |pr AS (SELECT id_a, id_b, sa.sh AS sa, sb.sh AS sb
+       |       FROM cand JOIN shg sa ON sa.doc_id = cand.id_a
+       |                 JOIN shg sb ON sb.doc_id = cand.id_b),
+       |j AS (SELECT id_a, id_b,
+       |        round(CASE WHEN len(list_distinct(list_concat(sa, sb))) = 0 THEN 0.0
+       |              ELSE CAST(len(list_filter(sa, x -> list_contains(sb, x))) AS DOUBLE)
+       |                   / len(list_distinct(list_concat(sa, sb))) END, 6) AS jac
+       |      FROM pr)
+       |SELECT id_a, id_b, jac FROM j WHERE jac >= $threshold ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** DuckDB twin of [[Dedup.simhashDedup]] in portable-hash mode (chunk
+    * layout hardcoded for maxHamming = 3: 4 chunks x 16 bits; chunks 0/1
+    * from the lo half, 2/3 from hi — same split as the engine).
+    */
+  private def simhashOracleSql(maxHamming: Int): String =
+    s"""WITH $TextTokensCte,
+       |hs AS (SELECT doc_id, list_transform(ltoks, tk ->
+       |         [${PortableHash.hash32Sql("tk")}, ${PortableHash.hash32Sql("tk", 9)}]) AS th
+       |       FROM t),
+       |tl AS (SELECT doc_id, list_transform(range(0, 64), j ->
+       |         coalesce(list_sum(list_transform(th, h ->
+       |           CASE WHEN (((CASE WHEN j < 32 THEN h[2] ELSE h[1] END) >> CAST(j % 32 AS INT)) & 1) = 1
+       |                THEN 1 ELSE -1 END)), 0)) AS tl
+       |       FROM hs),
+       |fp AS (SELECT doc_id,
+       |         CAST(coalesce(list_sum(list_transform(range(0, 32), j ->
+       |           CASE WHEN tl[CAST(j+1 AS INT)] > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END)), 0) AS BIGINT) AS f_lo,
+       |         CAST(coalesce(list_sum(list_transform(range(32, 64), j ->
+       |           CASE WHEN tl[CAST(j+1 AS INT)] > 0 THEN (CAST(1 AS BIGINT) << CAST(j-32 AS INT)) ELSE 0 END)), 0) AS BIGINT) AS f_hi
+       |       FROM tl),
+       |ch AS (SELECT doc_id, f_hi, f_lo, i,
+       |         CASE CAST(i AS INT) WHEN 0 THEN f_lo & 65535 WHEN 1 THEN (f_lo >> 16) & 65535
+       |              WHEN 2 THEN f_hi & 65535 ELSE (f_hi >> 16) & 65535 END AS cv
+       |       FROM fp, (SELECT unnest(range(0, 4)) AS i)),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM ch a JOIN ch b ON a.i = b.i AND a.cv = b.cv AND a.doc_id < b.doc_id),
+       |hm AS (SELECT id_a, id_b,
+       |         CAST(bit_count(xor(fa.f_lo, fb.f_lo)) + bit_count(xor(fa.f_hi, fb.f_hi)) AS INTEGER) AS hamming
+       |       FROM cand JOIN fp fa ON fa.doc_id = cand.id_a
+       |                 JOIN fp fb ON fb.doc_id = cand.id_b)
+       |SELECT id_a, id_b, hamming FROM hm WHERE hamming <= $maxHamming ORDER BY id_a, id_b""".stripMargin
+
   /** Runs verbatim in BOTH Spark SQL and DuckDB (lineitem_agg_sql). */
   private val LineitemAggSql: String =
     """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
@@ -453,11 +538,36 @@ object SparkEntry {
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for ops whose semantics depend on
-    * engine-internal hashing (xxhash64 minhash/simhash signatures, seeded
-    * random hyperplanes) → driver records a weaker rows-only check.
+    * the same parquet tables. Hash-valued operators (minhash, simhash,
+    * rolling hash, media checksum) register their PORTABLE-hash variants
+    * ([[PortableHash]]) precisely so these twins exist — every query in
+    * [[queries]] now has a full rows+schema+hash oracle.
     */
   def oracleSql: Map[String, String] = Map(
+    "dedup_minhash_lsh" ->
+      minhashOracleSql(numHashes = 128, bands = 16, rowsPerBand = 8, threshold = 0.5),
+
+    "dedup_simhash" -> simhashOracleSql(maxHamming = 3),
+
+    "text_rolling_hash" ->
+      s"""WITH $TextTokensCte
+         |SELECT doc_id,
+         |  ${PortableHash.foldSql(
+              s"list_transform(toks, tk -> ${PortableHash.hash32Sql("tk")})",
+              PortableHash.Init.toString)} AS rolling_hash
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "media_features" ->
+      s"""WITH h AS (SELECT doc_id, hex(encode(text)) AS hx,
+         |            CAST(octet_length(encode(text)) AS INTEGER) AS byte_len
+         |          FROM documents)
+         |SELECT doc_id AS media_id, byte_len,
+         |  list_reduce(list_prepend(CAST(${PortableHash.Init} AS BIGINT),
+         |    list_transform(range(0, byte_len), k ->
+         |      CAST('0x' || substring(hx, CAST(2*k+1 AS INT), 2) AS BIGINT))),
+         |    (acc, b) -> (acc * 31 + b) % ${PortableHash.P}) AS checksum
+         |FROM h ORDER BY media_id""".stripMargin,
+
     "cdc_capture_diff" ->
       s"""WITH ${FixtureSql.AfterCte}, ${FixtureSql.DiffCte}
          |SELECT operation, record_id, old_status, old_totalprice, new_status, new_totalprice
@@ -503,7 +613,7 @@ object SparkEntry {
       s"""WITH ${FixtureSql.LogCte}
          |SELECT synced, CAST(COUNT(*) AS BIGINT) AS n, MIN(cdc_id) AS min_id,
          |       MAX(cdc_id) AS max_id,
-         |       CAST(SUM(CASE WHEN synced = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_ts
+         |       CAST(SUM(CASE WHEN sync_timestamp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_ts
          |FROM logm_t GROUP BY synced ORDER BY synced""".stripMargin,
 
     "cdc_dedup_latest" ->

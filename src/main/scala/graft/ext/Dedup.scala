@@ -3,6 +3,21 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+/** Which hash family a hash-valued operator uses.
+  *
+  *  - [[HashMode.Engine]] — `xxhash64`: fastest (codegen'd, no md5), but
+  *    engine-internal; outputs depending on it can only be rows-checked.
+  *  - [[HashMode.Portable]] — [[PortableHash]]: md5-derived 32-bit base
+  *    hash + literal-constant integer arithmetic, bit-identical in any
+  *    engine; outputs are fully oracle-checkable (and for minhash, also
+  *    cheaper — see [[PortableHash]] doc).
+  */
+sealed trait HashMode
+object HashMode {
+  case object Engine extends HashMode
+  case object Portable extends HashMode
+}
+
 /** Deduplication operators for LLM training-data pipelines: exact,
   * MinHash+LSH, SimHash, and n-gram Jaccard (embedding near-dup lives in
   * [[Similarity]]). North-star surface — the reference has no dedup; its
@@ -152,23 +167,56 @@ object Dedup {
     * expression — a silent 100×+ CPU blowup when `shingleArr` is an
     * inlined expression rather than a materialized column.
     */
-  def minhashSignature(shingleArr: Column, numHashes: Int): Column =
-    aggregate(
-      shingleArr,
-      array_repeat(lit(Long.MaxValue), numHashes),
-      (acc, s) => zip_with(
-        acc,
-        transform(sequence(lit(0), lit(numHashes - 1)), seed => xxhash64(seed, s)),
-        (a, h) => least(a, h)))
+  def minhashSignature(
+      shingleArr: Column,
+      numHashes: Int,
+      mode: HashMode = HashMode.Engine): Column = mode match {
+    case HashMode.Engine =>
+      aggregate(
+        shingleArr,
+        array_repeat(lit(Long.MaxValue), numHashes),
+        (acc, s) => zip_with(
+          acc,
+          transform(sequence(lit(0), lit(numHashes - 1)), seed => xxhash64(seed, s)),
+          (a, h) => least(a, h)))
+    case HashMode.Portable =>
+      // Classic universal-hash minhash: x = 32-bit shingle hash, slot i is
+      // min over shingles of (a_i*x + b_i) mod P, with (a_i, b_i) literal
+      // constants shared with the oracle SQL. One md5 per shingle +
+      // numHashes multiply-add-mods — cheaper than numHashes xxhash64
+      // string hashes, and every value stays < P (< 2^31).
+      import PortableHash.P
+      val abLit = typedLit(PortableHash.minhashAB(numHashes))
+      aggregate(
+        transform(shingleArr, s => PortableHash.hash32(s) % P),
+        array_repeat(lit(P), numHashes), // P > every h value: +inf sentinel
+        (acc, x) => zip_with(
+          acc, abLit,
+          (a, p) => least(a, (p.getField("_1") * x + p.getField("_2")) % P)))
+  }
 
   /** LSH band buckets for a MinHash signature: `bands` buckets, each the
     * hash of `rowsPerBand` consecutive signature slots. Two docs share a
     * bucket in some band iff that band's slots all match — the classic
     * (1-(1-s^r)^b) S-curve.
     */
-  def lshBandBuckets(sig: Column, bands: Int, rowsPerBand: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)),
-      bnd => xxhash64(bnd, slice(sig, bnd * rowsPerBand + 1, lit(rowsPerBand))))
+  def lshBandBuckets(
+      sig: Column,
+      bands: Int,
+      rowsPerBand: Int,
+      mode: HashMode = HashMode.Engine): Column = mode match {
+    case HashMode.Engine =>
+      transform(sequence(lit(0), lit(bands - 1)),
+        bnd => xxhash64(bnd, slice(sig, bnd * rowsPerBand + 1, lit(rowsPerBand))))
+    case HashMode.Portable =>
+      // Fold the band's slots with the portable chain, seeded by the band
+      // index (cross-band collisions are harmless — the band index is part
+      // of the join key — but a seed keeps buckets distinct anyway).
+      transform(sequence(lit(0), lit(bands - 1)),
+        bnd => PortableHash.fold(
+          slice(sig, bnd * rowsPerBand + 1, lit(rowsPerBand)),
+          (bnd + 1).cast("long")))
+  }
 
   /** MinHash+LSH near-duplicate pairs, verified by exact Jaccard.
     *
@@ -188,10 +236,16 @@ object Dedup {
       n: Int = 3,
       bands: Int = 16,
       rowsPerBand: Int = 8,
-      threshold: Double = 0.8): DataFrame = {
-    val base = df.select(
+      threshold: Double = 0.8,
+      mode: HashMode = HashMode.Engine): DataFrame = {
+    // Shingles are hashed to longs up front (same trick as
+    // ngramJaccardDedup): the pair-level verify then intersects primitive
+    // arrays instead of strings. Jaccard values are hash-invariant (set
+    // cardinalities), so this is independent of `mode` — the oracle
+    // computes the same counts over raw string shingles.
+    val hashed = df.select(
       col(idCol).as("id"),
-      shingles(col(textCol), n).as("sh"))
+      array_distinct(transform(shingles(col(textCol), n), s => xxhash64(s))).as("sh"))
 
     // The repartition between signature and bucket derivation does two
     // jobs: (1) it is a materialization barrier — without it, projection
@@ -201,13 +255,14 @@ object Dedup {
     // input may arrive in very few scan partitions while the signature
     // work is CPU-bound. Shuffle weight is one (id, sig) row per doc.
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
-    val sigd = base
-      .select(col("id"), minhashSignature(col("sh"), bands * rowsPerBand).as("sig"))
+    val sigd = df.select(
+      col(idCol).as("id"),
+      minhashSignature(shingles(col(textCol), n), bands * rowsPerBand, mode).as("sig"))
       .repartition(parallelism)
 
     val buckets = sigd
       .select(col("id"),
-        posexplode(lshBandBuckets(col("sig"), bands, rowsPerBand))
+        posexplode(lshBandBuckets(col("sig"), bands, rowsPerBand, mode))
           .as(Seq("band", "bucket")))
 
     val a = buckets.select(col("id").as("id_a"), col("band"), col("bucket"))
@@ -218,8 +273,8 @@ object Dedup {
       .dropDuplicates("id_a", "id_b") // same pair may collide in several bands
 
     pairs
-      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(hashed.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(hashed.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jac", round(jaccard(col("sh_a"), col("sh_b")), 6))
       .filter(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"), col("jac"))
@@ -249,6 +304,42 @@ object Dedup {
     transform(sequence(lit(0), lit(63)),
       j => when(call_function("shiftright", h, j).bitwiseAND(lit(1L)) === 1L, lit(1)).otherwise(lit(-1)))
 
+  /** Portable 64-bit SimHash, represented as two non-negative 32-bit
+    * halves `struct(hi, lo)` (bit j of the conceptual 64-bit fingerprint
+    * lives in `lo` for j < 32, else in `hi`). Two halves instead of one
+    * packed long keep every value non-negative, so the oracle's BIGINT
+    * shifts/xors agree with Spark bit-for-bit (a packed 64-bit value
+    * could set the sign bit, where the engines' shift semantics differ).
+    * Token votes come from [[PortableHash.hash32]]/[[PortableHash.hash32Lo]]
+    * (one md5 per token) instead of xxhash64.
+    */
+  def simhashPortable(text: Column): Column = {
+    val tk = TextAnalysis.tokens(lower(text))
+    val th = transform(tk, t => array(PortableHash.hash32(t), PortableHash.hash32Lo(t)))
+    val tallies = aggregate(
+      th,
+      array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc, bitVotes2(h), (a, v) => a + v))
+    // pack tallies[1..32] (bits 0..31) into lo, tallies[33..64] into hi
+    def pack(tallies32: Column): Column =
+      aggregate(
+        zip_with(tallies32, sequence(lit(0), lit(31)), (tally, j) =>
+          when(tally > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
+        lit(0L), (acc, x) => acc.bitwiseOR(x))
+    struct(
+      pack(slice(tallies, 33, 32)).as("hi"),
+      pack(slice(tallies, 1, 32)).as("lo"))
+  }
+
+  /** +1/-1 vote per bit 0..63 given `h` = [hi32, lo32]. */
+  private def bitVotes2(h: Column): Column =
+    transform(sequence(lit(0), lit(63)), j => {
+      val half = when(j < 32, element_at(h, 2)).otherwise(element_at(h, 1))
+      val sh = when(j < 32, j).otherwise(j - 32)
+      when(call_function("shiftright", half, sh).bitwiseAND(lit(1L)) === 1L, lit(1))
+        .otherwise(lit(-1))
+    })
+
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
@@ -263,23 +354,56 @@ object Dedup {
       df: DataFrame,
       textCol: String,
       idCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val chunks = maxHamming + 1
-    val bitsPer = 64 / chunks
-    // repartition: materialize the hash + spread CPU-bound rows (see
-    // minhashLshDedup for why); one (id, long) row per doc of shuffle.
-    val withHash = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh64"))
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
-    val exploded = withHash.select(col("id"), col("sh64"),
-      posexplode(transform(sequence(lit(0), lit(chunks - 1)),
-        i => call_function("shiftrightunsigned", col("sh64"), i * bitsPer)
-          .bitwiseAND(lit((1L << bitsPer) - 1)))).as(Seq("chunk_i", "chunk_v")))
-    val a = exploded.select(col("id").as("id_a"), col("sh64").as("h_a"), col("chunk_i"), col("chunk_v"))
-    val b = exploded.select(col("id").as("id_b"), col("sh64").as("h_b"), col("chunk_i"), col("chunk_v"))
-    a.join(b, Seq("chunk_i", "chunk_v"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), hamming(col("h_a"), col("h_b")).as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
+      maxHamming: Int = 3,
+      mode: HashMode = HashMode.Engine): DataFrame = mode match {
+    case HashMode.Engine =>
+      val chunks = maxHamming + 1
+      val bitsPer = 64 / chunks
+      // repartition: materialize the hash + spread CPU-bound rows (see
+      // minhashLshDedup for why); one (id, long) row per doc of shuffle.
+      val withHash = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sh64"))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      val exploded = withHash.select(col("id"), col("sh64"),
+        posexplode(transform(sequence(lit(0), lit(chunks - 1)),
+          i => call_function("shiftrightunsigned", col("sh64"), i * bitsPer)
+            .bitwiseAND(lit((1L << bitsPer) - 1)))).as(Seq("chunk_i", "chunk_v")))
+      val a = exploded.select(col("id").as("id_a"), col("sh64").as("h_a"), col("chunk_i"), col("chunk_v"))
+      val b = exploded.select(col("id").as("id_b"), col("sh64").as("h_b"), col("chunk_i"), col("chunk_v"))
+      a.join(b, Seq("chunk_i", "chunk_v"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), hamming(col("h_a"), col("h_b")).as("hamming"))
+        .filter(col("hamming") <= maxHamming)
+        .distinct()
+
+    case HashMode.Portable =>
+      val chunks = maxHamming + 1
+      val bitsPer = 64 / chunks
+      // Chunk boundaries must not straddle the hi/lo split — shifting a
+      // 32-bit half stays non-negative in both engines, a straddling
+      // extraction would not.
+      require(64 % chunks == 0 && 32 % bitsPer == 0,
+        s"portable simhashDedup supports maxHamming in {1,3,7,15,31}, got $maxHamming")
+      val mask = (1L << bitsPer) - 1
+      val withHash = df.select(col(idCol).as("id"), simhashPortable(col(textCol)).as("f"))
+        .select(col("id"), col("f.hi").as("f_hi"), col("f.lo").as("f_lo"))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      val chunkArr = array((0 until chunks).map { i =>
+        val off = i * bitsPer
+        val (half, sh) = if (off < 32) (col("f_lo"), off) else (col("f_hi"), off - 32)
+        shiftrightunsigned(half, sh).bitwiseAND(lit(mask))
+      }: _*)
+      val exploded = withHash.select(col("id"), col("f_hi"), col("f_lo"),
+        posexplode(chunkArr).as(Seq("chunk_i", "chunk_v")))
+      val a = exploded.select(col("id").as("id_a"),
+        col("f_hi").as("hi_a"), col("f_lo").as("lo_a"), col("chunk_i"), col("chunk_v"))
+      val b = exploded.select(col("id").as("id_b"),
+        col("f_hi").as("hi_b"), col("f_lo").as("lo_b"), col("chunk_i"), col("chunk_v"))
+      a.join(b, Seq("chunk_i", "chunk_v"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+            bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).as("hamming"))
+        .filter(col("hamming") <= maxHamming)
+        .distinct()
   }
 }

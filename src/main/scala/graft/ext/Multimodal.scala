@@ -43,9 +43,17 @@ object Multimodal {
     * cluster size.
     */
   def fakeDecode(payload: Array[Byte], dim: Int): (Long, Array[Float]) = {
-    var h = 1125899906842597L
+    // Checksum is the PORTABLE byte fold (h = (h*31 + unsigned byte) mod
+    // 2^31-1, seed 97531) rather than a wrapping Java polynomial: the
+    // DuckDB oracle reproduces it exactly from hex(payload), making
+    // media_features hash-checkable end to end (ANSI-safe too — no
+    // silent long wrap-around).
+    var h = graft.ext.PortableHash.Init
     var i = 0
-    while (i < payload.length) { h = h * 31L + payload(i); i += 1 }
+    while (i < payload.length) {
+      h = (h * 31L + (payload(i) & 0xffL)) % graft.ext.PortableHash.P
+      i += 1
+    }
     val out = new Array[Float](dim)
     var j = 0
     var s = h

@@ -117,9 +117,17 @@ object TextAnalysis {
     * shift-resistant chunk fingerprinting. Chained hashing instead of a
     * polynomial so it stays total under ANSI mode (no long overflow).
     */
-  def rollingHash(text: Column): Column =
-    aggregate(tokens(text), lit(1125899906842597L),
-      (acc, t) => xxhash64(acc, t))
+  def rollingHash(text: Column, mode: HashMode = HashMode.Engine): Column = mode match {
+    case HashMode.Engine =>
+      aggregate(tokens(text), lit(1125899906842597L),
+        (acc, t) => xxhash64(acc, t))
+    case HashMode.Portable =>
+      // (acc * K + hash32(token)) mod P — order-sensitive like the xxhash64
+      // chain, but reproducible by the DuckDB oracle (PortableHash.foldSql).
+      PortableHash.fold(
+        transform(tokens(text), t => PortableHash.hash32(t)),
+        lit(PortableHash.Init))
+  }
 
   /** All text statistics as one struct-producing projection, so callers
     * get every metric from a single scan of the text column.

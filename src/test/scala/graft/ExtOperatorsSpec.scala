@@ -51,6 +51,36 @@ class ExtOperatorsSpec extends SparkSpecBase {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 0))
   }
 
+  test("portable hash mode: same pair-finding behavior as engine mode") {
+    import graft.ext.HashMode
+    // exact dups always collide regardless of hash family
+    val mh = Dedup.minhashLshDedup(docs, "text", "doc_id", threshold = 0.9,
+        mode = HashMode.Portable)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.contains((1L, 4L)))
+    assert(!mh.exists(p => p._1 == 3L || p._2 == 3L))
+    val sh = Dedup.simhashDedup(docs, "text", "doc_id", maxHamming = 3,
+        mode = HashMode.Portable)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(sh.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 0))
+    // portable minhash values live in [0, P): the sentinel never leaks
+    val sig = docs.filter(col("doc_id") === 1L)
+      .select(Dedup.minhashSignature(Dedup.shingles(col("text"), 3), 16,
+        HashMode.Portable).as("sig"))
+      .collect().head.getSeq[Long](0)
+    assert(sig.length === 16 && sig.forall(v => v >= 0 && v < graft.ext.PortableHash.P))
+  }
+
+  test("portable rollingHash is order-sensitive and bounded by P") {
+    import graft.ext.HashMode
+    val df = Seq((1L, "a b c"), (2L, "c b a"), (3L, "")).toDF("id", "t")
+    val r = df.orderBy("id").select(
+      TextAnalysis.rollingHash(col("t"), HashMode.Portable).as("rh")).collect()
+    assert(r(0).getLong(0) !== r(1).getLong(0))
+    assert(r(2).getLong(0) === graft.ext.PortableHash.Init) // empty → seed
+    assert(r.forall(x => x.getLong(0) >= 0 && x.getLong(0) < graft.ext.PortableHash.P))
+  }
+
   test("textStats computes token counts, ratios and language guess") {
     val st = TextAnalysis.textStats(docs, "text")
       .select("doc_id", "n_tokens", "stopword_ratio", "lang_guess", "quality")
