@@ -18,6 +18,29 @@ import org.apache.spark.sql.functions._
   */
 object Fixtures {
 
+  /** Per-process cache of the derived CDC fixtures, keyed by
+    * (session, sfDir, name). The 14 registered CDC queries all start from
+    * [[changeLog]]/[[secondBatchLog]], whose derivation includes a
+    * deliberately single-partition global window (`assignCdcIds(global =
+    * true)` — test-fixture determinism, not a scale path); without the
+    * cache every CDC query re-ran that derivation, so the driver bench was
+    * timing fixture construction rather than the operator under test.
+    * `localCheckpoint(eager)` materializes the rows once and cuts the
+    * lineage; the repartition restores parallelism downstream of the
+    * global window (row distribution is invisible to results — every
+    * registered query orders its output explicitly). Fixture size is
+    * O(capture diff) ≈ 1.5% of orders, so the block-manager footprint is
+    * trivial at any test SF.
+    */
+  private val fixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  private def cached(name: String, spark: SparkSession, dir: String)(
+      build: => DataFrame): DataFrame =
+    fixtureCache.computeIfAbsent((spark, dir, name), _ =>
+      build.repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint(true))
+
   val OrdersSpec: CdcTableSpec = CdcTableSpec(
     "orders",
     Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
@@ -84,39 +107,42 @@ object Fixtures {
   }
 
   /** Raw captured diff (no ids/bookkeeping yet). */
-  def captured(spark: SparkSession, dir: String): DataFrame = {
-    val o = orders(spark, dir)
-    ChangeCapture.captureChanges(o, after(o), OrdersSpec, changedAt = lit(T0))
-  }
+  def captured(spark: SparkSession, dir: String): DataFrame =
+    cached("captured", spark, dir) {
+      val o = orders(spark, dir)
+      ChangeCapture.captureChanges(o, after(o), OrdersSpec, changedAt = lit(T0))
+    }
 
   /** Canonical change log: captured diff + global cdc_ids + synced flags
     * (every third change marked synced at T1, exercising markSynced).
     */
-  def changeLog(spark: SparkSession, dir: String): DataFrame = {
-    val log = ChangeLog.assignCdcIds(
-      ChangeCapture.finishLogSchema(captured(spark, dir)), global = true)
-    ChangeLog.markSynced(
-      log,
-      log.filter(col(ChangeLog.CdcId) % 3 === 0).select(col(ChangeLog.CdcId)),
-      at = lit(T1))
-  }
+  def changeLog(spark: SparkSession, dir: String): DataFrame =
+    cached("changeLog", spark, dir) {
+      val log = ChangeLog.assignCdcIds(
+        ChangeCapture.finishLogSchema(captured(spark, dir)), global = true)
+      ChangeLog.markSynced(
+        log,
+        log.filter(col(ChangeLog.CdcId) % 3 === 0).select(col(ChangeLog.CdcId)),
+        at = lit(T1))
+    }
 
   /** A second change batch on top of [[after]]: keys %13=0 and %2=0 get
     * status 'Y' — overlapping batch-1's updates, so per-key conflict
     * resolution has real work to do.
     */
-  def secondBatchLog(spark: SparkSession, dir: String): DataFrame = {
-    val a1 = after(orders(spark, dir))
-    val upd2 = col("o_orderkey") % 13 === 0 && col("o_orderkey") % 2 === 0
-    val a2 = a1.withColumn("o_orderstatus", when(upd2, lit("Y")).otherwise(col("o_orderstatus")))
-    // base 2^40: far above any batch-1 id at any scale factor (a fixed
-    // 1e6 would collide once the first capture diff exceeds 1M rows,
-    // making per-key cdc_id ordering ambiguous between the engines)
-    ChangeLog.assignCdcIds(
-      ChangeCapture.finishLogSchema(
-        ChangeCapture.captureChanges(a1, a2, OrdersSpec, changedAt = lit(T1))),
-      base = 1L << 40, global = true)
-  }
+  def secondBatchLog(spark: SparkSession, dir: String): DataFrame =
+    cached("secondBatchLog", spark, dir) {
+      val a1 = after(orders(spark, dir))
+      val upd2 = col("o_orderkey") % 13 === 0 && col("o_orderkey") % 2 === 0
+      val a2 = a1.withColumn("o_orderstatus", when(upd2, lit("Y")).otherwise(col("o_orderstatus")))
+      // base 2^40: far above any batch-1 id at any scale factor (a fixed
+      // 1e6 would collide once the first capture diff exceeds 1M rows,
+      // making per-key cdc_id ordering ambiguous between the engines)
+      ChangeLog.assignCdcIds(
+        ChangeCapture.finishLogSchema(
+          ChangeCapture.captureChanges(a1, a2, OrdersSpec, changedAt = lit(T1))),
+        base = 1L << 40, global = true)
+    }
 }
 
 /** DuckDB-dialect SQL twins of [[Fixtures]], shared by the oracle entries
