@@ -152,7 +152,7 @@ object SparkEntry {
 
   private def qDedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardDedup(documents(s, dir), "text", "doc_id",
-        col("lang"), n = 3, threshold = 0.2)
+        col("lang"), n = 3, threshold = 0.2, maxBlockRows = Some(100000L))
       .orderBy("id_a", "id_b")
 
   private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =

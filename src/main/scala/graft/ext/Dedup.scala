@@ -72,6 +72,22 @@ object Dedup {
   def jaccardGeneral(a: Column, b: Column): Column =
     jaccard(array_distinct(a), array_distinct(b))
 
+  /** Jaccard of two SORTED, DISTINCT `array<long>` columns via the native
+    * two-pointer [[graft.expr.SortedIntersectCount]] kernel — same values
+    * as [[jaccard]] (identical arithmetic on identical counts), several
+    * times cheaper per pair: no per-pair hash-set allocation, fully
+    * inside whole-stage codegen. The pair-verify hot path of
+    * [[ngramJaccardDedup]] / [[minhashLshDedup]].
+    */
+  def jaccardSorted(a: Column, b: Column): Column = {
+    val inter = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.expr.SortedIntersectCount(
+        org.apache.spark.sql.GraftSqlBridge.expression(a),
+        org.apache.spark.sql.GraftSqlBridge.expression(b))).cast("double")
+    val union = (size(a) + size(b)).cast("double") - inter
+    when(union === 0, lit(0.0)).otherwise(inter / union)
+  }
+
   /** All pairs within the same block with n-gram Jaccard >= `threshold`.
     *
     * `blockCol` bounds the quadratic comparison (same-language, same
@@ -94,29 +110,84 @@ object Dedup {
       blockCol: Column,
       n: Int = 3,
       threshold: Double = 0.8,
-      saltFanout: Int = 32): DataFrame = {
+      saltFanout: Int = 32,
+      maxBlockRows: Option[Long] = None): DataFrame = {
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
-    // Shingles are hashed to 64-bit longs before pairing: the quadratic
-    // verify then intersects primitive-long arrays instead of strings
-    // (~3× cheaper per pair). Set counts are preserved absent an
-    // xxhash64 collision inside one block's shingle universe (P ≈ u²/2⁶⁵
-    // — for u = 10⁶ distinct shingles, ~3e-8), so jaccard values are
-    // unchanged; array_distinct after hashing guards within-doc effects.
-    val base = df.select(
+    val tPre = threshold - 5e-7 // 6-dp rounding half-step, see prefilter note
+    // Geometric length band over the shingle-set size. Any pair that can
+    // pass the size-ratio prefilter has size ratio >= tPre, i.e. log-size
+    // gap <= log(1/tPre) < log(R), so its band numbers differ by AT MOST
+    // one — matching same-band plus adjacent-band pairs preserves the
+    // output EXACTLY while subdividing the user block: a hot block (one
+    // language at 100 TB) becomes (block × band) cells whose members are
+    // within a bounded size ratio, instead of one quadratic cell. The
+    // 1.0011 factor keeps float rounding at the band boundary from ever
+    // violating the gap<=1 guarantee (margin >> one ulp of log).
+    val logR = math.log(math.max(1.0011, 1.0011 / math.max(tPre, 1e-6)))
+    // Shingles are hashed to 64-bit longs and SORTED at build time: the
+    // quadratic verify then runs the native two-pointer intersect kernel
+    // over primitive-long arrays ([[jaccardSorted]]). Set counts are
+    // preserved absent an xxhash64 collision inside one block's shingle
+    // universe (P ≈ u²/2⁶⁵ — for u = 10⁶ distinct shingles, ~3e-8), so
+    // jaccard values are unchanged; array_distinct guards within-doc
+    // effects.
+    val base0 = df.select(
       col(idCol).as("id"),
       blockCol.as("blk"),
-      array_distinct(transform(shingles(col(textCol), n), s => xxhash64(s))).as("sh"))
-    val a = base.select(col("id").as("id_a"), col("blk"), col("sh").as("sh_a"))
+      array_sort(array_distinct(transform(shingles(col(textCol), n), s => xxhash64(s)))).as("sh"))
+      .withColumn("band", floor(log(size(col("sh")).cast("double")) / logR).cast("int"))
+    // With the guard on, the shingled base is consumed three times (guard
+    // count + both join sides): persist so the shingle/sort work runs
+    // once. O(corpus) storage — the quantity that must NOT be persisted
+    // is the pair set, and never is.
+    val base =
+      if (maxBlockRows.isDefined)
+        base0.repartition(parallelism)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else base0
+
+    // Hot-block guard: pair work per (block × band) cell is O(rows²) by
+    // the exact-verify semantics; silently letting one hot cell go
+    // quadratic is the 100 TB failure mode. When a cap is set, fail fast
+    // with the offending cells instead.
+    maxBlockRows.foreach { cap =>
+      val hot = base.groupBy(col("blk"), col("band")).count()
+        .filter(col("count") > cap)
+        .orderBy(col("count").desc).limit(5)
+        .collect()
+      if (hot.nonEmpty) {
+        val desc = hot.map(r => s"(blk=${r.get(0)}, band=${r.get(1)}: ${r.getLong(2)} rows)")
+          .mkString(", ")
+        throw new IllegalStateException(
+          s"ngramJaccardDedup: block cells exceed maxBlockRows=$cap — $desc. " +
+            "Compose a finer block key or use minhashLshDedup for this corpus.")
+      }
+    }
+
+    val a = base.select(col("id").as("id_a"), col("blk"), col("band"), col("sh").as("sh_a"))
       .withColumn("__salt", pmod(xxhash64(col("id_a")), lit(saltFanout)))
+    // The b side is replicated twice over: across all salts (see below)
+    // and into its band and the band below — a pair spanning adjacent
+    // bands is found exactly once, with the lower-band doc on the a side.
+    val b0 = base.select(col("id").as("id_b"), col("blk"), col("band"), col("sh").as("sh_b"))
     // Explicit repartition on the replicated side: when the planner
-    // broadcasts the other side, the O(block²) verify work runs in the
+    // broadcasts the other side, the O(cell²) verify work runs in the
     // probe side's partitions — which for a compact parquet scan can be a
     // single task. An explicit partition count survives AQE coalescing.
-    val b = base.select(col("id").as("id_b"), col("blk"), col("sh").as("sh_b"))
+    val b = b0
+      .select(col("id_b"), col("blk"), col("sh_b"),
+        explode(array(
+          struct(col("band").as("band"), lit(false).as("rep")),
+          struct((col("band") - 1).as("band"), lit(true).as("rep")))).as("bv"))
+      .select(col("id_b"), col("blk"), col("sh_b"),
+        col("bv.band").as("band"), col("bv.rep").as("rep"))
       .withColumn("__salt", explode(sequence(lit(0L), lit((saltFanout - 1).toLong))))
-      .repartition(parallelism, col("blk"), col("__salt"))
-    a.join(b, Seq("blk", "__salt"))
-      .filter(col("id_a") < col("id_b"))
+      .repartition(parallelism, col("blk"), col("band"), col("__salt"))
+    a.join(b, Seq("blk", "band", "__salt"))
+      // same-band pairs appear in both orientations → keep id_a < id_b;
+      // adjacent-band pairs appear once (via the replica) → keep always.
+      .filter((!col("rep") && col("id_a") < col("id_b")) ||
+        (col("rep") && col("id_a") =!= col("id_b")))
       // size-ratio prefilter: jaccard <= min(|A|,|B|)/max(|A|,|B|), so
       // pairs failing the ratio can never reach the threshold — pruned
       // before the (expensive) intersection, without changing the result.
@@ -124,10 +195,13 @@ object Dedup {
       // final filter accepts round(jac,6) >= t, i.e. jac >= t - 5e-7, so
       // the prefilter must not cut pairs inside that half-step.
       .filter(least(size(col("sh_a")), size(col("sh_b"))).cast("double")
-        >= greatest(size(col("sh_a")), size(col("sh_b"))) * (threshold - 5e-7))
-      .withColumn("jac", round(jaccard(col("sh_a"), col("sh_b")), 6))
+        >= greatest(size(col("sh_a")), size(col("sh_b"))) * tPre)
+      .withColumn("jac", round(jaccardSorted(col("sh_a"), col("sh_b")), 6))
       .filter(col("jac") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jac"))
+      .select(
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        col("jac"))
   }
 
   /** Blocked fuzzy (edit-distance) duplicate pairs: all pairs within a
@@ -182,17 +256,29 @@ object Dedup {
     case HashMode.Portable =>
       // Classic universal-hash minhash: x = 32-bit shingle hash, slot i is
       // min over shingles of (a_i*x + b_i) mod P, with (a_i, b_i) literal
-      // constants shared with the oracle SQL. One md5 per shingle +
-      // numHashes multiply-add-mods — cheaper than numHashes xxhash64
-      // string hashes, and every value stays < P (< 2^31).
-      import PortableHash.P
-      val abLit = typedLit(PortableHash.minhashAB(numHashes))
-      aggregate(
-        transform(shingleArr, s => PortableHash.hash32(s) % P),
-        array_repeat(lit(P), numHashes), // P > every h value: +inf sentinel
-        (acc, x) => zip_with(
-          acc, abLit,
-          (a, p) => least(a, (p.getField("_1") * x + p.getField("_2")) % P)))
+      // constants shared with the oracle SQL. Runs as the native
+      // [[graft.expr.PortableMinhash]] kernel (one md5 + numHashes
+      // multiply-add-mods per shingle in a primitive loop) — bit-exact
+      // with [[minhashSignatureColumnar]], cross-checked in tests.
+      org.apache.spark.sql.GraftSqlBridge.column(
+        graft.expr.PortableMinhash(
+          org.apache.spark.sql.GraftSqlBridge.expression(shingleArr),
+          PortableHash.minhashAB(numHashes)))
+  }
+
+  /** Pure-built-ins twin of the portable [[minhashSignature]] — the
+    * definition the oracle SQL is generated from; kept as the reference
+    * the native kernel is cross-checked against.
+    */
+  def minhashSignatureColumnar(shingleArr: Column, numHashes: Int): Column = {
+    import PortableHash.P
+    val abLit = typedLit(PortableHash.minhashAB(numHashes))
+    aggregate(
+      transform(shingleArr, s => PortableHash.hash32(s) % P),
+      array_repeat(lit(P), numHashes), // P > every h value: +inf sentinel
+      (acc, x) => zip_with(
+        acc, abLit,
+        (a, p) => least(a, (p.getField("_1") * x + p.getField("_2")) % P)))
   }
 
   /** LSH band buckets for a MinHash signature: `bands` buckets, each the
@@ -245,7 +331,7 @@ object Dedup {
     // computes the same counts over raw string shingles.
     val hashed = df.select(
       col(idCol).as("id"),
-      array_distinct(transform(shingles(col(textCol), n), s => xxhash64(s))).as("sh"))
+      array_sort(array_distinct(transform(shingles(col(textCol), n), s => xxhash64(s)))).as("sh"))
 
     // The repartition between signature and bucket derivation does two
     // jobs: (1) it is a materialization barrier — without it, projection
@@ -275,7 +361,7 @@ object Dedup {
     pairs
       .join(hashed.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(hashed.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("jac", round(jaccard(col("sh_a"), col("sh_b")), 6))
+      .withColumn("jac", round(jaccardSorted(col("sh_a"), col("sh_b")), 6))
       .filter(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"), col("jac"))
   }
@@ -313,7 +399,16 @@ object Dedup {
     * Token votes come from [[PortableHash.hash32]]/[[PortableHash.hash32Lo]]
     * (one md5 per token) instead of xxhash64.
     */
-  def simhashPortable(text: Column): Column = {
+  def simhashPortable(text: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.expr.PortableSimhash(
+        org.apache.spark.sql.GraftSqlBridge.expression(
+          TextAnalysis.tokens(lower(text)))))
+
+  /** Pure-built-ins twin of [[simhashPortable]] — the definition the
+    * oracle SQL mirrors; cross-checked against the native kernel in tests.
+    */
+  def simhashPortableColumnar(text: Column): Column = {
     val tk = TextAnalysis.tokens(lower(text))
     val th = transform(tk, t => array(PortableHash.hash32(t), PortableHash.hash32Lo(t)))
     val tallies = aggregate(

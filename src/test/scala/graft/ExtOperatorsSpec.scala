@@ -51,6 +51,33 @@ class ExtOperatorsSpec extends SparkSpecBase {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 4L && p._3 == 0))
   }
 
+  test("SortedIntersectCount matches size(array_intersect) on random sorted-distinct arrays") {
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.tabulate(200) { i =>
+      def arr() = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong)
+        .distinct.sorted
+      (i.toLong, arr(), arr())
+    }
+    val df = rows.toDF("id", "a", "b")
+    val bad = df.select(
+        Dedup.jaccardSorted(col("a"), col("b")).as("fast"),
+        Dedup.jaccard(col("a"), col("b")).as("ref"))
+      .filter(col("fast") =!= col("ref") ||
+        col("fast").isNull =!= col("ref").isNull)
+      .count()
+    assert(bad === 0)
+  }
+
+  test("ngramJaccardDedup hot-block guard trips on an over-cap block") {
+    val many = (1L to 50L).map(i => (i, s"doc $i the quick brown fox", "en"))
+      .toDF("doc_id", "text", "lang")
+    val e = intercept[IllegalStateException] {
+      Dedup.ngramJaccardDedup(many, "text", "doc_id", col("lang"),
+        threshold = 0.2, maxBlockRows = Some(10L)).count()
+    }
+    assert(e.getMessage.contains("maxBlockRows"))
+  }
+
   test("portable hash mode: same pair-finding behavior as engine mode") {
     import graft.ext.HashMode
     // exact dups always collide regardless of hash family
@@ -69,6 +96,22 @@ class ExtOperatorsSpec extends SparkSpecBase {
         HashMode.Portable).as("sig"))
       .collect().head.getSeq[Long](0)
     assert(sig.length === 16 && sig.forall(v => v >= 0 && v < graft.ext.PortableHash.P))
+  }
+
+  test("native portable minhash/simhash kernels are bit-exact with the columnar twins") {
+    val d = docs.filter(length(col("text")) > 0)
+    val mh = d.select(
+        Dedup.minhashSignature(Dedup.shingles(col("text"), 3), 32,
+          graft.ext.HashMode.Portable).as("fast"),
+        Dedup.minhashSignatureColumnar(Dedup.shingles(col("text"), 3), 32).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(mh === 0)
+    val sh = d.select(
+        Dedup.simhashPortable(col("text")).as("fast"),
+        Dedup.simhashPortableColumnar(col("text")).as("ref"))
+      .filter(col("fast.hi") =!= col("ref.hi") || col("fast.lo") =!= col("ref.lo"))
+      .count()
+    assert(sh === 0)
   }
 
   test("portable rollingHash is order-sensitive and bounded by P") {
