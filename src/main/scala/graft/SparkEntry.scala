@@ -414,20 +414,46 @@ object SparkEntry {
       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
       |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 61 = 0)""".stripMargin
 
-  /** Deterministic hyperplanes + sign-bucket CTEs mirroring
-    * [[Similarity.hyperplanes]] (closed-form integer formula, seed 42,
-    * 8 planes × dim 64) and [[Similarity.lshBucket]].
+  /** `pl` CTE: hyperplane table mirroring [[Similarity.hyperplanes]] —
+    * the same multiply-mod + xor-shift mixing recipe, seed 42, evaluated
+    * in DuckDB BIGINT arithmetic (every value < 2^31, so both engines
+    * agree exactly).
+    */
+  private def hyperplaneSql(nPlanes: Int, dim: Int, seed: Long = 42L): String = {
+    val P = PortableHash.P
+    val v = s"(i*$dim + j + ${seed * 40503L})"
+    val h1 = s"(($v * 1103515245 + 12345) % $P)"
+    val h2 = s"xor($h1, $h1 >> 15)"
+    val h3 = s"(($h2 * 69069) % $P)"
+    val h4 = s"xor($h3, $h3 >> 13)"
+    s"""pl AS (
+       |  SELECT i, list_transform(range(0, $dim),
+       |           j -> CAST($h4 % 100003 AS DOUBLE)/100003.0 - 0.5) AS p
+       |  FROM (SELECT unnest(range(0, $nPlanes)) AS i))""".stripMargin
+  }
+
+  /** Single sign-bucket per vector over 8 planes ([[Similarity.lshBucket]],
+    * used by ann_lsh).
     */
   private val LshBucketCte: String =
-    """pl AS (
-      |  SELECT i, list_transform(range(0, 64),
-      |           j -> CAST(((i*64 + j)*2654435761 + 1701126) % 1009 AS DOUBLE)/1009.0 - 0.5) AS p
-      |  FROM (SELECT unnest(range(0, 8)) AS i)),
-      |bk AS (
-      |  SELECT e.vec_id, CAST(SUM(CASE
-      |           WHEN list_sum(list_transform(range(1, 65), k -> e.v[k]*p[k])) > 0
-      |           THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS bkt
-      |  FROM e, pl GROUP BY e.vec_id)""".stripMargin
+    s"""${hyperplaneSql(8, 64)},
+       |bk AS (
+       |  SELECT e.vec_id, CAST(SUM(CASE
+       |           WHEN list_sum(list_transform(range(1, 65), k -> e.v[k]*p[k])) > 0
+       |           THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS bkt
+       |  FROM e, pl GROUP BY e.vec_id)""".stripMargin
+
+  /** Banded sign-buckets: band b = planes [b*8, (b+1)*8) of a 16-plane
+    * family — mirrors [[Similarity.embeddingNearDup]] (bands = 2,
+    * planes = 8).
+    */
+  private val LshBandedBucketCte: String =
+    s"""${hyperplaneSql(16, 64)},
+       |bkb AS (
+       |  SELECT e.vec_id, i // 8 AS band, CAST(SUM(CASE
+       |           WHEN list_sum(list_transform(range(1, 65), k -> e.v[k]*p[k])) > 0
+       |           THEN (CAST(1 AS BIGINT) << CAST(i % 8 AS INT)) ELSE 0 END) AS BIGINT) AS bkt
+       |  FROM e, pl GROUP BY e.vec_id, band)""".stripMargin
 
   private def cosScoreSql(raw: String, out: String): String =
     s"""$out AS (SELECT * EXCLUDE (dp, na, nb),
@@ -865,10 +891,10 @@ object SparkEntry {
 
     "emb_near_dup" ->
       s"""WITH $EmbBase,
-         |$LshBucketCte,
+         |$LshBandedBucketCte,
          |cand AS (
-         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-         |  FROM bk a JOIN bk b ON a.bkt = b.bkt AND a.vec_id < b.vec_id),
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bkb a JOIN bkb b ON a.band = b.band AND a.bkt = b.bkt AND a.vec_id < b.vec_id),
          |raw AS (
          |  SELECT cand.id_a, cand.id_b,
          |         ${dotSql("ea.v", "eb.v")} AS dp,

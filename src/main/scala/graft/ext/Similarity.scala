@@ -98,15 +98,25 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplanes: `planes` × `dim` doubles in
-    * [-0.5, 0.5) from a CLOSED-FORM integer formula —
-    * `((i·dim + j)·2654435761 + seed·40503) mod 1009 / 1009 − 0.5` —
-    * rather than a JVM RNG, so any engine (including the DuckDB oracle)
-    * reproduces the exact same planes with integer arithmetic. Stable
-    * across cluster sizes, JVM versions, and engines.
+    * [-0.5, 0.5) from a CLOSED-FORM integer recipe — multiply-mod with
+    * two xor-shift mixing steps (splitmix-style, all values < 2^31 so the
+    * arithmetic is exact in any engine's 64-bit integers) — rather than a
+    * JVM RNG, so the DuckDB oracle reproduces the exact same planes.
+    * The xor-shifts break the linear correlation a plain congruence
+    * leaves between planes (each plane would otherwise be an arithmetic
+    * progression of its neighbor, weakening sign-pattern independence /
+    * LSH recall). Stable across cluster sizes, JVM versions, and engines;
+    * mirrored by the generated SQL in `SparkEntry.hyperplaneSql`.
     */
   def hyperplanes(planes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] =
     Vector.tabulate(planes, dim) { (i, j) =>
-      (((i.toLong * dim + j) * 2654435761L + seed * 40503L) % 1009L).toDouble / 1009.0 - 0.5
+      val P = 2147483647L
+      val v = i.toLong * dim + j + seed * 40503L
+      val h1 = (v * 1103515245L + 12345L) % P
+      val h2 = h1 ^ (h1 >> 15)
+      val h3 = (h2 * 69069L) % P
+      val h4 = h3 ^ (h3 >> 13)
+      (h4 % 100003L).toDouble / 100003.0 - 0.5
     }
 
   /** Sign-pattern LSH bucket id for a vector: bit i = sign of the dot
@@ -281,6 +291,18 @@ object Similarity {
     * so only same-bucket pairs are compared (the scale path for
     * "embedding-cosine near-dup" dedup). Pass `dim <= 0` to infer the
     * vector length from the data.
+    *
+    * Scale shape (the same discipline as `Dedup.minhashLshDedup`):
+    *
+    *  - `bands` independent bucket families (planes `[b·planes,
+    *    (b+1)·planes)` of one hyperplane table) — candidate recall is an
+    *    OR over bands, and parallelism is bands × 2^planes join cells
+    *    instead of a single 2^planes family;
+    *  - the candidate self-join carries ONLY (id, band, bucket) triples —
+    *    24 bytes/row — never the vectors; full vectors are re-fetched
+    *    once per surviving pair for the exact-cosine verify. At 100 TB
+    *    the candidate exchange is what must stay small, and it is
+    *    O(bands × corpus) ids, not O(corpus) × vector-bytes.
     */
   def embeddingNearDup(
       df: DataFrame,
@@ -288,18 +310,26 @@ object Similarity {
       vecCol: String,
       threshold: Double = 0.95,
       planes: Int = 8,
+      bands: Int = 2,
       dim: Int = -1): DataFrame = {
     val d = if (dim > 0) dim else inferDim(df, vecCol)
-    val hp = hyperplanes(planes, d)
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      lshBucket(col(vecCol), hp).as("bkt"))
-    val a = base.select(col("id").as("id_a"), col("v").as("v_a"), col("bkt"))
-    val b = base.select(col("id").as("id_b"), col("v").as("v_b"), col("bkt"))
-    a.join(b, Seq("bkt"))
+    val hp = hyperplanes(bands * planes, d)
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val buckets = vecs.select(col("id"),
+      posexplode(array((0 until bands).map(b =>
+        lshBucket(col("v"), hp.slice(b * planes, (b + 1) * planes))): _*))
+        .as(Seq("band", "bkt")))
+    val a = buckets.select(col("id").as("id_a"), col("band"), col("bkt"))
+    val b = buckets.select(col("id").as("id_b"), col("band"), col("bkt"))
+    val pairs = a.join(b, Seq("band", "bkt"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b") // a pair may collide in several bands
+    pairs
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
       .withColumn("score", round(cosine(col("v_a"), col("v_b")), 6))
       .filter(col("score") >= threshold)
       .select(col("id_a"), col("id_b"), col("score"))
-      .distinct()
   }
 }

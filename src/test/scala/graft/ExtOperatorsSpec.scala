@@ -195,10 +195,20 @@ class ExtOperatorsSpec extends SparkSpecBase {
     assert(r.isNullAt(0))
   }
 
-  test("embeddingNearDup finds the high-cosine pair") {
-    val pairs = Similarity.embeddingNearDup(vecs, "vec_id", "embedding", threshold = 0.95, planes = 4)
+  test("embeddingNearDup finds exact duplicates (guaranteed same bucket in every band)") {
+    // An LSH-blocked near-dup has recall < 1 for merely-similar pairs by
+    // construction (formula-dependent), but an EXACT duplicate shares
+    // every sign pattern, so (0,1) must always surface; orthogonal
+    // vectors fail the cosine threshold even when buckets collide.
+    val nd = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)), // exact dup of 0
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingNearDup(nd, "vec_id", "embedding", threshold = 0.95, planes = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pairs.contains((0L, 1L)))
+    assert(pairs === Set((0L, 1L)))
   }
 
   test("native cosine expression: bit-identical to the Column formulation, SQL-registered") {
