@@ -826,6 +826,8 @@ object SparkEntry {
          |         sqrt(${dotSql("q.qv", "q.qv")}) AS nb
          |  FROM e, q WHERE e.vec_id <> q.query_id),
          |${cosScoreSql("raw", "scored")},
+         |-- score IS NOT NULL mirrors the engine's TopKAggregator contract:
+         |-- null-scored candidates are dropped, not ranked last
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
          |      FROM scored)
          |SELECT query_id, neighbor_id, score, CAST(rn AS INT) AS rnk
@@ -878,6 +880,8 @@ object SparkEntry {
          |  JOIN q ON q.query_id = p.query_id
          |  WHERE a.vec_id <> p.query_id),
          |${cosScoreSql("craw", "cs")},
+         |-- score IS NOT NULL mirrors the engine's TopKAggregator contract:
+         |-- null-scored candidates are dropped, not ranked last
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
          |      FROM cs)
          |SELECT query_id, neighbor_id, score, CAST(rn AS INT) AS rnk
@@ -921,6 +925,8 @@ object SparkEntry {
          |         sqrt(${dotSql("qv", "qv")}) AS nb
          |  FROM cand),
          |${cosScoreSql("raw", "scored")},
+         |-- score IS NOT NULL mirrors the engine's TopKAggregator contract:
+         |-- null-scored candidates are dropped, not ranked last
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
          |      FROM scored)
          |SELECT query_id, neighbor_id, score, CAST(rn AS INT) AS rnk

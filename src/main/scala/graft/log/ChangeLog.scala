@@ -56,16 +56,19 @@ object ChangeLog {
     *    No shuffle. Per-key last-write-wins over these ids therefore agrees
     *    with wall-clock capture order at millisecond granularity, which is
     *    the cross-batch ordering [[graft.apply.ChangeApplier.dedupToLatest]]
-    *    needs. CAVEAT (documented, enforced by nothing): ids are unique only
-    *    while a capture batch has < 1024 partitions and < 4096 rows per
-    *    partition per millisecond-distinct `changed_at`; two changes to the
-    *    SAME key in the same millisecond tie-break arbitrarily. Pipelines
-    *    needing a strict per-key total order at scale should use the
-    *    streaming path, where the micro-batch epoch disambiguates
-    *    (see [[graft.streaming.CdcStream]]). Valid `changed_at` range:
-    *    1970-01-01 .. 2039-09 (41 millis bits before the packed id would
-    *    reach the sign bit); pre-1970 timestamps are clamped to epoch 0
-    *    rather than producing sign-flipped (order-inverting) ids.
+    *    needs. The packing envelope — < 1024 partitions and < 4096 rows
+    *    per partition per capture batch — is ENFORCED at runtime: a row
+    *    outside it raises an error at evaluation time instead of silently
+    *    producing duplicate ids (which would make dedupToLatest pick
+    *    arbitrary images and markSynced over-mark). Batches beyond the
+    *    envelope should split the capture (more/coarser batches), or use
+    *    the streaming path where the micro-batch epoch disambiguates
+    *    (see [[graft.streaming.CdcStream]]). Two changes to the SAME key
+    *    in the same millisecond still tie-break arbitrarily. Valid
+    *    `changed_at` range: 1970-01-01 .. 2039-09 (41 millis bits before
+    *    the packed id would reach the sign bit); pre-1970 timestamps are
+    *    clamped to epoch 0 rather than producing sign-flipped
+    *    (order-inverting) ids.
     */
   def assignCdcIds(
       changes: DataFrame,
@@ -77,13 +80,25 @@ object ChangeLog {
     } else {
       // monotonically_increasing_id() = partitionId << 33 | rowInPartition.
       val mid = monotonically_increasing_id()
-      val pid = shiftrightunsigned(mid, 33).bitwiseAND(lit(0x3ffL))
-      val rowInPart = mid.bitwiseAND(lit(0xfffL))
+      val pidRaw = shiftrightunsigned(mid, 33)
+      val rowRaw = mid.bitwiseAND(lit((1L << 33) - 1))
+      val pid = pidRaw.bitwiseAND(lit(0x3ffL))
+      val rowInPart = rowRaw.bitwiseAND(lit(0xfffL))
       val millis41 = greatest(unix_millis(col(ChangedAt)), lit(0L))
         .bitwiseAND(lit((1L << 41) - 1))
+      val packed = shiftleft(millis41, 22)
+        .bitwiseOR(shiftleft(pid, 12)).bitwiseOR(rowInPart) + lit(base)
+      // Fail fast on envelope violations: two long compares per row on
+      // the happy path, an error (never a silently duplicated id) beyond.
       changes.withColumn(CdcId,
-        shiftleft(millis41, 22)
-          .bitwiseOR(shiftleft(pid, 12)).bitwiseOR(rowInPart) + lit(base))
+        when(pidRaw > 0x3ffL || rowRaw > 0xfffL,
+          raise_error(concat(
+            lit("assignCdcIds scale mode: packing envelope exceeded (partition "),
+            pidRaw.cast("string"), lit(" > 1023 or row-in-partition "),
+            rowRaw.cast("string"),
+            lit(" > 4095); split the capture batch or use the streaming path")))
+            .cast(LongType))
+          .otherwise(packed))
     }
   }
 

@@ -76,7 +76,10 @@ object CdcStream {
         import scala.jdk.CollectionConverters._
         it.iterator().asScala
           .map(_.getFileName.toString)
-          .collect { case s if s.startsWith("v=") => s.stripPrefix("v=").toLong }
+          // toLongOption: a stray non-numeric entry (editor cruft, a
+          // half-written "v=tmp") must not kill the micro-batch.
+          .collect { case s if s.startsWith("v=") => s.stripPrefix("v=") }
+          .flatMap(_.toLongOption)
           .filter(_ < epoch)
           .maxOption
       } finally it.close()

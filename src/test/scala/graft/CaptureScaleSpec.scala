@@ -39,4 +39,27 @@ class CaptureScaleSpec extends SparkSpecBase {
       s.sql("DROP TABLE IF EXISTS cap_after")
     }
   }
+
+  test("scale-mode cdc_ids: unique inside the packing envelope, raise beyond it") {
+    import graft.log.ChangeLog
+    val inEnvelope = s.range(0, 4000).repartition(4)
+      .select(col("id").as(ChangeLog.RecordId),
+        lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")).as(ChangeLog.ChangedAt))
+    val ids = ChangeLog.assignCdcIds(inEnvelope).select(ChangeLog.CdcId)
+    assert(ids.distinct().count() === 4000)
+
+    // > 4096 rows in a single partition with one shared changed_at would
+    // silently collide — the guard must raise instead.
+    val hot = s.range(0, 5000).coalesce(1)
+      .select(col("id").as(ChangeLog.RecordId),
+        lit(java.sql.Timestamp.valueOf("2026-01-01 00:00:00")).as(ChangeLog.ChangedAt))
+    val e = intercept[Exception] {
+      // an aggregate that READS cdc_id — a bare count() would let the
+      // optimizer prune the guarded projection away entirely
+      ChangeLog.assignCdcIds(hot).agg(max(col(ChangeLog.CdcId))).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("packing envelope")))
+  }
 }
