@@ -130,6 +130,24 @@ object Fixtures {
     * status 'Y' — overlapping batch-1's updates, so per-key conflict
     * resolution has real work to do.
     */
+  /** [[secondBatchLog]] with PARTIAL update images: only `o_orderstatus`
+    * is populated in `new_data`, the other fields are null — the shape a
+    * changed-columns-only source emits, and the input that makes the
+    * Merge conflict strategy observable (its per-column coalesce must
+    * pull the untouched columns from the earlier full image).
+    */
+  def secondBatchPartialLog(spark: SparkSession, dir: String): DataFrame = {
+    val log = secondBatchLog(spark, dir)
+    val st = log.schema(ChangeLog.NewData).dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val partial = struct(st.fields.toSeq.map { f =>
+      if (f.name == "o_orderstatus") col(s"${ChangeLog.NewData}.${f.name}").as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+    log.withColumn(ChangeLog.NewData,
+      when(col(ChangeLog.NewData).isNotNull, partial))
+  }
+
   def secondBatchLog(spark: SparkSession, dir: String): DataFrame =
     cached("secondBatchLog", spark, dir) {
       val a1 = after(orders(spark, dir))

@@ -102,6 +102,23 @@ object SparkEntry {
       .orderBy("record_id")
   }
 
+  /** Merge strategy over a full first batch + PARTIAL second batch (only
+    * the status column populated): the survivor must carry batch 2's
+    * status but batch 1's totalprice/priority — a plain last-write-wins
+    * would null the untouched columns.
+    */
+  private def qDedupMerge(s: SparkSession, dir: String): DataFrame = {
+    val keep = Seq("cdc_id", "operation", "record_id", "new_data")
+    val combined = changeLog(s, dir).select(keep.map(col): _*)
+      .unionByName(secondBatchPartialLog(s, dir).select(keep.map(col): _*))
+    ChangeApplier.dedupToLatest(combined, ConflictStrategy.Merge)
+      .select(col("record_id"), col("operation"),
+        col("new_data.o_orderstatus").as("m_status"),
+        col("new_data.o_totalprice").as("m_totalprice"),
+        col("new_data.o_orderpriority").as("m_priority"))
+      .orderBy("record_id")
+  }
+
   private def qApplyChanges(s: SparkSession, dir: String): DataFrame =
     ChangeApplier.applyChanges(
       orders(s, dir).select(OrdersSpec.columns.map(col): _*),
@@ -367,6 +384,7 @@ object SparkEntry {
     "cdc_mark_synced" -> (qMarkSynced _),
     "cdc_dedup_latest" -> (qDedupLatest _),
     "cdc_dedup_first_write" -> (qDedupFirstWrite _),
+    "cdc_dedup_merge" -> (qDedupMerge _),
     "cdc_apply_changes" -> (qApplyChanges _),
     "cdc_replicate_batch" -> (qReplicateBatch _),
     "cdc_statistics" -> (qStatistics _),
@@ -659,6 +677,31 @@ object SparkEntry {
          |dd AS (SELECT *, row_number() OVER (PARTITION BY record_id ORDER BY cdc_id ASC) AS rn
          |       FROM combined)
          |SELECT cdc_id, operation, record_id FROM dd WHERE rn = 1 ORDER BY record_id""".stripMargin,
+
+    "cdc_dedup_merge" -> {
+      def fv(c: String) =
+        s"""first_value($c IGNORE NULLS) OVER (PARTITION BY record_id
+           |           ORDER BY cdc_id DESC ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin
+      s"""WITH ${FixtureSql.LogCte}, ${FixtureSql.Log2Cte},
+         |combined AS (
+         |  SELECT cdc_id, operation, record_id, new_status, new_totalprice, new_priority
+         |  FROM logm_t
+         |  UNION ALL
+         |  SELECT cdc_id, operation, record_id, new_status,
+         |         CAST(NULL AS DOUBLE) AS new_totalprice, CAST(NULL AS VARCHAR) AS new_priority
+         |  FROM log2_t),
+         |m AS (
+         |  SELECT *, row_number() OVER (PARTITION BY record_id ORDER BY cdc_id DESC) AS rn,
+         |         ${fv("new_status")} AS ms,
+         |         ${fv("new_totalprice")} AS mp,
+         |         ${fv("new_priority")} AS mpr
+         |  FROM combined)
+         |SELECT record_id, operation,
+         |       CASE WHEN operation = 'DELETE' THEN NULL ELSE ms END AS m_status,
+         |       CASE WHEN operation = 'DELETE' THEN NULL ELSE mp END AS m_totalprice,
+         |       CASE WHEN operation = 'DELETE' THEN NULL ELSE mpr END AS m_priority
+         |FROM m WHERE rn = 1 ORDER BY record_id""".stripMargin
+    },
 
     "cdc_apply_changes" ->
       s"""WITH ${FixtureSql.AfterCte}

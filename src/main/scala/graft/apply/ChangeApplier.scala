@@ -37,16 +37,41 @@ object ChangeApplier {
     */
   def dedupToLatest(
       changes: DataFrame,
-      strategy: ConflictStrategy = ConflictStrategy.LastWriteWins): DataFrame = {
-    val ordered = strategy match {
-      case ConflictStrategy.LastWriteWins  => col(CdcId).desc
-      case ConflictStrategy.FirstWriteWins => col(CdcId).asc
-    }
-    val w = Window.partitionBy(col(RecordId)).orderBy(ordered)
-    changes
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+      strategy: ConflictStrategy = ConflictStrategy.LastWriteWins): DataFrame = strategy match {
+    case ConflictStrategy.LastWriteWins | ConflictStrategy.FirstWriteWins =>
+      val ordered = strategy match {
+        case ConflictStrategy.FirstWriteWins => col(CdcId).asc
+        case _                               => col(CdcId).desc
+      }
+      val w = Window.partitionBy(col(RecordId)).orderBy(ordered)
+      changes
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__rn")
+
+    case ConflictStrategy.Merge =>
+      // Newest-first per-column coalesce of the new images (see
+      // [[graft.model.ConflictStrategy.Merge]]). Both windows partition
+      // by the key, so parallelism and per-task memory are bounded by
+      // per-key change counts — the same scale envelope as the
+      // row_number dedup; no extra shuffle (one exchange feeds both).
+      val newType = changes.schema(NewData).dataType match {
+        case s: org.apache.spark.sql.types.StructType => s
+        case t => throw new IllegalArgumentException(
+          s"Merge strategy needs a struct '$NewData' column, got ${t.simpleString}")
+      }
+      val wOrd = Window.partitionBy(col(RecordId)).orderBy(col(CdcId).desc)
+      val wAll = wOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val mergedStruct = struct(newType.fieldNames.toSeq.map(f =>
+        first(col(s"$NewData.$f"), ignoreNulls = true).over(wAll).as(f)): _*)
+      changes
+        .withColumn("__rn", row_number().over(wOrd))
+        .withColumn("__merged", mergedStruct)
+        .filter(col("__rn") === 1)
+        .withColumn(NewData,
+          when(col(Operation) === "DELETE", lit(null).cast(newType))
+            .otherwise(col("__merged")))
+        .drop("__rn", "__merged")
   }
 
   /** Merge-apply: returns the new target snapshot.

@@ -72,6 +72,17 @@ object ConflictStrategy {
   case object LastWriteWins extends ConflictStrategy
   /** Keep the change with the lowest (cdcId) per key. */
   case object FirstWriteWins extends ConflictStrategy
+  /** Column-level merge: the surviving change per key carries, for each
+    * `new_data` field, the NEWEST NON-NULL value across the key's change
+    * images (newest-first coalesce) — so a later partial update (only
+    * some fields set) composes with an earlier full image instead of
+    * nulling the untouched columns. Operation/bookkeeping come from the
+    * latest change; a final DELETE wins entirely (null image). The
+    * reference lists "merge" as a strategy but stubs it
+    * (reference: example_usage.py:236-252) — this is the well-defined
+    * version of that stub.
+    */
+  case object Merge extends ConflictStrategy
 }
 
 /** Engine configuration.

@@ -223,4 +223,41 @@ class CdcCoreSpec extends SparkSpecBase {
       .map(r => (r.getString(0), r.getLong(1))).toSet
     assert(d === Set(("UPDATE", 1L), ("INSERT", 3L)))
   }
+
+  test("merge strategy composes partial images; equals last-write-wins on full images") {
+    import graft.model.ConflictStrategy
+    val log = Seq(
+      // key 1: full UPDATE then partial UPDATE (value only) → name from
+      // change 1, value from change 2
+      (1L, "UPDATE", 1L, "alice", Option(10L)),
+      (2L, "UPDATE", 1L, null: String, Option(20L)),
+      // key 2: full UPDATE then DELETE → delete wins, null image
+      (3L, "UPDATE", 2L, "bob", Option(5L)),
+      (4L, "DELETE", 2L, null: String, Option.empty[Long]),
+      // key 3: single full image → unchanged
+      (5L, "INSERT", 3L, "carol", Option(7L)))
+      .toDF("cdc_id", "operation", "record_id", "n_name", "n_value")
+      .withColumn("new_data",
+        when(col("operation") === "DELETE",
+          lit(null).cast("struct<name:string,value:bigint>"))
+          .otherwise(struct(col("n_name").as("name"), col("n_value").as("value"))))
+      .drop("n_name", "n_value")
+
+    val merged = ChangeApplier.dedupToLatest(log, ConflictStrategy.Merge)
+      .select(col("record_id"), col("operation"),
+        col("new_data.name"), col("new_data.value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.get(3))).toSet
+    assert(merged === Set(
+      (1L, "UPDATE", "alice", 20L), // partial composes
+      (2L, "DELETE", null, null),   // delete wins
+      (3L, "INSERT", "carol", 7L)))
+
+    // full images → merge degenerates to last-write-wins
+    val full = log.filter(col("cdc_id") =!= 2L)
+    val a = ChangeApplier.dedupToLatest(full, ConflictStrategy.Merge)
+      .select("record_id", "operation", "new_data").collect().map(_.toString).toSet
+    val b = ChangeApplier.dedupToLatest(full, ConflictStrategy.LastWriteWins)
+      .select("record_id", "operation", "new_data").collect().map(_.toString).toSet
+    assert(a === b)
+  }
 }
