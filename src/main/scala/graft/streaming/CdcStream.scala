@@ -29,12 +29,25 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   * ==Target storage==
   * Plain parquet has no transactional MERGE, so the target snapshot is
   * kept in EPOCH-VERSIONED directories: `target/v=<epoch>` plus a
-  * `_current` pointer file. Each micro-batch reads the pointed-at version,
-  * applies the changes, writes `v=<epoch>` (overwrite — re-running the
-  * same epoch after a crash produces the same directory), then flips the
-  * pointer. In production this whole dance is one Delta/Iceberg MERGE; the
-  * version-dir swap is the dependency-free equivalent with the same
-  * idempotence contract.
+  * `_current` pointer file. Each version is internally BUCKETED by the
+  * primary key — subdirectories `__b=<pmod(hash(pk), numBuckets)>` — and
+  * a micro-batch rewrites ONLY the buckets containing its changed keys:
+  *
+  *  - changed buckets: read from the previous version (file-pruned — the
+  *    untouched buckets' files are never opened), merged with the batch,
+  *    written fresh;
+  *  - untouched buckets: carried into the new version as byte-identical
+  *    file copies (a server-side copy on an object store), never passing
+  *    through Spark.
+  *
+  * Per-trigger work is therefore O(changed buckets + batch), not
+  * O(target) — the difference between a viable and a non-viable
+  * continuous pipeline once the target is orders of magnitude larger
+  * than a batch. Re-running the same epoch after a crash produces the
+  * same directory (the bucket write overwrites `v=<epoch>` first, then
+  * re-copies), so the idempotence contract is unchanged. In production
+  * this whole dance is one Delta/Iceberg MERGE; the version-dir swap is
+  * the dependency-free equivalent with the same contract.
   */
 object CdcStream {
 
@@ -49,10 +62,16 @@ object CdcStream {
       targetDir: String,
       rowSchema: StructType,
       version: Option[Long]): DataFrame = version match {
-    case Some(v) => spark.read.schema(rowSchema).parquet(s"$targetDir/v=$v")
-    case None =>
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rowSchema)
+    case Some(v) =>
+      // recursiveFileLookup: the version dir nests __b=<bucket> subdirs;
+      // plain partition discovery would surface __b as a column.
+      spark.read.schema(rowSchema).option("recursiveFileLookup", "true")
+        .parquet(s"$targetDir/v=$v")
+    case None => emptyDf(spark, rowSchema)
   }
+
+  private def emptyDf(spark: SparkSession, rowSchema: StructType): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rowSchema)
 
   def currentVersion(targetDir: String): Option[Long] = {
     val p = Paths.get(targetDir, "_current")
@@ -93,9 +112,13 @@ object CdcStream {
       StandardOpenOption.WRITE)
   }
 
-  /** One micro-batch application: read current target, merge the batch,
-    * write the next version, flip the pointer. Public so tests and
-    * [[drain]]/[[start]] share the exact same body.
+  /** One micro-batch application: rewrite the buckets containing the
+    * batch's changed keys, carry the rest forward byte-identically, flip
+    * the pointer (see class doc). Public so tests and [[drain]]/[[start]]
+    * share the exact same body.
+    *
+    * The log schema fixes `record_id` to long, so the bucket function is
+    * `pmod(hash(pk as long), numBuckets)` on both sides.
     */
   def applyBatch(
       batch: DataFrame,
@@ -103,14 +126,65 @@ object CdcStream {
       targetDir: String,
       spec: CdcTableSpec,
       rowSchema: StructType,
-      strategy: ConflictStrategy = ConflictStrategy.LastWriteWins): Unit = {
+      strategy: ConflictStrategy = ConflictStrategy.LastWriteWins,
+      numBuckets: Int = 16): Unit = {
     val spark = batch.sparkSession
-    if (!batch.isEmpty) {
-      val target = readVersion(spark, targetDir, rowSchema, versionBefore(targetDir, epoch))
-      val next = ChangeApplier.applyChanges(target, batch, spec, strategy)
-      next.write.mode("overwrite").parquet(s"$targetDir/v=$epoch")
-      commitVersion(targetDir, epoch)
+    if (batch.isEmpty) return
+    def bucketOf(c: org.apache.spark.sql.Column) =
+      pmod(hash(c.cast("long")), lit(numBuckets))
+
+    val prior = versionBefore(targetDir, epoch)
+    val changedBuckets = batch
+      .select(bucketOf(col(graft.log.ChangeLog.RecordId)).as("__b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+
+    // Changed buckets of the previous version, FILE-PRUNED: only their
+    // directories are listed/opened; untouched buckets cost nothing.
+    val targetChanged = prior match {
+      case None => emptyDf(spark, rowSchema)
+      case Some(pv) =>
+        val dirs = changedBuckets.toSeq.sorted
+          .map(k => s"$targetDir/v=$pv/__b=$k")
+          .filter(d => Files.isDirectory(Paths.get(d)))
+        if (dirs.isEmpty) emptyDf(spark, rowSchema)
+        else spark.read.schema(rowSchema)
+          .option("recursiveFileLookup", "true").parquet(dirs: _*)
     }
+
+    // Merge + write the changed buckets. mode=overwrite clears any
+    // half-written v=<epoch> from a crashed attempt FIRST; the copies
+    // below then repopulate the untouched buckets — same directory
+    // contents on every re-run of this epoch.
+    ChangeApplier.applyChanges(targetChanged, batch, spec, strategy)
+      .withColumn("__b", bucketOf(col(spec.pkCol)))
+      .write.partitionBy("__b").mode("overwrite").parquet(s"$targetDir/v=$epoch")
+
+    // Carry untouched buckets forward as byte-identical copies.
+    prior.foreach { pv =>
+      val priorDir = Paths.get(targetDir, s"v=$pv")
+      val it = Files.list(priorDir)
+      try {
+        import scala.jdk.CollectionConverters._
+        it.iterator().asScala
+          .filter(p => Files.isDirectory(p))
+          .filter { p =>
+            val name = p.getFileName.toString
+            name.startsWith("__b=") &&
+              name.stripPrefix("__b=").toIntOption.exists(!changedBuckets.contains(_))
+          }
+          .foreach { src =>
+            val dst = Paths.get(targetDir, s"v=$epoch", src.getFileName.toString)
+            val files = Files.walk(src)
+            try files.iterator().asScala.foreach { p =>
+              val rel = dst.resolve(src.relativize(p).toString)
+              if (Files.isDirectory(p)) Files.createDirectories(rel)
+              else Files.copy(p, rel,
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            } finally files.close()
+          }
+      } finally it.close()
+    }
+    commitVersion(targetDir, epoch)
   }
 
   /** Start continuous replication: stream the change-log directory and
@@ -132,7 +206,8 @@ object CdcStream {
       config: CdcConfig = CdcConfig(),
       trigger: Option[Trigger] = None,
       maxFilesPerTrigger: Int = 100,
-      strategy: ConflictStrategy = ConflictStrategy.LastWriteWins): StreamingQuery = {
+      strategy: ConflictStrategy = ConflictStrategy.LastWriteWins,
+      numBuckets: Int = 16): StreamingQuery = {
     val logSchema = graft.log.ChangeLog.schema(rowSchema)
     val stream = spark.readStream
       .schema(logSchema)
@@ -144,7 +219,7 @@ object CdcStream {
       .trigger(trigger.getOrElse(
         Trigger.ProcessingTime(s"${config.syncIntervalSeconds} seconds")))
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        applyBatch(batch, epoch, targetDir, spec, rowSchema, strategy)
+        applyBatch(batch, epoch, targetDir, spec, rowSchema, strategy, numBuckets)
       }
       .start()
   }

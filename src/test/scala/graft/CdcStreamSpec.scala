@@ -91,6 +91,64 @@ class CdcStreamSpec extends SparkSpecBase {
       CdcStream.readTarget(s, s"$tmp/target", rowSchema)))
   }
 
+  test("untouched buckets are carried forward byte-identically across an epoch") {
+    val tmp = Files.createTempDirectory("cdcbucket").toString
+    val targetDir = s"$tmp/target"
+    val table = DemoWorkload.replay(
+      CdcTable(DemoWorkload.users(s, 0), DemoWorkload.UsersSpec), s,
+      inserts = 12, updates = 0, deletes = 0)
+    val rowSchema = table.snapshot.schema
+    val log = table.changeLog
+
+    // epoch 0: all 12 inserts spread over the buckets
+    CdcStream.applyBatch(log, 0L, targetDir, DemoWorkload.UsersSpec, rowSchema,
+      numBuckets = 4)
+
+    // epoch 1: update exactly one key → exactly one changed bucket
+    val oneKey = log.orderBy("cdc_id").limit(1)
+    CdcStream.applyBatch(oneKey, 1L, targetDir, DemoWorkload.UsersSpec, rowSchema,
+      numBuckets = 4)
+    assert(CdcStream.currentVersion(targetDir) === Some(1L))
+
+    def bucketFiles(epoch: Long): Map[String, Seq[(String, Array[Byte])]] = {
+      val root = java.nio.file.Paths.get(targetDir, s"v=$epoch")
+      val it = Files.list(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        it.iterator().asScala
+          .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("__b="))
+          .map { d =>
+            val fs = Files.list(d)
+            try d.getFileName.toString -> fs.iterator().asScala
+              .filter(f => f.getFileName.toString.startsWith("part-"))
+              .map(f => f.getFileName.toString -> Files.readAllBytes(f))
+              .toSeq.sortBy(_._1)
+            finally fs.close()
+          }.toMap
+      } finally it.close()
+    }
+    val v0 = bucketFiles(0L)
+    val v1 = bucketFiles(1L)
+    val changedBucket = {
+      // same bucket function as the engine
+      val k = log.orderBy("cdc_id").limit(1)
+        .select(pmod(hash(col("record_id").cast("long")), lit(4)).as("b"))
+        .collect().head.getInt(0)
+      s"__b=$k"
+    }
+    // every untouched bucket: same file names, same bytes
+    (v0.keySet - changedBucket).foreach { b =>
+      assert(v1.contains(b), s"bucket $b missing from v=1")
+      assert(v0(b).map(_._1) === v1(b).map(_._1), s"file names differ in $b")
+      v0(b).zip(v1(b)).foreach { case ((_, bytes0), (_, bytes1)) =>
+        assert(java.util.Arrays.equals(bytes0, bytes1), s"bytes differ in $b")
+      }
+    }
+    // the full snapshot is still correct
+    assert(ReplicationVerifier.fullyReplicated(table.snapshot,
+      CdcStream.readTarget(s, targetDir, rowSchema)))
+  }
+
   test("ProcessingTime stream replicates batches that arrive while running (T1)") {
     val tmp = Files.createTempDirectory("cdclive").toString
     val table = DemoWorkload.replay(
