@@ -16,6 +16,15 @@ object Bench {
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.contains(name))
     }
+    // Build the shared CDC test fixture (a derived change log the testdata
+    // doesn't ship) BEFORE the timed loop: it is test scaffolding, not an
+    // operator under test, and would otherwise be absorbed into whichever
+    // CDC query happens to run first.
+    if (selected.keys.exists(_.startsWith("cdc_"))) {
+      Fixtures.changeLog(spark, sfDir).count()
+      Fixtures.secondBatchLog(spark, sfDir).count()
+      ()
+    }
     // A failed query must be visible as a failure, not counted as a fast
     // run: it reports -1 in the per-query map and is excluded from total.
     val results: Map[String, Either[String, Double]] =

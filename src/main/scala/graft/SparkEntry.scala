@@ -168,8 +168,12 @@ object SparkEntry {
     Dedup.exactDedup(documents(s, dir), "text", "doc_id").orderBy("fp")
 
   private def qDedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    // saltFanout 16: 5 langs × ~2 length bands × 16 salts = enough cells
+    // for any realistic executor count while halving the replicated-side
+    // shuffle vs the operator's conservative default of 32.
     Dedup.ngramJaccardDedup(documents(s, dir), "text", "doc_id",
-        col("lang"), n = 3, threshold = 0.2, maxBlockRows = Some(100000L))
+        col("lang"), n = 3, threshold = 0.2, saltFanout = 16,
+        maxBlockRows = Some(100000L))
       .orderBy("id_a", "id_b")
 
   private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =

@@ -324,26 +324,31 @@ object Dedup {
       rowsPerBand: Int = 8,
       threshold: Double = 0.8,
       mode: HashMode = HashMode.Engine): DataFrame = {
-    // Shingles are hashed to longs up front (same trick as
+    // One persisted scan computes the shingle strings; the signature and
+    // both verify sides derive from it instead of re-running the
+    // (interpreted, string-heavy) shingle expression three times per
+    // query. O(corpus) storage — never the pair set.
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    val base = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("shs"))
+      .repartition(parallelism)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // Shingles are hashed to longs for the verify (same trick as
     // ngramJaccardDedup): the pair-level verify then intersects primitive
     // arrays instead of strings. Jaccard values are hash-invariant (set
     // cardinalities), so this is independent of `mode` — the oracle
     // computes the same counts over raw string shingles.
-    val hashed = df.select(
-      col(idCol).as("id"),
-      array_sort(array_distinct(transform(shingles(col(textCol), n), s => xxhash64(s)))).as("sh"))
+    val hashed = base.select(
+      col("id"),
+      array_sort(array_distinct(transform(col("shs"), s => xxhash64(s)))).as("sh"))
 
-    // The repartition between signature and bucket derivation does two
-    // jobs: (1) it is a materialization barrier — without it, projection
-    // collapse inlines the signature expression into the 16-band bucket
-    // expression and the whole 128-hash signature is recomputed per band;
-    // (2) it spreads rows across the cluster, since a compact parquet
-    // input may arrive in very few scan partitions while the signature
-    // work is CPU-bound. Shuffle weight is one (id, sig) row per doc.
-    val parallelism = df.sparkSession.sparkContext.defaultParallelism
-    val sigd = df.select(
-      col(idCol).as("id"),
-      minhashSignature(shingles(col(textCol), n), bands * rowsPerBand, mode).as("sig"))
+    // The repartition is a materialization barrier: without it projection
+    // collapse inlines the signature expression into the per-band bucket
+    // transform and the full 128-hash signature is recomputed once per
+    // band. Shuffle weight is one (id, sig) row per doc.
+    val sigd = base.select(
+      col("id"),
+      minhashSignature(col("shs"), bands * rowsPerBand, mode).as("sig"))
       .repartition(parallelism)
 
     val buckets = sigd
