@@ -119,6 +119,24 @@ object SparkEntry {
       .orderBy("record_id")
   }
 
+  /** Manual-strategy surface: the conflicting keys across the two change
+    * batches, with change counts, id range, and the op multiset — what a
+    * human (or downstream workflow) resolves out of band.
+    */
+  private def qConflicts(s: SparkSession, dir: String): DataFrame = {
+    val keep = Seq("cdc_id", "operation", "record_id")
+    val combined = changeLog(s, dir).select(keep.map(col): _*)
+      .unionByName(secondBatchLog(s, dir).select(keep.map(col): _*))
+    ChangeApplier.splitConflicts(combined)._2
+      .groupBy("record_id")
+      .agg(
+        count(lit(1)).as("n_changes"),
+        min(col("cdc_id")).as("first_id"),
+        max(col("cdc_id")).as("last_id"),
+        concat_ws(",", sort_array(collect_list(col("operation")))).as("ops"))
+      .orderBy("record_id")
+  }
+
   private def qApplyChanges(s: SparkSession, dir: String): DataFrame =
     ChangeApplier.applyChanges(
       orders(s, dir).select(OrdersSpec.columns.map(col): _*),
@@ -275,6 +293,17 @@ object SparkEntry {
       .orderBy("query_id", "rnk")
   }
 
+  /** One k-means refinement step over the IVF codebook, flattened to
+    * (centroid, dim) scalars so the oracle hash-compares scalar columns.
+    */
+  private def qAnnIvfTrain(s: SparkSession, dir: String): DataFrame = {
+    val cents = Similarity.collectCentroids(embCentroids(s, dir), "vec_id", "embedding")
+    Similarity.ivfTrainStep(embeddings(s, dir), cents, "embedding", dim = 64)
+      .select(col("centroid_id"), col("n_members"),
+        posexplode(col("mean")).as(Seq("dim_i", "mean_val")))
+      .orderBy("centroid_id", "dim_i")
+  }
+
   private def qEmbNearDup(s: SparkSession, dir: String): DataFrame =
     // threshold 0.3: the synthetic embeddings have no true near-dups
     // (max same-bucket cosine ≈ 0.45), so a production-like 0.95 would
@@ -389,6 +418,7 @@ object SparkEntry {
     "cdc_dedup_latest" -> (qDedupLatest _),
     "cdc_dedup_first_write" -> (qDedupFirstWrite _),
     "cdc_dedup_merge" -> (qDedupMerge _),
+    "cdc_conflicts" -> (qConflicts _),
     "cdc_apply_changes" -> (qApplyChanges _),
     "cdc_replicate_batch" -> (qReplicateBatch _),
     "cdc_statistics" -> (qStatistics _),
@@ -411,6 +441,7 @@ object SparkEntry {
     "ann_lsh" -> (qAnnLsh _),
     "ann_ivf_assign" -> (qAnnIvfAssign _),
     "ann_ivf_topk" -> (qAnnIvfTopK _),
+    "ann_ivf_train" -> (qAnnIvfTrain _),
     "emb_near_dup" -> (qEmbNearDup _),
     "events_hourly" -> (qEventsHourly _),
     "events_sessions" -> (qEventsSessions _),
@@ -707,6 +738,17 @@ object SparkEntry {
          |FROM m WHERE rn = 1 ORDER BY record_id""".stripMargin
     },
 
+    "cdc_conflicts" ->
+      s"""WITH ${FixtureSql.LogCte}, ${FixtureSql.Log2Cte},
+         |combined AS (
+         |  SELECT cdc_id, operation, record_id FROM logm_t
+         |  UNION ALL SELECT cdc_id, operation, record_id FROM log2_t)
+         |SELECT record_id, CAST(COUNT(*) AS BIGINT) AS n_changes,
+         |       MIN(cdc_id) AS first_id, MAX(cdc_id) AS last_id,
+         |       string_agg(operation, ',' ORDER BY operation) AS ops
+         |FROM combined GROUP BY record_id HAVING COUNT(*) > 1
+         |ORDER BY record_id""".stripMargin,
+
     "cdc_apply_changes" ->
       s"""WITH ${FixtureSql.AfterCte}
          |SELECT * FROM after_t ORDER BY o_orderkey""".stripMargin,
@@ -933,6 +975,26 @@ object SparkEntry {
          |      FROM cs)
          |SELECT query_id, neighbor_id, score, CAST(rn AS INT) AS rnk
          |FROM r WHERE rn <= 10 ORDER BY query_id, rnk""".stripMargin,
+
+    "ann_ivf_train" ->
+      s"""WITH $EmbBase,
+         |rawc AS (
+         |  SELECT e.vec_id, c.cid,
+         |         ${dotSql("e.v", "c.cv")} AS dp,
+         |         sqrt(${dotSql("e.v", "e.v")}) AS na,
+         |         sqrt(${dotSql("c.cv", "c.cv")}) AS nb
+         |  FROM e, c),
+         |${cosScoreSql("rawc", "sc")},
+         |a1 AS (SELECT vec_id, cid FROM
+         |        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn FROM sc)
+         |       WHERE rn = 1),
+         |kv AS (
+         |  SELECT a1.cid, k, e.v[CAST(k+1 AS INT)] AS x
+         |  FROM a1 JOIN e ON e.vec_id = a1.vec_id, (SELECT unnest(range(0, 64)) AS k))
+         |SELECT cid AS centroid_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+         |       CAST(k AS INT) AS dim_i,
+         |       round(CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS mean_val
+         |FROM kv GROUP BY cid, k ORDER BY centroid_id, dim_i""".stripMargin,
 
     "events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,

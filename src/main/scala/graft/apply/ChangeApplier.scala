@@ -49,6 +49,13 @@ object ChangeApplier {
         .filter(col("__rn") === 1)
         .drop("__rn")
 
+    case ConflictStrategy.Manual =>
+      // Manual strategy resolves NOTHING automatically: only singleton
+      // keys pass through; conflicting keys must be fetched via
+      // [[splitConflicts]] and resolved out of band. Same single
+      // count-window shuffle as the rank dedup.
+      splitConflicts(changes)._1
+
     case ConflictStrategy.Merge =>
       // Newest-first per-column coalesce of the new images (see
       // [[graft.model.ConflictStrategy.Merge]]). Both windows partition
@@ -106,6 +113,19 @@ object ChangeApplier {
     val untouched = target.join(changedKeys, Seq(spec.pkCol), "left_anti")
 
     untouched.unionByName(upserts)
+  }
+
+  /** Split a change batch into (non-conflicting, conflicting) by key
+    * multiplicity — the Manual conflict strategy's primitive: a key with
+    * a single change is unambiguous and flows through; a key with
+    * several changes in one batch is surfaced (in cdc_id order) for
+    * out-of-band resolution. One window shuffle, partitioned by key.
+    */
+  def splitConflicts(changes: DataFrame): (DataFrame, DataFrame) = {
+    val w = Window.partitionBy(col(RecordId))
+    val counted = changes.withColumn("__n", count(lit(1)).over(w))
+    (counted.filter(col("__n") === 1).drop("__n"),
+      counted.filter(col("__n") > 1).drop("__n"))
   }
 
   /** Split a change batch into (valid, quarantined) by the reference's

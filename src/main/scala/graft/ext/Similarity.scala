@@ -287,6 +287,37 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rnk"))
   }
 
+  /** One Lloyd (k-means) refinement iteration for the IVF coarse
+    * codebook: assign every corpus vector to its nearest centroid (the
+    * zero-shuffle [[ivfAssign]] map), then recompute each centroid as the
+    * component-wise mean of its inverted list. ONE shuffle total (the
+    * mean aggregation, with map-side partial aggregation of decimal
+    * sums); the corpus is scanned once. Component sums use exact decimal
+    * arithmetic so the means are bit-stable under any partitioning (and
+    * reproducible by the SQL oracle); rounded to 6 dp. Centroids whose
+    * list is empty produce no row (callers keep the previous centroid).
+    *
+    * Output: (centroid_id, n_members, mean) with `mean` an
+    * `array<double>` of length `dim`. Iterate by feeding the collected
+    * output back through [[collectCentroids]]-shaped tuples.
+    */
+  def ivfTrainStep(
+      corpus: DataFrame,
+      cents: Seq[(Long, Seq[Double])],
+      corpusVec: String,
+      dim: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val assigned = ivfAssign(corpus, cents, corpusVec)
+    val v = col(corpusVec).cast("array<double>")
+    assigned.groupBy(col("centroid_id"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        array((1 to dim).map(i =>
+          round(
+            sum(element_at(v, i).cast(DecimalType(28, 10))).cast("double")
+              / count(lit(1)), 6)): _*).as("mean"))
+  }
+
   /** Embedding near-duplicate pairs: cosine >= `threshold`, LSH-blocked
     * so only same-bucket pairs are compared (the scale path for
     * "embedding-cosine near-dup" dedup). Pass `dim <= 0` to infer the

@@ -72,6 +72,14 @@ object ConflictStrategy {
   case object LastWriteWins extends ConflictStrategy
   /** Keep the change with the lowest (cdcId) per key. */
   case object FirstWriteWins extends ConflictStrategy
+  /** Manual resolution: conflicting keys (more than one change in the
+    * batch) are NOT auto-resolved — [[graft.apply.ChangeApplier.splitConflicts]]
+    * diverts them to a conflicts view for human/workflow resolution and
+    * applies only the unambiguous singletons. Completes the reference's
+    * declared strategy quadruple (reference: example_usage.py:236-252,
+    * where "manual" is a printed stub).
+    */
+  case object Manual extends ConflictStrategy
   /** Column-level merge: the surviving change per key carries, for each
     * `new_data` field, the NEWEST NON-NULL value across the key's change
     * images (newest-first coalesce) — so a later partial update (only

@@ -259,5 +259,15 @@ class CdcCoreSpec extends SparkSpecBase {
     val b = ChangeApplier.dedupToLatest(full, ConflictStrategy.LastWriteWins)
       .select("record_id", "operation", "new_data").collect().map(_.toString).toSet
     assert(a === b)
+
+    // manual strategy: only unambiguous (single-change) keys pass; the
+    // conflicting keys surface via splitConflicts for resolution
+    val manual = ChangeApplier.dedupToLatest(log, graft.model.ConflictStrategy.Manual)
+      .select("record_id").collect().map(_.getLong(0)).toSet
+    assert(manual === Set(3L)) // keys 1 and 2 each have two changes
+    val (_, conflicts) = ChangeApplier.splitConflicts(log)
+    assert(conflicts.select("record_id").distinct().collect()
+      .map(_.getLong(0)).toSet === Set(1L, 2L))
+    assert(conflicts.count() === 4) // every conflicting change retained
   }
 }

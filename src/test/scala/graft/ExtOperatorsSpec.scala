@@ -211,6 +211,39 @@ class ExtOperatorsSpec extends SparkSpecBase {
     assert(pairs === Set((0L, 1L)))
   }
 
+  test("embeddingNearDup candidate exchanges carry ids only, never vectors") {
+    val emb = Fixtures.embeddings(s, "/root/testdata/sf0.001")
+    val nd = Similarity.embeddingNearDup(emb, "vec_id", "embedding", threshold = 0.3)
+    // the candidate join must ship scalar columns only — the point of
+    // the id-only design is that no shuffle carries the embedding
+    // payload until the per-pair verify re-fetch
+    val candJoin = nd.queryExecution.optimizedPlan.collectFirst {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.output.map(_.name).forall(n => n == "id_a" || n == "id_b" ||
+            n == "band" || n == "bkt") => j
+    }
+    assert(candJoin.isDefined, "candidate join not found in plan")
+    candJoin.foreach { j =>
+      val carried = (j.left.output ++ j.right.output).map(_.dataType)
+      assert(!carried.exists(_.isInstanceOf[org.apache.spark.sql.types.ArrayType]),
+        s"candidate join must not carry array (vector) payloads: $j")
+    }
+  }
+
+  test("ivfTrainStep: means are member averages; every vector counted once") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(3.0f, 0.0f)),   // both nearest to centroid 10 (cosine ties to smaller id on (1,0))
+      (3L, Array(0.0f, 2.0f)))   // nearest to centroid 20
+      .toDF("vec_id", "embedding")
+    val cents = Seq((10L, Seq(1.0, 0.0)), (20L, Seq(0.0, 1.0)))
+    val out = Similarity.ivfTrainStep(corpus, cents, "embedding", dim = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Double](2))).toMap
+    assert(out(10L) === ((2L, Seq(2.0, 0.0)))) // mean of (1,0) and (3,0)
+    assert(out(20L) === ((1L, Seq(0.0, 2.0))))
+    assert(out.values.map(_._1).sum === corpus.count())
+  }
+
   test("native cosine expression: bit-identical to the Column formulation, SQL-registered") {
     // bit-equality over real embeddings (codegen path exercised by the scan)
     val emb = Fixtures.embeddings(s, "/root/testdata/sf0.001").limit(100)
