@@ -2,7 +2,7 @@ package graft
 
 import graft.apply.ChangeApplier
 import graft.capture.ChangeCapture
-import graft.ext.{Dedup, EventAnalytics, HashMode, Multimodal, PortableHash, Similarity, TextAnalysis}
+import graft.ext.{Corpus, Dedup, EventAnalytics, HashMode, Multimodal, PortableHash, Similarity, TextAnalysis}
 import graft.model.ConflictStrategy
 import graft.log.ChangeLog
 import graft.monitor.CdcMonitor
@@ -262,6 +262,28 @@ object SparkEntry {
       .orderBy("media_id")
   }
 
+  private def qVocabTopK(s: SparkSession, dir: String): DataFrame =
+    Corpus.tokenFrequencies(documents(s, dir), "text", k = 100)
+
+  private def qCorpusSample(s: SparkSession, dir: String): DataFrame =
+    Corpus.sampleByHash(documents(s, dir), "doc_id", permille = 200, salt = "graft")
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
+  private def qCorpusPack(s: SparkSession, dir: String): DataFrame =
+    Corpus.packSequences(documents(s, dir), "doc_id", "text",
+        maxTokens = 4096, strataCol = col("lang"))
+      .orderBy("doc_id")
+
+  /** Duplicate clusters from the ngram near-dup pairs: each doc labeled
+    * with its cluster's min id (the keep-one-per-cluster step).
+    */
+  private def qDedupClusters(s: SparkSession, dir: String): DataFrame =
+    Corpus.dedupClusters(
+        Dedup.ngramJaccardDedup(documents(s, dir), "text", "doc_id",
+          col("lang"), n = 3, threshold = 0.2, saltFanout = 16))
+      .orderBy("doc_id")
+
   private def embQueries(s: SparkSession, dir: String): DataFrame =
     embeddings(s, dir).filter(col("vec_id") % 50 === 0)
 
@@ -437,6 +459,10 @@ object SparkEntry {
     "media_meta" -> (qMediaMeta _),
     "media_frames" -> (qMediaFrames _),
     "media_features" -> (qMediaFeatures _),
+    "corpus_vocab_topk" -> (qVocabTopK _),
+    "corpus_sample" -> (qCorpusSample _),
+    "corpus_pack" -> (qCorpusPack _),
+    "dedup_clusters" -> (qDedupClusters _),
     "ann_brute_force" -> (qAnnBruteForce _),
     "ann_lsh" -> (qAnnLsh _),
     "ann_ivf_assign" -> (qAnnIvfAssign _),
@@ -523,6 +549,30 @@ object SparkEntry {
       |  FROM documents)""".stripMargin
 
   private val StopwordsSql = "['the','a','an','of','and','to','in','is','it','that']"
+
+  /** Same-language ngram-jaccard pair CTEs over `t` ([[TextTokensCte]]):
+    * `j` = all same-lang pairs with their 6-dp jaccard — mirrors
+    * [[Dedup.ngramJaccardDedup]] (whose internal length-banding is
+    * output-invariant, so the oracle needs no band condition). Shared by
+    * the pair query and the cluster query.
+    */
+  private val NgramPairCtes: String =
+    """docs_l AS (SELECT d.doc_id, d.lang, t.ltoks FROM documents d JOIN t ON d.doc_id = t.doc_id),
+      |sh AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN len(ltoks) < 3 THEN [array_to_string(ltoks, ' ')]
+      |         ELSE list_distinct(list_transform(range(1, len(ltoks)-1),
+      |                i -> array_to_string(ltoks[i:i+2], ' '))) END AS sh
+      |  FROM docs_l),
+      |pr AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sa, b.sh AS sb
+      |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id),
+      |j AS (
+      |  SELECT id_a, id_b,
+      |    round(CASE WHEN len(list_distinct(list_concat(sa, sb))) = 0 THEN 0.0
+      |          ELSE CAST(len(list_filter(sa, x -> list_contains(sb, x))) AS DOUBLE)
+      |               / len(list_distinct(list_concat(sa, sb))) END, 6) AS jac
+      |  FROM pr)""".stripMargin
 
   /** Word-3-gram shingle CTE over `t` ([[TextTokensCte]]): doc_id +
     * distinct lowercase shingles — mirrors [[Dedup.shingles]] (n = 3).
@@ -817,23 +867,43 @@ object SparkEntry {
 
     "dedup_ngram_jaccard" ->
       s"""WITH $TextTokensCte,
-         |docs_l AS (SELECT d.doc_id, d.lang, t.ltoks FROM documents d JOIN t ON d.doc_id = t.doc_id),
-         |sh AS (
-         |  SELECT doc_id, lang,
-         |    CASE WHEN len(ltoks) < 3 THEN [array_to_string(ltoks, ' ')]
-         |         ELSE list_distinct(list_transform(range(1, len(ltoks)-1),
-         |                i -> array_to_string(ltoks[i:i+2], ' '))) END AS sh
-         |  FROM docs_l),
-         |pr AS (
-         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sa, b.sh AS sb
-         |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id),
-         |j AS (
-         |  SELECT id_a, id_b,
-         |    round(CASE WHEN len(list_distinct(list_concat(sa, sb))) = 0 THEN 0.0
-         |          ELSE CAST(len(list_filter(sa, x -> list_contains(sb, x))) AS DOUBLE)
-         |               / len(list_distinct(list_concat(sa, sb))) END, 6) AS jac
-         |  FROM pr)
+         |$NgramPairCtes
          |SELECT id_a, id_b, jac FROM j WHERE jac >= 0.2 ORDER BY id_a, id_b""".stripMargin,
+
+    // duplicate clusters over the same pairs: min-id label per connected
+    // component via a recursive closure (small graphs — dup clusters)
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $TextTokensCte,
+         |$NgramPairCtes,
+         |jp AS (SELECT id_a, id_b FROM j WHERE jac >= 0.2),
+         |e AS (SELECT id_a AS a, id_b AS b FROM jp UNION ALL SELECT id_b, id_a FROM jp),
+         |n AS (SELECT DISTINCT a AS id FROM e),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM n
+         |  UNION
+         |  SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.id)
+         |SELECT id AS doc_id, MIN(r) AS cluster_id
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "corpus_vocab_topk" ->
+      s"""WITH $TextTokensCte,
+         |tok AS (SELECT unnest(ltoks) AS token FROM t)
+         |SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+         |FROM tok GROUP BY token ORDER BY freq DESC, token LIMIT 100""".stripMargin,
+
+    "corpus_sample" ->
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ${PortableHash.hash32Sql("concat('graft', CAST(doc_id AS VARCHAR))")} % 1000 < 200
+         |ORDER BY doc_id""".stripMargin,
+
+    "corpus_pack" ->
+      s"""WITH $TextTokensCte
+         |SELECT d.doc_id, d.lang AS stratum,
+         |       CAST(len(toks) AS BIGINT) AS n_tokens,
+         |       (CAST(SUM(len(toks)) OVER (PARTITION BY d.lang ORDER BY d.doc_id
+         |          ROWS UNBOUNDED PRECEDING) AS BIGINT) - len(toks)) // 4096 AS seq_i
+         |FROM documents d JOIN t ON d.doc_id = t.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "part_fuzzy_pairs" ->
       """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,

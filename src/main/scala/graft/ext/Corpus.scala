@@ -1,0 +1,107 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level operators for training-data pipelines: vocabulary
+  * statistics, deterministic sampling, sequence packing, and duplicate
+  * clustering. Like the rest of `ext`, everything is declarative
+  * DataFrame algebra with the shuffle structure spelled out, and every
+  * operator is reproducible by the DuckDB oracle (deterministic hashes,
+  * exact integer arithmetic, explicit orderings).
+  */
+object Corpus {
+
+  /** Top-`k` most frequent lowercase whitespace tokens. One explode +
+    * one hash aggregate (map-side partial) + `TakeOrderedAndProject` —
+    * the heavy-hitters plan that works at any corpus size because only
+    * k rows survive per partition into the final ordering. Ties break
+    * lexicographically for determinism.
+    */
+  def tokenFrequencies(df: DataFrame, textCol: String, k: Int): DataFrame =
+    df.select(explode(TextAnalysis.tokens(lower(col(textCol)))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(k)
+
+  /** Deterministic hash sample: keep a row iff
+    * `hash32(salt || id) mod 1000 < permille`. Unlike `df.sample`, the
+    * decision is a pure function of the id — stable across runs, cluster
+    * sizes, AND engines (the oracle applies the same md5-derived hash),
+    * and a narrow map (no shuffle, no RNG state). The standard way to
+    * carve reproducible held-out splits from a training corpus.
+    */
+  def sampleByHash(df: DataFrame, idCol: String, permille: Int, salt: String): DataFrame = {
+    require(permille >= 0 && permille <= 1000, s"permille out of range: $permille")
+    df.filter(
+      PortableHash.hash32(concat(lit(salt), col(idCol).cast("string"))) % 1000 < permille)
+  }
+
+  /** Greedy contiguous sequence packing: within each stratum (ordered by
+    * `idCol`), assign documents to training sequences of up to
+    * `maxTokens` whitespace tokens — `seq_i = (tokens before this doc)
+    * div maxTokens`. One window cumsum per stratum; exact integer
+    * arithmetic. The contiguous-by-id discipline is what makes packing
+    * deterministic and mergeable across a distributed sort, at the cost
+    * of some padding vs bin-packing heuristics (the standard trade at
+    * scale).
+    */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxTokens: Int,
+      strataCol: Column): DataFrame = {
+    val w = Window.partitionBy(col("stratum")).orderBy(col(idCol))
+    df.select(col(idCol), strataCol.as("stratum"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      // integer `div`, not `/`: float division would be exact here but
+      // the integral form keeps both engines trivially identical
+      .withColumn("seq_i", expr(s"(cum - n_tokens) div $maxTokens"))
+      .drop("cum")
+  }
+
+  /** Connected components over near-duplicate pairs: every document in a
+    * duplicate cluster is labeled with the cluster's minimum id — the
+    * step that turns pairwise dedup output into "keep one per cluster".
+    *
+    * Standard min-label propagation: each round, every node takes the
+    * min of its own label and its neighbors' labels; converges in
+    * O(log diameter) rounds (duplicate clusters are shallow — a handful
+    * of rounds in practice). Each round is one join + one aggregate with
+    * the label frontier `localCheckpoint`ed to truncate lineage; edges
+    * are persisted once. Output: (doc_id, cluster_id), one row per
+    * distinct id appearing in `pairs`.
+    */
+  def dedupClusters(pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b"): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    while (!converged) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("label")).as("nlabel"))
+      val updated = labels
+        .join(neighborMin, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      converged = updated
+        .join(labels.withColumnRenamed("label", "old"), Seq("id"))
+        .filter(col("label") =!= col("old"))
+        .isEmpty
+      labels = updated
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+}

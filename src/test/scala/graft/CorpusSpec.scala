@@ -1,0 +1,59 @@
+package graft
+
+import graft.ext.Corpus
+import org.apache.spark.sql.functions._
+
+/** Golden checks for the corpus-level pipeline operators. */
+class CorpusSpec extends SparkSpecBase {
+
+  private lazy val s = spark
+  import s.implicits._
+
+  test("tokenFrequencies counts lowercase tokens with deterministic ties") {
+    val df = Seq((1L, "a b a"), (2L, "B c"), (3L, "")).toDF("id", "text")
+    val top = Corpus.tokenFrequencies(df, "text", k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(top === Seq(("a", 2L), ("b", 2L), ("c", 1L)))
+  }
+
+  test("sampleByHash is deterministic and respects the permille bounds") {
+    val df = s.range(0, 1000).toDF("doc_id")
+    val once = Corpus.sampleByHash(df, "doc_id", 200, "s").collect().map(_.getLong(0)).toSet
+    val twice = Corpus.sampleByHash(df, "doc_id", 200, "s").collect().map(_.getLong(0)).toSet
+    assert(once === twice)
+    assert(once.nonEmpty && once.size < 1000)
+    // a hash sample of an md5-derived uniform value: ~20% ± a loose band
+    assert(once.size > 100 && once.size < 300)
+    assert(Corpus.sampleByHash(df, "doc_id", 0, "s").count() === 0)
+    assert(Corpus.sampleByHash(df, "doc_id", 1000, "s").count() === 1000)
+    // different salt → different split
+    val other = Corpus.sampleByHash(df, "doc_id", 200, "t").collect().map(_.getLong(0)).toSet
+    assert(other !== once)
+  }
+
+  test("packSequences assigns contiguous bins by cumulative token count per stratum") {
+    val df = Seq(
+      (1L, "a b c", "x"),   // 3 tokens, cumBefore 0 → seq 0
+      (2L, "d e", "x"),     // cumBefore 3 → seq 0
+      (3L, "f g h i", "x"), // cumBefore 5 → seq 1 (maxTokens = 5)
+      (4L, "z", "y"))       // other stratum restarts
+      .toDF("doc_id", "text", "lang")
+    val out = Corpus.packSequences(df, "doc_id", "text", maxTokens = 5, strataCol = col("lang"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) === (("x", 3L, 0L)))
+    assert(out(2L) === (("x", 2L, 0L)))
+    assert(out(3L) === (("x", 4L, 1L)))
+    assert(out(4L) === (("y", 1L, 0L)))
+  }
+
+  test("dedupClusters labels transitive duplicate chains with the component min id") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val labels = Corpus.dedupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+    // a longer chain needs several propagation rounds
+    val chain = (1L to 10L).sliding(2).map(w => (w(0), w(1))).toSeq.toDF("id_a", "id_b")
+    val cl = Corpus.dedupClusters(chain).collect().map(r => r.getLong(1)).toSet
+    assert(cl === Set(1L))
+  }
+}
