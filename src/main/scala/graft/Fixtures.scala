@@ -36,10 +36,25 @@ object Fixtures {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
   private def cached(name: String, spark: SparkSession, dir: String)(
-      build: => DataFrame): DataFrame =
-    fixtureCache.computeIfAbsent((spark, dir, name), _ =>
-      build.repartition(spark.sparkContext.defaultParallelism)
-        .localCheckpoint(true))
+      build: => DataFrame): DataFrame = {
+    // NOT computeIfAbsent: changeLog's build block calls captured(),
+    // re-entering this cache — a nested computeIfAbsent on the same map
+    // is a CHM contract violation ("recursive update") when the keys
+    // share a bin. Plain get/putIfAbsent is re-entrant; a lost race just
+    // builds the (cheap, deterministic) fixture twice.
+    // Entries for stopped sessions are purged on access so repeated
+    // session cycles in one JVM don't pin dead checkpointed state.
+    fixtureCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    val key = (spark, dir, name)
+    fixtureCache.get(key) match {
+      case null =>
+        val df = build.repartition(spark.sparkContext.defaultParallelism)
+          .localCheckpoint(true)
+        val prev = fixtureCache.putIfAbsent(key, df)
+        if (prev != null) prev else df
+      case df => df
+    }
+  }
 
   val OrdersSpec: CdcTableSpec = CdcTableSpec(
     "orders",

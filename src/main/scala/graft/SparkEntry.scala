@@ -550,6 +550,16 @@ object SparkEntry {
 
   private val StopwordsSql = "['the','a','an','of','and','to','in','is','it','that']"
 
+  /** Word-3-gram shingle set of `ltoks` — the single SQL definition of
+    * [[Dedup.shingles]] (n = 3) shared by every shingle-consuming oracle
+    * (ngram pairs, clusters, minhash); the len<3 fallback and
+    * list_distinct are load-bearing for parity.
+    */
+  private val ShingleExprSql: String =
+    """CASE WHEN len(ltoks) < 3 THEN [array_to_string(ltoks, ' ')]
+      |         ELSE list_distinct(list_transform(range(1, len(ltoks)-1),
+      |                i -> array_to_string(ltoks[i:i+2], ' '))) END""".stripMargin
+
   /** Same-language ngram-jaccard pair CTEs over `t` ([[TextTokensCte]]):
     * `j` = all same-lang pairs with their 6-dp jaccard — mirrors
     * [[Dedup.ngramJaccardDedup]] (whose internal length-banding is
@@ -557,12 +567,9 @@ object SparkEntry {
     * the pair query and the cluster query.
     */
   private val NgramPairCtes: String =
-    """docs_l AS (SELECT d.doc_id, d.lang, t.ltoks FROM documents d JOIN t ON d.doc_id = t.doc_id),
+    s"""docs_l AS (SELECT d.doc_id, d.lang, t.ltoks FROM documents d JOIN t ON d.doc_id = t.doc_id),
       |sh AS (
-      |  SELECT doc_id, lang,
-      |    CASE WHEN len(ltoks) < 3 THEN [array_to_string(ltoks, ' ')]
-      |         ELSE list_distinct(list_transform(range(1, len(ltoks)-1),
-      |                i -> array_to_string(ltoks[i:i+2], ' '))) END AS sh
+      |  SELECT doc_id, lang, $ShingleExprSql AS sh
       |  FROM docs_l),
       |pr AS (
       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sa, b.sh AS sb
@@ -575,14 +582,11 @@ object SparkEntry {
       |  FROM pr)""".stripMargin
 
   /** Word-3-gram shingle CTE over `t` ([[TextTokensCte]]): doc_id +
-    * distinct lowercase shingles — mirrors [[Dedup.shingles]] (n = 3).
+    * distinct lowercase shingles.
     */
   private val ShinglesCte: String =
-    """shg AS (
-      |  SELECT doc_id,
-      |    CASE WHEN len(ltoks) < 3 THEN [array_to_string(ltoks, ' ')]
-      |         ELSE list_distinct(list_transform(range(1, len(ltoks)-1),
-      |                i -> array_to_string(ltoks[i:i+2], ' '))) END AS sh
+    s"""shg AS (
+      |  SELECT doc_id, $ShingleExprSql AS sh
       |  FROM t)""".stripMargin
 
   /** DuckDB twin of [[Dedup.minhashLshDedup]] in portable-hash mode: the
@@ -988,7 +992,7 @@ object SparkEntry {
          |-- score IS NOT NULL mirrors the engine's TopKAggregator contract:
          |-- null-scored candidates are dropped, not ranked last
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
-         |      FROM scored)
+         |      FROM scored WHERE score IS NOT NULL)
          |SELECT query_id, neighbor_id, score, CAST(rn AS INT) AS rnk
          |FROM r WHERE rn <= 10 ORDER BY query_id, rnk""".stripMargin,
 
@@ -1042,7 +1046,7 @@ object SparkEntry {
          |-- score IS NOT NULL mirrors the engine's TopKAggregator contract:
          |-- null-scored candidates are dropped, not ranked last
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
-         |      FROM cs)
+         |      FROM cs WHERE score IS NOT NULL)
          |SELECT query_id, neighbor_id, score, CAST(rn AS INT) AS rnk
          |FROM r WHERE rn <= 10 ORDER BY query_id, rnk""".stripMargin,
 
@@ -1107,7 +1111,7 @@ object SparkEntry {
          |-- score IS NOT NULL mirrors the engine's TopKAggregator contract:
          |-- null-scored candidates are dropped, not ranked last
          |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
-         |      FROM scored)
+         |      FROM scored WHERE score IS NOT NULL)
          |SELECT query_id, neighbor_id, score, CAST(rn AS INT) AS rnk
          |FROM r WHERE rn <= 10 ORDER BY query_id, rnk""".stripMargin,
 

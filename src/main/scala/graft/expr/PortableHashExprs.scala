@@ -21,7 +21,10 @@ import org.apache.spark.sql.types._
   * columnar definition stays valid.
   */
 private[expr] object PortableKernels {
-  val P: Long = 2147483647L
+  /** Single-sourced from [[graft.ext.PortableHash.P]] — the kernels must
+    * stay bit-exact with the columnar twins built on that constant.
+    */
+  val P: Long = graft.ext.PortableHash.P
 
   private val digest = ThreadLocal.withInitial[java.security.MessageDigest](
     () => java.security.MessageDigest.getInstance("MD5"))

@@ -137,13 +137,15 @@ object Dedup {
       array_sort(array_distinct(transform(shingles(col(textCol), n), s => xxhash64(s)))).as("sh"))
       .withColumn("band", floor(log(size(col("sh")).cast("double")) / logR).cast("int"))
     // With the guard on, the shingled base is consumed three times (guard
-    // count + both join sides): persist so the shingle/sort work runs
-    // once. O(corpus) storage — the quantity that must NOT be persisted
-    // is the pair set, and never is.
+    // count + both join sides): materialize so the shingle/sort work runs
+    // once. localCheckpoint (not persist): checkpoint blocks are released
+    // when the plan is GC'd, whereas a CacheManager persist with no
+    // unpersist() would accumulate per invocation in a long-lived
+    // session. O(corpus) storage — the quantity that must NOT be
+    // materialized is the pair set, and never is.
     val base =
       if (maxBlockRows.isDefined)
-        base0.repartition(parallelism)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        base0.repartition(parallelism).localCheckpoint(true)
       else base0
 
     // Hot-block guard: pair work per (block × band) cell is O(rows²) by
@@ -324,14 +326,16 @@ object Dedup {
       rowsPerBand: Int = 8,
       threshold: Double = 0.8,
       mode: HashMode = HashMode.Engine): DataFrame = {
-    // One persisted scan computes the shingle strings; the signature and
-    // both verify sides derive from it instead of re-running the
+    // One materialized scan computes the shingle strings; the signature
+    // and both verify sides derive from it instead of re-running the
     // (interpreted, string-heavy) shingle expression three times per
-    // query. O(corpus) storage — never the pair set.
+    // query. localCheckpoint (not persist) so the blocks are released on
+    // GC rather than accumulating in the CacheManager across invocations
+    // in a long-lived session. O(corpus) storage — never the pair set.
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
     val base = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("shs"))
       .repartition(parallelism)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
 
     // Shingles are hashed to longs for the verify (same trick as
     // ngramJaccardDedup): the pair-level verify then intersects primitive

@@ -110,7 +110,7 @@ object Similarity {
     */
   def hyperplanes(planes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] =
     Vector.tabulate(planes, dim) { (i, j) =>
-      val P = 2147483647L
+      val P = PortableHash.P
       val v = i.toLong * dim + j + seed * 40503L
       val h1 = (v * 1103515245L + 12345L) % P
       val h2 = h1 ^ (h1 >> 15)

@@ -60,7 +60,13 @@ object ChangeLog {
     *    per partition per capture batch — is ENFORCED at runtime: a row
     *    outside it raises an error at evaluation time instead of silently
     *    producing duplicate ids (which would make dedupToLatest pick
-    *    arbitrary images and markSynced over-mark). Batches beyond the
+    *    arbitrary images and markSynced over-mark). The guard is
+    *    deliberately CONSERVATIVE: it bounds rows per partition over the
+    *    whole batch, not per distinct `changed_at` millisecond — a batch
+    *    with >4096 rows/partition spread across many milliseconds could
+    *    be collision-free, but write-through capture stamps one
+    *    `changed_at` per batch, so the per-millisecond refinement would
+    *    only legalize batches this engine never produces. Batches beyond the
     *    envelope should split the capture (more/coarser batches), or use
     *    the streaming path where the micro-batch epoch disambiguates
     *    (see [[graft.streaming.CdcStream]]). Two changes to the SAME key
