@@ -281,7 +281,8 @@ object SparkEntry {
   private def qDedupClusters(s: SparkSession, dir: String): DataFrame =
     Corpus.dedupClusters(
         Dedup.ngramJaccardDedup(documents(s, dir), "text", "doc_id",
-          col("lang"), n = 3, threshold = 0.2, saltFanout = 16))
+          col("lang"), n = 3, threshold = 0.2, saltFanout = 16,
+          maxBlockRows = Some(100000L))) // guard on → shingled base checkpointed once
       .orderBy("doc_id")
 
   private def embQueries(s: SparkSession, dir: String): DataFrame =
