@@ -144,5 +144,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.ext.Dedup.simhash(cs.head)))
     ext.injectFunction(fromColumns("graft_rolling_hash")(cs =>
       graft.ext.TextAnalysis.rollingHash(cs.head)))
+    // Portable (engine-independent, md5-derived) variants — same values
+    // any engine computes from the documented closed forms.
+    ext.injectFunction(fromColumns("graft_portable_rolling_hash")(cs =>
+      graft.ext.TextAnalysis.rollingHash(cs.head, graft.ext.HashMode.Portable)))
+    ext.injectFunction(fromColumns("graft_hash32")(cs =>
+      graft.ext.PortableHash.hash32(cs.head)))
+    // deterministic permille split: graft_sample_bucket(id, salt) in [0,1000)
+    ext.injectFunction(fromColumns("graft_sample_bucket")(cs =>
+      graft.ext.PortableHash.hash32(
+        org.apache.spark.sql.functions.concat(cs(1), cs.head.cast("string"))) % 1000))
   }
 }

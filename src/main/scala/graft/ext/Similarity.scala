@@ -318,6 +318,48 @@ object Similarity {
               / count(lit(1)), 6)): _*).as("mean"))
   }
 
+  /** Full IVF codebook training: deterministic init + `iters` Lloyd
+    * iterations of [[ivfTrainStep]]. Initial centroids are the `k` rows
+    * with the smallest portable hash of their id — a reproducible
+    * pseudo-random sample (same trick as `Corpus.sampleByHash`), stable
+    * across runs/engines/cluster sizes. Each iteration scans the corpus
+    * once; only the codebook (k × dim doubles — the same bound
+    * [[collectCentroids]] documents) ever reaches the driver. Centroids
+    * whose inverted list goes empty keep their previous position.
+    */
+  def ivfTrain(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      k: Int,
+      iters: Int,
+      dim: Int = -1,
+      salt: String = "ivf"): Seq[(Long, Seq[Double])] = {
+    require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got k=$k iters=$iters")
+    val d = if (dim > 0) dim else inferDim(corpus, corpusVec)
+    var cents: Seq[(Long, Seq[Double])] = corpus
+      .select(col(corpusId).cast("long").as("id"),
+        col(corpusVec).cast("array<double>").as("v"),
+        PortableHash.hash32(concat(lit(salt), col(corpusId).cast("string"))).as("h"))
+      .orderBy(col("h"), col("id"))
+      .limit(k)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toVector))
+      .toVector
+      .sortBy(_._1)
+    var it = 0
+    while (it < iters) {
+      val means = ivfTrainStep(corpus, cents, corpusVec, d)
+        .select(col("centroid_id"), col("mean"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toVector)
+        .toMap
+      cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+      it += 1
+    }
+    cents
+  }
+
   /** Embedding near-duplicate pairs: cosine >= `threshold`, LSH-blocked
     * so only same-bucket pairs are compared (the scale path for
     * "embedding-cosine near-dup" dedup). Pass `dim <= 0` to infer the

@@ -244,6 +244,45 @@ class ExtOperatorsSpec extends SparkSpecBase {
     assert(out.values.map(_._1).sum === corpus.count())
   }
 
+  test("portable SQL functions: rolling hash, hash32, sample bucket") {
+    val r = s.sql(
+      "SELECT graft_portable_rolling_hash('a b c') AS rh," +
+        " graft_portable_rolling_hash('c b a') AS rh2," +
+        " graft_hash32('hello') AS h," +
+        " graft_sample_bucket(42, 'graft') AS b").head()
+    assert(r.getLong(0) !== r.getLong(1)) // order-sensitive
+    assert(r.getLong(2) === 1564557354L)  // first 8 md5 hex digits of 'hello'
+    assert(r.getLong(3) >= 0 && r.getLong(3) < 1000)
+    // graft_sample_bucket matches Corpus.sampleByHash's decision
+    import graft.ext.Corpus
+    val df = s.range(0, 100).toDF("doc_id")
+    val viaOp = Corpus.sampleByHash(df, "doc_id", 300, "graft")
+      .collect().map(_.getLong(0)).toSet
+    df.createOrReplaceTempView("ids")
+    val viaSql = s.sql(
+      "SELECT doc_id FROM ids WHERE graft_sample_bucket(doc_id, 'graft') < 300")
+      .collect().map(_.getLong(0)).toSet
+    assert(viaOp === viaSql)
+  }
+
+  test("ivfTrain converges to the two directional clusters and is deterministic") {
+    // two tight angular clusters around (1,0) and (0,1)
+    val corpus = (Seq.tabulate(10)(i => (i.toLong, Array(1.0f, 0.05f * i))) ++
+      Seq.tabulate(10)(i => (100L + i, Array(0.05f * i, 1.0f))))
+      .toDF("vec_id", "embedding")
+    val cb1 = Similarity.ivfTrain(corpus, "vec_id", "embedding", k = 2, iters = 4)
+    val cb2 = Similarity.ivfTrain(corpus, "vec_id", "embedding", k = 2, iters = 4)
+    assert(cb1 === cb2) // deterministic end to end
+    // after training, assignment must separate the two clusters
+    val assigned = Similarity.ivfAssign(corpus, cb1, "embedding")
+      .select(col("vec_id"), col("centroid_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byCluster = assigned.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byCluster.size === 2)
+    assert(byCluster.values.toSet ===
+      Set((0L to 9L).toSet, (100L to 109L).toSet))
+  }
+
   test("native cosine expression: bit-identical to the Column formulation, SQL-registered") {
     // bit-equality over real embeddings (codegen path exercised by the scan)
     val emb = Fixtures.embeddings(s, "/root/testdata/sf0.001").limit(100)
