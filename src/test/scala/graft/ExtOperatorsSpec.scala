@@ -68,6 +68,33 @@ class ExtOperatorsSpec extends SparkSpecBase {
     assert(bad === 0)
   }
 
+  test("ngram banding + salting preserve the exact all-pairs output on random docs") {
+    // Adversarial check of the length-band blocking: the operator's
+    // output must equal a naive all-pairs jaccard over raw string
+    // shingles, for random docs whose lengths span several bands.
+    val rnd = new scala.util.Random(11)
+    val words = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg")
+    val docs = Seq.tabulate(60) { i =>
+      val len = 1 + rnd.nextInt(25)
+      (i.toLong, Seq.fill(len)(words(rnd.nextInt(words.size))).mkString(" "), "x")
+    }.toDF("doc_id", "text", "lang")
+    val got = Dedup.ngramJaccardDedup(docs, "text", "doc_id", col("lang"),
+        n = 3, threshold = 0.35, saltFanout = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val expect = (for {
+      a <- sh.keys.toSeq
+      b <- sh.keys.toSeq
+      if a < b
+      inter = (sh(a) & sh(b)).size
+      uni = (sh(a) | sh(b)).size
+      jac = if (uni == 0) 0.0 else inter.toDouble / uni
+      if BigDecimal(jac).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble >= 0.35
+    } yield (a, b)).toSet
+    assert(got === expect)
+  }
+
   test("ngramJaccardDedup hot-block guard trips on an over-cap block") {
     val many = (1L to 50L).map(i => (i, s"doc $i the quick brown fox", "en"))
       .toDF("doc_id", "text", "lang")
