@@ -176,6 +176,51 @@ class CdcStreamSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("runWithRetries: per-incident budget, rethrow after exhaustion (T8)") {
+    import graft.model.CdcConfig
+    import org.apache.spark.sql.streaming.StreamingQuery
+    def fakeQuery(behave: () => Unit): StreamingQuery = new StreamingQuery {
+      override def name: String = "fake"
+      override def id: java.util.UUID = java.util.UUID.randomUUID()
+      override def runId: java.util.UUID = java.util.UUID.randomUUID()
+      override def sparkSession: org.apache.spark.sql.SparkSession = s
+      override def isActive: Boolean = false
+      override def exception: Option[org.apache.spark.sql.streaming.StreamingQueryException] = None
+      override def status: org.apache.spark.sql.streaming.StreamingQueryStatus = null
+      override def recentProgress: Array[org.apache.spark.sql.streaming.StreamingQueryProgress] = Array()
+      override def lastProgress: org.apache.spark.sql.streaming.StreamingQueryProgress = null
+      override def awaitTermination(): Unit = behave()
+      override def awaitTermination(timeoutMs: Long): Boolean = { behave(); true }
+      override def processAllAvailable(): Unit = ()
+      override def stop(): Unit = ()
+      override def explain(): Unit = ()
+      override def explain(extended: Boolean): Unit = ()
+    }
+    // retryDelaySeconds = 1 (not 0): the healthy-run threshold is
+    // 2 × delay, and a zero threshold would let a millisecond of clock
+    // jitter on a failing run reset the budget → infinite retry loop.
+    val cfg = CdcConfig(maxRetries = 3, retryDelaySeconds = 1)
+
+    // transient failures within budget → recovers
+    var starts = 0
+    CdcStream.runWithRetries(cfg) { () =>
+      starts += 1
+      fakeQuery(() => if (starts <= 2) throw new RuntimeException(s"boom $starts"))
+    }
+    assert(starts === 3) // 2 failures + 1 success
+
+    // persistent failure → rethrown after maxRetries extra attempts
+    var starts2 = 0
+    val e = intercept[RuntimeException] {
+      CdcStream.runWithRetries(cfg) { () =>
+        starts2 += 1
+        fakeQuery(() => throw new RuntimeException("always"))
+      }
+    }
+    assert(e.getMessage === "always")
+    assert(starts2 === cfg.maxRetries + 1)
+  }
+
   test("health listener emits a report per progress event") {
     val tmp = Files.createTempDirectory("cdclisten").toString
     val table = DemoWorkload.replay(
