@@ -94,6 +94,11 @@ object Dedup {
     * source bucket, length band, ...). Output: (id_a, id_b, jac) with
     * id_a < id_b.
     *
+    * NOTE: when `maxBlockRows` is set, building the returned DataFrame
+    * RUNS Spark jobs eagerly (the shingled base is checkpointed and the
+    * guard counts block cells) — plan-only inspection of the result is
+    * not free in that mode.
+    *
     * The self-join is SALTED: joining on the block key alone caps
     * parallelism at the number of distinct blocks (5 language blocks =
     * 5 tasks doing O(block²) work each, regardless of cluster size). One

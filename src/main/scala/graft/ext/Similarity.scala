@@ -337,19 +337,22 @@ object Similarity {
       salt: String = "ivf"): Seq[(Long, Seq[Double])] = {
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0; got k=$k iters=$iters")
     val d = if (dim > 0) dim else inferDim(corpus, corpusVec)
-    var cents: Seq[(Long, Seq[Double])] = corpus
-      .select(col(corpusId).cast("long").as("id"),
-        col(corpusVec).cast("array<double>").as("v"),
-        PortableHash.hash32(concat(lit(salt), col(corpusId).cast("string"))).as("h"))
-      .orderBy(col("h"), col("id"))
-      .limit(k)
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toVector))
-      .toVector
-      .sortBy(_._1)
+    // null ids / ragged vectors are excluded up front: a null id would
+    // sort FIRST (guaranteeing itself a seed slot) and a ragged vector
+    // yields a NULL assignment downstream — both would NPE the collects.
+    var cents: Seq[(Long, Seq[Double])] = collectCentroids(
+      corpus
+        .select(col(corpusId).cast("long").as("id"),
+          col(corpusVec).cast("array<double>").as("v"),
+          PortableHash.hash32(concat(lit(salt), col(corpusId).cast("string"))).as("h"))
+        .filter(col("id").isNotNull && size(col("v")) === d)
+        .orderBy(col("h"), col("id"))
+        .limit(k),
+      "id", "v")
     var it = 0
     while (it < iters) {
       val means = ivfTrainStep(corpus, cents, corpusVec, d)
+        .filter(col("centroid_id").isNotNull) // ragged rows assign to NULL
         .select(col("centroid_id"), col("mean"))
         .collect()
         .map(r => r.getLong(0) -> r.getSeq[Double](1).toVector)

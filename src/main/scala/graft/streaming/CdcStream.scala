@@ -255,8 +255,11 @@ object CdcStream {
     // A failure after a healthy stretch is a NEW incident: the retry
     // budget is per-incident (the reference's max_retries semantics,
     // config.py:35), not lifetime-total. "Healthy" = the query ran
-    // longer than two retry delays before failing.
-    val healthyRunMs = config.retryDelaySeconds * 2 * 1000L
+    // longer than two retry delays before failing — floored at 1 s:
+    // with retryDelaySeconds = 0 (reachable via CDC_RETRY_DELAY) a
+    // zero threshold would let every >=1 ms failing run reset the
+    // budget, busy-spinning forever on a persistent failure.
+    val healthyRunMs = math.max(1000L, config.retryDelaySeconds * 2 * 1000L)
     while (!done) {
       val startedAt = System.nanoTime()
       val q = startQuery()
