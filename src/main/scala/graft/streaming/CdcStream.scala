@@ -242,6 +242,51 @@ object CdcStream {
     q.awaitTermination()
   }
 
+  /** Garbage-collect old target versions, keeping the newest
+    * `keepVersions` committed directories (and ALWAYS the `_current`
+    * one, whatever its age). Returns the deleted version numbers.
+    *
+    * Versions strictly newer than `_current` are never touched either —
+    * they belong to an epoch whose checkpoint hasn't committed yet
+    * (crash window), and deleting one would break that epoch's replay.
+    * Run periodically (e.g. from the health listener cadence) to bound
+    * target storage at `keepVersions` × snapshot size; the bucket-copy
+    * scheme means hard-linked/copied files disappear with their version
+    * directory.
+    */
+  def vacuumTarget(targetDir: String, keepVersions: Int = 2): Seq[Long] = {
+    require(keepVersions >= 1, s"must keep at least one version, got $keepVersions")
+    val root = Paths.get(targetDir)
+    if (!Files.isDirectory(root)) return Nil
+    val current = currentVersion(targetDir)
+    // no pointer yet (crash before the first commit): any v= dir may be
+    // the replay input of an in-flight epoch — delete nothing
+    if (current.isEmpty) return Nil
+    val versions = {
+      val it = Files.list(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        it.iterator().asScala
+          .map(_.getFileName.toString)
+          .collect { case s if s.startsWith("v=") => s.stripPrefix("v=") }
+          .flatMap(_.toLongOption)
+          .toVector.sorted
+      } finally it.close()
+    }
+    val deletable = versions
+      .filter(v => current.forall(_ > v))      // never current or newer
+      .dropRight(math.max(0, keepVersions - 1)) // keep newest k-1 below current
+    deletable.foreach { v =>
+      val dir = root.resolve(s"v=$v")
+      val files = Files.walk(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        files.iterator().asScala.toVector.reverse.foreach(Files.deleteIfExists)
+      } finally files.close()
+    }
+    deletable
+  }
+
   /** Run a streaming query with the reference's retry policy
     * (reference: config.py:35-36: max_retries=3, retry_delay_seconds=10):
     * on failure, restart from the checkpoint up to `maxRetries` times —

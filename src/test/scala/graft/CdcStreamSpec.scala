@@ -176,6 +176,35 @@ class CdcStreamSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("vacuumTarget keeps current + k-1 older versions, never newer or uncommitted") {
+    val tmp = Files.createTempDirectory("cdcvac").toString
+    val targetDir = s"$tmp/target"
+    val table = DemoWorkload.replay(
+      CdcTable(DemoWorkload.users(s, 0), DemoWorkload.UsersSpec), s,
+      inserts = 6, updates = 0, deletes = 0)
+    val rowSchema = table.snapshot.schema
+    val log = table.changeLog
+    (0L to 3L).foreach { epoch =>
+      CdcStream.applyBatch(log.filter(col("cdc_id") % 4 === epoch), epoch,
+        targetDir, DemoWorkload.UsersSpec, rowSchema, numBuckets = 4)
+    }
+    // a crashed in-flight epoch beyond _current must survive vacuum
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(targetDir, "v=99"))
+    assert(CdcStream.currentVersion(targetDir) === Some(3L))
+
+    val deleted = CdcStream.vacuumTarget(targetDir, keepVersions = 2)
+    assert(deleted === Seq(0L, 1L))
+    val left = java.nio.file.Files.list(java.nio.file.Paths.get(targetDir))
+    val names = try {
+      import scala.jdk.CollectionConverters._
+      left.iterator().asScala.map(_.getFileName.toString).toSet
+    } finally left.close()
+    assert(names === Set("v=2", "v=3", "v=99", "_current"))
+    // snapshot still fully readable after vacuum
+    assert(ReplicationVerifier.fullyReplicated(table.snapshot,
+      CdcStream.readTarget(s, targetDir, rowSchema)))
+  }
+
   test("runWithRetries: per-incident budget, rethrow after exhaustion (T8)") {
     import graft.model.CdcConfig
     import org.apache.spark.sql.streaming.StreamingQuery
