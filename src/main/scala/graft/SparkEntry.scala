@@ -285,6 +285,21 @@ object SparkEntry {
           maxBlockRows = Some(100000L))) // guard on → shingled base checkpointed once
       .orderBy("doc_id")
 
+  /** End-to-end training-data manifest: quality-score every document,
+    * keep those above threshold, and assign kept docs a deterministic
+    * train/val split by hash bucket — the composition a real pipeline
+    * runs (filter → split → pack), all oracle-reproducible.
+    */
+  private def qCorpusManifest(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .filter(col("quality") >= 0.5)
+      .withColumn("bucket",
+        PortableHash.hash32(concat(lit("split"), col("doc_id").cast("string"))) % 1000)
+      .select(col("doc_id"), col("lang"), col("quality"),
+        when(col("bucket") < 900, lit("train")).otherwise(lit("val")).as("split"))
+      .orderBy("doc_id")
+
   private def embQueries(s: SparkSession, dir: String): DataFrame =
     embeddings(s, dir).filter(col("vec_id") % 50 === 0)
 
@@ -463,6 +478,7 @@ object SparkEntry {
     "corpus_vocab_topk" -> (qVocabTopK _),
     "corpus_sample" -> (qCorpusSample _),
     "corpus_pack" -> (qCorpusPack _),
+    "corpus_manifest" -> (qCorpusManifest _),
     "dedup_clusters" -> (qDedupClusters _),
     "ann_brute_force" -> (qAnnBruteForce _),
     "ann_lsh" -> (qAnnLsh _),
@@ -889,6 +905,30 @@ object SparkEntry {
          |  SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.id)
          |SELECT id AS doc_id, MIN(r) AS cluster_id
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "corpus_manifest" ->
+      s"""WITH $TextTokensCte,
+         |m AS (
+         |  SELECT doc_id, toks,
+         |    CASE WHEN length(text) = 0 THEN 0.0
+         |         ELSE length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
+         |              / CAST(length(text) AS DOUBLE) END AS praw,
+         |    CASE WHEN len(ltoks) = 0 THEN 0.0
+         |         ELSE len(list_filter(ltoks, x -> list_contains($StopwordsSql, x)))
+         |              / CAST(len(ltoks) AS DOUBLE) END AS sraw
+         |  FROM t),
+         |q AS (
+         |  SELECT doc_id,
+         |    round(least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) * 0.3
+         |          + (1.0 - least(praw * 4.0, 1.0)) * 0.3
+         |          + least(sraw * 4.0, 1.0) * 0.4, 6) AS quality
+         |  FROM m)
+         |SELECT d.doc_id, d.lang, q.quality,
+         |  CASE WHEN ${PortableHash.hash32Sql("concat('split', CAST(d.doc_id AS VARCHAR))")} % 1000 < 900
+         |       THEN 'train' ELSE 'val' END AS split
+         |FROM documents d JOIN q ON q.doc_id = d.doc_id
+         |WHERE q.quality >= 0.5
+         |ORDER BY d.doc_id""".stripMargin,
 
     "corpus_vocab_topk" ->
       s"""WITH $TextTokensCte,
