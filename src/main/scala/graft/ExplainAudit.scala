@@ -13,7 +13,8 @@ object ExplainAudit {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = args.lift(1).map(_.split(",").toSeq).getOrElse(Seq(
       "lineitem_agg", "top_revenue_join", "cdc_apply_changes",
-      "cdc_pending_scan", "ann_brute_force", "ann_ivf_assign"))
+      "cdc_pending_scan", "ann_brute_force", "ann_ivf_assign",
+      "emb_near_dup", "corpus_sample", "corpus_pack"))
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
