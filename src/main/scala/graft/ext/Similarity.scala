@@ -287,6 +287,24 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rnk"))
   }
 
+  /** Persist an [[ivfAssign]]-ed corpus as an on-disk IVF index:
+    * parquet partitioned by `centroid_id`, so a probe reads ONLY its
+    * `nprobe` inverted-list directories (partition pruning — the scan
+    * never lists, opens, or skips the other lists' files). This is the
+    * materialization [[ivfTopK]]'s docs promise at scale: index build is
+    * one partitioned write; each query's candidate scan is
+    * O(corpus / lists × nprobe) I/O.
+    */
+  def writeIvfIndex(assigned: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    assigned.write.partitionBy("centroid_id").mode(mode).parquet(path)
+
+  /** Read an IVF index written by [[writeIvfIndex]]. Filters on
+    * `centroid_id` prune partitions at planning time (assert-able via
+    * `PartitionFilters` in the scan node).
+    */
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** One Lloyd (k-means) refinement iteration for the IVF coarse
     * codebook: assign every corpus vector to its nearest centroid (the
     * zero-shuffle [[ivfAssign]] map), then recompute each centroid as the

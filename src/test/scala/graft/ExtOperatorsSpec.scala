@@ -292,6 +292,36 @@ class ExtOperatorsSpec extends SparkSpecBase {
     assert(viaOp === viaSql)
   }
 
+  test("IVF index on disk: probe scans are partition-pruned to the probed lists") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    val emb = Fixtures.embeddings(s, "/root/testdata/sf0.001")
+    val cents = Similarity.collectCentroids(
+      emb.filter(col("vec_id") % 61 === 0), "vec_id", "embedding")
+    Similarity.writeIvfIndex(
+      Similarity.ivfAssign(emb, cents, "embedding"), s"$tmp/idx")
+    val idx = Similarity.readIvfIndex(s, s"$tmp/idx")
+    val probed = idx.filter(col("centroid_id").isin(cents.take(2).map(_._1): _*))
+    // partition pruning: the scan plans with a centroid_id partition
+    // filter, and only the probed lists' files are selected
+    val scan = probed.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scan.isDefined, "expected a FileSourceScanExec")
+    assert(scan.get.partitionFilters.nonEmpty, "probe must prune partitions")
+    val expected = Similarity.ivfAssign(emb, cents, "embedding")
+      .filter(col("centroid_id").isin(cents.take(2).map(_._1): _*)).count()
+    assert(probed.count() === expected)
+    // same search results through the on-disk index
+    val q = emb.filter(col("vec_id") % 50 === 0)
+    val viaIdx = Similarity.ivfTopK(idx, cents, q,
+        "vec_id", "embedding", "vec_id", "embedding", k = 5, nprobe = 3)
+      .orderBy("query_id", "rnk").collect().map(_.toString).toSeq
+    val direct = Similarity.ivfTopK(Similarity.ivfAssign(emb, cents, "embedding"),
+        cents, q, "vec_id", "embedding", "vec_id", "embedding", k = 5, nprobe = 3)
+      .orderBy("query_id", "rnk").collect().map(_.toString).toSeq
+    assert(viaIdx === direct)
+  }
+
   test("ivfTrain converges to the two directional clusters and is deterministic") {
     // two tight angular clusters around (1,0) and (0,1)
     val corpus = (Seq.tabulate(10)(i => (i.toLong, Array(1.0f, 0.05f * i))) ++
