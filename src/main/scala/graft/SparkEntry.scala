@@ -366,6 +366,19 @@ object SparkEntry {
         "value", maxGapMinutes = 30)
       .orderBy("user_id", "session_seq")
 
+  /** Batch twin of [[EventAnalytics.streamingDedupEvents]]: an
+    * at-least-once feed (the events table unioned with itself) collapses
+    * to exactly-once by event_id; counts must equal the clean stream's.
+    */
+  private def qEventsDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    e.unionByName(e)
+      .dropDuplicates("event_id")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), countDistinct(col("event_id")).as("n_ids"))
+      .orderBy("event_type")
+  }
+
   private def qEventsUserStats(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
       .groupBy("event_type")
@@ -489,6 +502,7 @@ object SparkEntry {
     "events_hourly" -> (qEventsHourly _),
     "events_sessions" -> (qEventsSessions _),
     "events_user_stats" -> (qEventsUserStats _),
+    "events_dedup" -> (qEventsDedup _),
     "lineitem_agg" -> (qLineitemAgg _),
     "lineitem_agg_sql" -> (qLineitemAggSql _),
     "orders_rollup" -> (qOrdersRollup _),
@@ -1173,6 +1187,12 @@ object SparkEntry {
         |       MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS duration_us,
         |       round(SUM(value), 3) AS sum_value
         |FROM s2 GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+
+    // the doubled feed deduped by event_id equals the clean stream
+    "events_dedup" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "events_user_stats" ->
       """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,

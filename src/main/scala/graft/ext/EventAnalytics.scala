@@ -115,4 +115,22 @@ object EventAnalytics {
       .groupBy(window(col(tsCol), "1 hour").as("w"), col(keyCol))
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("hour_start"), col(keyCol), col("n"))
+
+  /** Streaming event-id dedup with bounded state: an at-least-once
+    * ingestion (retried producers, replayed partitions) becomes
+    * effectively-once events. `dropDuplicatesWithinWatermark` keys state
+    * by `idCol` and evicts entries once the watermark passes — state is
+    * O(events per watermark window), never O(stream history). Duplicates
+    * arriving within `watermarkDelay` of the original are suppressed;
+    * the batch equivalent over a static frame is a plain
+    * `dropDuplicates(idCol)`.
+    */
+  def streamingDedupEvents(
+      stream: DataFrame,
+      tsCol: String,
+      idCol: String,
+      watermarkDelay: String = "30 minutes"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(idCol)
 }

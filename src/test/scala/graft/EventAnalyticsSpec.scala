@@ -53,6 +53,29 @@ class EventAnalyticsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming event dedup suppresses replayed duplicates across micro-batches") {
+    val tmp = Files.createTempDirectory("evdedup").toString
+    // batch 1: events 1..3
+    evts.filter(col("event_id") <= 3).write.mode("overwrite").parquet(s"$tmp/in")
+    val stream = s.readStream.schema(evts.schema).parquet(s"$tmp/in")
+    val deduped = graft.ext.EventAnalytics.streamingDedupEvents(
+      stream, "ts", "event_id", watermarkDelay = "2 hours")
+    val q = deduped.writeStream.format("memory").queryName("ev_dedup")
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/chk")
+      .start()
+    try {
+      q.processAllAvailable()
+      // batch 2: a replay of events 2..3 (duplicate ids) plus new 4..5 —
+      // the at-least-once scenario a retried producer creates
+      evts.filter(col("event_id") >= 2).write.mode("append").parquet(s"$tmp/in")
+      q.processAllAvailable()
+      val got = s.table("ev_dedup").select("event_id").collect()
+        .map(_.getLong(0)).sorted.toSeq
+      assert(got === Seq(1L, 2L, 3L, 4L, 5L)) // each event exactly once
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionization carries session numbering across batches") {
     val tmp = Files.createTempDirectory("statesess").toString
     val us = 1000000L
