@@ -35,7 +35,7 @@ object Fixtures {
   private val fixtureCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
-  private def cached(name: String, spark: SparkSession, dir: String)(
+  private[graft] def cached(name: String, spark: SparkSession, dir: String)(
       build: => DataFrame): DataFrame = {
     // NOT computeIfAbsent: changeLog's build block calls captured(),
     // re-entering this cache — a nested computeIfAbsent on the same map

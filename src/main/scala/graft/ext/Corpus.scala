@@ -64,6 +64,78 @@ object Corpus {
       .drop("cum")
   }
 
+  /** Benchmark decontamination: flag training documents that share at
+    * least one word `n`-gram with an evaluation/benchmark set — the
+    * standard pre-training hygiene step that keeps test data out of the
+    * training corpus. Returns (doc_id, n_hit_ngrams): the number of the
+    * doc's DISTINCT n-grams that appear anywhere in the eval set.
+    *
+    * Scale shape: the eval side (benchmarks: thousands of docs) collapses
+    * to a distinct gram set and is BROADCAST; the training corpus is one
+    * narrow scan → explode → broadcast-hash semi-probe → partial
+    * aggregate. The 100 TB corpus never shuffles — only matched
+    * (doc, gram) hits reach the final per-doc count, and at realistic
+    * contamination rates that is a vanishing fraction of the corpus.
+    */
+  def decontaminate(
+      train: DataFrame,
+      eval: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int): DataFrame = {
+    val evalGrams = eval
+      .select(explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .distinct()
+    train
+      .select(col(idCol).as("doc_id"),
+        explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .join(broadcast(evalGrams), Seq("gram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hit_ngrams"))
+  }
+
+  /** Stratified corpus mixing: keep each row with a per-stratum
+    * probability `permille(stratum)/1000`, decided by the same
+    * deterministic portable hash as [[sampleByHash]] — the "sample
+    * Wikipedia at 3 epochs, CommonCrawl at 0.4" mixing step of a training
+    * run, reproducible across runs, engines, and cluster sizes. Strata
+    * absent from the map are dropped (permille 0). A narrow map — no
+    * shuffle, no RNG state; the weights ride along as a literal map
+    * expression, so the filter is codegen'd into the scan.
+    */
+  def mixStrata(
+      df: DataFrame,
+      idCol: String,
+      strataCol: Column,
+      permilleByStratum: Map[String, Int],
+      salt: String): DataFrame = {
+    require(permilleByStratum.values.forall(p => p >= 0 && p <= 1000),
+      s"permille out of range in $permilleByStratum")
+    val weights = map(permilleByStratum.toSeq.flatMap {
+      case (k, v) => Seq(lit(k), lit(v))
+    }: _*)
+    df.filter(
+      PortableHash.hash32(concat(lit(salt), col(idCol).cast("string"))) % 1000 <
+        coalesce(element_at(weights, strataCol), lit(0)))
+  }
+
+  /** Deterministic global shuffle for training-order assignment: each row
+    * gets a shard (hash bucket) and a dense position within its shard,
+    * ordered by a second hash — a reproducible random permutation in
+    * shard-major order, the way training examples are sharded and
+    * shuffled before being fed to a data loader. One hash-partitioned
+    * window per shard: parallelism = `numShards` (size it to the cluster;
+    * rows per shard = corpus/numShards bounds per-task memory).
+    */
+  def shuffleAssign(df: DataFrame, idCol: String, numShards: Int, salt: String): DataFrame = {
+    require(numShards > 0, s"numShards must be positive: $numShards")
+    val h = PortableHash.hash32(concat(lit(salt), col(idCol).cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col(idCol))
+    df.select(col(idCol), (h % numShards).as("shard"), h.as("h"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .drop("h")
+  }
+
   /** Connected components over near-duplicate pairs: every document in a
     * duplicate cluster is labeled with the cluster's minimum id — the
     * step that turns pairwise dedup output into "keep one per cluster".

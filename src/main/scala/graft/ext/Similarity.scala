@@ -398,6 +398,45 @@ object Similarity {
     *    the candidate exchange is what must stay small, and it is
     *    O(bands × corpus) ids, not O(corpus) × vector-bytes.
     */
+  /** Symmetric int8 quantization of an embedding column — the 4× memory/
+    * bandwidth compression that makes a 100 TB float corpus a 25 TB ANN
+    * index (the standard first rung before product quantization). Per
+    * vector: scale = 127 / max|v_i| (1.0 for the zero vector), code_i =
+    * floor(v_i·scale + 0.5) clamped to [-127, 127], plus the L2
+    * reconstruction error as the quality audit. A narrow map — no
+    * shuffle, no state; every arithmetic step (sequential fold for the
+    * max and the error sum, explicit floor(x+0.5) instead of engine-
+    * dependent round-half modes) is chosen to be bit-reproducible by any
+    * IEEE-754 engine, which is what makes the output oracle-checkable.
+    *
+    * Output: (id, qscale, l2_err, codes).
+    */
+  def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val amax = aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x)))
+    val scale = when(col("amax") === 0.0, lit(1.0)).otherwise(lit(127.0) / col("amax"))
+    // floor(x + 0.5): identical in every engine, unlike round()'s
+    // half-up-vs-banker's ambiguity. floor() returns LONG in Spark.
+    val codes = transform(col("v"), x =>
+      greatest(lit(-127L), least(lit(127L), floor(x * col("qscale") + 0.5))).cast("long"))
+    df.select(col(idCol), v.as("v"), amax.as("amax"))
+      .withColumn("qscale", scale)
+      .drop("amax")
+      // materializing qscale as a column (not inlining) keeps the fold
+      // below from re-deriving the max per element under projection
+      // collapse — and floor(x*qscale + 0.5) reads it twice more
+      .withColumn("codes", codes)
+      .withColumn("err2",
+        aggregate(
+          zip_with(col("v"), col("codes"), (x, c) => {
+            val d = x - c.cast("double") / col("qscale")
+            d * d
+          }),
+          lit(0.0), (acc, e) => acc + e))
+      .select(col(idCol), round(col("qscale"), 6).as("qscale"),
+        round(sqrt(col("err2")), 6).as("l2_err"), col("codes"))
+  }
+
   def embeddingNearDup(
       df: DataFrame,
       idCol: String,

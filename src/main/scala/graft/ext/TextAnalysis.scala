@@ -129,6 +129,72 @@ object TextAnalysis {
         lit(PortableHash.Init))
   }
 
+  /** Repetition statistics per document — the Gopher-style repetition
+    * filters that catch degenerate web text (keyword stuffing, boilerplate
+    * loops) which length/punctuation heuristics miss:
+    *
+    *  - `dup_token_frac`: fraction of tokens that are repeats of an
+    *    earlier token (`1 - distinct/total`);
+    *  - `top_2gram_frac`: fraction of all word 2-grams taken by the single
+    *    most frequent 2-gram.
+    *
+    * The per-doc token stats are a narrow map over the token array; the
+    * top-2-gram share is explode → per-(doc, gram) count → per-doc max —
+    * two partial-aggregated shuffles keyed by (doc, gram) / doc, both
+    * uniformly distributed at any corpus size (gram keys are doc-local,
+    * so no key is ever hotter than its own document's gram count).
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tk = tokens(lower(col(textCol)))
+    val base = df.select(col(idCol).as("doc_id"), tk.as("tk"))
+      .select(col("doc_id"),
+        size(col("tk")).as("n_tokens"),
+        when(size(col("tk")) === 0, lit(0.0))
+          .otherwise(round(lit(1.0) -
+            size(array_distinct(col("tk"))).cast("double") /
+              size(col("tk")).cast("double"), 6)).as("dup_token_frac"),
+        when(size(col("tk")) >= 2,
+          transform(sequence(lit(0), size(col("tk")) - 2),
+            i => concat_ws(" ", slice(col("tk"), i + 1, lit(2)))))
+          .otherwise(array().cast("array<string>")).as("g2"))
+    val top = base
+      .select(col("doc_id"), explode(col("g2")).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max(col("c")).as("top_cnt"), sum(col("c")).as("n_2grams"))
+    base.select("doc_id", "n_tokens", "dup_token_frac")
+      // left join: docs with < 2 tokens have no 2-grams at all
+      .join(top, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_tokens"), col("dup_token_frac"),
+        coalesce(round(col("top_cnt").cast("double") / col("n_2grams").cast("double"), 6),
+          lit(0.0)).as("top_2gram_frac"))
+  }
+
+  /** PII patterns kept deliberately to the RE2-compatible common subset
+    * (character classes, bounded repetition, `\b`) so the engine and the
+    * oracle — and any other regex dialect a user swaps in — agree exactly.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII scrub: count and mask email addresses and IPv4 literals — the
+    * compliance pass a training corpus runs before anything else sees it.
+    * Pure per-row regex work (codegen'd built-ins): a narrow map that
+    * column-prunes to the text column and never shuffles.
+    *
+    * Returns (id, n_emails, n_ipv4, redacted) — callers wanting a
+    * compact audit trail can hash `redacted` instead of storing it.
+    */
+  def piiRedact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(
+      col(idCol),
+      size(regexp_extract_all(t, lit(EmailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(t, lit(Ipv4Re), lit(0))).as("n_ipv4"),
+      regexp_replace(regexp_replace(t, EmailRe, "<EMAIL>"), Ipv4Re, "<IP>")
+        .as("redacted"))
+  }
+
   /** All text statistics as one struct-producing projection, so callers
     * get every metric from a single scan of the text column.
     */

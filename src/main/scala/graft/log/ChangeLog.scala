@@ -81,7 +81,15 @@ object ChangeLog {
       base: Long = 0L,
       global: Boolean = false): DataFrame = {
     if (global) {
-      val w = Window.orderBy(col(ChangedAt), col(RecordId), col(Operation))
+      // partitionBy(constant): semantically identical to an empty partition
+      // spec (all rows hash to one partition) but DECLARED, so WindowExec
+      // doesn't log its move-everything-to-one-partition warning on every
+      // fixture derivation — the single partition is this mode's contract,
+      // not an accident. pmod(record_id, 1) rather than lit(0): Spark 4's
+      // optimizer strips FOLDABLE partition expressions, which would
+      // resurrect the empty spec.
+      val w = Window.partitionBy(pmod(col(RecordId), lit(1)))
+        .orderBy(col(ChangedAt), col(RecordId), col(Operation))
       changes.withColumn(CdcId, row_number().over(w).cast(LongType) + lit(base))
     } else {
       // monotonically_increasing_id() = partitionId << 33 | rowInPartition.

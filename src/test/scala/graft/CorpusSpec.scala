@@ -46,6 +46,58 @@ class CorpusSpec extends SparkSpecBase {
     assert(out(4L) === (("y", 1L, 0L)))
   }
 
+  test("decontaminate flags training docs sharing an n-gram with the eval set") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // shares 5-grams with eval doc 10
+      (2L, "completely unrelated text with no overlap at all"),
+      (3L, "tiny doc")) // < n tokens → whole-text shingle, no match
+      .toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, "we saw the quick brown fox jumps over a fence")).toDF("doc_id", "text")
+    val hits = Corpus.decontaminate(train, eval, "text", "doc_id", n = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // train doc 1 shares exactly "the quick brown fox jumps" and
+    // "quick brown fox jumps over" with the eval doc
+    assert(hits === Map(1L -> 2L))
+  }
+
+  test("mixStrata keeps per-stratum hash fractions and drops unknown strata") {
+    val df = s.range(0, 3000)
+      .withColumn("src", when(col("id") % 3 === 0, "a")
+        .when(col("id") % 3 === 1, "b").otherwise("c"))
+      .toDF("doc_id", "src")
+    val out = Corpus.mixStrata(df, "doc_id", col("src"),
+      Map("a" -> 1000, "b" -> 300), salt = "m")
+      .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("a") === 1000L)              // permille 1000 keeps all
+    assert(out("b") > 200 && out("b") < 400) // ~30%
+    assert(!out.contains("c"))              // absent stratum → dropped
+    // deterministic
+    val again = Corpus.mixStrata(df, "doc_id", col("src"),
+      Map("a" -> 1000, "b" -> 300), salt = "m").count()
+    assert(again === out.values.sum)
+  }
+
+  test("shuffleAssign gives dense per-shard positions, stable across runs") {
+    val df = s.range(0, 500).toDF("doc_id")
+    val out = Corpus.shuffleAssign(df, "doc_id", numShards = 8, salt = "x")
+    assert(out.count() === 500)
+    // positions are dense 1..n within each shard
+    val byShard = out.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max(col("pos")).as("mx"), min(col("pos")).as("mn"))
+      .collect()
+    assert(byShard.forall(r => r.getLong(2) === r.getLong(1) && r.getLong(3) === 1L))
+    // deterministic permutation
+    val a = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val b = Corpus.shuffleAssign(df, "doc_id", numShards = 8, salt = "x")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(a.sameElements(b))
+    // the permutation is not the identity order
+    val inShardOrder = out.filter(col("shard") === 0).orderBy("pos")
+      .collect().map(_.getLong(0))
+    assert(!inShardOrder.sameElements(inShardOrder.sorted))
+  }
+
   test("dedupClusters labels transitive duplicate chains with the component min id") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
     val labels = Corpus.dedupClusters(pairs)

@@ -376,4 +376,50 @@ class ExtOperatorsSpec extends SparkSpecBase {
     val frames = sampleFrames(media, 4)
     assert(frames.count() === 8)
   }
+
+  test("repetitionStats: duplicate-token fraction and top-2-gram share") {
+    val df = Seq(
+      (1L, "a a a b"),   // 4 tokens, 2 distinct → dup 0.5; 2-grams: "a a"×2, "a b" → top 2/3
+      (2L, "x y z"),     // no repeats → dup 0; all 2-grams unique → top 1/2
+      (3L, "solo"),      // single token → no 2-grams at all
+      (4L, ""))          // empty → all zeros
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out(1L) === ((4, 0.5, 0.666667)))
+    assert(out(2L) === ((3, 0.0, 0.5)))
+    assert(out(3L) === ((1, 0.0, 0.0)))
+    assert(out(4L) === ((0, 0.0, 0.0)))
+  }
+
+  test("piiRedact: counts and masks emails and IPv4 literals") {
+    val df = Seq(
+      (1L, "mail bob.smith+x@example.co.uk or root@10.0.0.1 from 192.168.1.254 ok"),
+      (2L, "no pii here, just 1.2 numbers and at signs @ alone"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.piiRedact(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    val (e1, ip1, red1) = out(1L)
+    // root@10.0.0.1 is NOT an email (TLD must be alphabetic) but IS an IP hit
+    assert(e1 === 1 && ip1 === 2)
+    assert(red1 === "mail <EMAIL> or root@<IP> from <IP> ok")
+    assert(out(2L) === ((0, 0, "no pii here, just 1.2 numbers and at signs @ alone")))
+  }
+
+  test("quantizeInt8: codes, scale, and reconstruction error") {
+    val df = Seq(
+      (1L, Seq(1.0f, -1.0f, 0.5f, 0.0f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f))) // zero vector → scale 1.0, zero codes
+      .toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(df, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getSeq[Long](3)))).toMap
+    val (sc1, err1, codes1) = out(1L)
+    assert(sc1 === 127.0)
+    // floor(0.5*127 + 0.5) = floor(64.0) = 64
+    assert(codes1 === Seq(127L, -127L, 64L, 0L))
+    // only the 0.5 component has error: |0.5 - 64/127| = 1/254
+    assert(math.abs(err1 - 1.0 / 254.0) < 1e-6)
+    assert(out(2L) === ((1.0, 0.0, Seq(0L, 0L, 0L, 0L))))
+  }
 }
