@@ -360,6 +360,21 @@ object SparkEntry {
     Corpus.shuffleAssign(documents(s, dir), "doc_id", numShards = 32, salt = "shuf")
       .orderBy("doc_id")
 
+  private def qCorpusTfidf(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    Corpus.tfidf(docs, "doc_id", "text", k = 3, docCount = docs.count())
+      .orderBy("doc_id", "rnk")
+  }
+
+  /** PQ codes over the same codebook sample the IVF queries use: 4
+    * subspaces of 16 dims each.
+    */
+  private def qEmbPqAssign(s: SparkSession, dir: String): DataFrame = {
+    val cents = Similarity.collectCentroids(embCentroids(s, dir), "vec_id", "embedding")
+    Similarity.pqAssign(embeddings(s, dir), "vec_id", "embedding", cents, m = 4)
+      .orderBy("vec_id", "sub_i")
+  }
+
   private def qEmbQuantize(s: SparkSession, dir: String): DataFrame =
     Similarity.quantizeInt8(embeddings(s, dir), "vec_id", "embedding")
       .select(col("vec_id"), col("qscale"), col("l2_err"),
@@ -565,7 +580,9 @@ object SparkEntry {
     "corpus_shuffle" -> (qCorpusShuffle _),
     "text_repetition" -> (qTextRepetition _),
     "text_pii_redact" -> (qTextPiiRedact _),
+    "corpus_tfidf" -> (qCorpusTfidf _),
     "emb_quantize" -> (qEmbQuantize _),
+    "emb_pq_assign" -> (qEmbPqAssign _),
     "dedup_clusters" -> (qDedupClusters _),
     "ann_brute_force" -> (qAnnBruteForce _),
     "ann_lsh" -> (qAnnLsh _),
@@ -1104,6 +1121,37 @@ object SparkEntry {
          |  md5(regexp_replace(regexp_replace(t2, '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
          |        '${TextAnalysis.Ipv4Re}', '<IP>', 'g')) AS redacted_md5
          |FROM s ORDER BY doc_id""".stripMargin,
+
+    "corpus_tfidf" ->
+      s"""WITH $TextTokensCte,
+         |tok AS (SELECT doc_id, unnest(ltoks) AS token FROM t),
+         |tfq AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+         |        FROM tok GROUP BY doc_id, token),
+         |dfq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tfq GROUP BY token),
+         |nn AS (SELECT COUNT(*) AS n FROM documents),
+         |sc AS (SELECT tfq.doc_id, tfq.token, tfq.tf, dfq.df,
+         |         round(CAST(tfq.tf AS DOUBLE)
+         |               * (CAST(nn.n + 1 AS DOUBLE) / CAST(dfq.df + 1 AS DOUBLE)), 6) AS score
+         |       FROM tfq JOIN dfq ON tfq.token = dfq.token, nn),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |                                   ORDER BY score DESC, token) AS rn FROM sc)
+         |SELECT doc_id, token, tf, df, score, CAST(rn AS INT) AS rnk
+         |FROM r WHERE rn <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+    "emb_pq_assign" ->
+      s"""WITH $EmbBase,
+         |sp AS (SELECT unnest(range(0, 4)) AS i),
+         |d AS (
+         |  SELECT e.vec_id, sp.i AS sub_i, c.cid,
+         |    list_reduce(list_prepend(0.0, list_transform(range(1, 17),
+         |      k -> (e.v[CAST(sp.i*16+k AS INT)] - c.cv[CAST(sp.i*16+k AS INT)])
+         |           * (e.v[CAST(sp.i*16+k AS INT)] - c.cv[CAST(sp.i*16+k AS INT)]))),
+         |      (acc, x) -> acc + x) AS dist2
+         |  FROM e, c, sp),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id, sub_i
+         |                                   ORDER BY dist2, cid) AS rn FROM d)
+         |SELECT vec_id, CAST(sub_i AS INT) AS sub_i, cid AS code, round(dist2, 6) AS dist2
+         |FROM r WHERE rn = 1 ORDER BY vec_id, sub_i""".stripMargin,
 
     "emb_quantize" ->
       """WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

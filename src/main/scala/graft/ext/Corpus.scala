@@ -64,6 +64,39 @@ object Corpus {
       .drop("cum")
   }
 
+  /** Top-`k` TF-IDF terms per document — the classic keyword/topic
+    * extraction pass. The idf factor is the RATIONAL form `(N+1)/(df+1)`
+    * rather than its logarithm: the ranking it induces per document is
+    * the same (log is monotone), and staying inside exactly-rounded IEEE
+    * ops (`*`, `/`) keeps scores bit-identical across engines, where
+    * `ln` is only correctly-rounded on some libms. Scores are rounded
+    * to 6 dp BEFORE ranking so the rank is stable.
+    *
+    * Plan: explode → (doc, token) hash-agg → token-keyed df agg + join
+    * back → per-doc top-k window. All keys are either doc-local or
+    * vocabulary terms — uniformly distributed at any corpus size; the
+    * df side is vocabulary-sized (broadcastable for natural-language
+    * vocabularies, shuffle join otherwise — left to AQE).
+    *
+    * `docCount` is the corpus size N (callers usually pass `df.count()`;
+    * taken as a parameter so a pipeline that already knows N doesn't
+    * rescan for it).
+    */
+  def tfidf(df: DataFrame, idCol: String, textCol: String, k: Int, docCount: Long): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(TextAnalysis.tokens(lower(col(textCol)))).as("token"))
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("token").asc)
+    tf.join(dfreq, Seq("token"))
+      .withColumn("score",
+        round(col("tf").cast("double") *
+          (lit((docCount + 1).toDouble) / (col("df") + 1).cast("double")), 6))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("token"), col("tf"), col("df"), col("score"), col("rnk"))
+  }
+
   /** Benchmark decontamination: flag training documents that share at
     * least one word `n`-gram with an evaluation/benchmark set — the
     * standard pre-training hygiene step that keeps test data out of the

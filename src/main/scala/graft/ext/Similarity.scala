@@ -398,6 +398,58 @@ object Similarity {
     *    the candidate exchange is what must stay small, and it is
     *    O(bands × corpus) ids, not O(corpus) × vector-bytes.
     */
+  /** Product-quantization code assignment: split each vector into `m`
+    * equal subspaces and assign each subvector to its nearest (squared-L2)
+    * codeword — the PQ rung of an IVF-PQ index, which is what actually
+    * makes 100 TB of embeddings searchable (m bytes per vector instead of
+    * 4·dim). Same execution shape as [[ivfAssign]]: the codebook rides
+    * in the plan as a literal, the assignment is a narrow map over the
+    * corpus — zero shuffle, constant expression size via runtime
+    * `aggregate` folds. Ties break to the smaller codeword id (strict-<
+    * fold over the id-sorted codebook).
+    *
+    * Output: one row per (vector, subspace): (id, sub_i, code, dist2).
+    */
+  def pqAssign(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Seq[(Long, Seq[Double])],
+      m: Int): DataFrame = {
+    require(cents.nonEmpty, "codebook must be non-empty")
+    val dim = cents.head._2.length
+    require(m > 0 && dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val v = col(vecCol).cast("array<double>")
+    val subCodes = (0 until m).map { i =>
+      val codebook = typedLit(cents.map { case (cid, c) =>
+        (cid, c.slice(i * sub, (i + 1) * sub))
+      })
+      val subv = slice(v, i * sub + 1, sub)
+      val best = aggregate(
+        codebook,
+        struct(lit(Double.MaxValue).as("d"), lit(Long.MaxValue).as("c")),
+        (acc, ct) => {
+          // sequential left fold over the subspace dims — the exact
+          // arithmetic order the oracle's list_reduce reproduces
+          val d2 = aggregate(
+            zip_with(subv, ct.getField("_2"), (x, c) => (x - c) * (x - c)),
+            lit(0.0), (a, e) => a + e)
+          when(d2 < acc.getField("d"),
+            struct(d2.as("d"), ct.getField("_1").cast("long").as("c")))
+            .otherwise(acc)
+        })
+      struct(lit(i).as("sub_i"),
+        // null vector → fold never beats the sentinel → surface NULL
+        when(best.getField("c") === Long.MaxValue, lit(null).cast("long"))
+          .otherwise(best.getField("c")).as("code"),
+        round(best.getField("d"), 6).as("dist2"))
+    }
+    df.select(col(idCol), posexplode(array(subCodes: _*)).as(Seq("pos", "sc")))
+      .select(col(idCol), col("sc.sub_i").as("sub_i"),
+        col("sc.code").as("code"), col("sc.dist2").as("dist2"))
+  }
+
   /** Symmetric int8 quantization of an embedding column — the 4× memory/
     * bandwidth compression that makes a 100 TB float corpus a 25 TB ANN
     * index (the standard first rung before product quantization). Per

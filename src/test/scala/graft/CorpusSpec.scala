@@ -46,6 +46,23 @@ class CorpusSpec extends SparkSpecBase {
     assert(out(4L) === (("y", 1L, 0L)))
   }
 
+  test("tfidf ranks rare terms above common ones with rational idf") {
+    val df = Seq(
+      (1L, "apple banana apple"),
+      (2L, "banana cherry"),
+      (3L, "banana")).toDF("doc_id", "text")
+    val out = Corpus.tfidf(df, "doc_id", "text", k = 2, docCount = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getInt(5))).sortBy(t => (t._1, t._6))
+    // score = tf * (N+1)/(df+1) = tf * 4/(df+1)
+    assert(out === Seq(
+      (1L, "apple", 2L, 1L, 4.0, 1),  // 2 * 4/2
+      (1L, "banana", 1L, 3L, 1.0, 2), // 1 * 4/4
+      (2L, "cherry", 1L, 1L, 2.0, 1),
+      (2L, "banana", 1L, 3L, 1.0, 2),
+      (3L, "banana", 1L, 3L, 1.0, 1)))
+  }
+
   test("decontaminate flags training docs sharing an n-gram with the eval set") {
     val train = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"), // shares 5-grams with eval doc 10

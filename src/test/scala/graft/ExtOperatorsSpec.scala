@@ -406,6 +406,28 @@ class ExtOperatorsSpec extends SparkSpecBase {
     assert(out(2L) === ((0, 0, "no pii here, just 1.2 numbers and at signs @ alone")))
   }
 
+  test("pqAssign: per-subspace nearest codeword, ties to lower id, zero shuffle") {
+    val cents = Seq(
+      (1L, Seq(0.0, 0.0, 10.0, 10.0)),
+      (2L, Seq(5.0, 5.0, 0.0, 0.0)))
+    val df = Seq(
+      (10L, Seq(0.4f, 0.1f, 9.0f, 9.0f)),   // sub0 → cw1, sub1 → cw1
+      (20L, Seq(5.0f, 5.0f, 0.0f, 1.0f)),   // sub0 → cw2, sub1 → cw2
+      (30L, Seq(2.5f, 2.5f, 5.0f, 5.0f)))   // sub0 tie (12.5 both) → cw1
+      .toDF("vec_id", "embedding")
+    val out = Similarity.pqAssign(df, "vec_id", "embedding", cents, m = 2)
+    val codes = out.collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(codes((10L, 0)) === ((1L, 0.17)))
+    assert(codes((10L, 1)) === ((1L, 2.0)))
+    assert(codes((20L, 0)) === ((2L, 0.0)))
+    assert(codes((20L, 1)) === ((2L, 1.0)))
+    assert(codes((30L, 0))._1 === 1L) // tie breaks to the smaller codeword id
+    // narrow map: no exchange anywhere in the plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"pqAssign plan should be shuffle-free:\n$plan")
+  }
+
   test("quantizeInt8: codes, scale, and reconstruction error") {
     val df = Seq(
       (1L, Seq(1.0f, -1.0f, 0.5f, 0.0f)),
