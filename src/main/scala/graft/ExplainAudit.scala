@@ -14,7 +14,9 @@ object ExplainAudit {
     val names = args.lift(1).map(_.split(",").toSeq).getOrElse(Seq(
       "lineitem_agg", "top_revenue_join", "cdc_apply_changes",
       "cdc_pending_scan", "ann_brute_force", "ann_ivf_assign",
-      "emb_near_dup", "corpus_sample", "corpus_pack"))
+      "emb_near_dup", "corpus_sample", "corpus_pack",
+      "corpus_decontaminate", "corpus_mix", "corpus_tfidf",
+      "text_repetition", "text_pii_redact", "emb_quantize", "emb_pq_assign"))
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
