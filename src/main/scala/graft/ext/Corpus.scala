@@ -169,6 +169,33 @@ object Corpus {
       .drop("h")
   }
 
+  /** Streaming corpus ingest: the continuous front door of a training-data
+    * pipeline — quality-score each arriving document, drop the ones below
+    * `minQuality`, and suppress exact re-ingestions (crawler retries,
+    * at-least-once sources) by content fingerprint within the watermark.
+    *
+    * State is keyed by fingerprint and evicted once the watermark passes
+    * `tsCol` + `watermarkDelay`: O(docs per watermark window), never
+    * O(corpus history) — re-crawls beyond the window are deliberately NOT
+    * suppressed here (that is batch dedup's job over the landed corpus;
+    * unbounded streaming state would be the 100 TB failure mode). The
+    * batch equivalent over a static frame is quality-filter +
+    * `dropDuplicates("fp")`.
+    */
+  def streamingIngest(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      tsCol: String,
+      minQuality: Double,
+      watermarkDelay: String = "1 hour"): DataFrame =
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .withColumn("quality", TextAnalysis.qualityScore(col(textCol)))
+      .filter(col("quality") >= minQuality)
+      .withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Connected components over near-duplicate pairs: every document in a
     * duplicate cluster is labeled with the cluster's minimum id — the
     * step that turns pairwise dedup output into "keep one per cluster".
@@ -200,16 +227,16 @@ object Corpus {
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min(col("label")).as("nlabel"))
-      val updated = labels
+      // ONE join per round: carry (old, new) label side by side in the
+      // checkpointed frame, so the convergence check is a narrow scan of
+      // materialized rows instead of a second label-vs-label join.
+      val joined = labels
         .join(neighborMin, Seq("id"), "left_outer")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("nl"))
         .localCheckpoint(true)
-      converged = updated
-        .join(labels.withColumnRenamed("label", "old"), Seq("id"))
-        .filter(col("label") =!= col("old"))
-        .isEmpty
-      labels = updated
+      converged = joined.filter(col("nl") =!= col("label")).isEmpty
+      labels = joined.select(col("id"), col("nl").as("label"))
     }
     edges.unpersist()
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))

@@ -115,6 +115,38 @@ class CorpusSpec extends SparkSpecBase {
     assert(!inShardOrder.sameElements(inShardOrder.sorted))
   }
 
+  test("streamingIngest filters low quality and suppresses re-ingested content") {
+    val tmp = java.nio.file.Files.createTempDirectory("corpingest").toString
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2026-01-01 10:05:00")
+    val good = "the quick brown fox is one of the fine animals that it is and a joy to see"
+    val junk = "@@@ ### !!! %%% ^^^ &&& *** ((( )))"
+    Seq((1L, good, t0), (2L, junk, t0))
+      .toDF("doc_id", "text", "ingest_ts")
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val schema = Seq.empty[(Long, String, java.sql.Timestamp)]
+      .toDF("doc_id", "text", "ingest_ts").schema
+    val stream = s.readStream.schema(schema).parquet(s"$tmp/in")
+    val q = Corpus.streamingIngest(stream, "doc_id", "text", "ingest_ts",
+        minQuality = 0.5, watermarkDelay = "2 hours")
+      .writeStream.format("memory").queryName("corp_ingest")
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/chk")
+      .start()
+    try {
+      q.processAllAvailable()
+      // batch 2: doc 3 re-ingests doc 1's exact content (crawler retry),
+      // doc 4 is new good content
+      Seq((3L, good, t1), (4L, good + " indeed", t1))
+        .toDF("doc_id", "text", "ingest_ts")
+        .write.mode("append").parquet(s"$tmp/in")
+      q.processAllAvailable()
+      val got = s.table("corp_ingest").select("doc_id").collect()
+        .map(_.getLong(0)).sorted.toSeq
+      assert(got === Seq(1L, 4L)) // junk dropped, re-ingest suppressed
+    } finally q.stop()
+  }
+
   test("dedupClusters labels transitive duplicate chains with the component min id") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
     val labels = Corpus.dedupClusters(pairs)
