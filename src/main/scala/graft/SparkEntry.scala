@@ -375,6 +375,18 @@ object SparkEntry {
       .orderBy("vec_id", "sub_i")
   }
 
+  /** ADC search over the PQ codes from the same codebook: the corpus is
+    * compressed to 4 codeword ids per vector, queries precompute distance
+    * tables, rank 1 = nearest.
+    */
+  private def qAnnPqTopK(s: SparkSession, dir: String): DataFrame = {
+    val cents = Similarity.collectCentroids(embCentroids(s, dir), "vec_id", "embedding")
+    val codes = Similarity.pqCodes(embeddings(s, dir), "vec_id", "embedding", cents, m = 4)
+    Similarity.pqTopK(codes, embQueries(s, dir), "vec_id", "codes",
+        "vec_id", "embedding", cents, m = 4, k = 10)
+      .orderBy("query_id", "rnk")
+  }
+
   private def qEmbQuantize(s: SparkSession, dir: String): DataFrame =
     Similarity.quantizeInt8(embeddings(s, dir), "vec_id", "embedding")
       .select(col("vec_id"), col("qscale"), col("l2_err"),
@@ -583,6 +595,7 @@ object SparkEntry {
     "corpus_tfidf" -> (qCorpusTfidf _),
     "emb_quantize" -> (qEmbQuantize _),
     "emb_pq_assign" -> (qEmbPqAssign _),
+    "ann_pq_topk" -> (qAnnPqTopK _),
     "dedup_clusters" -> (qDedupClusters _),
     "ann_brute_force" -> (qAnnBruteForce _),
     "ann_lsh" -> (qAnnLsh _),
@@ -1152,6 +1165,37 @@ object SparkEntry {
          |                                   ORDER BY dist2, cid) AS rn FROM d)
          |SELECT vec_id, CAST(sub_i AS INT) AS sub_i, cid AS code, round(dist2, 6) AS dist2
          |FROM r WHERE rn = 1 ORDER BY vec_id, sub_i""".stripMargin,
+
+    "ann_pq_topk" ->
+      s"""WITH $EmbBase,
+         |sp AS (SELECT unnest(range(0, 4)) AS i),
+         |d AS (
+         |  SELECT e.vec_id, sp.i AS sub_i, c.cid,
+         |    list_reduce(list_prepend(0.0, list_transform(range(1, 17),
+         |      k -> (e.v[CAST(sp.i*16+k AS INT)] - c.cv[CAST(sp.i*16+k AS INT)])
+         |           * (e.v[CAST(sp.i*16+k AS INT)] - c.cv[CAST(sp.i*16+k AS INT)]))),
+         |      (acc, x) -> acc + x) AS dist2
+         |  FROM e, c, sp),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id, sub_i
+         |                                   ORDER BY dist2, cid) AS rn FROM d),
+         |pqc AS (SELECT vec_id, sub_i, cid AS code FROM r WHERE rn = 1),
+         |qd AS (
+         |  SELECT q.query_id, pqc.vec_id, pqc.sub_i,
+         |    list_reduce(list_prepend(0.0, list_transform(range(1, 17),
+         |      k -> (q.qv[CAST(pqc.sub_i*16+k AS INT)] - c.cv[CAST(pqc.sub_i*16+k AS INT)])
+         |           * (q.qv[CAST(pqc.sub_i*16+k AS INT)] - c.cv[CAST(pqc.sub_i*16+k AS INT)]))),
+         |      (acc, x) -> acc + x) AS dsub
+         |  FROM pqc JOIN c ON c.cid = pqc.code CROSS JOIN q
+         |  WHERE pqc.vec_id <> q.query_id),
+         |adc AS (
+         |  SELECT query_id, vec_id AS neighbor_id,
+         |    round(list_reduce(list_prepend(0.0, list(dsub ORDER BY sub_i)),
+         |      (a, x) -> a + x), 6) AS adc_dist2
+         |  FROM qd GROUP BY query_id, vec_id),
+         |rr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                    ORDER BY adc_dist2, neighbor_id) AS rn FROM adc)
+         |SELECT query_id, neighbor_id, adc_dist2, CAST(rn AS INT) AS rnk
+         |FROM rr WHERE rn <= 10 ORDER BY query_id, rnk""".stripMargin,
 
     "emb_quantize" ->
       """WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -88,6 +88,25 @@ object Dedup {
     when(union === 0, lit(0.0)).otherwise(inter / union)
   }
 
+  /** [[jaccardSorted]] for callers that immediately filter
+    * `round(jac, 6) >= minJaccard`: runs the threshold-bounded kernel
+    * ([[graft.expr.SortedIntersectCountBounded]]), which early-exits —
+    * returning a provably-below-threshold undercount — as soon as the
+    * remaining elements cannot lift the pair over the filter. Values for
+    * pairs AT or ABOVE the threshold are identical to [[jaccardSorted]];
+    * values below it may be smaller but never cross the filter in either
+    * direction, so the post-filter result set is exactly the same.
+    */
+  def jaccardSortedAtLeast(a: Column, b: Column, minJaccard: Double): Column = {
+    val inter = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.expr.SortedIntersectCountBounded(
+        org.apache.spark.sql.GraftSqlBridge.expression(a),
+        org.apache.spark.sql.GraftSqlBridge.expression(b),
+        org.apache.spark.sql.GraftSqlBridge.expression(lit(minJaccard)))).cast("double")
+    val union = (size(a) + size(b)).cast("double") - inter
+    when(union === 0, lit(0.0)).otherwise(inter / union)
+  }
+
   /** All pairs within the same block with n-gram Jaccard >= `threshold`.
     *
     * `blockCol` bounds the quadratic comparison (same-language, same
@@ -203,7 +222,8 @@ object Dedup {
       // the prefilter must not cut pairs inside that half-step.
       .filter(least(size(col("sh_a")), size(col("sh_b"))).cast("double")
         >= greatest(size(col("sh_a")), size(col("sh_b"))) * tPre)
-      .withColumn("jac", round(jaccardSorted(col("sh_a"), col("sh_b")), 6))
+      .withColumn("jac",
+        round(jaccardSortedAtLeast(col("sh_a"), col("sh_b"), threshold), 6))
       .filter(col("jac") >= threshold)
       .select(
         least(col("id_a"), col("id_b")).as("id_a"),
@@ -375,7 +395,8 @@ object Dedup {
     pairs
       .join(hashed.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(hashed.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("jac", round(jaccardSorted(col("sh_a"), col("sh_b")), 6))
+      .withColumn("jac",
+        round(jaccardSortedAtLeast(col("sh_a"), col("sh_b"), threshold), 6))
       .filter(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"), col("jac"))
   }

@@ -410,23 +410,27 @@ object Similarity {
     *
     * Output: one row per (vector, subspace): (id, sub_i, code, dist2).
     */
-  def pqAssign(
-      df: DataFrame,
-      idCol: String,
-      vecCol: String,
-      cents: Seq[(Long, Seq[Double])],
-      m: Int): DataFrame = {
+  /** Subspace width for an `m`-way split of the codebook's dim. */
+  private def pqSubWidth(cents: Seq[(Long, Seq[Double])], m: Int): Int = {
     require(cents.nonEmpty, "codebook must be non-empty")
     val dim = cents.head._2.length
     require(m > 0 && dim % m == 0, s"dim $dim not divisible into $m subspaces")
-    val sub = dim / m
-    val v = col(vecCol).cast("array<double>")
-    val subCodes = (0 until m).map { i =>
+    dim / m
+  }
+
+  /** Per-subspace argmin struct(d: best squared-L2, c: best codeword id)
+    * for vector `v` — the shared kernel of [[pqAssign]]/[[pqCodes]].
+    * Strict-< fold over the id-sorted codebook ⇒ ties to the smaller id.
+    */
+  private def pqBest(
+      v: Column, cents: Seq[(Long, Seq[Double])], m: Int): Seq[Column] = {
+    val sub = pqSubWidth(cents, m)
+    (0 until m).map { i =>
       val codebook = typedLit(cents.map { case (cid, c) =>
         (cid, c.slice(i * sub, (i + 1) * sub))
       })
       val subv = slice(v, i * sub + 1, sub)
-      val best = aggregate(
+      aggregate(
         codebook,
         struct(lit(Double.MaxValue).as("d"), lit(Long.MaxValue).as("c")),
         (acc, ct) => {
@@ -439,15 +443,101 @@ object Similarity {
             struct(d2.as("d"), ct.getField("_1").cast("long").as("c")))
             .otherwise(acc)
         })
-      struct(lit(i).as("sub_i"),
-        // null vector → fold never beats the sentinel → surface NULL
-        when(best.getField("c") === Long.MaxValue, lit(null).cast("long"))
-          .otherwise(best.getField("c")).as("code"),
-        round(best.getField("d"), 6).as("dist2"))
     }
+  }
+
+  /** Null-normalized codeword id from a [[pqBest]] struct: a null vector
+    * never beats the sentinel accumulator — surface NULL, not Long.MaxValue.
+    */
+  private def pqCode(best: Column): Column =
+    when(best.getField("c") === Long.MaxValue, lit(null).cast("long"))
+      .otherwise(best.getField("c"))
+
+  def pqAssign(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Seq[(Long, Seq[Double])],
+      m: Int): DataFrame = {
+    val subCodes = pqBest(col(vecCol).cast("array<double>"), cents, m)
+      .zipWithIndex.map { case (best, i) =>
+        struct(lit(i).as("sub_i"), pqCode(best).as("code"),
+          round(best.getField("d"), 6).as("dist2"))
+      }
     df.select(col(idCol), posexplode(array(subCodes: _*)).as(Seq("pos", "sc")))
       .select(col(idCol), col("sc.sub_i").as("sub_i"),
         col("sc.code").as("code"), col("sc.dist2").as("dist2"))
+  }
+
+  /** The compressed PQ representation itself: one `array<long>` of `m`
+    * codeword ids per vector — m bytes-equivalent per vector in a real
+    * byte-packed layout, vs 4·dim for the floats. The input
+    * [[pqTopK]] searches over; persist it partitioned/bucketed like any
+    * other corpus column. Zero-shuffle narrow map like [[pqAssign]].
+    */
+  def pqCodes(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Seq[(Long, Seq[Double])],
+      m: Int): DataFrame =
+    df.select(col(idCol),
+      array(pqBest(col(vecCol).cast("array<double>"), cents, m).map(pqCode): _*)
+        .as("codes"))
+
+  /** Approximate top-k by ASYMMETRIC DISTANCE COMPUTATION over PQ codes —
+    * how a 100 TB ANN index is actually served: the corpus is only its
+    * m-byte codes; each query precomputes a distance TABLE (query
+    * subvector → every codeword, m·|codebook| doubles) ONCE, and scoring
+    * a corpus vector is m table lookups + adds, never touching floats.
+    *
+    * Plan: queries (small) build their tables in one narrow projection
+    * and are BROADCAST; the codes corpus streams through a
+    * broadcast-nested-loop + [[TopKAggregator]] partial top-k — shuffle
+    * traffic k × maps × queries, independent of corpus size, same shape
+    * as [[bruteForceTopK]] but with code-lookup scoring. Distances are
+    * rounded to 6 dp before ranking; ties break on neighbor id.
+    *
+    * Output: (query_id, neighbor_id, adc_dist2, rnk) — rank 1 = nearest.
+    */
+  def pqTopK(
+      codes: DataFrame,
+      queries: DataFrame,
+      codesId: String,
+      codesCol: String,
+      queryId: String,
+      queryVec: String,
+      cents: Seq[(Long, Seq[Double])],
+      m: Int,
+      k: Int): DataFrame = {
+    val sub = pqSubWidth(cents, m)
+    val qv = col(queryVec).cast("array<double>")
+    // per-query ADC table: for each subspace, a codeword-id → distance map
+    val dtab = array((0 until m).map { i =>
+      map(cents.flatMap { case (cid, c) =>
+        Seq(lit(cid),
+          aggregate(
+            zip_with(slice(qv, i * sub + 1, sub),
+              typedLit(c.slice(i * sub, (i + 1) * sub)),
+              (x, cc) => (x - cc) * (x - cc)),
+            lit(0.0), (a, e) => a + e))
+      }: _*)
+    }: _*)
+    val q = queries.select(col(queryId).as("query_id"), dtab.as("__dtab"))
+    // score = m lookups, summed in ascending-subspace order (the exact
+    // fold the oracle reproduces); negated because TopK keeps score DESC
+    val adc = (0 until m)
+      .map(i => element_at(element_at(col("__dtab"), i + 1),
+        element_at(col("__codes"), i + 1)))
+      .reduce(_ + _)
+    val scored = codes
+      .select(col(codesId).as("neighbor_id"), col(codesCol).as("__codes"))
+      .crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score", round(-adc, 6))
+    TopK.perGroup(scored, Seq("query_id"), col("score"), col("neighbor_id"), k)
+      .select(col("query_id"), col("neighbor_id"),
+        abs(col("score")).as("adc_dist2"), col("rnk"))
   }
 
   /** Symmetric int8 quantization of an embedding column — the 4× memory/

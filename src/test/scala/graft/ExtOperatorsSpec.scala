@@ -68,6 +68,31 @@ class ExtOperatorsSpec extends SparkSpecBase {
     assert(bad === 0)
   }
 
+  test("bounded intersect kernel: filter-equivalent to the exact kernel at every threshold") {
+    val rnd = new scala.util.Random(13)
+    val rows = Seq.tabulate(300) { i =>
+      def arr() = Seq.fill(1 + rnd.nextInt(40))(rnd.nextInt(50).toLong)
+        .distinct.sorted
+      (i.toLong, arr(), arr())
+    }
+    val df = rows.toDF("id", "a", "b")
+    for (t <- Seq(0.0, 0.2, 0.5, 0.8, 1.0)) {
+      val both = df.select(col("id"),
+          round(Dedup.jaccardSorted(col("a"), col("b")), 6).as("exact"),
+          round(Dedup.jaccardSortedAtLeast(col("a"), col("b"), t), 6).as("bounded"))
+        .collect()
+      both.foreach { r =>
+        val (exact, bounded) = (r.getDouble(1), r.getDouble(2))
+        // identical decision at the filter...
+        assert((exact >= t) === (bounded >= t), s"t=$t id=${r.getLong(0)}")
+        // ...and identical VALUE for every surviving pair
+        if (exact >= t) assert(bounded === exact, s"t=$t id=${r.getLong(0)}")
+        // an undercount only ever lowers the value
+        assert(bounded <= exact, s"t=$t id=${r.getLong(0)}")
+      }
+    }
+  }
+
   test("ngram banding + salting preserve the exact all-pairs output on random docs") {
     // Adversarial check of the length-band blocking: the operator's
     // output must equal a naive all-pairs jaccard over raw string
@@ -426,6 +451,28 @@ class ExtOperatorsSpec extends SparkSpecBase {
     // narrow map: no exchange anywhere in the plan
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"pqAssign plan should be shuffle-free:\n$plan")
+  }
+
+  test("pqTopK: ADC distances are sums of query-to-codeword subspace distances") {
+    val cents = Seq(
+      (1L, Seq(0.0, 0.0, 10.0, 10.0)),
+      (2L, Seq(5.0, 5.0, 0.0, 0.0)))
+    val corpus = Seq(
+      (10L, Seq(0.4f, 0.1f, 9.0f, 9.0f)),  // codes (1, 1)
+      (20L, Seq(5.0f, 5.0f, 0.0f, 1.0f)),  // codes (2, 2)
+      (30L, Seq(2.5f, 2.5f, 5.0f, 5.0f)))  // codes (1, 1) — sub1 ties → cw1
+      .toDF("vec_id", "embedding")
+    val queries = Seq((99L, Seq(0.0f, 0.0f, 10.0f, 10.0f))) // = codeword 1
+      .toDF("vec_id", "embedding")
+    val codes = Similarity.pqCodes(corpus, "vec_id", "embedding", cents, m = 2)
+    val out = Similarity.pqTopK(codes, queries, "vec_id", "codes",
+        "vec_id", "embedding", cents, m = 2, k = 3)
+      .orderBy("rnk")
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    // docs 10 and 30 both encode to (cw1, cw1): ADC distance 0 from the
+    // query (which IS codeword 1); tie breaks on id. doc 20 → (cw2, cw2):
+    // ||(0,0)-(5,5)||² + ||(10,10)-(0,0)||² = 50 + 200
+    assert(out === Seq((10L, 0.0, 1), (30L, 0.0, 2), (20L, 250.0, 3)))
   }
 
   test("quantizeInt8: codes, scale, and reconstruction error") {
