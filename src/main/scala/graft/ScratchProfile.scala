@@ -1,0 +1,51 @@
+package graft
+
+// Temporary dev tool (not shipped): phase timings for the minhash pipeline.
+object ScratchProfile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.extensions", "graft.expr.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions._
+    import graft.ext.{Dedup, HashMode}
+
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[prof] $label%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+
+    val docs = Fixtures.documents(spark, sfDir)
+    val par = spark.sparkContext.defaultParallelism
+
+    val base = time("shingle+checkpoint") {
+      docs.select(col("doc_id").as("id"), Dedup.shingles(col("text"), 3).as("shs"))
+        .repartition(par).localCheckpoint(true)
+    }
+    time("hashed sorted arrays") {
+      base.select(col("id"),
+        array_sort(array_distinct(transform(col("shs"), s => xxhash64(s)))).as("sh"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("portable signature") {
+      base.select(col("id"),
+        Dedup.minhashSignature(col("shs"), 128, HashMode.Portable).as("sig"))
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("full minhashLshDedup") {
+      Dedup.minhashLshDedup(docs, "text", "doc_id",
+        n = 3, bands = 16, rowsPerBand = 8, threshold = 0.5,
+        mode = HashMode.Portable).count()
+    }
+    time("full ngram (pair gen)") {
+      Dedup.ngramJaccardDedup(docs, "text", "doc_id",
+        col("lang"), n = 3, threshold = 0.2, saltFanout = 16,
+        maxBlockRows = Some(100000L)).count()
+    }
+    spark.stop()
+  }
+}

@@ -116,12 +116,20 @@ object Corpus {
       textCol: String,
       idCol: String,
       n: Int): DataFrame = {
+    // grams are matched by 64-bit hash, not string: the native
+    // [[Dedup.hashedShingles]] kernel goes text → sorted distinct hashes
+    // in one pass (the string-building Column chain was the query's whole
+    // cost), the broadcast set carries 8 B/gram instead of the strings,
+    // and the probe compares longs. A false hit needs an xxhash64
+    // collision between a train gram and an eval gram — P ≈
+    // |train|·|eval|/2⁶⁴, vanishing at any real corpus size (same
+    // documented trade as the ngram dedup pipeline).
     val evalGrams = eval
-      .select(explode(Dedup.shingles(col(textCol), n)).as("gram"))
+      .select(explode(Dedup.hashedShingles(col(textCol), n)).as("gram"))
       .distinct()
     train
       .select(col(idCol).as("doc_id"),
-        explode(Dedup.shingles(col(textCol), n)).as("gram"))
+        explode(Dedup.hashedShingles(col(textCol), n)).as("gram"))
       .join(broadcast(evalGrams), Seq("gram"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_hit_ngrams"))

@@ -54,6 +54,18 @@ object Dedup {
           i => concat_ws(" ", slice(tk, i + 1, lit(n))))))
   }
 
+  /** Sorted distinct xxhash64 hashes of [[shingles]], via the one-pass
+    * native [[graft.expr.HashedShingles]] kernel — bit-identical to
+    * `array_sort(array_distinct(transform(shingles(text, n), xxhash64)))`
+    * (cross-checked in tests) at a fraction of the cost: the Column chain
+    * was ~8 s of every fuzzy-dedup query at sf0.1, all of it interpreted
+    * lambdas and per-window string/array allocation.
+    */
+  def hashedShingles(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.expr.HashedShingles(
+        org.apache.spark.sql.GraftSqlBridge.expression(text), n))
+
   /** Exact Jaccard similarity of two PRE-DISTINCT shingle arrays.
     * |A∪B| is derived as |A|+|B|−|A∩B| — valid ONLY for distinct inputs
     * (every internal caller produces distinct shingle sets), saving the
@@ -158,7 +170,7 @@ object Dedup {
     val base0 = df.select(
       col(idCol).as("id"),
       blockCol.as("blk"),
-      array_sort(array_distinct(transform(shingles(col(textCol), n), s => xxhash64(s)))).as("sh"))
+      hashedShingles(col(textCol), n).as("sh"))
       .withColumn("band", floor(log(size(col("sh")).cast("double")) / logR).cast("int"))
     // With the guard on, the shingled base is consumed three times (guard
     // count + both join sides): materialize so the shingle/sort work runs
@@ -351,34 +363,39 @@ object Dedup {
       rowsPerBand: Int = 8,
       threshold: Double = 0.8,
       mode: HashMode = HashMode.Engine): DataFrame = {
-    // One materialized scan computes the shingle strings; the signature
-    // and both verify sides derive from it instead of re-running the
-    // (interpreted, string-heavy) shingle expression three times per
-    // query. localCheckpoint (not persist) so the blocks are released on
-    // GC rather than accumulating in the CacheManager across invocations
-    // in a long-lived session. O(corpus) storage — never the pair set.
+    // Verify-side representation: sorted distinct hashed shingles from
+    // the one-pass native kernel — the pair-level verify intersects
+    // primitive arrays, never strings. Jaccard values are hash-invariant
+    // (set cardinalities), so this is independent of `mode` — the oracle
+    // computes the same counts over raw string shingles. Checkpointed
+    // because the verify fetch-joins consume it twice; localCheckpoint
+    // (not persist) so blocks release on GC rather than accumulating in
+    // the CacheManager across invocations. O(corpus) storage — never the
+    // pair set.
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
-    val base = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("shs"))
+    val hashed = df.select(col(idCol).as("id"), hashedShingles(col(textCol), n).as("sh"))
       .repartition(parallelism)
       .localCheckpoint(true)
 
-    // Shingles are hashed to longs for the verify (same trick as
-    // ngramJaccardDedup): the pair-level verify then intersects primitive
-    // arrays instead of strings. Jaccard values are hash-invariant (set
-    // cardinalities), so this is independent of `mode` — the oracle
-    // computes the same counts over raw string shingles.
-    val hashed = base.select(
-      col("id"),
-      array_sort(array_distinct(transform(col("shs"), s => xxhash64(s)))).as("sh"))
-
-    // The repartition is a materialization barrier: without it projection
-    // collapse inlines the signature expression into the per-band bucket
-    // transform and the full 128-hash signature is recomputed once per
-    // band. Shuffle weight is one (id, sig) row per doc.
-    val sigd = base.select(
-      col("id"),
-      minhashSignature(col("shs"), bands * rowsPerBand, mode).as("sig"))
-      .repartition(parallelism)
+    // Signature scan: in Portable mode the fused text→signature kernel
+    // never materializes a shingle (tokenize + window + md5 + fold in one
+    // pass — the shingle-string construction this replaces was ~8 s of
+    // the query at sf0.1). The repartition is a materialization barrier:
+    // without it projection collapse inlines the signature expression
+    // into the per-band bucket transform and the full 128-hash signature
+    // is recomputed once per band. Shuffle weight is one (id, sig) row
+    // per doc.
+    val sigd = (mode match {
+      case HashMode.Portable =>
+        df.select(col(idCol).as("id"),
+          org.apache.spark.sql.GraftSqlBridge.column(
+            graft.expr.PortableMinhashText(
+              org.apache.spark.sql.GraftSqlBridge.expression(col(textCol)),
+              n, PortableHash.minhashAB(bands * rowsPerBand))).as("sig"))
+      case HashMode.Engine =>
+        df.select(col(idCol).as("id"),
+          minhashSignature(shingles(col(textCol), n), bands * rowsPerBand, mode).as("sig"))
+    }).repartition(parallelism)
 
     val buckets = sigd
       .select(col("id"),

@@ -418,11 +418,23 @@ object Similarity {
     dim / m
   }
 
-  /** Per-subspace argmin struct(d: best squared-L2, c: best codeword id)
-    * for vector `v` — the shared kernel of [[pqAssign]]/[[pqCodes]].
-    * Strict-< fold over the id-sorted codebook ⇒ ties to the smaller id.
+  /** One-pass native PQ encoding: array of m struct(code, dist2) — see
+    * [[graft.expr.PqEncode]]. Bit-exact with [[pqBestColumnar]]
+    * (cross-checked in tests); the columnar twin is what the oracle SQL
+    * mirrors.
     */
-  private def pqBest(
+  private def pqEncoded(v: Column, cents: Seq[(Long, Seq[Double])], m: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.expr.PqEncode(
+        org.apache.spark.sql.GraftSqlBridge.expression(v), cents, m))
+
+  /** Per-subspace argmin struct(d: best squared-L2, c: best codeword id)
+    * for vector `v` — the pure-built-ins twin of [[graft.expr.PqEncode]],
+    * kept as the definition the oracle mirrors and the kernel is
+    * cross-checked against. Strict-< fold over the id-sorted codebook ⇒
+    * ties to the smaller id.
+    */
+  private[graft] def pqBestColumnar(
       v: Column, cents: Seq[(Long, Seq[Double])], m: Int): Seq[Column] = {
     val sub = pqSubWidth(cents, m)
     (0 until m).map { i =>
@@ -458,16 +470,12 @@ object Similarity {
       idCol: String,
       vecCol: String,
       cents: Seq[(Long, Seq[Double])],
-      m: Int): DataFrame = {
-    val subCodes = pqBest(col(vecCol).cast("array<double>"), cents, m)
-      .zipWithIndex.map { case (best, i) =>
-        struct(lit(i).as("sub_i"), pqCode(best).as("code"),
-          round(best.getField("d"), 6).as("dist2"))
-      }
-    df.select(col(idCol), posexplode(array(subCodes: _*)).as(Seq("pos", "sc")))
-      .select(col(idCol), col("sc.sub_i").as("sub_i"),
-        col("sc.code").as("code"), col("sc.dist2").as("dist2"))
-  }
+      m: Int): DataFrame =
+    df.select(col(idCol),
+        posexplode(pqEncoded(col(vecCol).cast("array<double>"), cents, m))
+          .as(Seq("sub_i", "sc")))
+      .select(col(idCol), col("sub_i").cast("int").as("sub_i"),
+        col("sc.code").as("code"), round(col("sc.dist2"), 6).as("dist2"))
 
   /** The compressed PQ representation itself: one `array<long>` of `m`
     * codeword ids per vector — m bytes-equivalent per vector in a real
@@ -482,8 +490,8 @@ object Similarity {
       cents: Seq[(Long, Seq[Double])],
       m: Int): DataFrame =
     df.select(col(idCol),
-      array(pqBest(col(vecCol).cast("array<double>"), cents, m).map(pqCode): _*)
-        .as("codes"))
+      transform(pqEncoded(col(vecCol).cast("array<double>"), cents, m),
+        e => e.getField("code")).as("codes"))
 
   /** Approximate top-k by ASYMMETRIC DISTANCE COMPUTATION over PQ codes —
     * how a 100 TB ANN index is actually served: the corpus is only its
@@ -512,24 +520,27 @@ object Similarity {
       k: Int): DataFrame = {
     val sub = pqSubWidth(cents, m)
     val qv = col(queryVec).cast("array<double>")
-    // per-query ADC table: for each subspace, a codeword-id → distance map
+    // per-query ADC table: for each subspace, distances to every codeword
+    // in CODEBOOK-POSITION order (the scoring kernel maps code ids to
+    // positions). Interpreted HOFs are fine here — one row per QUERY.
     val dtab = array((0 until m).map { i =>
-      map(cents.flatMap { case (cid, c) =>
-        Seq(lit(cid),
-          aggregate(
-            zip_with(slice(qv, i * sub + 1, sub),
-              typedLit(c.slice(i * sub, (i + 1) * sub)),
-              (x, cc) => (x - cc) * (x - cc)),
-            lit(0.0), (a, e) => a + e))
+      array(cents.map { case (_, c) =>
+        aggregate(
+          zip_with(slice(qv, i * sub + 1, sub),
+            typedLit(c.slice(i * sub, (i + 1) * sub)),
+            (x, cc) => (x - cc) * (x - cc)),
+          lit(0.0), (a, e) => a + e)
       }: _*)
     }: _*)
     val q = queries.select(col(queryId).as("query_id"), dtab.as("__dtab"))
-    // score = m lookups, summed in ascending-subspace order (the exact
-    // fold the oracle reproduces); negated because TopK keeps score DESC
-    val adc = (0 until m)
-      .map(i => element_at(element_at(col("__dtab"), i + 1),
-        element_at(col("__codes"), i + 1)))
-      .reduce(_ + _)
+    // score = m table lookups summed in ascending-subspace order by the
+    // native [[graft.expr.PqAdcScore]] kernel (the exact fold the oracle
+    // reproduces); negated because TopK keeps score DESC
+    val adc = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.expr.PqAdcScore(
+        org.apache.spark.sql.GraftSqlBridge.expression(col("__codes")),
+        org.apache.spark.sql.GraftSqlBridge.expression(col("__dtab")),
+        cents, m))
     val scored = codes
       .select(col(codesId).as("neighbor_id"), col(codesCol).as("__codes"))
       .crossJoin(broadcast(q))

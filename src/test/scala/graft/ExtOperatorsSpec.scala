@@ -68,6 +68,34 @@ class ExtOperatorsSpec extends SparkSpecBase {
     assert(bad === 0)
   }
 
+  test("shingle kernels: bit-identical to the columnar chains, including edge cases") {
+    val rnd = new scala.util.Random(17)
+    val words = Vector("alpha", "beta", "Gamma", "DELTA", "e", "ff", "第",
+      "x1", "2y", "a-b")
+    val edge = Seq("", " ", "  one  ", "one two", "a\tb\nc", "one one one one")
+    val texts = edge ++ Seq.tabulate(100) { _ =>
+      Seq.fill(1 + rnd.nextInt(30))(words(rnd.nextInt(words.size))).mkString(" ")
+    }
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    for (n <- Seq(1, 3, 5)) {
+      val bad = df.select(
+          Dedup.hashedShingles(col("text"), n).as("fast"),
+          array_sort(array_distinct(
+            transform(Dedup.shingles(col("text"), n), s => xxhash64(s)))).as("ref"))
+        .filter(col("fast") =!= col("ref")).count()
+      assert(bad === 0, s"hashedShingles mismatch at n=$n")
+    }
+    val badSig = df.select(
+        org.apache.spark.sql.GraftSqlBridge.column(
+          graft.expr.PortableMinhashText(
+            org.apache.spark.sql.GraftSqlBridge.expression(col("text")),
+            3, graft.ext.PortableHash.minhashAB(32))).as("fast"),
+        Dedup.minhashSignature(Dedup.shingles(col("text"), 3), 32,
+          graft.ext.HashMode.Portable).as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(badSig === 0, "PortableMinhashText mismatch vs columnar signature")
+  }
+
   test("bounded intersect kernel: filter-equivalent to the exact kernel at every threshold") {
     val rnd = new scala.util.Random(13)
     val rows = Seq.tabulate(300) { i =>
@@ -451,6 +479,25 @@ class ExtOperatorsSpec extends SparkSpecBase {
     // narrow map: no exchange anywhere in the plan
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"pqAssign plan should be shuffle-free:\n$plan")
+  }
+
+  test("PqEncode kernel bit-identical to the columnar argmin fold on random vectors") {
+    val rnd = new scala.util.Random(23)
+    val cents = (0 until 9)
+      .map(i => ((i * 7 + 3).toLong, Seq.fill(16)(rnd.nextDouble() * 4 - 2)))
+      .toVector.sortBy(_._1)
+    val df = Seq.tabulate(50)(i => (i.toLong, Seq.fill(16)(rnd.nextDouble() * 4 - 2)))
+      .toDF("id", "v")
+    val kernel = Similarity.pqAssign(df, "id", "v", cents, m = 4)
+    val columnar = df.select(col("id"), posexplode(array(
+        Similarity.pqBestColumnar(col("v").cast("array<double>"), cents, 4)
+          .zipWithIndex.map { case (b, i) =>
+            struct(lit(i).as("sub_i"), b.getField("c").cast("long").as("code"),
+              round(b.getField("d"), 6).as("dist2"))
+          }: _*)).as(Seq("pos", "sc")))
+      .select(col("id"), col("sc.sub_i").as("sub_i"),
+        col("sc.code").as("code"), col("sc.dist2").as("dist2"))
+    assertSameRows(kernel, columnar, "PqEncode vs columnar")
   }
 
   test("pqTopK: ADC distances are sums of query-to-codeword subspace distances") {
