@@ -16,7 +16,8 @@ object ExplainAudit {
       "cdc_pending_scan", "ann_brute_force", "ann_ivf_assign",
       "emb_near_dup", "corpus_sample", "corpus_pack",
       "corpus_decontaminate", "corpus_mix", "corpus_tfidf",
-      "text_repetition", "text_pii_redact", "emb_quantize", "emb_pq_assign"))
+      "text_repetition", "text_pii_redact", "emb_quantize", "emb_pq_assign",
+      "ann_pq_topk", "corpus_shuffle"))
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -41,10 +41,16 @@ object ScratchProfile {
         n = 3, bands = 16, rowsPerBand = 8, threshold = 0.5,
         mode = HashMode.Portable).count()
     }
-    time("full ngram (pair gen)") {
+    for (fanout <- Seq(16, 8, 4)) {
+      time(s"full ngram fanout=$fanout") {
+        Dedup.ngramJaccardDedup(docs, "text", "doc_id",
+          col("lang"), n = 3, threshold = 0.2, saltFanout = fanout,
+          maxBlockRows = Some(100000L)).count()
+      }
+    }
+    time("ngram no-guard fanout=16") {
       Dedup.ngramJaccardDedup(docs, "text", "doc_id",
-        col("lang"), n = 3, threshold = 0.2, saltFanout = 16,
-        maxBlockRows = Some(100000L)).count()
+        col("lang"), n = 3, threshold = 0.2, saltFanout = 16).count()
     }
     spark.stop()
   }

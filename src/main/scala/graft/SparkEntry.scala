@@ -447,6 +447,24 @@ object SparkEntry {
 
   // ----------------------------------------------------------- analytics/agg
 
+  /** As-of attribution: each purchase matched to the user's most recent
+    * click at or before it (NULL when none) — the ASOF JOIN surface
+    * Spark lacks natively, via the linear union+window formulation.
+    */
+  private def qEventsAsof(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    EventAnalytics.asOfJoin(
+        e.filter(col("event_type") === "purchase"),
+        e.filter(col("event_type") === "click"),
+        "user_id", "ts", "event_id")
+      .select(
+        col("l.event_id").as("purchase_id"),
+        col("l.user_id").as("user_id"),
+        col("r.event_id").as("click_id"),
+        (unix_micros(col("l.ts")) - unix_micros(col("r.ts"))).as("gap_us"))
+      .orderBy("purchase_id")
+  }
+
   private def qEventsHourly(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -603,6 +621,7 @@ object SparkEntry {
     "ann_ivf_topk" -> (qAnnIvfTopK _),
     "ann_ivf_train" -> (qAnnIvfTrain _),
     "emb_near_dup" -> (qEmbNearDup _),
+    "events_asof" -> (qEventsAsof _),
     "events_hourly" -> (qEventsHourly _),
     "events_sessions" -> (qEventsSessions _),
     "events_user_stats" -> (qEventsUserStats _),
@@ -1379,6 +1398,29 @@ object SparkEntry {
          |       CAST(k AS INT) AS dim_i,
          |       round(CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS mean_val
          |FROM kv GROUP BY cid, k ORDER BY centroid_id, dim_i""".stripMargin,
+
+    // window twin of the engine's union+window as-of join (DuckDB's native
+    // ASOF JOIN would be nondeterministic under duplicate right timestamps;
+    // the window formulation tie-breaks identically in both engines)
+    "events_asof" ->
+      """WITH u AS (
+        |  SELECT user_id AS k, ts, event_id AS seq, 1 AS is_l,
+        |         event_id AS l_id, CAST(NULL AS BIGINT) AS r_id
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, ts, event_id, 0, NULL, event_id
+        |  FROM events WHERE event_type = 'click'),
+        |m AS (
+        |  SELECT *,
+        |    last_value(r_id IGNORE NULLS) OVER (PARTITION BY k ORDER BY ts, is_l, seq
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_id,
+        |    last_value(CASE WHEN r_id IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS)
+        |      OVER (PARTITION BY k ORDER BY ts, is_l, seq
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_us
+        |  FROM u)
+        |SELECT l_id AS purchase_id, k AS user_id, click_id,
+        |       epoch_us(ts) - click_us AS gap_us
+        |FROM m WHERE is_l = 1 ORDER BY purchase_id""".stripMargin,
 
     "events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,

@@ -10,6 +10,48 @@ import org.apache.spark.sql.functions._
   */
 object EventAnalytics {
 
+  /** As-of join — each `left` row paired with the LATEST `right` row at
+    * or before its timestamp, per key (trade/quote matching, attribution,
+    * slowly-changing-dimension lookups). Spark has no native ASOF JOIN;
+    * the naive range join is O(|L|·|R|) per key. This is the standard
+    * LINEAR formulation: union both sides tagged, one window per key
+    * carrying the last-seen right row forward, keep the left rows.
+    *
+    * Scale shape: ONE shuffle (window partitioned by key); per-task state
+    * is a single right-row struct, never a buffered range. Deterministic
+    * under ties: at equal timestamps the right row sorts first (so a
+    * same-instant right row IS visible to the left row — "at or before"),
+    * and duplicate timestamps within a side tie-break on `seqCol`
+    * (highest wins, being last in window order).
+    *
+    * Output: struct columns `l` (every left column) and `r` (the matched
+    * right row, NULL when no right row precedes).
+    */
+  def asOfJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      seqCol: String): DataFrame = {
+    val lp = left.select(
+      col(keyCol).as("__k"), col(tsCol).as("__ts"), col(seqCol).as("__seq"),
+      lit(1).as("__is_l"),
+      struct(left.columns.map(col): _*).as("__l"),
+      lit(null).cast(right.schema).as("__r"))
+    val rp = right.select(
+      col(keyCol).as("__k"), col(tsCol).as("__ts"), col(seqCol).as("__seq"),
+      lit(0).as("__is_l"),
+      lit(null).cast(left.schema).as("__l"),
+      struct(right.columns.map(col): _*).as("__r"))
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__ts"), col("__is_l"), col("__seq"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lp.unionByName(rp)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__is_l") === 1)
+      .select(col("__l").as("l"), col("__m").as("r"))
+  }
+
   /** Gap-based sessionization: within each user's timeline, a new session
     * starts when the gap to the previous event exceeds `maxGapMinutes`.
     * Adds `session_seq` (1-based per user).

@@ -53,6 +53,26 @@ class EventAnalyticsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("asOfJoin matches the latest right row at or before each left row, per key") {
+    import org.apache.spark.sql.functions._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val clicks = Seq(
+      (101L, 1L, ts(10)), (102L, 1L, ts(50)),
+      (103L, 3L, ts(20)), (104L, 3L, ts(20))) // duplicate ts → higher seq wins
+      .toDF("event_id", "user_id", "ts")
+    val purchases = Seq(
+      (201L, 1L, ts(30)),  // → click 101
+      (202L, 1L, ts(50)),  // same instant as click 102 → matched (at-or-before)
+      (203L, 1L, ts(5)),   // before any click → NULL
+      (204L, 2L, ts(40)),  // user with no clicks → NULL
+      (205L, 3L, ts(25)))  // duplicate-ts clicks → 104 (higher event_id)
+      .toDF("event_id", "user_id", "ts")
+    val got = graft.ext.EventAnalytics.asOfJoin(purchases, clicks, "user_id", "ts", "event_id")
+      .select(col("l.event_id"), col("r.event_id"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got === Map(201L -> 101L, 202L -> 102L, 203L -> -1L, 204L -> -1L, 205L -> 104L))
+  }
+
   test("streaming event dedup suppresses replayed duplicates across micro-batches") {
     val tmp = Files.createTempDirectory("evdedup").toString
     // batch 1: events 1..3
