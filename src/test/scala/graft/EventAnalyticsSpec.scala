@@ -73,6 +73,30 @@ class EventAnalyticsSpec extends SparkSpecBase {
     assert(got === Map(201L -> 101L, 202L -> 102L, 203L -> -1L, 204L -> -1L, 205L -> 104L))
   }
 
+  test("asOfJoin equals a brute-force reference on random data with ts collisions") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(29)
+    // small ts range + few users → plenty of duplicate timestamps
+    def gen(n: Int, idBase: Long) = Seq.tabulate(n) { i =>
+      (idBase + i, rnd.nextInt(8).toLong, new java.sql.Timestamp(rnd.nextInt(40) * 1000L))
+    }
+    val lRows = gen(120, 1000L)
+    val rRows = gen(120, 2000L)
+    val got = graft.ext.EventAnalytics.asOfJoin(
+        lRows.toDF("event_id", "user_id", "ts"),
+        rRows.toDF("event_id", "user_id", "ts"),
+        "user_id", "ts", "event_id")
+      .select(col("l.event_id"), col("r.event_id"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    // brute force: max by (ts, event_id) among right rows at or before
+    val expected = lRows.map { case (lid, u, lts) =>
+      val cands = rRows.filter { case (_, ru, rts) => ru == u && !rts.after(lts) }
+      lid -> (if (cands.isEmpty) -1L
+              else cands.maxBy { case (rid, _, rts) => (rts.getTime, rid) }._1)
+    }.toMap
+    assert(got === expected)
+  }
+
   test("streaming event dedup suppresses replayed duplicates across micro-batches") {
     val tmp = Files.createTempDirectory("evdedup").toString
     // batch 1: events 1..3
