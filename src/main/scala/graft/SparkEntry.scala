@@ -560,6 +560,27 @@ object SparkEntry {
       .orderBy("o_custkey", "rnk")
   }
 
+  /** Bucketed range join: sampled lineitems matched to ±2 price bands
+    * around sampled parts' retail prices by unit price — the interval-
+    * containment join Spark would otherwise plan as a broadcast-nested-
+    * loop, as a hash equi-join on bucket ids.
+    */
+  private def qLineitemBandJoin(s: SparkSession, dir: String): DataFrame = {
+    val pts = lineitem(s, dir).filter(col("l_orderkey") % 7 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") / col("l_quantity")).as("up"))
+    val iv = s.read.parquet(s"$dir/part.parquet")
+      .filter(col("p_partkey") % 200 === 0)
+      .select(col("p_partkey").as("band_id"),
+        (col("p_retailprice") - 2.0).as("lo"),
+        (col("p_retailprice") + 2.0).as("hi"))
+    graft.ext.RangeJoin.bandJoin(pts, iv, "up", "lo", "hi", bucketWidth = 10.0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("up"), 6).as("unit_price"),
+        col("band_id"), round(col("lo"), 6).as("lo"), round(col("hi"), 6).as("hi"))
+      .orderBy("l_orderkey", "l_linenumber", "band_id")
+  }
+
   private def qTopRevenue(s: SparkSession, dir: String): DataFrame = {
     val c = customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
     lineitem(s, dir)
@@ -631,6 +652,7 @@ object SparkEntry {
     "orders_rollup" -> (qOrdersRollup _),
     "lineitem_quantiles" -> (qLineitemQuantiles _),
     "customer_top_orders" -> (qCustomerTopOrders _),
+    "lineitem_band_join" -> (qLineitemBandJoin _),
     "top_revenue_join" -> (qTopRevenue _))
 
   // ------------------------------------------------------------- oracle SQL
@@ -1519,6 +1541,20 @@ object SparkEntry {
         |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
         |  FROM orders)
         |WHERE rnk <= 3 ORDER BY o_custkey, rnk""".stripMargin,
+
+    // DuckDB plans the containment predicate directly (its range-join
+    // optimizer); the engine's bucketed equi-join must produce the same set
+    "lineitem_band_join" ->
+      """WITH pts AS (
+        |  SELECT l_orderkey, l_linenumber, l_extendedprice / l_quantity AS up
+        |  FROM lineitem WHERE l_orderkey % 7 = 0),
+        |iv AS (
+        |  SELECT p_partkey AS band_id, p_retailprice - 2.0 AS lo, p_retailprice + 2.0 AS hi
+        |  FROM part WHERE p_partkey % 200 = 0)
+        |SELECT l_orderkey, l_linenumber, round(up, 6) AS unit_price,
+        |       band_id, round(lo, 6) AS lo, round(hi, 6) AS hi
+        |FROM pts JOIN iv ON up >= lo AND up <= hi
+        |ORDER BY l_orderkey, l_linenumber, band_id""".stripMargin,
 
     "top_revenue_join" ->
       """SELECT o_orderkey,

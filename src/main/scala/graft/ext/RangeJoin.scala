@@ -1,0 +1,50 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Interval-containment (range) join. Spark plans a raw
+  * `lo <= p AND p <= hi` join as a broadcast-nested-loop — O(|points| ×
+  * |intervals|) compares, a scale-killer once the interval side outgrows
+  * a broadcast. The standard fix is BUCKETING: quantize the number line
+  * into `bucketWidth` cells, replicate each interval into every cell it
+  * overlaps, give each point its single cell, and the containment join
+  * becomes a hash EQUI-join on the cell id + a residual range filter.
+  */
+object RangeJoin {
+
+  /** All (point, interval) pairs with `lo <= point <= hi`.
+    *
+    * `points` keeps its columns; matched interval columns are appended.
+    * Shuffle structure: one hash-partitioned equi-join on the bucket id.
+    * Replication cost is `ceil(span / bucketWidth) + 1` rows per interval
+    * — linear in total interval span, NOT in |points| × |intervals|.
+    * Pick `bucketWidth` near the typical interval span: each interval
+    * then lands in 1-2 buckets while point buckets stay selective. A
+    * point matches an interval in exactly ONE bucket (its own), so no
+    * post-join dedup is needed. Works for any numeric axis (price bands,
+    * IP ranges, time windows, genomic intervals).
+    */
+  def bandJoin(
+      points: DataFrame,
+      intervals: DataFrame,
+      pointCol: String,
+      loCol: String,
+      hiCol: String,
+      bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val p = points.withColumn("__bucket",
+      floor(col(pointCol) / bucketWidth).cast("long"))
+    val iv = intervals
+      .withColumn("__bucket",
+        explode(sequence(
+          floor(col(loCol) / bucketWidth).cast("long"),
+          floor(col(hiCol) / bucketWidth).cast("long"))))
+      // an inverted interval (hi < lo) matches nothing, and sequence()
+      // would walk backwards — drop such rows up front
+      .where(col(loCol) <= col(hiCol))
+    p.join(iv, Seq("__bucket"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("__bucket")
+  }
+}

@@ -481,6 +481,31 @@ class ExtOperatorsSpec extends SparkSpecBase {
     assert(!plan.contains("Exchange"), s"pqAssign plan should be shuffle-free:\n$plan")
   }
 
+  test("bandJoin: containment matches at boundaries, across buckets; no duplicates") {
+    val pts = Seq((1L, 5.0), (2L, 10.0), (3L, 19.999), (4L, 25.0), (5L, 47.0))
+      .toDF("pid", "p")
+    val iv = Seq(
+      (100L, 5.0, 20.0),   // spans buckets 0..2 at width 10; matches 1,2,3 (both bounds inclusive)
+      (200L, 24.0, 26.0),  // matches 4
+      (300L, 60.0, 50.0))  // inverted → matches nothing
+      .toDF("band_id", "lo", "hi")
+    val out = graft.ext.RangeJoin.bandJoin(pts, iv, "p", "lo", "hi", bucketWidth = 10.0)
+      .select("pid", "band_id").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(out === Seq((1L, 100L), (2L, 100L), (3L, 100L), (4L, 200L)))
+    // cross-check against the direct theta join on random data
+    val rnd = new scala.util.Random(31)
+    val rpts = Seq.tabulate(200)(i => (i.toLong, rnd.nextDouble() * 100)).toDF("pid", "p")
+    val riv = Seq.tabulate(40) { i =>
+      val lo = rnd.nextDouble() * 100
+      (i.toLong, lo, lo + rnd.nextDouble() * 15)
+    }.toDF("band_id", "lo", "hi")
+    val bucketed = graft.ext.RangeJoin.bandJoin(rpts, riv, "p", "lo", "hi", bucketWidth = 7.0)
+      .select("pid", "band_id")
+    val theta = rpts.join(riv, col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("pid", "band_id")
+    assertSameRows(bucketed, theta, "bandJoin vs theta join")
+  }
+
   test("PqEncode kernel bit-identical to the columnar argmin fold on random vectors") {
     val rnd = new scala.util.Random(23)
     val cents = (0 until 9)
