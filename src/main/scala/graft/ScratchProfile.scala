@@ -52,6 +52,29 @@ object ScratchProfile {
       Dedup.ngramJaccardDedup(docs, "text", "doc_id",
         col("lang"), n = 3, threshold = 0.2, saltFanout = 16).count()
     }
+    time("simhash portable") {
+      Dedup.simhashDedup(docs, "text", "doc_id", maxHamming = 3,
+        mode = HashMode.Portable).count()
+    }
+    time("decontaminate n=5") {
+      val inEval = graft.ext.PortableHash.hash32(
+        concat(lit("evalset"), col("doc_id").cast("string"))) % 1000 < 100
+      graft.ext.Corpus.decontaminate(docs.filter(!inEval), docs.filter(inEval),
+        "text", "doc_id", n = 5).count()
+    }
+    val emb = Fixtures.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val cents = graft.ext.Similarity.collectCentroids(
+      emb.filter(col("vec_id") % 61 === 0), "vec_id", "embedding")
+    time("pq codes + adc topk") {
+      val codes = graft.ext.Similarity.pqCodes(emb, "vec_id", "embedding", cents, m = 4)
+      graft.ext.Similarity.pqTopK(codes, queries, "vec_id", "codes",
+        "vec_id", "embedding", cents, m = 4, k = 10).count()
+    }
+    time("brute force topk") {
+      graft.ext.Similarity.bruteForceTopK(emb, queries,
+        "vec_id", "embedding", "vec_id", "embedding", k = 10).count()
+    }
     spark.stop()
   }
 }
