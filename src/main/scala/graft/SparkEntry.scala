@@ -739,9 +739,11 @@ object SparkEntry {
     * `ltoks[i:i+n-1]` an n-token window.
     */
   private def shingleExprSqlN(n: Int): String =
+    // parenthesized operands: at n = 1 a bare interpolation would emit
+    // `len(ltoks)--1`, and `--` starts a SQL comment in DuckDB
     s"""CASE WHEN len(ltoks) < $n THEN [array_to_string(ltoks, ' ')]
-       |         ELSE list_distinct(list_transform(range(1, len(ltoks)-${n - 2}),
-       |                i -> array_to_string(ltoks[i:i+${n - 1}], ' '))) END""".stripMargin
+       |         ELSE list_distinct(list_transform(range(1, len(ltoks)-(${n - 2})),
+       |                i -> array_to_string(ltoks[i:i+(${n - 1})], ' '))) END""".stripMargin
 
   /** Same-language ngram-jaccard pair CTEs over `t` ([[TextTokensCte]]):
     * `j` = all same-lang pairs with their 6-dp jaccard — mirrors

@@ -24,6 +24,10 @@ private[expr] final class PqCodebook(
   require(m > 0 && dim % m == 0, s"dim $dim not divisible into $m subspaces")
   val sub: Int = dim / m
   val ids: Array[Long] = cents.map(_._1).toArray
+  // the "ties to the smaller id" contract needs an id-sorted walk; the
+  // public Similarity entry points sort, this is the backstop
+  require(ids.length < 2 || ids.sliding(2).forall(w => w(0) < w(1)),
+    "PQ codebook must be sorted by strictly ascending codeword id")
   // flattened [codeword][dim]
   val vecs: Array[Array[Double]] = cents.map(_._2.toArray).toArray
   val idToIdx: java.util.HashMap[Long, Integer] = {

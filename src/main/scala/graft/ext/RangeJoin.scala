@@ -33,6 +33,14 @@ object RangeJoin {
       hiCol: String,
       bucketWidth: Double): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    // the output is points' columns ++ intervals' columns — that contract
+    // (and unambiguous resolution of the residual filter) needs the two
+    // sides' names disjoint and the internal bucket name free
+    val clash = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(clash.isEmpty,
+      s"points and intervals must not share column names: ${clash.mkString(", ")}")
+    require(!points.columns.contains("__bucket") && !intervals.columns.contains("__bucket"),
+      "'__bucket' is reserved by bandJoin")
     val p = points.withColumn("__bucket",
       floor(col(pointCol) / bucketWidth).cast("long"))
     val iv = intervals

@@ -418,6 +418,15 @@ object Similarity {
     dim / m
   }
 
+  /** The tie-break contract ("ties go to the smaller codeword id") holds
+    * because every fold walks the codebook in ascending-id order — so the
+    * public PQ entry points normalize the caller's codebook here instead
+    * of silently depending on it arriving sorted ([[collectCentroids]]
+    * sorts, but the API accepts any Seq).
+    */
+  private def pqSorted(cents: Seq[(Long, Seq[Double])]): Seq[(Long, Seq[Double])] =
+    cents.sortBy(_._1)
+
   /** One-pass native PQ encoding: array of m struct(code, dist2) — see
     * [[graft.expr.PqEncode]]. Bit-exact with [[pqBestColumnar]]
     * (cross-checked in tests); the columnar twin is what the oracle SQL
@@ -472,7 +481,7 @@ object Similarity {
       cents: Seq[(Long, Seq[Double])],
       m: Int): DataFrame =
     df.select(col(idCol),
-        posexplode(pqEncoded(col(vecCol).cast("array<double>"), cents, m))
+        posexplode(pqEncoded(col(vecCol).cast("array<double>"), pqSorted(cents), m))
           .as(Seq("sub_i", "sc")))
       .select(col(idCol), col("sub_i").cast("int").as("sub_i"),
         col("sc.code").as("code"), round(col("sc.dist2"), 6).as("dist2"))
@@ -490,7 +499,7 @@ object Similarity {
       cents: Seq[(Long, Seq[Double])],
       m: Int): DataFrame =
     df.select(col(idCol),
-      transform(pqEncoded(col(vecCol).cast("array<double>"), cents, m),
+      transform(pqEncoded(col(vecCol).cast("array<double>"), pqSorted(cents), m),
         e => e.getField("code")).as("codes"))
 
   /** Approximate top-k by ASYMMETRIC DISTANCE COMPUTATION over PQ codes —
@@ -518,13 +527,14 @@ object Similarity {
       cents: Seq[(Long, Seq[Double])],
       m: Int,
       k: Int): DataFrame = {
-    val sub = pqSubWidth(cents, m)
+    val sorted = pqSorted(cents) // dtab positions must match the kernel's
+    val sub = pqSubWidth(sorted, m)
     val qv = col(queryVec).cast("array<double>")
     // per-query ADC table: for each subspace, distances to every codeword
     // in CODEBOOK-POSITION order (the scoring kernel maps code ids to
     // positions). Interpreted HOFs are fine here — one row per QUERY.
     val dtab = array((0 until m).map { i =>
-      array(cents.map { case (_, c) =>
+      array(sorted.map { case (_, c) =>
         aggregate(
           zip_with(slice(qv, i * sub + 1, sub),
             typedLit(c.slice(i * sub, (i + 1) * sub)),
@@ -540,7 +550,7 @@ object Similarity {
       graft.expr.PqAdcScore(
         org.apache.spark.sql.GraftSqlBridge.expression(col("__codes")),
         org.apache.spark.sql.GraftSqlBridge.expression(col("__dtab")),
-        cents, m))
+        sorted, m))
     val scored = codes
       .select(col(codesId).as("neighbor_id"), col(codesCol).as("__codes"))
       .crossJoin(broadcast(q))

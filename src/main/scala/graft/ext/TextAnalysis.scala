@@ -143,6 +143,11 @@ object TextAnalysis {
     * two partial-aggregated shuffles keyed by (doc, gram) / doc, both
     * uniformly distributed at any corpus size (gram keys are doc-local,
     * so no key is ever hotter than its own document's gram count).
+    *
+    * The two consumers of `base` each re-tokenize (the text is scanned
+    * twice) — a deliberate trade: materializing O(corpus) token arrays
+    * to save a cheap column-pruned re-scan would cost more than it saves
+    * at any scale where this operator matters.
     */
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tk = tokens(lower(col(textCol)))

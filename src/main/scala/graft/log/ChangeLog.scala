@@ -87,8 +87,11 @@ object ChangeLog {
       // fixture derivation — the single partition is this mode's contract,
       // not an accident. pmod(record_id, 1) rather than lit(0): Spark 4's
       // optimizer strips FOLDABLE partition expressions, which would
-      // resurrect the empty spec.
-      val w = Window.partitionBy(pmod(col(RecordId), lit(1)))
+      // resurrect the empty spec. coalesce: a NULL record_id (schema says
+      // non-nullable, but this boundary doesn't enforce the incoming
+      // frame's values) must not split off a second window partition and
+      // restart the id sequence.
+      val w = Window.partitionBy(pmod(coalesce(col(RecordId), lit(0L)), lit(1)))
         .orderBy(col(ChangedAt), col(RecordId), col(Operation))
       changes.withColumn(CdcId, row_number().over(w).cast(LongType) + lit(base))
     } else {
