@@ -33,6 +33,31 @@ final case class ParquetSource(path: String, schema: Option[StructType] = None)
   }
 }
 
+/** JSONL (newline-delimited JSON) source — the format raw training
+  * corpora actually arrive in. PERMISSIVE mode with an explicit corrupt-
+  * record column: a malformed line lands as a row whose data columns are
+  * null and whose `_corrupt` holds the raw text, so ingestion can count /
+  * quarantine bad lines instead of dying mid-crawl (FAILFAST) or silently
+  * dropping them (DROPMALFORMED). Schema is REQUIRED: schema inference
+  * over 100 TB of JSONL is a full extra pass.
+  *
+  * Spark contract note: a query referencing ONLY the corrupt column over
+  * raw JSON is disallowed (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — cache or
+  * land the parsed frame first, then split good/bad rows.
+  */
+final case class JsonlSource(
+    path: String,
+    schema: StructType,
+    corruptCol: String = "_corrupt")
+    extends CdcSource {
+  override def load(spark: SparkSession): DataFrame =
+    spark.read
+      .schema(schema.add(corruptCol, org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .json(path)
+}
+
 /** JDBC table source (postgresql/mysql/...; driver inferred from url). */
 final case class JdbcSource(
     url: String,
@@ -73,6 +98,9 @@ object CdcSource {
       table: String = "",
       schema: Option[StructType] = None): CdcSource = dbType.toLowerCase match {
     case "parquet" => ParquetSource(pathOrUrl, schema)
+    case "jsonl" | "json" => JsonlSource(pathOrUrl,
+      schema.getOrElse(throw new IllegalArgumentException(
+        "jsonl source requires an explicit schema (inference = an extra full pass)")))
     case "postgresql" | "mysql" | "jdbc" => JdbcSource(pathOrUrl, table)
     case other => throw new IllegalArgumentException(s"unsupported db_type: $other")
   }

@@ -163,6 +163,35 @@ class EventAnalyticsSpec extends SparkSpecBase {
     intercept[IllegalArgumentException](CdcSource.forConfig("sqlite3", "x"))
   }
 
+  test("jsonl source: permissive read quarantines corrupt lines by raw text") {
+    import org.apache.spark.sql.types._
+    val tmp = Files.createTempDirectory("jsonl").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$tmp/docs.jsonl"),
+      """{"doc_id": 1, "text": "hello world"}
+        |{"doc_id": 2, "text": "second doc"}
+        |{not valid json at all
+        |{"doc_id": 4, "text": null}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    // cache: Spark disallows querying ONLY the corrupt column from raw
+    // JSON (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — materialize the parse once
+    val df = graft.sources.JsonlSource(s"$tmp/docs.jsonl", schema).load(s).cache()
+    val rows = df.collect()
+    assert(rows.length === 4)
+    val good = df.filter(col("_corrupt").isNull)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(good === Seq(1L, 2L, 4L))
+    val bad = df.filter(col("_corrupt").isNotNull)
+      .select("_corrupt").collect().map(_.getString(0))
+    assert(bad.toSeq === Seq("{not valid json at all"))
+    // config-driven selection + the required-schema guard
+    assert(graft.sources.CdcSource.forConfig("jsonl", s"$tmp/docs.jsonl",
+      schema = Some(schema)).isInstanceOf[graft.sources.JsonlSource])
+    intercept[IllegalArgumentException](
+      graft.sources.CdcSource.forConfig("jsonl", s"$tmp/docs.jsonl"))
+  }
+
   test("partitioned log write prunes partitions on time-bounded reads (S3)") {
     val spec = CdcTableSpec("t", Seq("id", "name", "value"), "id")
     val tmp = Files.createTempDirectory("logpart").toString
