@@ -560,6 +560,43 @@ object SparkEntry {
       .orderBy("o_custkey", "rnk")
   }
 
+  /** Running revenue per customer (cumulative window aggregation) —
+    * decimal window sum cast back to double so both engines accumulate
+    * exactly; ROWS frame pinned explicitly (the unique (date, key) order
+    * makes RANGE ≡ ROWS, but pinning removes the default-frame
+    * dependency). Sampled to every 10th customer to keep the compare
+    * surface proportionate.
+    */
+  private def qOrdersRunningTotal(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders(s, dir)
+      .filter(col("o_custkey") % 10 === 0)
+      .withColumn("running_n", row_number().over(w))
+      .withColumn("running_total",
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .over(w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow))
+          .cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"), col("running_n"),
+        col("running_total"))
+      .orderBy("o_custkey", "running_n")
+  }
+
+  /** Conversion funnel signup → view → click → purchase with strictly
+    * increasing timestamps ([[EventAnalytics.funnel]]).
+    */
+  private def qEventsFunnel(s: SparkSession, dir: String): DataFrame =
+    EventAnalytics.funnel(events(s, dir), "user_id", "ts", "event_type",
+        Seq("signup", "view", "click", "purchase"))
+      .orderBy("step_idx")
+
+  /** Weekly cohort retention ([[EventAnalytics.retention]]). */
+  private def qEventsRetention(s: SparkSession, dir: String): DataFrame =
+    EventAnalytics.retention(events(s, dir), "user_id", "ts")
+      .orderBy("cohort_week", "week_offset")
+
   /** Bucketed range join: sampled lineitems matched to ±2 price bands
     * around sampled parts' retail prices by unit price — the interval-
     * containment join Spark would otherwise plan as a broadcast-nested-
@@ -647,6 +684,9 @@ object SparkEntry {
     "events_sessions" -> (qEventsSessions _),
     "events_user_stats" -> (qEventsUserStats _),
     "events_dedup" -> (qEventsDedup _),
+    "events_funnel" -> (qEventsFunnel _),
+    "events_retention" -> (qEventsRetention _),
+    "orders_running_total" -> (qOrdersRunningTotal _),
     "lineitem_agg" -> (qLineitemAgg _),
     "lineitem_agg_sql" -> (qLineitemAggSql _),
     "orders_rollup" -> (qOrdersRollup _),
@@ -1514,6 +1554,55 @@ object SparkEntry {
       """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
         |       CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_ids
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // per-step CTE chain mirrors the engine's greedy-earliest semantics:
+    // step i's timestamp is the min event strictly after step i-1's
+    "events_funnel" ->
+      """WITH s0 AS (SELECT user_id AS u, min(ts) AS t FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |s1 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+        |       JOIN s0 ON e.user_id = s0.u AND e.ts > s0.t
+        |       WHERE e.event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+        |       JOIN s1 ON e.user_id = s1.u AND e.ts > s1.t
+        |       WHERE e.event_type = 'click' GROUP BY 1),
+        |s3 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+        |       JOIN s2 ON e.user_id = s2.u AND e.ts > s2.t
+        |       WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS INT) AS step_idx, 'signup' AS step,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM s0) AS n_users
+        |  UNION ALL SELECT 1, 'view', (SELECT count(*) FROM s1)
+        |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+        |ORDER BY step_idx""".stripMargin,
+
+    // integer epoch-week cohorts — `//` is DuckDB's integral division,
+    // mirroring the engine's `div` (no calendar week-start ambiguity)
+    "events_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id AS u,
+        |                  epoch_us(ts) // 604800000000 AS week FROM events),
+        |c AS (SELECT u, min(week) AS cohort_week FROM a GROUP BY 1),
+        |cs AS (SELECT cohort_week, count(*) AS n0 FROM c GROUP BY 1),
+        |r AS (SELECT c.cohort_week, a.week - c.cohort_week AS week_offset,
+        |             CAST(count(*) AS BIGINT) AS n_users
+        |      FROM a JOIN c ON a.u = c.u GROUP BY 1, 2)
+        |SELECT r.cohort_week,
+        |       strftime(make_timestamp(r.cohort_week * 604800000000), '%Y-%m-%d') AS cohort_start,
+        |       r.week_offset, r.n_users,
+        |       round(CAST(r.n_users AS DOUBLE) / cs.n0, 6) AS retention
+        |FROM r JOIN cs USING (cohort_week)
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "orders_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(row_number() OVER w AS INT) AS running_n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        |         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |          ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
+        |FROM orders WHERE o_custkey % 10 = 0
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, running_n""".stripMargin,
 
     "events_user_stats" ->
       """SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,

@@ -99,6 +99,86 @@ object EventAnalytics {
         (max(unix_micros(col(tsCol))) - min(unix_micros(col(tsCol)))).as("duration_us"),
         round(sum(col(valueCol)), 3).as("sum_value"))
 
+  /** Ordered conversion funnel: how many users complete each prefix of
+    * `steps` with strictly increasing timestamps (the classic
+    * signup → view → click → purchase product-analytics query). A user
+    * counts for step i iff events e_0 < e_1 < … < e_i exist with
+    * `typeCol(e_j) = steps(j)`; each step matches the EARLIEST qualifying
+    * event after the previous step's match — greedy-earliest is optimal
+    * here (minimizing t_j can only enlarge the candidate set for t_{j+1}),
+    * so this computes the exact per-step user counts.
+    *
+    * Scale shape: one filtered min-aggregation per step, shuffled on the
+    * user key. The carried frame is one row per user still in the funnel —
+    * it shrinks monotonically, and each step's join probes the raw events
+    * (filtered to ONE event type, so the scan prunes on `typeCol`) against
+    * that per-user frame. k steps = k shuffles of strictly decreasing
+    * size; no global window, no per-user event buffering.
+    *
+    * Output: one row per step — `step_idx` (0-based), `step`, `n_users`.
+    */
+  def funnel(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    // per-step frames of (user, earliest completion ts), built iteratively
+    val reached = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
+      case (prev, (step, _)) =>
+        val f = events.filter(col(typeCol) === step)
+          .select(col(userCol).as("__u2"), col(tsCol).as("__ts"))
+        Some(prev match {
+          case None =>
+            f.groupBy(col("__u2").as("__u")).agg(min(col("__ts")).as("__t"))
+          case Some(p) =>
+            f.join(p, f("__u2") === p("__u") && f("__ts") > p("__t"))
+              .groupBy(f("__u2").as("__u")).agg(min(col("__ts")).as("__t"))
+        })
+    }.flatten
+    reached.zip(steps).zipWithIndex.map { case ((df, step), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i).as("step_idx"), lit(step).as("step"), col("n_users"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Weekly cohort retention: users are cohorted by the epoch-week of
+    * their first event; for each (cohort, week-offset) cell, the number
+    * of cohort members active that week and the retained fraction.
+    * Weeks are integer `unix_micros div 604800000000` — exact integer
+    * arithmetic, no calendar/locale week-start ambiguity across engines.
+    *
+    * Scale shape: one distinct over (user, week) — the raw event volume
+    * collapses to at most |users|·|weeks| rows before anything else —
+    * then a per-user min and a join back on the user key (same
+    * partitioning, no extra shuffle under AQE), and a final tiny
+    * aggregation keyed by (cohort, offset). State is never
+    * O(events); the only full-data pass is the map-side-combined
+    * distinct.
+    */
+  def retention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val weekUs = 7L * 86400L * 1000000L
+    val activity = events
+      // integral `div` (not `/`, which is double division): epoch-µs
+      // values don't survive a float round-trip bit-exactly
+      .select(col(userCol).as("__u"), unix_micros(col(tsCol)).as("__us"))
+      .select(col("__u"), expr(s"__us div ${weekUs}L").as("week"))
+      .distinct()
+    val cohorts = activity.groupBy("__u").agg(min("week").as("cohort_week"))
+    val sizes = cohorts.groupBy("cohort_week").agg(count(lit(1)).as("__n0"))
+    activity.join(cohorts, "__u")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .join(sizes, "cohort_week")
+      .select(
+        col("cohort_week"),
+        date_format(timestamp_micros(col("cohort_week") * weekUs), "yyyy-MM-dd")
+          .as("cohort_start"),
+        col("week_offset"), col("n_users"),
+        round(col("n_users").cast("double") / col("__n0"), 6).as("retention"))
+  }
+
   /** Per-event session assignment for a micro-batch of one user's events,
     * continuing from carried state. Shared by the batch window path and
     * the stateful streaming path so both produce identical numbering.

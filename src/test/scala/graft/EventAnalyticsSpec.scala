@@ -35,6 +35,50 @@ class EventAnalyticsSpec extends SparkSpecBase {
     assert(s1.getAs[Double]("sum_value") === 3.0)
   }
 
+  test("funnel counts strictly-increasing step completions per user") {
+    val fe = Seq(
+      // user 1 completes a->b->c in order
+      (1L, 1L, ts("2024-01-01 10:00:00"), "a"),
+      (2L, 1L, ts("2024-01-01 10:01:00"), "b"),
+      (3L, 1L, ts("2024-01-01 10:02:00"), "c"),
+      // user 2 has b BEFORE a (b must not count), then no later b
+      (4L, 2L, ts("2024-01-01 09:00:00"), "b"),
+      (5L, 2L, ts("2024-01-01 09:30:00"), "a"),
+      // user 3: a and b at the SAME instant — strict > excludes b
+      (6L, 3L, ts("2024-01-01 08:00:00"), "a"),
+      (7L, 3L, ts("2024-01-01 08:00:00"), "b"),
+      // user 4: a, then b, then c earlier than b (c must not count)
+      (8L, 4L, ts("2024-01-01 07:00:00"), "a"),
+      (9L, 4L, ts("2024-01-01 07:30:00"), "c"),
+      (10L, 4L, ts("2024-01-01 07:45:00"), "b"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = EventAnalytics.funnel(fe, "user_id", "ts", "event_type", Seq("a", "b", "c"))
+      .orderBy("step_idx").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === Seq((0, "a", 4L), (1, "b", 2L), (2, "c", 1L)))
+  }
+
+  test("retention cohorts by first-activity epoch week with exact fractions") {
+    val re = Seq(
+      // users 1,2 first active week w0; user 1 returns in w0+1
+      (1L, 1L, ts("2024-01-01 10:00:00")),
+      (2L, 1L, ts("2024-01-08 10:00:00")),
+      (3L, 2L, ts("2024-01-02 10:00:00")),
+      // user 3 first active the next week
+      (4L, 3L, ts("2024-01-09 10:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val got = EventAnalytics.retention(re, "user_id", "ts")
+      .orderBy("cohort_week", "week_offset").collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    // cohort w0 (2 users): offset 0 -> 2 users, offset 1 -> 1 user (50%)
+    // cohort w0+1 (1 user): offset 0 -> 1 user
+    assert(got === Seq((0L, 2L, 1.0), (1L, 1L, 0.5), (0L, 1L, 1.0)))
+    // the cohort_start label is the Monday-aligned epoch-week start date
+    val starts = EventAnalytics.retention(re, "user_id", "ts")
+      .select("cohort_start").distinct().collect().map(_.getString(0)).sorted
+    assert(starts.forall(_.matches("\\d{4}-\\d{2}-\\d{2}")))
+  }
+
   test("streaming hourly counts with watermark match the batch aggregate") {
     val tmp = Files.createTempDirectory("evstream").toString
     evts.write.mode("overwrite").parquet(s"$tmp/in")
