@@ -1,8 +1,8 @@
 package graft
 
-import graft.apply.ChangeApplier
+import graft.apply.{ChangeApplier, IncrementalAgg}
 import graft.capture.ChangeCapture
-import graft.ext.{Corpus, Dedup, EventAnalytics, HashMode, Multimodal, PortableHash, Similarity, TextAnalysis}
+import graft.ext.{Corpus, Dedup, EventAnalytics, HashMode, Multimodal, PortableHash, Similarity, Sketches, TextAnalysis}
 import graft.model.ConflictStrategy
 import graft.log.ChangeLog
 import graft.monitor.CdcMonitor
@@ -630,8 +630,36 @@ object SparkEntry {
       .limit(10)
   }
 
+  /** Incremental materialized-aggregate maintenance: the per-priority
+    * (count, sum(totalprice)) view refreshed from the change log ALONE —
+    * O(changes) work + an O(groups) merge, never rescanning the base
+    * table. Equal (exact decimal arithmetic) to recomputing over the
+    * post-change snapshot, which is what the oracle does.
+    */
+  private def qCdcIncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val base = IncrementalAgg.snapshotAgg(
+      orders(s, dir).select(OrdersSpec.columns.map(col): _*),
+      "o_orderpriority", "o_totalprice")
+    IncrementalAgg.maintain(base, changeLog(s, dir), "o_orderpriority", "o_totalprice")
+      .select(col("g_key").as("priority"), col("cnt").as("n_orders"),
+        col("total").cast("double").as("total_price"))
+      .orderBy("priority")
+  }
+
+  /** KMV distinct-count sketch: distinct parts per returnflag, estimated
+    * from the 256 smallest portable-hash values per group — the
+    * bounded-state alternative to `countDistinct` whose shuffle carries k
+    * longs per map task instead of every distinct key.
+    */
+  private def qSketchDistinctKmv(s: SparkSession, dir: String): DataFrame =
+    Sketches.kmvDistinct(lineitem(s, dir), Seq("l_returnflag"),
+        col("l_partkey").cast("string"), k = 256)
+      .orderBy("l_returnflag")
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_incremental_agg" -> (qCdcIncrementalAgg _),
+    "sketch_distinct_kmv" -> (qSketchDistinctKmv _),
     "cdc_capture_diff" -> (qCaptureDiff _),
     "cdc_capture_by_timestamp" -> (qCaptureByTimestamp _),
     "cdc_capture_by_version" -> (qCaptureByVersion _),
@@ -902,6 +930,17 @@ object SparkEntry {
     * [[queries]] now has a full rows+schema+hash oracle.
     */
   def oracleSql: Map[String, String] = Map(
+    // the maintained view must equal a full recompute on the post-change
+    // snapshot — so the oracle IS that recompute
+    "cdc_incremental_agg" ->
+      s"""WITH ${FixtureSql.AfterCte}
+         |SELECT o_orderpriority AS priority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
+         |FROM after_t GROUP BY o_orderpriority ORDER BY priority""".stripMargin,
+
+    "sketch_distinct_kmv" ->
+      Sketches.kmvDistinctSql("lineitem", "l_returnflag",
+        "CAST(l_partkey AS VARCHAR)", k = 256),
     "dedup_minhash_lsh" ->
       minhashOracleSql(numHashes = 128, bands = 16, rowsPerBand = 8, threshold = 0.5),
 

@@ -1,0 +1,128 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Bounded bottom-k DISTINCT aggregator: the k smallest distinct hash
+  * values seen per group, in one pass with partial aggregation.
+  *
+  * This is the state of a KMV (k-minimum-values) distinct-count sketch
+  * (Bar-Yossef et al., "Counting distinct elements in a data stream",
+  * RANDOM 2002; the same estimator family as DataSketches' theta sketch).
+  * Each map task reduces its partition to <= k values per group BEFORE the
+  * shuffle — the exact property that makes a sketch preferable to
+  * `countDistinct` at 100 TB: `countDistinct` expands to a two-phase
+  * shuffle whose first exchange carries EVERY distinct key, while the KMV
+  * shuffle carries k longs per (group x map task), a constant.
+  *
+  * The buffer is a sorted ascending list, deduplicated on merge, truncated
+  * at k — fully deterministic for any partitioning / merge order, which is
+  * what lets the sketch be oracle-checked value-for-value, not just within
+  * error bars.
+  */
+final class BottomKDistinctAggregator(k: Int)
+    extends Aggregator[Long, List[Long], Seq[Long]] {
+  require(k > 0, s"k must be positive, got $k")
+
+  override def zero: List[Long] = Nil
+
+  override def reduce(buf: List[Long], x: Long): List[Long] =
+    mergeSorted(buf, x :: Nil)
+
+  override def merge(b1: List[Long], b2: List[Long]): List[Long] =
+    mergeSorted(b1, b2)
+
+  /** Merge two sorted-ascending distinct lists, dropping duplicates,
+    * truncated at k.
+    */
+  private def mergeSorted(a: List[Long], b: List[Long]): List[Long] = {
+    val out = List.newBuilder[Long]
+    var (xs, ys, n) = (a, b, 0)
+    var last = Long.MinValue
+    var has = false
+    while (n < k && (xs.nonEmpty || ys.nonEmpty)) {
+      val v =
+        if (ys.isEmpty || (xs.nonEmpty && xs.head <= ys.head)) { val h = xs.head; xs = xs.tail; h }
+        else { val h = ys.head; ys = ys.tail; h }
+      if (!has || v != last) { out += v; n += 1; last = v; has = true }
+    }
+    out.result()
+  }
+
+  override def finish(r: List[Long]): Seq[Long] = r
+
+  override def bufferEncoder: Encoder[List[Long]] = ExpressionEncoder()
+  override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
+}
+
+/** Distributed sketches whose OUTPUT is deterministic (and therefore
+  * oracle-checkable): estimates are pure functions of a portable hash, not
+  * of partitioning, RNG state, or engine-internal hashing.
+  */
+object Sketches {
+
+  /** Hash domain size for [[PortableHash.hash32]]: values are uniform in
+    * [0, 2^32).
+    */
+  val HashDomain: Double = 4294967296.0
+
+  /** KMV distinct-count estimate per group.
+    *
+    * `keyStr` is hashed with the portable 32-bit hash; per group we keep
+    * the k smallest distinct hash values (single pass, partial agg, see
+    * [[BottomKDistinctAggregator]]). With fewer than k distinct hashes the
+    * sketch IS the exact distinct set, so the estimate is exact; otherwise
+    * the classic unbiased estimator `(k-1) * 2^32 / h_(k)` (the k-th
+    * minimum linearly extrapolates the hash density). Relative error is
+    * ~1/sqrt(k-2); k=256 gives ~6%.
+    *
+    * Output: groupCols ++ (n_sketch INT — distinct hashes retained,
+    * kth_min BIGINT — the k-th minimum or the max retained when exact,
+    * estimate DOUBLE).
+    */
+  def kmvDistinct(
+      df: DataFrame,
+      groupCols: Seq[String],
+      keyStr: Column,
+      k: Int): DataFrame = {
+    val bottomK = udaf(new BottomKDistinctAggregator(k))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(bottomK(PortableHash.hash32(keyStr)).as("__mins"))
+      .select(
+        groupCols.map(col) ++ Seq(
+          size(col("__mins")).as("n_sketch"),
+          element_at(col("__mins"), size(col("__mins"))).as("kth_min"),
+          when(size(col("__mins")) < k,
+            size(col("__mins")).cast("double"))
+            .otherwise(
+              lit((k - 1).toDouble * HashDomain) /
+                element_at(col("__mins"), k).cast("double"))
+            .as("estimate")): _*)
+  }
+
+  /** The DuckDB twin of [[kmvDistinct]] for a single group column: same
+    * hash, same k-th minimum, same estimator expression, so the two
+    * engines agree bit-for-bit. `(k-1) * 2^32` is an exact integer
+    * (< 2^53) and the estimate is one IEEE double division — deterministic
+    * on both sides.
+    */
+  def kmvDistinctSql(table: String, groupCol: String, keyStrSql: String, k: Int): String =
+    s"""WITH h AS (
+       |  SELECT DISTINCT $groupCol, ${PortableHash.hash32Sql(keyStrSql)} AS hv
+       |  FROM $table),
+       |r AS (
+       |  SELECT $groupCol, hv,
+       |         row_number() OVER (PARTITION BY $groupCol ORDER BY hv) AS rn,
+       |         COUNT(*) OVER (PARTITION BY $groupCol) AS nd
+       |  FROM h)
+       |SELECT $groupCol,
+       |  CAST(LEAST(nd, $k) AS INTEGER) AS n_sketch,
+       |  MAX(CASE WHEN rn = LEAST(nd, $k) THEN hv END) AS kth_min,
+       |  CASE WHEN nd < $k THEN CAST(nd AS DOUBLE)
+       |       ELSE ${(k - 1).toDouble * HashDomain} / MAX(CASE WHEN rn = $k THEN hv END) END AS estimate
+       |FROM r WHERE rn <= $k
+       |GROUP BY $groupCol, nd
+       |ORDER BY $groupCol""".stripMargin
+}

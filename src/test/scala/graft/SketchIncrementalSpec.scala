@@ -1,0 +1,109 @@
+package graft
+
+import graft.apply.IncrementalAgg
+import graft.capture.ChangeCapture
+import graft.ext.{PortableHash, Sketches}
+import graft.log.ChangeLog
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Specs for the round-4 additions: incremental aggregate maintenance and
+  * the KMV distinct sketch.
+  */
+class SketchIncrementalSpec extends SparkSpecBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // ------------------------------------------------- incremental aggregate
+
+  test("incremental agg equals full recompute on the fixture log") {
+    val base = Fixtures.orders(spark, dir).select(Fixtures.OrdersSpec.columns.map(col): _*)
+    val stored = IncrementalAgg.snapshotAgg(base, "o_orderpriority", "o_totalprice")
+    val maintained =
+      IncrementalAgg.maintain(stored, Fixtures.changeLog(spark, dir),
+        "o_orderpriority", "o_totalprice")
+    val recomputed =
+      IncrementalAgg.snapshotAgg(Fixtures.after(base), "o_orderpriority", "o_totalprice")
+    assertSameRows(maintained, recomputed, "incremental vs recompute")
+  }
+
+  test("incremental agg: emptied groups vanish, new groups appear, values exact") {
+    import spark.implicits._
+    val before = Seq(
+      (1L, "a", 10.5), (2L, "a", 20.25), (3L, "b", 1.0)
+    ).toDF("id", "grp", "v")
+    // delete both 'a' rows (group dies), update 'b' value, insert 'c' (group born)
+    val afterDf = Seq((3L, "b", 2.5), (4L, "c", 7.75)).toDF("id", "grp", "v")
+    val spec = graft.model.CdcTableSpec("t", Seq("id", "grp", "v"), "id")
+    val log = ChangeLog.assignCdcIds(
+      ChangeCapture.finishLogSchema(
+        ChangeCapture.captureChanges(before, afterDf, spec)), global = true)
+
+    val maintained = IncrementalAgg.maintain(
+      IncrementalAgg.snapshotAgg(before, "grp", "v"), log, "grp", "v")
+    val recomputed = IncrementalAgg.snapshotAgg(afterDf, "grp", "v")
+    assertSameRows(maintained, recomputed, "synthetic maintenance")
+    assert(maintained.filter(col("g_key") === "a").count() == 0, "emptied group must vanish")
+    assert(maintained.filter(col("g_key") === "c").count() == 1, "born group must appear")
+  }
+
+  test("incremental agg deltas shuffle O(groups): aggregate is partial") {
+    // the physical plan must contain a partial hash aggregate below the
+    // exchange (map-side combine), so shuffle rows = groups x tasks
+    val d = IncrementalAgg.deltas(Fixtures.changeLog(spark, dir), "o_orderpriority", "o_totalprice")
+    val plan = d.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), s"expected hash aggregate, got:\n$plan")
+  }
+
+  // ------------------------------------------------------------ KMV sketch
+
+  test("kmv: exact when distinct count below k") {
+    import spark.implicits._
+    val df = (1 to 50).map(i => ("g", i.toLong)).toDF("grp", "key")
+      .unionAll((1 to 50).map(i => ("g", i.toLong)).toDF("grp", "key")) // dup every key
+    val out = Sketches.kmvDistinct(df, Seq("grp"), col("key").cast("string"), k = 256)
+      .collect()(0)
+    assert(out.getAs[Int]("n_sketch") == 50)
+    assert(out.getAs[Double]("estimate") == 50.0)
+  }
+
+  test("kmv: estimate within 3/sqrt(k-2) of exact at sf0.001") {
+    val li = Fixtures.lineitem(spark, dir)
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = Sketches.kmvDistinct(li, Seq("l_returnflag"), col("l_partkey").cast("string"), 256)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("estimate")).toMap
+    val tol = 3.0 / math.sqrt(254.0)
+    exact.foreach { case (g, nd) =>
+      val rel = math.abs(est(g) - nd) / nd.toDouble
+      assert(rel < tol, s"group $g: exact=$nd est=${est(g)} rel=$rel tol=$tol")
+    }
+  }
+
+  test("kmv: invariant under repartitioning (merge-order independence)") {
+    val li = Fixtures.lineitem(spark, dir)
+    val a = Sketches.kmvDistinct(li, Seq("l_returnflag"), col("l_partkey").cast("string"), 64)
+    val b = Sketches.kmvDistinct(li.repartition(13, col("l_orderkey")),
+      Seq("l_returnflag"), col("l_partkey").cast("string"), 64)
+    assertSameRows(a, b, "kmv partitioning invariance")
+  }
+
+  test("kmv sketch equals window-based reference formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val k = 64
+    val li = Fixtures.lineitem(spark, dir)
+    val w = Window.partitionBy("l_returnflag").orderBy("hv")
+    val ref = li.select(col("l_returnflag"),
+        PortableHash.hash32(col("l_partkey").cast("string")).as("hv"))
+      .distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .groupBy("l_returnflag")
+      .agg(max("hv").as("kth_min_ref"), count(lit(1)).cast("int").as("n_ref"))
+    val got = Sketches.kmvDistinct(li, Seq("l_returnflag"), col("l_partkey").cast("string"), k)
+    val joined = got.join(ref, "l_returnflag")
+    assert(joined.filter(col("kth_min") =!= col("kth_min_ref") ||
+      col("n_sketch") =!= col("n_ref")).count() == 0)
+  }
+}
