@@ -656,10 +656,44 @@ object SparkEntry {
         col("l_partkey").cast("string"), k = 256)
       .orderBy("l_returnflag")
 
+  /** Sliding-window counts (1 h window, 15 min slide): each event lands in
+    * 4 overlapping windows via Spark's `window()` expand.
+    */
+  private def qEventsSliding(s: SparkSession, dir: String): DataFrame =
+    EventAnalytics.slidingCounts(events(s, dir), "ts", "event_type",
+        "1 hour", "15 minutes")
+      .orderBy("win_start", "event_type")
+
+  /** Per-user daily activity outliers: days more than 2 sigma from the
+    * user's mean daily event count (integer moment sums → deterministic
+    * double z-scores).
+    */
+  private def qEventsAnomaly(s: SparkSession, dir: String): DataFrame =
+    EventAnalytics.dailyCountAnomalies(events(s, dir), "ts", "user_id",
+        minDays = 7, zCut = 2.0)
+      .orderBy("user_id", "day")
+
+  /** CUBE over (priority, status): all four grouping sets with a
+    * grouping_id to disambiguate subtotal rows — the full grouping-sets
+    * surface next to [[qOrdersRollup]]'s hierarchy.
+    */
+  private def qOrdersCube(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"))
+      .select(col("gid"), col("o_orderpriority").as("priority"),
+        col("o_orderstatus").as("status"), col("n"), col("sum_price"))
+      .orderBy(col("gid"), col("priority").asc_nulls_first, col("status").asc_nulls_first)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_incremental_agg" -> (qCdcIncrementalAgg _),
     "sketch_distinct_kmv" -> (qSketchDistinctKmv _),
+    "events_sliding" -> (qEventsSliding _),
+    "events_anomaly" -> (qEventsAnomaly _),
+    "orders_cube" -> (qOrdersCube _),
     "cdc_capture_diff" -> (qCaptureDiff _),
     "cdc_capture_by_timestamp" -> (qCaptureByTimestamp _),
     "cdc_capture_by_version" -> (qCaptureByVersion _),
@@ -941,6 +975,49 @@ object SparkEntry {
     "sketch_distinct_kmv" ->
       Sketches.kmvDistinctSql("lineitem", "l_returnflag",
         "CAST(l_partkey AS VARCHAR)", k = 256),
+
+    // each event belongs to the 4 slide-aligned windows covering it; with
+    // slide=900000 ms the i-th window start is (ms//900000 - i)*900000
+    "events_sliding" ->
+      """WITH x AS (
+        |  SELECT make_timestamp((epoch_ms(ts) // 900000 - i) * 900000000) AS ws,
+        |         event_type, value
+        |  FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS i) s)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS win_start, event_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n, round(SUM(value), 3) AS sum_value
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // identical moment-identity arithmetic to the Spark side: integer
+    // sums, then one fixed chain of IEEE double ops, round before cut
+    "events_anomaly" ->
+      """WITH d AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |u AS (
+        |  SELECT user_id AS uu, CAST(COUNT(*) AS BIGINT) AS days,
+        |         SUM(n) AS sum_n, SUM(n * n) AS sum_n2
+        |  FROM d GROUP BY 1),
+        |j AS (
+        |  SELECT d.user_id, d.day, d.n, u.days,
+        |         CAST(u.sum_n AS DOUBLE) / u.days AS mean,
+        |         (CAST(u.sum_n2 AS DOUBLE) - CAST(u.sum_n AS DOUBLE) * u.sum_n / u.days)
+        |           / (u.days - 1) AS var
+        |  FROM d JOIN u ON d.user_id = u.uu)
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day, n,
+        |       round((n - mean) / sqrt(var), 6) AS z
+        |FROM j
+        |WHERE days >= 7 AND var > 0
+        |  AND abs(round((n - mean) / sqrt(var), 6)) > 2.0
+        |ORDER BY user_id, day""".stripMargin,
+
+    "orders_cube" ->
+      """SELECT CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS BIGINT) AS gid,
+        |       o_orderpriority AS priority, o_orderstatus AS status,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+        |ORDER BY gid, priority NULLS FIRST, status NULLS FIRST""".stripMargin,
     "dedup_minhash_lsh" ->
       minhashOracleSql(numHashes = 128, bands = 16, rowsPerBand = 8, threshold = 0.5),
 

@@ -255,4 +255,61 @@ object EventAnalytics {
     stream
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(idCol)
+
+  /** Sliding-window counts: `window(ts, winDur, slideDur)` replicates each
+    * event into winDur/slideDur overlapping windows BEFORE the aggregate —
+    * a map-side expand feeding a partial-combined hash agg, so the shuffle
+    * carries (windows x keys) partial rows per task, never the event
+    * stream itself. The streaming variant is the same plan plus a
+    * watermark; batch output below matches it for in-order data.
+    */
+  def slidingCounts(
+      events: DataFrame,
+      tsCol: String,
+      keyCol: String,
+      winDur: String,
+      slideDur: String): DataFrame =
+    events
+      .groupBy(window(col(tsCol), winDur, slideDur).as("w"), col(keyCol))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 3).as("sum_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col(keyCol), col("n"), col("sum_value"))
+
+  /** Per-(user, day) activity z-scores: days whose event count deviates
+    * from that user's mean by more than `zCut` sigmas. Two aggregates —
+    * per-day counts, then per-user moment sums — and one join on the user
+    * key; all sums are integers (exact), the mean/variance/z arithmetic is
+    * a fixed IEEE double expression, so the result is deterministic and
+    * oracle-checkable despite being "statistics". Variance uses the moment
+    * identity (sumsq − sum²/n)/(n−1); users need `minDays` observed days,
+    * and z is rounded to 6 decimals BEFORE the cut filter (float-compare
+    * rule).
+    */
+  def dailyCountAnomalies(
+      events: DataFrame,
+      tsCol: String,
+      userCol: String,
+      minDays: Int,
+      zCut: Double): DataFrame = {
+    val byDay = events
+      .groupBy(col(userCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val byUser = byDay
+      .groupBy(col(userCol).as("u"))
+      .agg(
+        count(lit(1)).as("days"),
+        sum(col("n")).as("sum_n"),
+        sum(col("n") * col("n")).as("sum_n2"))
+    val mean = col("sum_n").cast("double") / col("days")
+    val variance = (col("sum_n2").cast("double") -
+      col("sum_n").cast("double") * col("sum_n") / col("days")) / (col("days") - 1)
+    byDay
+      .join(byUser, col(userCol) === col("u"))
+      .filter(col("days") >= minDays && variance > 0)
+      .withColumn("z", round((col("n") - mean) / sqrt(variance), 6))
+      .filter(abs(col("z")) > zCut)
+      .select(col(userCol), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n"), col("z"))
+  }
 }

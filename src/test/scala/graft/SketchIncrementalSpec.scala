@@ -89,6 +89,54 @@ class SketchIncrementalSpec extends SparkSpecBase {
     assertSameRows(a, b, "kmv partitioning invariance")
   }
 
+  // ------------------------------------------- sliding / anomaly / cube
+
+  test("sliding windows: window() expand equals explicit slide arithmetic") {
+    val ev = Fixtures.events(spark, dir)
+    val got = graft.ext.EventAnalytics.slidingCounts(ev, "ts", "event_type",
+      "1 hour", "15 minutes")
+    // manual formulation: explode i in 0..3, window start = floor15(ts) - i*15min
+    val manual = ev
+      .select(col("ts"), col("event_type"), col("value"),
+        explode(sequence(lit(0), lit(3))).as("i"))
+      .withColumn("ws", timestamp_millis(
+        (floor(unix_millis(col("ts")) / 900000L) - col("i")) * 900000L))
+      .groupBy(col("ws"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 3).as("sum_value"))
+      .select(date_format(col("ws"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+    assertSameRows(got, manual, "sliding windows")
+  }
+
+  test("anomaly z-scores agree with stddev_samp within 1e-9") {
+    val ev = Fixtures.events(spark, dir)
+    val byDay = ev.groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val stats = byDay.groupBy(col("user_id").as("u"))
+      .agg(avg("n").as("m"), stddev_samp("n").as("sd"), count(lit(1)).as("days"))
+    val expected = byDay.join(stats, col("user_id") === col("u"))
+      .filter(col("days") >= 7 && col("sd") > 0)
+      .withColumn("z_ref", (col("n") - col("m")) / col("sd"))
+      .filter(abs(round(col("z_ref"), 6)) > 2.0)
+      .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"), col("z_ref"))
+    val got = graft.ext.EventAnalytics.dailyCountAnomalies(ev, "ts", "user_id", 7, 2.0)
+    val joined = got.join(expected, Seq("user_id", "day"), "full_outer")
+    assert(joined.filter(col("z").isNull || col("z_ref").isNull).count() == 0,
+      "same outlier set as the stddev_samp formulation")
+    assert(joined.filter(abs(col("z") - col("z_ref")) > 1e-9).count() == 0)
+  }
+
+  test("cube: subtotal rows are consistent with detail rows") {
+    val cube = SparkEntry.queries("orders_cube")(spark, dir).cache()
+    val detail = cube.filter(col("gid") === 0)
+      .agg(sum("n").as("n"), round(sum("sum_price"), 2).as("p")).collect()(0)
+    val total = cube.filter(col("gid") === 3)
+      .select(col("n"), round(col("sum_price"), 2).as("p")).collect()(0)
+    assert(detail.getLong(0) == total.getLong(0))
+    assert(detail.getDouble(1) == total.getDouble(1))
+    cube.unpersist()
+  }
+
   test("kmv sketch equals window-based reference formulation") {
     import org.apache.spark.sql.expressions.Window
     val k = 64
