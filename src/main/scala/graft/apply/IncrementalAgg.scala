@@ -80,8 +80,10 @@ object IncrementalAgg {
   def maintain(storedAgg: DataFrame, changes: DataFrame, keyCol: String, valueCol: String): DataFrame = {
     val d = deltas(changes, keyCol, valueCol)
     val b = storedAgg.select(col("g_key"), col("cnt"), col("total"))
+    // null-safe equality: a NULL group key must merge with its delta row,
+    // not emit stale-base + standalone-delta duplicates
     b.join(d.withColumnRenamed("g_key", "d_key"),
-        col("g_key") === col("d_key"), "full_outer")
+        col("g_key") <=> col("d_key"), "full_outer")
       .select(
         coalesce(col("g_key"), col("d_key")).as("g_key"),
         (coalesce(col("cnt"), lit(0L)) + coalesce(col("d_cnt"), lit(0L))).as("cnt"),

@@ -67,6 +67,13 @@ case class PqEncode(child: Expression, cents: Seq[(Long, Seq[Double])], m: Int)
 
   def kernel(arr: ArrayData): GenericArrayData = {
     if (arr.numElements() < cb.dim) return null
+    // null elements would read as 0.0 from toDoubleArray (or NPE on generic
+    // arrays); null the row out, matching the columnar twin's propagation
+    var ne = 0
+    while (ne < arr.numElements()) {
+      if (arr.isNullAt(ne)) return null
+      ne += 1
+    }
     val v = arr.toDoubleArray()
     val out = new Array[Any](cb.m)
     var i = 0

@@ -160,10 +160,12 @@ object EventAnalytics {
   def retention(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
     val weekUs = 7L * 86400L * 1000000L
     val activity = events
-      // integral `div` (not `/`, which is double division): epoch-µs
-      // values don't survive a float round-trip bit-exactly
+      // integral floor division via the pmod identity (not `/`, which is
+      // double division, and not `div`, which truncates toward zero and
+      // would disagree with DuckDB's floor `//` for pre-1970 timestamps)
       .select(col(userCol).as("__u"), unix_micros(col(tsCol)).as("__us"))
-      .select(col("__u"), expr(s"__us div ${weekUs}L").as("week"))
+      .select(col("__u"),
+        expr(s"(__us - pmod(__us, ${weekUs}L)) div ${weekUs}L").as("week"))
       .distinct()
     val cohorts = activity.groupBy("__u").agg(min("week").as("cohort_week"))
     val sizes = cohorts.groupBy("cohort_week").agg(count(lit(1)).as("__n0"))

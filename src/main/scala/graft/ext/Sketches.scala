@@ -23,37 +23,54 @@ import org.apache.spark.sql.functions._
   * error bars.
   */
 final class BottomKDistinctAggregator(k: Int)
-    extends Aggregator[Long, List[Long], Seq[Long]] {
+    extends Aggregator[Long, Array[Long], Seq[Long]] {
   require(k > 0, s"k must be positive, got $k")
 
-  override def zero: List[Long] = Nil
+  override def zero: Array[Long] = Array.emptyLongArray
 
-  override def reduce(buf: List[Long], x: Long): List[Long] =
-    mergeSorted(buf, x :: Nil)
-
-  override def merge(b1: List[Long], b2: List[Long]): List[Long] =
-    mergeSorted(b1, b2)
-
-  /** Merge two sorted-ascending distinct lists, dropping duplicates,
-    * truncated at k.
+  /** Per-row update. The common case at 100 TB — buffer already full and
+    * the incoming hash above the current k-th minimum — is an O(log k)
+    * reject (one binary-search bound check short-circuited by comparing
+    * against the last element first), with NO allocation. Only genuinely
+    * new bottom-k values pay the O(k) sorted insert, and those become
+    * geometrically rarer as the sketch saturates.
     */
-  private def mergeSorted(a: List[Long], b: List[Long]): List[Long] = {
-    val out = List.newBuilder[Long]
-    var (xs, ys, n) = (a, b, 0)
-    var last = Long.MinValue
-    var has = false
-    while (n < k && (xs.nonEmpty || ys.nonEmpty)) {
-      val v =
-        if (ys.isEmpty || (xs.nonEmpty && xs.head <= ys.head)) { val h = xs.head; xs = xs.tail; h }
-        else { val h = ys.head; ys = ys.tail; h }
-      if (!has || v != last) { out += v; n += 1; last = v; has = true }
-    }
-    out.result()
+  override def reduce(buf: Array[Long], x: Long): Array[Long] = {
+    val n = buf.length
+    if (n == k && x >= buf(n - 1)) return buf // full and not a new minimum
+    val i = java.util.Arrays.binarySearch(buf, x)
+    if (i >= 0) return buf // duplicate
+    val ins = -(i + 1)
+    val outLen = math.min(n + 1, k)
+    val out = new Array[Long](outLen)
+    System.arraycopy(buf, 0, out, 0, ins)
+    out(ins) = x
+    System.arraycopy(buf, ins, out, ins + 1, outLen - ins - 1)
+    out
   }
 
-  override def finish(r: List[Long]): Seq[Long] = r
+  /** Merge two sorted-ascending distinct arrays, dropping duplicates,
+    * truncated at k — deterministic for any merge order.
+    */
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    if (a.isEmpty) return b
+    if (b.isEmpty) return a
+    val tmp = new Array[Long](math.min(a.length + b.length, k))
+    var (i, j, n) = (0, 0, 0)
+    var last = 0L
+    var has = false
+    while (n < k && (i < a.length || j < b.length)) {
+      val v =
+        if (j >= b.length || (i < a.length && a(i) <= b(j))) { val h = a(i); i += 1; h }
+        else { val h = b(j); j += 1; h }
+      if (!has || v != last) { tmp(n) = v; n += 1; last = v; has = true }
+    }
+    if (n == tmp.length) tmp else java.util.Arrays.copyOf(tmp, n)
+  }
 
-  override def bufferEncoder: Encoder[List[Long]] = ExpressionEncoder()
+  override def finish(r: Array[Long]): Seq[Long] = r.toSeq
+
+  override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
   override def outputEncoder: Encoder[Seq[Long]] = ExpressionEncoder()
 }
 
@@ -88,8 +105,14 @@ object Sketches {
       keyStr: Column,
       k: Int): DataFrame = {
     val bottomK = udaf(new BottomKDistinctAggregator(k))
-    df.groupBy(groupCols.map(col): _*)
-      .agg(bottomK(PortableHash.hash32(keyStr)).as("__mins"))
+    // null keys hash to NULL, which a primitive-Long udaf would silently
+    // read as 0L (a spurious sketch minimum); drop them before the agg —
+    // a NULL key contributes no distinct value, matching the SQL twin's
+    // WHERE hv IS NOT NULL
+    df.withColumn("__hv", PortableHash.hash32(keyStr))
+      .filter(col("__hv").isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(bottomK(col("__hv")).as("__mins"))
       .select(
         groupCols.map(col) ++ Seq(
           size(col("__mins")).as("n_sketch"),
@@ -111,7 +134,8 @@ object Sketches {
   def kmvDistinctSql(table: String, groupCol: String, keyStrSql: String, k: Int): String =
     s"""WITH h AS (
        |  SELECT DISTINCT $groupCol, ${PortableHash.hash32Sql(keyStrSql)} AS hv
-       |  FROM $table),
+       |  FROM $table
+       |  WHERE ${PortableHash.hash32Sql(keyStrSql)} IS NOT NULL),
        |r AS (
        |  SELECT $groupCol, hv,
        |         row_number() OVER (PARTITION BY $groupCol ORDER BY hv) AS rn,

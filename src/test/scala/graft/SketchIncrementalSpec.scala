@@ -123,7 +123,9 @@ class SketchIncrementalSpec extends SparkSpecBase {
     val joined = got.join(expected, Seq("user_id", "day"), "full_outer")
     assert(joined.filter(col("z").isNull || col("z_ref").isNull).count() == 0,
       "same outlier set as the stddev_samp formulation")
-    assert(joined.filter(abs(col("z") - col("z_ref")) > 1e-9).count() == 0)
+    // the operator rounds z to 6 dp by contract (EventAnalytics.dailyCountAnomalies);
+    // round the reference identically before the 1e-9 comparison
+    assert(joined.filter(abs(col("z") - round(col("z_ref"), 6)) > 1e-9).count() == 0)
   }
 
   test("cube: subtotal rows are consistent with detail rows") {
