@@ -25,10 +25,37 @@ object Bench {
       Fixtures.secondBatchLog(spark, sfDir).count()
       ()
     }
+    // Untimed warm-up: the first query in a cold JVM otherwise absorbs
+    // several seconds of one-time cost that belongs to the PROCESS, not
+    // the operator — C2-compiling Spark's scan/shuffle/agg/codegen
+    // machinery, Janino's first compile, parquet footer reads. Round 4
+    // measured the same query at 1.9 s isolated vs 8.0 s when Map
+    // ordering happened to run it first (and the apparent
+    // cdc_apply_changes "2.5x regression" was this tax moving between
+    // rounds as the registry's hash order changed). One scan + shuffle +
+    // window + join over each base table pays that cost once, up front.
+    Seq("lineitem", "orders", "customer", "documents", "embeddings", "events")
+      .foreach { t =>
+        val df =
+          if (t == "events") Fixtures.events(spark, sfDir)
+          else spark.read.parquet(s"$sfDir/$t.parquet")
+        val key = df.schema.head.name
+        import org.apache.spark.sql.functions.{col, count, lit, row_number}
+        import org.apache.spark.sql.expressions.Window
+        df.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+          .withColumn("__r",
+            row_number().over(Window.partitionBy(col(key)).orderBy(col("__n"))))
+          .filter(col("__r") === 1).count()
+        ()
+      }
     // A failed query must be visible as a failure, not counted as a fast
     // run: it reports -1 in the per-query map and is excluded from total.
-    val results: Map[String, Either[String, Double]] =
-      selected.map { case (name, fn) =>
+    // Queries run in NAME order — deterministic across rounds, so
+    // per-query timings are comparable round-over-round (Map hash order
+    // reshuffled whenever the registry grew, moving residual warm-up and
+    // cache-locality effects between queries).
+    val results: Seq[(String, Either[String, Double])] =
+      selected.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         name -> (try {
           fn(spark, sfDir).count()
@@ -39,12 +66,12 @@ object Bench {
             Left(e.getClass.getSimpleName)
         })
       }
-    val qs = results.toSeq.sortBy(_._1).map {
+    val qs = results.map {
       case (k, Right(sec)) => "\"" + k + "\":" + sec
       case (k, Left(_))    => "\"" + k + "\":-1"
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, Left(_)) => k }.toSeq.sorted
-    val total = results.values.collect { case Right(s) => s }.sum
+    val total = results.collect { case (_, Right(s)) => s }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     if (failed.nonEmpty) { spark.stop(); sys.exit(1) }

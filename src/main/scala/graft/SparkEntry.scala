@@ -360,11 +360,10 @@ object SparkEntry {
     Corpus.shuffleAssign(documents(s, dir), "doc_id", numShards = 32, salt = "shuf")
       .orderBy("doc_id")
 
-  private def qCorpusTfidf(s: SparkSession, dir: String): DataFrame = {
-    val docs = documents(s, dir)
-    Corpus.tfidf(docs, "doc_id", "text", k = 3, docCount = docs.count())
+  private def qCorpusTfidf(s: SparkSession, dir: String): DataFrame =
+    Corpus.tfidf(documents(s, dir), "doc_id", "text", k = 3,
+        docCount = Fixtures.documentCount(s, dir))
       .orderBy("doc_id", "rnk")
-  }
 
   /** PQ codes over the same codebook sample the IVF queries use: 4
     * subspaces of 16 dims each.
