@@ -213,6 +213,22 @@ object SparkEntry {
         mode = HashMode.Portable)
       .orderBy("id_a", "id_b")
 
+  /** Incremental dedup: docs `%5=0` play "today's crawl", the rest the
+    * landed corpus — the corpus is persisted as a partition-pruned
+    * signature index and the batch probes it, never self-joining the
+    * corpus. Same portable minhash family as [[qDedupMinhash]], so the
+    * oracle twin shares its signature CTEs with a split candidate join.
+    */
+  private def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val idxPath = java.nio.file.Files.createTempDirectory("graft_sigidx").toString
+    Dedup.writeSignatureIndex(docs.filter(col("doc_id") % 5 =!= 0),
+      "text", "doc_id", idxPath)
+    Dedup.dedupAgainstIndex(docs.filter(col("doc_id") % 5 === 0),
+        "text", "doc_id", idxPath, threshold = 0.5)
+      .orderBy("new_id", "dup_of")
+  }
+
   private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashDedup(documents(s, dir), "text", "doc_id", maxHamming = 3,
         mode = HashMode.Portable)
@@ -712,6 +728,7 @@ object SparkEntry {
     "dedup_exact" -> (qDedupExact _),
     "dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "dedup_minhash_lsh" -> (qDedupMinhash _),
+    "dedup_incremental" -> (qDedupIncremental _),
     "dedup_simhash" -> (qDedupSimhash _),
     "part_fuzzy_pairs" -> (qPartFuzzyPairs _),
     "events_props_agg" -> (qEventsPropsAgg _),
@@ -915,6 +932,45 @@ object SparkEntry {
        |SELECT id_a, id_b, jac FROM j WHERE jac >= $threshold ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** DuckDB twin of [[Dedup.dedupAgainstIndex]]: identical signature /
+    * band CTEs to [[minhashOracleSql]], with the candidate join split
+    * batch (`doc_id % 5 = 0`) vs corpus (`% 5 <> 0`).
+    */
+  private def incrementalMinhashOracleSql(
+      numHashes: Int, bands: Int, rowsPerBand: Int, threshold: Double): String = {
+    val ab = PortableHash.minhashAB(numHashes)
+    val aList = PortableHash.bigintListSql(ab.map(_._1))
+    val bList = PortableHash.bigintListSql(ab.map(_._2))
+    val P = PortableHash.P
+    s"""WITH $TextTokensCte,
+       |$ShinglesCte,
+       |ab AS (SELECT $aList AS ha, $bList AS hb),
+       |xs AS (SELECT doc_id, sh,
+       |         list_transform(sh, s -> ${PortableHash.hash32Sql("s")} % $P) AS x
+       |       FROM shg),
+       |sig AS (SELECT doc_id,
+       |          list_transform(range(1, ${numHashes + 1}),
+       |            i -> list_min(list_transform(x, v -> (ha[i]*v + hb[i]) % $P))) AS sig
+       |        FROM xs, ab),
+       |bnd AS (SELECT doc_id, b,
+       |          ${PortableHash.foldSql(
+                   s"sig[CAST(b*$rowsPerBand+1 AS INT):CAST((b+1)*$rowsPerBand AS INT)]",
+                   "b + 1")} AS bucket
+       |        FROM sig, (SELECT unnest(range(0, $bands)) AS b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS new_id, c.doc_id AS dup_of
+       |         FROM bnd a JOIN bnd c ON a.b = c.b AND a.bucket = c.bucket
+       |         WHERE a.doc_id % 5 = 0 AND c.doc_id % 5 <> 0),
+       |pr AS (SELECT new_id, dup_of, sa.sh AS sa, sb.sh AS sb
+       |       FROM cand JOIN shg sa ON sa.doc_id = cand.new_id
+       |                 JOIN shg sb ON sb.doc_id = cand.dup_of),
+       |j AS (SELECT new_id, dup_of,
+       |        round(CASE WHEN len(list_distinct(list_concat(sa, sb))) = 0 THEN 0.0
+       |              ELSE CAST(len(list_filter(sa, x -> list_contains(sb, x))) AS DOUBLE)
+       |                   / len(list_distinct(list_concat(sa, sb))) END, 6) AS jac
+       |      FROM pr)
+       |SELECT new_id, dup_of, jac FROM j WHERE jac >= $threshold ORDER BY new_id, dup_of""".stripMargin
+  }
+
   /** DuckDB twin of [[Dedup.simhashDedup]] in portable-hash mode (chunk
     * layout hardcoded for maxHamming = 3: 4 chunks x 16 bits; chunks 0/1
     * from the lo half, 2/3 from hi — same split as the engine).
@@ -1019,6 +1075,13 @@ object SparkEntry {
         |ORDER BY gid, priority NULLS FIRST, status NULLS FIRST""".stripMargin,
     "dedup_minhash_lsh" ->
       minhashOracleSql(numHashes = 128, bands = 16, rowsPerBand = 8, threshold = 0.5),
+
+    // same signature pipeline as dedup_minhash_lsh; the candidate join is
+    // split batch-vs-corpus (doc_id % 5) instead of self — the index's
+    // pb-partition layout is invisible to results by construction
+    "dedup_incremental" ->
+      incrementalMinhashOracleSql(numHashes = 128, bands = 16, rowsPerBand = 8,
+        threshold = 0.5),
 
     "dedup_simhash" -> simhashOracleSql(maxHamming = 3),
 

@@ -343,6 +343,28 @@ object Dedup {
           (bnd + 1).cast("long")))
   }
 
+  /** One (id, sig) row per document — signature length `numHashes`. In
+    * Portable mode the fused native kernel never materializes a shingle
+    * string (see [[minhashLshDedup]] docs).
+    */
+  private def signatureScan(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int,
+      numHashes: Int,
+      mode: HashMode): DataFrame = mode match {
+    case HashMode.Portable =>
+      df.select(col(idCol).as("id"),
+        org.apache.spark.sql.GraftSqlBridge.column(
+          graft.expr.PortableMinhashText(
+            org.apache.spark.sql.GraftSqlBridge.expression(col(textCol)),
+            n, PortableHash.minhashAB(numHashes))).as("sig"))
+    case HashMode.Engine =>
+      df.select(col(idCol).as("id"),
+        minhashSignature(shingles(col(textCol), n), numHashes, mode).as("sig"))
+  }
+
   /** MinHash+LSH near-duplicate pairs, verified by exact Jaccard.
     *
     * Pipeline: shingle → signature (map) → explode bands (map) →
@@ -385,17 +407,8 @@ object Dedup {
     // into the per-band bucket transform and the full 128-hash signature
     // is recomputed once per band. Shuffle weight is one (id, sig) row
     // per doc.
-    val sigd = (mode match {
-      case HashMode.Portable =>
-        df.select(col(idCol).as("id"),
-          org.apache.spark.sql.GraftSqlBridge.column(
-            graft.expr.PortableMinhashText(
-              org.apache.spark.sql.GraftSqlBridge.expression(col(textCol)),
-              n, PortableHash.minhashAB(bands * rowsPerBand))).as("sig"))
-      case HashMode.Engine =>
-        df.select(col(idCol).as("id"),
-          minhashSignature(shingles(col(textCol), n), bands * rowsPerBand, mode).as("sig"))
-    }).repartition(parallelism)
+    val sigd = signatureScan(df, textCol, idCol, n, bands * rowsPerBand, mode)
+      .repartition(parallelism)
 
     val buckets = sigd
       .select(col("id"),
@@ -552,5 +565,131 @@ object Dedup {
             bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).as("hamming"))
         .filter(col("hamming") <= maxHamming)
         .distinct()
+  }
+
+  // --------------------------------------------- incremental (index) dedup
+
+  /** Persist a MinHash signature index for INCREMENTAL dedup — the
+    * operation a daily-ingest pipeline actually runs: "dedup today's
+    * crawl against the landed corpus" without re-joining the corpus
+    * against itself. (The reference's closest concept is its idempotent
+    * re-apply keyed on PK — reference: cdc_system.py:327 — the degenerate
+    * exact-key form of probing an index of what already landed.)
+    *
+    * Layout under `path`:
+    *  - `buckets/` — one (band, bucket, id) row per doc×band, parquet
+    *    partitioned by `pb = pmod(bucket, bucketParts)`. `bucket` is a
+    *    64-bit hash, so partitioning by the bucket itself would create
+    *    unbounded directories; folding it into `bucketParts` partitions
+    *    bounds the directory count while keeping probes partition-
+    *    prunable (a probe reads only the `pb` directories its batch's
+    *    buckets fold into — for a small daily batch, a fraction of the
+    *    corpus listing).
+    *  - `shingles/` — (id, sh) sorted distinct hashed shingles, the
+    *    verify-side representation fetched per surviving candidate.
+    *
+    * Index build is one corpus scan + two partitioned writes; growing it
+    * day-over-day is an append of the just-deduped batch
+    * ([[appendToSignatureIndex]]).
+    */
+  def writeSignatureIndex(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      path: String,
+      n: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 8,
+      bucketParts: Int = 64,
+      saveMode: String = "overwrite"): Unit = {
+    signatureScan(df, textCol, idCol, n, bands * rowsPerBand, HashMode.Portable)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col("id"),
+        posexplode(lshBandBuckets(col("sig"), bands, rowsPerBand, HashMode.Portable))
+          .as(Seq("band", "bucket")))
+      .withColumn("pb", pmod(col("bucket"), lit(bucketParts.toLong)))
+      .write.partitionBy("pb").mode(saveMode).parquet(s"$path/buckets")
+    df.select(col(idCol).as("id"), hashedShingles(col(textCol), n).as("sh"))
+      .write.mode(saveMode).parquet(s"$path/shingles")
+  }
+
+  /** Append a new batch to an existing signature index (same parameters
+    * as the original [[writeSignatureIndex]] call — the hash constants
+    * are deterministic functions of (bands × rowsPerBand), so appended
+    * signatures are comparable with the landed ones).
+    */
+  def appendToSignatureIndex(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      path: String,
+      n: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 8,
+      bucketParts: Int = 64): Unit =
+    writeSignatureIndex(df, textCol, idCol, path, n, bands, rowsPerBand,
+      bucketParts, saveMode = "append")
+
+  /** Near-duplicates of `newBatch` against a persisted signature index:
+    * (new_id, dup_of, jac) for every batch doc whose exact Jaccard with
+    * an indexed doc reaches `threshold`.
+    *
+    * Scale shape — the whole point of the index:
+    *  1. The batch is signed and bucketed (one scan, fused kernel).
+    *  2. The batch's distinct `pb` values — AT MOST `bucketParts` of
+    *    them, a bounded driver-side list by construction — become an
+    *    `IN` partition filter on the bucket index: the probe scan LISTS
+    *    AND READS ONLY those directories (PartitionFilters, asserted in
+    *    the spec). A small batch touches few partitions; corpus I/O is
+    *    proportional to the batch's bucket spread, never corpus size.
+    *  3. Candidate join carries (id, band, bucket) triples only — no
+    *    text, no signatures; AQE picks broadcast when the batch is small
+    *    (no forced hint: a backfill-sized batch must stay sort-merge).
+    *  4. Only surviving candidate pairs fetch shingles (corpus side from
+    *    `shingles/` by id, batch side recomputed in-scan) for the exact
+    *    threshold-bounded verify kernel.
+    *
+    * The batch never joins itself — intra-batch dups are [[minhashLshDedup]]
+    * on the batch alone, composable with this.
+    */
+  def dedupAgainstIndex(
+      newBatch: DataFrame,
+      textCol: String,
+      idCol: String,
+      path: String,
+      n: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 8,
+      threshold: Double = 0.8,
+      bucketParts: Int = 64): DataFrame = {
+    val spark = newBatch.sparkSession
+    val bb = signatureScan(newBatch, textCol, idCol, n, bands * rowsPerBand, HashMode.Portable)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("id").as("new_id"),
+        posexplode(lshBandBuckets(col("sig"), bands, rowsPerBand, HashMode.Portable))
+          .as(Seq("band", "bucket")))
+      .withColumn("pb", pmod(col("bucket"), lit(bucketParts.toLong)))
+      // consumed twice (pb collect + candidate join): materialize once
+      .localCheckpoint(true)
+    // O(bucketParts) values by construction — a bounded driver action
+    // regardless of batch size (documented collect, like IVF codebooks)
+    val pbs = bb.select(col("pb")).distinct().collect().map(_.getLong(0))
+    val idx = spark.read.parquet(s"$path/buckets")
+      .filter(col("pb").isin(pbs: _*)) // partition-pruned probe scan
+    val cand = idx.join(bb.select(col("new_id"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .filter(col("id") =!= col("new_id"))
+      .select(col("new_id"), col("id").as("dup_of"))
+      .dropDuplicates("new_id", "dup_of")
+    val bsh = newBatch.select(col(idCol).as("new_id"),
+      hashedShingles(col(textCol), n).as("sh_n"))
+    cand
+      .join(spark.read.parquet(s"$path/shingles")
+        .select(col("id").as("dup_of"), col("sh").as("sh_c")), Seq("dup_of"))
+      .join(bsh, Seq("new_id"))
+      .withColumn("jac",
+        round(jaccardSortedAtLeast(col("sh_n"), col("sh_c"), threshold), 6))
+      .filter(col("jac") >= threshold)
+      .select(col("new_id"), col("dup_of"), col("jac"))
   }
 }

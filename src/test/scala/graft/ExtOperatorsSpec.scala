@@ -38,6 +38,64 @@ class ExtOperatorsSpec extends SparkSpecBase {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("incremental dedup: index probe prunes partitions and matches the direct join") {
+    val sf = "/root/testdata/sf0.001"
+    val all = Fixtures.documents(s, sf)
+    val corpus = all.filter(col("doc_id") % 5 =!= 0)
+    val batch = all.filter(col("doc_id") % 5 === 0)
+    val tmp = java.nio.file.Files.createTempDirectory("sigidx").toString
+    Dedup.writeSignatureIndex(corpus, "text", "doc_id", tmp)
+    val got = Dedup.dedupAgainstIndex(batch, "text", "doc_id", tmp, threshold = 0.5)
+
+    // the probe scan over buckets/ must carry a pb partition filter —
+    // only the batch's folded-bucket directories are listed and read
+    // (descend through AQE/stage wrappers, which hide children from a
+    // plain collect)
+    def fileScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.inputPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          Seq(q.plan)
+        case other => other.children
+      }
+      val self = p match {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case _ => Nil
+      }
+      self ++ kids.flatMap(fileScans)
+    }
+    val scans = fileScans(got.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("buckets")))
+    assert(scans.nonEmpty, "expected a FileSourceScanExec over the bucket index")
+    assert(scans.forall(_.partitionFilters.nonEmpty),
+      "bucket-index probe must be partition-pruned on pb")
+
+    // results equal the direct (no-index) batch-vs-corpus formulation:
+    // minhashLshDedup over the union, restricted to cross pairs
+    val direct = Dedup.minhashLshDedup(all, "text", "doc_id", threshold = 0.5,
+        mode = graft.ext.HashMode.Portable)
+      .filter((col("id_a") % 5 === 0) =!= (col("id_b") % 5 === 0))
+      .select(
+        when(col("id_a") % 5 === 0, col("id_a")).otherwise(col("id_b")).as("new_id"),
+        when(col("id_a") % 5 === 0, col("id_b")).otherwise(col("id_a")).as("dup_of"),
+        col("jac"))
+    assertSameRows(got, direct, "index probe vs direct cross-join")
+
+    // append: day-2 batch lands in the index; a doc probing day-2's
+    // content now finds it
+    Dedup.appendToSignatureIndex(batch, "text", "doc_id", tmp)
+    val reprobe = Dedup.dedupAgainstIndex(batch, "text", "doc_id", tmp, threshold = 0.5)
+    // every batch doc now collides with its own indexed copy at jaccard 1
+    assert(reprobe.filter(col("new_id") === col("dup_of")).count() === 0,
+      "self-id pairs are excluded")
+    val selfDup = Dedup.minhashLshDedup(batch, "text", "doc_id", threshold = 0.5,
+      mode = graft.ext.HashMode.Portable).count()
+    assert(reprobe.count() === got.count() + 2 * selfDup,
+      "after append, intra-batch dups appear in both directions on top of day-1 pairs")
+  }
+
   test("minhashLshDedup finds exact duplicates (jaccard 1 pairs always collide)") {
     val pairs = Dedup.minhashLshDedup(docs, "text", "doc_id", threshold = 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
