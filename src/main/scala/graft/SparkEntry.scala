@@ -402,6 +402,19 @@ object SparkEntry {
       .orderBy("query_id", "rnk")
   }
 
+  /** End-to-end IVF+PQ serving: build the code-only on-disk index
+    * (partitioned by coarse list), then ADC-search it probing 3 lists.
+    */
+  private def qAnnIvfPqTopK(s: SparkSession, dir: String): DataFrame = {
+    val cents = Similarity.collectCentroids(embCentroids(s, dir), "vec_id", "embedding")
+    val idxPath = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    Similarity.writeIvfPqIndex(embeddings(s, dir), "vec_id", "embedding",
+      cents, m = 4, idxPath)
+    Similarity.ivfPqTopK(Similarity.readIvfIndex(s, idxPath), embQueries(s, dir),
+        "vec_id", "embedding", cents, m = 4, k = 10, nprobe = 3)
+      .orderBy("query_id", "rnk")
+  }
+
   private def qEmbQuantize(s: SparkSession, dir: String): DataFrame =
     Similarity.quantizeInt8(embeddings(s, dir), "vec_id", "embedding")
       .select(col("vec_id"), col("qscale"), col("l2_err"),
@@ -756,6 +769,7 @@ object SparkEntry {
     "ann_ivf_assign" -> (qAnnIvfAssign _),
     "ann_ivf_topk" -> (qAnnIvfTopK _),
     "ann_ivf_train" -> (qAnnIvfTrain _),
+    "ann_ivfpq_topk" -> (qAnnIvfPqTopK _),
     "emb_near_dup" -> (qEmbNearDup _),
     "events_asof" -> (qEventsAsof _),
     "events_hourly" -> (qEventsHourly _),
@@ -1620,6 +1634,64 @@ object SparkEntry {
          |      FROM cs WHERE score IS NOT NULL)
          |SELECT query_id, neighbor_id, score, CAST(rn AS INT) AS rnk
          |FROM r WHERE rn <= 10 ORDER BY query_id, rnk""".stripMargin,
+
+    // composed IVF+PQ serving: coarse assignment + probe CTEs from
+    // ann_ivf_topk, PQ code + ADC CTEs from ann_pq_topk; scoring is
+    // restricted to vectors whose coarse list is probed by the query
+    "ann_ivfpq_topk" ->
+      s"""WITH $EmbBase,
+         |rawc AS (
+         |  SELECT e.vec_id, c.cid,
+         |         ${dotSql("e.v", "c.cv")} AS dp,
+         |         sqrt(${dotSql("e.v", "e.v")}) AS na,
+         |         sqrt(${dotSql("c.cv", "c.cv")}) AS nb
+         |  FROM e, c),
+         |${cosScoreSql("rawc", "sc")},
+         |a1 AS (SELECT vec_id, cid FROM
+         |        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn FROM sc)
+         |       WHERE rn = 1),
+         |praw AS (
+         |  SELECT q.query_id, c.cid,
+         |         ${dotSql("q.qv", "c.cv")} AS dp,
+         |         sqrt(${dotSql("q.qv", "q.qv")}) AS na,
+         |         sqrt(${dotSql("c.cv", "c.cv")}) AS nb
+         |  FROM q, c),
+         |${cosScoreSql("praw", "ps")},
+         |probes AS (SELECT query_id, cid FROM
+         |            (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cid) AS rn FROM ps)
+         |           WHERE rn <= 3),
+         |sp AS (SELECT unnest(range(0, 4)) AS i),
+         |d AS (
+         |  SELECT e.vec_id, sp.i AS sub_i, c.cid,
+         |    list_reduce(list_prepend(0.0, list_transform(range(1, 17),
+         |      k -> (e.v[CAST(sp.i*16+k AS INT)] - c.cv[CAST(sp.i*16+k AS INT)])
+         |           * (e.v[CAST(sp.i*16+k AS INT)] - c.cv[CAST(sp.i*16+k AS INT)]))),
+         |      (acc, x) -> acc + x) AS dist2
+         |  FROM e, c, sp),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id, sub_i
+         |                                   ORDER BY dist2, cid) AS rn FROM d),
+         |pqc AS (SELECT vec_id, sub_i, cid AS code FROM r WHERE rn = 1),
+         |qd AS (
+         |  SELECT q.query_id, pqc.vec_id, pqc.sub_i,
+         |    list_reduce(list_prepend(0.0, list_transform(range(1, 17),
+         |      k -> (q.qv[CAST(pqc.sub_i*16+k AS INT)] - c.cv[CAST(pqc.sub_i*16+k AS INT)])
+         |           * (q.qv[CAST(pqc.sub_i*16+k AS INT)] - c.cv[CAST(pqc.sub_i*16+k AS INT)]))),
+         |      (acc, x) -> acc + x) AS dsub
+         |  FROM pqc
+         |  JOIN a1 ON a1.vec_id = pqc.vec_id
+         |  JOIN probes p ON p.cid = a1.cid
+         |  JOIN q ON q.query_id = p.query_id
+         |  JOIN c ON c.cid = pqc.code
+         |  WHERE pqc.vec_id <> q.query_id),
+         |adc AS (
+         |  SELECT query_id, vec_id AS neighbor_id,
+         |    round(list_reduce(list_prepend(0.0, list(dsub ORDER BY sub_i)),
+         |      (a, x) -> a + x), 6) AS adc_dist2
+         |  FROM qd GROUP BY query_id, vec_id),
+         |rr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |                                    ORDER BY adc_dist2, neighbor_id) AS rn FROM adc)
+         |SELECT query_id, neighbor_id, adc_dist2, CAST(rn AS INT) AS rnk
+         |FROM rr WHERE rn <= 10 ORDER BY query_id, rnk""".stripMargin,
 
     "ann_ivf_train" ->
       s"""WITH $EmbBase,

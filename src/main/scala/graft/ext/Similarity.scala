@@ -561,6 +561,104 @@ object Similarity {
         abs(col("score")).as("adc_dist2"), col("rnk"))
   }
 
+  /** Persist the production IVF+PQ serving index: one (id, codes) row per
+    * corpus vector, parquet-partitioned by its coarse `centroid_id`. The
+    * index stores ONLY the m-long PQ code arrays — no float vectors
+    * anywhere in the layout — so serving I/O per probe is
+    * O(list_size × m longs), the whole point of PQ at 100 TB.
+    */
+  def writeIvfPqIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Seq[(Long, Seq[Double])],
+      m: Int,
+      path: String,
+      mode: String = "overwrite"): Unit =
+    ivfAssign(corpus, cents, vecCol)
+      .select(col(idCol).as("id"),
+        transform(pqEncoded(col(vecCol).cast("array<double>"), pqSorted(cents), m),
+          e => e.getField("code")).as("codes"),
+        col("centroid_id"))
+      .write.partitionBy("centroid_id").mode(mode).parquet(path)
+
+  /** Composed IVF+PQ serving — the end-to-end production ANN query shape:
+    * ADC scoring restricted to the `nprobe` probed inverted lists of an
+    * on-disk [[writeIvfPqIndex]] index.
+    *
+    *  1. Probe selection: per query, the `nprobe` nearest coarse
+    *     centroids (cosine, identical recipe to [[ivfTopK]] — literal
+    *     codebook, bounded top-k aggregation).
+    *  2. The union of probed centroid ids — a bounded driver-side list
+    *     (≤ queries × nprobe, capped by the codebook size, same O(small)
+    *     class as the codebook collect) — becomes a partition `IN`
+    *     filter on the index: the candidate scan LISTS AND READS ONLY
+    *     the probed lists' directories (`PartitionFilters` on
+    *     centroid_id, asserted in the spec), and projects only
+    *     (id, codes) — never a float vector.
+    *  3. Each candidate row joins its probing queries on centroid_id
+    *     (broadcast — queries are small; a corpus vector meets each
+    *     query at most once since it lives in exactly one list) and is
+    *     ADC-scored by the native [[graft.expr.PqAdcScore]] kernel
+    *     against the query's broadcast distance table.
+    *  4. Per-query partial top-k ([[TopKAggregator]]) — shuffle traffic
+    *     k × maps × queries, independent of corpus size.
+    */
+  def ivfPqTopK(
+      index: DataFrame,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      cents: Seq[(Long, Seq[Double])],
+      m: Int,
+      k: Int,
+      nprobe: Int): DataFrame = {
+    val sorted = pqSorted(cents)
+    val sub = pqSubWidth(sorted, m)
+    val qv = col(queryVec).cast("array<double>")
+    // 1. probe-list selection (same arithmetic as ivfTopK)
+    val qc = queries.select(col(queryId).as("query_id"), qv.as("__qv"))
+      .select(col("query_id"), col("__qv"),
+        explode(typedLit(cents)).as("__ct"))
+      .select(col("query_id"), col("__qv"),
+        col("__ct._1").cast("long").as("centroid_id"),
+        round(cosine(col("__qv"), col("__ct._2")), 6).as("__cdist"))
+    val probes = TopK.perGroup(qc, Seq("query_id"), col("__cdist"),
+        col("centroid_id"), nprobe, idAlias = "centroid_id", scoreAlias = "__cdist")
+      .select(col("query_id"), col("centroid_id"))
+    // per-query ADC distance table, codebook-position order (see pqTopK)
+    val dtab = array((0 until m).map { i =>
+      array(sorted.map { case (_, c) =>
+        aggregate(
+          zip_with(slice(qv, i * sub + 1, sub),
+            typedLit(c.slice(i * sub, (i + 1) * sub)),
+            (x, cc) => (x - cc) * (x - cc)),
+          lit(0.0), (a, e) => a + e)
+      }: _*)
+    }: _*)
+    val probeTabs = probes.join(
+      queries.select(col(queryId).as("query_id"), dtab.as("__dtab")), Seq("query_id"))
+    // 2. bounded probed-list union → partition-pruning IN filter
+    val probedIds = probeTabs.select(col("centroid_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val adc = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.expr.PqAdcScore(
+        org.apache.spark.sql.GraftSqlBridge.expression(col("__codes")),
+        org.apache.spark.sql.GraftSqlBridge.expression(col("__dtab")),
+        sorted, m))
+    // 3-4. pruned code-only scan → per-query ADC score → partial top-k
+    val scored = index
+      .filter(col("centroid_id").isin(probedIds: _*))
+      .select(col("id").as("neighbor_id"), col("codes").as("__codes"),
+        col("centroid_id"))
+      .join(broadcast(probeTabs), Seq("centroid_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score", round(-adc, 6))
+    TopK.perGroup(scored, Seq("query_id"), col("score"), col("neighbor_id"), k)
+      .select(col("query_id"), col("neighbor_id"),
+        abs(col("score")).as("adc_dist2"), col("rnk"))
+  }
+
   /** Symmetric int8 quantization of an embedding column — the 4× memory/
     * bandwidth compression that makes a 100 TB float corpus a 25 TB ANN
     * index (the standard first rung before product quantization). Per

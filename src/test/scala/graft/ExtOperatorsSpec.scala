@@ -433,6 +433,61 @@ class ExtOperatorsSpec extends SparkSpecBase {
     assert(viaIdx === direct)
   }
 
+  test("IVF+PQ serving: pruned code-only scan, results match restricted direct scoring") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    val emb = Fixtures.embeddings(s, "/root/testdata/sf0.001")
+    val cents = Similarity.collectCentroids(
+      emb.filter(col("vec_id") % 61 === 0), "vec_id", "embedding")
+    Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", cents, m = 4, s"$tmp/idx")
+    val q = emb.filter(col("vec_id") % 50 === 0)
+    val got = Similarity.ivfPqTopK(Similarity.readIvfIndex(s, s"$tmp/idx"), q,
+      "vec_id", "embedding", cents, m = 4, k = 5, nprobe = 2)
+
+    def fileScans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.inputPlan)
+        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(qs.plan)
+        case other => other.children
+      }
+      (p match {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case _ => Nil
+      }) ++ kids.flatMap(fileScans)
+    }
+    val idxScans = fileScans(got.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("idx")))
+    assert(idxScans.nonEmpty, "expected a scan over the IVF+PQ index")
+    // partition-pruned to the probed inverted lists
+    assert(idxScans.forall(_.partitionFilters.exists(
+      _.references.exists(_.name == "centroid_id"))),
+      "candidate scan must carry a centroid_id partition filter")
+    // code-only: the scan reads no float/double (vector) column
+    idxScans.foreach { f =>
+      val leafTypes = f.schema.fields.flatMap { fld =>
+        fld.dataType match {
+          case org.apache.spark.sql.types.ArrayType(et, _) => Seq(et)
+          case t => Seq(t)
+        }
+      }
+      assert(!leafTypes.exists(t =>
+        t == org.apache.spark.sql.types.FloatType ||
+        t == org.apache.spark.sql.types.DoubleType),
+        s"candidate scan must be code-only, read schema was ${f.schema.simpleString}")
+    }
+
+    // equivalence: direct (no-index) formulation — PQ-code the corpus,
+    // restrict to each query's probed lists, ADC-score, top-k
+    val assigned = Similarity.ivfAssign(emb, cents, "embedding")
+    val codes = Similarity.pqCodes(emb, "vec_id", "embedding", cents, m = 4)
+      .join(assigned.select(col("vec_id"), col("centroid_id")), Seq("vec_id"))
+    val direct = Similarity.ivfPqTopK(
+      codes.select(col("vec_id").as("id"), col("codes"), col("centroid_id")),
+      q, "vec_id", "embedding", cents, m = 4, k = 5, nprobe = 2)
+    assertSameRows(got, direct, "on-disk index vs in-memory codes")
+  }
+
   test("ivfTrain converges to the two directional clusters and is deterministic") {
     // two tight angular clusters around (1,0) and (0,1)
     val corpus = (Seq.tabulate(10)(i => (i.toLong, Array(1.0f, 0.05f * i))) ++
