@@ -372,6 +372,43 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"))
       .orderBy("doc_id")
 
+  /** The JSONL front door, oracle-checked end-to-end: serialize the
+    * documents table to newline-delimited JSON (mangling every
+    * `doc_id % 17 = 0` line mid-string to exercise the PERMISSIVE
+    * quarantine), read it back through [[graft.sources.JsonlSource]],
+    * then report per-language ingest stats over quality-passing rows
+    * plus a `__corrupt` quarantine-count row. The oracle twin mirrors
+    * the END STATE from the documents table (good rows = `% 17 <> 0`) —
+    * what it verifies is that serialize → corrupt → permissive-parse →
+    * quarantine → filter loses and mangles nothing it shouldn't.
+    */
+  private def qCorpusIngestJsonl(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    documents(s, dir).select(
+        when(col("doc_id") % 17 === 0,
+          concat(lit("{\"doc_id\": "), col("doc_id"), lit(", \"lang\": \"BROKEN")))
+        .otherwise(to_json(struct(col("doc_id"), col("lang"), col("text"))))
+        .as("value"))
+      .write.mode("overwrite").text(s"$tmp/corpus")
+    val schema = new StructType()
+      .add("doc_id", LongType).add("lang", StringType).add("text", StringType)
+    // land the parsed frame before splitting: a branch projecting only
+    // the corrupt column over raw JSON is disallowed by Spark
+    // (QUERY_ONLY_CORRUPT_RECORD_COLUMN), and it cuts the double file scan
+    val parsed = graft.sources.JsonlSource(s"$tmp/corpus", schema).load(s)
+      .localCheckpoint(true)
+    val good = parsed.filter(col("_corrupt").isNull)
+      .withColumn("__ntok", size(TextAnalysis.tokens(col("text"))))
+      .filter(col("__ntok") >= 3) // quality gate: ≥3 whitespace tokens
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__ntok")).cast("long").as("n_tokens"))
+    val quarantined = parsed.filter(col("_corrupt").isNotNull)
+      .agg(count(lit(1)).as("n_docs"))
+      .select(lit("__corrupt").as("lang"), col("n_docs"), lit(0L).as("n_tokens"))
+    good.unionByName(quarantined).orderBy("lang")
+  }
+
   private def qCorpusShuffle(s: SparkSession, dir: String): DataFrame =
     Corpus.shuffleAssign(documents(s, dir), "doc_id", numShards = 32, salt = "shuf")
       .orderBy("doc_id")
@@ -757,6 +794,7 @@ object SparkEntry {
     "corpus_decontaminate" -> (qCorpusDecontaminate _),
     "corpus_mix" -> (qCorpusMix _),
     "corpus_shuffle" -> (qCorpusShuffle _),
+    "corpus_ingest_jsonl" -> (qCorpusIngestJsonl _),
     "text_repetition" -> (qTextRepetition _),
     "text_pii_redact" -> (qTextPiiRedact _),
     "corpus_tfidf" -> (qCorpusTfidf _),
@@ -1425,6 +1463,24 @@ object SparkEntry {
          |                                   ORDER BY score DESC, token) AS rn FROM sc)
          |SELECT doc_id, token, tf, df, score, CAST(rn AS INT) AS rnk
          |FROM r WHERE rn <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+    // JSONL round-trip end state: good rows are exactly the un-mangled
+    // docs (%17<>0) — the oracle verifies the serialize → permissive-parse
+    // → quarantine pipeline loses nothing (token semantics shared with
+    // the text_* twins via TextTokensCte)
+    "corpus_ingest_jsonl" ->
+      s"""WITH $TextTokensCte,
+         |good AS (SELECT d.lang, len(t.toks) AS ntok
+         |         FROM t JOIN documents d USING (doc_id)
+         |         WHERE t.doc_id % 17 <> 0 AND len(t.toks) >= 3)
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(ntok) AS BIGINT) AS n_tokens
+         |FROM good GROUP BY lang
+         |UNION ALL
+         |SELECT '__corrupt' AS lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(0 AS BIGINT) AS n_tokens
+         |FROM documents WHERE doc_id % 17 = 0
+         |ORDER BY lang""".stripMargin,
 
     "emb_pq_assign" ->
       s"""WITH $EmbBase,
