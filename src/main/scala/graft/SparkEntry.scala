@@ -502,6 +502,27 @@ object SparkEntry {
       .orderBy("centroid_id", "dim_i")
   }
 
+  /** Three Lloyd iterations (not one): the oracle checks the iterated
+    * fixed point — each iteration's 6-dp-rounded means feed the next
+    * assignment, so cross-engine float drift is squashed at every step.
+    * Per iteration: one corpus scan + one decimal-mean shuffle; only the
+    * k×dim codebook reaches the driver between steps.
+    */
+  private def qAnnIvfTrain3(s: SparkSession, dir: String): DataFrame = {
+    var cents = Similarity.collectCentroids(embCentroids(s, dir), "vec_id", "embedding")
+    for (_ <- 0 until 2) {
+      val means = Similarity.ivfTrainStep(embeddings(s, dir), cents, "embedding", dim = 64)
+        .filter(col("centroid_id").isNotNull)
+        .select(col("centroid_id"), col("mean"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toVector).toMap
+      cents = cents.map { case (cid, old) => (cid, means.getOrElse(cid, old)) }
+    }
+    Similarity.ivfTrainStep(embeddings(s, dir), cents, "embedding", dim = 64)
+      .select(col("centroid_id"), col("n_members"),
+        posexplode(col("mean")).as(Seq("dim_i", "mean_val")))
+      .orderBy("centroid_id", "dim_i")
+  }
+
   private def qEmbNearDup(s: SparkSession, dir: String): DataFrame =
     // threshold 0.3: the synthetic embeddings have no true near-dups
     // (max same-bucket cosine ≈ 0.45), so a production-like 0.95 would
@@ -808,6 +829,7 @@ object SparkEntry {
     "ann_ivf_topk" -> (qAnnIvfTopK _),
     "ann_ivf_train" -> (qAnnIvfTrain _),
     "ann_ivfpq_topk" -> (qAnnIvfPqTopK _),
+    "ann_ivf_train3" -> (qAnnIvfTrain3 _),
     "emb_near_dup" -> (qEmbNearDup _),
     "events_asof" -> (qEventsAsof _),
     "events_hourly" -> (qEventsHourly _),
@@ -879,6 +901,34 @@ object SparkEntry {
        |           WHEN list_sum(list_transform(range(1, 65), k -> e.v[k]*p[k])) > 0
        |           THEN (CAST(1 AS BIGINT) << CAST(i % 8 AS INT)) ELSE 0 END) AS BIGINT) AS bkt
        |  FROM e, pl GROUP BY e.vec_id, band)""".stripMargin
+
+  /** One Lloyd iteration as CTEs: assign `e` to centroid table `cin`
+    * (cosine, round 6, tie to smaller cid), per-(cid, dim) decimal-exact
+    * means rounded to 6 dp in `m\$i`, and the next centroid table `cout`
+    * (a cid whose list goes empty keeps its previous position — same
+    * contract as [[Similarity.ivfTrain]]).
+    */
+  private def lloydStepSql(i: Int, cin: String, cout: String): String =
+    s"""rawc$i AS (
+       |  SELECT e.vec_id, $cin.cid,
+       |         ${dotSql("e.v", s"$cin.cv")} AS dp,
+       |         sqrt(${dotSql("e.v", "e.v")}) AS na,
+       |         sqrt(${dotSql(s"$cin.cv", s"$cin.cv")}) AS nb
+       |  FROM e, $cin),
+       |${cosScoreSql(s"rawc$i", s"sc$i")},
+       |a$i AS (SELECT vec_id, cid FROM
+       |        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn FROM sc$i)
+       |       WHERE rn = 1),
+       |kv$i AS (
+       |  SELECT a$i.cid, k, e.v[CAST(k+1 AS INT)] AS x
+       |  FROM a$i JOIN e ON e.vec_id = a$i.vec_id, (SELECT unnest(range(0, 64)) AS k)),
+       |m$i AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members, CAST(k AS INT) AS dim_i,
+       |         round(CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS mean_val
+       |       FROM kv$i GROUP BY cid, k),
+       |$cout AS (
+       |  SELECT $cin.cid, COALESCE(u.cv, $cin.cv) AS cv
+       |  FROM $cin LEFT JOIN (SELECT cid, list(mean_val ORDER BY dim_i) AS cv
+       |                       FROM m$i GROUP BY cid) u ON u.cid = $cin.cid)""".stripMargin
 
   private def cosScoreSql(raw: String, out: String): String =
     s"""$out AS (SELECT * EXCLUDE (dp, na, nb),
@@ -1768,6 +1818,17 @@ object SparkEntry {
          |       CAST(k AS INT) AS dim_i,
          |       round(CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS mean_val
          |FROM kv GROUP BY cid, k ORDER BY centroid_id, dim_i""".stripMargin,
+
+    // three unrolled Lloyd iterations; each step's ROUNDED means feed the
+    // next assignment (both engines re-round at every step, so drift
+    // cannot accumulate). The final projection is step 3's means.
+    "ann_ivf_train3" ->
+      s"""WITH $EmbBase,
+         |${lloydStepSql(1, "c", "c1")},
+         |${lloydStepSql(2, "c1", "c2")},
+         |${lloydStepSql(3, "c2", "c3")}
+         |SELECT cid AS centroid_id, n_members, dim_i, mean_val
+         |FROM m3 ORDER BY centroid_id, dim_i""".stripMargin,
 
     // window twin of the engine's union+window as-of join (DuckDB's native
     // ASOF JOIN would be nondeterministic under duplicate right timestamps;
