@@ -742,6 +742,15 @@ object SparkEntry {
         col("l_partkey").cast("string"), k = 256)
       .orderBy("l_returnflag")
 
+  /** Fixed-grid quantile sketch over extended price (exact cents ticks,
+    * $256 buckets): p25/p50/p90/p99 per return flag.
+    */
+  private def qSketchQuantiles(s: SparkSession, dir: String): DataFrame =
+    Sketches.gridQuantiles(lineitem(s, dir), Seq("l_returnflag"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) * 100).cast("long"),
+        width = 25600L, percents = Seq(25, 50, 90, 99))
+      .orderBy("l_returnflag", "pct")
+
   /** Sliding-window counts (1 h window, 15 min slide): each event lands in
     * 4 overlapping windows via Spark's `window()` expand.
     */
@@ -777,6 +786,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_incremental_agg" -> (qCdcIncrementalAgg _),
     "sketch_distinct_kmv" -> (qSketchDistinctKmv _),
+    "sketch_quantiles" -> (qSketchQuantiles _),
     "events_sliding" -> (qEventsSliding _),
     "events_anomaly" -> (qEventsAnomaly _),
     "orders_cube" -> (qOrdersCube _),
@@ -1132,6 +1142,11 @@ object SparkEntry {
     "sketch_distinct_kmv" ->
       Sketches.kmvDistinctSql("lineitem", "l_returnflag",
         "CAST(l_partkey AS VARCHAR)", k = 256),
+
+    "sketch_quantiles" ->
+      Sketches.gridQuantilesSql("lineitem", "l_returnflag",
+        "CAST(l_extendedprice AS DECIMAL(18,2)) * 100",
+        width = 25600L, percents = Seq(25, 50, 90, 99)),
 
     // each event belongs to the 4 slide-aligned windows covering it; with
     // slide=900000 ms the i-th window start is (ms//900000 - i)*900000

@@ -125,6 +125,84 @@ object Sketches {
             .as("estimate")): _*)
   }
 
+  /** Fixed-grid quantile sketch — the quantile sibling of [[kmvDistinct]]:
+    * deterministic, merge-order independent, oracle-checkable
+    * value-for-value (unlike KLL/t-digest, whose compactions depend on
+    * arrival order and can only be checked within error bars).
+    *
+    * `ticks` must be an integral Column (callers convert values
+    * decimal-exactly, e.g. money → cents). Values are bucketed on a fixed
+    * grid of `width` ticks (floor division via the pmod identity, exact
+    * for negatives); the sketch state is one count per occupied bucket —
+    * bounded by domain/width, independent of row count, and map-side
+    * combined before the one shuffle. For each requested percent p, the
+    * answer is the first bucket whose cumulative count reaches
+    * `ceil(p·n/100)` (pure integer arithmetic — no float rank): the true
+    * p-quantile is guaranteed inside it, so the value error is at most
+    * `width` ticks by construction.
+    *
+    * At 100 TB: the count aggregation is the only data-sized operation
+    * (shuffle weight = occupied buckets × groups); the window + percent
+    * explode run on the tiny bucket table. Quantile state never grows
+    * with rows — the property `percentile_approx` provides, but with a
+    * deterministic, engine-portable answer.
+    *
+    * Output: groupCols ++ (pct INT, target_rank BIGINT — the rank the
+    * bucket must cover, bucket BIGINT, upper_tick BIGINT — exclusive
+    * upper bound of the answering bucket).
+    */
+  def gridQuantiles(
+      df: DataFrame,
+      groupCols: Seq[String],
+      ticks: Column,
+      width: Long,
+      percents: Seq[Int]): DataFrame = {
+    require(width > 0, s"width must be positive, got $width")
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      s"percents must be in [1, 100], got $percents")
+    val g = groupCols.map(col)
+    val counts = df
+      .select(g :+ ticks.cast("long").as("__t"): _*)
+      .select(g :+ expr(s"(__t - pmod(__t, ${width}L)) div ${width}L").as("__bkt"): _*)
+      .groupBy(g :+ col("__bkt"): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*).orderBy(col("__bkt"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(g: _*)
+    counts
+      .withColumn("__cum", sum(col("__cnt")).over(wCum))
+      .withColumn("__n", sum(col("__cnt")).over(wAll))
+      .select(g ++ Seq(col("__bkt"), col("__cnt"), col("__cum"), col("__n"),
+        explode(typedLit(percents)).as("pct")): _*)
+      .withColumn("target_rank", expr("(pct * __n + 99) div 100"))
+      .filter(col("__cum") - col("__cnt") < col("target_rank") &&
+        col("__cum") >= col("target_rank"))
+      .select(g ++ Seq(col("pct").cast("int").as("pct"), col("target_rank"),
+        col("__bkt").as("bucket"),
+        ((col("__bkt") + 1) * width).as("upper_tick")): _*)
+  }
+
+  /** The DuckDB twin of [[gridQuantiles]] for a single group column:
+    * identical integer bucket / cumulative / ceil-rank arithmetic.
+    */
+  def gridQuantilesSql(
+      table: String, groupCol: String, tickSql: String,
+      width: Long, percents: Seq[Int]): String =
+    s"""WITH b AS (SELECT $groupCol AS g, CAST($tickSql AS BIGINT) AS t FROM $table),
+       |c AS (SELECT g, t // ${width} AS bkt, CAST(COUNT(*) AS BIGINT) AS cnt
+       |      FROM b GROUP BY g, bkt),
+       |w AS (SELECT g, bkt, cnt,
+       |        SUM(cnt) OVER (PARTITION BY g ORDER BY bkt) AS cum,
+       |        SUM(cnt) OVER (PARTITION BY g) AS n FROM c),
+       |p AS (SELECT unnest([${percents.mkString(", ")}]) AS pct)
+       |SELECT g AS $groupCol, CAST(pct AS INT) AS pct,
+       |  CAST((pct*n + 99) // 100 AS BIGINT) AS target_rank,
+       |  CAST(bkt AS BIGINT) AS bucket,
+       |  CAST((bkt+1)*${width} AS BIGINT) AS upper_tick
+       |FROM w, p
+       |WHERE cum - cnt < (pct*n + 99) // 100 AND cum >= (pct*n + 99) // 100
+       |ORDER BY $groupCol, pct""".stripMargin
+
   /** The DuckDB twin of [[kmvDistinct]] for a single group column: same
     * hash, same k-th minimum, same estimator expression, so the two
     * engines agree bit-for-bit. `(k-1) * 2^32` is an exact integer

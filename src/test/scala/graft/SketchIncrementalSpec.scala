@@ -89,6 +89,28 @@ class SketchIncrementalSpec extends SparkSpecBase {
     assertSameRows(a, b, "kmv partitioning invariance")
   }
 
+  test("grid quantiles: invariant under repartitioning, bucket covers the exact quantile") {
+    val li = Fixtures.lineitem(spark, dir)
+    val ticks = (col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
+      .cast("long")
+    val a = Sketches.gridQuantiles(li, Seq("l_returnflag"), ticks, 25600L, Seq(25, 50, 90, 99))
+    val b = Sketches.gridQuantiles(li.repartition(13, col("l_orderkey")),
+      Seq("l_returnflag"), ticks, 25600L, Seq(25, 50, 90, 99))
+    assertSameRows(a, b, "grid quantile partitioning invariance")
+
+    // the exact target_rank-th order statistic falls inside the reported
+    // bucket: bucket*width <= exact tick < (bucket+1)*width
+    val exact = li
+      .select(col("l_returnflag"), ticks.as("t"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_returnflag")).orderBy(col("t"))))
+    val viol = a.join(exact,
+        a("l_returnflag") === exact("l_returnflag") && col("rk") === col("target_rank"))
+      .filter(col("t") < col("bucket") * 25600L || col("t") >= col("upper_tick"))
+    assert(viol.count() === 0, "exact quantile must lie in the answering bucket")
+  }
+
   // ------------------------------------------- sliding / anomaly / cube
 
   test("sliding windows: window() expand equals explicit slide arithmetic") {
