@@ -742,6 +742,33 @@ object SparkEntry {
         col("l_partkey").cast("string"), k = 256)
       .orderBy("l_returnflag")
 
+  /** Bloom semi-join reduction: lineitem rows are pre-filtered by a
+    * 2^16-bit / 5-hash portable bloom of high-value order keys WITHOUT
+    * shuffling lineitem; the downstream exact join only sees survivors.
+    * Output audits the reduction per return flag: bloom-passing rows,
+    * true members, and the (deterministic, oracle-matched) false
+    * positives.
+    */
+  private def qLineitemBloomSemi(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.BloomFilter
+    val mBits = 1 << 16
+    val k = 5
+    val hot = orders(s, dir).filter(col("o_totalprice") > 300000.0)
+      .select(col("o_orderkey"))
+    val words = BloomFilter.build(hot, col("o_orderkey").cast("string"), mBits, k)
+    lineitem(s, dir)
+      .filter(BloomFilter.mightContain(
+        words.toSeq, col("l_orderkey").cast("string"), mBits, k))
+      .join(hot.withColumnRenamed("o_orderkey", "__k"),
+        col("l_orderkey") === col("__k"), "left")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_bloom_pass"),
+        sum(when(col("__k").isNotNull, 1L).otherwise(0L)).as("n_true"),
+        sum(when(col("__k").isNull, 1L).otherwise(0L)).as("n_false_pos"))
+      .orderBy("l_returnflag")
+  }
+
   /** Fixed-grid quantile sketch over extended price (exact cents ticks,
     * $256 buckets): p25/p50/p90/p99 per return flag.
     */
@@ -787,6 +814,7 @@ object SparkEntry {
     "cdc_incremental_agg" -> (qCdcIncrementalAgg _),
     "sketch_distinct_kmv" -> (qSketchDistinctKmv _),
     "sketch_quantiles" -> (qSketchQuantiles _),
+    "lineitem_bloom_semi" -> (qLineitemBloomSemi _),
     "events_sliding" -> (qEventsSliding _),
     "events_anomaly" -> (qEventsAnomaly _),
     "orders_cube" -> (qOrdersCube _),
@@ -1147,6 +1175,25 @@ object SparkEntry {
       Sketches.gridQuantilesSql("lineitem", "l_returnflag",
         "CAST(l_extendedprice AS DECIMAL(18,2)) * 100",
         width = 25600L, percents = Seq(25, 50, 90, 99)),
+
+    // the bloom bit array is reproduced bit-for-bit (portable hashes,
+    // literal universal-hash constants), so even false positives match
+    "lineitem_bloom_semi" ->
+      s"""WITH ${graft.ext.BloomFilter.buildSqlCtes(
+             "(SELECT o_orderkey FROM orders WHERE o_totalprice > 300000.0) hk",
+             "CAST(hk.o_orderkey AS VARCHAR)", 1 << 16, 5)},
+         |pass AS (
+         |  SELECT l.l_returnflag, l.l_orderkey
+         |  FROM lineitem l, barr
+         |  WHERE ${graft.ext.BloomFilter.mightContainSql(
+                    "CAST(l.l_orderkey AS VARCHAR)", 1 << 16, 5)}),
+         |hot AS (SELECT o_orderkey FROM orders WHERE o_totalprice > 300000.0)
+         |SELECT p.l_returnflag,
+         |  CAST(COUNT(*) AS BIGINT) AS n_bloom_pass,
+         |  CAST(SUM(CASE WHEN h.o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+         |  CAST(SUM(CASE WHEN h.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+         |FROM pass p LEFT JOIN hot h ON p.l_orderkey = h.o_orderkey
+         |GROUP BY p.l_returnflag ORDER BY p.l_returnflag""".stripMargin,
 
     // each event belongs to the 4 slide-aligned windows covering it; with
     // slide=900000 ms the i-th window start is (ms//900000 - i)*900000

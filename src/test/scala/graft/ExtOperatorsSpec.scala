@@ -38,6 +38,32 @@ class ExtOperatorsSpec extends SparkSpecBase {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("bloom filter: no false negatives, build is partitioning-invariant, filter reduces") {
+    val sf = "/root/testdata/sf0.001"
+    val ord = Fixtures.orders(s, sf)
+    val hot = ord.filter(col("o_totalprice") > 300000.0).select(col("o_orderkey"))
+    val mBits = 1 << 14
+    val k = 5
+    val w1 = graft.ext.BloomFilter.build(hot, col("o_orderkey").cast("string"), mBits, k)
+    val w2 = graft.ext.BloomFilter.build(hot.repartition(7),
+      col("o_orderkey").cast("string"), mBits, k)
+    assert(w1.toSeq === w2.toSeq, "bit array must not depend on partitioning")
+
+    // every inserted key passes (no false negatives — the bloom contract)
+    val misses = hot.filter(!graft.ext.BloomFilter.mightContain(
+      w1.toSeq, col("o_orderkey").cast("string"), mBits, k)).count()
+    assert(misses === 0)
+
+    // and the filter actually reduces the big side (non-member majority)
+    val li = Fixtures.lineitem(s, sf)
+    val pass = li.filter(graft.ext.BloomFilter.mightContain(
+      w1.toSeq, col("l_orderkey").cast("string"), mBits, k)).count()
+    val trueMembers = li.join(hot, col("l_orderkey") === col("o_orderkey"),
+      "left_semi").count()
+    assert(pass >= trueMembers, "passes must cover all true members")
+    assert(pass < li.count(), "filter must reject non-members")
+  }
+
   test("incremental dedup: index probe prunes partitions and matches the direct join") {
     val sf = "/root/testdata/sf0.001"
     val all = Fixtures.documents(s, sf)
