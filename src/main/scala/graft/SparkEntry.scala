@@ -372,6 +372,18 @@ object SparkEntry {
       .select(col("doc_id"), col("lang"))
       .orderBy("doc_id")
 
+  /** Per-language token budgets for the registered corpus_budget_mix
+    * query — sized so some strata are budget-capped and some exhaust
+    * their supply at the test SFs (both paths exercised).
+    */
+  private val TokenBudgets: Map[String, Long] =
+    Map("en" -> 800L, "de" -> 500L, "es" -> 400L, "fr" -> 300L, "zh" -> 200L)
+
+  private def qCorpusBudgetMix(s: SparkSession, dir: String): DataFrame =
+    Corpus.budgetMix(documents(s, dir), "doc_id", "text", col("lang"),
+        TokenBudgets, salt = "mixb")
+      .orderBy("doc_id")
+
   /** The JSONL front door, oracle-checked end-to-end: serialize the
     * documents table to newline-delimited JSON (mangling every
     * `doc_id % 17 = 0` line mid-string to exercise the PERMISSIVE
@@ -854,6 +866,7 @@ object SparkEntry {
     "corpus_mix" -> (qCorpusMix _),
     "corpus_shuffle" -> (qCorpusShuffle _),
     "corpus_ingest_jsonl" -> (qCorpusIngestJsonl _),
+    "corpus_budget_mix" -> (qCorpusBudgetMix _),
     "text_repetition" -> (qTextRepetition _),
     "text_pii_redact" -> (qTextPiiRedact _),
     "corpus_tfidf" -> (qCorpusTfidf _),
@@ -1499,6 +1512,26 @@ object SparkEntry {
          |          ROWS UNBOUNDED PRECEDING) AS BIGINT) - len(toks)) // 4096 AS seq_i
          |FROM documents d JOIN t ON d.doc_id = t.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    // deterministic hash-order fill per stratum: take a doc while the
+    // tokens before it are under the stratum budget (overshoot ≤ 1 doc)
+    "corpus_budget_mix" -> {
+      val langs = TokenBudgets.toSeq.sortBy(_._1)
+      s"""WITH $TextTokensCte,
+         |b AS (SELECT unnest([${langs.map(l => s"'${l._1}'").mkString(", ")}]) AS lang,
+         |             unnest([${langs.map(_._2).mkString(", ")}]) AS budget),
+         |d AS (SELECT t.doc_id, doc.lang, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         |        ${PortableHash.hash32Sql("concat('mixb', CAST(t.doc_id AS VARCHAR))")} AS h
+         |      FROM t JOIN documents doc ON doc.doc_id = t.doc_id),
+         |w AS (SELECT d.*, CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang
+         |        ORDER BY h, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |        AS BIGINT) AS tok_before
+         |      FROM d)
+         |SELECT w.doc_id, w.lang AS stratum, w.n_tokens, w.tok_before
+         |FROM w JOIN b ON b.lang = w.lang
+         |WHERE w.tok_before < b.budget
+         |ORDER BY w.doc_id""".stripMargin
+    },
 
     "corpus_decontaminate" ->
       s"""WITH $TextTokensCte,

@@ -160,6 +160,47 @@ object Corpus {
         coalesce(element_at(weights, strataCol), lit(0)))
   }
 
+  /** Token-BUDGET mixing — the other half of data mixing: [[mixStrata]]
+    * answers "keep fraction p of stratum X", this answers "take N tokens
+    * of stratum X" (training mixes are specified in tokens, not rows).
+    * Docs are visited in a deterministic pseudo-random order (portable
+    * hash of (salt, id), ties on id); a doc is taken while the tokens
+    * BEFORE it are still under the stratum's budget, so the selection
+    * always crosses the budget by at most one document and is identical
+    * for any partitioning / engine. Strata absent from the budget map
+    * are dropped.
+    *
+    * Scale shape: one window shuffle partitioned by stratum ordered by
+    * an 8-byte hash (same cost class as [[packSequences]] /
+    * [[shuffleAssign]] — the per-stratum ordering IS the semantics); the
+    * budget map rides as a literal. No driver state, no RNG.
+    *
+    * Output: (id, stratum, n_tokens, tok_before) for selected docs.
+    */
+  def budgetMix(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      strataCol: Column,
+      tokenBudget: Map[String, Long],
+      salt: String): DataFrame = {
+    require(tokenBudget.values.forall(_ >= 0), s"negative budget in $tokenBudget")
+    val budgets = map(tokenBudget.toSeq.flatMap {
+      case (k, v) => Seq(lit(k), lit(v))
+    }: _*)
+    val h = PortableHash.hash32(concat(lit(salt), col(idCol).cast("string")))
+    val w = Window.partitionBy(col("stratum")).orderBy(col("__h"), col(idCol))
+    df.select(col(idCol), strataCol.as("stratum"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+        h.as("__h"), element_at(budgets, strataCol).as("__budget"))
+      .filter(col("__budget").isNotNull)
+      .withColumn("tok_before",
+        coalesce(sum(col("n_tokens")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("tok_before") < col("__budget"))
+      .select(col(idCol), col("stratum"), col("n_tokens"), col("tok_before"))
+  }
+
   /** Deterministic global shuffle for training-order assignment: each row
     * gets a shard (hash bucket) and a dense position within its shard,
     * ordered by a second hash — a reproducible random permutation in

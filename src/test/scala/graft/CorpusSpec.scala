@@ -95,6 +95,37 @@ class CorpusSpec extends SparkSpecBase {
     assert(again === out.values.sum)
   }
 
+  test("budgetMix fills each stratum to its token budget with at most one-doc overshoot") {
+    val docs = Fixtures.documents(s, "/root/testdata/sf0.001")
+    val budgets = Map("en" -> 300L, "de" -> 150L, "zh" -> 1000000L)
+    val sel = Corpus.budgetMix(docs, "doc_id", "text", col("lang"), budgets, "t")
+      .cache()
+    // partitioning invariance
+    val sel13 = Corpus.budgetMix(docs.repartition(13), "doc_id", "text",
+      col("lang"), budgets, "t")
+    assertSameRows(sel, sel13, "budgetMix partitioning invariance")
+    // unknown strata dropped
+    assert(sel.filter(!col("stratum").isin("en", "de", "zh")).count() === 0)
+    val agg = sel.groupBy("stratum")
+      .agg(sum("n_tokens").as("tot"), max(col("tok_before")).as("maxBefore"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // every selected doc started under budget; totals reach the budget
+    // unless the stratum's supply ran out first
+    for ((g, b) <- budgets if agg.contains(g)) {
+      val (tot, maxBefore) = agg(g)
+      assert(maxBefore < b, s"$g: a doc was taken at/after budget")
+      val supply = docs.filter(col("lang") === g)
+        .agg(sum(graft.ext.TextAnalysis.tokenCount(col("text")).cast("long")))
+        .collect()(0).getLong(0)
+      assert(tot >= math.min(b, supply), s"$g: under-filled (tot=$tot budget=$b supply=$supply)")
+    }
+    // zh budget exceeds supply → every zh doc selected
+    assert(sel.filter(col("stratum") === "zh").count() ===
+      docs.filter(col("lang") === "zh").count())
+    sel.unpersist()
+    ()
+  }
+
   test("shuffleAssign gives dense per-shard positions, stable across runs") {
     val df = s.range(0, 500).toDF("doc_id")
     val out = Corpus.shuffleAssign(df, "doc_id", numShards = 8, salt = "x")
