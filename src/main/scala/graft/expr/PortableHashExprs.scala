@@ -158,3 +158,60 @@ case class PortableSimhash(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): PortableSimhash =
     copy(child = newChild)
 }
+
+/** `string` key → `boolean` Bloom membership under the portable family:
+  * one md5 base hash, then k integer probes
+  * `((x·a_i + b_i) mod P) mod m` into a 32-bits-per-word table — identical
+  * to [[graft.ext.BloomFilter.mightContainColumnar]] (cross-checked in
+  * tests), but the md5 runs ONCE per row in a primitive loop instead of
+  * once per probe (Catalyst's predicate pushdown re-inlines a staged hash
+  * column into each conjunct, so the columnar form pays k md5s/row).
+  */
+case class BloomProbe(
+    child: Expression,
+    words: Seq[Long],
+    ab: Seq[(Long, Long)],
+    mBits: Int)
+    extends UnaryExpression {
+  import PortableKernels.P
+
+  @transient private lazy val wArr: Array[Long] = words.toArray
+  @transient private lazy val aArr: Array[Long] = ab.map(_._1).toArray
+  @transient private lazy val bArr: Array[Long] = ab.map(_._2).toArray
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires string, got ${t.simpleString}")
+    }
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_bloom_probe"
+
+  def kernel(s: org.apache.spark.unsafe.types.UTF8String): Boolean = {
+    val (hi, _) = PortableKernels.md5Halves(s.getBytes)
+    val x = hi % P
+    var i = 0
+    while (i < aArr.length) {
+      val pos = ((x * aArr(i) + bArr(i)) % P % mBits).toInt
+      if (((wArr(pos >>> 5) >>> (pos & 31)) & 1L) == 0L) return false
+      i += 1
+    }
+    true
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    kernel(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpr", this, classOf[BloomProbe].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.kernel($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomProbe =
+    copy(child = newChild)
+}

@@ -63,6 +63,20 @@ object BloomFilter {
     */
   def mightContain(words: Seq[Long], key: Column, mBits: Int, k: Int): Column = {
     require(words.length == mBits / 32, s"word table length ${words.length} != $mBits/32")
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.expr.BloomProbe(
+        org.apache.spark.sql.GraftSqlBridge.expression(key),
+        words, PortableHash.minhashAB(k), mBits))
+  }
+
+  /** Pure-built-ins twin of [[mightContain]] — the definition the oracle
+    * SQL mirrors; kept as the reference the native kernel is cross-checked
+    * against. Pays one md5 per PROBE (Catalyst's predicate pushdown
+    * re-inlines any staged hash column into each conjunct), which is why
+    * the hot path uses the kernel.
+    */
+  def mightContainColumnar(words: Seq[Long], key: Column, mBits: Int, k: Int): Column = {
+    require(words.length == mBits / 32, s"word table length ${words.length} != $mBits/32")
     val ab = PortableHash.minhashAB(k)
     val arr = typedLit(words)
     val x = pmod(PortableHash.hash32(key), lit(P))

@@ -54,6 +54,15 @@ class ExtOperatorsSpec extends SparkSpecBase {
       w1.toSeq, col("o_orderkey").cast("string"), mBits, k)).count()
     assert(misses === 0)
 
+    // native kernel ≡ columnar twin (the definition the oracle mirrors)
+    val liAll = Fixtures.lineitem(s, sf)
+    val kern = liAll.filter(graft.ext.BloomFilter.mightContain(
+      w1.toSeq, col("l_orderkey").cast("string"), mBits, k))
+    val colr = liAll.filter(graft.ext.BloomFilter.mightContainColumnar(
+      w1.toSeq, col("l_orderkey").cast("string"), mBits, k))
+    assertSameRows(kern.select("l_orderkey", "l_linenumber"),
+      colr.select("l_orderkey", "l_linenumber"), "bloom kernel vs columnar")
+
     // and the filter actually reduces the big side (non-member majority)
     val li = Fixtures.lineitem(s, sf)
     val pass = li.filter(graft.ext.BloomFilter.mightContain(
