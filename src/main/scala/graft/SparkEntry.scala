@@ -754,6 +754,27 @@ object SparkEntry {
         col("l_partkey").cast("string"), k = 256)
       .orderBy("l_returnflag")
 
+  /** Count-min sketch over part keys (d=4 × w=4096 cells), audited
+    * against exact counts for a sampled key set: est ≥ exact always;
+    * the overcount is collision inflation, reproduced bit-for-bit by
+    * the oracle. In production w sizes to ε·N; here the table is kept
+    * small so collisions are visible and the audit is interesting.
+    */
+  private def qSketchHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val d = 4
+    val w = 4096
+    val li = lineitem(s, dir)
+    val table = Sketches.countMinTable(li, col("l_partkey").cast("string"), d, w)
+    li.filter(col("l_partkey") % 97 === 0)
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_exact"))
+      .withColumn("est",
+        Sketches.countMinEstimate(table.toSeq, col("l_partkey").cast("string"), d, w))
+      .select(col("l_partkey"), col("est"), col("n_exact"),
+        (col("est") - col("n_exact")).as("overcount"))
+      .orderBy("l_partkey")
+  }
+
   /** Bloom semi-join reduction: lineitem rows are pre-filtered by a
     * 2^16-bit / 5-hash portable bloom of high-value order keys WITHOUT
     * shuffling lineitem; the downstream exact join only sees survivors.
@@ -827,6 +848,7 @@ object SparkEntry {
     "sketch_distinct_kmv" -> (qSketchDistinctKmv _),
     "sketch_quantiles" -> (qSketchQuantiles _),
     "lineitem_bloom_semi" -> (qLineitemBloomSemi _),
+    "sketch_heavy_hitters" -> (qSketchHeavyHitters _),
     "events_sliding" -> (qEventsSliding _),
     "events_anomaly" -> (qEventsAnomaly _),
     "orders_cube" -> (qOrdersCube _),
@@ -1188,6 +1210,19 @@ object SparkEntry {
       Sketches.gridQuantilesSql("lineitem", "l_returnflag",
         "CAST(l_extendedprice AS DECIMAL(18,2)) * 100",
         width = 25600L, percents = Seq(25, 50, 90, 99)),
+
+    // the d×w cell table is reproduced bit-for-bit (portable hashes,
+    // literal constants), so estimates INCLUDING collision inflation match
+    "sketch_heavy_hitters" ->
+      s"""WITH ${Sketches.countMinSqlCtes("lineitem", "CAST(l_partkey AS VARCHAR)", 4, 4096)},
+         |e AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_exact
+         |      FROM lineitem WHERE l_partkey % 97 = 0 GROUP BY 1),
+         |sel AS (SELECT e.l_partkey,
+         |          ${Sketches.countMinEstimateSql("CAST(e.l_partkey AS VARCHAR)", 4, 4096)} AS est,
+         |          e.n_exact
+         |        FROM e, cmarr)
+         |SELECT l_partkey, est, n_exact, est - n_exact AS overcount
+         |FROM sel ORDER BY l_partkey""".stripMargin,
 
     // the bloom bit array is reproduced bit-for-bit (portable hashes,
     // literal universal-hash constants), so even false positives match

@@ -182,6 +182,89 @@ object Sketches {
         ((col("__bkt") + 1) * width).as("upper_tick")): _*)
   }
 
+  /** Count-min frequency sketch — the frequency member of the
+    * deterministic sketch family ([[kmvDistinct]] = distinct count,
+    * [[gridQuantiles]] = quantiles): a d×w table of counters where key x
+    * increments cell `(i, ((hash32(x) mod P)·a_i + b_i) mod P mod w)` for
+    * each of d rows; the estimate for x is the MIN over its d cells —
+    * always ≥ the true count (collisions only inflate), within εN with
+    * probability 1−δ for w = e/ε, d = ln(1/δ).
+    *
+    * Determinism: positions come from the portable universal-hash family
+    * with literal constants — the full cell table, and therefore every
+    * estimate INCLUDING collision inflation, is reproduced bit-for-bit by
+    * the oracle. Merge = cell-wise add (commutative): partitioning-
+    * invariant.
+    *
+    * Scale shape: the count aggregation is the only data-sized operation
+    * (map-side combined, shuffle bounded by d×w occupied cells — NOT by
+    * key cardinality, which is the whole point vs an exact groupBy at
+    * 100 TB); the collected table is d×w longs (32 KB at 4×1024), the
+    * same structurally-small class as a codebook.
+    */
+  def countMinTable(
+      df: DataFrame,
+      keyStr: Column,
+      d: Int,
+      w: Int): Array[Long] = {
+    require(d > 0 && w > 0, s"need d > 0, w > 0; got d=$d w=$w")
+    val ab = PortableHash.minhashAB(d)
+    val x = pmod(PortableHash.hash32(keyStr), lit(PortableHash.P))
+    val cells = df
+      .select(explode(array(ab.zipWithIndex.map { case ((a, b), i) =>
+        (lit(i.toLong) * w + pmod(x * a + b, lit(PortableHash.P)) % w).as(s"c$i")
+      }: _*)).as("__cell"))
+      .filter(col("__cell").isNotNull) // null keys contribute nothing
+      .groupBy(col("__cell")).agg(count(lit(1)).as("__n"))
+      .collect()
+    val arr = new Array[Long](d * w)
+    cells.foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+    arr
+  }
+
+  /** Point-estimate Column over a collected [[countMinTable]]: min of the
+    * key's d cells (narrow map over a literal table).
+    */
+  def countMinEstimate(table: Seq[Long], keyStr: Column, d: Int, w: Int): Column = {
+    require(table.length == d * w, s"table length ${table.length} != $d*$w")
+    val ab = PortableHash.minhashAB(d)
+    val arr = typedLit(table)
+    val x = pmod(PortableHash.hash32(keyStr), lit(PortableHash.P))
+    ab.zipWithIndex.map { case ((a, b), i) =>
+      element_at(arr, (lit(i * w) + pmod(x * a + b, lit(PortableHash.P)) % w).cast("int") + 1)
+    }.reduce(least(_, _))
+  }
+
+  /** DuckDB CTEs reproducing [[countMinTable]] bit-for-bit over
+    * `keysFromSql` (rows of key expr `keySql`): `cmarr` is one row whose
+    * `cm` column is the dense d·w cell list.
+    */
+  def countMinSqlCtes(keysFromSql: String, keySql: String, d: Int, w: Int): String = {
+    val ab = PortableHash.minhashAB(d)
+    val ha = PortableHash.bigintListSql(ab.map(_._1))
+    val hb = PortableHash.bigintListSql(ab.map(_._2))
+    val P = PortableHash.P
+    s"""cmab AS (SELECT $ha AS ha, $hb AS hb),
+       |cmcell AS (SELECT (i-1)*$w +
+       |             ((${PortableHash.hash32Sql(keySql)} % $P) * ha[CAST(i AS INT)]
+       |              + hb[CAST(i AS INT)]) % $P % $w AS cell
+       |           FROM $keysFromSql, cmab, (SELECT unnest(range(1, ${d + 1})) AS i)),
+       |cmcnt AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n FROM cmcell GROUP BY cell),
+       |cmarr AS (SELECT list(COALESCE(cmcnt.n, 0) ORDER BY r.i) AS cm
+       |          FROM (SELECT unnest(range(0, ${d * w})) AS i) r
+       |          LEFT JOIN cmcnt ON cmcnt.cell = r.i)""".stripMargin
+  }
+
+  /** SQL estimate mirroring [[countMinEstimate]] against `cmarr.cm`. */
+  def countMinEstimateSql(keySql: String, d: Int, w: Int): String = {
+    val ab = PortableHash.minhashAB(d)
+    val P = PortableHash.P
+    val cells = ab.zipWithIndex.map { case ((a, b), i) =>
+      s"cm[CAST(${i * w} + ((${PortableHash.hash32Sql(keySql)} % $P) * $a + $b) % $P % $w + 1 AS INT)]"
+    }
+    cells.mkString("LEAST(", ", ", ")")
+  }
+
   /** The DuckDB twin of [[gridQuantiles]] for a single group column:
     * identical integer bucket / cumulative / ceil-rank arithmetic.
     */

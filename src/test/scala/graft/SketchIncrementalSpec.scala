@@ -111,6 +111,25 @@ class SketchIncrementalSpec extends SparkSpecBase {
     assert(viol.count() === 0, "exact quantile must lie in the answering bucket")
   }
 
+  test("count-min: never undercounts, table invariant under repartitioning") {
+    val li = Fixtures.lineitem(spark, dir)
+    val d = 4
+    val w = 512 // small table → collisions guaranteed; bound must still hold
+    val t1 = Sketches.countMinTable(li, col("l_partkey").cast("string"), d, w)
+    val t2 = Sketches.countMinTable(li.repartition(13, col("l_orderkey")),
+      col("l_partkey").cast("string"), d, w)
+    assert(t1.toSeq === t2.toSeq, "cell table must not depend on partitioning")
+    assert(t1.sum === li.count() * d, "each row increments exactly d cells")
+    val audit = li.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_exact"))
+      .withColumn("est",
+        Sketches.countMinEstimate(t1.toSeq, col("l_partkey").cast("string"), d, w))
+    assert(audit.filter(col("est") < col("n_exact")).count() === 0,
+      "count-min must never undercount")
+    assert(audit.filter(col("est") > col("n_exact")).count() > 0,
+      "with w=512 collisions must be visible (sanity that the audit bites)")
+  }
+
   // ------------------------------------------- sliding / anomaly / cube
 
   test("sliding windows: window() expand equals explicit slide arithmetic") {
