@@ -754,6 +754,27 @@ object SparkEntry {
         col("l_partkey").cast("string"), k = 256)
       .orderBy("l_returnflag")
 
+  /** Salted-join revenue per supplier nation: the skew-resistant
+    * big⋈small shape (supplier replicated ×8, lineitem salted on its
+    * line number) — results provably identical to the plain join, which
+    * is exactly what the oracle runs.
+    */
+  private def qSupplierSaltedRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(s, dir)
+      .select(col("l_suppkey").as("s_suppkey"), col("l_extendedprice"),
+        col("l_discount"), col("l_linenumber"), col("l_orderkey"))
+    val sup = s.read.parquet(s"$dir/supplier.parquet")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    graft.ext.SkewJoin.saltedJoin(li, sup, Seq("s_suppkey"), saltFactor = 8,
+        bigSaltSource = col("l_orderkey") * 10 + col("l_linenumber"))
+      .groupBy(col("s_nationkey"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(18, 4))).cast("double").as("revenue"))
+      .orderBy("s_nationkey")
+  }
+
   /** Count-min sketch over part keys (d=4 × w=4096 cells), audited
     * against exact counts for a sampled key set: est ≥ exact always;
     * the overcount is collision inflation, reproduced bit-for-bit by
@@ -849,6 +870,7 @@ object SparkEntry {
     "sketch_quantiles" -> (qSketchQuantiles _),
     "lineitem_bloom_semi" -> (qLineitemBloomSemi _),
     "sketch_heavy_hitters" -> (qSketchHeavyHitters _),
+    "supplier_salted_revenue" -> (qSupplierSaltedRevenue _),
     "events_sliding" -> (qEventsSliding _),
     "events_anomaly" -> (qEventsAnomaly _),
     "orders_cube" -> (qOrdersCube _),
@@ -1210,6 +1232,14 @@ object SparkEntry {
       Sketches.gridQuantilesSql("lineitem", "l_returnflag",
         "CAST(l_extendedprice AS DECIMAL(18,2)) * 100",
         width = 25600L, percents = Seq(25, 50, 90, 99)),
+
+    // the plain join — salting only routes rows, results are identical
+    "supplier_salted_revenue" ->
+      """SELECT s.s_nationkey,
+        |  CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |GROUP BY s.s_nationkey ORDER BY s.s_nationkey""".stripMargin,
 
     // the d×w cell table is reproduced bit-for-bit (portable hashes,
     // literal constants), so estimates INCLUDING collision inflation match

@@ -38,6 +38,23 @@ class ExtOperatorsSpec extends SparkSpecBase {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("saltedJoin equals the plain join on a skewed key distribution") {
+    // 10k rows of one hot key + a tail — the shape salting exists for
+    val big = s.range(0, 10000).select(
+      when(col("id") < 9000, lit(1L)).otherwise(col("id") % 50).as("k"),
+      col("id").as("payload"))
+    val small = Seq((1L, "hot"), (7L, "a"), (13L, "b"), (49L, "c"))
+      .toDF("k", "name")
+    val salted = graft.ext.SkewJoin.saltedJoin(big, small, Seq("k"),
+      saltFactor = 8, bigSaltSource = col("payload"))
+    val plain = big.join(small, Seq("k"))
+    assertSameRows(
+      salted.groupBy("k", "name").agg(count(lit(1)).as("n"), sum("payload").as("sp")),
+      plain.groupBy("k", "name").agg(count(lit(1)).as("n"), sum("payload").as("sp")),
+      "salted vs plain join")
+    assert(salted.count() === plain.count())
+  }
+
   test("bloom filter: no false negatives, build is partitioning-invariant, filter reduces") {
     val sf = "/root/testdata/sf0.001"
     val ord = Fixtures.orders(s, sf)
