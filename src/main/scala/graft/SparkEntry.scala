@@ -754,6 +754,18 @@ object SparkEntry {
         col("l_partkey").cast("string"), k = 256)
       .orderBy("l_returnflag")
 
+  private val OrdersProfileCols: Seq[(String, graft.ext.Profiler.Kind)] = Seq(
+    "o_orderkey" -> graft.ext.Profiler.Num,
+    "o_custkey" -> graft.ext.Profiler.Num,
+    "o_orderstatus" -> graft.ext.Profiler.Str,
+    "o_totalprice" -> graft.ext.Profiler.Num,
+    "o_orderdate" -> graft.ext.Profiler.Ts,
+    "o_orderpriority" -> graft.ext.Profiler.Str)
+
+  private def qOrdersProfile(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Profiler.profile(orders(s, dir), OrdersProfileCols)
+      .orderBy("col_name")
+
   /** Salted-join revenue per supplier nation: the skew-resistant
     * big⋈small shape (supplier replicated ×8, lineitem salted on its
     * line number) — results provably identical to the plain join, which
@@ -871,6 +883,7 @@ object SparkEntry {
     "lineitem_bloom_semi" -> (qLineitemBloomSemi _),
     "sketch_heavy_hitters" -> (qSketchHeavyHitters _),
     "supplier_salted_revenue" -> (qSupplierSaltedRevenue _),
+    "orders_profile" -> (qOrdersProfile _),
     "events_sliding" -> (qEventsSliding _),
     "events_anomaly" -> (qEventsAnomaly _),
     "orders_cube" -> (qOrdersCube _),
@@ -1232,6 +1245,15 @@ object SparkEntry {
       Sketches.gridQuantilesSql("lineitem", "l_returnflag",
         "CAST(l_extendedprice AS DECIMAL(18,2)) * 100",
         width = 25600L, percents = Seq(25, 50, 90, 99)),
+
+    "orders_profile" ->
+      graft.ext.Profiler.profileSql("orders", Seq(
+        "o_orderkey" -> graft.ext.Profiler.Num,
+        "o_custkey" -> graft.ext.Profiler.Num,
+        "o_orderstatus" -> graft.ext.Profiler.Str,
+        "o_totalprice" -> graft.ext.Profiler.Num,
+        "o_orderdate" -> graft.ext.Profiler.Ts,
+        "o_orderpriority" -> graft.ext.Profiler.Str)),
 
     // the plain join — salting only routes rows, results are identical
     "supplier_salted_revenue" ->

@@ -1,0 +1,89 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Single-pass table profiling — the data-quality audit a pipeline runs
+  * before trusting a new drop of data: per column, row/null/distinct
+  * counts, numeric range, and string length stats.
+  *
+  * One wide aggregate computes every statistic in ONE scan of the table
+  * (Catalyst expands the multi-distinct into grouping sets internally —
+  * map-side partial aggregation throughout); the driver-side pivot to
+  * one-row-per-column operates on a single collected row of ~6×stats
+  * scalars. Exact `count_distinct` is the honest default at test scale;
+  * at 100 TB swap the distinct estimator for [[Sketches.kmvDistinct]] —
+  * the output contract is the same.
+  *
+  * Numeric ranges surface as DOUBLES (timestamps as epoch micros):
+  * min/max of the same value set are bit-identical across engines,
+  * whereas double→string formatting is not, so strings are profiled by
+  * LENGTH only. All averages are rounded to 6 dp before comparison.
+  */
+object Profiler {
+
+  /** Column kinds: `num` (castable to double), `ts` (timestamp), `str`. */
+  sealed trait Kind
+  case object Num extends Kind
+  case object Ts extends Kind
+  case object Str extends Kind
+
+  def profile(df: DataFrame, cols: Seq[(String, Kind)]): DataFrame = {
+    require(cols.nonEmpty, "profile of zero columns")
+    val aggs = cols.flatMap { case (c, kind) =>
+      val numView = kind match {
+        case Num => col(c).cast("double")
+        // parquet TIMESTAMP may load as TIMESTAMP_NTZ, which unix_micros
+        // rejects; the cast is value-preserving under the UTC session TZ
+        case Ts  => unix_micros(col(c).cast("timestamp")).cast("double")
+        case Str => lit(null).cast("double")
+      }
+      Seq(
+        count(lit(1)).as(s"__n_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
+        count_distinct(col(c)).as(s"__nd_$c"),
+        min(numView).as(s"__min_$c"),
+        max(numView).as(s"__max_$c"),
+        (kind match {
+          case Str => round(avg(length(col(c))), 6)
+          case _   => lit(null).cast("double")
+        }).as(s"__al_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { case (c, _) =>
+      struct(
+        lit(c).as("col_name"),
+        col(s"__n_$c").as("n"),
+        col(s"__nn_$c").as("n_null"),
+        col(s"__nd_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_num"),
+        col(s"__max_$c").as("max_num"),
+        col(s"__al_$c").as("avg_len"))
+    }
+    one.select(explode(array(rows: _*)).as("__r")).select(col("__r.*"))
+  }
+
+  /** DuckDB twin: one SELECT per column UNION ALL'd (the oracle does not
+    * need the single-pass property, only identical values).
+    */
+  def profileSql(table: String, cols: Seq[(String, Kind)]): String =
+    cols.map { case (c, kind) =>
+      val numView = kind match {
+        case Num => s"CAST($c AS DOUBLE)"
+        case Ts  => s"CAST(epoch_us($c) AS DOUBLE)"
+        case Str => "CAST(NULL AS DOUBLE)"
+      }
+      val avgLen = kind match {
+        case Str => s"round(avg(length($c)), 6)"
+        case _   => "CAST(NULL AS DOUBLE)"
+      }
+      s"""SELECT '$c' AS col_name,
+         |  CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+         |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  MIN($numView) AS min_num,
+         |  MAX($numView) AS max_num,
+         |  $avgLen AS avg_len
+         |FROM $table""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+}
