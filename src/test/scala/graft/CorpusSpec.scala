@@ -178,6 +178,59 @@ class CorpusSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("streaming micro-batches dedup against the growing signature index") {
+    // the daily-ingest pipeline end-to-end: each micro-batch probes the
+    // landed corpus's signature index, quarantines near-dups, and appends
+    // only clean docs — composed from streamingIngest-style foreachBatch
+    // plus Dedup.dedupAgainstIndex/appendToSignatureIndex
+    import graft.ext.Dedup
+    val tmp = java.nio.file.Files.createTempDirectory("streamdedup").toString
+    val srcDir = s"$tmp/src"
+    val idxDir = s"$tmp/idx"
+    val chk = s"$tmp/chk"
+    val batch1 = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely different text about spark engines at scale"))
+      .toDF("doc_id", "text")
+    val batch2 = Seq(
+      (3L, "the quick brown fox jumps over the lazy dog today"), // near-dup of 1
+      (4L, "yet another unrelated document about vector databases"))
+      .toDF("doc_id", "text")
+    val dupsSeen = scala.collection.mutable.Buffer[(Long, Long)]()
+
+    def drain(): Unit = {
+      val q = s.readStream.schema(batch1.schema).parquet(srcDir)
+        .writeStream.option("checkpointLocation", chk)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          val hasIndex = new java.io.File(s"$idxDir/buckets").exists()
+          val clean =
+            if (!hasIndex) b
+            else {
+              val dups = Dedup.dedupAgainstIndex(b, "text", "doc_id", idxDir,
+                threshold = 0.5)
+              dupsSeen ++= dups.collect().map(r => (r.getLong(0), r.getLong(1)))
+              b.join(dups.select(col("new_id").as("doc_id")).distinct(),
+                Seq("doc_id"), "left_anti")
+            }
+          Dedup.appendToSignatureIndex(clean, "text", "doc_id", idxDir)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    batch1.coalesce(1).write.mode("append").parquet(srcDir)
+    drain()
+    batch2.coalesce(1).write.mode("append").parquet(srcDir)
+    drain()
+
+    assert(dupsSeen.toSeq === Seq((3L, 1L)), "batch-2 near-dup detected against batch-1 index")
+    val landed = s.read.parquet(s"$idxDir/shingles")
+      .select("id").distinct().collect().map(_.getLong(0)).toSet
+    assert(landed === Set(1L, 2L, 4L), "only clean docs appended to the index")
+  }
+
   test("dedupClusters labels transitive duplicate chains with the component min id") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
     val labels = Corpus.dedupClusters(pairs)
