@@ -563,6 +563,23 @@ object SparkEntry {
       .orderBy("purchase_id")
   }
 
+  /** As-of attribution with a 1 h staleness bound: clicks older than the
+    * tolerance are nulled, not re-matched (pandas merge_asof semantics).
+    */
+  private def qEventsAsofWithin(s: SparkSession, dir: String): DataFrame = {
+    val e = events(s, dir)
+    EventAnalytics.asOfJoinWithin(
+        e.filter(col("event_type") === "purchase"),
+        e.filter(col("event_type") === "click"),
+        "user_id", "ts", "event_id", toleranceUs = 3600000000L)
+      .select(
+        col("l.event_id").as("purchase_id"),
+        col("l.user_id").as("user_id"),
+        col("r.event_id").as("click_id"),
+        (unix_micros(col("l.ts")) - unix_micros(col("r.ts"))).as("gap_us"))
+      .orderBy("purchase_id")
+  }
+
   private def qEventsHourly(s: SparkSession, dir: String): DataFrame =
     events(s, dir)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -946,6 +963,7 @@ object SparkEntry {
     "events_dedup" -> (qEventsDedup _),
     "events_funnel" -> (qEventsFunnel _),
     "events_retention" -> (qEventsRetention _),
+    "events_asof_within" -> (qEventsAsofWithin _),
     "orders_running_total" -> (qOrdersRunningTotal _),
     "lineitem_agg" -> (qLineitemAgg _),
     "lineitem_agg_sql" -> (qLineitemAggSql _),
@@ -2034,6 +2052,31 @@ object SparkEntry {
         |SELECT l_id AS purchase_id, k AS user_id, click_id,
         |       epoch_us(ts) - click_us AS gap_us
         |FROM m WHERE is_l = 1 ORDER BY purchase_id""".stripMargin,
+
+    // same window CTEs as events_asof; matches older than the 1 h
+    // tolerance are nulled out, not re-matched (merge_asof semantics)
+    "events_asof_within" ->
+      """WITH u AS (
+        |  SELECT user_id AS k, ts, event_id AS seq, 1 AS is_l,
+        |         event_id AS l_id, CAST(NULL AS BIGINT) AS r_id
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, ts, event_id, 0, NULL, event_id
+        |  FROM events WHERE event_type = 'click'),
+        |m AS (
+        |  SELECT *,
+        |    last_value(r_id IGNORE NULLS) OVER (PARTITION BY k ORDER BY ts, is_l, seq
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_id,
+        |    last_value(CASE WHEN r_id IS NOT NULL THEN epoch_us(ts) END IGNORE NULLS)
+        |      OVER (PARTITION BY k ORDER BY ts, is_l, seq
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_us
+        |  FROM u),
+        |g AS (SELECT l_id, k, click_id, epoch_us(ts) - click_us AS gap_us
+        |      FROM m WHERE is_l = 1)
+        |SELECT l_id AS purchase_id, k AS user_id,
+        |       CASE WHEN gap_us <= 3600000000 THEN click_id END AS click_id,
+        |       CASE WHEN gap_us <= 3600000000 THEN gap_us END AS gap_us
+        |FROM g ORDER BY purchase_id""".stripMargin,
 
     "events_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,

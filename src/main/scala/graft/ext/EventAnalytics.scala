@@ -52,6 +52,28 @@ object EventAnalytics {
       .select(col("__l").as("l"), col("__m").as("r"))
   }
 
+  /** [[asOfJoin]] with a staleness bound (pandas `merge_asof(tolerance=)`
+    * semantics): a match older than `toleranceUs` microseconds is nulled
+    * out — attribution windows ("credit the click only if within 24 h")
+    * without a second pass. Same single-shuffle plan; the tolerance is a
+    * post-match null-out, not a join-condition change, so carried state
+    * stays O(1) per task.
+    */
+  def asOfJoinWithin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      seqCol: String,
+      toleranceUs: Long): DataFrame = {
+    require(toleranceUs >= 0, s"tolerance must be non-negative, got $toleranceUs")
+    asOfJoin(left, right, keyCol, tsCol, seqCol)
+      .withColumn("r",
+        when(col("r").isNotNull &&
+          unix_micros(col(s"l.$tsCol")) - unix_micros(col(s"r.$tsCol")) <= toleranceUs,
+          col("r")))
+  }
+
   /** Gap-based sessionization: within each user's timeline, a new session
     * starts when the gap to the previous event exceeds `maxGapMinutes`.
     * Adds `session_seq` (1-based per user).
