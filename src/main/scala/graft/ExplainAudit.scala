@@ -17,7 +17,10 @@ object ExplainAudit {
       "emb_near_dup", "corpus_sample", "corpus_pack",
       "corpus_decontaminate", "corpus_mix", "corpus_tfidf",
       "text_repetition", "text_pii_redact", "emb_quantize", "emb_pq_assign",
-      "ann_pq_topk", "corpus_shuffle"))
+      "ann_pq_topk", "corpus_shuffle",
+      "dedup_incremental", "ann_ivfpq_topk", "lineitem_bloom_semi",
+      "sketch_quantiles", "sketch_heavy_hitters", "corpus_budget_mix",
+      "supplier_salted_revenue", "orders_profile", "events_asof_within"))
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -215,3 +215,53 @@ case class BloomProbe(
   override protected def withNewChildInternal(newChild: Expression): BloomProbe =
     copy(child = newChild)
 }
+
+/** `string` key → `array<long>` of its d count-min cells
+  * `(i·w + ((x·a_i + b_i) mod P) mod w)` — identical to the columnar
+  * cell expression in [[graft.ext.Sketches.countMinTable]] but with the
+  * md5 base hash computed ONCE per row instead of once per cell (the
+  * explode's input array inlines the hash per element otherwise).
+  */
+case class CmsCells(child: Expression, ab: Seq[(Long, Long)], w: Int)
+    extends UnaryExpression {
+  import PortableKernels.P
+
+  @transient private lazy val aArr: Array[Long] = ab.map(_._1).toArray
+  @transient private lazy val bArr: Array[Long] = ab.map(_._2).toArray
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires string, got ${t.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_cms_cells"
+
+  def kernel(s: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val (hi, _) = PortableKernels.md5Halves(s.getBytes)
+    val x = hi % P
+    val out = new Array[Long](aArr.length)
+    var i = 0
+    while (i < aArr.length) {
+      out(i) = i.toLong * w + (x * aArr(i) + bArr(i)) % P % w
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    kernel(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cms", this, classOf[CmsCells].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = $ref.kernel($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CmsCells =
+    copy(child = newChild)
+}

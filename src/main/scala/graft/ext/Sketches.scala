@@ -209,12 +209,13 @@ object Sketches {
       w: Int): Array[Long] = {
     require(d > 0 && w > 0, s"need d > 0, w > 0; got d=$d w=$w")
     val ab = PortableHash.minhashAB(d)
-    val x = pmod(PortableHash.hash32(keyStr), lit(PortableHash.P))
+    // native kernel: one md5 per row (the columnar array expression
+    // inlines the base hash into every element — d md5s/row)
     val cells = df
-      .select(explode(array(ab.zipWithIndex.map { case ((a, b), i) =>
-        (lit(i.toLong) * w + pmod(x * a + b, lit(PortableHash.P)) % w).as(s"c$i")
-      }: _*)).as("__cell"))
-      .filter(col("__cell").isNotNull) // null keys contribute nothing
+      .select(explode(org.apache.spark.sql.GraftSqlBridge.column(
+        graft.expr.CmsCells(
+          org.apache.spark.sql.GraftSqlBridge.expression(keyStr),
+          ab, w))).as("__cell"))
       .groupBy(col("__cell")).agg(count(lit(1)).as("__n"))
       .collect()
     val arr = new Array[Long](d * w)
