@@ -66,8 +66,10 @@ object Bench {
             Left(e.getClass.getSimpleName)
         })
       }
+    // 3-dp timings keep the one-line JSON compact: the round-4 driver
+    // capture truncated the tail of a 67-query line at full precision
     val qs = results.map {
-      case (k, Right(sec)) => "\"" + k + "\":" + sec
+      case (k, Right(sec)) => "\"" + k + "\":" + (math.rint(sec * 1000) / 1000)
       case (k, Left(_))    => "\"" + k + "\":-1"
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, Left(_)) => k }.toSeq.sorted
