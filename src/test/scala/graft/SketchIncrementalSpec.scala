@@ -130,6 +130,29 @@ class SketchIncrementalSpec extends SparkSpecBase {
       "with w=512 collisions must be visible (sanity that the audit bites)")
   }
 
+  test("sketch merge: CMS tables add, bloom words OR — batch-built equals whole-built") {
+    // the property that makes both sketches streaming/incremental: a
+    // day's sketch merges into the landed sketch without reprocessing
+    val li = Fixtures.lineitem(spark, dir)
+    val p1 = li.filter(col("l_orderkey") % 3 === 0)
+    val p2 = li.filter(col("l_orderkey") % 3 === 1)
+    val p3 = li.filter(col("l_orderkey") % 3 === 2)
+    val key = col("l_partkey").cast("string")
+
+    val whole = Sketches.countMinTable(li, key, 4, 512)
+    val merged = Seq(p1, p2, p3).map(Sketches.countMinTable(_, key, 4, 512))
+      .reduce((a, b) => a.zip(b).map { case (x, y) => x + y })
+    assert(whole.toSeq === merged.toSeq, "CMS merge = cell-wise add")
+
+    val okey = col("o_orderkey").cast("string")
+    val ord = Fixtures.orders(spark, dir).filter(col("o_totalprice") > 300000.0)
+    val wWhole = graft.ext.BloomFilter.build(ord, okey, 1 << 14, 5)
+    val wMerged = Seq(col("o_orderkey") % 2 === 0, col("o_orderkey") % 2 === 1)
+      .map(f => graft.ext.BloomFilter.build(ord.filter(f), okey, 1 << 14, 5))
+      .reduce((a, b) => a.zip(b).map { case (x, y) => x | y })
+    assert(wWhole.toSeq === wMerged.toSeq, "bloom merge = word-wise OR")
+  }
+
   // ------------------------------------------- sliding / anomaly / cube
 
   test("sliding windows: window() expand equals explicit slide arithmetic") {
