@@ -745,6 +745,32 @@ object SparkEntry {
       .limit(10)
   }
 
+  /** TPC-H-Q5-style five-way join: 1995-96 revenue per ASIA nation where
+    * the supplier serves a same-nation customer. The two fact tables
+    * join on their shuffle key; every dimension is broadcast (nation /
+    * region explicitly — structurally tiny; customer / supplier by AQE
+    * from runtime stats). The classic Catalyst join-planning shape.
+    */
+  private def qRegionNationRevenue(s: SparkSession, dir: String): DataFrame = {
+    val d1 = java.sql.Timestamp.from(java.time.Instant.parse("1995-01-01T00:00:00Z"))
+    val d2 = java.sql.Timestamp.from(java.time.Instant.parse("1997-01-01T00:00:00Z"))
+    val reg = s.read.parquet(s"$dir/region.parquet").filter(col("r_name") === "ASIA")
+    val nat = s.read.parquet(s"$dir/nation.parquet")
+    lineitem(s, dir)
+      .join(orders(s, dir).filter(col("o_orderdate") >= lit(d1) &&
+        col("o_orderdate") < lit(d2)), col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(s.read.parquet(s"$dir/supplier.parquet"),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(DecimalType(18, 4))).cast("double").as("revenue"))
+      .orderBy("n_name")
+  }
+
   /** Incremental materialized-aggregate maintenance: the per-priority
     * (count, sum(totalprice)) view refreshed from the change log ALONE —
     * O(changes) work + an O(groups) merge, never rescanning the base
@@ -971,7 +997,8 @@ object SparkEntry {
     "lineitem_quantiles" -> (qLineitemQuantiles _),
     "customer_top_orders" -> (qCustomerTopOrders _),
     "lineitem_band_join" -> (qLineitemBandJoin _),
-    "top_revenue_join" -> (qTopRevenue _))
+    "top_revenue_join" -> (qTopRevenue _),
+    "region_nation_revenue" -> (qRegionNationRevenue _))
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -2246,5 +2273,19 @@ object SparkEntry {
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'
-        |GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin)
+        |GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "region_nation_revenue" ->
+      """SELECT n.n_name,
+        |  CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin)
 }
