@@ -270,4 +270,39 @@ class CdcCoreSpec extends SparkSpecBase {
       .map(_.getLong(0)).toSet === Set(1L, 2L))
     assert(conflicts.count() === 4) // every conflicting change retained
   }
+
+  test("schema evolution: v1 JSON images decode under a v2 spec with nulls for the new column") {
+    // the JSON interop boundary makes adding a column non-breaking: old
+    // log entries simply lack the key, and from_json yields null — the
+    // same contract the reference's json.loads path gives for free
+    val specV2 = CdcTableSpec("test_table",
+      Seq("id", "name", "value", "tier"), "id")
+    val t1 = freshTable(Seq((1L, "alice", 10L)))
+    t1.insert(Seq((2L, "bob", 5L)).toDF("id", "name", "value"))
+    val v1Json = ChangeCapture.withJsonImages(t1.changeLog)
+
+    // a v2-era change carries the new column
+    val v2Rows = Seq((3L, "carol", 7L, "gold")).toDF("id", "name", "value", "tier")
+    val t2 = CdcTable(
+      Seq.empty[(Long, String, Long, String)].toDF("id", "name", "value", "tier"),
+      specV2)
+    t2.insert(v2Rows)
+    val v2Json = ChangeCapture.withJsonImages(t2.changeLog)
+
+    val v2Schema = v2Rows.schema
+    val decoded = ChangeCapture.parseJsonImages(
+      v1Json.unionByName(v2Json, allowMissingColumns = true), v2Schema)
+    val rows = decoded
+      .select(col("record_id"), col("new_data.name"), col("new_data.tier"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(rows === Set((2L, "bob", null), (3L, "carol", "gold")),
+      "old images decode with null for the added column; new images carry it")
+
+    // and the evolved log applies onto a v2 target
+    val target = Seq((1L, "alice", 10L, null.asInstanceOf[String]))
+      .toDF("id", "name", "value", "tier")
+    val applied = ChangeApplier.applyChanges(target, decoded, specV2)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(3))).toSeq
+    assert(applied === Seq((1L, null), (2L, null), (3L, "gold")))
+  }
 }
