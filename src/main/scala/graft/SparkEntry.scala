@@ -282,6 +282,20 @@ object SparkEntry {
         md5(hex(col("frame_bytes"))).as("frame_md5"))
       .orderBy("media_id", "frame_i")
 
+  /** Frame-level exact dedup across media: identical frame content
+    * (by checksum) collapses to one keeper — the multimodal analogue of
+    * [[Dedup.exactDedup]], and the first pruning step of any video
+    * near-dup pipeline (dedupe identical frames before embedding them).
+    * One hash-aggregate on the checksum; no joins.
+    */
+  private def qMediaFrameDedup(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(
+        Multimodal.withFakePayload(documents(s, dir), "doc_id", "text"), n = 4)
+      .select(col("media_id"), md5(hex(col("frame_bytes"))).as("frame_md5"))
+      .groupBy(col("frame_md5"))
+      .agg(min(col("media_id")).as("keep_media_id"), count(lit(1)).as("n_frames"))
+      .orderBy("frame_md5")
+
   private def qMediaFeatures(s: SparkSession, dir: String): DataFrame = {
     import Multimodal._
     val typed = withFakePayload(documents(s, dir), "doc_id", "text")
@@ -998,7 +1012,8 @@ object SparkEntry {
     "customer_top_orders" -> (qCustomerTopOrders _),
     "lineitem_band_join" -> (qLineitemBandJoin _),
     "top_revenue_join" -> (qTopRevenue _),
-    "region_nation_revenue" -> (qRegionNationRevenue _))
+    "region_nation_revenue" -> (qRegionNationRevenue _),
+    "media_frame_dedup" -> (qMediaFrameDedup _))
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -1897,6 +1912,16 @@ object SparkEntry {
         |SELECT media_id, CAST(frame_i AS INTEGER) AS frame_i, frame_offset,
         |       md5(substring(hx, 2 * frame_offset + 1, 128)) AS frame_md5
         |FROM f ORDER BY media_id, frame_i""".stripMargin,
+
+    "media_frame_dedup" ->
+      """WITH f AS (
+        |  SELECT doc_id AS media_id,
+        |         md5(substring(hex(encode(text)),
+        |           2 * CAST(i * octet_length(encode(text)) // 4 AS INTEGER) + 1, 128)) AS frame_md5
+        |  FROM documents, (SELECT unnest(range(0, 4)) AS i))
+        |SELECT frame_md5, MIN(media_id) AS keep_media_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_frames
+        |FROM f GROUP BY frame_md5 ORDER BY frame_md5""".stripMargin,
 
     "ann_brute_force" ->
       s"""WITH $EmbBase,
