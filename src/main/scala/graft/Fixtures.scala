@@ -69,6 +69,18 @@ object Fixtures {
     docCountCache.computeIfAbsent((spark, dir), _ => documents(spark, dir).count())
   }
 
+  /** Fixed scratch directory per (query, sf dir): registered queries that
+    * materialize an on-disk artifact (signature index, JSONL dump, PQ
+    * index) overwrite the SAME location on re-invocation instead of
+    * leaking a fresh temp dir per run — accumulation is bounded to one
+    * copy per (query, SF).
+    */
+  def scratchDir(name: String, sfDir: String): String = {
+    val dir = s"/tmp/graft_scratch/${name}_${sfDir.replace('/', '_')}"
+    new java.io.File(dir).mkdirs()
+    dir
+  }
+
   val OrdersSpec: CdcTableSpec = CdcTableSpec(
     "orders",
     Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",

@@ -221,7 +221,7 @@ object SparkEntry {
     */
   private def qDedupIncremental(s: SparkSession, dir: String): DataFrame = {
     val docs = documents(s, dir)
-    val idxPath = java.nio.file.Files.createTempDirectory("graft_sigidx").toString
+    val idxPath = Fixtures.scratchDir("sigidx", dir)
     Dedup.writeSignatureIndex(docs.filter(col("doc_id") % 5 =!= 0),
       "text", "doc_id", idxPath)
     Dedup.dedupAgainstIndex(docs.filter(col("doc_id") % 5 === 0),
@@ -410,7 +410,7 @@ object SparkEntry {
     */
   private def qCorpusIngestJsonl(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StringType, StructType}
-    val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    val tmp = Fixtures.scratchDir("jsonl", dir)
     documents(s, dir).select(
         when(col("doc_id") % 17 === 0,
           concat(lit("{\"doc_id\": "), col("doc_id"), lit(", \"lang\": \"BROKEN")))
@@ -470,7 +470,7 @@ object SparkEntry {
     */
   private def qAnnIvfPqTopK(s: SparkSession, dir: String): DataFrame = {
     val cents = Similarity.collectCentroids(embCentroids(s, dir), "vec_id", "embedding")
-    val idxPath = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    val idxPath = Fixtures.scratchDir("ivfpq", dir)
     Similarity.writeIvfPqIndex(embeddings(s, dir), "vec_id", "embedding",
       cents, m = 4, idxPath)
     Similarity.ivfPqTopK(Similarity.readIvfIndex(s, idxPath), embQueries(s, dir),
@@ -1306,14 +1306,10 @@ object SparkEntry {
         "CAST(l_extendedprice AS DECIMAL(18,2)) * 100",
         width = 25600L, percents = Seq(25, 50, 90, 99)),
 
+    // same (column, kind) list as the engine query — one definition,
+    // so the two sides cannot drift
     "orders_profile" ->
-      graft.ext.Profiler.profileSql("orders", Seq(
-        "o_orderkey" -> graft.ext.Profiler.Num,
-        "o_custkey" -> graft.ext.Profiler.Num,
-        "o_orderstatus" -> graft.ext.Profiler.Str,
-        "o_totalprice" -> graft.ext.Profiler.Num,
-        "o_orderdate" -> graft.ext.Profiler.Ts,
-        "o_orderpriority" -> graft.ext.Profiler.Str)),
+      graft.ext.Profiler.profileSql("orders", OrdersProfileCols),
 
     // the plain join — salting only routes rows, results are identical
     "supplier_salted_revenue" ->

@@ -32,10 +32,11 @@ object BloomFilter {
 
   /** Build the filter: one distinct-position shuffle bounded by m (NOT by
     * key count — map-side combine collapses to at most m/32 words), then
-    * a driver collect of the word table (m/32 longs — for the default
-    * m = 2^16 that is 2 KB, the same structurally-small class as an IVF
-    * codebook). The returned array is dense: index w holds the OR of its
-    * 32 bits.
+    * a driver collect of the word table (m/32 longs — 16 KB for
+    * m = 2^16, the same structurally-small class as an IVF codebook; the
+    * same array rides as a plan literal in [[mightContain]], so size m
+    * accordingly). The returned array is dense: index w holds the OR of
+    * its 32 bits.
     */
   def build(keys: DataFrame, key: Column, mBits: Int, k: Int): Array[Long] = {
     require(mBits > 0 && mBits % 32 == 0, s"mBits must be a positive multiple of 32, got $mBits")

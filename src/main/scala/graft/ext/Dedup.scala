@@ -602,8 +602,23 @@ object Dedup {
       rowsPerBand: Int = 8,
       bucketParts: Int = 64,
       saveMode: String = "overwrite"): Unit = {
+    val spark = df.sparkSession
+    if (saveMode == "overwrite") {
+      // persist the hash/layout parameters with the index: a probe or
+      // append with different parameters computes incomparable signatures
+      // or prunes the wrong partitions — silently missing duplicates.
+      import spark.implicits._
+      Seq((n, bands, rowsPerBand, bucketParts))
+        .toDF("n", "bands", "rows_per_band", "bucket_parts")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+    } else {
+      requireIndexParams(spark, path, n, bands, rowsPerBand, bucketParts)
+    }
+    // NOTE: two corpus scans by design (bucket triples and verify-side
+    // shingles are different derivations of the text); at index scale,
+    // re-scanning columnar input beats pinning the corpus in memory.
     signatureScan(df, textCol, idCol, n, bands * rowsPerBand, HashMode.Portable)
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("id"),
         posexplode(lshBandBuckets(col("sig"), bands, rowsPerBand, HashMode.Portable))
           .as(Seq("band", "bucket")))
@@ -612,6 +627,28 @@ object Dedup {
     df.select(col(idCol).as("id"), hashedShingles(col(textCol), n).as("sh"))
       .write.mode(saveMode).parquet(s"$path/shingles")
   }
+
+  /** Fail fast when an append/probe's parameters disagree with the ones
+    * the index was built with (a mismatch is silent wrong results, not
+    * an error, without this check). Indexes written before params were
+    * recorded are accepted as-is.
+    */
+  private def requireIndexParams(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      n: Int,
+      bands: Int,
+      rowsPerBand: Int,
+      bucketParts: Int): Unit =
+    try {
+      val r = spark.read.parquet(s"$path/params").collect()(0)
+      val stored = (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
+      require(stored == ((n, bands, rowsPerBand, bucketParts)),
+        s"signature index at $path was built with (n, bands, rowsPerBand, " +
+          s"bucketParts) = $stored; caller passed (${(n, bands, rowsPerBand, bucketParts)})")
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => () // pre-params index
+    }
 
   /** Append a new batch to an existing signature index (same parameters
     * as the original [[writeSignatureIndex]] call — the hash constants
@@ -663,6 +700,7 @@ object Dedup {
       threshold: Double = 0.8,
       bucketParts: Int = 64): DataFrame = {
     val spark = newBatch.sparkSession
+    requireIndexParams(spark, path, n, bands, rowsPerBand, bucketParts)
     val bb = signatureScan(newBatch, textCol, idCol, n, bands * rowsPerBand, HashMode.Portable)
       .repartition(spark.sparkContext.defaultParallelism)
       .select(col("id").as("new_id"),
@@ -690,6 +728,11 @@ object Dedup {
       .withColumn("jac",
         round(jaccardSortedAtLeast(col("sh_n"), col("sh_c"), threshold), 6))
       .filter(col("jac") >= threshold)
-      .select(col("new_id"), col("dup_of"), col("jac"))
+      // an at-least-once append retry can land the same (id, sh) row in
+      // shingles/ twice, fanning a surviving pair into identical output
+      // rows through the verify join — collapse them (jac is a pure
+      // function of the pair, so min ≡ the single value)
+      .groupBy(col("new_id"), col("dup_of"))
+      .agg(min(col("jac")).as("jac"))
   }
 }

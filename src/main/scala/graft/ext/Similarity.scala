@@ -637,7 +637,10 @@ object Similarity {
       }: _*)
     }: _*)
     val probeTabs = probes.join(
-      queries.select(col(queryId).as("query_id"), dtab.as("__dtab")), Seq("query_id"))
+        queries.select(col(queryId).as("query_id"), dtab.as("__dtab")), Seq("query_id"))
+      // consumed twice (probed-id collect + broadcast join): materialize
+      // the queries×centroids probe selection and ADC tables once
+      .localCheckpoint(true)
     // 2. bounded probed-list union → partition-pruning IN filter
     val probedIds = probeTabs.select(col("centroid_id")).distinct()
       .collect().map(_.getLong(0)).sorted

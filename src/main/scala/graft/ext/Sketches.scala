@@ -199,7 +199,7 @@ object Sketches {
     * Scale shape: the count aggregation is the only data-sized operation
     * (map-side combined, shuffle bounded by d×w occupied cells — NOT by
     * key cardinality, which is the whole point vs an exact groupBy at
-    * 100 TB); the collected table is d×w longs (32 KB at 4×1024), the
+    * 100 TB); the collected table is d×w longs (128 KB at the registered 4×4096; it also rides as a plan literal in countMinEstimate, so size w accordingly), the
     * same structurally-small class as a codebook.
     */
   def countMinTable(

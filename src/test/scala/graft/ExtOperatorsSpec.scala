@@ -101,23 +101,6 @@ class ExtOperatorsSpec extends SparkSpecBase {
 
     // the probe scan over buckets/ must carry a pb partition filter —
     // only the batch's folded-bucket directories are listed and read
-    // (descend through AQE/stage wrappers, which hide children from a
-    // plain collect)
-    def fileScans(p: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
-      val kids = p match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          Seq(a.inputPlan)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          Seq(q.plan)
-        case other => other.children
-      }
-      val self = p match {
-        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
-        case _ => Nil
-      }
-      self ++ kids.flatMap(fileScans)
-    }
     val scans = fileScans(got.queryExecution.executedPlan)
       .filter(_.relation.location.rootPaths.exists(_.toString.contains("buckets")))
     assert(scans.nonEmpty, "expected a FileSourceScanExec over the bucket index")
@@ -495,19 +478,6 @@ class ExtOperatorsSpec extends SparkSpecBase {
     val got = Similarity.ivfPqTopK(Similarity.readIvfIndex(s, s"$tmp/idx"), q,
       "vec_id", "embedding", cents, m = 4, k = 5, nprobe = 2)
 
-    def fileScans(p: org.apache.spark.sql.execution.SparkPlan)
-        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
-      val kids = p match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          Seq(a.inputPlan)
-        case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(qs.plan)
-        case other => other.children
-      }
-      (p match {
-        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
-        case _ => Nil
-      }) ++ kids.flatMap(fileScans)
-    }
     val idxScans = fileScans(got.queryExecution.executedPlan)
       .filter(_.relation.location.rootPaths.exists(_.toString.contains("idx")))
     assert(idxScans.nonEmpty, "expected a scan over the IVF+PQ index")

@@ -27,6 +27,23 @@ trait SparkSpecBase extends AnyFunSuite with BeforeAndAfterAll {
         s"expected:\n${expected.orderBy(expected.columns.map(org.apache.spark.sql.functions.col): _*).showString()}")
   }
 
+  /** All FileSourceScanExec nodes of a plan, descending through the
+    * AQE/stage wrappers that hide children from a plain `collect`.
+    */
+  def fileScans(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+    val kids = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Seq(a.inputPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    (p match {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case _ => Nil
+    }) ++ kids.flatMap(fileScans)
+  }
+
   implicit class ShowString(df: DataFrame) {
     def showString(): String = {
       val rows = df.limit(20).collect()
