@@ -170,12 +170,27 @@ object Similarity {
     */
   def nearestCentroid(vec: Column, cents: Seq[(Long, Seq[Double])]): Column = {
     require(cents.nonEmpty, "centroid set must be non-empty")
+    // native fused argmax ([[graft.expr.NearestCentroid]]) — one
+    // primitive loop per row; bit-identical to [[nearestCentroidColumnar]]
+    // (the definition the oracle SQL mirrors), cross-checked in tests
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.expr.NearestCentroid(
+        org.apache.spark.sql.GraftSqlBridge.expression(vec.cast("array<double>")),
+        cents))
+  }
+
+  /** Pure-built-ins twin of [[nearestCentroid]] — interpreted `aggregate`
+    * fold, kept as the reference the native kernel is cross-checked
+    * against.
+    */
+  def nearestCentroidColumnar(vec: Column, cents: Seq[(Long, Seq[Double])]): Column = {
+    require(cents.nonEmpty, "centroid set must be non-empty")
     val arr = typedLit(cents)
     val best = aggregate(
       arr,
       struct(lit(-2.0).as("s"), lit(Long.MaxValue).as("c")),
       (acc, ct) => {
-        val s = round(cosine(vec, ct.getField("_2")), 6)
+        val s = round(cosineColumnar(vec.cast("array<double>"), ct.getField("_2")), 6)
         val cid = ct.getField("_1")
         when(s > acc.getField("s") ||
              (s === acc.getField("s") && cid < acc.getField("c")),

@@ -510,6 +510,29 @@ class ExtOperatorsSpec extends SparkSpecBase {
     assertSameRows(got, direct, "on-disk index vs in-memory codes")
   }
 
+  test("NearestCentroid kernel is bit-identical to the columnar fold") {
+    val emb = Fixtures.embeddings(s, "/root/testdata/sf0.001")
+    val cents = Similarity.collectCentroids(
+      emb.filter(col("vec_id") % 61 === 0), "vec_id", "embedding")
+    val both = emb.select(col("vec_id"),
+      Similarity.nearestCentroid(col("embedding"), cents).as("k"),
+      Similarity.nearestCentroidColumnar(col("embedding"), cents).as("c"))
+    assert(both.filter(!(col("k") <=> col("c"))).count() === 0)
+
+    // edge cases: ragged vector and null element → NULL from both forms
+    val edge = Seq(
+      (1L, Seq(1.0, 2.0)),                       // ragged (dim mismatch)
+      (2L, null.asInstanceOf[Seq[Double]]))      // null vector
+      .toDF("id", "v")
+      .unionByName(s.sql("SELECT 3L AS id, array(1.0, CAST(NULL AS DOUBLE)" +
+        (", 0.0" * 62) + ") AS v"))
+    val e = edge.select(col("id"),
+      Similarity.nearestCentroid(col("v"), cents).as("k"),
+      Similarity.nearestCentroidColumnar(col("v"), cents).as("c"))
+    assert(e.filter(!(col("k") <=> col("c"))).count() === 0)
+    assert(e.filter(col("k").isNotNull).count() === 0)
+  }
+
   test("ivfTrain converges to the two directional clusters and is deterministic") {
     // two tight angular clusters around (1,0) and (0,1)
     val corpus = (Seq.tabulate(10)(i => (i.toLong, Array(1.0f, 0.05f * i))) ++
