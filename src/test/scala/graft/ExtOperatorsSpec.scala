@@ -38,6 +38,32 @@ class ExtOperatorsSpec extends SparkSpecBase {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("profiler handles null-heavy and all-null columns") {
+    import graft.ext.Profiler
+    val df = Seq(
+      (1L, Some(2.5), Some("ab")),
+      (2L, None, None),
+      (3L, Some(2.5), Some("wxyz")))
+      .toDF("id", "x", "s")
+    val p = Profiler.profile(df,
+        Seq("id" -> Profiler.Num, "x" -> Profiler.Num, "s" -> Profiler.Str))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(p("id").getLong(1) === 3 && p("id").getLong(2) === 0 && p("id").getLong(3) === 3)
+    assert(p("x").getLong(2) === 1, "one null in x")
+    assert(p("x").getLong(3) === 1, "distinct excludes nulls")
+    assert(p("x").getDouble(4) === 2.5 && p("x").getDouble(5) === 2.5)
+    assert(p("s").getDouble(6) === 3.0, "avg length over non-null strings")
+    assert(p("id").isNullAt(6), "avg_len null for non-strings")
+
+    // all-null column: range and length stats surface as NULL, not 0
+    val alln = Seq((1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]))
+      .toDF("id", "s")
+    val q = Profiler.profile(alln, Seq("s" -> Profiler.Str))
+      .collect()(0)
+    assert(q.getLong(1) === 2 && q.getLong(2) === 2 && q.getLong(3) === 0)
+    assert(q.isNullAt(4) && q.isNullAt(5) && q.isNullAt(6))
+  }
+
   test("saltedJoin equals the plain join on a skewed key distribution") {
     // 10k rows of one hot key + a tail — the shape salting exists for
     val big = s.range(0, 10000).select(
