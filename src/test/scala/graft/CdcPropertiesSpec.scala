@@ -90,6 +90,31 @@ class CdcPropertiesSpec extends SparkSpecBase {
     }, minSuccessful = 4)
   }
 
+  test("property: grid-quantile bucket always contains the exact order statistic") {
+    val genData = for {
+      n <- Gen.choose(1, 60)
+      ticks <- Gen.listOfN(n, Gen.choose(-5000L, 5000L))
+      width <- Gen.choose(1L, 700L)
+      pct <- Gen.choose(1, 100)
+    } yield (ticks, width, pct)
+    checkProp(Prop.forAll(genData) { case (ticks, width, pct) =>
+      val df = ticks.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+      val res = graft.ext.Sketches.gridQuantiles(
+          df, Seq.empty, col("t"), width, Seq(pct))
+        .collect()
+      val sorted = ticks.sorted
+      val target = (pct.toLong * ticks.length + 99) / 100
+      val exact = sorted((target - 1).toInt)
+      res.length == 1 && {
+        val r = res(0)
+        val bucket = r.getAs[Long]("bucket")
+        val upper = r.getAs[Long]("upper_tick")
+        r.getAs[Long]("target_rank") == target &&
+          exact >= bucket * width && exact < upper
+      }
+    }, minSuccessful = 8)
+  }
+
   test("dedupToLatest collapses DELETE→INSERT on one key to the final state") {
     val t = CdcTable(Seq((1L, "a", 1L)).toDF("id", "name", "value"), spec)
     t.delete(col("id") === 1)
