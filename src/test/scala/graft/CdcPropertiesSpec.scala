@@ -115,6 +115,35 @@ class CdcPropertiesSpec extends SparkSpecBase {
     }, minSuccessful = 8)
   }
 
+  test("property: bloom and count-min kernels match their columnar twins on random strings") {
+    val genKeys: Gen[List[String]] = Gen.listOfN(24,
+      Gen.oneOf(
+        Gen.alphaNumStr.map(_.take(12)),
+        Gen.listOfN(6, Gen.choose(32.toChar, 0x2FF.toChar)).map(_.mkString),
+        Gen.const(""), Gen.const(" "), Gen.const("héllo wörld é")))
+    checkProp(Prop.forAll(genKeys) { keys =>
+      val df = keys.zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("id", "k")
+      val words = graft.ext.BloomFilter.build(
+        df.filter(col("id") % 2 === 0), col("k"), 1 << 10, 4)
+      val bloomAgree = df.filter(
+        !(graft.ext.BloomFilter.mightContain(words.toSeq, col("k"), 1 << 10, 4) <=>
+          graft.ext.BloomFilter.mightContainColumnar(words.toSeq, col("k"), 1 << 10, 4)))
+        .count() == 0
+      // CMS cells kernel vs columnar cell arithmetic
+      val ab = graft.ext.PortableHash.minhashAB(3)
+      val P = graft.ext.PortableHash.P
+      val x = pmod(graft.ext.PortableHash.hash32(col("k")), lit(P))
+      val columnarCells = array(ab.zipWithIndex.map { case ((a, b), i) =>
+        lit(i.toLong) * 64 + pmod(x * a + b, lit(P)) % 64
+      }: _*)
+      val kernelCells = org.apache.spark.sql.GraftSqlBridge.column(
+        graft.expr.CmsCells(
+          org.apache.spark.sql.GraftSqlBridge.expression(col("k")), ab, 64))
+      val cmsAgree = df.filter(!(kernelCells <=> columnarCells)).count() == 0
+      bloomAgree && cmsAgree
+    }, minSuccessful = 6)
+  }
+
   test("dedupToLatest collapses DELETE→INSERT on one key to the final state") {
     val t = CdcTable(Seq((1L, "a", 1L)).toDF("id", "name", "value"), spec)
     t.delete(col("id") === 1)
