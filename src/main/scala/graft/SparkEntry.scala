@@ -435,6 +435,54 @@ object SparkEntry {
     good.unionByName(quarantined).orderBy("lang")
   }
 
+  /** The CSV front door, same contract as [[qCorpusIngestJsonl]]: rows
+    * serialized with doubled-quote escaping, every `doc_id % 19 = 0` line
+    * replaced by a type-mismatched row (`notanumber` in the bigint
+    * column) to exercise the PERMISSIVE quarantine; stats over survivors
+    * plus the quarantine count mirror the documents end state.
+    */
+  private def qCorpusIngestCsv(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    val tmp = Fixtures.scratchDir("csvdump", dir)
+    documents(s, dir).select(
+        when(col("doc_id") % 19 === 0,
+          concat(lit("notanumber,"), col("lang")))
+        .otherwise(concat(
+          col("doc_id"), lit(","), col("lang"), lit(",\""),
+          regexp_replace(col("text"), "\"", "\"\""), lit("\"")))
+        .as("value"))
+      .write.mode("overwrite").text(s"$tmp/corpus")
+    val schema = new StructType()
+      .add("doc_id", LongType).add("lang", StringType).add("text", StringType)
+    val parsed = graft.sources.CsvSource(s"$tmp/corpus", schema).load(s)
+      .localCheckpoint(true)
+    val good = parsed.filter(col("_corrupt").isNull)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast("long").as("n_chars"))
+    val quarantined = parsed.filter(col("_corrupt").isNotNull)
+      .agg(count(lit(1)).as("n_docs"))
+      .select(lit("__corrupt").as("lang"), col("n_docs"), lit(0L).as("n_chars"))
+    good.unionByName(quarantined).orderBy("lang")
+  }
+
+  /** ORC round trip through the [[graft.sources.OrcSource]]/[[graft.sources.OrcSink]]
+    * adapters: documents land in ORC and are re-aggregated — the oracle
+    * checks the end state straight off the parquet, proving the format
+    * hop loses nothing.
+    */
+  private def qCorpusOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val tmp = Fixtures.scratchDir("orcdump", dir)
+    graft.sources.OrcSink(s"$tmp/docs").save(
+      documents(s, dir).select(col("doc_id"), col("lang"), col("text")))
+    graft.sources.OrcSource(s"$tmp/docs").load(s)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast("long").as("n_chars"),
+        sum(col("doc_id")).as("id_sum"))
+      .orderBy("lang")
+  }
+
   private def qCorpusShuffle(s: SparkSession, dir: String): DataFrame =
     Corpus.shuffleAssign(documents(s, dir), "doc_id", numShards = 32, salt = "shuf")
       .orderBy("doc_id")
@@ -981,6 +1029,8 @@ object SparkEntry {
     "corpus_shuffle" -> (qCorpusShuffle _),
     "corpus_ingest_jsonl" -> (qCorpusIngestJsonl _),
     "corpus_budget_mix" -> (qCorpusBudgetMix _),
+    "corpus_ingest_csv" -> (qCorpusIngestCsv _),
+    "corpus_orc_roundtrip" -> (qCorpusOrcRoundtrip _),
     "text_repetition" -> (qTextRepetition _),
     "text_pii_redact" -> (qTextPiiRedact _),
     "corpus_tfidf" -> (qCorpusTfidf _),
@@ -1751,6 +1801,24 @@ object SparkEntry {
          |                                   ORDER BY score DESC, token) AS rn FROM sc)
          |SELECT doc_id, token, tf, df, score, CAST(rn AS INT) AS rnk
          |FROM r WHERE rn <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+    // CSV round-trip end state: good rows = un-mangled docs (%19<>0)
+    "corpus_ingest_csv" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(length(text)) AS BIGINT) AS n_chars
+        |FROM documents WHERE doc_id % 19 <> 0 GROUP BY lang
+        |UNION ALL
+        |SELECT '__corrupt' AS lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(0 AS BIGINT) AS n_chars
+        |FROM documents WHERE doc_id % 19 = 0
+        |ORDER BY lang""".stripMargin,
+
+    // ORC hop loses nothing: end state straight off the parquet
+    "corpus_orc_roundtrip" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+        |       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
     // JSONL round-trip end state: good rows are exactly the un-mangled
     // docs (%17<>0) — the oracle verifies the serialize → permissive-parse

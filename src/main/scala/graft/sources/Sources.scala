@@ -58,6 +58,43 @@ final case class JsonlSource(
       .json(path)
 }
 
+/** CSV source with the same PERMISSIVE corrupt-line quarantine contract
+  * as [[JsonlSource]] (schema required; a malformed line — wrong arity,
+  * unparseable field — lands with null data columns and the raw text in
+  * `corruptCol`).
+  */
+final case class CsvSource(
+    path: String,
+    schema: StructType,
+    corruptCol: String = "_corrupt",
+    header: Boolean = false)
+    extends CdcSource {
+  override def load(spark: SparkSession): DataFrame =
+    spark.read
+      .schema(schema.add(corruptCol, org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", corruptCol)
+      .option("header", header.toString)
+      .csv(path)
+}
+
+/** ORC source/sink — the other columnar format Spark reads natively;
+  * same pushdown/pruning properties as parquet.
+  */
+final case class OrcSource(path: String, schema: Option[StructType] = None)
+    extends CdcSource {
+  override def load(spark: SparkSession): DataFrame = {
+    val r = spark.read
+    schema.fold(r)(r.schema).orc(path)
+  }
+}
+
+final case class OrcSink(path: String, mode: String = "overwrite")
+    extends CdcSink {
+  override def save(df: DataFrame): Unit =
+    df.write.mode(mode).orc(path)
+}
+
 /** JDBC table source (postgresql/mysql/...; driver inferred from url). */
 final case class JdbcSource(
     url: String,
@@ -101,6 +138,10 @@ object CdcSource {
     case "jsonl" | "json" => JsonlSource(pathOrUrl,
       schema.getOrElse(throw new IllegalArgumentException(
         "jsonl source requires an explicit schema (inference = an extra full pass)")))
+    case "csv" => CsvSource(pathOrUrl,
+      schema.getOrElse(throw new IllegalArgumentException(
+        "csv source requires an explicit schema (inference = an extra full pass)")))
+    case "orc" => OrcSource(pathOrUrl, schema)
     case "postgresql" | "mysql" | "jdbc" => JdbcSource(pathOrUrl, table)
     case other => throw new IllegalArgumentException(s"unsupported db_type: $other")
   }
