@@ -940,6 +940,21 @@ object SparkEntry {
       .orderBy("l_returnflag")
   }
 
+  /** KMV set algebra: 1995-buyers vs 1996-buyers — union / intersection /
+    * Jaccard estimated from two independently built bottom-k sketches,
+    * never revisiting the orders data.
+    */
+  private def qSketchSetOps(s: SparkSession, dir: String): DataFrame = {
+    def year(y: Int) = {
+      val d1 = java.sql.Timestamp.from(java.time.Instant.parse(f"$y%d-01-01T00:00:00Z"))
+      val d2 = java.sql.Timestamp.from(java.time.Instant.parse(f"${y + 1}%d-01-01T00:00:00Z"))
+      orders(s, dir).filter(col("o_orderdate") >= lit(d1) && col("o_orderdate") < lit(d2))
+    }
+    Sketches.kmvSetOps(
+      year(1995), col("o_custkey").cast("string"),
+      year(1996), col("o_custkey").cast("string"), k = 256)
+  }
+
   /** Fixed-grid quantile sketch over extended price (exact cents ticks,
     * $256 buckets): p25/p50/p90/p99 per return flag.
     */
@@ -985,6 +1000,7 @@ object SparkEntry {
     "cdc_incremental_agg" -> (qCdcIncrementalAgg _),
     "sketch_distinct_kmv" -> (qSketchDistinctKmv _),
     "sketch_quantiles" -> (qSketchQuantiles _),
+    "sketch_set_ops" -> (qSketchSetOps _),
     "lineitem_bloom_semi" -> (qLineitemBloomSemi _),
     "sketch_heavy_hitters" -> (qSketchHeavyHitters _),
     "supplier_salted_revenue" -> (qSupplierSaltedRevenue _),
@@ -1350,6 +1366,13 @@ object SparkEntry {
     "sketch_distinct_kmv" ->
       Sketches.kmvDistinctSql("lineitem", "l_returnflag",
         "CAST(l_partkey AS VARCHAR)", k = 256),
+
+    "sketch_set_ops" ->
+      Sketches.kmvSetOpsSql(
+        "(SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00') ya",
+        "CAST(ya.o_custkey AS VARCHAR)",
+        "(SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00') yb",
+        "CAST(yb.o_custkey AS VARCHAR)", k = 256),
 
     "sketch_quantiles" ->
       Sketches.gridQuantilesSql("lineitem", "l_returnflag",

@@ -182,6 +182,97 @@ object Sketches {
         ((col("__bkt") + 1) * width).as("upper_tick")): _*)
   }
 
+  /** KMV SET ALGEBRA — the reason bottom-k sketches beat plain distinct
+    * counters in a pipeline: two independently-built sketches answer
+    * union / intersection / Jaccard questions WITHOUT revisiting the
+    * data. For key sets A and B (each reduced to its k smallest distinct
+    * portable hashes — one bounded partial-agg pass per side):
+    *
+    *  - union estimate: the standard KMV estimator over merge(A, B)
+    *    (the k smallest of the hash union — exactly what a bottom-k
+    *    sketch of A ∪ B would have retained);
+    *  - Jaccard estimate: the fraction of the merged sketch's members
+    *    present in BOTH input sketches (ρ = |M ∩ A ∩ B| / |M|, the
+    *    classic KMV coincidence estimator);
+    *  - intersection estimate: ρ × union estimate.
+    *
+    * Everything downstream of the two aggregations is arithmetic over
+    * two ≤k-long arrays on a one-row frame — driver-scale work. All
+    * outputs are deterministic functions of the portable hashes, so the
+    * oracle reproduces them exactly (sets smaller than k degrade to
+    * exact values by the same CASE both engines apply).
+    *
+    * Output (one row): n_a, n_b (sketch sizes), est_a, est_b,
+    * est_union, jaccard_est, est_intersection (floats rounded to 6 dp).
+    */
+  def kmvSetOps(
+      dfA: DataFrame,
+      keyA: Column,
+      dfB: DataFrame,
+      keyB: Column,
+      k: Int): DataFrame = {
+    val bottomK = udaf(new BottomKDistinctAggregator(k))
+    def sketch(df: DataFrame, key: Column, alias: String) =
+      df.withColumn("__hv", PortableHash.hash32(key))
+        .filter(col("__hv").isNotNull)
+        .agg(bottomK(col("__hv")).as(alias))
+    def est(mins: Column): Column =
+      when(size(mins) < k, size(mins).cast("double"))
+        .otherwise(lit((k - 1).toDouble * HashDomain) /
+          element_at(mins, k).cast("double"))
+    sketch(dfA, keyA, "a").crossJoin(sketch(dfB, keyB, "b"))
+      .withColumn("m", slice(array_sort(array_union(col("a"), col("b"))), 1, k))
+      .withColumn("est_union", round(est(col("m")), 6))
+      .withColumn("__in_both",
+        size(filter(col("m"), x =>
+          array_contains(col("a"), x) && array_contains(col("b"), x))))
+      .withColumn("jaccard_est",
+        round(col("__in_both").cast("double") / size(col("m")), 6))
+      .select(
+        size(col("a")).as("n_a"),
+        size(col("b")).as("n_b"),
+        round(est(col("a")), 6).as("est_a"),
+        round(est(col("b")), 6).as("est_b"),
+        col("est_union"),
+        col("jaccard_est"),
+        round(col("jaccard_est") * col("est_union"), 6).as("est_intersection"))
+  }
+
+  /** DuckDB twin of [[kmvSetOps]]: same bottom-k lists, merge, and
+    * estimator arithmetic. `fromA`/`fromB` are FROM-able sources whose
+    * `keySql` yields the key string.
+    */
+  def kmvSetOpsSql(
+      fromA: String, keyASql: String,
+      fromB: String, keyBSql: String,
+      k: Int): String = {
+    def sketchCte(name: String, from: String, keySql: String) =
+      s"""$name AS (
+         |  SELECT list(hv ORDER BY hv) AS mins FROM (
+         |    SELECT DISTINCT ${PortableHash.hash32Sql(keySql)} AS hv
+         |    FROM $from
+         |    WHERE ${PortableHash.hash32Sql(keySql)} IS NOT NULL
+         |    ORDER BY hv LIMIT $k))""".stripMargin
+    val estK = (k - 1).toDouble * HashDomain
+    def est(mins: String) =
+      s"CASE WHEN len($mins) < $k THEN CAST(len($mins) AS DOUBLE) ELSE $estK / $mins[$k] END"
+    s"""WITH ${sketchCte("sa", fromA, keyASql)},
+       |${sketchCte("sb", fromB, keyBSql)},
+       |mg AS (SELECT sa.mins AS a, sb.mins AS b,
+       |         list_sort(list_distinct(list_concat(sa.mins, sb.mins)))[1:$k] AS m
+       |       FROM sa, sb),
+       |c AS (SELECT a, b, m,
+       |        round(${est("m")}, 6) AS est_union,
+       |        round(CAST(len(list_filter(m, x -> list_contains(a, x) AND list_contains(b, x))) AS DOUBLE)
+       |              / len(m), 6) AS jaccard_est
+       |      FROM mg)
+       |SELECT CAST(len(a) AS INTEGER) AS n_a, CAST(len(b) AS INTEGER) AS n_b,
+       |  round(${est("a")}, 6) AS est_a, round(${est("b")}, 6) AS est_b,
+       |  est_union, jaccard_est,
+       |  round(jaccard_est * est_union, 6) AS est_intersection
+       |FROM c""".stripMargin
+  }
+
   /** Count-min frequency sketch — the frequency member of the
     * deterministic sketch family ([[kmvDistinct]] = distinct count,
     * [[gridQuantiles]] = quantiles): a d×w table of counters where key x

@@ -130,6 +130,30 @@ class SketchIncrementalSpec extends SparkSpecBase {
       "with w=512 collisions must be visible (sanity that the audit bites)")
   }
 
+  test("kmv set algebra: estimates within error bars, invariant under repartitioning") {
+    val li = Fixtures.lineitem(spark, dir)
+    val a = li.filter(col("l_orderkey") % 2 === 0)
+    val b = li.filter(col("l_orderkey") % 3 === 0)
+    val key = col("l_partkey").cast("string")
+    val r = Sketches.kmvSetOps(a, key, b, key, k = 256).collect()(0)
+    val exactA = a.select("l_partkey").distinct().count().toDouble
+    val exactB = b.select("l_partkey").distinct().count().toDouble
+    val exactU = a.select("l_partkey").unionByName(b.select("l_partkey"))
+      .distinct().count().toDouble
+    val exactI = a.select("l_partkey").intersect(b.select("l_partkey")).count().toDouble
+    // k=256 → ~6% expected relative error; allow 4 sigma
+    def within(est: Double, exact: Double, tol: Double) =
+      math.abs(est - exact) / exact < tol
+    assert(within(r.getAs[Double]("est_a"), exactA, 0.25), s"est_a=$r exact=$exactA")
+    assert(within(r.getAs[Double]("est_b"), exactB, 0.25))
+    assert(within(r.getAs[Double]("est_union"), exactU, 0.25))
+    assert(within(r.getAs[Double]("est_intersection"), exactI, 0.35))
+    // deterministic under repartitioning
+    val r2 = Sketches.kmvSetOps(a.repartition(13), key, b.repartition(7), key, 256)
+      .collect()(0)
+    assert(r.toString === r2.toString)
+  }
+
   test("sketch merge: CMS tables add, bloom words OR — batch-built equals whole-built") {
     // the property that makes both sketches streaming/incremental: a
     // day's sketch merges into the landed sketch without reprocessing
