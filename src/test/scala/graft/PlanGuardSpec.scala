@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+
+/** Plan guard over the ENTIRE registered query surface: no query may
+  * plan a cartesian product, and broadcast-nested-loop joins are allowed
+  * only where they are the deliberate design (a small broadcast query
+  * set swept against a corpus). A new operator that accidentally loses
+  * its equi-join condition fails here, not in a 100 TB run.
+  */
+class PlanGuardSpec extends SparkSpecBase {
+
+  /** Queries whose plan INTENTIONALLY contains a broadcast-nested-loop:
+    * brute-force / ADC scoring sweeps a broadcast query set against the
+    * corpus by design (shuffle is bounded by the partial top-k, not the
+    * join).
+    */
+  private val nestedLoopAllowed = Set(
+    "ann_brute_force", "ann_pq_topk", "ann_lsh",
+    // 1-row × 1-row sketch-combine frames
+    "sketch_set_ops")
+
+  private def walk(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.inputPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    p +: kids.flatMap(walk)
+  }
+
+  test("no registered query plans a cartesian product or stray nested-loop join") {
+    val dir = "/root/testdata/sf0.001"
+    val bad = scala.collection.mutable.Buffer[String]()
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = walk(fn(spark, dir).queryExecution.executedPlan)
+      if (plan.exists(_.isInstanceOf[CartesianProductExec]))
+        bad += s"$name: CartesianProduct"
+      if (!nestedLoopAllowed(name) &&
+          plan.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]))
+        bad += s"$name: BroadcastNestedLoopJoin"
+    }
+    assert(bad.isEmpty, s"plan guard violations:\n${bad.mkString("\n")}")
+  }
+}
