@@ -207,11 +207,35 @@ object SparkEntry {
   private def qDedupNgramJaccard(s: SparkSession, dir: String): DataFrame =
     ngramPairs(s, dir).orderBy("id_a", "id_b")
 
-  private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashLshDedup(documents(s, dir), "text", "doc_id",
+  /** Minhash pair set, materialized once and shared by
+    * [[qDedupMinhash]] (reports the pairs) and [[qDedupApplyMinhash]]
+    * (applies them) — the pipeline-realistic shape: candidate generation
+    * runs once, every downstream policy consumes the same pair table.
+    */
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    Fixtures.cached("minhashPairs", s, dir) {
+      Dedup.minhashLshDedup(documents(s, dir), "text", "doc_id",
         n = 3, bands = 16, rowsPerBand = 8, threshold = 0.5,
         mode = HashMode.Portable)
-      .orderBy("id_a", "id_b")
+    }
+
+  private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
+    minhashPairs(s, dir).orderBy("id_a", "id_b")
+
+  /** APPLY the minhash dedup to the corpus — the step after pair
+    * detection: keep-first policy (a doc is dropped iff it is the
+    * LATER member `id_b` of some near-dup pair; pair emission enforces
+    * `id_a < id_b`, so the smallest id of each duplicate chain
+    * survives). One anti-join of the corpus against the id_b column of
+    * the shared pair set — the drop set is collision-scale (tiny), so
+    * AQE broadcasts it and the corpus never shuffles.
+    */
+  private def qDedupApplyMinhash(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .join(minhashPairs(s, dir).select(col("id_b")),
+        col("doc_id") === col("id_b"), "left_anti")
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
 
   /** Incremental dedup: docs `%5=0` play "today's crawl", the rest the
     * landed corpus — the corpus is persisted as a partition-pruned
@@ -397,6 +421,25 @@ object SparkEntry {
     Corpus.budgetMix(documents(s, dir), "doc_id", "text", col("lang"),
         TokenBudgets, salt = "mixb")
       .orderBy("doc_id")
+
+  /** Overlapping 120-char chunks on a 90-char stride; the audit row
+    * carries the chunk's md5, not its text (O(1) wide, hash-checkable).
+    */
+  private def qCorpusChunk(s: SparkSession, dir: String): DataFrame =
+    Corpus.chunkDocuments(documents(s, dir), "doc_id", "text",
+        chunkLen = 120, stride = 90)
+      .select(col("doc_id"), col("chunk_i"), col("chunk_start"),
+        length(col("chunk")).cast("long").as("n_chars"),
+        md5(col("chunk")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_i")
+
+  /** Exactly 20 docs per language, chosen by deterministic hash order —
+    * the per-stratum eval-set draw.
+    */
+  private def qCorpusStratifiedSample(s: SparkSession, dir: String): DataFrame =
+    Corpus.stratifiedSample(documents(s, dir), "doc_id", col("lang"),
+        k = 20, salt = "strat")
+      .orderBy("stratum", "rnk")
 
   /** The JSONL front door, oracle-checked end-to-end: serialize the
     * documents table to newline-delimited JSON (mangling every
@@ -656,6 +699,38 @@ object SparkEntry {
         "value", maxGapMinutes = 30)
       .orderBy("user_id", "session_seq")
 
+  /** Interval × interval overlap: user sessions against the 10 busiest
+    * hours (peak-exposure attribution). Sessions come from the same
+    * sessionization as [[qEventsSessions]]; the busy windows are the
+    * top-10 hourly buckets by event count (ties broken on the hour).
+    * The join is [[graft.ext.RangeJoin.overlapJoin]] bucketed on the
+    * hour grid — hash equi-join, no all-pairs compare, each overlapping
+    * (session, window) pair emitted exactly once.
+    */
+  private def qEventsOverlap(s: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val sess = EventAnalytics.sessionStats(events(s, dir), "user_id", "ts",
+        "event_id", "value", maxGapMinutes = 30)
+      .select(col("user_id"), col("session_seq"), col("start_us"),
+        (col("start_us") + col("duration_us")).as("end_us"))
+    val busy = events(s, dir)
+      .select((unix_micros(col("ts")) - pmod(unix_micros(col("ts")), lit(hourUs)))
+        .as("win_start_us"))
+      .groupBy("win_start_us")
+      .agg(count(lit(1)).as("win_events"))
+      .orderBy(col("win_events").desc, col("win_start_us"))
+      .limit(10)
+      .withColumn("win_end_us", col("win_start_us") + lit(hourUs - 1))
+    graft.ext.RangeJoin.overlapJoin(sess, busy,
+        "start_us", "end_us", "win_start_us", "win_end_us",
+        bucketWidth = hourUs.toDouble)
+      .select(col("user_id"), col("session_seq"), col("win_start_us"),
+        col("win_events"),
+        (least(col("end_us"), col("win_start_us") + lit(hourUs)) -
+          greatest(col("start_us"), col("win_start_us"))).as("overlap_us"))
+      .orderBy("user_id", "session_seq", "win_start_us")
+  }
+
   /** Batch twin of [[EventAnalytics.streamingDedupEvents]]: an
     * at-least-once feed (the events table unioned with itself) collapses
     * to exactly-once by event_id; counts must equal the clean stream's.
@@ -759,6 +834,29 @@ object SparkEntry {
       .select(col("o_custkey"), col("o_orderkey"), col("running_n"),
         col("running_total"))
       .orderBy("o_custkey", "running_n")
+  }
+
+  /** The remaining analytic-window surface in one query: rank /
+    * dense_rank / ntile / percent_rank / lag / lead per customer over a
+    * deterministic total order (price desc, key asc — the key tiebreak
+    * is what makes lag/lead engine-portable). Same scale shape as every
+    * window here: partitioned by customer, state O(partition), no
+    * global sort.
+    */
+  private def qOrdersWindowSuite(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, dir)
+      .filter(col("o_custkey") % 10 === 0)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"))
+      .orderBy("o_custkey", "rnk")
   }
 
   /** Conversion funnel signup → view → click → purchase with strictly
@@ -964,6 +1062,16 @@ object SparkEntry {
         width = 25600L, percents = Seq(25, 50, 90, 99))
       .orderBy("l_returnflag", "pct")
 
+  /** HLL distinct parts per return flag (m=64 registers) — the
+    * FIXED-state sibling of [[qSketchDistinctKmv]] over the same
+    * question, so the two sketches' accuracy/state trade is directly
+    * observable side by side.
+    */
+  private def qSketchHll(s: SparkSession, dir: String): DataFrame =
+    Sketches.hllDistinct(lineitem(s, dir), Seq("l_returnflag"),
+        col("l_partkey").cast("string"), b = 6)
+      .orderBy("l_returnflag")
+
   /** Sliding-window counts (1 h window, 15 min slide): each event lands in
     * 4 overlapping windows via Spark's `window()` expand.
     */
@@ -1079,7 +1187,13 @@ object SparkEntry {
     "lineitem_band_join" -> (qLineitemBandJoin _),
     "top_revenue_join" -> (qTopRevenue _),
     "region_nation_revenue" -> (qRegionNationRevenue _),
-    "media_frame_dedup" -> (qMediaFrameDedup _))
+    "media_frame_dedup" -> (qMediaFrameDedup _),
+    "dedup_apply_minhash" -> (qDedupApplyMinhash _),
+    "corpus_chunk" -> (qCorpusChunk _),
+    "corpus_stratified_sample" -> (qCorpusStratifiedSample _),
+    "sketch_hll" -> (qSketchHll _),
+    "events_overlap" -> (qEventsOverlap _),
+    "orders_window_suite" -> (qOrdersWindowSuite _))
 
   // ------------------------------------------------------------- oracle SQL
 
@@ -1235,7 +1349,17 @@ object SparkEntry {
     * buckets, candidates, and (collision-free) jaccard values.
     */
   private def minhashOracleSql(
-      numHashes: Int, bands: Int, rowsPerBand: Int, threshold: Double): String = {
+      numHashes: Int, bands: Int, rowsPerBand: Int, threshold: Double): String =
+    s"""${minhashPairCtes(numHashes, bands, rowsPerBand)}
+       |SELECT id_a, id_b, jac FROM j WHERE jac >= $threshold ORDER BY id_a, id_b""".stripMargin
+
+  /** Shared minhash-LSH pair CTEs (tokens → shingles → signatures → band
+    * buckets → candidate pairs → verified jaccard `j(id_a, id_b, jac)`);
+    * [[minhashOracleSql]] and the dedup_apply_minhash twin both compose
+    * their final SELECT over `j`.
+    */
+  private def minhashPairCtes(
+      numHashes: Int, bands: Int, rowsPerBand: Int): String = {
     val ab = PortableHash.minhashAB(numHashes)
     val aList = PortableHash.bigintListSql(ab.map(_._1))
     val bList = PortableHash.bigintListSql(ab.map(_._2))
@@ -1264,8 +1388,7 @@ object SparkEntry {
        |        round(CASE WHEN len(list_distinct(list_concat(sa, sb))) = 0 THEN 0.0
        |              ELSE CAST(len(list_filter(sa, x -> list_contains(sb, x))) AS DOUBLE)
        |                   / len(list_distinct(list_concat(sa, sb))) END, 6) AS jac
-       |      FROM pr)
-       |SELECT id_a, id_b, jac FROM j WHERE jac >= $threshold ORDER BY id_a, id_b""".stripMargin
+       |      FROM pr)""".stripMargin
   }
 
   /** DuckDB twin of [[Dedup.dedupAgainstIndex]]: identical signature /
@@ -2399,5 +2522,84 @@ object SparkEntry {
         |WHERE r.r_name = 'ASIA'
         |  AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
         |  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
-        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin)
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
+
+    // the shared pair CTEs + the keep-first anti-join (drop every id_b)
+    "dedup_apply_minhash" ->
+      s"""${minhashPairCtes(numHashes = 128, bands = 16, rowsPerBand = 8)},
+         |dup AS (SELECT DISTINCT id_b FROM j WHERE jac >= 0.5)
+         |SELECT d.doc_id, d.lang
+         |FROM documents d LEFT JOIN dup ON dup.id_b = d.doc_id
+         |WHERE dup.id_b IS NULL ORDER BY d.doc_id""".stripMargin,
+
+    "corpus_chunk" ->
+      """WITH g AS (
+        |  SELECT doc_id, text,
+        |         unnest(generate_series(1, length(text), 90)) AS s
+        |  FROM documents WHERE text IS NOT NULL AND length(text) > 0)
+        |SELECT doc_id,
+        |  CAST((s - 1) // 90 AS BIGINT) AS chunk_i,
+        |  CAST(s AS BIGINT) AS chunk_start,
+        |  CAST(length(substring(text, CAST(s AS INT), 120)) AS BIGINT) AS n_chars,
+        |  md5(substring(text, CAST(s AS INT), 120)) AS chunk_md5
+        |FROM g ORDER BY doc_id, chunk_i""".stripMargin,
+
+    "corpus_stratified_sample" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, lang AS stratum,
+         |         ${PortableHash.hash32Sql("concat('strat', CAST(doc_id AS VARCHAR))")} AS hv
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, stratum,
+         |         CAST(row_number() OVER (PARTITION BY stratum ORDER BY hv, doc_id) AS BIGINT) AS rnk
+         |  FROM h)
+         |SELECT doc_id, stratum, rnk FROM r WHERE rnk <= 20
+         |ORDER BY stratum, rnk""".stripMargin,
+
+    "sketch_hll" ->
+      Sketches.hllDistinctSql("lineitem", "l_returnflag",
+        "CAST(l_partkey AS VARCHAR)", b = 6),
+
+    // session CTEs shared with events_sessions; busy = top-10 hours;
+    // the engine's bucketed overlapJoin must equal the plain range join
+    "events_overlap" ->
+      """WITH s AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              > 1800000000
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM events),
+        |s2 AS (
+        |  SELECT *, CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        |  FROM s),
+        |sess AS (
+        |  SELECT user_id, session_seq,
+        |         MIN(epoch_us(ts)) AS start_us, MAX(epoch_us(ts)) AS end_us
+        |  FROM s2 GROUP BY user_id, session_seq),
+        |busy AS (
+        |  SELECT epoch_us(ts) - epoch_us(ts) % 3600000000 AS win_start_us,
+        |         CAST(COUNT(*) AS BIGINT) AS win_events
+        |  FROM events GROUP BY 1
+        |  ORDER BY win_events DESC, win_start_us LIMIT 10)
+        |SELECT sess.user_id, sess.session_seq, busy.win_start_us, busy.win_events,
+        |  least(sess.end_us, busy.win_start_us + 3600000000)
+        |    - greatest(sess.start_us, busy.win_start_us) AS overlap_us
+        |FROM sess JOIN busy
+        |  ON sess.start_us <= busy.win_start_us + 3599999999
+        | AND busy.win_start_us <= sess.end_us
+        |ORDER BY user_id, session_seq, win_start_us""".stripMargin,
+
+    "orders_window_suite" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(rank() OVER win AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER win AS BIGINT) AS drnk,
+        |  CAST(ntile(4) OVER win AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER win, 6) AS pct_rank,
+        |  lag(o_totalprice, 1) OVER win AS prev_price,
+        |  lead(o_totalprice, 1) OVER win AS next_price
+        |FROM orders WHERE o_custkey % 10 = 0
+        |WINDOW win AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_custkey, rnk""".stripMargin)
 }

@@ -39,6 +39,68 @@ object Corpus {
       PortableHash.hash32(concat(lit(salt), col(idCol).cast("string"))) % 1000 < permille)
   }
 
+  /** Fixed-stride document chunking with overlap — the "split long
+    * documents into model-window pieces" step that precedes embedding or
+    * training. Chunk starts are `1, 1+stride, 1+2·stride, …` (1-based,
+    * while <= the text length), each chunk `chunkLen` characters
+    * (`stride < chunkLen` ⇒ adjacent chunks overlap by `chunkLen -
+    * stride`; the final chunk may be shorter). Pure per-row explode —
+    * a narrow map with NO shuffle, fanout `ceil(len/stride)`, exactly
+    * the plan that holds at any corpus size. Null/empty texts produce
+    * no chunks (documented; `sequence(1, 0)` would otherwise error).
+    *
+    * Output: idCol ++ (chunk_i BIGINT 0-based, chunk_start BIGINT
+    * 1-based char offset, chunk STRING).
+    */
+  def chunkDocuments(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkLen: Int,
+      stride: Int): DataFrame = {
+    require(chunkLen > 0 && stride > 0 && stride <= chunkLen,
+      s"need 0 < stride <= chunkLen, got chunkLen=$chunkLen stride=$stride")
+    df.filter(col(textCol).isNotNull && length(col(textCol)) > 0)
+      .select(col(idCol), col(textCol).as("__t"),
+        explode(sequence(lit(1), length(col(textCol)), lit(stride))).as("__s"))
+      .select(col(idCol),
+        expr(s"(__s - 1) div $stride").cast("long").as("chunk_i"),
+        col("__s").cast("long").as("chunk_start"),
+        col("__t").substr(col("__s"), lit(chunkLen)).as("chunk"))
+  }
+
+  /** Deterministic stratified k-sample: the k rows with the SMALLEST
+    * portable hash of (salt, id) within each stratum — a uniform
+    * without-replacement sample per stratum (hash order is independent
+    * of any data attribute), reproducible across runs, partitionings,
+    * and engines. Where [[mixStrata]] keeps a FRACTION per stratum,
+    * this keeps an exact COUNT — the "n docs per language for the eval
+    * set" operation.
+    *
+    * Plan: one window shuffle partitioned by stratum over a 3-column
+    * projection (id, stratum, hash) — rank state only, no payload; the
+    * selected ids join back to payloads downstream if needed. Ties
+    * cannot occur on (hash, id) since id is unique, so the sample is
+    * total-order deterministic.
+    *
+    * Output: (id, stratum, rnk BIGINT 1..k by hash order).
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      idCol: String,
+      strataCol: Column,
+      k: Int,
+      salt: String): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val w = Window.partitionBy(col("stratum")).orderBy(col("__h"), col(idCol))
+    df.select(col(idCol), strataCol.as("stratum"))
+      .withColumn("__h",
+        PortableHash.hash32(concat(lit(salt), col(idCol).cast("string"))))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("stratum"), col("rnk"))
+  }
+
   /** Greedy contiguous sequence packing: within each stratum (ordered by
     * `idCol`), assign documents to training sequences of up to
     * `maxTokens` whitespace tokens — `seq_i = (tokens before this doc)

@@ -55,4 +55,47 @@ object RangeJoin {
       .filter(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__bucket")
   }
+
+  /** All (left, right) pairs of CLOSED intervals that overlap:
+    * `loA <= hiB AND loB <= hiA` — interval × interval, where [[bandJoin]]
+    * is point × interval. Same bucketing discipline: both sides replicate
+    * into every `bucketWidth` cell they span, the join is a hash
+    * EQUI-join on the cell id, and a pair is EMITTED ONLY IN THE CELL
+    * CONTAINING `max(loA, loB)` (the leftmost cell where both intervals
+    * are present) — the classic one-cell ownership rule that makes the
+    * output duplicate-free without a distinct. Replication stays linear
+    * in total interval span on each side; no all-pairs compare ever
+    * happens, which is what lets two 100 TB interval sets (sessions ×
+    * incident windows, reservations × maintenance, reads × genes) join
+    * on a time axis.
+    *
+    * Inverted intervals (hi < lo) match nothing and are dropped up front.
+    * Output: left's columns ++ right's columns (names must be disjoint).
+    */
+  def overlapJoin(
+      left: DataFrame,
+      right: DataFrame,
+      loA: String,
+      hiA: String,
+      loB: String,
+      hiB: String,
+      bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
+    val clash = left.columns.toSet.intersect(right.columns.toSet)
+    require(clash.isEmpty,
+      s"left and right must not share column names: ${clash.mkString(", ")}")
+    require(!left.columns.contains("__bucket") && !right.columns.contains("__bucket"),
+      "'__bucket' is reserved by overlapJoin")
+    def spanned(df: DataFrame, lo: String, hi: String) = df
+      .where(col(lo) <= col(hi))
+      .withColumn("__bucket",
+        explode(sequence(
+          floor(col(lo) / bucketWidth).cast("long"),
+          floor(col(hi) / bucketWidth).cast("long"))))
+    spanned(left, loA, hiA).join(spanned(right, loB, hiB), Seq("__bucket"))
+      .filter(col(loA) <= col(hiB) && col(loB) <= col(hiA))
+      .filter(floor(greatest(col(loA), col(loB)) / bucketWidth).cast("long") ===
+        col("__bucket"))
+      .drop("__bucket")
+  }
 }

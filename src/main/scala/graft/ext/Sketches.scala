@@ -402,4 +402,107 @@ object Sketches {
        |FROM r WHERE rn <= $k
        |GROUP BY $groupCol, nd
        |ORDER BY $groupCol""".stripMargin
+
+  /** HyperLogLog distinct-count estimate per group — the FIXED-state
+    * member of the distinct-sketch family. Where [[kmvDistinct]] carries
+    * the k smallest hashes (k longs of state, exact below k), HLL carries
+    * `m = 2^b` 5-bit registers: bucket `h mod m`, register = max over the
+    * bucket of `rho(w)` = position of the leading 1-bit of `w = h div m`
+    * within its `W = 32 - b` bit budget. Standard error ~1.04/sqrt(m).
+    *
+    * Fully declarative — no custom Aggregator: `max rho` per bucket equals
+    * `rho(min w)` (rho is non-increasing in w), so the sketch is
+    *   groupBy(group, bucket).min(w)  →  groupBy(group) harmonic sum
+    * with the first aggregation map-side combined and its shuffle bounded
+    * by m rows per (group × task) — the classic 100 TB distinct plan.
+    *
+    * Determinism (what makes the estimate oracle-checkable, not just
+    * error-barred): the bucket/rank split is integer arithmetic on the
+    * portable hash; `1/2^rho` terms are exact IEEE powers of two whose
+    * sum over <= m registers never exceeds 53 mantissa bits, so ANY
+    * accumulation order yields the same double; alpha·m² is inlined as
+    * one driver-computed literal in both engines; the final value is
+    * rounded to 6 dp (the float-compare rule), hiding only the <= 1 ulp
+    * `ln` divergence in the small-range linear-counting branch.
+    *
+    * Output: groupCols ++ (n_present INT — occupied registers,
+    * estimate DOUBLE — bias-corrected, linear counting below 2.5m).
+    */
+  def hllDistinct(
+      df: DataFrame,
+      groupCols: Seq[String],
+      keyStr: Column,
+      b: Int): DataFrame = {
+    require(b >= 2 && b <= 12, s"b must be in [2, 12], got $b")
+    val m = 1 << b
+    val bigW = 32 - b
+    val alphaM2 = hllAlphaM2(m)
+    val g = groupCols.map(col)
+    df.withColumn("__h", PortableHash.hash32(keyStr))
+      .filter(col("__h").isNotNull)
+      .select(g ++ Seq(
+        pmod(col("__h"), lit(m.toLong)).as("__b"),
+        expr(s"__h div ${m}L").as("__w")): _*)
+      .groupBy(g :+ col("__b"): _*)
+      .agg(min(col("__w")).as("__wmin"))
+      .withColumn("__rho",
+        when(col("__wmin") === 0L, lit(bigW + 1))
+          .otherwise(lit(bigW + 1) - length(bin(col("__wmin")))))
+      .groupBy(g: _*)
+      .agg(
+        count(lit(1)).as("__np"),
+        // SQL form: the Scala `shiftleft` helper takes a literal shift,
+        // not a Column; 2^rho <= 2^27 is an exact IEEE double
+        sum(lit(1.0) / expr("shiftleft(1L, __rho)").cast("double")).as("__sp"))
+      .withColumn("__s", col("__sp") + (lit(m.toDouble) - col("__np").cast("double")))
+      .withColumn("__zeros", lit(m.toLong) - col("__np"))
+      .withColumn("__raw", lit(alphaM2) / col("__s"))
+      .select(g ++ Seq(
+        col("__np").cast("int").as("n_present"),
+        round(
+          when(col("__raw") <= lit(2.5 * m) && col("__zeros") > 0L,
+            lit(m.toDouble) * log(lit(m.toDouble) / col("__zeros").cast("double")))
+            .otherwise(col("__raw")),
+          6).as("estimate")): _*)
+  }
+
+  /** alpha_m · m² — the HLL bias constant, computed once driver-side and
+    * inlined as the SAME double literal into both engines' plans.
+    */
+  def hllAlphaM2(m: Int): Double = 0.7213 / (1.0 + 1.079 / m) * m * m
+
+  /** DuckDB twin of [[hllDistinct]] for a single group column: same
+    * bucket/rank split, same exact harmonic sum, same inlined alpha·m²
+    * literal, same linear-counting branch and 6-dp rounding.
+    */
+  def hllDistinctSql(table: String, groupCol: String, keyStrSql: String, b: Int): String = {
+    val m = 1 << b
+    val bigW = 32 - b
+    val alphaM2 = hllAlphaM2(m)
+    s"""WITH h AS (
+       |  SELECT $groupCol, ${PortableHash.hash32Sql(keyStrSql)} AS hv
+       |  FROM $table
+       |  WHERE ${PortableHash.hash32Sql(keyStrSql)} IS NOT NULL),
+       |bk AS (
+       |  SELECT $groupCol, hv % $m AS b, MIN(hv // $m) AS wmin
+       |  FROM h GROUP BY $groupCol, hv % $m),
+       |rg AS (
+       |  SELECT $groupCol,
+       |         CASE WHEN wmin = 0 THEN ${bigW + 1}
+       |              ELSE ${bigW + 1} - length(bin(wmin)) END AS rho
+       |  FROM bk),
+       |ag AS (
+       |  SELECT $groupCol, COUNT(*) AS np,
+       |         SUM(1.0 / CAST(CAST(1 AS BIGINT) << rho AS DOUBLE)) AS sp
+       |  FROM rg GROUP BY $groupCol)
+       |SELECT $groupCol,
+       |  CAST(np AS INTEGER) AS n_present,
+       |  round(CASE WHEN $alphaM2 / (sp + (CAST($m AS DOUBLE) - CAST(np AS DOUBLE))) <= ${2.5 * m}
+       |                  AND $m - np > 0
+       |             THEN CAST($m AS DOUBLE) * ln(CAST($m AS DOUBLE) / CAST($m - np AS DOUBLE))
+       |             ELSE $alphaM2 / (sp + (CAST($m AS DOUBLE) - CAST(np AS DOUBLE))) END,
+       |        6) AS estimate
+       |FROM ag
+       |ORDER BY $groupCol""".stripMargin
+  }
 }

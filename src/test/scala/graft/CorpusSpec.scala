@@ -31,6 +31,50 @@ class CorpusSpec extends SparkSpecBase {
     assert(other !== once)
   }
 
+  test("chunkDocuments: stride-aligned overlap, full coverage, short tail, empty drops") {
+    val df = Seq(
+      (1L, "abcdefghij"),      // len 10: starts 1,5,9 at stride 4 → chunks of 6,6,2
+      (2L, "xyz"),             // len 3: one short chunk
+      (3L, ""),                // empty → no chunks
+      (4L, null.asInstanceOf[String])) // null → no chunks
+      .toDF("doc_id", "text")
+    val out = Corpus.chunkDocuments(df, "doc_id", "text", chunkLen = 6, stride = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(out === Seq(
+      (1L, 0L, 1L, "abcdef"),
+      (1L, 1L, 5L, "efghij"),
+      (1L, 2L, 9L, "ij"),
+      (2L, 0L, 1L, "xyz")))
+    // adjacent chunks overlap by chunkLen - stride and jointly cover the text
+    val doc1 = out.filter(_._1 == 1L).map(_._4)
+    assert(doc1.sliding(2).forall { case Seq(a, b) => a.takeRight(2) == b.take(2) })
+    // no shuffle: chunking is a narrow map over the scan
+    val plan = Corpus.chunkDocuments(df, "doc_id", "text", 6, 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking should be shuffle-free:\n$plan")
+  }
+
+  test("stratifiedSample: exactly k per stratum, partitioning-invariant, salt-sensitive") {
+    val df = s.range(0, 500).toDF("doc_id")
+      .withColumn("grp", (col("doc_id") % 3).cast("string"))
+    val a = Corpus.stratifiedSample(df, "doc_id", col("grp"), k = 10, salt = "s")
+    val counts = a.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map("0" -> 10L, "1" -> 10L, "2" -> 10L))
+    // deterministic under repartitioning (pure function of salt + id)
+    val b = Corpus.stratifiedSample(df.repartition(17, col("doc_id")),
+      "doc_id", col("grp"), k = 10, salt = "s")
+    assertSameRows(a, b, "stratified sample partitioning invariance")
+    // under-k strata return all their rows
+    val tiny = Seq((1L, "x"), (2L, "x")).toDF("doc_id", "grp")
+    assert(Corpus.stratifiedSample(tiny, "doc_id", col("grp"), 10, "s").count() === 2)
+    // a different salt draws a different sample
+    val c = Corpus.stratifiedSample(df, "doc_id", col("grp"), k = 10, salt = "t")
+      .collect().map(_.getLong(0)).toSet
+    assert(c !== a.collect().map(_.getLong(0)).toSet)
+  }
+
   test("packSequences assigns contiguous bins by cumulative token count per stratum") {
     val df = Seq(
       (1L, "a b c", "x"),   // 3 tokens, cumBefore 0 → seq 0

@@ -690,6 +690,42 @@ class ExtOperatorsSpec extends SparkSpecBase {
     assertSameRows(bucketed, theta, "bandJoin vs theta join")
   }
 
+  test("overlapJoin: interval×interval equals theta join, one row per pair, any width") {
+    val left = Seq(
+      (1L, 0.0, 10.0),    // overlaps A (boundary touch at 10), B
+      (2L, 35.0, 36.0),   // overlaps nothing
+      (3L, 50.0, 90.0),   // spans many buckets; overlaps C twice? no — once
+      (4L, 9.0, 5.0))     // inverted → nothing
+      .toDF("lid", "ls", "le")
+    val right = Seq(
+      (100L, 10.0, 20.0), // touches 1 at the closed boundary
+      (200L, 3.0, 4.0),   // inside 1
+      (300L, 60.0, 70.0)) // inside 3
+      .toDF("rid", "rs", "re")
+    val out = graft.ext.RangeJoin.overlapJoin(left, right,
+        "ls", "le", "rs", "re", bucketWidth = 8.0)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(out === Seq((1L, 100L), (1L, 200L), (3L, 300L)))
+    // randomized cross-check vs the direct theta join, two bucket widths —
+    // results must be width-independent and duplicate-free
+    val rnd = new scala.util.Random(47)
+    def intervals(n: Int, pre: String) = Seq.tabulate(n) { i =>
+      val lo = rnd.nextDouble() * 100
+      (i.toLong, lo, lo + rnd.nextDouble() * 12)
+    }.toDF(s"${pre}id", s"${pre}lo", s"${pre}hi")
+    val l = intervals(150, "a")
+    val r = intervals(60, "b")
+    val theta = l.join(r, col("alo") <= col("bhi") && col("blo") <= col("ahi"))
+      .select("aid", "bid")
+    for (w <- Seq(5.0, 19.0)) {
+      val bucketed = graft.ext.RangeJoin.overlapJoin(l, r, "alo", "ahi", "blo", "bhi", w)
+        .select("aid", "bid")
+      assertSameRows(bucketed, theta, s"overlapJoin(width=$w) vs theta join")
+      assert(bucketed.count() === bucketed.distinct().count(),
+        s"width=$w produced duplicate pairs")
+    }
+  }
+
   test("PqEncode kernel bit-identical to the columnar argmin fold on random vectors") {
     val rnd = new scala.util.Random(23)
     val cents = (0 until 9)

@@ -89,6 +89,55 @@ class SketchIncrementalSpec extends SparkSpecBase {
     assertSameRows(a, b, "kmv partitioning invariance")
   }
 
+  test("hll: estimate within 4 standard errors, invariant under repartitioning") {
+    val li = Fixtures.lineitem(spark, dir)
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = 6
+    val m = 1 << b
+    val est = Sketches.hllDistinct(li, Seq("l_returnflag"),
+        col("l_partkey").cast("string"), b)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("estimate")).toMap
+    val tol = 4.0 * 1.04 / math.sqrt(m.toDouble) // ~52% at m=64, 4 sigma
+    exact.foreach { case (g, nd) =>
+      val rel = math.abs(est(g) - nd) / nd.toDouble
+      assert(rel < tol, s"group $g: exact=$nd est=${est(g)} rel=$rel tol=$tol")
+    }
+    val re = Sketches.hllDistinct(li.repartition(13, col("l_orderkey")),
+      Seq("l_returnflag"), col("l_partkey").cast("string"), b)
+    assertSameRows(
+      Sketches.hllDistinct(li, Seq("l_returnflag"), col("l_partkey").cast("string"), b),
+      re, "hll partitioning invariance")
+  }
+
+  test("hll: linear-counting branch is exact-ish for tiny sets; nulls contribute nothing") {
+    import spark.implicits._
+    val df = (1 to 5).map(i => ("g", s"k$i")) // 5 distinct keys, m=64 registers
+      .toDF("grp", "key")
+      .unionAll(Seq(("g", null.asInstanceOf[String])).toDF("grp", "key"))
+    val out = Sketches.hllDistinct(df, Seq("grp"), col("key"), b = 6).collect()(0)
+    // 5 distinct values can collide into fewer registers, but never more
+    assert(out.getAs[Int]("n_present") <= 5 && out.getAs[Int]("n_present") >= 1)
+    // linear counting at this range: m·ln(m/zeros) is within 1 of the truth
+    // for any collision pattern of 5 keys in 64 registers
+    assert(math.abs(out.getAs[Double]("estimate") - 5.0) < 1.5,
+      s"estimate ${out.getAs[Double]("estimate")} too far from 5")
+  }
+
+  test("hll: register table is bounded by m per group (partial-agg state)") {
+    val li = Fixtures.lineitem(spark, dir)
+    // the first aggregation keys on (group, bucket): its output — the only
+    // thing that shuffles — cannot exceed groups × m rows
+    val m = 64
+    val buckets = li
+      .select(col("l_returnflag"),
+        pmod(PortableHash.hash32(col("l_partkey").cast("string")), lit(m.toLong)).as("b"))
+      .groupBy("l_returnflag", "b").count()
+    val groups = li.select("l_returnflag").distinct().count()
+    assert(buckets.count() <= groups * m)
+  }
+
   test("grid quantiles: invariant under repartitioning, bucket covers the exact quantile") {
     val li = Fixtures.lineitem(spark, dir)
     val ticks = (col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)) * 100)
