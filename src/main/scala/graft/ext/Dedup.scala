@@ -618,11 +618,16 @@ object Dedup {
     // shingles are different derivations of the text); at index scale,
     // re-scanning columnar input beats pinning the corpus in memory.
     signatureScan(df, textCol, idCol, n, bands * rowsPerBand, HashMode.Portable)
-      .repartition(spark.sparkContext.defaultParallelism)
       .select(col("id"),
         posexplode(lshBandBuckets(col("sig"), bands, rowsPerBand, HashMode.Portable))
           .as(Seq("band", "bucket")))
       .withColumn("pb", pmod(col("bucket"), lit(bucketParts.toLong)))
+      // CLUSTER BY the partition column before partitionBy: a round-robin
+      // layout makes every task write a file per pb value (tasks × parts
+      // tiny files — measured 2k files / 9 s at sf0.1); hash-clustering on
+      // pb gives one file per occupied partition, and the exchange carries
+      // only (id, band, bucket, pb) rows — bands rows per doc, never text
+      .repartition(bucketParts, col("pb"))
       .write.partitionBy("pb").mode(saveMode).parquet(s"$path/buckets")
     df.select(col(idCol).as("id"), hashedShingles(col(textCol), n).as("sh"))
       .write.mode(saveMode).parquet(s"$path/shingles")

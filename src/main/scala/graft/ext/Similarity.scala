@@ -311,7 +311,12 @@ object Similarity {
     * O(corpus / lists × nprobe) I/O.
     */
   def writeIvfIndex(assigned: DataFrame, path: String, mode: String = "overwrite"): Unit =
-    assigned.write.partitionBy("centroid_id").mode(mode).parquet(path)
+    // cluster by the partition column first: a partitionBy over tasks that
+    // each hold every list writes tasks × lists tiny files; one exchange on
+    // centroid_id gives one file per inverted list — the layout the probe's
+    // pruning argument assumes
+    assigned.repartition(col("centroid_id"))
+      .write.partitionBy("centroid_id").mode(mode).parquet(path)
 
   /** Read an IVF index written by [[writeIvfIndex]]. Filters on
     * `centroid_id` prune partitions at planning time (assert-able via
@@ -595,6 +600,10 @@ object Similarity {
         transform(pqEncoded(col(vecCol).cast("array<double>"), pqSorted(cents), m),
           e => e.getField("code")).as("codes"),
         col("centroid_id"))
+      // same clustering rule as writeIvfIndex: one file per inverted list,
+      // and the exchange carries only (id, codes, centroid_id) — m bytes of
+      // codes per vector, never the float vectors
+      .repartition(col("centroid_id"))
       .write.partitionBy("centroid_id").mode(mode).parquet(path)
 
   /** Composed IVF+PQ serving — the end-to-end production ANN query shape:
