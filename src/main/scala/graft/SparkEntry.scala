@@ -180,6 +180,46 @@ object SparkEntry {
       .orderBy("record_id")
   }
 
+  /** SCD Type 2 over base orders + BOTH change batches — multi-version
+    * chains (base → batch-1 'X' → batch-2 'Y') with delete-closed keys and
+    * insert-opened keys, projected to the status attribute.
+    */
+  private def qScd2(s: SparkSession, dir: String): DataFrame = {
+    val combined = changeLog(s, dir).unionByName(secondBatchLog(s, dir))
+    graft.log.History.scd2(
+        orders(s, dir).select(OrdersSpec.columns.map(col): _*), combined, OrdersSpec)
+      .select(col("record_id"), col("o_orderstatus").as("status"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+      .orderBy("record_id", "valid_from")
+  }
+
+  /** Net-effect compaction of the two-batch log: multi-change keys
+    * collapse to one row carrying the LAST image; the audit columns count
+    * what was collapsed.
+    */
+  private def qCompactLog(s: SparkSession, dir: String): DataFrame = {
+    val combined = changeLog(s, dir).unionByName(secondBatchLog(s, dir))
+    graft.log.History.compactLog(combined)
+      .select(col("record_id"), col("operation").as("net_op"),
+        col("new_data.o_orderstatus").as("status"),
+        col("n_changes"), col("first_id"), col("last_id"))
+      .orderBy("record_id")
+  }
+
+  /** Time travel: state as of a position 300 rows into the second batch —
+    * batch 1 fully applied, batch 2 partially, changes past the position
+    * invisible. The oracle derives the same state declaratively (after_t
+    * left-joined with the admitted batch-2 slice); the engine derives it
+    * through filter → dedup-to-latest → anti-join apply over both logs.
+    */
+  private def qSnapshotAsOf(s: SparkSession, dir: String): DataFrame = {
+    val combined = changeLog(s, dir).unionByName(secondBatchLog(s, dir))
+    graft.log.History.snapshotAsOf(
+        orders(s, dir).select(OrdersSpec.columns.map(col): _*),
+        combined, OrdersSpec, asOfId = (1L << 40) + 300)
+      .orderBy("o_orderkey")
+  }
+
   // ------------------------------------------------------------ LLM pipeline
 
   private def qDedupExact(s: SparkSession, dir: String): DataFrame =
@@ -335,6 +375,17 @@ object SparkEntry {
   private def qCorpusSample(s: SparkSession, dir: String): DataFrame =
     Corpus.sampleByHash(documents(s, dir), "doc_id", permille = 200, salt = "graft")
       .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
+  /** Length-weighted deterministic sample: acceptance probability
+    * `min(1, n_chars / 2000)` per document — longer documents kept with
+    * higher probability, decided by the same portable (salt, id) hash on
+    * both engines.
+    */
+  private def qCorpusWeightedSample(s: SparkSession, dir: String): DataFrame =
+    Corpus.weightedSampleByHash(documents(s, dir), "doc_id",
+        col("n_chars").cast("double") / lit(2000.0), salt = "graftw")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
       .orderBy("doc_id")
 
   private def qCorpusPack(s: SparkSession, dir: String): DataFrame =
@@ -649,6 +700,24 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
 
   // ----------------------------------------------------------- analytics/agg
+
+  /** Z-order clustering key over (custkey, order-day): the 32-bit Morton
+    * interleave both engines compute bit-identically. The registered
+    * query checks the KEY; [[graft.ext.Layout.writeZOrdered]] and its
+    * spec check the LAYOUT (per-file min/max shrink on both dimensions).
+    */
+  private def qOrdersZorder(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Layout
+    // NTZ parquet timestamp → timestamp is identity under the UTC session TZ
+    val day = expr("unix_millis(cast(o_orderdate as timestamp)) div 86400000")
+    val o = orders(s, dir).select(
+      col("o_orderkey"),
+      pmod(col("o_custkey"), lit(65536)).as("zx"),
+      pmod(day, lit(65536)).as("zy"))
+    o.withColumn("zval", Layout.zOrderKey2(col("zx"), col("zy")))
+      .orderBy(col("zval"), col("o_orderkey"))
+      .limit(200)
+  }
 
   /** As-of attribution: each purchase matched to the user's most recent
     * click at or before it (NULL when none) — the ASOF JOIN surface
@@ -1132,6 +1201,9 @@ object SparkEntry {
     "cdc_health_report" -> (qHealthReport _),
     "cdc_verify_diff" -> (qVerifyDiff _),
     "cdc_json_roundtrip" -> (qJsonRoundtrip _),
+    "cdc_scd2" -> (qScd2 _),
+    "cdc_compact_log" -> (qCompactLog _),
+    "cdc_snapshot_asof" -> (qSnapshotAsOf _),
     "dedup_exact" -> (qDedupExact _),
     "dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "dedup_minhash_lsh" -> (qDedupMinhash _),
@@ -1146,6 +1218,7 @@ object SparkEntry {
     "media_features" -> (qMediaFeatures _),
     "corpus_vocab_topk" -> (qVocabTopK _),
     "corpus_sample" -> (qCorpusSample _),
+    "corpus_weighted_sample" -> (qCorpusWeightedSample _),
     "corpus_pack" -> (qCorpusPack _),
     "corpus_manifest" -> (qCorpusManifest _),
     "corpus_decontaminate" -> (qCorpusDecontaminate _),
@@ -1182,6 +1255,7 @@ object SparkEntry {
     "lineitem_agg" -> (qLineitemAgg _),
     "lineitem_agg_sql" -> (qLineitemAggSql _),
     "orders_rollup" -> (qOrdersRollup _),
+    "orders_zorder" -> (qOrdersZorder _),
     "lineitem_quantiles" -> (qLineitemQuantiles _),
     "customer_top_orders" -> (qCustomerTopOrders _),
     "lineitem_band_join" -> (qLineitemBandJoin _),
@@ -1726,6 +1800,54 @@ object SparkEntry {
       s"""WITH ${FixtureSql.AfterCte}
          |SELECT * FROM after_t ORDER BY o_orderkey""".stripMargin,
 
+    "cdc_scd2" ->
+      s"""WITH ${FixtureSql.LogCte}, ${FixtureSql.Log2Cte},
+         |ev AS (
+         |  SELECT CAST(0 AS BIGINT) AS cdc_id, o_orderkey AS record_id,
+         |         o_orderstatus AS st, FALSE AS del FROM orders
+         |  UNION ALL
+         |  SELECT cdc_id, record_id, new_status, operation = 'DELETE' FROM logm_t
+         |  UNION ALL
+         |  SELECT cdc_id, record_id, new_status, FALSE FROM log2_t),
+         |v AS (SELECT *, lead(cdc_id) OVER (PARTITION BY record_id ORDER BY cdc_id) AS valid_to
+         |      FROM ev)
+         |SELECT record_id, st AS status, cdc_id AS valid_from, valid_to,
+         |       CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
+         |FROM v WHERE NOT del ORDER BY record_id, valid_from""".stripMargin,
+
+    "cdc_compact_log" ->
+      s"""WITH ${FixtureSql.LogCte}, ${FixtureSql.Log2Cte},
+         |combined AS (
+         |  SELECT cdc_id, operation, record_id, new_status FROM logm_t
+         |  UNION ALL SELECT cdc_id, operation, record_id, new_status FROM log2_t),
+         |g AS (
+         |  SELECT record_id,
+         |         min_by(operation, cdc_id) AS first_op,
+         |         max_by(operation, cdc_id) AS last_op,
+         |         max_by(new_status, CASE WHEN operation <> 'DELETE' THEN cdc_id END) AS last_st,
+         |         CAST(COUNT(*) AS BIGINT) AS n_changes,
+         |         MIN(cdc_id) AS first_id, MAX(cdc_id) AS last_id
+         |  FROM combined GROUP BY record_id)
+         |SELECT record_id,
+         |       CASE WHEN last_op = 'DELETE' THEN 'DELETE'
+         |            WHEN first_op = 'INSERT' THEN 'INSERT'
+         |            ELSE 'UPDATE' END AS net_op,
+         |       CASE WHEN last_op = 'DELETE' THEN NULL ELSE last_st END AS status,
+         |       n_changes, first_id, last_id
+         |FROM g WHERE NOT (first_op = 'INSERT' AND last_op = 'DELETE')
+         |ORDER BY record_id""".stripMargin,
+
+    "cdc_snapshot_asof" ->
+      s"""WITH ${FixtureSql.LogCte}, ${FixtureSql.Log2Cte},
+         |sel2 AS (SELECT record_id, new_status FROM log2_t
+         |         WHERE cdc_id <= ${(1L << 40) + 300}),
+         |snap AS (
+         |  SELECT a.o_orderkey, a.o_custkey,
+         |         COALESCE(s.new_status, a.o_orderstatus) AS o_orderstatus,
+         |         a.o_totalprice, a.o_orderdate, a.o_orderpriority
+         |  FROM after_t a LEFT JOIN sel2 s ON a.o_orderkey = s.record_id)
+         |SELECT * FROM snap ORDER BY o_orderkey""".stripMargin,
+
     "cdc_replicate_batch" ->
       s"""WITH ${FixtureSql.LogCte},
          |batch AS (SELECT * FROM logm_t WHERE synced = 0 ORDER BY cdc_id LIMIT 500),
@@ -1841,6 +1963,12 @@ object SparkEntry {
     "corpus_sample" ->
       s"""SELECT doc_id, lang FROM documents
          |WHERE ${PortableHash.hash32Sql("concat('graft', CAST(doc_id AS VARCHAR))")} % 1000 < 200
+         |ORDER BY doc_id""".stripMargin,
+
+    "corpus_weighted_sample" ->
+      s"""SELECT doc_id, lang, n_chars FROM documents
+         |WHERE CAST(${PortableHash.hash32Sql("concat('graftw', CAST(doc_id AS VARCHAR))")} AS DOUBLE)
+         |      < LEAST(1.0, GREATEST(0.0, CAST(n_chars AS DOUBLE) / 2000.0)) * 4294967296.0
          |ORDER BY doc_id""".stripMargin,
 
     "corpus_pack" ->
@@ -2472,6 +2600,16 @@ object SparkEntry {
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
         |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+
+    "orders_zorder" ->
+      s"""WITH z AS (
+         |  SELECT o_orderkey,
+         |         o_custkey % 65536 AS zx,
+         |         (epoch_ms(o_orderdate) // 86400000) % 65536 AS zy
+         |  FROM orders)
+         |SELECT o_orderkey, zx, zy,
+         |       ${graft.ext.Layout.zOrderKey2Sql("zx", "zy")} AS zval
+         |FROM z ORDER BY zval, o_orderkey LIMIT 200""".stripMargin,
 
     "lineitem_quantiles" ->
       """SELECT l_returnflag,

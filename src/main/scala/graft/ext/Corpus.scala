@@ -39,6 +39,28 @@ object Corpus {
       PortableHash.hash32(concat(lit(salt), col(idCol).cast("string"))) % 1000 < permille)
   }
 
+  /** Weighted deterministic sample: keep a row iff
+    * `hash32(salt || id) < acceptProb · 2^32`, where `acceptProb` is a
+    * per-ROW column in [0, 1] — importance/quality resampling ("keep
+    * high-quality documents with probability ∝ score"), the knob a
+    * data-mixing pipeline turns between "filter hard" and "keep all".
+    * Same properties as [[sampleByHash]]: pure function of (salt, id) and
+    * the row's own weight, so the decision is reproducible across runs,
+    * partitionings, and engines, with NO shuffle and no RNG state — and
+    * re-running with a HIGHER weight function keeps a superset of the
+    * rows kept with a lower one (the hash threshold only moves up), which
+    * is what makes iterative mix tuning cheap. Weights are clamped to
+    * [0, 1]; the comparison is exact integer-vs-scaled-double on both
+    * engines.
+    */
+  def weightedSampleByHash(
+      df: DataFrame, idCol: String, weight: Column, salt: String): DataFrame = {
+    val u = PortableHash.hash32(concat(lit(salt), col(idCol).cast("string")))
+    df.filter(
+      u.cast("double") <
+        least(lit(1.0), greatest(lit(0.0), weight)) * lit(Sketches.HashDomain))
+  }
+
   /** Fixed-stride document chunking with overlap — the "split long
     * documents into model-window pieces" step that precedes embedding or
     * training. Chunk starts are `1, 1+stride, 1+2·stride, …` (1-based,

@@ -1,0 +1,123 @@
+package graft.log
+
+import graft.apply.ChangeApplier
+import graft.log.ChangeLog._
+import graft.model.{CdcTableSpec, ConflictStrategy}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** History-preserving views over the ordered change log — the operations a
+  * warehouse derives FROM a CDC feed once it has one: versioned history
+  * (SCD Type 2), point-in-time reconstruction, and net-effect log
+  * compaction.
+  *
+  * The reference applies changes destructively (its target holds only the
+  * latest image — reference: cdc_system.py:293-321) and keeps history only
+  * implicitly, as unpurged log rows. These operators make that implicit
+  * history first-class, purely as declarative plans over the same log:
+  * nothing here introduces new state or mutates anything.
+  */
+object History {
+
+  /** SCD Type 2 version history: one row per VERSION a key ever had, with
+    * `[valid_from, valid_to)` expressed in log positions (`cdc_id`) and an
+    * `is_current` flag. The base snapshot is version 0 (`valid_from = 0`)
+    * for every key present in it; each INSERT/UPDATE in the log opens a
+    * new version at its `cdc_id`; a DELETE closes the current version
+    * without opening one (the key then has NO current row).
+    *
+    * Formulation: union the base (as position-0 pseudo-events) with the
+    * log's image stream, take `lead(cdc_id)` per key in log order as each
+    * version's close position, then drop DELETE tombstones — they exist
+    * only to close their predecessor. One union and ONE shuffle (the
+    * per-key window); state per task is the single lookahead row. At
+    * 100 TB the window key is the table's primary key, so parallelism is
+    * full key cardinality — no global sort, no driver state.
+    *
+    * Contract: `cdc_id` 0 is reserved for the base snapshot (capture
+    * assigns real ids from 1 / from a positive packed envelope); per-key
+    * `cdc_id` ties are impossible by the log's id contract.
+    */
+  def scd2(base: DataFrame, log: DataFrame, spec: CdcTableSpec): DataFrame = {
+    val baseEvents = base.select(
+      lit(0L).as(CdcId),
+      col(spec.pkCol).cast(LongType).as(RecordId),
+      struct(spec.columns.map(col): _*).as("__img"))
+    val logEvents = log.select(
+      col(CdcId),
+      col(RecordId),
+      when(col(Operation) === "DELETE", lit(null)).otherwise(col(NewData)).as("__img"))
+    val w = Window.partitionBy(col(RecordId)).orderBy(col(CdcId))
+    baseEvents.unionByName(logEvents)
+      .withColumn("valid_to", lead(col(CdcId), 1).over(w))
+      .filter(col("__img").isNotNull) // tombstones only close predecessors
+      .select(
+        col(RecordId) +:
+          spec.columns.map(c => col(s"__img.$c").as(c)) :+
+          col(CdcId).as("valid_from") :+
+          col("valid_to") :+
+          when(col("valid_to").isNull, lit(1)).otherwise(lit(0)).as("is_current"): _*)
+  }
+
+  /** Net-effect compaction of a change log: collapse each key's change
+    * sequence to the single change that takes a downstream replica from
+    * the pre-log state to the post-log state (the log-compaction semantics
+    * of a keyed changelog topic). Per key:
+    *
+    *   - first op INSERT and last op DELETE → the key never existed for a
+    *     consumer that applies the compacted log: emitted NOWHERE;
+    *   - last op DELETE (key pre-existed) → a single DELETE;
+    *   - first op INSERT (still live) → a single INSERT with the LAST image;
+    *   - otherwise → a single UPDATE with the last image.
+    *
+    * Output: (record_id, operation, new_data, n_changes, first_id,
+    * last_id) — the audit columns record what was collapsed.
+    *
+    * Shape: ONE hash aggregate, fully map-side combinable (`min_by` /
+    * `max_by` partial state is one (id, value) pair each) — shuffle volume
+    * is O(distinct keys), never O(log rows). This is the operation that
+    * keeps a 100 TB log replayable: a backlog of months compacts to at
+    * most one row per live key before apply. The last image is taken with
+    * `max_by` over only non-DELETE positions: whenever the net op needs an
+    * image, the latest non-delete IS the latest change, and skipping
+    * null-image DELETE rows keeps the aggregate's null semantics identical
+    * across engines.
+    */
+  def compactLog(log: DataFrame): DataFrame =
+    log.groupBy(col(RecordId))
+      .agg(
+        min_by(col(Operation), col(CdcId)).as("__first_op"),
+        max_by(col(Operation), col(CdcId)).as("__last_op"),
+        max_by(col(NewData),
+          when(col(Operation) =!= "DELETE", col(CdcId))).as("__last_img"),
+        count(lit(1)).as("n_changes"),
+        min(col(CdcId)).as("first_id"),
+        max(col(CdcId)).as("last_id"))
+      .filter(!(col("__first_op") === "INSERT" && col("__last_op") === "DELETE"))
+      .select(
+        col(RecordId),
+        when(col("__last_op") === "DELETE", lit("DELETE"))
+          .when(col("__first_op") === "INSERT", lit("INSERT"))
+          .otherwise(lit("UPDATE")).as(Operation),
+        when(col("__last_op") === "DELETE", lit(null)).otherwise(col("__last_img"))
+          .as(NewData),
+        col("n_changes"), col("first_id"), col("last_id"))
+
+  /** Point-in-time reconstruction: the table state as of log position
+    * `asOfId` (inclusive) — time travel over base + log, without any
+    * stored snapshots. Changes past the position are simply not applied;
+    * the plan is the standard apply (dedup-to-latest + anti-join + union)
+    * over the filtered log, so it inherits [[ChangeApplier.applyChanges]]'
+    * scale shape, with the `cdc_id` filter pushed to the log scan (and at
+    * scale, pruning the log's date partitions).
+    */
+  def snapshotAsOf(
+      base: DataFrame,
+      log: DataFrame,
+      spec: CdcTableSpec,
+      asOfId: Long): DataFrame =
+    ChangeApplier.applyChanges(
+      base, log.filter(col(CdcId) <= asOfId), spec, ConflictStrategy.LastWriteWins)
+}
