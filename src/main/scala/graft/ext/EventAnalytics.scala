@@ -139,6 +139,32 @@ object EventAnalytics {
     *
     * Output: one row per step — `step_idx` (0-based), `step`, `n_users`.
     */
+  /** First-order path analysis: counts of consecutive (event_type →
+    * next event_type) transitions within each user's timeline — the
+    * transition matrix behind "where do users go after X" and Markov-
+    * chain journey models.
+    *
+    * Scale shape: ONE window shuffle partitioned by user (state = one
+    * lookahead row per task) followed by a map-side-combined count over
+    * the (from, to) pairs — at most |types|² groups. Ordering within a
+    * user is (ts, id): the id tiebreak makes same-timestamp transitions
+    * deterministic across engines and partitionings.
+    */
+  def transitions(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    events
+      .select(col(userCol), col(tsCol), col(idCol), col(typeCol).as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull) // each user's last event has no successor
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+  }
+
   def funnel(
       events: DataFrame,
       userCol: String,
