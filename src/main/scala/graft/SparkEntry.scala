@@ -1213,6 +1213,73 @@ object SparkEntry {
         col("o_orderstatus").as("status"), col("n"), col("sum_price"))
       .orderBy(col("gid"), col("priority").asc_nulls_first, col("status").asc_nulls_first)
 
+  /** GROUPING SETS ((priority, status), (status), ()) — an irregular
+    * granularity set neither `rollup` nor `cube` expresses (the status
+    * margin WITHOUT the priority margin). Spark 4's `Dataset.groupingSets`
+    * plans it as the same single-shuffle Expand+Aggregate as cube/rollup.
+    */
+  private def qOrdersGroupingSets(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderpriority"), col("o_orderstatus")),
+          Seq(col("o_orderstatus")), Seq.empty),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"))
+      .select(col("gid"), col("o_orderpriority").as("priority"),
+        col("o_orderstatus").as("status"), col("n"), col("sum_price"))
+      .orderBy(col("gid"), col("priority").asc_nulls_first, col("status").asc_nulls_first)
+
+  /** The composed curation pipeline (quality gate → exact-dedup keep-one
+    * → decontaminate) with the same 10% hash-drawn eval set as
+    * `corpus_decontaminate`; survivors with their stratum and token
+    * count. One corpus shuffle end-to-end (the fingerprint window).
+    */
+  private def qCorpusCurate(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val inEval =
+      PortableHash.hash32(concat(lit("evalset"), col("doc_id").cast("string"))) % 1000 < 100
+    Corpus.curate(docs.filter(!inEval), "doc_id", "text", col("lang"),
+        docs.filter(inEval), minTokens = 5, n = 5, maxHitNgrams = 2L)
+      .orderBy("doc_id")
+  }
+
+  /** Asymmetric containment near-dup pairs (quoted/embedded documents)
+    * under rare-gram blocking; df cap 20 bounds the per-gram fanout.
+    */
+  private def qTextContainment(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(documents(s, dir), "text", "doc_id",
+        n = 3, threshold = 0.8, maxDf = 20)
+      .orderBy("id_a", "id_b")
+
+  /** Top-20 three-step user journeys — sequence mining over the per-user
+    * event order, heavy-hitters output.
+    */
+  private def qEventsTopPaths(s: SparkSession, dir: String): DataFrame =
+    EventAnalytics.topPaths(events(s, dir), "user_id", "ts", "event_type",
+      "event_id", k = 20, len = 3)
+
+  /** SemDeDup over the embeddings table with the shared IVF codebook:
+    * survivors after dropping every vector whose cosine to a lower-id
+    * mate in its own coarse cluster reaches the threshold. 0.42 is a
+    * TEST-DATA parameter, not a recommendation: the synthetic embeddings
+    * carry no planted semantic dups (global max pair cosine ≈ 0.51), so
+    * a production-style 0.95 would never drop a row and the keep/drop
+    * boundary would go unexercised — 0.42 drops 8/10/72 vectors at
+    * sf0.001/0.01/0.1.
+    */
+  private def qEmbSemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val cents = Similarity.collectCentroids(embCentroids(s, dir), "vec_id", "embedding")
+    Similarity.semanticDedup(embeddings(s, dir), "vec_id", "embedding",
+        cents, threshold = 0.42)
+      .orderBy("id")
+  }
+
+  /** Corpus-unigram LM quality score per document. */
+  private def qTextLmScore(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.lmScore(documents(s, dir), "doc_id", "text").orderBy("doc_id")
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_incremental_agg" -> (qCdcIncrementalAgg _),
@@ -1226,6 +1293,12 @@ object SparkEntry {
     "events_sliding" -> (qEventsSliding _),
     "events_anomaly" -> (qEventsAnomaly _),
     "orders_cube" -> (qOrdersCube _),
+    "orders_grouping_sets" -> (qOrdersGroupingSets _),
+    "corpus_curate" -> (qCorpusCurate _),
+    "text_containment" -> (qTextContainment _),
+    "events_top_paths" -> (qEventsTopPaths _),
+    "emb_semantic_dedup" -> (qEmbSemanticDedup _),
+    "text_lm_score" -> (qTextLmScore _),
     "cdc_capture_diff" -> (qCaptureDiff _),
     "cdc_capture_by_timestamp" -> (qCaptureByTimestamp _),
     "cdc_capture_by_version" -> (qCaptureByVersion _),
@@ -1706,6 +1779,101 @@ object SparkEntry {
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
         |ORDER BY gid, priority NULLS FIRST, status NULLS FIRST""".stripMargin,
+
+    "orders_grouping_sets" ->
+      """SELECT CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus) AS BIGINT) AS gid,
+        |       o_orderpriority AS priority, o_orderstatus AS status,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderstatus), ())
+        |ORDER BY gid, priority NULLS FIRST, status NULLS FIRST""".stripMargin,
+
+    "corpus_curate" ->
+      s"""WITH $TextTokensCte,
+         |base AS (SELECT t.doc_id, d.lang, t.text, t.ltoks,
+         |           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         |           ${PortableHash.hash32Sql("concat('evalset', CAST(t.doc_id AS VARCHAR))")} % 1000 < 100 AS is_eval
+         |         FROM t JOIN documents d ON t.doc_id = d.doc_id),
+         |k AS (SELECT *, row_number() OVER (
+         |        PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+         |        ORDER BY doc_id) AS rn
+         |      FROM base WHERE NOT is_eval AND n_tokens >= 5),
+         |kept AS (SELECT doc_id, lang, n_tokens, ltoks FROM k WHERE rn = 1),
+         |ev AS (SELECT DISTINCT unnest(${shingleExprSqlN(5)}) AS gram FROM base WHERE is_eval),
+         |tr AS (SELECT doc_id, unnest(${shingleExprSqlN(5)}) AS gram FROM kept),
+         |hits AS (SELECT tr.doc_id, COUNT(*) AS c FROM tr JOIN ev ON tr.gram = ev.gram
+         |         GROUP BY tr.doc_id)
+         |SELECT kept.doc_id, kept.lang AS stratum, kept.n_tokens
+         |FROM kept LEFT JOIN hits ON kept.doc_id = hits.doc_id
+         |WHERE COALESCE(hits.c, 0) <= 2
+         |ORDER BY kept.doc_id""".stripMargin,
+
+    "text_containment" ->
+      s"""WITH $TextTokensCte,
+         |sh AS (SELECT doc_id, ${ShingleExprSql} AS sh FROM t),
+         |g AS (SELECT doc_id, unnest(sh) AS gram FROM sh),
+         |rare AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) BETWEEN 2 AND 20),
+         |cg AS (SELECT g.doc_id, g.gram FROM g JOIN rare USING (gram)),
+         |p AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |      FROM cg a JOIN cg b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+         |v AS (SELECT p.id_a, p.id_b,
+         |        round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |              LEAST(len(sa.sh), len(sb.sh)), 6) AS cont
+         |      FROM p JOIN sh sa ON p.id_a = sa.doc_id
+         |             JOIN sh sb ON p.id_b = sb.doc_id)
+         |SELECT id_a, id_b, cont FROM v WHERE cont >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "emb_semantic_dedup" ->
+      s"""WITH $EmbBase,
+         |rawc AS (
+         |  SELECT e.vec_id, c.cid,
+         |         ${dotSql("e.v", "c.cv")} AS dp,
+         |         sqrt(${dotSql("e.v", "e.v")}) AS na,
+         |         sqrt(${dotSql("c.cv", "c.cv")}) AS nb
+         |  FROM e, c),
+         |${cosScoreSql("rawc", "sc")},
+         |a1 AS (SELECT vec_id, cid FROM
+         |        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn FROM sc)
+         |       WHERE rn = 1),
+         |p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b
+         |      FROM a1 x JOIN a1 y ON x.cid = y.cid AND x.vec_id < y.vec_id),
+         |rawp AS (
+         |  SELECT p.id_a, p.id_b,
+         |         ${dotSql("ea.v", "eb.v")} AS dp,
+         |         sqrt(${dotSql("ea.v", "ea.v")}) AS na,
+         |         sqrt(${dotSql("eb.v", "eb.v")}) AS nb
+         |  FROM p JOIN e ea ON p.id_a = ea.vec_id
+         |         JOIN e eb ON p.id_b = eb.vec_id),
+         |${cosScoreSql("rawp", "scp")},
+         |drp AS (SELECT DISTINCT id_b FROM scp WHERE score >= 0.42)
+         |SELECT a1.vec_id AS id, a1.cid AS centroid_id
+         |FROM a1 LEFT JOIN drp ON a1.vec_id = drp.id_b
+         |WHERE drp.id_b IS NULL ORDER BY id""".stripMargin,
+
+    "text_lm_score" ->
+      s"""WITH $TextTokensCte,
+         |tok AS (SELECT doc_id, unnest(ltoks) AS tok FROM t),
+         |freq AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+         |tot AS (SELECT ln(SUM(cnt)) AS lt FROM freq),
+         |sc AS (SELECT tok.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |         round(avg(ln(CAST(cnt AS DOUBLE))) - (SELECT lt FROM tot), 6) AS lm_score
+         |       FROM tok JOIN freq USING (tok) GROUP BY tok.doc_id)
+         |SELECT d.doc_id, COALESCE(sc.n_tokens, 0) AS n_tokens, sc.lm_score
+         |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "events_top_paths" ->
+      """WITH e AS (
+        |  SELECT event_type AS t0,
+        |         lead(event_type, 1) OVER w AS t1,
+        |         lead(event_type, 2) OVER w AS t2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT concat_ws('>', t0, t1, t2) AS path, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM e WHERE t2 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
     "dedup_minhash_lsh" ->
       minhashOracleSql(numHashes = 128, bands = 16, rowsPerBand = 8, threshold = 0.5),
 

@@ -219,6 +219,49 @@ object Corpus {
       .agg(count(lit(1)).as("n_hit_ngrams"))
   }
 
+  /** End-to-end curation pipeline — the composition a daily training-data
+    * run actually executes, as ONE dataflow: quality gate (minimum token
+    * count) → exact dedup keep-one (first id per normalized-text
+    * fingerprint wins) → decontamination (drop docs whose n-gram overlap
+    * with the eval set exceeds `maxHitNgrams`). Returns the surviving
+    * docs as `(doc_id, stratum, n_tokens)`.
+    *
+    * Plan shape, in order: narrow scan with the token count and
+    * fingerprint computed in one pass; one hash-partition shuffle on the
+    * fingerprint for the keep-one window (the only corpus-sized
+    * shuffle); then [[decontaminate]]'s broadcast semi-probe and a
+    * LEFT ANTI against the (tiny) contaminated-id set. At 100 TB the
+    * pipeline moves the corpus across the wire exactly once — each
+    * stage's filter runs before the next stage's work, so dropped rows
+    * pay nothing downstream.
+    */
+  def curate(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      stratumCol: Column,
+      eval: DataFrame,
+      minTokens: Int,
+      n: Int,
+      maxHitNgrams: Long): DataFrame = {
+    val q = docs
+      .select(col(idCol).as("doc_id"), stratumCol.as("stratum"), col(textCol).as("__text"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"),
+        TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+      .filter(col("n_tokens") >= minTokens)
+    val w = Window.partitionBy(col("__fp")).orderBy(col("doc_id"))
+    val kept = q
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    val contaminated = decontaminate(kept, eval.select(col(textCol).as("__text")),
+        "__text", "doc_id", n)
+      .filter(col("n_hit_ngrams") > maxHitNgrams)
+      .select(col("doc_id"))
+    kept
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("stratum"), col("n_tokens"))
+  }
+
   /** Stratified corpus mixing: keep each row with a per-stratum
     * probability `permille(stratum)/1000`, decided by the same
     * deterministic portable hash as [[sampleByHash]] — the "sample

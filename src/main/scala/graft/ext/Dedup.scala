@@ -268,6 +268,62 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("dist"))
   }
 
+  /** Rare-gram-blocked CONTAINMENT pairs: max-containment
+    * `|A∩B| / min(|A|,|B|)` over n-gram shingle sets — the asymmetric
+    * near-dup measure Jaccard misses (a short doc quoted whole inside a
+    * long one has high containment but low Jaccard; boilerplate and
+    * quotation detection in a training corpus is exactly this query).
+    *
+    * Candidate generation is PREFIX-FILTER-style rare-gram blocking: two
+    * docs become a candidate pair only if they share at least one gram
+    * whose corpus-wide document frequency is in [2, maxDf]. The df cap
+    * bounds pair fanout at O(maxDf²) per gram — no block ever goes
+    * corpus-quadratic — and the df table itself is one hash aggregate
+    * over the exploded grams. The trade, documented: a pair sharing ONLY
+    * grams more common than `maxDf` is not found; for containment work
+    * (quotes, boilerplate, embedded docs) shared runs of text are
+    * precisely runs of rare grams, so recall concentrates where the
+    * operator is aimed. Verification re-fetches the two sorted hashed
+    * shingle arrays by id (the candidate join carries ids only, never
+    * payloads) and runs the native two-pointer intersect kernel.
+    *
+    * Output: `(id_a, id_b, cont)` with `id_a < id_b`,
+    * `cont = round(|A∩B|/min(|A|,|B|), 6) >= threshold`.
+    */
+  def containmentPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      threshold: Double = 0.8,
+      maxDf: Int = 20): DataFrame = {
+    val base = df.select(col(idCol).as("id"), hashedShingles(col(textCol), n).as("sh"))
+    // (id, gram) — shingle arrays are distinct per doc by construction,
+    // so no per-doc dedup is needed before the df count.
+    val grams = base.select(col("id"), explode(col("sh")).as("gram"))
+    val rare = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= 2 && col("__df") <= maxDf)
+      .select(col("gram"))
+    val blocked = grams.join(rare, Seq("gram"))
+    val pairs = blocked.select(col("gram"), col("id").as("id_a"))
+      .join(blocked.select(col("gram"), col("id").as("id_b")), Seq("gram"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val inter = org.apache.spark.sql.GraftSqlBridge.column(
+      graft.expr.SortedIntersectCount(
+        org.apache.spark.sql.GraftSqlBridge.expression(col("sh_a")),
+        org.apache.spark.sql.GraftSqlBridge.expression(col("sh_b")))).cast("double")
+    pairs
+      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("cont",
+        round(inter / least(size(col("sh_a")), size(col("sh_b"))).cast("double"), 6))
+      .filter(col("cont") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cont"))
+  }
+
   /** MinHash signature: `numHashes` independent permutations simulated by
     * seeded xxhash64; element i is min over shingles of hash_i(shingle).
     * Pure column algebra — computed inside the scan stage, no shuffle.

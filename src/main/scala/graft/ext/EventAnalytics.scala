@@ -165,6 +165,39 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Top-`k` most frequent length-`len` event-type paths (consecutive
+    * event sequences per user) — the sequence-mining generalization of
+    * [[transitions]]: "what are the commonest click→view→purchase style
+    * journeys". One window shuffle per user (same key as every other
+    * per-user operator, so a pre-partitioned pipeline reuses the
+    * exchange), `len-1` lead()s over it, then the heavy-hitters plan:
+    * hash aggregate with map-side partials + `TakeOrderedAndProject`, so
+    * only k rows per partition survive into the final ordering no matter
+    * the event volume. Ties break lexicographically for determinism.
+    */
+  def topPaths(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      idCol: String,
+      k: Int,
+      len: Int = 3): DataFrame = {
+    require(len >= 2, s"path length must be >= 2, got $len")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val steps = col(typeCol) +: (1 until len).map(i => lead(col(typeCol), i).over(w))
+    events
+      .select(col(userCol), col(tsCol), col(idCol), col(typeCol))
+      // materialize the window steps before filtering: a window
+      // expression is not allowed directly in a Filter
+      .select(concat_ws(">", steps: _*).as("path"), steps.last.as("__last"))
+      .filter(col("__last").isNotNull) // windows running off the user's tail
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(k)
+  }
+
   def funnel(
       events: DataFrame,
       userCol: String,

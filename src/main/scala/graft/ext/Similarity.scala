@@ -753,4 +753,43 @@ object Similarity {
       .filter(col("score") >= threshold)
       .select(col("id_a"), col("id_b"), col("score"))
   }
+
+  /** SemDeDup-style cluster-scoped semantic dedup: assign every vector to
+    * its nearest coarse centroid (narrow map, zero shuffle — the literal
+    * codebook of [[ivfAssign]]), generate candidate pairs ONLY within a
+    * cluster, and drop every vector whose cosine to a LOWER-id cluster
+    * mate reaches `threshold`. Returns the survivors `(id, centroid_id)`.
+    *
+    * The k-means partition is what bounds the quadratic: with k clusters
+    * of ~N/k members, total pair work is N²/k — tuned by k alone, each
+    * cluster an independent task (the published SemDeDup recipe; the
+    * [[embeddingNearDup]] LSH bands are the blocking alternative when no
+    * codebook exists). The candidate join carries ids only; vectors are
+    * re-fetched per pair. The lowest-id-survives keeper rule is
+    * deterministic and order-independent, so the result is identical
+    * under any execution order — and oracle-checkable.
+    */
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Seq[(Long, Seq[Double])],
+      threshold: Double): DataFrame = {
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val assigned = ivfAssign(vecs, cents, "v")
+    val ids = assigned.select(col("id"), col("centroid_id"))
+    val pairs = ids.select(col("id").as("id_a"), col("centroid_id"))
+      .join(ids.select(col("id").as("id_b"), col("centroid_id")), Seq("centroid_id"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val dropped = pairs
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
+      .filter(round(cosine(col("v_a"), col("v_b")), 6) >= threshold)
+      .select(col("id_b").as("id"))
+      .distinct()
+    assigned
+      .join(dropped, Seq("id"), "left_anti")
+      .select(col("id"), col("centroid_id"))
+  }
 }

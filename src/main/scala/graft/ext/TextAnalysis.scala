@@ -149,6 +149,41 @@ object TextAnalysis {
     * to save a cheap column-pruned re-scan would cost more than it saves
     * at any scale where this operator matters.
     */
+  /** Corpus-unigram log-probability quality score — the CCNet-style LM
+    * filter with the corpus itself as the language model: token
+    * probability = corpus frequency / total token count, and a document
+    * scores the MEAN natural-log probability of its tokens (rounded 6 dp
+    * at the boundary; empty docs surface NULL, never 0 — 0 would be the
+    * BEST possible score). Gibberish and rare-token soup score far more
+    * negative than fluent text; the downstream filter drops the tail.
+    *
+    * Shape: two corpus scans by necessity (one to build the frequency
+    * table, one to score against it) — the frequency table is
+    * checkpointed so its aggregate runs once and the total-token scalar
+    * (a 1-row driver collect, same bound as a literal) reads the
+    * checkpoint, not the corpus. Both shuffles are bounded by vocabulary
+    * and doc count respectively, never corpus row count; the score uses
+    * `avg(ln cnt) − ln T`, algebraically equal to the mean log
+    * probability but with the scalar applied once per doc.
+    */
+  def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("doc_id"),
+      explode(tokens(lower(col(textCol)))).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val logT = math.log(freq.agg(sum(col("cnt"))).head().getLong(0).toDouble)
+    val scored = toks
+      .join(freq, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        round(avg(log(col("cnt").cast("double"))) - logT, 6).as("lm_score"))
+    df.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("lm_score"))
+  }
+
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tk = tokens(lower(col(textCol)))
     val base = df.select(col(idCol).as("doc_id"), tk.as("tk"))

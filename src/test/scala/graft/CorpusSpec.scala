@@ -122,6 +122,25 @@ class CorpusSpec extends SparkSpecBase {
     assert(hits === Map(1L -> 2L))
   }
 
+  test("curate composes quality gate, keep-one dedup, and decontamination") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today", "en"), // kept
+      (2L, "the quick brown fox jumps over the lazy dog today", "en"), // exact dup of 1 → dropped
+      (3L, "short doc", "en"),                                         // < 5 tokens → dropped
+      (4L, "an entirely original document about spark query planning", "en"), // kept
+      (5L, "we saw the quick brown fox jumps over a fence yesterday evening", "fr")) // contaminated
+      .toDF("doc_id", "text", "lang")
+    val eval = Seq(
+      (10L, "we saw the quick brown fox jumps over a fence")).toDF("doc_id", "text")
+    // doc 5 shares 6 distinct 5-grams with the eval doc (> maxHit 2);
+    // doc 1 shares only 2 ("the quick brown fox jumps" is not preceded
+    // by "we saw" there) — at the boundary, kept
+    val out = Corpus.curate(docs, "doc_id", "text", col("lang"), eval,
+        minTokens = 5, n = 5, maxHitNgrams = 2L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(out === Set((1L, "en", 10L), (4L, "en", 8L)))
+  }
+
   test("mixStrata keeps per-stratum hash fractions and drops unknown strata") {
     val df = s.range(0, 3000)
       .withColumn("src", when(col("id") % 3 === 0, "a")

@@ -38,6 +38,23 @@ class ExtOperatorsSpec extends SparkSpecBase {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("containmentPairs finds the embedded doc jaccard misses; df cap bounds recall") {
+    val cdocs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "intro words alpha beta gamma delta epsilon closing words here"),
+      (3L, "unrelated text about completely different things entirely"))
+      .toDF("doc_id", "text")
+    // doc 1's three 3-gram shingles all occur in doc 2: containment 1.0,
+    // while jaccard is 3/8 — far below any dedup threshold
+    val pairs = Dedup.containmentPairs(cdocs, "text", "doc_id", n = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, 1.0)))
+    // documented recall contract: pairs sharing only grams with df > maxDf
+    // are not candidates — maxDf = 1 admits no gram at all
+    assert(Dedup.containmentPairs(cdocs, "text", "doc_id", n = 3,
+      threshold = 0.8, maxDf = 1).isEmpty)
+  }
+
   test("profiler handles null-heavy and all-null columns") {
     import graft.ext.Profiler
     val df = Seq(
@@ -392,6 +409,36 @@ class ExtOperatorsSpec extends SparkSpecBase {
     val r = Similarity.ivfAssign(ragged, cents, "vec_id", "embedding", "vec_id", "embedding")
       .select("centroid_id").head()
     assert(r.isNullAt(0))
+  }
+
+  test("semanticDedup drops higher-id near-dups within a cluster only") {
+    val sv = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(1.0f, 0.01f)),  // ~cos 1 with id 1, same cluster → dropped
+      (3L, Array(0.9f, 0.5f)),   // cluster 0 but cos(1,3) ≈ 0.874 → survives
+      (4L, Array(0.01f, 1.0f)))  // alone in cluster 1 → survives
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)))
+    val out = Similarity.semanticDedup(sv, "vec_id", "embedding", cents, threshold = 0.99)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 0L, 3L -> 0L, 4L -> 1L))
+  }
+
+  test("lmScore: common-token docs outscore rare-token docs; empty doc is NULL") {
+    val d = Seq(
+      (1L, "the the the"),     // only common tokens
+      (2L, "the rare"),        // one rare token
+      (3L, ""))                // empty
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.lmScore(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // corpus: the×4, rare×1, T=5. doc1 = ln(4/5); doc2 = (ln(4/5)+ln(1/5))/2
+    assert(out(1L).getLong(1) === 3L)
+    assert(math.abs(out(1L).getDouble(2) - math.log(4.0 / 5.0)) < 1e-5)
+    assert(math.abs(out(2L).getDouble(2) -
+      (math.log(4.0 / 5.0) + math.log(1.0 / 5.0)) / 2.0) < 1e-5)
+    assert(out(1L).getDouble(2) > out(2L).getDouble(2), "rare tokens score lower")
+    assert(out(3L).getLong(1) === 0L && out(3L).isNullAt(2), "empty doc → NULL, not 0")
   }
 
   test("embeddingNearDup finds exact duplicates (guaranteed same bucket in every band)") {

@@ -61,4 +61,30 @@ class SearchTransitionsSpec extends SparkSpecBase {
     assert("Exchange".r.findAllIn(plan).size <= 2, s"expected <=2 shuffles:\n$plan")
     assert(plan.contains("partial_count"), s"expected map-side combine:\n$plan")
   }
+
+  test("topPaths: 3-step journeys per user, short users contribute nothing") {
+    val t0 = java.sql.Timestamp.from(java.time.Instant.parse("2026-01-01T00:00:00Z"))
+    def ts(s: Long) = java.sql.Timestamp.from(t0.toInstant.plusSeconds(s))
+    val events = Seq(
+      // user 1: a b c d → paths a>b>c, b>c>d
+      (10L, 1L, ts(0), "a"), (11L, 1L, ts(1), "b"),
+      (12L, 1L, ts(2), "c"), (13L, 1L, ts(3), "d"),
+      // user 2: a b c (tie at ts(5) broken by event_id) → a>b>c
+      (20L, 2L, ts(5), "a"), (21L, 2L, ts(5), "b"), (22L, 2L, ts(6), "c"),
+      // user 3: two events — no 3-path
+      (30L, 3L, ts(9), "a"), (31L, 3L, ts(10), "b")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val got = EventAnalytics.topPaths(events, "user_id", "ts", "event_type",
+        "event_id", k = 20, len = 3)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a>b>c", 2L), ("b>c>d", 1L)))
+    // heavy-hitters contract: the plan bounds what survives the final
+    // sort. Asserted over the parquet fixture, NOT the local Seq above —
+    // on a LocalRelation with maxRows <= k the optimizer (correctly)
+    // eliminates the Limit and no top-k node exists to find.
+    val plan = EventAnalytics.topPaths(Fixtures.events(spark, "/root/testdata/sf0.001"),
+        "user_id", "ts", "event_type", "event_id", k = 20, len = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k plan:\n$plan")
+  }
 }
