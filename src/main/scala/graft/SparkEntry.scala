@@ -1280,6 +1280,51 @@ object SparkEntry {
   private def qTextLmScore(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.lmScore(documents(s, dir), "doc_id", "text").orderBy("doc_id")
 
+  /** Time-bounded funnel: each step within 24 h of the previous step's
+    * completion — the conversion-deadline semantic an unbounded funnel
+    * overstates (sf0.01: 150/39/16/5 vs 150/150/150/150 unbounded).
+    */
+  private def qEventsFunnelWindow(s: SparkSession, dir: String): DataFrame =
+    EventAnalytics.funnelWithin(events(s, dir), "user_id", "ts", "event_type",
+        Seq("signup", "view", "click", "purchase"), maxGapUs = 24L * 3600 * 1000000)
+      .orderBy("step_idx")
+
+  /** Language-ID confusion matrix: the n-gram-marker classifier's guess
+    * against the labeled `lang` column — per-(actual, guessed) counts,
+    * the eval every heuristic classifier owes its users.
+    */
+  private def qTextLangidConfusion(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("lang"), TextAnalysis.langId(col("text")).as("lang_guess"))
+      .groupBy("lang", "lang_guess")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "lang_guess")
+
+  /** Robust (median/MAD) outliers: orders whose price deviates from
+    * their priority group's median by more than 2 MADs. Exact grouped
+    * medians at test scale (two percentile shuffles keyed by the group);
+    * the 100 TB swap-in is `Sketches.gridQuantiles` for both medians.
+    * The ratio is rounded before the filter (house float rule). The
+    * 2-MAD cut is a TEST-DATA parameter: the synthetic prices are
+    * near-uniform (max ratio ~2.2, so the production 3-MAD default
+    * would select nothing and leave the filter unexercised).
+    */
+  private def qOrdersOutliers(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir)
+    val med = o.groupBy("o_orderpriority")
+      .agg(percentile(col("o_totalprice"), lit(0.5)).as("med"))
+    val dev = o.join(med, Seq("o_orderpriority"))
+      .withColumn("adev", abs(col("o_totalprice") - col("med")))
+    val mad = dev.groupBy("o_orderpriority")
+      .agg(percentile(col("adev"), lit(0.5)).as("mad"))
+    dev.join(mad, Seq("o_orderpriority"))
+      .withColumn("mad_ratio", round(col("adev") / col("mad"), 6))
+      .filter(col("mad") > 0 && col("mad_ratio") > 2.0)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice"), col("mad_ratio"))
+      .orderBy("o_orderkey")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cdc_incremental_agg" -> (qCdcIncrementalAgg _),
@@ -1299,6 +1344,9 @@ object SparkEntry {
     "events_top_paths" -> (qEventsTopPaths _),
     "emb_semantic_dedup" -> (qEmbSemanticDedup _),
     "text_lm_score" -> (qTextLmScore _),
+    "events_funnel_window" -> (qEventsFunnelWindow _),
+    "text_langid_confusion" -> (qTextLangidConfusion _),
+    "orders_outliers" -> (qOrdersOutliers _),
     "cdc_capture_diff" -> (qCaptureDiff _),
     "cdc_capture_by_timestamp" -> (qCaptureByTimestamp _),
     "cdc_capture_by_version" -> (qCaptureByVersion _),
@@ -1863,6 +1911,63 @@ object SparkEntry {
          |SELECT d.doc_id, COALESCE(sc.n_tokens, 0) AS n_tokens, sc.lm_score
          |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    "events_funnel_window" ->
+      """WITH s0 AS (SELECT user_id AS u, min(ts) AS t FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |s1 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+        |       JOIN s0 ON e.user_id = s0.u AND e.ts > s0.t
+        |        AND epoch_us(e.ts) - epoch_us(s0.t) <= 86400000000
+        |       WHERE e.event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+        |       JOIN s1 ON e.user_id = s1.u AND e.ts > s1.t
+        |        AND epoch_us(e.ts) - epoch_us(s1.t) <= 86400000000
+        |       WHERE e.event_type = 'click' GROUP BY 1),
+        |s3 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+        |       JOIN s2 ON e.user_id = s2.u AND e.ts > s2.t
+        |        AND epoch_us(e.ts) - epoch_us(s2.t) <= 86400000000
+        |       WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS INT) AS step_idx, 'signup' AS step,
+        |         (SELECT CAST(count(*) AS BIGINT) FROM s0) AS n_users
+        |  UNION ALL SELECT 1, 'view', (SELECT count(*) FROM s1)
+        |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+        |ORDER BY step_idx""".stripMargin,
+
+    "text_langid_confusion" ->
+      s"""WITH $TextTokensCte,
+         |m AS (
+         |  SELECT d.lang,
+         |    len(list_filter(ltoks, x -> list_contains(['the','a','of','and','to','is'], x))) AS s_en,
+         |    len(list_filter(ltoks, x -> list_contains(['der','die','das','und','ist','ein'], x))) AS s_de,
+         |    len(list_filter(ltoks, x -> list_contains(['el','la','de','y','es','un'], x))) AS s_es,
+         |    len(list_filter(ltoks, x -> list_contains(['le','la','et','les','des','un'], x))) AS s_fr,
+         |    len(list_filter(ltoks, x -> list_contains(['的','是','在','了','我','有'], x))) AS s_zh
+         |  FROM t JOIN documents d ON t.doc_id = d.doc_id)
+         |SELECT lang,
+         |  CASE WHEN s_en > 0 AND s_en = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'en'
+         |       WHEN s_de > 0 AND s_de = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'de'
+         |       WHEN s_es > 0 AND s_es = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'es'
+         |       WHEN s_fr > 0 AND s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'fr'
+         |       WHEN s_zh > 0 AND s_zh = greatest(s_en, s_de, s_es, s_fr, s_zh) THEN 'zh'
+         |       ELSE 'und' END AS lang_guess,
+         |  CAST(COUNT(*) AS BIGINT) AS n
+         |FROM m GROUP BY 1, 2 ORDER BY lang, lang_guess""".stripMargin,
+
+    "orders_outliers" ->
+      """WITH med AS (SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med
+        |             FROM orders GROUP BY 1),
+        |dev AS (SELECT o.o_orderkey, o.o_orderpriority, o.o_totalprice,
+        |               abs(o.o_totalprice - med.med) AS adev
+        |        FROM orders o JOIN med USING (o_orderpriority)),
+        |mad AS (SELECT o_orderpriority, quantile_cont(adev, 0.5) AS mad
+        |        FROM dev GROUP BY 1)
+        |SELECT d.o_orderkey, d.o_orderpriority, d.o_totalprice,
+        |       round(d.adev / mad.mad, 6) AS mad_ratio
+        |FROM dev d JOIN mad USING (o_orderpriority)
+        |WHERE mad.mad > 0 AND round(d.adev / mad.mad, 6) > 2.0
+        |ORDER BY d.o_orderkey""".stripMargin,
 
     "events_top_paths" ->
       """WITH e AS (

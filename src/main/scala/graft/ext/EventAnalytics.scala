@@ -224,6 +224,42 @@ object EventAnalytics {
     }.reduce(_.unionByName(_))
   }
 
+  /** [[funnel]] with a conversion deadline: step i+1 counts only when it
+    * happens within `maxGapUs` of the user's step-i completion — the
+    * product-analytics semantic ("purchased within 24 h of clicking")
+    * that an unbounded funnel overstates. Same shrinking per-step frame
+    * shape as [[funnel]]: k joins of monotonically decreasing size, no
+    * global window, no event buffering; the gap predicate rides the
+    * existing join, adding no shuffle.
+    */
+  def funnelWithin(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      steps: Seq[String],
+      maxGapUs: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(maxGapUs > 0, s"maxGapUs must be positive, got $maxGapUs")
+    val reached = steps.scanLeft(Option.empty[DataFrame]) {
+      case (prev, step) =>
+        val f = events.filter(col(typeCol) === step)
+          .select(col(userCol).as("__u2"), col(tsCol).as("__ts"))
+        Some(prev match {
+          case None =>
+            f.groupBy(col("__u2").as("__u")).agg(min(col("__ts")).as("__t"))
+          case Some(p) =>
+            f.join(p, f("__u2") === p("__u") && f("__ts") > p("__t") &&
+                unix_micros(f("__ts")) - unix_micros(p("__t")) <= maxGapUs)
+              .groupBy(f("__u2").as("__u")).agg(min(col("__ts")).as("__t"))
+        })
+    }.flatten
+    reached.zip(steps).zipWithIndex.map { case ((df, step), i) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i).as("step_idx"), lit(step).as("step"), col("n_users"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Weekly cohort retention: users are cohorted by the epoch-week of
     * their first event; for each (cohort, week-offset) cell, the number
     * of cohort members active that week and the retained fraction.

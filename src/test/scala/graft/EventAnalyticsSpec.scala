@@ -58,6 +58,35 @@ class EventAnalyticsSpec extends SparkSpecBase {
     assert(got === Seq((0, "a", 4L), (1, "b", 2L), (2, "c", 1L)))
   }
 
+  test("funnelWithin enforces the per-step conversion deadline") {
+    val fe = Seq(
+      // user 1: b 30 min after a — inside a 1 h window
+      (1L, 1L, ts("2024-01-01 10:00:00"), "a"),
+      (2L, 1L, ts("2024-01-01 10:30:00"), "b"),
+      // user 2: b 2 h after a — ordered, but outside the window
+      (3L, 2L, ts("2024-01-01 09:00:00"), "a"),
+      (4L, 2L, ts("2024-01-01 11:00:00"), "b"),
+      // user 3: first b late, second b inside the window (min-qualifying)
+      (5L, 3L, ts("2024-01-01 07:00:00"), "a"),
+      (6L, 3L, ts("2024-01-01 09:30:00"), "b"),
+      (7L, 3L, ts("2024-01-01 07:20:00"), "b"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = EventAnalytics.funnelWithin(fe, "user_id", "ts", "event_type",
+        Seq("a", "b"), maxGapUs = 3600L * 1000000)
+      .orderBy("step_idx").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === Seq((0, "a", 3L), (1, "b", 2L)))
+    // boundary: exactly at the deadline is IN (<=)
+    val exact = Seq(
+      (1L, 9L, ts("2024-01-01 10:00:00"), "a"),
+      (2L, 9L, ts("2024-01-01 11:00:00"), "b"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val g2 = EventAnalytics.funnelWithin(exact, "user_id", "ts", "event_type",
+        Seq("a", "b"), maxGapUs = 3600L * 1000000)
+      .orderBy("step_idx").collect().map(_.getLong(2)).toSeq
+    assert(g2 === Seq(1L, 1L))
+  }
+
   test("retention cohorts by first-activity epoch week with exact fractions") {
     val re = Seq(
       // users 1,2 first active week w0; user 1 returns in w0+1
