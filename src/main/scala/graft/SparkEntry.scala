@@ -1300,6 +1300,23 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"))
       .orderBy("lang", "lang_guess")
 
+  /** Key-churn histogram over the combined change log: how many keys
+    * changed once, twice, ... — the skew report a CDC operator reads
+    * BEFORE sizing the apply (a hot key that absorbs a large share of
+    * the log is what salting/AQE-skew handling exists for). Two
+    * map-side-combined aggregates: per-key counts (keyed by record_id),
+    * then the histogram (keyed by the count — at most log-many distinct
+    * values); state never exceeds distinct keys.
+    */
+  private def qCdcKeyChurn(s: SparkSession, dir: String): DataFrame =
+    changeLog(s, dir).select(col("record_id"))
+      .unionByName(secondBatchLog(s, dir).select(col("record_id")))
+      .groupBy(col("record_id"))
+      .agg(count(lit(1)).as("n_changes"))
+      .groupBy(col("n_changes"))
+      .agg(count(lit(1)).as("n_keys"))
+      .orderBy("n_changes")
+
   /** Robust (median/MAD) outliers: orders whose price deviates from
     * their priority group's median by more than 2 MADs. Exact grouped
     * medians at test scale (two percentile shuffles keyed by the group);
@@ -1347,6 +1364,7 @@ object SparkEntry {
     "events_funnel_window" -> (qEventsFunnelWindow _),
     "text_langid_confusion" -> (qTextLangidConfusion _),
     "orders_outliers" -> (qOrdersOutliers _),
+    "cdc_key_churn" -> (qCdcKeyChurn _),
     "cdc_capture_diff" -> (qCaptureDiff _),
     "cdc_capture_by_timestamp" -> (qCaptureByTimestamp _),
     "cdc_capture_by_version" -> (qCaptureByVersion _),
@@ -1911,6 +1929,16 @@ object SparkEntry {
          |SELECT d.doc_id, COALESCE(sc.n_tokens, 0) AS n_tokens, sc.lm_score
          |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    "cdc_key_churn" ->
+      s"""WITH ${FixtureSql.LogCte}, ${FixtureSql.Log2Cte},
+         |combined AS (
+         |  SELECT record_id FROM logm_t
+         |  UNION ALL SELECT record_id FROM log2_t),
+         |per_key AS (SELECT record_id, CAST(COUNT(*) AS BIGINT) AS n_changes
+         |            FROM combined GROUP BY record_id)
+         |SELECT n_changes, CAST(COUNT(*) AS BIGINT) AS n_keys
+         |FROM per_key GROUP BY n_changes ORDER BY n_changes""".stripMargin,
 
     "events_funnel_window" ->
       """WITH s0 AS (SELECT user_id AS u, min(ts) AS t FROM events

@@ -297,7 +297,16 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.8,
       maxDf: Int = 20): DataFrame = {
+    // The shingled base has FIVE consumers (df count, both sides of the
+    // blocked candidate join, both verify re-fetches), and predicate
+    // pushdown re-inlines the kernel into each — measured 14 kernel
+    // sites in the un-materialized plan, i.e. the corpus re-shingled
+    // over and over. localCheckpoint (released with the plan, unlike an
+    // un-unpersisted cache) runs the kernel once; O(corpus) storage,
+    // same trade as ngramJaccardDedup's guard-mode base.
     val base = df.select(col(idCol).as("id"), hashedShingles(col(textCol), n).as("sh"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .localCheckpoint(true)
     // (id, gram) — shingle arrays are distinct per doc by construction,
     // so no per-doc dedup is needed before the df count.
     val grams = base.select(col("id"), explode(col("sh")).as("gram"))
