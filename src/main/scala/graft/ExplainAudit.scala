@@ -20,7 +20,10 @@ object ExplainAudit {
       "ann_pq_topk", "corpus_shuffle",
       "dedup_incremental", "ann_ivfpq_topk", "lineitem_bloom_semi",
       "sketch_quantiles", "sketch_heavy_hitters", "corpus_budget_mix",
-      "supplier_salted_revenue", "orders_profile", "events_asof_within"))
+      "supplier_salted_revenue", "orders_profile", "events_asof_within",
+      "corpus_curate", "text_containment", "emb_semantic_dedup",
+      "text_lm_score", "events_top_paths", "events_funnel_window",
+      "orders_grouping_sets", "orders_outliers", "cdc_key_churn"))
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -284,6 +284,76 @@ class ExtOperatorsSpec extends SparkSpecBase {
     assert(got === expect)
   }
 
+  test("containmentPairs equals brute force restricted to rare-gram-sharing pairs") {
+    // Adversarial check of the rare-gram blocking + bounded verify: the
+    // operator's output must equal a naive computation over exactly the
+    // pairs its blocking contract admits (sharing >= 1 gram with
+    // document frequency in [2, maxDf]), on random docs.
+    val rnd = new scala.util.Random(23)
+    val words = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val rdocs = Seq.tabulate(50) { i =>
+      val len = 1 + rnd.nextInt(20)
+      (i.toLong, Seq.fill(len)(words(rnd.nextInt(words.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val maxDf = 6
+    val thr = 0.5
+    val got = Dedup.containmentPairs(rdocs, "text", "doc_id",
+        n = 3, threshold = thr, maxDf = maxDf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val sh = rdocs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val dfc = sh.values.toSeq.flatten.groupBy(identity).map { case (g, o) => g -> o.size }
+    val rare = dfc.collect { case (g, d) if d >= 2 && d <= maxDf => g }.toSet
+    val expect = (for {
+      a <- sh.keys.toSeq
+      b <- sh.keys.toSeq
+      if a < b && (sh(a) & sh(b)).exists(rare)
+      cont = (sh(a) & sh(b)).size.toDouble / math.min(sh(a).size, sh(b).size)
+      r6 = BigDecimal(cont).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if r6 >= thr
+    } yield (a, b, r6)).toSet
+    assert(got === expect)
+    assert(got.nonEmpty, "degenerate fixture: no pairs admitted")
+  }
+
+  test("semanticDedup equals brute-force within-cluster dedup on random vectors") {
+    val rnd = new scala.util.Random(7)
+    val rvecs = Seq.tabulate(80) { i =>
+      (i.toLong, Array.fill(8)(rnd.nextFloat() * 2f - 1f))
+    }
+    val cents = Seq.tabulate(4) { c =>
+      (c.toLong, Seq.fill(8)(rnd.nextDouble() * 2 - 1))
+    }
+    val thr = 0.5
+    val got = Similarity.semanticDedup(rvecs.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", cents, thr)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: assign by max cosine (ties -> lower centroid id), drop any
+    // vector with a >= thr cosine to a lower-id mate in its cluster
+    def cos(a: Array[Float], b: Seq[Double]): Double = {
+      val dp = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(y => y * y).sum)
+      if (na * nb == 0) 0.0 else dp / (na * nb)
+    }
+    def cosv(a: Array[Float], b: Array[Float]): Double = {
+      val dp = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      if (na * nb == 0) 0.0 else dp / (na * nb)
+    }
+    val assign = rvecs.map { case (id, v) =>
+      id -> cents.map { case (cid, cv) => (cid, cos(v, cv)) }
+        .maxBy { case (cid, s) => (s, -cid) }._1
+    }.toMap
+    val expect = rvecs.collect { case (id, v) if !rvecs.exists { case (id2, v2) =>
+      id2 < id && assign(id2) == assign(id) &&
+        BigDecimal(cosv(v2, v)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble >= thr
+    } => id -> assign(id) }.toMap
+    assert(got === expect)
+    assert(got.size < rvecs.size, "degenerate fixture: nothing dropped")
+  }
+
   test("ngramJaccardDedup hot-block guard trips on an over-cap block") {
     val many = (1L to 50L).map(i => (i, s"doc $i the quick brown fox", "en"))
       .toDF("doc_id", "text", "lang")
