@@ -193,6 +193,22 @@ object SparkEntry {
       .orderBy("record_id", "valid_from")
   }
 
+  /** SCD2 consumer lookup: every key's version valid at log position
+    * 700 (mid-first-batch: pre-700 changes visible as closed or open
+    * rows, post-700 changes invisible, pre-700 deletes absent) — the
+    * read path of the history tier, versus `cdc_snapshot_asof`'s
+    * reconstruct path.
+    */
+  private def qHistoryLookup(s: SparkSession, dir: String): DataFrame = {
+    val combined = changeLog(s, dir).unionByName(secondBatchLog(s, dir))
+    val hist = graft.log.History.scd2(
+        orders(s, dir).select(OrdersSpec.columns.map(col): _*), combined, OrdersSpec)
+    graft.log.History.versionAt(hist, 700L)
+      .select(col("record_id"), col("o_orderstatus").as("status"),
+        col("valid_from"), col("valid_to"))
+      .orderBy("record_id")
+  }
+
   /** Net-effect compaction of the two-batch log: multi-change keys
     * collapse to one row carrying the LAST image; the audit columns count
     * what was collapsed.
@@ -1365,6 +1381,7 @@ object SparkEntry {
     "text_langid_confusion" -> (qTextLangidConfusion _),
     "orders_outliers" -> (qOrdersOutliers _),
     "cdc_key_churn" -> (qCdcKeyChurn _),
+    "cdc_history_lookup" -> (qHistoryLookup _),
     "cdc_capture_diff" -> (qCaptureDiff _),
     "cdc_capture_by_timestamp" -> (qCaptureByTimestamp _),
     "cdc_capture_by_version" -> (qCaptureByVersion _),
@@ -2158,6 +2175,22 @@ object SparkEntry {
          |SELECT record_id, st AS status, cdc_id AS valid_from, valid_to,
          |       CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
          |FROM v WHERE NOT del ORDER BY record_id, valid_from""".stripMargin,
+
+    "cdc_history_lookup" ->
+      s"""WITH ${FixtureSql.LogCte}, ${FixtureSql.Log2Cte},
+         |ev AS (
+         |  SELECT CAST(0 AS BIGINT) AS cdc_id, o_orderkey AS record_id,
+         |         o_orderstatus AS st, FALSE AS del FROM orders
+         |  UNION ALL
+         |  SELECT cdc_id, record_id, new_status, operation = 'DELETE' FROM logm_t
+         |  UNION ALL
+         |  SELECT cdc_id, record_id, new_status, FALSE FROM log2_t),
+         |v AS (SELECT *, lead(cdc_id) OVER (PARTITION BY record_id ORDER BY cdc_id) AS valid_to
+         |      FROM ev)
+         |SELECT record_id, st AS status, cdc_id AS valid_from, valid_to
+         |FROM v WHERE NOT del AND cdc_id <= 700
+         |  AND (valid_to IS NULL OR valid_to > 700)
+         |ORDER BY record_id""".stripMargin,
 
     "cdc_compact_log" ->
       s"""WITH ${FixtureSql.LogCte}, ${FixtureSql.Log2Cte},

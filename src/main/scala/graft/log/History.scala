@@ -120,4 +120,16 @@ object History {
       asOfId: Long): DataFrame =
     ChangeApplier.applyChanges(
       base, log.filter(col(CdcId) <= asOfId), spec, ConflictStrategy.LastWriteWins)
+
+  /** The consumer-side SCD2 lookup: each key's version valid AT log
+    * position `pos` — `valid_from <= pos < valid_to` with open (current)
+    * intervals passing, keys deleted before `pos` absent. Where
+    * [[snapshotAsOf]] RECONSTRUCTS state from base + log, this READS an
+    * already-materialized history — a narrow filter, no join, no
+    * shuffle; on a history laid out by `valid_from` (date/range
+    * partitions at scale) both bounds push into the scan and prune it.
+    */
+  def versionAt(history: DataFrame, pos: Long): DataFrame =
+    history.filter(col("valid_from") <= pos &&
+      (col("valid_to").isNull || col("valid_to") > pos))
 }

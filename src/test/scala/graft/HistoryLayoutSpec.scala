@@ -55,6 +55,31 @@ class HistoryLayoutSpec extends SparkSpecBase {
       (4L, 40L, 7L, None, 1)))
   }
 
+  test("versionAt: boundary semantics against the scd2 fixture") {
+    val base = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v")
+    val log = mkLog(Seq(
+      (5L, 1L, "UPDATE", Some(11L)),
+      (9L, 1L, "UPDATE", Some(12L)),
+      (6L, 2L, "DELETE", None),
+      (7L, 4L, "INSERT", Some(40L))))
+    val h = History.scd2(base, log, spec)
+    def at(p: Long) = History.versionAt(h, p)
+      .select("record_id", "v").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(at(0L) == Seq((1L, 10L), (2L, 20L), (3L, 30L)), "position 0 = base")
+    // at 5: key 1 flips to v=11 exactly AT its valid_from; key 2 still alive
+    assert(at(5L) == Seq((1L, 11L), (2L, 20L), (3L, 30L)))
+    // at 6: key 2's delete closes it AT position 6 (valid_to > pos fails)
+    assert(at(6L) == Seq((1L, 11L), (3L, 30L)))
+    // at 9+: final state — key 4 inserted, key 1 at v=12
+    assert(at(100L) == Seq((1L, 12L), (3L, 30L), (4L, 40L)))
+    // lookup equals the reconstruct path at every probed position
+    for (p <- Seq(0L, 5L, 6L, 100L)) {
+      val rec = History.snapshotAsOf(base, log, spec, p)
+        .select("id", "v").as[(Long, Long)].collect().sortBy(_._1).toSeq
+      assert(at(p) == rec, s"versionAt($p) != snapshotAsOf($p)")
+    }
+  }
+
   test("scd2: exactly the live keys have a current version, and it equals the applied state") {
     val base = Fixtures.orders(spark, dir).select(Fixtures.OrdersSpec.columns.map(col): _*)
     val log = Fixtures.changeLog(spark, dir)
