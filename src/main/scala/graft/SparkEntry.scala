@@ -1296,6 +1296,56 @@ object SparkEntry {
   private def qTextLmScore(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.lmScore(documents(s, dir), "doc_id", "text").orderBy("doc_id")
 
+  /** Top-30 corpus bigrams with count >= 2 — the first rung of an
+    * n-gram LM count table (the classic MapReduce workload): explode
+    * adjacent token pairs, one map-side-combined aggregate, heavy-hitters
+    * output. Ties break lexicographically.
+    */
+  private def qCorpusBigrams(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      // bigrams as zip_with(tokens, tail(tokens)): two O(n) slices ONCE
+      // per doc and a cheap element lambda. The index formulation
+      // (transform over positions + element_at/slice inside the lambda)
+      // pays per-ELEMENT array access in an interpreted lambda —
+      // measured 14 s vs 1.1 s at sf0.1 for identical output
+      .select(TextAnalysis.tokens(lower(col("text"))).as("tk"))
+      .select(when(size(col("tk")) >= 2,
+          zip_with(
+            slice(col("tk"), lit(1), size(col("tk")) - 1),
+            slice(col("tk"), lit(2), size(col("tk")) - 1),
+            (a, b) => concat(a, lit(" "), b)))
+        .otherwise(array().cast("array<string>")).as("g2"))
+      .select(explode(col("g2")).as("bigram"))
+      .groupBy("bigram")
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(30)
+
+  /** IVF index health report: per-cluster member count and mean/max
+    * cosine to the centroid — the index-quality audit run after
+    * (re)training (skewed sizes or low mean similarity = retrain with
+    * more centroids). Zero-shuffle assignment + one aggregate keyed by
+    * centroid id.
+    */
+  private def qEmbCentroidStats(s: SparkSession, dir: String): DataFrame = {
+    val cents = Similarity.collectCentroids(embCentroids(s, dir), "vec_id", "embedding")
+    val assigned = Similarity.ivfAssign(embeddings(s, dir), cents, "embedding")
+    val centLit = map(cents.flatMap { case (cid, v) =>
+      Seq(lit(cid), array(v.map(lit): _*))
+    }: _*)
+    assigned
+      .withColumn("__score",
+        round(Similarity.cosine(col("embedding").cast("array<double>"),
+          element_at(centLit, col("centroid_id"))), 6))
+      .groupBy("centroid_id")
+      .agg(count(lit(1)).as("n_members"),
+        round(avg(col("__score")), 6).as("mean_cos"),
+        max(col("__score")).as("max_cos"),
+        min(col("__score")).as("min_cos"))
+      .orderBy("centroid_id")
+  }
+
   /** Time-bounded funnel: each step within 24 h of the previous step's
     * completion — the conversion-deadline semantic an unbounded funnel
     * overstates (sf0.01: 150/39/16/5 vs 150/150/150/150 unbounded).
@@ -1382,6 +1432,8 @@ object SparkEntry {
     "orders_outliers" -> (qOrdersOutliers _),
     "cdc_key_churn" -> (qCdcKeyChurn _),
     "cdc_history_lookup" -> (qHistoryLookup _),
+    "corpus_bigrams" -> (qCorpusBigrams _),
+    "emb_centroid_stats" -> (qEmbCentroidStats _),
     "cdc_capture_diff" -> (qCaptureDiff _),
     "cdc_capture_by_timestamp" -> (qCaptureByTimestamp _),
     "cdc_capture_by_version" -> (qCaptureByVersion _),
@@ -1956,6 +2008,34 @@ object SparkEntry {
          |            FROM combined GROUP BY record_id)
          |SELECT n_changes, CAST(COUNT(*) AS BIGINT) AS n_keys
          |FROM per_key GROUP BY n_changes ORDER BY n_changes""".stripMargin,
+
+    "corpus_bigrams" ->
+      s"""WITH $TextTokensCte,
+         |b AS (SELECT CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+         |             ELSE list_transform(range(1, len(toks)),
+         |                    i -> array_to_string(ltoks[i:i+1], ' ')) END AS g2
+         |      FROM t),
+         |c AS (SELECT unnest(g2) AS bigram FROM b)
+         |SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM c GROUP BY bigram HAVING COUNT(*) >= 2
+         |ORDER BY n DESC, bigram LIMIT 30""".stripMargin,
+
+    "emb_centroid_stats" ->
+      s"""WITH $EmbBase,
+         |rawc AS (
+         |  SELECT e.vec_id, c.cid,
+         |         ${dotSql("e.v", "c.cv")} AS dp,
+         |         sqrt(${dotSql("e.v", "e.v")}) AS na,
+         |         sqrt(${dotSql("c.cv", "c.cv")}) AS nb
+         |  FROM e, c),
+         |${cosScoreSql("rawc", "sc")},
+         |a1 AS (SELECT vec_id, cid, score FROM
+         |        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn FROM sc)
+         |       WHERE rn = 1)
+         |SELECT cid AS centroid_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+         |       round(avg(score), 6) AS mean_cos,
+         |       max(score) AS max_cos, min(score) AS min_cos
+         |FROM a1 GROUP BY cid ORDER BY centroid_id""".stripMargin,
 
     "events_funnel_window" ->
       """WITH s0 AS (SELECT user_id AS u, min(ts) AS t FROM events
