@@ -1296,6 +1296,27 @@ object SparkEntry {
   private def qTextLmScore(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.lmScore(documents(s, dir), "doc_id", "text").orderBy("doc_id")
 
+  /** Join-type parity suite: row cardinality of every SQL join flavor
+    * (inner / left / right / full / semi / anti) between orders and a
+    * deliberately-partial customer subset (negative-balance customers
+    * dropped, so outer/semi/anti results all differ). One row per
+    * flavor — the explicit join-surface checklist, oracle-matched
+    * against DuckDB's implementations of the same six joins.
+    */
+  private def qOrdersJoinSuite(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    val c = customer(s, dir).filter(col("c_acctbal") > 0).select(col("c_custkey"))
+    def n(tpe: String, joined: DataFrame): DataFrame =
+      joined.agg(count(lit(1)).as("n_rows")).select(lit(tpe).as("join_type"), col("n_rows"))
+    n("1_inner", o.join(c, col("o_custkey") === col("c_custkey")))
+      .unionByName(n("2_left", o.join(c, col("o_custkey") === col("c_custkey"), "left")))
+      .unionByName(n("3_right", o.join(c, col("o_custkey") === col("c_custkey"), "right")))
+      .unionByName(n("4_full", o.join(c, col("o_custkey") === col("c_custkey"), "full")))
+      .unionByName(n("5_semi", o.join(c, col("o_custkey") === col("c_custkey"), "left_semi")))
+      .unionByName(n("6_anti", o.join(c, col("o_custkey") === col("c_custkey"), "left_anti")))
+      .orderBy("join_type")
+  }
+
   /** Top-30 corpus bigrams with count >= 2 — the first rung of an
     * n-gram LM count table (the classic MapReduce workload): explode
     * adjacent token pairs, one map-side-combined aggregate, heavy-hitters
@@ -1434,6 +1455,7 @@ object SparkEntry {
     "cdc_history_lookup" -> (qHistoryLookup _),
     "corpus_bigrams" -> (qCorpusBigrams _),
     "emb_centroid_stats" -> (qEmbCentroidStats _),
+    "orders_join_suite" -> (qOrdersJoinSuite _),
     "cdc_capture_diff" -> (qCaptureDiff _),
     "cdc_capture_by_timestamp" -> (qCaptureByTimestamp _),
     "cdc_capture_by_version" -> (qCaptureByVersion _),
@@ -2008,6 +2030,19 @@ object SparkEntry {
          |            FROM combined GROUP BY record_id)
          |SELECT n_changes, CAST(COUNT(*) AS BIGINT) AS n_keys
          |FROM per_key GROUP BY n_changes ORDER BY n_changes""".stripMargin,
+
+    "orders_join_suite" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey FROM orders),
+        |c AS (SELECT c_custkey FROM customer WHERE c_acctbal > 0)
+        |SELECT * FROM (
+        |  SELECT '1_inner' AS join_type, CAST(COUNT(*) AS BIGINT) AS n_rows
+        |  FROM o JOIN c ON o.o_custkey = c.c_custkey
+        |  UNION ALL SELECT '2_left', COUNT(*) FROM o LEFT JOIN c ON o.o_custkey = c.c_custkey
+        |  UNION ALL SELECT '3_right', COUNT(*) FROM o RIGHT JOIN c ON o.o_custkey = c.c_custkey
+        |  UNION ALL SELECT '4_full', COUNT(*) FROM o FULL JOIN c ON o.o_custkey = c.c_custkey
+        |  UNION ALL SELECT '5_semi', COUNT(*) FROM o SEMI JOIN c ON o.o_custkey = c.c_custkey
+        |  UNION ALL SELECT '6_anti', COUNT(*) FROM o ANTI JOIN c ON o.o_custkey = c.c_custkey)
+        |ORDER BY join_type""".stripMargin,
 
     "corpus_bigrams" ->
       s"""WITH $TextTokensCte,
