@@ -1367,6 +1367,40 @@ object SparkEntry {
       .orderBy("centroid_id")
   }
 
+  /** Daily active users, trailing-7-day active users, and the DAU/WAU
+    * stickiness ratio per epoch-day — the product-analytics triple that
+    * pairs with retention. Distinct (user, day) first (the raw event
+    * volume collapses before anything else — same discipline as
+    * retention); WAU via the trailing-window EXPANSION — each active
+    * (user, day) contributes itself to the 7 window-days it serves
+    * (sequence + explode, a 7× narrow fan-out of the already-collapsed
+    * activity frame) and the join on `day` is a hash equi-join. The
+    * band-predicate formulation (`a.day <= d AND a.day > d-7`) planned
+    * a BroadcastNestedLoopJoin — caught by the plan guard; the
+    * expansion buys the hash join for a 7× row multiplier on
+    * |users×days|, never on raw events. Integer epoch-day arithmetic,
+    * no calendar ambiguity.
+    */
+  private def qEventsDauWau(s: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val activity = events(s, dir)
+      .select(col("user_id"),
+        expr(s"(unix_micros(ts) - pmod(unix_micros(ts), ${dayUs}L)) div ${dayUs}L").as("day"))
+      .distinct()
+    val dau = activity.groupBy("day").agg(countDistinct("user_id").as("dau"))
+    val days = dau.select(col("day"))
+    val wau = activity
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 6)).as("day"))
+      .join(days, Seq("day"), "left_semi") // only observed days report
+      .groupBy("day")
+      .agg(countDistinct("user_id").as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
+      .orderBy("day")
+  }
+
   /** Time-bounded funnel: each step within 24 h of the previous step's
     * completion — the conversion-deadline semantic an unbounded funnel
     * overstates (sf0.01: 150/39/16/5 vs 150/150/150/150 unbounded).
@@ -1456,6 +1490,7 @@ object SparkEntry {
     "corpus_bigrams" -> (qCorpusBigrams _),
     "emb_centroid_stats" -> (qEmbCentroidStats _),
     "orders_join_suite" -> (qOrdersJoinSuite _),
+    "events_dau_wau" -> (qEventsDauWau _),
     "cdc_capture_diff" -> (qCaptureDiff _),
     "cdc_capture_by_timestamp" -> (qCaptureByTimestamp _),
     "cdc_capture_by_version" -> (qCaptureByVersion _),
@@ -2071,6 +2106,20 @@ object SparkEntry {
          |       round(avg(score), 6) AS mean_cos,
          |       max(score) AS max_cos, min(score) AS min_cos
          |FROM a1 GROUP BY cid ORDER BY centroid_id""".stripMargin,
+
+    "events_dau_wau" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+        |                  epoch_us(ts) // 86400000000 AS day FROM events),
+        |dau AS (SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+        |        FROM a GROUP BY day),
+        |wau AS (SELECT d.day, CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS wau
+        |        FROM (SELECT day FROM dau) d
+        |        JOIN a ON a.day <= d.day AND a.day > d.day - 7
+        |        GROUP BY d.day)
+        |SELECT dau.day, dau.dau, wau.wau,
+        |       round(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+        |FROM dau JOIN wau ON dau.day = wau.day
+        |ORDER BY dau.day""".stripMargin,
 
     "events_funnel_window" ->
       """WITH s0 AS (SELECT user_id AS u, min(ts) AS t FROM events
