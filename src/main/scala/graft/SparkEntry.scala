@@ -1367,6 +1367,25 @@ object SparkEntry {
       .orderBy("centroid_id")
   }
 
+  /** Per-language duplication report: doc count, distinct-fingerprint
+    * count, duplicate docs, and the duplication rate — the
+    * pipeline-observability view a curation run logs per source before
+    * deciding dedup aggressiveness. One aggregate keyed by (lang, fp)
+    * collapsed into a per-lang rollup; state bounded by distinct
+    * fingerprints.
+    */
+  private def qCorpusDupReport(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("lang"), TextAnalysis.fingerprint(col("text")).as("fp"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("fp").as("n_distinct"))
+      .select(col("lang"), col("n_docs"), col("n_distinct"),
+        (col("n_docs") - col("n_distinct")).as("n_dup_docs"),
+        round((col("n_docs") - col("n_distinct")).cast("double") / col("n_docs"), 6)
+          .as("dup_rate"))
+      .orderBy("lang")
+
   /** Daily active users, trailing-7-day active users, and the DAU/WAU
     * stickiness ratio per epoch-day — the product-analytics triple that
     * pairs with retention. Distinct (user, day) first (the raw event
@@ -1491,6 +1510,7 @@ object SparkEntry {
     "emb_centroid_stats" -> (qEmbCentroidStats _),
     "orders_join_suite" -> (qOrdersJoinSuite _),
     "events_dau_wau" -> (qEventsDauWau _),
+    "corpus_dup_report" -> (qCorpusDupReport _),
     "cdc_capture_diff" -> (qCaptureDiff _),
     "cdc_capture_by_timestamp" -> (qCaptureByTimestamp _),
     "cdc_capture_by_version" -> (qCaptureByVersion _),
@@ -2106,6 +2126,16 @@ object SparkEntry {
          |       round(avg(score), 6) AS mean_cos,
          |       max(score) AS max_cos, min(score) AS min_cos
          |FROM a1 GROUP BY cid ORDER BY centroid_id""".stripMargin,
+
+    "corpus_dup_report" ->
+      """WITH f AS (SELECT lang,
+        |            md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |           FROM documents)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_distinct,
+        |       CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_dup_docs,
+        |       round(CAST(COUNT(*) - COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*), 6) AS dup_rate
+        |FROM f GROUP BY lang ORDER BY lang""".stripMargin,
 
     "events_dau_wau" ->
       """WITH a AS (SELECT DISTINCT user_id,
