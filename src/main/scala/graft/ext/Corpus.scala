@@ -227,13 +227,13 @@ object Corpus {
     * docs as `(doc_id, stratum, n_tokens)`.
     *
     * Plan shape, in order: narrow scan with the token count and
-    * fingerprint computed in one pass; one hash-partition shuffle on the
-    * fingerprint for the keep-one window (the only corpus-sized
-    * shuffle); then [[decontaminate]]'s broadcast semi-probe and a
-    * LEFT ANTI against the (tiny) contaminated-id set. At 100 TB the
-    * pipeline moves the corpus across the wire exactly once — each
-    * stage's filter runs before the next stage's work, so dropped rows
-    * pay nothing downstream.
+    * fingerprint computed in one pass; [[decontaminate]]'s broadcast
+    * semi-probe and a LEFT ANTI against the (tiny) contaminated-id set;
+    * then one hash-partition shuffle on the fingerprint for the keep-one
+    * window — the only corpus-sized shuffle, run over the
+    * already-thinned frame. At 100 TB the pipeline moves the corpus
+    * across the wire exactly once — each stage's filter runs before the
+    * next stage's work, so dropped rows pay nothing downstream.
     */
   def curate(
       docs: DataFrame,
@@ -249,16 +249,22 @@ object Corpus {
         TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"),
         TextAnalysis.fingerprint(col(textCol)).as("__fp"))
       .filter(col("n_tokens") >= minTokens)
-    val w = Window.partitionBy(col("__fp")).orderBy(col("doc_id"))
-    val kept = q
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-    val contaminated = decontaminate(kept, eval.select(col(textCol).as("__text")),
+    // Decontamination runs BEFORE the keep-one window: both stages are
+    // pure functions of the text (exact duplicates share hit counts),
+    // so they commute — and this order runs the corpus-sized
+    // fingerprint shuffle exactly once, over the already-thinned frame.
+    // (Dedup-first needs `kept` twice — probe + anti-join — and the
+    // plan re-ran the window for each consumer; checkpointing `kept`
+    // fixed the double shuffle but paid an eager corpus
+    // materialization. Commuting gets both properties for free.)
+    val contaminated = decontaminate(q, eval.select(col(textCol).as("__text")),
         "__text", "doc_id", n)
       .filter(col("n_hit_ngrams") > maxHitNgrams)
       .select(col("doc_id"))
-    kept
-      .join(contaminated, Seq("doc_id"), "left_anti")
+    val w = Window.partitionBy(col("__fp")).orderBy(col("doc_id"))
+    q.join(contaminated, Seq("doc_id"), "left_anti")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
       .select(col("doc_id"), col("stratum"), col("n_tokens"))
   }
 
