@@ -231,6 +231,17 @@ object EventAnalytics {
     * shape as [[funnel]]: k joins of monotonically decreasing size, no
     * global window, no event buffering; the gap predicate rides the
     * existing join, adding no shuffle.
+    *
+    * "Completion" is GREEDY first-qualifying-event: each step anchors at
+    * the user's EARLIEST event that satisfies the deadline from the
+    * previous anchor, the standard product-analytics convention (and the
+    * one a per-step min-aggregate can compute in k bounded joins). This
+    * can undercount relative to an exists-any-compliant-chain definition:
+    * with a 24 h gap, a@0h, b@10h, b@20h, c@35h anchors b at 10h and
+    * rejects c, even though the chain a→b@20h→c@35h is fully compliant.
+    * The chain-existence semantic is a per-user sequence scan (state
+    * linear in events per user); this operator deliberately trades it
+    * for the aggregate shape that needs no such state.
     */
   def funnelWithin(
       events: DataFrame,

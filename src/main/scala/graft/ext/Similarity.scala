@@ -768,6 +768,17 @@ object Similarity {
     * re-fetched per pair. The lowest-id-survives keeper rule is
     * deterministic and order-independent, so the result is identical
     * under any execution order — and oracle-checkable.
+    *
+    * The drop decision for `id_b` is made against ALL lower-id cluster
+    * mates, including mates that are themselves dropped — so chained
+    * near-dups prune transitively: with cos(1,2)≥t, cos(2,3)≥t,
+    * cos(1,3)<t, vector 3 is dropped via 2 even though its only
+    * SURVIVING mate (1) is below threshold. This over-prunes relative to
+    * a keeper-graph / exactly-one-survivor-per-duplicate-group semantic;
+    * it is the deterministic single-pass contract (one pair join, no
+    * iterative keeper propagation), matching the SemDeDup recipe. Callers
+    * needing group-wise keep-one should cluster first
+    * ([[graft.ext.Dedup]] `clusters`) and keep per component.
     */
   def semanticDedup(
       df: DataFrame,

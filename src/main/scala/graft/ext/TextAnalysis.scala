@@ -171,7 +171,16 @@ object TextAnalysis {
       explode(tokens(lower(col(textCol)))).as("tok"))
     val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
       .localCheckpoint(true)
-    val logT = math.log(freq.agg(sum(col("cnt"))).head().getLong(0).toDouble)
+    // A corpus with zero tokens (all-empty/whitespace texts) has an empty
+    // frequency table and a NULL sum; every doc then takes the already
+    // defined empty-doc contract (n_tokens=0, NULL lm_score) instead of
+    // the scalar read throwing.
+    val totRow = freq.agg(sum(col("cnt"))).head()
+    if (totRow.isNullAt(0))
+      return df.select(col(idCol).as("doc_id"),
+        lit(0L).as("n_tokens"),
+        lit(null).cast("double").as("lm_score"))
+    val logT = math.log(totRow.getLong(0).toDouble)
     val scored = toks
       .join(freq, Seq("tok"))
       .groupBy(col("doc_id"))

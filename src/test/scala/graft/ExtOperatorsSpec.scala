@@ -509,6 +509,14 @@ class ExtOperatorsSpec extends SparkSpecBase {
       (math.log(4.0 / 5.0) + math.log(1.0 / 5.0)) / 2.0) < 1e-5)
     assert(out(1L).getDouble(2) > out(2L).getDouble(2), "rare tokens score lower")
     assert(out(3L).getLong(1) === 0L && out(3L).isNullAt(2), "empty doc → NULL, not 0")
+    // Degenerate corpus: zero tokens anywhere → every doc takes the
+    // empty-doc contract (n_tokens=0, NULL score); no NPE on the NULL sum.
+    val deg = TextAnalysis.lmScore(
+      Seq((1L, ""), (2L, "   "), (3L, null.asInstanceOf[String])).toDF("doc_id", "text"),
+      "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(deg.size === 3)
+    deg.values.foreach { r => assert(r.getLong(1) === 0L && r.isNullAt(2)) }
   }
 
   test("embeddingNearDup finds exact duplicates (guaranteed same bucket in every band)") {
