@@ -151,17 +151,32 @@ object CdcStream {
           .option("recursiveFileLookup", "true").parquet(dirs: _*)
     }
 
-    // Merge + write the changed buckets. mode=overwrite clears any
-    // half-written v=<epoch> from a crashed attempt FIRST; the copies
-    // below then repopulate the untouched buckets — same directory
-    // contents on every re-run of this epoch.
-    ChangeApplier.applyChanges(targetChanged, batch, spec, strategy)
-      .withColumn("__b", bucketOf(col(spec.pkCol)))
-      .write.partitionBy("__b").mode("overwrite").parquet(s"$targetDir/v=$epoch")
+    // Merge + write the changed buckets (see writeEpochVersion).
+    writeEpochVersion(
+      ChangeApplier.applyChanges(targetChanged, batch, spec, strategy)
+        .withColumn("__b", bucketOf(col(spec.pkCol))),
+      epoch, targetDir, prior, changedBuckets)
+  }
+
+  /** Commit one epoch of a bucketed versioned table: write the merged
+    * changed-bucket rows (which must already carry their `__b` column),
+    * carry the untouched buckets of the prior version forward as
+    * byte-identical file copies, then flip `_current`. mode=overwrite
+    * clears any half-written v=<epoch> from a crashed attempt FIRST; the
+    * copies then repopulate the untouched buckets — same directory
+    * contents on every re-run of the same epoch.
+    */
+  private def writeEpochVersion(
+      merged: DataFrame,
+      epoch: Long,
+      rootDir: String,
+      prior: Option[Long],
+      changedBuckets: Set[Int]): Unit = {
+    merged.write.partitionBy("__b").mode("overwrite").parquet(s"$rootDir/v=$epoch")
 
     // Carry untouched buckets forward as byte-identical copies.
     prior.foreach { pv =>
-      val priorDir = Paths.get(targetDir, s"v=$pv")
+      val priorDir = Paths.get(rootDir, s"v=$pv")
       val it = Files.list(priorDir)
       try {
         import scala.jdk.CollectionConverters._
@@ -173,7 +188,7 @@ object CdcStream {
               name.stripPrefix("__b=").toIntOption.exists(!changedBuckets.contains(_))
           }
           .foreach { src =>
-            val dst = Paths.get(targetDir, s"v=$epoch", src.getFileName.toString)
+            val dst = Paths.get(rootDir, s"v=$epoch", src.getFileName.toString)
             val files = Files.walk(src)
             try files.iterator().asScala.foreach { p =>
               val rel = dst.resolve(src.relativize(p).toString)
@@ -184,7 +199,142 @@ object CdcStream {
           }
       } finally it.close()
     }
-    commitVersion(targetDir, epoch)
+    commitVersion(rootDir, epoch)
+  }
+
+  // ----------------------------------------------- SCD2 history maintenance
+
+  /** Schema of the maintained SCD2 history table — identical to
+    * [[graft.log.History.scd2]]'s output: `record_id`, the tracked
+    * columns, `[valid_from, valid_to)` in log positions, `is_current`.
+    */
+  def historySchema(spec: CdcTableSpec, rowSchema: StructType): StructType = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField}
+    StructType(
+      StructField(graft.log.ChangeLog.RecordId, LongType) +:
+        spec.columns.map(c => rowSchema(c).copy(nullable = true)) :+
+        StructField("valid_from", LongType) :+
+        StructField("valid_to", LongType) :+
+        StructField("is_current", IntegerType))
+  }
+
+  /** Seed the history table from the base snapshot — every base key an
+    * open version-0 row (`valid_from = 0`, the position
+    * [[graft.log.History.scd2]] reserves for the base), committed as
+    * pseudo-epoch `v=-1` so streaming epoch 0 finds it via
+    * [[versionBefore]].
+    */
+  def bootstrapHistory(
+      base: DataFrame,
+      historyDir: String,
+      spec: CdcTableSpec,
+      numBuckets: Int = 16): Unit = {
+    val rows = base.select(
+      col(spec.pkCol).cast("long").as(graft.log.ChangeLog.RecordId) +:
+        spec.columns.map(col) :+
+        lit(0L).as("valid_from") :+
+        lit(null).cast("long").as("valid_to") :+
+        lit(1).as("is_current"): _*)
+      .withColumn("__b",
+        pmod(hash(col(graft.log.ChangeLog.RecordId).cast("long")), lit(numBuckets)))
+    writeEpochVersion(rows, -1L, historyDir, None, Set.empty)
+  }
+
+  /** Read the current committed history snapshot (empty when nothing —
+    * not even a bootstrap — has committed yet).
+    */
+  def readHistory(
+      spark: SparkSession,
+      historyDir: String,
+      spec: CdcTableSpec,
+      rowSchema: StructType): DataFrame =
+    readVersion(spark, historyDir, historySchema(spec, rowSchema),
+      currentVersion(historyDir))
+
+  /** Incrementally maintain the SCD2 history for one micro-batch — the
+    * streaming form of [[graft.log.History.scd2]], with the same
+    * epoch-versioned bucketed layout (and therefore the same idempotent
+    * crash-replay contract) as [[applyBatch]]:
+    *
+    *  - only the buckets containing the batch's keys are read from the
+    *    previous version (file-pruned) and rewritten; untouched buckets
+    *    are carried forward byte-identically;
+    *  - within a changed bucket, rows of keys NOT in the batch — and the
+    *    already-CLOSED versions of keys that ARE — are carried through
+    *    unmodified; only each batched key's OPEN version re-enters the
+    *    window (as a pseudo-event at its `valid_from`) together with the
+    *    batch's events, exactly the batch formula restricted to the
+    *    affected keys. Per-epoch work is O(changed buckets + batch),
+    *    never O(history).
+    *
+    * Ordering contract (same as the latest-state target's epoch
+    * disambiguation): batches must arrive in log order — every event in
+    * a batch has a `cdc_id` greater than any previously applied event
+    * for its key. The file stream over an append-only log provides this;
+    * an out-of-order backfill must instead rebuild via the batch
+    * operator. Re-running a crashed epoch reads `versionBefore(epoch)`,
+    * reproducing the first attempt's input and output.
+    */
+  def applyHistoryBatch(
+      batch: DataFrame,
+      epoch: Long,
+      historyDir: String,
+      spec: CdcTableSpec,
+      rowSchema: StructType,
+      numBuckets: Int = 16): Unit = {
+    import graft.log.ChangeLog.{CdcId, NewData, Operation, RecordId}
+    import org.apache.spark.sql.expressions.Window
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return
+    def bucketOf(c: org.apache.spark.sql.Column) =
+      pmod(hash(c.cast("long")), lit(numBuckets))
+
+    val prior = versionBefore(historyDir, epoch)
+    val changedBuckets = batch
+      .select(bucketOf(col(RecordId)).as("__b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val histSchema = historySchema(spec, rowSchema)
+
+    val priorChanged = prior match {
+      case None => emptyDf(spark, histSchema)
+      case Some(pv) =>
+        val dirs = changedBuckets.toSeq.sorted
+          .map(k => s"$historyDir/v=$pv/__b=$k")
+          .filter(d => Files.isDirectory(Paths.get(d)))
+        if (dirs.isEmpty) emptyDf(spark, histSchema)
+        else spark.read.schema(histSchema)
+          .option("recursiveFileLookup", "true").parquet(dirs: _*)
+    }
+
+    // Split the changed buckets' rows: closed versions and unbatched
+    // keys pass through; each batched key's open version re-enters the
+    // window as a pseudo-event at its valid_from.
+    val batchKeys = batch.select(col(RecordId).as("__bk")).distinct()
+    val keyed = priorChanged
+      .join(batchKeys, col(RecordId) === col("__bk"), "left_outer")
+    val carried = keyed
+      .filter(col("__bk").isNull || col("valid_to").isNotNull).drop("__bk")
+    val openEvents = keyed
+      .filter(col("__bk").isNotNull && col("valid_to").isNull)
+      .select(col("valid_from").as(CdcId), col(RecordId),
+        struct(spec.columns.map(col): _*).as("__img"))
+    val batchEvents = batch.select(
+      col(CdcId), col(RecordId),
+      when(col(Operation) === "DELETE", lit(null)).otherwise(col(NewData)).as("__img"))
+    val w = Window.partitionBy(col(RecordId)).orderBy(col(CdcId))
+    val rederived = openEvents.unionByName(batchEvents)
+      .withColumn("valid_to", lead(col(CdcId), 1).over(w))
+      .filter(col("__img").isNotNull) // tombstones only close predecessors
+      .select(
+        col(RecordId) +:
+          spec.columns.map(c => col(s"__img.$c").as(c)) :+
+          col(CdcId).as("valid_from") :+
+          col("valid_to") :+
+          when(col("valid_to").isNull, lit(1)).otherwise(lit(0)).as("is_current"): _*)
+
+    writeEpochVersion(
+      carried.unionByName(rederived).withColumn("__b", bucketOf(col(RecordId))),
+      epoch, historyDir, prior, changedBuckets)
   }
 
   /** Start continuous replication: stream the change-log directory and
@@ -195,6 +345,13 @@ object CdcStream {
     * @param checkpointDir streaming checkpoint (replaces `synced` flags)
     * @param maxFilesPerTrigger batch-size cap (T2); reference default 100
     *                     changes/batch ≈ one capture file per trigger here
+    * @param historyDir   when set, the SCD2 history table is maintained
+    *                     incrementally alongside the latest-state target
+    *                     ([[applyHistoryBatch]] per micro-batch). Both
+    *                     tables version independently but share the
+    *                     epoch number; each is idempotent per epoch, so
+    *                     a crash between the two commits replays to the
+    *                     identical pair of directories.
     */
   def start(
       spark: SparkSession,
@@ -207,7 +364,8 @@ object CdcStream {
       trigger: Option[Trigger] = None,
       maxFilesPerTrigger: Int = 100,
       strategy: ConflictStrategy = ConflictStrategy.LastWriteWins,
-      numBuckets: Int = 16): StreamingQuery = {
+      numBuckets: Int = 16,
+      historyDir: Option[String] = None): StreamingQuery = {
     val logSchema = graft.log.ChangeLog.schema(rowSchema)
     val stream = spark.readStream
       .schema(logSchema)
@@ -219,6 +377,12 @@ object CdcStream {
       .trigger(trigger.getOrElse(
         Trigger.ProcessingTime(s"${config.syncIntervalSeconds} seconds")))
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        // History FIRST: applyHistoryBatch needs the batch's events only,
+        // but reads nothing the target write touches; ordering just makes
+        // the crash window deterministic (history may be one epoch ahead
+        // of the target, never behind AND ahead at once — both replay).
+        historyDir.foreach(h =>
+          applyHistoryBatch(batch, epoch, h, spec, rowSchema, numBuckets))
         applyBatch(batch, epoch, targetDir, spec, rowSchema, strategy, numBuckets)
       }
       .start()
@@ -236,9 +400,12 @@ object CdcStream {
       checkpointDir: String,
       spec: CdcTableSpec,
       rowSchema: StructType,
-      strategy: ConflictStrategy = ConflictStrategy.LastWriteWins): Unit = {
+      strategy: ConflictStrategy = ConflictStrategy.LastWriteWins,
+      maxFilesPerTrigger: Int = 100,
+      historyDir: Option[String] = None): Unit = {
     val q = start(spark, logDir, targetDir, checkpointDir, spec, rowSchema,
-      trigger = Some(Trigger.AvailableNow()), strategy = strategy)
+      trigger = Some(Trigger.AvailableNow()), strategy = strategy,
+      maxFilesPerTrigger = maxFilesPerTrigger, historyDir = historyDir)
     q.awaitTermination()
   }
 

@@ -250,6 +250,96 @@ class CdcStreamSpec extends SparkSpecBase {
     assert(starts2 === cfg.maxRetries + 1)
   }
 
+  test("streamed SCD2 history across micro-batches equals batch History.scd2") {
+    val tmp = Files.createTempDirectory("cdchist").toString
+    val logDir = s"$tmp/log"
+    val histDir = s"$tmp/hist"
+    val spec = DemoWorkload.UsersSpec
+
+    // non-empty base snapshot: its keys must show up as version-0 rows,
+    // get closed by updates/deletes, and survive untouched otherwise
+    val base = DemoWorkload.users(s, 3, startId = 200L).localCheckpoint(true)
+    val table = DemoWorkload.replay(CdcTable(base, spec), s,
+      inserts = 10, updates = 5, deletes = 2)
+    table.update(col("id") === 200L, Map("status" -> lit("updated")))
+    table.delete(col("id") === 201L)
+    val rowSchema = table.snapshot.schema
+    val log = table.changeLog.localCheckpoint(true)
+    val maxId = log.agg(max(col("cdc_id"))).head().getLong(0)
+
+    // commit the log as ORDERED single-file chunks with explicit mtimes:
+    // the file stream batches by modification time, and the history
+    // contract requires batches in log order
+    val cuts = Seq((1L, 6L), (7L, 12L), (13L, maxId))
+    cuts.zipWithIndex.foreach { case ((lo, hi), i) =>
+      log.filter(col("cdc_id").between(lo, hi)).coalesce(1)
+        .write.mode("append").parquet(logDir)
+      // stamp THIS chunk's (freshly written ⇒ mtime ≈ now, far above any
+      // stamp) part files with an increasing coarse mtime
+      val it = Files.list(java.nio.file.Paths.get(logDir))
+      try {
+        import scala.jdk.CollectionConverters._
+        it.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("part-"))
+          .filter(p => Files.getLastModifiedTime(p).toMillis > 1000L * cuts.length)
+          .foreach(p => Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(1000L * (i + 1))))
+      } finally it.close()
+    }
+
+    CdcStream.bootstrapHistory(base, histDir, spec, numBuckets = 4)
+    CdcStream.drain(s, logDir, s"$tmp/target", s"$tmp/chk", spec, rowSchema,
+      maxFilesPerTrigger = 1, historyDir = Some(histDir))
+    // one epoch per chunk: the maintenance really ran incrementally
+    assert(CdcStream.currentVersion(histDir).exists(_ >= cuts.length - 1))
+
+    val streamed = CdcStream.readHistory(s, histDir, spec, rowSchema)
+      .collect().toSet
+    val expected = graft.log.History.scd2(
+        base.select(spec.columns.map(col): _*), log, spec)
+      .collect().toSet
+    assert(streamed === expected)
+    // the latest-state target stays correct alongside. The target has no
+    // base-snapshot bootstrap (it starts empty and the log carries only
+    // changes), so the expectation is the batch apply over an empty base
+    // — base keys never touched by the log (202) are legitimately absent.
+    val emptyBase = s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row], rowSchema)
+    val expectedTarget = graft.apply.ChangeApplier
+      .applyChanges(emptyBase, log, spec,
+        graft.model.ConflictStrategy.LastWriteWins)
+      .collect().toSet
+    assert(CdcStream.readTarget(s, s"$tmp/target", rowSchema)
+      .collect().toSet === expectedTarget)
+  }
+
+  test("re-applying a crashed epoch against the history table is idempotent") {
+    val tmp = Files.createTempDirectory("cdchistcrash").toString
+    val histDir = s"$tmp/hist"
+    val spec = DemoWorkload.UsersSpec
+    val base = DemoWorkload.users(s, 2, startId = 300L).localCheckpoint(true)
+    val table = DemoWorkload.replay(CdcTable(base, spec), s,
+      inserts = 4, updates = 2, deletes = 1)
+    table.delete(col("id") === 300L)
+    val rowSchema = table.snapshot.schema
+    val log = table.changeLog.localCheckpoint(true)
+    val batch1 = log.filter(col("cdc_id") <= 4)
+    val batch2 = log.filter(col("cdc_id") > 4)
+
+    CdcStream.bootstrapHistory(base, histDir, spec, numBuckets = 4)
+    CdcStream.applyHistoryBatch(batch1, 0L, histDir, spec, rowSchema, numBuckets = 4)
+    CdcStream.applyHistoryBatch(batch2, 1L, histDir, spec, rowSchema, numBuckets = 4)
+    val after = CdcStream.readHistory(s, histDir, spec, rowSchema).collect().toSet
+    // crash window: re-run epoch 1 — must reproduce, not double-close
+    CdcStream.applyHistoryBatch(batch2, 1L, histDir, spec, rowSchema, numBuckets = 4)
+    val replay = CdcStream.readHistory(s, histDir, spec, rowSchema).collect().toSet
+    assert(replay === after)
+    val expected = graft.log.History.scd2(
+        base.select(spec.columns.map(col): _*), log, spec)
+      .collect().toSet
+    assert(after === expected)
+  }
+
   test("health listener emits a report per progress event") {
     val tmp = Files.createTempDirectory("cdclisten").toString
     val table = DemoWorkload.replay(
