@@ -594,7 +594,9 @@ object Similarity {
       cents: Seq[(Long, Seq[Double])],
       m: Int,
       path: String,
-      mode: String = "overwrite"): Unit =
+      mode: String = "overwrite"): Unit = {
+    val spark = corpus.sparkSession
+    if (mode != "overwrite") requireIvfPqParams(spark, path, cents, m)
     ivfAssign(corpus, cents, vecCol)
       .select(col(idCol).as("id"),
         transform(pqEncoded(col(vecCol).cast("array<double>"), pqSorted(cents), m),
@@ -605,6 +607,70 @@ object Similarity {
       // codes per vector, never the float vectors
       .repartition(col("centroid_id"))
       .write.partitionBy("centroid_id").mode(mode).parquet(path)
+    if (mode == "overwrite") {
+      // Persist the codebook fingerprint + m with the index — an append
+      // encoded against a different codebook would produce codes the
+      // serving ADC tables silently mis-score. Written AFTER the data
+      // (a static partitioned overwrite clears the whole root first);
+      // the `_` prefix keeps the dir invisible to partition discovery,
+      // so readIvfIndex sees only the centroid_id= list dirs.
+      import spark.implicits._
+      Seq((m, cents.size, cents.headOption.map(_._2.size).getOrElse(0),
+          codebookFingerprint(cents)))
+        .toDF("m", "k", "dim", "codebook_fp")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/_params")
+    }
+  }
+
+  /** Grow an existing [[writeIvfPqIndex]] index with a new vector batch —
+    * the daily-ingest operation: encode against the index's ORIGINAL
+    * codebook and append to the batch's coarse-list partitions only
+    * (parquet `append` + `partitionBy` touches no other list's
+    * directory; probes see old and new vectors uniformly). Fails fast on
+    * a codebook/m mismatch via the persisted `_params`.
+    *
+    * Appending shifts no centroid, so recall degrades as the corpus
+    * drifts from the codebook; surface staleness with the centroid-stats
+    * query (`emb_centroid_stats`: per-list size + mean cosine-to-centroid)
+    * over the appended batch — a falling mean cosine = time to re-train
+    * and rebuild.
+    */
+  def appendToIvfPqIndex(
+      newVecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Seq[(Long, Seq[Double])],
+      m: Int,
+      path: String): Unit =
+    writeIvfPqIndex(newVecs, idCol, vecCol, cents, m, path, mode = "append")
+
+  /** Order-independent fingerprint of a coarse codebook: murmur3 of the
+    * id-sorted (id, components) sequence — stable across JVM runs for
+    * the exact-decimal centroids the trainer emits.
+    */
+  private def codebookFingerprint(cents: Seq[(Long, Seq[Double])]): Long =
+    scala.util.hashing.MurmurHash3.orderedHash(
+      pqSorted(cents).flatMap { case (id, v) =>
+        id +: v.map(java.lang.Double.doubleToLongBits)
+      }).toLong
+
+  private def requireIvfPqParams(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      cents: Seq[(Long, Seq[Double])],
+      m: Int): Unit =
+    try {
+      val r = spark.read.parquet(s"$path/_params").collect()(0)
+      val stored = (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3))
+      val passed = (m, cents.size, cents.headOption.map(_._2.size).getOrElse(0),
+        codebookFingerprint(cents))
+      require(stored == passed,
+        s"IVF+PQ index at $path was built with (m, k, dim, codebook_fp) = " +
+          s"$stored; caller passed $passed — appending would mix " +
+          "incomparable codes")
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => () // pre-params index
+    }
 
   /** Composed IVF+PQ serving — the end-to-end production ANN query shape:
     * ADC scoring restricted to the `nprobe` probed inverted lists of an

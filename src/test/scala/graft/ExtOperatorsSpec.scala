@@ -661,6 +661,104 @@ class ExtOperatorsSpec extends SparkSpecBase {
     assertSameRows(got, direct, "on-disk index vs in-memory codes")
   }
 
+  /** Per-partition-dir part-file inventory of a partitioned parquet root. */
+  private def partFiles(root: String): Map[String, Set[String]] = {
+    val it = java.nio.file.Files.list(java.nio.file.Paths.get(root))
+    try {
+      import scala.jdk.CollectionConverters._
+      it.iterator().asScala
+        .filter(p => java.nio.file.Files.isDirectory(p) &&
+          p.getFileName.toString.contains("="))
+        .map { d =>
+          val fs = java.nio.file.Files.list(d)
+          try d.getFileName.toString -> fs.iterator().asScala
+            .map(_.getFileName.toString).filter(_.startsWith("part-")).toSet
+          finally fs.close()
+        }.toMap
+    } finally it.close()
+  }
+
+  test("signature-index append writes only the batch's folded-bucket partitions") {
+    val sf = "/root/testdata/sf0.001"
+    val all = Fixtures.documents(s, sf)
+    val day1 = all.filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 5 =!= 1)
+    val day2 = all.filter(col("doc_id") % 5 === 1)
+    val probe = all.filter(col("doc_id") % 5 === 0)
+    val tmp = java.nio.file.Files.createTempDirectory("sigapp").toString
+
+    Dedup.writeSignatureIndex(day1, "text", "doc_id", s"$tmp/idx")
+    val before = partFiles(s"$tmp/idx/buckets")
+    Dedup.appendToSignatureIndex(day2, "text", "doc_id", s"$tmp/idx")
+    val after = partFiles(s"$tmp/idx/buckets")
+
+    // append never rewrites: every pre-existing file survives in place
+    before.foreach { case (d, files) =>
+      assert(files.subsetOf(after.getOrElse(d, Set.empty)),
+        s"append must not remove/rewrite files in $d")
+    }
+    // growth confined to day-2's folded buckets (its solo index's pb dirs)
+    Dedup.writeSignatureIndex(day2, "text", "doc_id", s"$tmp/solo")
+    val day2Pbs = partFiles(s"$tmp/solo/buckets").keySet
+    val grown = after.collect {
+      case (d, files) if !before.get(d).contains(files) => d
+    }.toSet
+    assert(grown.nonEmpty, "append must add files somewhere")
+    assert(grown.subsetOf(day2Pbs),
+      s"append touched $grown outside day-2's buckets $day2Pbs")
+
+    // probe over the appended index ≡ probe over a one-shot rebuild
+    Dedup.writeSignatureIndex(all.filter(col("doc_id") % 5 =!= 0),
+      "text", "doc_id", s"$tmp/full")
+    val viaAppend = Dedup.dedupAgainstIndex(probe, "text", "doc_id",
+      s"$tmp/idx", threshold = 0.5)
+    val viaFull = Dedup.dedupAgainstIndex(probe, "text", "doc_id",
+      s"$tmp/full", threshold = 0.5)
+    assertSameRows(viaAppend, viaFull, "appended index vs one-shot rebuild")
+  }
+
+  test("IVF+PQ append: only its coarse lists grow, probe ≡ rebuild, params guarded") {
+    val emb = Fixtures.embeddings(s, "/root/testdata/sf0.001")
+    val cents = Similarity.collectCentroids(
+      emb.filter(col("vec_id") % 61 === 0), "vec_id", "embedding")
+    val day1 = emb.filter(col("vec_id") % 3 =!= 0)
+    val day2 = emb.filter(col("vec_id") % 3 === 0)
+    val tmp = java.nio.file.Files.createTempDirectory("ivfpqapp").toString
+
+    Similarity.writeIvfPqIndex(day1, "vec_id", "embedding", cents, m = 4, s"$tmp/idx")
+    val before = partFiles(s"$tmp/idx")
+    Similarity.appendToIvfPqIndex(day2, "vec_id", "embedding", cents, m = 4, s"$tmp/idx")
+    val after = partFiles(s"$tmp/idx")
+
+    before.foreach { case (d, files) =>
+      assert(files.subsetOf(after.getOrElse(d, Set.empty)),
+        s"append must not remove/rewrite files in $d")
+    }
+    val day2Lists = Similarity.ivfAssign(day2, cents, "embedding")
+      .select(col("centroid_id")).distinct()
+      .collect().map(r => s"centroid_id=${r.getLong(0)}").toSet
+    val grown = after.collect {
+      case (d, files) if !before.get(d).contains(files) => d
+    }.toSet
+    assert(grown.nonEmpty && grown.subsetOf(day2Lists),
+      s"append touched $grown outside day-2's lists $day2Lists")
+
+    // probe equivalence vs a one-shot rebuild over the same total corpus
+    Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", cents, m = 4, s"$tmp/full")
+    val q = emb.filter(col("vec_id") % 50 === 0)
+    val viaAppend = Similarity.ivfPqTopK(Similarity.readIvfIndex(s, s"$tmp/idx"),
+      q, "vec_id", "embedding", cents, m = 4, k = 5, nprobe = 2)
+    val viaFull = Similarity.ivfPqTopK(Similarity.readIvfIndex(s, s"$tmp/full"),
+      q, "vec_id", "embedding", cents, m = 4, k = 5, nprobe = 2)
+    assertSameRows(viaAppend, viaFull, "appended IVF+PQ index vs rebuild")
+
+    // a mismatched codebook/m must fail fast, not silently mix codes
+    val e = intercept[IllegalArgumentException] {
+      Similarity.appendToIvfPqIndex(day2, "vec_id", "embedding", cents,
+        m = 2, s"$tmp/idx")
+    }
+    assert(e.getMessage.contains("incomparable codes"))
+  }
+
   test("NearestCentroid kernel is bit-identical to the columnar fold") {
     val emb = Fixtures.embeddings(s, "/root/testdata/sf0.001")
     val cents = Similarity.collectCentroids(
