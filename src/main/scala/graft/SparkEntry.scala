@@ -726,6 +726,20 @@ object SparkEntry {
     }
   }
 
+  /** The shared one-time artifacts the registered queries consume —
+    * serving indexes ([[prepareArtifacts]]) plus the memoized pair
+    * tables ([[ngramPairs]]/[[minhashPairs]]) that several queries read.
+    * The bench builds each of these in warm-up and reports its wall time
+    * under its own name, so a consumer query (`dedup_clusters`,
+    * `dedup_apply_minhash`, …) times CONSUMPTION and the build cost is
+    * visible — attributed to the artifact, not to whichever consumer
+    * happens to run first in sorted query order.
+    */
+  def artifactBuilds: Map[String, (SparkSession, String) => Unit] = Map(
+    "serving_indexes" -> ((s, dir) => prepareArtifacts(s, dir)),
+    "ngram_pairs" -> ((s, dir) => { ngramPairs(s, dir).count(); () }),
+    "minhash_pairs" -> ((s, dir) => { minhashPairs(s, dir).count(); () }))
+
   private def qEmbQuantize(s: SparkSession, dir: String): DataFrame =
     Similarity.quantizeInt8(embeddings(s, dir), "vec_id", "embedding")
       .select(col("vec_id"), col("qscale"), col("l2_err"),
