@@ -767,13 +767,22 @@ object Similarity {
     */
   def quantizeInt8(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val v = col(vecCol).cast("array<double>")
-    val amax = aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x)))
     val scale = when(col("amax") === 0.0, lit(1.0)).otherwise(lit(127.0) / col("amax"))
     // floor(x + 0.5): identical in every engine, unlike round()'s
     // half-up-vs-banker's ambiguity. floor() returns LONG in Spark.
     val codes = transform(col("v"), x =>
       greatest(lit(-127L), least(lit(127L), floor(x * col("qscale") + 0.5))).cast("long"))
-    df.select(col(idCol), v.as("v"), amax.as("amax"))
+    // A vector CONTAINING null elements takes the whole-row null contract
+    // of a null vector (same rule the PQ encode kernel applies): without
+    // this, Spark's null-skipping least/greatest would silently clamp
+    // every null element to code 127 — a plausible-looking, maximally-
+    // wrong code — and the null-skipping amax fold would scale the rest
+    // as if nothing were missing. Nulling v FIRST makes amax, qscale,
+    // codes, and l2_err all null together.
+    df.select(col(idCol),
+        when(exists(v, x => x.isNull), lit(null).cast("array<double>"))
+          .otherwise(v).as("v"))
+      .withColumn("amax", aggregate(col("v"), lit(0.0), (acc, x) => greatest(acc, abs(x))))
       .withColumn("qscale", scale)
       .drop("amax")
       // materializing qscale as a column (not inlining) keeps the fold

@@ -163,6 +163,12 @@ object Sketches {
     val g = groupCols.map(col)
     val counts = df
       .select(g :+ ticks.cast("long").as("__t"): _*)
+      // NULL ticks are not measurements: unfiltered they'd become a NULL
+      // bucket that Spark's ascending window sorts FIRST (DuckDB sorts it
+      // LAST — an engine divergence on top of the skew), silently
+      // dragging every quantile down. SQL percentile semantics ignore
+      // nulls; so do we, in both this plan and the SQL twin.
+      .filter(col("__t").isNotNull)
       .select(g :+ expr(s"(__t - pmod(__t, ${width}L)) div ${width}L").as("__bkt"): _*)
       .groupBy(g :+ col("__bkt"): _*)
       .agg(count(lit(1)).as("__cnt"))
@@ -365,7 +371,7 @@ object Sketches {
       width: Long, percents: Seq[Int]): String =
     s"""WITH b AS (SELECT $groupCol AS g, CAST($tickSql AS BIGINT) AS t FROM $table),
        |c AS (SELECT g, t // ${width} AS bkt, CAST(COUNT(*) AS BIGINT) AS cnt
-       |      FROM b GROUP BY g, bkt),
+       |      FROM b WHERE t IS NOT NULL GROUP BY g, bkt),
        |w AS (SELECT g, bkt, cnt,
        |        SUM(cnt) OVER (PARTITION BY g ORDER BY bkt) AS cum,
        |        SUM(cnt) OVER (PARTITION BY g) AS n FROM c),

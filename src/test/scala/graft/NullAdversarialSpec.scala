@@ -1,0 +1,240 @@
+package graft
+
+import graft.ext._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => ScTest}
+import org.scalacheck.Prop.propBoolean
+
+/** Null-adversarial properties over the LLM-pipeline families. The
+  * round-5 advice pass showed null-handling bugs hide at the
+  * typed-aggregator / kernel boundary (3 of its 5 findings), so every
+  * family gets a generator that mixes degenerate rows — null / empty /
+  * whitespace text, null blocking keys, null / empty / null-element /
+  * ragged vectors, null sketch keys and null GROUP keys — into normal
+  * data, and asserts the operators' degenerate contracts:
+  *
+  *  - dedup: null-text docs never pair (no shingles → no candidates);
+  *    null-BLOCK docs never pair (equi-join null semantics); empty and
+  *    whitespace-only docs are mutual exact-duplicates (their shingle
+  *    set is the single empty shingle — deterministic, disclosed);
+  *    exactDedup accounts for every input row exactly once (null texts
+  *    group under the null fingerprint).
+  *  - similarity: degenerate vectors assign NULL centroids, never
+  *    surface as neighbors, survive semantic dedup (they pair with
+  *    nothing), and quantize to the whole-row-null contract.
+  *  - sketches: estimates are invariant to null keys (a null key is no
+  *    distinct value); null GROUP keys form their own group, like SQL
+  *    GROUP BY; null ticks are not measurements.
+  *
+  * Cases are few but adversarial — Spark actions dominate runtime, and
+  * the point is the invariant, not volume (same budget rationale as
+  * [[CdcPropertiesSpec]]).
+  */
+class NullAdversarialSpec extends SparkSpecBase {
+
+  private lazy val s = spark
+  import s.implicits._
+
+  private def checkProp(prop: Prop, minSuccessful: Int): Unit = {
+    val res = ScTest.check(
+      ScTest.Parameters.default.withMinSuccessfulTests(minSuccessful), prop)
+    assert(res.passed, s"property failed: ${res.status}")
+  }
+
+  // ------------------------------------------------------------ dedup
+
+  private val words =
+    Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta")
+
+  private val genText: Gen[String] = Gen.frequency(
+    4 -> (for {
+      n <- Gen.choose(4, 9)
+      ws <- Gen.listOfN(n, Gen.oneOf(words))
+    } yield ws.mkString(" ")),
+    1 -> Gen.const(""),
+    1 -> Gen.const("   "),
+    1 -> Gen.const(null))
+
+  private val genLang: Gen[String] =
+    Gen.frequency(3 -> Gen.oneOf("en", "fr"), 1 -> Gen.const(null))
+
+  /** Small corpora with a forced duplicate of row 0 (so pair emission has
+    * work even when the random texts happen to be distinct).
+    */
+  private val genDocs: Gen[List[(Long, String, String)]] = for {
+    n <- Gen.choose(4, 8)
+    rows <- Gen.listOfN(n, for { l <- genLang; t <- genText } yield (l, t))
+  } yield {
+    val base = rows.zipWithIndex.map { case ((l, t), i) => (i.toLong, l, t) }
+    base :+ ((base.size.toLong, base.head._2, base.head._3))
+  }
+
+  test("dedup family: null text/blocks never pair; every op deterministic") {
+    val prop = Prop.forAllNoShrink(genDocs) { rows =>
+      val df = rows.toDF("doc_id", "lang", "text").repartition(4)
+      val nullText = rows.collect { case (id, _, t) if t == null => id }.toSet
+      val nullLang = rows.collect { case (id, l, _) if l == null => id }.toSet
+
+      val ex = Dedup.exactDedup(df, "text", "doc_id").collect()
+      def pairs(d: DataFrame): Set[(Long, Long)] =
+        d.select(col(d.columns(0)), col(d.columns(1)))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val mh = pairs(Dedup.minhashLshDedup(df, "text", "doc_id",
+        threshold = 0.5, mode = HashMode.Portable))
+      val mh2 = pairs(Dedup.minhashLshDedup(df, "text", "doc_id",
+        threshold = 0.5, mode = HashMode.Portable))
+      val sh = pairs(Dedup.simhashDedup(df, "text", "doc_id",
+        maxHamming = 3, mode = HashMode.Portable))
+      val ng = pairs(Dedup.ngramJaccardDedup(df, "text", "doc_id", col("lang"),
+        n = 3, threshold = 0.2, saltFanout = 4, maxBlockRows = Some(1000L)))
+      val ct = pairs(Dedup.containmentPairs(df, "text", "doc_id",
+        n = 3, threshold = 0.5, maxDf = 10))
+      val all = mh ++ sh ++ ng ++ ct
+
+      (ex.map(_.getLong(2)).sum == rows.size) :|
+        s"exactDedup covers every row once (got ${ex.map(_.getLong(2)).sum} of ${rows.size})" &&
+      (mh == mh2) :| "minhash deterministic across runs" &&
+      all.forall { case (a, b) => a < b } :| "pair emission ordered id_a < id_b" &&
+      all.forall { case (a, b) => !nullText(a) && !nullText(b) } :|
+        s"null-text docs must never pair ($all vs null set $nullText)" &&
+      ng.forall { case (a, b) => !nullLang(a) && !nullLang(b) } :|
+        s"null-block docs must never ngram-pair ($ng vs null langs $nullLang)"
+    }
+    checkProp(prop, 6)
+  }
+
+  // ------------------------------------------------------- similarity
+
+  /** Vector corpus via SQL VALUES so null ELEMENTS are constructible:
+    * kinds 0=normal, 1=null vector, 2=empty, 3=null element, 4=ragged.
+    */
+  private def vecDf(kinds: List[Int]): DataFrame = {
+    def lit4(seed: Int): String = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(4)(f"CAST(${r.nextDouble()}%.3f AS DOUBLE)").mkString("array(", ", ", ")")
+    }
+    val rows = kinds.zipWithIndex.map { case (k, i) =>
+      val v = k match {
+        case 0 => lit4(i)
+        case 1 => "CAST(NULL AS ARRAY<DOUBLE>)"
+        case 2 => "CAST(array() AS ARRAY<DOUBLE>)"
+        case 3 => "array(CAST(1.0 AS DOUBLE), CAST(NULL AS DOUBLE), CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE))"
+        case _ => "array(CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE))"
+      }
+      s"SELECT ${i}L AS vec_id, $v AS embedding"
+    }
+    // duplicate of vector 0 under a fresh id: a guaranteed near-dup pair
+    val dup = s"SELECT ${kinds.size}L AS vec_id, ${lit4(0)} AS embedding"
+    s.sql((rows :+ dup).mkString(" UNION ALL "))
+  }
+
+  private val genKinds: Gen[List[Int]] = for {
+    n <- Gen.choose(3, 6)
+    ks <- Gen.listOfN(n, Gen.frequency(3 -> 0, 1 -> 1, 1 -> 2, 1 -> 3, 1 -> 4))
+  } yield 0 :: ks // row 0 always normal (it gets the forced duplicate)
+
+  test("similarity family: degenerate vectors assign/score/quantize to NULL, never as neighbors") {
+    val cents = Seq((0L, Seq(1.0, 0.0, 0.0, 0.0)), (1L, Seq(0.0, 1.0, 0.0, 0.0)))
+    val prop = Prop.forAllNoShrink(genKinds) { kinds =>
+      val df = vecDf(kinds)
+      val degenerate = kinds.zipWithIndex.collect { case (k, i) if k != 0 => i.toLong }.toSet
+      val normals = (0 until kinds.size).map(_.toLong).toSet -- degenerate + kinds.size.toLong
+
+      val assigned = Similarity.ivfAssign(df, cents, "embedding")
+        .collect().map(r => r.getLong(0) -> (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+      val queries = df.filter(col("vec_id") === 0L)
+      val bf = Similarity.bruteForceTopK(df, queries, "vec_id", "embedding",
+        "vec_id", "embedding", k = kinds.size + 1)
+        .collect().map(_.getLong(1)).toSet
+      val qz = Similarity.quantizeInt8(df, "vec_id", "embedding")
+        .collect().map(r => r.getLong(0) -> r).toMap
+      val sd = Similarity.semanticDedup(df, "vec_id", "embedding", cents, threshold = 0.99)
+        .collect().map(_.getLong(0)).toSet
+      val nd = Similarity.embeddingNearDup(df, "vec_id", "embedding",
+        threshold = 0.95, planes = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+      degenerate.forall(id => assigned(id).isEmpty) :|
+        s"degenerate vectors must assign NULL centroid ($assigned)" &&
+      normals.forall(id => assigned(id).isDefined) :|
+        s"normal vectors must assign a centroid ($assigned)" &&
+      bf.intersect(degenerate).isEmpty :|
+        s"degenerate vectors must never rank as neighbors ($bf)" &&
+      bf.contains(kinds.size.toLong) :|
+        "the exact duplicate must rank as a neighbor of vector 0" &&
+      kinds.zipWithIndex.collect { case (k, i) if k == 1 || k == 3 => i.toLong }
+        .forall { id =>
+          val r = qz(id); r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3)
+        } :| "null/null-element vectors quantize to the whole-row-null contract" &&
+      kinds.zipWithIndex.collect { case (2, i) => i.toLong }
+        .forall { id =>
+          val r = qz(id)
+          r.getDouble(1) == 1.0 && r.getDouble(2) == 0.0 && r.getSeq[Long](3).isEmpty
+        } :| "the empty vector quantizes to the identity (scale 1, no codes, zero err)" &&
+      degenerate.subsetOf(sd) :|
+        s"degenerate vectors pair with nothing, so semantic dedup keeps them ($sd)" &&
+      nd.forall { case (a, b) => !degenerate(a) && !degenerate(b) } :|
+        s"embeddingNearDup must never pair degenerate vectors ($nd)"
+    }
+    checkProp(prop, 6)
+  }
+
+  // ---------------------------------------------------------- sketches
+
+  private val genKeyRows: Gen[List[(Option[String], Option[String])]] = for {
+    n <- Gen.choose(4, 12)
+    rows <- Gen.listOfN(n, for {
+      g <- Gen.frequency(2 -> Gen.some(Gen.oneOf("x", "y")), 1 -> Gen.const(None))
+      k <- Gen.frequency(3 -> Gen.some(Gen.oneOf("a", "b", "c", "d")), 1 -> Gen.const(None))
+    } yield (g, k))
+  } yield rows
+
+  test("sketch family: estimates invariant to null keys; null group keys are their own group") {
+    val prop = Prop.forAllNoShrink(genKeyRows) { rows =>
+      val df = rows.map { case (g, k) => (g.orNull, k.orNull) }
+        .toDF("g", "k").repartition(4)
+      val noNullKeys = df.filter(col("k").isNotNull)
+
+      def kmv(d: DataFrame) = Sketches.kmvDistinct(d, Seq("g"), col("k"), 8)
+        .collect().map(r => Option(r.getString(0)) -> r.getDouble(3)).toMap
+      def hll(d: DataFrame) = Sketches.hllDistinct(d, Seq("g"), col("k"), 4)
+        .collect().map(r => Option(r.getString(0)) -> r.getDouble(2)).toMap
+      val cmWith = Sketches.countMinTable(df, col("k"), 3, 16).toSeq
+      val cmWithout = Sketches.countMinTable(noNullKeys, col("k"), 3, 16).toSeq
+
+      // groups that hold ONLY null keys vanish entirely (no distinct
+      // values to estimate) — compare on the common group set
+      val (kw, kwo) = (kmv(df), kmv(noNullKeys))
+      val (hw, hwo) = (hll(df), hll(noNullKeys))
+      val expectGroups = rows.collect { case (g, Some(_)) => g }.toSet
+
+      (kw.keySet == expectGroups && kwo.keySet == expectGroups) :|
+        s"kmv groups = groups owning ≥1 non-null key ($kw vs $expectGroups)" &&
+      expectGroups.forall(g => kw(g) == kwo(g)) :|
+        s"kmv estimate invariant to null keys ($kw vs $kwo)" &&
+      expectGroups.forall(g => hw(g) == hwo(g)) :|
+        s"hll estimate invariant to null keys ($hw vs $hwo)" &&
+      (cmWith == cmWithout) :|
+        "count-min table invariant to null keys" &&
+      expectGroups.forall { g =>
+        val trueDistinct =
+          rows.collect { case (`g`, Some(k)) => k }.toSet.size
+        kw(g) == trueDistinct.toDouble
+      } :| "kmv below k is exact per group (incl. the null group)"
+    }
+    checkProp(prop, 6)
+
+    // null ticks are not measurements: quantiles identical with and
+    // without them, in particular NOT dragged toward -inf by Spark's
+    // nulls-first ascending sort (and DuckDB disagrees on that order —
+    // the filter keeps both engines aligned).
+    val gq = s.sql("SELECT * FROM VALUES (1L, 10L),(2L, 20L),(3L, CAST(NULL AS BIGINT)),(4L, 30L) AS t(id, v)")
+    val withNull = Sketches.gridQuantiles(gq, Seq.empty, col("v"), 5L, Seq(50, 100))
+      .collect().map(_.toSeq).toSet
+    val withoutNull = Sketches.gridQuantiles(gq.filter(col("v").isNotNull),
+        Seq.empty, col("v"), 5L, Seq(50, 100))
+      .collect().map(_.toSeq).toSet
+    assert(withNull === withoutNull, "null ticks must not shift quantiles")
+  }
+}
