@@ -237,4 +237,152 @@ class NullAdversarialSpec extends SparkSpecBase {
       .collect().map(_.toSeq).toSet
     assert(withNull === withoutNull, "null ticks must not shift quantiles")
   }
+
+  // ------------------------------------------------------------ events
+
+  /** Event rows: (id unique, user nullable, ts_us nullable, type
+    * nullable). A null user is a real window partition (SQL GROUP BY /
+    * PARTITION BY semantics); a null type matches no funnel step
+    * (`col === lit` is never true on null); a null ts orders
+    * deterministically via the id tiebreak.
+    */
+  private val genEvents: Gen[List[(Long, Option[String], Option[Long], Option[String])]] =
+    for {
+      n <- Gen.choose(6, 14)
+      rows <- Gen.listOfN(n, for {
+        u <- Gen.frequency(4 -> Gen.some(Gen.oneOf("u1", "u2", "u3")), 1 -> Gen.const(None))
+        t <- Gen.frequency(4 -> Gen.some(Gen.choose(0L, 3600L * 1000000L)), 1 -> Gen.const(None))
+        e <- Gen.frequency(4 -> Gen.some(Gen.oneOf("view", "click", "buy")), 1 -> Gen.const(None))
+      } yield (u, t, e))
+    } yield rows.zipWithIndex.map { case ((u, t, e), i) => (i.toLong, u, t, e) }
+
+  test("events family: null users/ts/types follow SQL window+join semantics, rows never vanish") {
+    val steps = Seq("view", "click", "buy")
+    val prop = Prop.forAllNoShrink(genEvents) { rows =>
+      val df = rows
+        .map { case (id, u, t, e) =>
+          (id, u.orNull, t.map(java.lang.Long.valueOf).orNull, e.orNull)
+        }
+        .toDF("event_id", "user_id", "ts_us", "event_type")
+        .withColumn("ts", timestamp_micros(col("ts_us")))
+        .repartition(4)
+      val nonNullType = df.filter(col("event_type").isNotNull)
+
+      val sess = EventAnalytics.sessionize(df, "user_id", "ts", "event_id")
+      val sessRows = sess.collect()
+      val stats = EventAnalytics.sessionStats(
+        df.withColumn("value", lit(1.0)), "user_id", "ts", "event_id", "value")
+      val statsSum = stats.agg(sum("n_events")).head().getLong(0)
+
+      def funnelCounts(d: DataFrame): Seq[Long] =
+        EventAnalytics.funnel(d, "user_id", "ts", "event_type", steps)
+          .orderBy("step_idx").collect().map(_.getLong(2)).toSeq
+      val fAll = funnelCounts(df)
+      val fNoNullType = funnelCounts(nonNullType)
+      val fWithin = EventAnalytics.funnelWithin(
+          df, "user_id", "ts", "event_type", steps, maxGapUs = 600L * 1000000L)
+        .orderBy("step_idx").collect().map(_.getLong(2)).toSeq
+
+      val trans = EventAnalytics.transitions(
+        nonNullType, "user_id", "ts", "event_type", "event_id")
+      val transTotal =
+        trans.agg(coalesce(sum("n"), lit(0L))).head().getLong(0)
+      // each user partition (null user included) contributes n-1
+      // transitions when every type is non-null
+      val expectTrans = rows.filter(_._4.isDefined).groupBy(_._2)
+        .map { case (_, es) => (es.size - 1).toLong }.sum
+
+      (sessRows.length == rows.size) :|
+        s"sessionize must keep every row (${sessRows.length} of ${rows.size})" &&
+      sessRows.forall(r => !r.isNullAt(r.fieldIndex("session_seq"))) :|
+        "session_seq is never null (first row of any partition opens a session)" &&
+      (statsSum == rows.size) :|
+        s"sessionStats accounts for every event exactly once ($statsSum of ${rows.size})" &&
+      fAll.zip(fAll.tail).forall { case (a, b) => a >= b } :|
+        s"funnel step counts must be monotone non-increasing ($fAll)" &&
+      (fAll == fNoNullType) :|
+        s"funnel invariant to null-type events ($fAll vs $fNoNullType)" &&
+      fWithin.zip(fAll).forall { case (w, f) => w <= f } :|
+        s"deadline funnel never exceeds the unbounded funnel ($fWithin vs $fAll)" &&
+      (transTotal == expectTrans) :|
+        s"transitions total = sum over user partitions of n-1 ($transTotal vs $expectTrans)"
+    }
+    checkProp(prop, 6)
+  }
+
+  // ------------------------------------------------------------ corpus
+  //
+  // Contracts: a null id has no hash, so hash-keyed sampling can never
+  // admit it — even at permille=1000 / weight=1.0 (documented: sampling
+  // requires an id); null/empty texts chunk to nothing, contribute no
+  // tokens to frequency tables, and pack with a NULL sequence without
+  // consuming any stratum budget; a null stratum is its own stratum.
+
+  private val genCorpus: Gen[List[(Option[Long], String, String)]] = for {
+    n <- Gen.choose(5, 10)
+    rows <- Gen.listOfN(n, for {
+      hasId <- Gen.frequency(4 -> true, 1 -> false)
+      t <- genText
+      l <- genLang
+    } yield (hasId, t, l))
+  } yield rows.zipWithIndex.map { case ((hasId, t, l), i) =>
+    (if (hasId) Some(i.toLong) else None, t, l)
+  }
+
+  test("corpus family: null ids never sample, null texts never tokenize, null strata are strata") {
+    val prop = Prop.forAllNoShrink(genCorpus) { rows =>
+      val df = rows
+        .map { case (id, t, l) => (id.map(java.lang.Long.valueOf).orNull, t, l) }
+        .toDF("doc_id", "text", "lang").repartition(4)
+      val ids = rows.flatMap(_._1).toSet
+
+      def kept(d: DataFrame): Set[Long] =
+        d.select("doc_id").collect().map(_.getLong(0)).toSet
+      val all1000 = kept(Corpus.sampleByHash(df, "doc_id", 1000, "s"))
+      val none0 = kept(Corpus.sampleByHash(df, "doc_id", 0, "s"))
+      val w1 = kept(Corpus.weightedSampleByHash(df, "doc_id", lit(1.0), "s"))
+      val w0 = kept(Corpus.weightedSampleByHash(df, "doc_id", lit(0.0), "s"))
+
+      val chunks = Corpus.chunkDocuments(df, "doc_id", "text", 4, 4)
+        .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) -> r.getString(3))
+      val chunkable = rows.collect {
+        case (id, t, _) if t != null && t.nonEmpty => id
+      }.toSet
+
+      val tfAll = Corpus.tokenFrequencies(df, "text", 100)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val tfNoNull = Corpus.tokenFrequencies(df.filter(col("text").isNotNull), "text", 100)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+      val strat = Corpus.stratifiedSample(df, "doc_id", col("lang"), 2, "s")
+        .collect().map(r => Option(r.getString(1))).toList
+      val strataSizes = rows.groupBy(_._3 match {
+        case null => None; case l => Option(l)
+      }).map { case (l, g) => l -> g.size }
+      val packed = Corpus.packSequences(df, "doc_id", "text", 8, col("lang"))
+        .collect().map { r =>
+          (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+           if (r.isNullAt(3)) None else Some(r.getLong(3)))
+        }
+      val nullTextIds = rows.collect { case (id, null, _) => id }.toSet
+
+      (all1000 == ids) :|
+        s"permille=1000 keeps exactly the rows owning an id ($all1000 vs $ids)" &&
+      (none0.isEmpty && w0.isEmpty) :| "permille=0 / weight=0 keep nothing" &&
+      (w1 == ids) :|
+        s"weight=1.0 keeps exactly the rows owning an id ($w1 vs $ids)" &&
+      (chunks.map(_._1).toSet == chunkable) :|
+        s"exactly the non-empty texts chunk (${chunks.map(_._1).toSet} vs $chunkable)" &&
+      (tfAll == tfNoNull) :|
+        s"token frequencies invariant to null-text docs ($tfAll vs $tfNoNull)" &&
+      strat.groupBy(identity).forall { case (l, g) =>
+        g.size == math.min(2, strataSizes.getOrElse(l, 0))
+      } :| s"stratified sample: min(k, |stratum|) rows per stratum incl. the null stratum ($strat vs $strataSizes)" &&
+      packed.forall { case (id, seq) =>
+        // restrict to rows owning an id: None-id rows are ambiguous keys
+        id.isEmpty || (if (nullTextIds.contains(id)) seq.isEmpty else seq.isDefined)
+      } :| s"null texts pack with NULL seq, all others with a real one ($packed)"
+    }
+    checkProp(prop, 6)
+  }
 }
