@@ -1509,6 +1509,17 @@ object SparkEntry {
         Seq("signup", "view", "click", "purchase"), maxGapUs = 24L * 3600 * 1000000)
       .orderBy("step_idx")
 
+  /** Chain-existence deadline funnel over the same steps/deadline as
+    * [[qEventsFunnelWindow]] — the exact semantic (counts a user whenever
+    * ANY compliant chain exists, where the greedy anchor can undercount).
+    * Sits between the greedy deadline funnel and the unbounded one at
+    * every step by construction.
+    */
+  private def qEventsFunnelExists(s: SparkSession, dir: String): DataFrame =
+    EventAnalytics.funnelExists(events(s, dir), "user_id", "ts", "event_type",
+        Seq("signup", "view", "click", "purchase"), maxGapUs = 24L * 3600 * 1000000)
+      .orderBy("step_idx")
+
   /** Language-ID confusion matrix: the n-gram-marker classifier's guess
     * against the labeled `lang` column — per-(actual, guessed) counts,
     * the eval every heuristic classifier owes its users.
@@ -1582,6 +1593,7 @@ object SparkEntry {
     "emb_semantic_dedup" -> (qEmbSemanticDedup _),
     "text_lm_score" -> (qTextLmScore _),
     "events_funnel_window" -> (qEventsFunnelWindow _),
+    "events_funnel_exists" -> (qEventsFunnelExists _),
     "text_langid_confusion" -> (qTextLangidConfusion _),
     "orders_outliers" -> (qOrdersOutliers _),
     "cdc_key_churn" -> (qCdcKeyChurn _),
@@ -2262,6 +2274,29 @@ object SparkEntry {
         |  UNION ALL SELECT 1, 'view', (SELECT count(*) FROM s1)
         |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
         |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+        |ORDER BY step_idx""".stripMargin,
+
+    "events_funnel_exists" ->
+      """WITH s0 AS (SELECT DISTINCT user_id AS u, ts AS t FROM events
+        |            WHERE event_type = 'signup'),
+        |s1 AS (SELECT DISTINCT e.user_id AS u, e.ts AS t FROM events e
+        |       WHERE e.event_type = 'view' AND EXISTS (
+        |         SELECT 1 FROM s0 WHERE s0.u = e.user_id AND e.ts > s0.t
+        |           AND epoch_us(e.ts) - epoch_us(s0.t) <= 86400000000)),
+        |s2 AS (SELECT DISTINCT e.user_id AS u, e.ts AS t FROM events e
+        |       WHERE e.event_type = 'click' AND EXISTS (
+        |         SELECT 1 FROM s1 WHERE s1.u = e.user_id AND e.ts > s1.t
+        |           AND epoch_us(e.ts) - epoch_us(s1.t) <= 86400000000)),
+        |s3 AS (SELECT DISTINCT e.user_id AS u, e.ts AS t FROM events e
+        |       WHERE e.event_type = 'purchase' AND EXISTS (
+        |         SELECT 1 FROM s2 WHERE s2.u = e.user_id AND e.ts > s2.t
+        |           AND epoch_us(e.ts) - epoch_us(s2.t) <= 86400000000))
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS INT) AS step_idx, 'signup' AS step,
+        |         (SELECT CAST(count(DISTINCT u) AS BIGINT) FROM s0) AS n_users
+        |  UNION ALL SELECT 1, 'view', (SELECT count(DISTINCT u) FROM s1)
+        |  UNION ALL SELECT 2, 'click', (SELECT count(DISTINCT u) FROM s2)
+        |  UNION ALL SELECT 3, 'purchase', (SELECT count(DISTINCT u) FROM s3))
         |ORDER BY step_idx""".stripMargin,
 
     "text_langid_confusion" ->

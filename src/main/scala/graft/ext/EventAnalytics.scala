@@ -271,6 +271,63 @@ object EventAnalytics {
     }.reduce(_.unionByName(_))
   }
 
+  /** Chain-existence deadline funnel — the EXACT semantic that
+    * [[funnelWithin]]'s greedy anchoring deliberately trades away: a user
+    * counts for step i iff SOME strictly-increasing event chain
+    * e_0 < e_1 < … < e_i exists with `typeCol(e_j) = steps(j)` and every
+    * consecutive gap ≤ `maxGapUs`. With a 24 h gap and events a@0h,
+    * b@10h, b@20h, c@35h, [[funnelWithin]] anchors b at 10 h and rejects
+    * c; this operator finds the compliant chain a→b@20h→c@35h and counts
+    * the user at every step.
+    *
+    * The construction is the reachability DP run as k dataflow steps:
+    * frame_i = DISTINCT (user, ts) of step-i-typed events t such that
+    * SOME frame_{i-1} row m has m < t ≤ m + maxGapUs — a left-SEMI join
+    * (existence, not enumeration), so no pair ever survives a stage.
+    * frame_i is exactly the set of feasible step-i anchor times, hence
+    * membership at step i ⟺ a compliant chain prefix exists (induction
+    * on i).
+    *
+    * Scale shape: k semi-joins, each equi-keyed on the user with the gap
+    * band as a residual predicate; per-stage fanout is bounded by (step-i
+    * events × step-i+1 events) PER USER — the same per-key band-join
+    * envelope as [[asOfJoin]] — and each frame is at most the distinct
+    * (user, ts) pairs of ONE event type. Map-side-combined distincts keep
+    * the carried frames minimal; no global window, no per-user event
+    * buffering, no O(events) state.
+    *
+    * Output: one row per step — `step_idx` (0-based), `step`, `n_users`.
+    */
+  def funnelExists(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      steps: Seq[String],
+      maxGapUs: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(maxGapUs > 0, s"maxGapUs must be positive, got $maxGapUs")
+    val reached = steps.scanLeft(Option.empty[DataFrame]) {
+      case (prev, step) =>
+        val f = events.filter(col(typeCol) === step)
+          .select(col(userCol).as("__u"), col(tsCol).as("__t"))
+          .distinct()
+        Some(prev match {
+          case None => f
+          case Some(p0) =>
+            val p = p0.select(col("__u").as("__pu"), col("__t").as("__pt"))
+            f.join(p,
+                f("__u") === p("__pu") && f("__t") > p("__pt") &&
+                  unix_micros(f("__t")) - unix_micros(p("__pt")) <= maxGapUs,
+                "leftsemi")
+        })
+    }.flatten
+    reached.zip(steps).zipWithIndex.map { case ((df, step), i) =>
+      df.agg(count_distinct(col("__u")).as("n_users"))
+        .select(lit(i).as("step_idx"), lit(step).as("step"), col("n_users"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Weekly cohort retention: users are cohorted by the epoch-week of
     * their first event; for each (cohort, week-offset) cell, the number
     * of cohort members active that week and the retained fraction.

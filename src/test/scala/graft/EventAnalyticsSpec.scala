@@ -87,6 +87,53 @@ class EventAnalyticsSpec extends SparkSpecBase {
     assert(g2 === Seq(1L, 1L))
   }
 
+  test("funnelExists finds compliant chains the greedy anchor rejects") {
+    // the documented greedy-undercount shape: a@0h, b@10h, b@20h, c@35h
+    // with a 24 h deadline — greedy anchors b at 10 h and rejects c
+    // (gap 25 h); the chain a→b@20h→c@35h is fully compliant.
+    val gap = 24L * 3600 * 1000000
+    val fe = Seq(
+      (1L, 1L, ts("2024-01-01 00:00:00"), "a"),
+      (2L, 1L, ts("2024-01-01 10:00:00"), "b"),
+      (3L, 1L, ts("2024-01-01 20:00:00"), "b"),
+      (4L, 1L, ts("2024-01-02 11:00:00"), "c"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    def counts(d: org.apache.spark.sql.DataFrame,
+               f: (org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame) =
+      f(d).orderBy("step_idx").collect().map(_.getLong(2)).toSeq
+    val greedy = counts(fe, EventAnalytics.funnelWithin(_, "user_id", "ts",
+      "event_type", Seq("a", "b", "c"), gap))
+    val exact = counts(fe, EventAnalytics.funnelExists(_, "user_id", "ts",
+      "event_type", Seq("a", "b", "c"), gap))
+    assert(greedy === Seq(1L, 1L, 0L), "greedy rejects the late chain")
+    assert(exact === Seq(1L, 1L, 1L), "chain-existence counts it")
+
+    // sandwich on a mixed fixture: within <= exists <= unbounded, and
+    // with an effectively-infinite deadline exists == unbounded funnel
+    val mixed = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "a"),
+      (2L, 1L, ts("2024-01-01 10:30:00"), "b"),
+      (3L, 2L, ts("2024-01-01 09:00:00"), "a"),
+      (4L, 2L, ts("2024-01-03 09:00:00"), "b"),
+      (5L, 3L, ts("2024-01-01 07:00:00"), "a"),
+      (6L, 3L, ts("2024-01-01 07:20:00"), "b"),
+      (7L, 3L, ts("2024-01-01 09:30:00"), "b"),
+      (8L, 3L, ts("2024-01-02 08:00:00"), "c"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val steps = Seq("a", "b", "c")
+    val w = counts(mixed, EventAnalytics.funnelWithin(_, "user_id", "ts",
+      "event_type", steps, gap))
+    val x = counts(mixed, EventAnalytics.funnelExists(_, "user_id", "ts",
+      "event_type", steps, gap))
+    val u = counts(mixed, EventAnalytics.funnel(_, "user_id", "ts",
+      "event_type", steps))
+    val xInf = counts(mixed, EventAnalytics.funnelExists(_, "user_id", "ts",
+      "event_type", steps, maxGapUs = Long.MaxValue / 4))
+    assert(w.zip(x).forall { case (a, b) => a <= b }, s"within <= exists ($w vs $x)")
+    assert(x.zip(u).forall { case (a, b) => a <= b }, s"exists <= unbounded ($x vs $u)")
+    assert(xInf === u, s"infinite-deadline exists == unbounded funnel ($xInf vs $u)")
+  }
+
   test("retention cohorts by first-activity epoch week with exact fractions") {
     val re = Seq(
       // users 1,2 first active week w0; user 1 returns in w0+1
