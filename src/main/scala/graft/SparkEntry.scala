@@ -448,6 +448,37 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Passage-level dedup at 64-char windows: every recurring full
+    * window kept only at its first (doc, position) occurrence, docs
+    * reassembled; audit row = counts + md5 of the cleaned text.
+    */
+  private def qCorpusPassageDedup(s: SparkSession, dir: String): DataFrame =
+    Corpus.passageDedup(documents(s, dir), "doc_id", "text", passageLen = 64)
+      .orderBy("doc_id")
+
+  /** Fuzzy benchmark decontamination: MinHash near-dup match of the
+    * training split against the held-out eval split (same 10% hash
+    * sample as [[qCorpusDecontaminate]]) — catches lightly-edited
+    * contamination that exact n-gram overlap misses. Per flagged
+    * training doc: how many eval docs it collides with and the max
+    * verified Jaccard. Banding is 64 bands × 2 rows — the deliberate
+    * recall-first parameterization (collision ≈ 1 at s = 0.5, where the
+    * dedup default 16×8 captures only ~11%): a decontamination pass
+    * must not miss, and the candidate-fanout cost it buys is bounded by
+    * the SMALL eval side of the join.
+    */
+  private def qCorpusDecontFuzzy(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val inEval =
+      PortableHash.hash32(concat(lit("evalset"), col("doc_id").cast("string"))) % 1000 < 100
+    Dedup.crossNearDupPairs(docs.filter(!inEval), docs.filter(inEval),
+        "text", "doc_id", n = 3, bands = 64, rowsPerBand = 2,
+        threshold = 0.5, mode = HashMode.Portable)
+      .groupBy(col("id_l").as("doc_id"))
+      .agg(count(lit(1)).as("n_eval_matches"), max(col("jac")).as("max_jac"))
+      .orderBy("doc_id")
+  }
+
   private def qTextRepetition(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.repetitionStats(documents(s, dir), "doc_id", "text")
       .orderBy("doc_id")
@@ -1642,6 +1673,8 @@ object SparkEntry {
     "corpus_pack" -> (qCorpusPack _),
     "corpus_manifest" -> (qCorpusManifest _),
     "corpus_decontaminate" -> (qCorpusDecontaminate _),
+    "corpus_passage_dedup" -> (qCorpusPassageDedup _),
+    "corpus_decontaminate_fuzzy" -> (qCorpusDecontFuzzy _),
     "corpus_mix" -> (qCorpusMix _),
     "corpus_shuffle" -> (qCorpusShuffle _),
     "corpus_ingest_jsonl" -> (qCorpusIngestJsonl _),
@@ -1924,6 +1957,51 @@ object SparkEntry {
        |                   / len(list_distinct(list_concat(sa, sb))) END, 6) AS jac
        |      FROM pr)
        |SELECT new_id, dup_of, jac FROM j WHERE jac >= $threshold ORDER BY new_id, dup_of""".stripMargin
+  }
+
+  /** DuckDB twin of the [[qCorpusDecontFuzzy]] report: identical
+    * signature/band CTEs, candidate join split train-vs-eval by the
+    * `evalset` hash-sample predicate, aggregated per flagged training
+    * doc.
+    */
+  private def crossMinhashOracleSql(
+      numHashes: Int, bands: Int, rowsPerBand: Int, threshold: Double): String = {
+    val ab = PortableHash.minhashAB(numHashes)
+    val aList = PortableHash.bigintListSql(ab.map(_._1))
+    val bList = PortableHash.bigintListSql(ab.map(_._2))
+    val P = PortableHash.P
+    def isEval(ref: String) =
+      s"${PortableHash.hash32Sql(s"concat('evalset', CAST($ref AS VARCHAR))")} % 1000 < 100"
+    s"""WITH $TextTokensCte,
+       |$ShinglesCte,
+       |ab AS (SELECT $aList AS ha, $bList AS hb),
+       |xs AS (SELECT doc_id, sh,
+       |         list_transform(sh, s -> ${PortableHash.hash32Sql("s")} % $P) AS x
+       |       FROM shg),
+       |sig AS (SELECT doc_id,
+       |          list_transform(range(1, ${numHashes + 1}),
+       |            i -> list_min(list_transform(x, v -> (ha[i]*v + hb[i]) % $P))) AS sig
+       |        FROM xs, ab),
+       |bnd AS (SELECT doc_id, b,
+       |          ${PortableHash.foldSql(
+                   s"sig[CAST(b*$rowsPerBand+1 AS INT):CAST((b+1)*$rowsPerBand AS INT)]",
+                   "b + 1")} AS bucket
+       |        FROM sig, (SELECT unnest(range(0, $bands)) AS b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_l, c.doc_id AS id_r
+       |         FROM bnd a JOIN bnd c ON a.b = c.b AND a.bucket = c.bucket
+       |         WHERE NOT (${isEval("a.doc_id")}) AND (${isEval("c.doc_id")})),
+       |pr AS (SELECT id_l, id_r, sa.sh AS sa, sb.sh AS sb
+       |       FROM cand JOIN shg sa ON sa.doc_id = cand.id_l
+       |                 JOIN shg sb ON sb.doc_id = cand.id_r),
+       |j AS (SELECT id_l, id_r,
+       |        round(CASE WHEN len(list_distinct(list_concat(sa, sb))) = 0 THEN 0.0
+       |              ELSE CAST(len(list_filter(sa, x -> list_contains(sb, x))) AS DOUBLE)
+       |                   / len(list_distinct(list_concat(sa, sb))) END, 6) AS jac
+       |      FROM pr)
+       |SELECT id_l AS doc_id, CAST(count(*) AS BIGINT) AS n_eval_matches,
+       |       max(jac) AS max_jac
+       |FROM j WHERE jac >= $threshold
+       |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   /** DuckDB twin of [[Dedup.simhashDedup]] in portable-hash mode (chunk
@@ -2355,6 +2433,10 @@ object SparkEntry {
 
     "dedup_simhash" -> simhashOracleSql(maxHamming = 3),
 
+    "corpus_decontaminate_fuzzy" ->
+      crossMinhashOracleSql(numHashes = 128, bands = 64, rowsPerBand = 2,
+        threshold = 0.5),
+
     "text_rolling_hash" ->
       s"""WITH $TextTokensCte
          |SELECT doc_id,
@@ -2707,6 +2789,32 @@ object SparkEntry {
          |SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_ngrams
          |FROM tr JOIN ev ON tr.gram = ev.gram
          |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+
+    "corpus_passage_dedup" ->
+      """WITH ch AS (
+        |  SELECT doc_id, CAST((s-1)//64 AS BIGINT) AS chunk_i,
+        |         substr(text, CAST(s AS INT), 64) AS chunk
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(1, len(text), 64)) AS s
+        |        FROM documents WHERE text IS NOT NULL AND len(text) > 0)),
+        |keep AS (
+        |  SELECT doc_id, chunk_i, chunk,
+        |    (len(chunk) < 64 OR
+        |     row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_i) = 1) AS k
+        |  FROM ch),
+        |agg AS (
+        |  SELECT doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_total,
+        |    CAST(sum(CASE WHEN k THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |    md5(string_agg(CASE WHEN k THEN chunk ELSE '' END, '' ORDER BY chunk_i)) AS clean_md5
+        |  FROM keep GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(a.n_total, 0) AS n_total,
+        |  coalesce(a.n_kept, 0) AS n_kept,
+        |  CASE WHEN d.text IS NULL THEN NULL
+        |       ELSE coalesce(a.clean_md5, md5('')) END AS clean_md5
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "corpus_mix" -> {
       val cases = MixWeights.toSeq.sortBy(_._1)

@@ -378,6 +378,67 @@ object Corpus {
       .withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Passage-level corpus deduplication — the C4/RefinedWeb granularity
+    * BETWEEN whole-document dedup and n-gram overlap: the corpus is
+    * segmented into fixed `passageLen`-char non-overlapping windows
+    * (via [[chunkDocuments]] with stride = length, so concatenating a
+    * doc's chunks reconstructs it), every FULL-length chunk that recurs
+    * anywhere in the corpus is kept only at its first occurrence in
+    * (doc, position) order and dropped everywhere else, and documents
+    * are reassembled from their surviving chunks. Short tail chunks
+    * (< passageLen chars) are kept verbatim — too little content to
+    * dedup on, the analog of C4's minimum-span rule.
+    *
+    * Scale shape: the keep-first decision is a map-side-combined
+    * min-(doc, pos) aggregate keyed on the chunk content, joined back to
+    * the chunk frame — the aggregate output is one row per DISTINCT
+    * chunk, and a viral passage (the skew case) collapses to a single
+    * row in the partial combine rather than sorting its whole multiplicity
+    * in one window task; the join back is AQE-skew-splittable. Reassembly
+    * is one per-doc aggregate (doc-local key). The audit row is O(1)
+    * wide: counts + md5 of the cleaned text, never the text itself.
+    *
+    * Output: idCol ++ (n_total BIGINT chunks, n_kept BIGINT,
+    * clean_md5 STRING — md5 of the reassembled text, NULL iff the input
+    * text was NULL).
+    */
+  def passageDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      passageLen: Int = 64): DataFrame = {
+    require(passageLen > 0, s"passageLen must be positive, got $passageLen")
+    val chunks = chunkDocuments(df, idCol, textCol, passageLen, passageLen)
+      .select(col(idCol), col("chunk_i"), col("chunk"))
+    val keepers = chunks
+      .filter(length(col("chunk")) === passageLen)
+      .groupBy(col("chunk"))
+      .agg(min(struct(col(idCol), col("chunk_i"))).as("__k"))
+      .select(col("chunk"), col(s"__k.$idCol").as("__kid"),
+        col("__k.chunk_i").as("__kci"))
+    val marked = chunks.join(keepers, Seq("chunk"), "left_outer")
+      .withColumn("__keep",
+        length(col("chunk")) < passageLen ||
+          (col(idCol) === col("__kid") && col("chunk_i") === col("__kci")))
+    val agg = marked
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        md5(concat_ws("",
+          transform(
+            array_sort(collect_list(struct(col("chunk_i"),
+              when(col("__keep"), col("chunk")).otherwise("").as("__c")))),
+            e => e.getField("__c")))).as("clean_md5"))
+    df.select(col(idCol), col(textCol).as("__t"))
+      .join(agg, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_total"), lit(0L)).as("n_total"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        when(col("__t").isNull, lit(null).cast("string"))
+          .otherwise(coalesce(col("clean_md5"), md5(lit("")))).as("clean_md5"))
+  }
+
   /** Connected components over near-duplicate pairs: every document in a
     * duplicate cluster is labeled with the cluster's minimum id — the
     * step that turns pairwise dedup output into "keep one per cluster".

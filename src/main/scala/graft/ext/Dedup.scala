@@ -496,6 +496,61 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jac"))
   }
 
+  /** Cross-corpus MinHash near-duplicate pairs — [[minhashLshDedup]]'s
+    * machinery with the candidate join taken LEFT × RIGHT instead of
+    * self: every (left doc, right doc) pair sharing an LSH band bucket,
+    * verified by exact Jaccard ≥ `threshold`. The fuzzy analog of
+    * [[Corpus.decontaminate]] (which requires an EXACT shared n-gram):
+    * a lightly-edited eval document still collides in minhash bands.
+    *
+    * Scale shape: identical to the self-join variant — signatures are a
+    * map over each corpus, the band join carries id-only triples, and
+    * the verify fetch touches only surviving candidates. When `right` is
+    * an eval/benchmark set (the decontamination case) its bucket frame
+    * is small and broadcast by AQE, so the big side never shuffles for
+    * candidate generation.
+    *
+    * Output: (id_l, id_r, jac DOUBLE rounded 6dp) — `id_l` from `left`,
+    * `id_r` from `right`; ids are separate namespaces and never compared
+    * to each other.
+    */
+  def crossNearDupPairs(
+      left: DataFrame,
+      right: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 8,
+      threshold: Double = 0.8,
+      mode: HashMode = HashMode.Engine): DataFrame = {
+    val parallelism = left.sparkSession.sparkContext.defaultParallelism
+    def hashedSide(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("id"), hashedShingles(col(textCol), n).as("sh"))
+        .repartition(parallelism)
+        .localCheckpoint(true)
+    def bucketSide(df: DataFrame): DataFrame =
+      signatureScan(df, textCol, idCol, n, bands * rowsPerBand, mode)
+        .repartition(parallelism)
+        .select(col("id"),
+          posexplode(lshBandBuckets(col("sig"), bands, rowsPerBand, mode))
+            .as(Seq("band", "bucket")))
+
+    val pairs = bucketSide(left).select(col("id").as("id_l"), col("band"), col("bucket"))
+      .join(bucketSide(right).select(col("id").as("id_r"), col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select(col("id_l"), col("id_r"))
+      .dropDuplicates("id_l", "id_r")
+
+    pairs
+      .join(hashedSide(left).select(col("id").as("id_l"), col("sh").as("sh_l")), Seq("id_l"))
+      .join(hashedSide(right).select(col("id").as("id_r"), col("sh").as("sh_r")), Seq("id_r"))
+      .withColumn("jac",
+        round(jaccardSortedAtLeast(col("sh_l"), col("sh_r"), threshold), 6))
+      .filter(col("jac") >= threshold)
+      .select(col("id_l"), col("id_r"), col("jac"))
+  }
+
   /** 64-bit SimHash over tokens: bit j of the hash votes +1/-1 per token
     * according to bit j of xxhash64(token); sign of the tally is the
     * fingerprint bit. Near-dups have small Hamming distance.

@@ -107,6 +107,27 @@ class CorpusSpec extends SparkSpecBase {
       (3L, "banana", 1L, 3L, 1.0, 1)))
   }
 
+  test("passageDedup keeps the first (doc,pos) occurrence of each full window") {
+    def md5hex(t: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // len 4: doc 1 = aaaa|bbbb|cc, doc 2 = bbbb|aaaa|dd — both full
+    // windows of doc 2 recur from doc 1 and are dropped; the short tail
+    // survives verbatim. Null text → NULL md5; empty text → md5("").
+    val df = Seq(
+      (1L, "aaaabbbbcc"), (2L, "bbbbaaaadd"),
+      (3L, null.asInstanceOf[String]), (4L, ""))
+      .toDF("doc_id", "text")
+    val got = Corpus.passageDedup(df, "doc_id", "text", passageLen = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getString(3))).toSeq
+    assert(got === Seq(
+      (1L, 3L, 3L, md5hex("aaaabbbbcc")),
+      (2L, 3L, 1L, md5hex("dd")),
+      (3L, 0L, 0L, null),
+      (4L, 0L, 0L, md5hex(""))))
+  }
+
   test("decontaminate flags training docs sharing an n-gram with the eval set") {
     val train = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"), // shares 5-grams with eval doc 10

@@ -181,6 +181,29 @@ class ExtOperatorsSpec extends SparkSpecBase {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("crossNearDupPairs matches across corpora only; id namespaces are independent") {
+    val left = Seq(
+      (1L, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 a12"),
+      (2L, "zebra yak xray walrus viper unau tapir snake")).toDF("doc_id", "text")
+    val right = Seq(
+      // lightly-edited copy of left doc 1 (token 6 changed): 3-shingle
+      // jaccard = 7/13 — found at threshold 0.5 with banding widened to
+      // 64x2 (16x8's collision odds at s=0.54 are ~11%: the default is
+      // tuned for s>=0.8). SAME id on purpose: ids are separate
+      // namespaces, never suppressed as a self-pair.
+      (1L, "a1 a2 a3 a4 a5 CHANGED a7 a8 a9 a10 a11 a12"),
+      (9L, "quartz opal nickel meteor lumen krypton jade iron")).toDF("doc_id", "text")
+    val got = Dedup.crossNearDupPairs(left, right, "text", "doc_id",
+        n = 3, bands = 64, rowsPerBand = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === Seq((1L, 1L, 0.538462)))
+    // same corpus on both sides: every doc collides with itself at jac 1
+    val self = Dedup.crossNearDupPairs(left, left, "text", "doc_id",
+        n = 3, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(self === Set((1L, 1L), (2L, 2L)))
+  }
+
   test("simhashDedup: identical docs at distance 0; hamming is symmetric-safe") {
     val pairs = Dedup.simhashDedup(docs, "text", "doc_id", maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
