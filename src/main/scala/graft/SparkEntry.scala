@@ -2,7 +2,7 @@ package graft
 
 import graft.apply.{ChangeApplier, IncrementalAgg}
 import graft.capture.ChangeCapture
-import graft.ext.{Corpus, Dedup, EventAnalytics, HashMode, Multimodal, PortableHash, Similarity, Sketches, TextAnalysis}
+import graft.ext.{Bpe, Corpus, Dedup, EventAnalytics, HashMode, Multimodal, PortableHash, Similarity, Sketches, TextAnalysis}
 import graft.model.ConflictStrategy
 import graft.log.ChangeLog
 import graft.monitor.CdcMonitor
@@ -476,6 +476,28 @@ object SparkEntry {
         threshold = 0.5, mode = HashMode.Portable)
       .groupBy(col("id_l").as("doc_id"))
       .agg(count(lit(1)).as("n_eval_matches"), max(col("jac")).as("max_jac"))
+      .orderBy("doc_id")
+  }
+
+  /** BPE tokenizer training: 8 merges learned over the corpus
+    * word-frequency table — ranked (pair, frequency) merge list. The
+    * corpus is touched ONCE (the word-freq aggregate); every iteration
+    * runs on the vocabulary-sized symbol frame.
+    */
+  private def qTextBpeTrain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Bpe.train(documents(s, dir), "text", numMerges = 8)
+      .merges.toDF("merge_rank", "merge_left", "merge_right", "pair_freq")
+      .orderBy("merge_rank")
+  }
+
+  /** Per-document BPE token counts under the 8-merge tokenizer of
+    * [[qTextBpeTrain]] — the sequence-length accounting a packing/budget
+    * pipeline runs after tokenizer training.
+    */
+  private def qTextBpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    Bpe.encode(docs, "doc_id", "text", Bpe.train(docs, "text", numMerges = 8))
       .orderBy("doc_id")
   }
 
@@ -1675,6 +1697,8 @@ object SparkEntry {
     "corpus_decontaminate" -> (qCorpusDecontaminate _),
     "corpus_passage_dedup" -> (qCorpusPassageDedup _),
     "corpus_decontaminate_fuzzy" -> (qCorpusDecontFuzzy _),
+    "text_bpe_train" -> (qTextBpeTrain _),
+    "text_bpe_encode" -> (qTextBpeEncode _),
     "corpus_mix" -> (qCorpusMix _),
     "corpus_shuffle" -> (qCorpusShuffle _),
     "corpus_ingest_jsonl" -> (qCorpusIngestJsonl _),
@@ -2003,6 +2027,64 @@ object SparkEntry {
        |FROM j WHERE jac >= $threshold
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
+
+  /** DuckDB twin of [[Bpe.train]]'s iteration chain, mechanically
+    * unrolled to `numMerges` CTE triples: pair counts over the current
+    * symbol table → top-1 pair (freq desc, pair lexical asc — the
+    * engine's tie-break) → greedy left-to-right merge application via
+    * the same accumulator fold (`list_reduce` over singleton-wrapped
+    * symbols, because DuckDB's reduce state must be element-typed).
+    * Returns the chain up to `v<numMerges>`; callers append the final
+    * SELECT.
+    */
+  private def bpeCtes(numMerges: Int): String = {
+    val iters = (1 to numMerges).map { i =>
+      s"""px$i AS (SELECT freq, syms, unnest(range(1, len(syms))) AS ix FROM v${i - 1}),
+         |p$i AS (SELECT syms[CAST(ix AS INT)] AS l, syms[CAST(ix+1 AS INT)] AS r,
+         |          CAST(sum(freq) AS BIGINT) AS f
+         |        FROM px$i GROUP BY 1, 2),
+         |m$i AS (SELECT l, r, f FROM p$i ORDER BY f DESC, l, r LIMIT 1),
+         |v$i AS (SELECT word, freq,
+         |          list_reduce(list_transform(v.syms, s -> [s]), (acc, x) ->
+         |            CASE WHEN acc[-1] = m.l AND x[1] = m.r
+         |                 THEN list_concat(acc[1:len(acc)-1], [acc[-1] || x[1]])
+         |                 ELSE list_concat(acc, x) END) AS syms
+         |        FROM v${i - 1} v, m$i m)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $TextTokensCte,
+       |wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+       |       FROM (SELECT unnest(ltoks) AS word FROM t) GROUP BY 1),
+       |v0 AS (SELECT word, freq,
+       |         list_transform(range(1, len(word)+1),
+       |           i -> substr(word, CAST(i AS INT), 1)) AS syms
+       |       FROM wf),
+       |$iters""".stripMargin
+  }
+
+  private def bpeTrainOracleSql(numMerges: Int): String = {
+    val rows = (1 to numMerges).map { i =>
+      if (i == 1)
+        s"SELECT CAST(1 AS INT) AS merge_rank, l AS merge_left, r AS merge_right, f AS pair_freq FROM m1"
+      else s"UNION ALL SELECT $i, l, r, f FROM m$i"
+    }.mkString("\n|  ")
+    s"""${bpeCtes(numMerges)}
+       |SELECT * FROM (
+       |  $rows)
+       |ORDER BY merge_rank""".stripMargin
+  }
+
+  private def bpeEncodeOracleSql(numMerges: Int): String =
+    s"""${bpeCtes(numMerges)},
+       |cnt AS (SELECT w.doc_id, CAST(count(*) AS BIGINT) AS nw,
+       |          CAST(sum(len(vk.syms)) AS BIGINT) AS nb
+       |        FROM (SELECT doc_id, unnest(ltoks) AS word FROM t) w
+       |        JOIN v$numMerges vk USING (word)
+       |        GROUP BY 1)
+       |SELECT d.doc_id,
+       |  coalesce(cnt.nw, 0) AS n_words,
+       |  coalesce(cnt.nb, 0) AS n_bpe_tokens
+       |FROM documents d LEFT JOIN cnt USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
 
   /** DuckDB twin of [[Dedup.simhashDedup]] in portable-hash mode (chunk
     * layout hardcoded for maxHamming = 3: 4 chunks x 16 bits; chunks 0/1
@@ -2436,6 +2518,9 @@ object SparkEntry {
     "corpus_decontaminate_fuzzy" ->
       crossMinhashOracleSql(numHashes = 128, bands = 64, rowsPerBand = 2,
         threshold = 0.5),
+
+    "text_bpe_train" -> bpeTrainOracleSql(numMerges = 8),
+    "text_bpe_encode" -> bpeEncodeOracleSql(numMerges = 8),
 
     "text_rolling_hash" ->
       s"""WITH $TextTokensCte

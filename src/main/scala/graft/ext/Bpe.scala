@@ -1,0 +1,129 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding (BPE) training and encoding — the
+  * tokenizer-learning step of an LLM data pipeline, built the way BPE is
+  * actually trained at corpus scale: the corpus collapses to its
+  * word-frequency table FIRST (one map-side-combined aggregate — the only
+  * pass that ever touches corpus-sized data), and every merge iteration
+  * then runs over the VOCABULARY-sized frame, so training cost is
+  * independent of corpus size beyond that single scan. Reference scope:
+  * the reference engine has no tokenizer surface; this extends the text
+  * tier the same way the ANN/sketch tiers extend it.
+  *
+  * Semantics are classic word-level BPE (Sennrich et al. 2016, public
+  * algorithm): words start as character sequences; each iteration merges
+  * the most frequent adjacent symbol pair (ties broken by pair lexical
+  * order for cross-engine determinism), applied greedily left-to-right
+  * within each word. No end-of-word marker is appended (documented
+  * simplification; the marker is one `concat` away).
+  *
+  * Scale notes: the per-iteration top-1 pair is a driver collect of ONE
+  * row (codebook-pattern, like IVF centroids); the symbol frame is
+  * `localCheckpoint`ed per iteration so the plan does not nest k
+  * higher-order-function applications deep. The interpreted-lambda cost
+  * of the fold rides only on the vocabulary frame, never the corpus.
+  */
+object Bpe {
+
+  /** Word-frequency table `(word, freq)` over lowercased whitespace
+    * tokens — the corpus-collapsing scan.
+    */
+  def wordFreq(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextAnalysis.tokens(lower(col(textCol)))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("freq"))
+
+  /** One greedy left-to-right merge pass of the pair (l, r) over a
+    * symbol array: the accumulator's last symbol merges with the current
+    * one iff they equal (l, r) — merging consumes the right symbol, so
+    * overlapping occurrences resolve exactly as sequential BPE does
+    * ("aaa" under (a,a) → [aa, a], never [a, aa] or [aa, aa]).
+    */
+  private def mergeOnce(syms: Column, l: String, r: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) > 0 && element_at(acc, -1) === l && x === r,
+        concat(slice(acc, lit(1), size(acc) - 1), array(concat(element_at(acc, -1), x))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Adjacent-pair frequencies of the current symbol table: one row per
+    * (left, right) with the summed word frequency.
+    */
+  private def pairCounts(words: DataFrame): DataFrame =
+    words
+      // single-symbol words have no adjacent pair; the filter also keeps
+      // the explode's sequence(1, n-1) ascending (Spark's sequence runs
+      // DESCENDING when start > stop — it would fabricate index 0)
+      .filter(size(col("syms")) >= 2)
+      .select(col("freq"),
+        col("syms"),
+        explode(sequence(lit(1), size(col("syms")) - 1)).as("ix"))
+      .select(element_at(col("syms"), col("ix")).as("l"),
+        element_at(col("syms"), col("ix") + 1).as("r"),
+        col("freq"))
+      .groupBy("l", "r")
+      .agg(sum(col("freq")).as("f"))
+
+  /** The trained state: ranked merges plus the final word → symbols
+    * table (the lookup [[encode]] joins against).
+    */
+  final case class Trained(merges: Seq[(Int, String, String, Long)], wordSyms: DataFrame)
+
+  /** Train `numMerges` BPE merges over the corpus. Returns the ranked
+    * merge list (1-based rank, left, right, pair frequency) and the
+    * final word → symbols table.
+    */
+  def train(df: DataFrame, textCol: String, numMerges: Int): Trained = {
+    require(numMerges > 0, s"numMerges must be positive, got $numMerges")
+    var words = wordFreq(df, textCol)
+      .withColumn("syms",
+        transform(sequence(lit(1), length(col("word"))),
+          i => col("word").substr(i, lit(1))))
+      .localCheckpoint(true)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      // one-row driver collect per iteration (codebook pattern); ties
+      // broken lexically so both engines pick the same pair
+      val top = pairCounts(words)
+        .orderBy(col("f").desc, col("l"), col("r"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, f) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((rank, l, r, f))
+        words = words
+          .withColumn("syms", mergeOnce(col("syms"), l, r))
+          .localCheckpoint(true)
+        rank += 1
+      }
+    }
+    Trained(merges.result(), words.select(col("word"), col("freq"), col("syms")))
+  }
+
+  /** Per-document BPE token count under a trained merge table: explode
+    * each document's words and sum the symbol counts from the trained
+    * word → symbols lookup. The join is vocabulary-vs-corpus — the small
+    * side broadcasts — and documents with no tokens (null/empty text)
+    * report 0.
+    *
+    * Output: idCol ++ (n_words BIGINT, n_bpe_tokens BIGINT).
+    */
+  def encode(df: DataFrame, idCol: String, textCol: String, trained: Trained): DataFrame = {
+    val lookup = trained.wordSyms.select(col("word"), size(col("syms")).cast("long").as("__n"))
+    val toks = df.select(col(idCol),
+        explode(TextAnalysis.tokens(lower(col(textCol)))).as("word"))
+      .join(lookup, Seq("word"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("__n")).as("n_bpe_tokens"))
+    df.select(col(idCol))
+      .join(toks, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
+  }
+}
