@@ -832,6 +832,26 @@ object SparkEntry {
       .orderBy("query_id", "rnk")
   }
 
+  /** Recall@10 of the IVF nprobe=3 serving path against exhaustive
+    * brute-force ground truth — the index-quality metric an ANN operator
+    * must ship with (an approximate index without a measured recall is
+    * an unknown, not an optimization). Both sides are k×queries-sized
+    * frames, so the semi-join + per-query count is trivially small
+    * regardless of corpus size; at scale the ground-truth side runs over
+    * a fixed evaluation sample, never the full corpus.
+    */
+  private def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val bf = qAnnBruteForce(s, dir).select("query_id", "neighbor_id")
+    val iv = qAnnIvfTopK(s, dir).select("query_id", "neighbor_id")
+    val hits = iv.join(bf, Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    bf.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left_outer")
+      .select(col("query_id"),
+        round(coalesce(col("hits"), lit(0L)).cast("double") / lit(10.0), 6).as("recall"))
+      .orderBy("query_id")
+  }
+
   /** One k-means refinement step over the IVF codebook, flattened to
     * (centroid, dim) scalars so the oracle hash-compares scalar columns.
     */
@@ -901,6 +921,37 @@ object SparkEntry {
         graft.ext.Search.invertedPostings(documents(s, dir), "doc_id", "text"),
         Seq("dup", "spark", "key"))
       .orderBy("doc_id")
+
+  /** Disjunctive BM25 top-20 over the same inverted index: Okapi scoring
+    * with k1 = 1.2, b = 0.75, ranked on the 6-dp-rounded score with
+    * doc_id tie-break.
+    */
+  private def qTextBm25(s: SparkSession, dir: String): DataFrame = {
+    val postings = graft.ext.Search.invertedPostings(documents(s, dir), "doc_id", "text")
+    graft.ext.Search.bm25TopK(postings, graft.ext.Search.docStats(postings),
+        Seq("dup", "spark", "key"), k = 20)
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
+  /** Multinomial NB conditional table trained on the `lang` label —
+    * vocabulary × labels rows of Laplace-smoothed token log-probs.
+    */
+  private def qTextNbTrain(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Classify.nbTrain(documents(s, dir), "doc_id", "text", "lang")
+      .select(col("label"), col("token"), col("cnt"), col("log_cond"))
+      .orderBy("label", "token")
+
+  /** NB language prediction for every document: argmax over labels of
+    * prior + summed token log-probs (unseen tokens take the Laplace
+    * zero-count penalty), decided on the 6-dp-rounded score.
+    */
+  private def qTextNbScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    graft.ext.Classify.nbScore(docs, "doc_id", "text",
+        graft.ext.Classify.nbTrain(docs, "doc_id", "text", "lang"),
+        graft.ext.Classify.nbLabelStats(docs, "doc_id", "text", "lang"))
+      .orderBy("doc_id")
+  }
 
   /** Event-type transition matrix: consecutive (from → to) counts within
     * each user's (ts, id)-ordered timeline.
@@ -1685,6 +1736,10 @@ object SparkEntry {
     "events_props_agg" -> (qEventsPropsAgg _),
     "text_stats" -> (qTextStats _),
     "text_search" -> (qTextSearch _),
+    "text_bm25" -> (qTextBm25 _),
+    "text_nb_train" -> (qTextNbTrain _),
+    "text_nb_score" -> (qTextNbScore _),
+    "ann_recall" -> (qAnnRecall _),
     "text_rolling_hash" -> (qTextRollingHash _),
     "media_meta" -> (qMediaMeta _),
     "media_frames" -> (qMediaFrames _),
@@ -1836,6 +1891,68 @@ object SparkEntry {
        |  round(CASE WHEN na*nb = 0 THEN 0.0 ELSE dp/(na*nb) END, 6) AS score
        |  FROM $raw)""".stripMargin
 
+  /** Exhaustive cosine top-10 — shared verbatim by the `ann_brute_force`
+    * oracle and (as the ground-truth CTE) by `ann_recall`.
+    */
+  private val AnnBruteForceSql: String =
+    s"""WITH $EmbBase,
+       |raw AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |         ${dotSql("e.v", "q.qv")} AS dp,
+       |         sqrt(${dotSql("e.v", "e.v")}) AS na,
+       |         sqrt(${dotSql("q.qv", "q.qv")}) AS nb
+       |  FROM e, q WHERE e.vec_id <> q.query_id),
+       |${cosScoreSql("raw", "scored")},
+       |-- score IS NOT NULL mirrors the engine's TopKAggregator contract:
+       |-- null-scored candidates are dropped, not ranked last
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+       |      FROM scored WHERE score IS NOT NULL)
+       |SELECT query_id, neighbor_id, score, CAST(rn AS INT) AS rnk
+       |FROM r WHERE rn <= 10 ORDER BY query_id, rnk""".stripMargin
+
+  /** IVF nprobe=3 top-10 — shared verbatim by the `ann_ivf_topk` oracle
+    * and (as the approximate-answer CTE) by `ann_recall`.
+    */
+  private val AnnIvfTopkSql: String =
+    s"""WITH $EmbBase,
+       |rawc AS (
+       |  SELECT e.vec_id, c.cid,
+       |         ${dotSql("e.v", "c.cv")} AS dp,
+       |         sqrt(${dotSql("e.v", "e.v")}) AS na,
+       |         sqrt(${dotSql("c.cv", "c.cv")}) AS nb
+       |  FROM e, c),
+       |${cosScoreSql("rawc", "sc")},
+       |a1 AS (SELECT vec_id, cid FROM
+       |        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn FROM sc)
+       |       WHERE rn = 1),
+       |praw AS (
+       |  SELECT q.query_id, c.cid,
+       |         ${dotSql("q.qv", "c.cv")} AS dp,
+       |         sqrt(${dotSql("q.qv", "q.qv")}) AS na,
+       |         sqrt(${dotSql("c.cv", "c.cv")}) AS nb
+       |  FROM q, c),
+       |${cosScoreSql("praw", "ps")},
+       |probes AS (SELECT query_id, cid FROM
+       |            (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cid) AS rn FROM ps)
+       |           WHERE rn <= 3),
+       |craw AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id,
+       |         ${dotSql("e.v", "q.qv")} AS dp,
+       |         sqrt(${dotSql("e.v", "e.v")}) AS na,
+       |         sqrt(${dotSql("q.qv", "q.qv")}) AS nb
+       |  FROM probes p
+       |  JOIN a1 a ON a.cid = p.cid
+       |  JOIN e ON e.vec_id = a.vec_id
+       |  JOIN q ON q.query_id = p.query_id
+       |  WHERE a.vec_id <> p.query_id),
+       |${cosScoreSql("craw", "cs")},
+       |-- score IS NOT NULL mirrors the engine's TopKAggregator contract:
+       |-- null-scored candidates are dropped, not ranked last
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+       |      FROM cs WHERE score IS NOT NULL)
+       |SELECT query_id, neighbor_id, score, CAST(rn AS INT) AS rnk
+       |FROM r WHERE rn <= 10 ORDER BY query_id, rnk""".stripMargin
+
   private val TextTokensCte: String =
     """t AS (
       |  SELECT doc_id, text,
@@ -1846,6 +1963,23 @@ object SparkEntry {
       |  FROM documents)""".stripMargin
 
   private val StopwordsSql = "['the','a','an','of','and','to','in','is','it','that']"
+
+  /** Naive-Bayes training CTEs shared by `text_nb_train` and
+    * `text_nb_score`: per-(label, token) counts with multiplicity, the
+    * per-label token totals, and the corpus-wide vocabulary size —
+    * mirrors [[graft.ext.Classify.nbTrain]]'s aggregates (alpha = 1).
+    */
+  private val NbTrainCtes: String =
+    s"""$TextTokensCte,
+       |nbtk AS (
+       |  SELECT lang AS label,
+       |         unnest(CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+       |                ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END) AS token
+       |  FROM documents),
+       |nbcnt AS (SELECT label, token, CAST(COUNT(*) AS BIGINT) AS cnt
+       |          FROM nbtk GROUP BY label, token),
+       |nbtot AS (SELECT label, SUM(cnt) AS tot FROM nbcnt GROUP BY label),
+       |nbvoc AS (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v FROM nbcnt)""".stripMargin
 
   /** Word-3-gram shingle set of `ltoks` — the single SQL definition of
     * [[Dedup.shingles]] (n = 3) shared by every shingle-consuming oracle
@@ -3150,21 +3284,23 @@ object SparkEntry {
         |       CAST(COUNT(*) AS BIGINT) AS n_frames
         |FROM f GROUP BY frame_md5 ORDER BY frame_md5""".stripMargin,
 
-    "ann_brute_force" ->
-      s"""WITH $EmbBase,
-         |raw AS (
-         |  SELECT q.query_id, e.vec_id AS neighbor_id,
-         |         ${dotSql("e.v", "q.qv")} AS dp,
-         |         sqrt(${dotSql("e.v", "e.v")}) AS na,
-         |         sqrt(${dotSql("q.qv", "q.qv")}) AS nb
-         |  FROM e, q WHERE e.vec_id <> q.query_id),
-         |${cosScoreSql("raw", "scored")},
-         |-- score IS NOT NULL mirrors the engine's TopKAggregator contract:
-         |-- null-scored candidates are dropped, not ranked last
-         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
-         |      FROM scored WHERE score IS NOT NULL)
-         |SELECT query_id, neighbor_id, score, CAST(rn AS INT) AS rnk
-         |FROM r WHERE rn <= 10 ORDER BY query_id, rnk""".stripMargin,
+    "ann_brute_force" -> AnnBruteForceSql,
+
+    // recall@10 of the IVF nprobe=3 path against exhaustive ground truth,
+    // both reused verbatim as CTEs (DuckDB allows a nested WITH inside a
+    // CTE body)
+    "ann_recall" ->
+      s"""WITH bf AS ($AnnBruteForceSql),
+         |iv AS ($AnnIvfTopkSql),
+         |ov AS (SELECT iv.query_id, CAST(COUNT(*) AS BIGINT) AS hits
+         |       FROM iv JOIN bf ON bf.query_id = iv.query_id
+         |                      AND bf.neighbor_id = iv.neighbor_id
+         |       GROUP BY iv.query_id),
+         |qs AS (SELECT DISTINCT query_id FROM bf)
+         |SELECT qs.query_id,
+         |       round(CAST(COALESCE(ov.hits, 0) AS DOUBLE) / 10.0, 6) AS recall
+         |FROM qs LEFT JOIN ov ON ov.query_id = qs.query_id
+         |ORDER BY qs.query_id""".stripMargin,
 
     "ann_ivf_assign" ->
       s"""WITH $EmbBase,
@@ -3180,45 +3316,7 @@ object SparkEntry {
          |       WHERE rn = 1)
          |SELECT vec_id, cid AS centroid_id FROM a1 ORDER BY vec_id""".stripMargin,
 
-    "ann_ivf_topk" ->
-      s"""WITH $EmbBase,
-         |rawc AS (
-         |  SELECT e.vec_id, c.cid,
-         |         ${dotSql("e.v", "c.cv")} AS dp,
-         |         sqrt(${dotSql("e.v", "e.v")}) AS na,
-         |         sqrt(${dotSql("c.cv", "c.cv")}) AS nb
-         |  FROM e, c),
-         |${cosScoreSql("rawc", "sc")},
-         |a1 AS (SELECT vec_id, cid FROM
-         |        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn FROM sc)
-         |       WHERE rn = 1),
-         |praw AS (
-         |  SELECT q.query_id, c.cid,
-         |         ${dotSql("q.qv", "c.cv")} AS dp,
-         |         sqrt(${dotSql("q.qv", "q.qv")}) AS na,
-         |         sqrt(${dotSql("c.cv", "c.cv")}) AS nb
-         |  FROM q, c),
-         |${cosScoreSql("praw", "ps")},
-         |probes AS (SELECT query_id, cid FROM
-         |            (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cid) AS rn FROM ps)
-         |           WHERE rn <= 3),
-         |craw AS (
-         |  SELECT p.query_id, a.vec_id AS neighbor_id,
-         |         ${dotSql("e.v", "q.qv")} AS dp,
-         |         sqrt(${dotSql("e.v", "e.v")}) AS na,
-         |         sqrt(${dotSql("q.qv", "q.qv")}) AS nb
-         |  FROM probes p
-         |  JOIN a1 a ON a.cid = p.cid
-         |  JOIN e ON e.vec_id = a.vec_id
-         |  JOIN q ON q.query_id = p.query_id
-         |  WHERE a.vec_id <> p.query_id),
-         |${cosScoreSql("craw", "cs")},
-         |-- score IS NOT NULL mirrors the engine's TopKAggregator contract:
-         |-- null-scored candidates are dropped, not ranked last
-         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
-         |      FROM cs WHERE score IS NOT NULL)
-         |SELECT query_id, neighbor_id, score, CAST(rn AS INT) AS rnk
-         |FROM r WHERE rn <= 10 ORDER BY query_id, rnk""".stripMargin,
+    "ann_ivf_topk" -> AnnIvfTopkSql,
 
     // composed IVF+PQ serving: coarse assignment + probe CTEs from
     // ann_ivf_topk, PQ code + ADC CTEs from ann_pq_topk; scoring is
@@ -3499,6 +3597,66 @@ object SparkEntry {
          |FROM t
          |WHERE list_contains(ltoks, 'dup') AND list_contains(ltoks, 'spark')
          |  AND list_contains(ltoks, 'key')
+         |ORDER BY doc_id""".stripMargin,
+
+    // Okapi BM25 over the posting list: parenthesized constant arithmetic
+    // ((1.2 + 1.0), (1.0 - 0.75)) mirrors the engine's lit(k1 + 1.0) /
+    // lit(1.0 - b) double ops so both engines feed ln/divide identical
+    // inputs before the 6-dp rounding
+    "text_bm25" ->
+      s"""WITH $TextTokensCte,
+         |p AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+         |      FROM (SELECT doc_id, unnest(ltoks) AS token FROM t)
+         |      GROUP BY doc_id, token),
+         |dl AS (SELECT doc_id, SUM(tf) AS dl FROM p GROUP BY doc_id),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |               avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+         |m AS (SELECT * FROM p WHERE token IN ('dup', 'spark', 'key')),
+         |dfq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM m GROUP BY token),
+         |w AS (SELECT m.doc_id,
+         |        ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+         |        * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+         |        / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(dl.dl AS DOUBLE) / avgdl)) AS wt
+         |      FROM m JOIN dfq USING (token) JOIN dl USING (doc_id), tot),
+         |sc AS (SELECT doc_id, round(SUM(wt), 6) AS score FROM w GROUP BY doc_id)
+         |SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "text_nb_train" ->
+      s"""WITH $NbTrainCtes
+         |SELECT label, token, cnt,
+         |       round(ln((CAST(cnt AS DOUBLE) + 1.0) / (CAST(tot AS DOUBLE) + 1.0 * v)), 6) AS log_cond
+         |FROM nbcnt JOIN nbtot USING (label), nbvoc
+         |ORDER BY label, token""".stripMargin,
+
+    "text_nb_score" ->
+      s"""WITH $NbTrainCtes,
+         |cndraw AS (
+         |  SELECT label, token,
+         |         ln((CAST(cnt AS DOUBLE) + 1.0) / (CAST(tot AS DOUBLE) + 1.0 * v)) AS log_raw
+         |  FROM nbcnt JOIN nbtot USING (label), nbvoc),
+         |nd AS (SELECT lang AS label, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |       FROM documents GROUP BY 1),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+         |lstat AS (
+         |  SELECT nd.label,
+         |         ln(CAST(n_docs AS DOUBLE) / CAST(n AS DOUBLE)) AS log_prior,
+         |         ln(1.0 / (CAST(COALESCE(tot, 0) AS DOUBLE) + 1.0 * v)) AS log_unseen
+         |  FROM nd LEFT JOIN nbtot USING (label), nbvoc, nn),
+         |tkd AS (SELECT doc_id, unnest(ltoks) AS token FROM t),
+         |persum AS (
+         |  SELECT tkd.doc_id, l.label,
+         |         SUM(COALESCE(c.log_raw, l.log_unseen)) AS tok_sum
+         |  FROM tkd CROSS JOIN lstat l
+         |  LEFT JOIN cndraw c ON c.label = l.label AND c.token = tkd.token
+         |  GROUP BY tkd.doc_id, l.label),
+         |sc AS (
+         |  SELECT d.doc_id, l.label,
+         |         round(l.log_prior + COALESCE(p.tok_sum, 0.0), 6) AS score
+         |  FROM documents d CROSS JOIN lstat l
+         |  LEFT JOIN persum p ON p.doc_id = d.doc_id AND p.label = l.label),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, label) AS rn
+         |      FROM sc)
+         |SELECT doc_id, label AS pred_label, score FROM r WHERE rn = 1
          |ORDER BY doc_id""".stripMargin,
 
     "lineitem_agg" -> LineitemAggSql,

@@ -44,4 +44,56 @@ object Search {
       .filter(col("n_terms") === terms.size)
       .select(col("doc_id"), col("score"))
   }
+
+  /** Corpus statistics the BM25 scorer needs: one row per document with
+    * its token length, plus the corpus totals riding along as columns
+    * (`n_docs`, `avgdl`). Built from the posting list (one corpus-sized
+    * scan, one doc-keyed aggregate with map-side combine) — at scale this
+    * table is materialized once next to the postings and reused by every
+    * query, exactly like the index itself.
+    */
+  def docStats(postings: DataFrame): DataFrame = {
+    val dl = postings.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    // corpus scalars: an O(1)-output aggregate broadcast onto every row
+    val totals = dl.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl").cast("double")).as("avgdl"))
+    dl.crossJoin(broadcast(totals))
+  }
+
+  /** Disjunctive BM25 top-k: rank documents matching ANY query term by
+    * the Robertson/Okapi score
+    * `sum_t idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))` with the
+    * non-negative idf `ln((N-df+0.5)/(df+0.5) + 1)`.
+    *
+    * Scale shape: the token filter prunes the posting scan to the probed
+    * terms (bucket-pruned when postings are bucketed by token), so the
+    * per-term df aggregate and the scoring join both run over matched
+    * posting rows only — corpus size enters through `stats`, which is a
+    * prebuilt artifact. The doc-length join puts the small (matched
+    * postings) side right of a broadcast-eligible equi-join; the final
+    * top-k is `orderBy+limit` = `TakeOrderedAndProject`, never a full
+    * sort. Scores are rounded to 6 dp BEFORE ranking so the ordering is
+    * reproducible across engines; ties break on doc_id.
+    */
+  def bm25TopK(postings: DataFrame, stats: DataFrame, terms: Seq[String],
+               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.distinct.size == terms.size,
+      s"terms must be non-empty and distinct: $terms")
+    val matched = postings.filter(col("token").isin(terms: _*))
+    val df_ = matched.groupBy("token").agg(count(lit(1)).as("df"))
+    val scored = matched
+      .join(broadcast(df_), Seq("token"))
+      .join(stats, Seq("doc_id"))
+      .withColumn("idf",
+        log((col("n_docs").cast("double") - col("df") + lit(0.5)) /
+            (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("w",
+        col("idf") * (col("tf").cast("double") * lit(k1 + 1.0)) /
+          (col("tf").cast("double") +
+            lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / col("avgdl"))))
+    scored.groupBy("doc_id")
+      .agg(round(sum(col("w")), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
 }

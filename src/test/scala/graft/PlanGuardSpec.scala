@@ -20,7 +20,17 @@ class PlanGuardSpec extends SparkSpecBase {
   private val nestedLoopAllowed = Set(
     "ann_brute_force", "ann_pq_topk", "ann_lsh",
     // 1-row × 1-row sketch-combine frames
-    "sketch_set_ops")
+    "sketch_set_ops",
+    // recall joins the brute-force ground truth, inheriting its sweep
+    "ann_recall",
+    // 1-row corpus-stats frame (n_docs, avgdl) broadcast onto postings
+    "text_bm25",
+    // 1-row vocabulary-size scalar broadcast onto the (label, token) table
+    "text_nb_train",
+    // the |labels|-row class table swept against every token by design
+    // (score(d, c) needs every (token, label) pair); broadcast side is
+    // bounded by the label alphabet, never data volume
+    "text_nb_score")
 
   private def walk(p: SparkPlan): Seq[SparkPlan] = {
     val kids = p match {
