@@ -167,6 +167,21 @@ object Fixtures {
     survivors.unionByName(inserts)
   }
 
+  /** A deliberately-dirtied variant of [[after]] for the expectations
+    * operator: every %3001 key gets a NULL custkey (not-null rule), every
+    * %2003 key an orphaned custkey (+10 M — referential rule), and every
+    * %4999 row is duplicated verbatim (uniqueness rule); [[after]]'s own
+    * 'X'/'N' statuses feed the accepted-values rule. Deterministic, so
+    * the DuckDB twin ([[FixtureSql.DirtyCte]]) reproduces it exactly.
+    */
+  def dirty(after: DataFrame): DataFrame = {
+    val mutated = after.withColumn("o_custkey",
+      when(col("o_orderkey") % 3001 === 0, lit(null))
+        .when(col("o_orderkey") % 2003 === 0, col("o_custkey") + 10000000L)
+        .otherwise(col("o_custkey")))
+    mutated.unionByName(after.filter(col("o_orderkey") % 4999 === 0))
+  }
+
   /** Raw captured diff (no ids/bookkeeping yet). */
   def captured(spark: SparkSession, dir: String): DataFrame =
     cached("captured", spark, dir) {
@@ -278,6 +293,19 @@ object FixtureSql {
        |         CASE WHEN cdc_id % 3 = 0 THEN TIMESTAMP '2026-01-02 00:00:00' END AS sync_timestamp
        |  FROM log_t
        |)""".stripMargin
+
+  /** dirty_t: [[Fixtures.dirty]]'s twin over `after_t`. */
+  val DirtyCte: String =
+    """dirty_t AS (
+      |  SELECT o_orderkey,
+      |         CASE WHEN o_orderkey % 3001 = 0 THEN NULL
+      |              WHEN o_orderkey % 2003 = 0 THEN o_custkey + 10000000
+      |              ELSE o_custkey END AS o_custkey,
+      |         o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+      |  FROM after_t
+      |  UNION ALL
+      |  SELECT * FROM after_t WHERE o_orderkey % 4999 = 0
+      |)""".stripMargin
 
   /** log2_t: the second (overlapping) change batch, ids offset by 1e6. */
   val Log2Cte: String =

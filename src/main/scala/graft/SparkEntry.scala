@@ -1677,8 +1677,120 @@ object SparkEntry {
       .orderBy("o_orderkey")
   }
 
+  /** Point-in-time lookup JOIN against the two-batch SCD2 history: every
+    * %7 change position probed for the version valid AT it. Probes at a
+    * version-opening change see that very version (`valid_from <= pos`
+    * inclusive); probes at a DELETE position fall in the key's dead gap
+    * and get NULLs. The inequality join is re-expressed as an as-of join
+    * (see [[graft.log.History.pitLookup]]) — one shuffle, no nested loop.
+    */
+  private def qCdcPitJoin(s: SparkSession, dir: String): DataFrame = {
+    val combined = changeLog(s, dir).unionByName(secondBatchLog(s, dir))
+    val hist = graft.log.History.scd2(
+        orders(s, dir).select(OrdersSpec.columns.map(col): _*), combined, OrdersSpec)
+      .select(col("record_id"), col("o_orderstatus").as("st"),
+        col("valid_from"), col("valid_to"))
+    val probes = combined.filter(col("record_id") % 7 === 0)
+      .select(col("record_id"), col("cdc_id").as("pos"))
+    graft.log.History.pitLookup(hist, probes, "record_id", "pos")
+      .select(col("l.record_id").as("record_id"), col("l.pos").as("pos"),
+        col("r.st").as("status"), col("r.valid_from").as("valid_from"),
+        col("r.valid_to").as("valid_to"))
+      .orderBy("record_id", "pos")
+  }
+
+  /** Right-to-be-forgotten audit: subjects = every %97 customer; keys =
+    * their orders in the base snapshot plus inserts referencing them in
+    * the log; report = per-surface (target / both log batches) rows
+    * before/erased/after + keys touched, all via one broadcast probe per
+    * surface ([[graft.log.Erasure]]).
+    */
+  private def qCdcGdprErase(s: SparkSession, dir: String): DataFrame = {
+    val subjects = customer(s, dir)
+      .filter(col("c_custkey") % 97 === 0).select(col("c_custkey"))
+    val o = orders(s, dir)
+    val log1 = changeLog(s, dir)
+    val keys = o
+      .join(broadcast(subjects), col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_orderkey").as("record_id"))
+      .unionByName(log1
+        .join(broadcast(subjects), col("new_data.o_custkey") === col("c_custkey"),
+          "left_semi")
+        .select(col("record_id")))
+      .distinct()
+    graft.log.Erasure.eraseReport(
+        Seq(
+          "target" -> after(o).select(col("o_orderkey").as("record_id")),
+          "log" -> log1.select(col("record_id")),
+          "log2" -> secondBatchLog(s, dir).select(col("record_id"))),
+        keys, "record_id")
+      .orderBy("surface")
+  }
+
+  /** Rule-driven expectations over the deliberately-dirtied snapshot
+    * ([[Fixtures.dirty]]): all five rule families fire — accepted-values
+    * (the 'X'/'N' statuses), not-null and referential (injected NULL /
+    * orphaned custkeys), range (a 450 000 cut the %13 price bump pushes
+    * rows over), uniqueness (the %4999 duplicated rows). Row rules fold
+    * into ONE aggregate scan; see [[graft.ext.Expectations]].
+    */
+  private def qOrdersExpectations(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Expectations._
+    check(
+        Fixtures.dirty(after(orders(s, dir))), "o_orderkey",
+        rowRules = Seq(
+          RowRule("accepted_values:o_orderstatus",
+            !col("o_orderstatus").isin("O", "F", "P")),
+          RowRule("not_null:o_custkey", col("o_custkey").isNull),
+          RowRule("range:o_totalprice",
+            col("o_totalprice").isNull || col("o_totalprice") <= 0 ||
+              col("o_totalprice") > 450000)),
+        uniqueKey = Some("o_orderkey"),
+        refRules = Seq(RefRule("ref:o_custkey->customer", "o_custkey",
+          customer(s, dir).select("c_custkey"), "c_custkey")))
+      .orderBy("rule_name")
+  }
+
+  /** RFM quintile segmentation of the customer base over orders — see
+    * [[graft.ext.Segmentation.rfm]] for the aggregate-then-rank shape.
+    */
+  private def qCustomerRfm(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Segmentation.rfm(orders(s, dir),
+        "o_custkey", "o_orderdate", "o_totalprice")
+      .orderBy("o_custkey")
+
+  /** PMI-ranked collocations over the corpus (pairs seen ≥5 times, top
+    * 100 by 6-dp-rounded PMI with lexical tie-break).
+    */
+  private def qCorpusPmi(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.pmiCollocations(documents(s, dir), "text", minCount = 5L)
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(100)
+
+  /** 20-bin equi-width histogram of lineitem extended price. */
+  private def qLineitemHistogram(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Profiler.histogram(lineitem(s, dir), "l_extendedprice", 20)
+      .orderBy("bin")
+
+  /** Hourly gap-fill + forward-fill over sampled users' event streams —
+    * see [[EventAnalytics.gapFillHourly]] (the %25 user sample bounds the
+    * emitted grid at test scale; the operator itself is per-key).
+    */
+  private def qEventsGapfill(s: SparkSession, dir: String): DataFrame =
+    EventAnalytics.gapFillHourly(
+        events(s, dir).filter(col("user_id") % 25 === 0),
+        "user_id", "ts", "event_type", "event_id")
+      .orderBy("user_id", "bucket_h")
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_pit_join" -> (qCdcPitJoin _),
+    "cdc_gdpr_erase" -> (qCdcGdprErase _),
+    "orders_expectations" -> (qOrdersExpectations _),
+    "customer_rfm" -> (qCustomerRfm _),
+    "corpus_pmi" -> (qCorpusPmi _),
+    "lineitem_histogram" -> (qLineitemHistogram _),
+    "events_gapfill" -> (qEventsGapfill _),
     "cdc_incremental_agg" -> (qCdcIncrementalAgg _),
     "sketch_distinct_kmv" -> (qSketchDistinctKmv _),
     "sketch_quantiles" -> (qSketchQuantiles _),
@@ -2276,6 +2388,150 @@ object SparkEntry {
     "ann_ivfpq_append" -> oracleSqlBase("ann_ivfpq_topk"))
 
   private val oracleSqlBase: Map[String, String] = Map(
+    // the version valid at each probe position, by the declarative
+    // interval predicate the Spark side re-expresses as an as-of join
+    "cdc_pit_join" ->
+      s"""WITH ${FixtureSql.LogCte}, ${FixtureSql.Log2Cte},
+         |ev AS (
+         |  SELECT CAST(0 AS BIGINT) AS cdc_id, o_orderkey AS record_id,
+         |         o_orderstatus AS st, FALSE AS del FROM orders
+         |  UNION ALL
+         |  SELECT cdc_id, record_id, new_status, operation = 'DELETE' FROM logm_t
+         |  UNION ALL
+         |  SELECT cdc_id, record_id, new_status, FALSE FROM log2_t),
+         |v AS (SELECT *, lead(cdc_id) OVER (PARTITION BY record_id ORDER BY cdc_id) AS valid_to
+         |      FROM ev),
+         |hist AS (SELECT record_id, st, cdc_id AS valid_from, valid_to FROM v WHERE NOT del),
+         |probes AS (
+         |  SELECT record_id, cdc_id AS pos FROM logm_t WHERE record_id % 7 = 0
+         |  UNION ALL
+         |  SELECT record_id, cdc_id AS pos FROM log2_t WHERE record_id % 7 = 0)
+         |SELECT p.record_id, p.pos, h.st AS status, h.valid_from, h.valid_to
+         |FROM probes p LEFT JOIN hist h
+         |  ON p.record_id = h.record_id AND h.valid_from <= p.pos
+         | AND (h.valid_to IS NULL OR h.valid_to > p.pos)
+         |ORDER BY p.record_id, p.pos""".stripMargin,
+
+    "cdc_gdpr_erase" ->
+      s"""WITH ${FixtureSql.LogCte}, ${FixtureSql.Log2Cte},
+         |subjects AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+         |keys AS (
+         |  SELECT DISTINCT o_orderkey AS record_id FROM orders
+         |  WHERE o_custkey IN (SELECT c_custkey FROM subjects)
+         |  UNION
+         |  SELECT DISTINCT record_id FROM logm_t
+         |  WHERE new_custkey IN (SELECT c_custkey FROM subjects)),
+         |surf AS (
+         |  SELECT 'target' AS surface, o_orderkey AS record_id FROM after_t
+         |  UNION ALL SELECT 'log', record_id FROM logm_t
+         |  UNION ALL SELECT 'log2', record_id FROM log2_t)
+         |SELECT surface, CAST(count(*) AS BIGINT) AS rows_before,
+         |       CAST(count(*) FILTER (record_id IN (SELECT record_id FROM keys)) AS BIGINT) AS rows_erased,
+         |       CAST(count(*) FILTER (record_id NOT IN (SELECT record_id FROM keys)) AS BIGINT) AS rows_after,
+         |       CAST(count(DISTINCT record_id) FILTER (record_id IN (SELECT record_id FROM keys)) AS BIGINT) AS keys_touched
+         |FROM surf GROUP BY surface ORDER BY surface""".stripMargin,
+
+    "orders_expectations" ->
+      s"""WITH ${FixtureSql.AfterCte}, ${FixtureSql.DirtyCte},
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_checked FROM dirty_t),
+         |v AS (
+         |  SELECT 'accepted_values:o_orderstatus' AS rule_name, o_orderkey
+         |  FROM dirty_t WHERE o_orderstatus NOT IN ('O','F','P')
+         |  UNION ALL
+         |  SELECT 'not_null:o_custkey', o_orderkey FROM dirty_t WHERE o_custkey IS NULL
+         |  UNION ALL
+         |  SELECT 'range:o_totalprice', o_orderkey FROM dirty_t
+         |  WHERE o_totalprice IS NULL OR o_totalprice <= 0 OR o_totalprice > 450000
+         |  UNION ALL
+         |  SELECT 'unique:o_orderkey', o_orderkey FROM dirty_t
+         |  WHERE o_orderkey IN (SELECT o_orderkey FROM dirty_t GROUP BY 1 HAVING count(*) > 1)
+         |  UNION ALL
+         |  SELECT 'ref:o_custkey->customer', o_orderkey FROM dirty_t a
+         |  WHERE o_custkey IS NOT NULL
+         |    AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = a.o_custkey)),
+         |r AS (SELECT rule_name, CAST(count(*) AS BIGINT) AS n_violations,
+         |             min(o_orderkey) AS first_bad_key
+         |      FROM v GROUP BY 1),
+         |rules(rule_name) AS (VALUES ('accepted_values:o_orderstatus'),
+         |  ('not_null:o_custkey'), ('range:o_totalprice'), ('unique:o_orderkey'),
+         |  ('ref:o_custkey->customer'))
+         |SELECT rules.rule_name, (SELECT n_checked FROM n) AS n_checked,
+         |       COALESCE(r.n_violations, 0) AS n_violations,
+         |       round(1.0 - CAST(COALESCE(r.n_violations, 0) AS DOUBLE)
+         |             / (SELECT n_checked FROM n), 6) AS pass_rate,
+         |       r.first_bad_key
+         |FROM rules LEFT JOIN r USING (rule_name) ORDER BY rule_name""".stripMargin,
+
+    "customer_rfm" ->
+      """WITH mx AS (SELECT max(o_orderdate) AS maxd FROM orders),
+        |c AS (
+        |  SELECT o_custkey,
+        |         CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+        |              CAST((SELECT maxd FROM mx) AS DATE)) AS BIGINT) AS r_days,
+        |         CAST(count(*) AS BIGINT) AS frequency,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+        |  FROM orders GROUP BY 1),
+        |s AS (
+        |  SELECT *, CAST(ntile(5) OVER (ORDER BY r_days, o_custkey) AS INT) AS r_score,
+        |         CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS INT) AS f_score,
+        |         CAST(ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS INT) AS m_score
+        |  FROM c)
+        |SELECT o_custkey, r_days, frequency, monetary, r_score, f_score, m_score,
+        |       CAST(r_score*100 + f_score*10 + m_score AS INT) AS rfm_code
+        |FROM s ORDER BY o_custkey""".stripMargin,
+
+    "corpus_pmi" ->
+      s"""WITH $TextTokensCte,
+         |b AS (SELECT CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[][])
+         |             ELSE list_transform(range(1, len(toks)),
+         |                    i -> [ltoks[i], ltoks[i+1]]) END AS g2 FROM t),
+         |p AS (SELECT unnest(g2) AS pr FROM b),
+         |bc AS (SELECT pr[1] AS w1, pr[2] AS w2, CAST(count(*) AS BIGINT) AS n_ab
+         |       FROM p GROUP BY 1, 2),
+         |u AS (SELECT unnest(ltoks) AS w FROM t),
+         |uc AS (SELECT w, CAST(count(*) AS BIGINT) AS n_w FROM u GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n_ab) AS BIGINT) AS n_pairs FROM bc),
+         |scored AS (
+         |  SELECT w1, w2, n_ab,
+         |         round(ln((CAST(n_ab AS DOUBLE) * (SELECT n_pairs FROM tot)) /
+         |                  (CAST(u1.n_w AS DOUBLE) * u2.n_w)), 6) AS pmi
+         |  FROM bc JOIN uc u1 ON bc.w1 = u1.w JOIN uc u2 ON bc.w2 = u2.w
+         |  WHERE n_ab >= 5)
+         |SELECT * FROM scored ORDER BY pmi DESC, w1, w2 LIMIT 100""".stripMargin,
+
+    "lineitem_histogram" ->
+      """WITH mm AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi,
+        |                   CAST(count(l_extendedprice) AS BIGINT) AS total FROM lineitem),
+        |b AS (
+        |  SELECT CAST(least(floor((l_extendedprice - mm.lo) / ((mm.hi - mm.lo) / 20)), 19) AS INT) AS bin
+        |  FROM lineitem, mm WHERE l_extendedprice IS NOT NULL)
+        |SELECT bin,
+        |       round((SELECT lo FROM mm) + bin * (((SELECT hi FROM mm) - (SELECT lo FROM mm)) / 20), 6) AS bin_lo,
+        |       round((SELECT lo FROM mm) + (bin+1) * (((SELECT hi FROM mm) - (SELECT lo FROM mm)) / 20), 6) AS bin_hi,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       round(CAST(count(*) AS DOUBLE) / (SELECT total FROM mm), 6) AS frac
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "events_gapfill" ->
+      """WITH h AS (
+        |  SELECT user_id, epoch_us(ts)//3600000000 AS h,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         max_by(event_type,
+        |           (epoch_us(ts) - (epoch_us(ts)//3600000000)*3600000000)*10000000 + event_id) AS last_type
+        |  FROM events WHERE user_id % 25 = 0 GROUP BY 1, 2),
+        |g AS (
+        |  SELECT user_id, h, n, last_type,
+        |         lead(h) OVER (PARTITION BY user_id ORDER BY h) AS next_h
+        |  FROM h),
+        |f AS (
+        |  SELECT user_id, unnest(generate_series(h, COALESCE(next_h - 1, h))) AS bucket_h,
+        |         h AS src_h, n, last_type FROM g)
+        |SELECT user_id, bucket_h,
+        |       strftime(make_timestamp(bucket_h * 3600000000), '%Y-%m-%d %H:00:00') AS bucket_start,
+        |       CASE WHEN bucket_h = src_h THEN n ELSE CAST(0 AS BIGINT) END AS n,
+        |       last_type AS carried_type
+        |FROM f ORDER BY user_id, bucket_h""".stripMargin,
+
     // the maintained view must equal a full recompute on the post-change
     // snapshot — so the oracle IS that recompute
     "cdc_incremental_agg" ->

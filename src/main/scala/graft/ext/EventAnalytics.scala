@@ -499,4 +499,57 @@ object EventAnalytics {
       .select(col(userCol), date_format(col("day"), "yyyy-MM-dd").as("day"),
         col("n"), col("z"))
   }
+
+  /** Time-series regularization: per key, an hourly series from the key's
+    * first to its last event hour with GAP HOURS FILLED IN — `n = 0` for
+    * hours with no events — and the last observed event type carried
+    * forward across the gap (forward fill). The resample + ffill step
+    * that turns an irregular event stream into the regular grid
+    * feature pipelines and charting layers expect.
+    *
+    * Formulation: no calendar-grid join. One hourly aggregate per
+    * (key, hour), then `lead(hour)` per key, and each observed bucket
+    * EXPLODES `sequence(h, next_h - 1)` — emitting itself plus exactly
+    * the empty buckets that follow it, which inherit its `last_type`
+    * (the forward fill falls out of the formulation; no
+    * last-ignore-nulls second window). ONE shuffle (the per-key hourly
+    * aggregate; the window reuses its partitioning). The in-bucket
+    * "last event" is taken by `max_by` over a composite bigint
+    * (in-bucket micro offset ⊕ seq) — a scalar both engines order
+    * identically, sidestepping struct-ordering differences.
+    *
+    * Scale: output volume is Σ per-key spans — bounded by keys × horizon
+    * hours, not by event count; the explode is generated adjacent to its
+    * predecessor so no skewed single task materializes the grid.
+    */
+  def gapFillHourly(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      typeCol: String,
+      seqCol: String): DataFrame = {
+    val us = unix_micros(col(tsCol))
+    val hourUs = 3600000000L
+    val h = (us / hourUs).cast("long")
+    val inBucketOrd = (us - h * hourUs) * 10000000L + col(seqCol)
+    val hourly = events
+      .groupBy(col(keyCol), h.as("h"))
+      .agg(
+        count(lit(1)).as("n"),
+        max_by(col(typeCol), inBucketOrd).as("last_type"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("h"))
+    hourly
+      .withColumn("next_h", lead(col("h"), 1).over(w))
+      .select(
+        col(keyCol), col("h"), col("n"), col("last_type"),
+        explode(sequence(col("h"),
+          coalesce(col("next_h") - 1, col("h")))).as("bucket_h"))
+      .select(
+        col(keyCol),
+        col("bucket_h"),
+        date_format(timestamp_micros(col("bucket_h") * hourUs),
+          "yyyy-MM-dd HH:00:00").as("bucket_start"),
+        when(col("bucket_h") === col("h"), col("n")).otherwise(0L).as("n"),
+        col("last_type").as("carried_type"))
+  }
 }

@@ -86,4 +86,36 @@ object Profiler {
          |  $avgLen AS avg_len
          |FROM $table""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+
+  /** Equi-width histogram of a numeric column: `nBins` equal-width bins
+    * over the column's observed [min, max], reporting each non-empty
+    * bin's bounds, count, and fraction of rows. Two passes: one tiny
+    * aggregate for (min, max, total) — broadcast to the second scan,
+    * which bins and hash-aggregates with map-side combine, so shuffle
+    * volume is O(nBins). The max value is clamped into the last bin
+    * (`least(bin, nBins-1)`); bounds are rounded to 6 dp at the output
+    * boundary only — binning itself uses the raw doubles in BOTH engines.
+    */
+  def histogram(df: DataFrame, colName: String, nBins: Int): DataFrame = {
+    require(nBins > 0, s"nBins must be positive, got $nBins")
+    val v = col(colName).cast("double")
+    val mm = df.agg(
+      min(v).as("__lo"), max(v).as("__hi"), count(v).as("__total"))
+    val width = (col("__hi") - col("__lo")) / nBins
+    df.select(v.as("__v"))
+      .filter(col("__v").isNotNull)
+      .crossJoin(broadcast(mm))
+      .select(
+        least(floor((col("__v") - col("__lo")) / width), lit(nBins - 1))
+          .cast("int").as("bin"),
+        col("__lo"), col("__hi"), col("__total"))
+      .groupBy(col("bin"), col("__lo"), col("__hi"), col("__total"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        col("bin"),
+        round(col("__lo") + col("bin") * width, 6).as("bin_lo"),
+        round(col("__lo") + (col("bin") + 1) * width, 6).as("bin_hi"),
+        col("n"),
+        round(col("n").cast("double") / col("__total"), 6).as("frac"))
+  }
 }

@@ -258,4 +258,47 @@ object TextAnalysis {
       .withColumn("lang_guess", langId(t))
       .withColumn("fingerprint", fingerprint(t))
   }
+
+  /** PMI-ranked collocations: adjacent lowercase token pairs scored by
+    * pointwise mutual information — `ln(P(ab) / (P(a)·P(b)))` with pair
+    * probabilities over the bigram total and word probabilities over the
+    * unigram total — the standard "which word pairs co-occur far more
+    * than chance" measure used for phrase mining and tokenizer-merge
+    * candidates (the statistical cousin of [[graft.ext.Bpe]]'s
+    * frequency-greedy merges).
+    *
+    * Shape: the corpus is scanned once for bigrams and once for unigrams
+    * (both explode → map-side-combined hash aggregates); the join of
+    * pair counts to the two word-count sides is vocabulary-sized, never
+    * corpus-sized, and the `minCount` filter prunes the pair frame
+    * BEFORE the join. The PMI double is rounded to 6 dp before the
+    * rank/filter boundary (float-compare rule).
+    */
+  def pmiCollocations(df: DataFrame, textCol: String, minCount: Long): DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    val bigrams = df
+      .select(when(size(toks) >= 2,
+          zip_with(
+            slice(toks, lit(1), size(toks) - 1),
+            slice(toks, lit(2), size(toks) - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>")).as("g2"))
+      .select(explode(col("g2")).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("n_ab"))
+    val unigrams = df
+      .select(explode(toks).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_w"))
+    val nPairs = bigrams.agg(sum(col("n_ab")).as("__n_pairs"))
+    bigrams
+      .filter(col("n_ab") >= minCount)
+      .join(unigrams.select(col("w").as("w1"), col("n_w").as("__n1")), "w1")
+      .join(unigrams.select(col("w").as("w2"), col("n_w").as("__n2")), "w2")
+      .crossJoin(broadcast(nPairs))
+      .select(
+        col("w1"), col("w2"), col("n_ab"),
+        round(log(col("n_ab").cast("double") * col("__n_pairs") /
+          (col("__n1").cast("double") * col("__n2"))), 6).as("pmi"))
+  }
 }

@@ -132,4 +132,38 @@ object History {
   def versionAt(history: DataFrame, pos: Long): DataFrame =
     history.filter(col("valid_from") <= pos &&
       (col("valid_to").isNull || col("valid_to") > pos))
+
+  /** Point-in-time LOOKUP JOIN: each probe row `(key, pos)` matched to
+    * the history version valid AT that position — the per-row
+    * generalization of [[versionAt]]'s single global position, and the
+    * enrichment join every "join facts to the dimension as it was THEN"
+    * pipeline needs against an SCD2 table.
+    *
+    * Formulation: the naive join condition (`valid_from <= pos AND
+    * (valid_to IS NULL OR valid_to > pos)`) is an inequality join Spark
+    * can only plan as a nested loop. But versions are per-key
+    * non-overlapping, so "the version valid at pos" IS "the LATEST
+    * version opened at or before pos" — an as-of join. This reuses
+    * [[graft.ext.EventAnalytics.asOfJoin]]'s linear union+window plan:
+    * ONE shuffle on the key, O(1) carried state, no pair enumeration —
+    * then nulls out the match when that version closed before the probe
+    * (`valid_to <= pos`: the key was deleted and the probe falls in the
+    * gap).
+    *
+    * Output: struct columns `l` (the probe row) and `r` (the matched
+    * version, NULL when no version covers the position). `probes` must
+    * expose `keyCol` and `posCol`; `history` is [[scd2]] output (exposes
+    * `keyCol`, `valid_from`, `valid_to`).
+    */
+  def pitLookup(
+      history: DataFrame,
+      probes: DataFrame,
+      keyCol: String,
+      posCol: String): DataFrame = {
+    val h = history.withColumn(posCol, col("valid_from"))
+    graft.ext.EventAnalytics.asOfJoin(probes, h, keyCol, posCol, posCol)
+      .withColumn("r",
+        when(col("r.valid_to").isNull || col("r.valid_to") > col(s"l.$posCol"),
+          col("r")))
+  }
 }

@@ -30,7 +30,15 @@ class PlanGuardSpec extends SparkSpecBase {
     // the |labels|-row class table swept against every token by design
     // (score(d, c) needs every (token, label) pair); broadcast side is
     // bounded by the label alphabet, never data volume
-    "text_nb_score")
+    "text_nb_score",
+    // 1-row (min, max, total) frame broadcast onto the binning scan
+    "lineitem_histogram",
+    // 1-row global-max-date frame broadcast onto the per-customer frame
+    "customer_rfm",
+    // 1-row bigram-total scalar broadcast onto the vocabulary-sized frame
+    "corpus_pmi",
+    // 1-row n_checked scalar broadcast onto the |rules|-row report
+    "orders_expectations")
 
   private def walk(p: SparkPlan): Seq[SparkPlan] = {
     val kids = p match {
