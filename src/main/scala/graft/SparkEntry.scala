@@ -1782,8 +1782,50 @@ object SparkEntry {
         "user_id", "ts", "event_type", "event_id")
       .orderBy("user_id", "bucket_h")
 
+  /** Trailing-24h rolling features for every event — count, 3-dp value
+    * sum, purchase count — via a RANGE window frame (see
+    * [[EventAnalytics.rollingFeatures]]); the leakage-free
+    * point-in-time feature primitive.
+    */
+  private def qEventsRollingFeatures(s: SparkSession, dir: String): DataFrame =
+    EventAnalytics.rollingFeatures(events(s, dir),
+        "user_id", "ts", "event_id", "value", "event_type", "purchase",
+        windowUs = 86400000000L)
+      .select(col("event_id"), col("user_id"), col("n_win").as("n_24h"),
+        col("sum_win").as("sum_24h"), col("n_match_win").as("n_purch_24h"))
+      .orderBy("event_id")
+
+  /** Month-over-month revenue: per-month exact decimal revenue, absolute
+    * and relative growth vs the previous month (`lag`), and a 3-month
+    * trailing moving average — the reporting-layer time series. The
+    * window frame is the MONTH aggregate (bounded by the calendar ×
+    * horizon — 80 rows for the test corpus), so the global orderBy
+    * window is a deliberate non-issue at any fact-table scale.
+    */
+  private def qOrdersMonthlyGrowth(s: SparkSession, dir: String): DataFrame = {
+    val monthly = orders(s, dir)
+      .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM")
+        .as("month"))
+      .agg(
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("month"))
+    monthly
+      .select(
+        col("month"), col("revenue"), col("n_orders"),
+        round(col("revenue") - lag(col("revenue"), 1).over(w), 2).as("delta"),
+        round((col("revenue") - lag(col("revenue"), 1).over(w)) /
+          lag(col("revenue"), 1).over(w), 6).as("pct_change"),
+        round(avg(col("revenue"))
+          .over(w.rowsBetween(-2,
+            org.apache.spark.sql.expressions.Window.currentRow)), 6).as("ma3"))
+      .orderBy("month")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_rolling_features" -> (qEventsRollingFeatures _),
+    "orders_monthly_growth" -> (qOrdersMonthlyGrowth _),
     "cdc_pit_join" -> (qCdcPitJoin _),
     "cdc_gdpr_erase" -> (qCdcGdprErase _),
     "orders_expectations" -> (qOrdersExpectations _),
@@ -2388,6 +2430,28 @@ object SparkEntry {
     "ann_ivfpq_append" -> oracleSqlBase("ann_ivfpq_topk"))
 
   private val oracleSqlBase: Map[String, String] = Map(
+    "events_rolling_features" ->
+      """SELECT event_id, user_id,
+        |       CAST(count(*) OVER w AS BIGINT) AS n_24h,
+        |       round(sum(value) OVER w, 3) AS sum_24h,
+        |       CAST(count(*) FILTER (event_type = 'purchase') OVER w AS BIGINT) AS n_purch_24h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "orders_monthly_growth" ->
+      """WITH m AS (
+        |  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |         CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY 1)
+        |SELECT month, revenue, n_orders,
+        |       round(revenue - lag(revenue) OVER w, 2) AS delta,
+        |       round((revenue - lag(revenue) OVER w) / lag(revenue) OVER w, 6) AS pct_change,
+        |       round(avg(revenue) OVER (ORDER BY month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS ma3
+        |FROM m WINDOW w AS (ORDER BY month) ORDER BY month""".stripMargin,
+
     // the version valid at each probe position, by the declarative
     // interval predicate the Spark side re-expresses as an as-of join
     "cdc_pit_join" ->

@@ -500,6 +500,41 @@ object EventAnalytics {
         col("n"), col("z"))
   }
 
+  /** Point-in-time rolling features: for EVERY event row, aggregates over
+    * that key's trailing `windowUs`-microsecond window ending at (and
+    * including) the row — the leakage-free feature-engineering primitive
+    * ("activity in the 24 h before this event") that a naive band
+    * self-join computes in O(n·w) pairs. A RANGE window frame computes it
+    * in one pass: ONE shuffle (partition by key), per-task state is the
+    * sliding frame, and rows with equal timestamps are frame PEERS in
+    * both engines (deterministic under ties without a seq column).
+    *
+    * Returns the row id with trailing count, 3-dp-rounded value sum, and
+    * count of rows matching `matchType` (a FILTERed count) — the float
+    * rounding bounds segment-tree-vs-sequential summation divergence.
+    */
+  def rollingFeatures(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      valueCol: String,
+      typeCol: String,
+      matchType: String,
+      windowUs: Long): DataFrame = {
+    require(windowUs > 0, s"window must be positive, got $windowUs")
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(unix_micros(col(tsCol)))
+      .rangeBetween(-windowUs, Window.currentRow)
+    events.select(
+      col(idCol),
+      col(keyCol),
+      count(lit(1)).over(w).as("n_win"),
+      round(sum(col(valueCol)).over(w), 3).as("sum_win"),
+      sum(when(col(typeCol) === matchType, 1L).otherwise(0L)).over(w)
+        .as("n_match_win"))
+  }
+
   /** Time-series regularization: per key, an hourly series from the key's
     * first to its last event hour with GAP HOURS FILLED IN — `n = 0` for
     * hours with no events — and the last observed event type carried

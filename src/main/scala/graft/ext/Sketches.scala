@@ -299,22 +299,34 @@ object Sketches {
     * 100 TB); the collected table is d×w longs (128 KB at the registered 4×4096; it also rides as a plan literal in countMinEstimate, so size w accordingly), the
     * same structurally-small class as a codebook.
     */
+  /** The distributed half of [[countMinTable]]: the sparse (cell, count)
+    * frame — `__cell` is the dense index `i·w + pos_i`, `__n` its count.
+    * Exposed separately so incremental maintainers (the streaming sketch
+    * tier) can persist per-batch cell counts and merge additively on
+    * read instead of re-scanning history.
+    */
+  def countMinCells(
+      df: DataFrame,
+      keyStr: Column,
+      d: Int,
+      w: Int): DataFrame = {
+    require(d > 0 && w > 0, s"need d > 0, w > 0; got d=$d w=$w")
+    val ab = PortableHash.minhashAB(d)
+    // native kernel: one md5 per row (the columnar array expression
+    // inlines the base hash into every element — d md5s/row)
+    df.select(explode(org.apache.spark.sql.GraftSqlBridge.column(
+        graft.expr.CmsCells(
+          org.apache.spark.sql.GraftSqlBridge.expression(keyStr),
+          ab, w))).as("__cell"))
+      .groupBy(col("__cell")).agg(count(lit(1)).as("__n"))
+  }
+
   def countMinTable(
       df: DataFrame,
       keyStr: Column,
       d: Int,
       w: Int): Array[Long] = {
-    require(d > 0 && w > 0, s"need d > 0, w > 0; got d=$d w=$w")
-    val ab = PortableHash.minhashAB(d)
-    // native kernel: one md5 per row (the columnar array expression
-    // inlines the base hash into every element — d md5s/row)
-    val cells = df
-      .select(explode(org.apache.spark.sql.GraftSqlBridge.column(
-        graft.expr.CmsCells(
-          org.apache.spark.sql.GraftSqlBridge.expression(keyStr),
-          ab, w))).as("__cell"))
-      .groupBy(col("__cell")).agg(count(lit(1)).as("__n"))
-      .collect()
+    val cells = countMinCells(df, keyStr, d, w).collect()
     val arr = new Array[Long](d * w)
     cells.foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
     arr

@@ -144,6 +144,28 @@ class RoundSixOpsSpec extends SparkSpecBase {
     assert(math.abs(out.map(_.getDouble(4)).sum - 1.0) < 1e-5)
   }
 
+  // ----------------------------------------------------- rolling features
+
+  test("rollingFeatures: trailing bound inclusive, equal-ts rows are peers") {
+    val ts = (m: Int) =>
+      java.sql.Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:00Z").plusSeconds(60L * m))
+    val ev = Seq(
+      (1L, ts(0), "click", 1.0, 1L),
+      (1L, ts(30), "purchase", 2.0, 2L),
+      (1L, ts(90), "click", 4.0, 3L),   // 60m window: includes the 30m row (boundary inclusive), not 0m
+      (2L, ts(10), "click", 1.0, 4L),
+      (2L, ts(10), "purchase", 1.0, 5L) // same instant: frame peers — each sees both
+    ).toDF("user_id", "ts", "event_type", "value", "event_id")
+    val out = EventAnalytics.rollingFeatures(ev, "user_id", "ts", "event_id",
+        "value", "event_type", "purchase", windowUs = 3600000000L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(out(1L) === ((1L, 1.0, 0L)))
+    assert(out(2L) === ((2L, 3.0, 1L)))
+    assert(out(3L) === ((2L, 6.0, 1L))) // 30m row sits exactly at the -60m bound: included
+    assert(out(4L) === ((2L, 2.0, 1L)))
+    assert(out(5L) === ((2L, 2.0, 1L)))
+  }
+
   // ------------------------------------------------------------- gap-fill
 
   test("gapFillHourly: zeros in gaps, type carried forward, in-bucket last wins") {
