@@ -79,6 +79,36 @@ object Layout {
     * a local sort per partition — the standard layout-rewrite cost, paid
     * once per compaction cycle, repaid on every subsequent pruned scan.
     */
+  /** Persist `df` as a catalog table hash-bucketed (and per-bucket
+    * sorted) on `keyCol` — the co-location layout that lets EVERY future
+    * equi-join or aggregation on that key run with ZERO shuffle: Spark's
+    * bucketed `FileSourceScanExec` reports `HashPartitioning(key, n)` as
+    * its output partitioning, so the join's distribution requirement is
+    * already satisfied at scan time and no `Exchange` is planned on the
+    * bucketed side(s).
+    *
+    * This is the storage half of the shuffle-elimination story (the
+    * runtime halves being broadcast for small dims and AQE for skew): a
+    * fact table written once with the join key bucketed amortizes its
+    * one write-side shuffle across every downstream join — at 100 TB the
+    * difference between re-shuffling the fact table per query and never
+    * shuffling it again. Both sides must agree on bucket count (or be a
+    * divisor under `spark.sql.bucketing.coalesceBucketsInJoin`).
+    */
+  def writeBucketedTable(
+      df: DataFrame,
+      table: String,
+      keyCol: String,
+      numBuckets: Int,
+      path: String): Unit =
+    df.write
+      .mode("overwrite")
+      .bucketBy(numBuckets, keyCol)
+      .sortBy(keyCol)
+      .option("path", path)
+      .format("parquet")
+      .saveAsTable(table)
+
   def writeZOrdered(df: DataFrame, zCol: Column, numFiles: Int, path: String): Unit =
     df.withColumn("__z", zCol)
       .repartitionByRange(numFiles, col("__z"))

@@ -117,6 +117,33 @@ class RoundSixOpsSpec extends SparkSpecBase {
     assert(out.map(_.getAs[Int]("m_score")).sorted === (1 to 5).toArray)
   }
 
+  test("rfmApprox: windowless plan, >=95% score agreement with exact rfm") {
+    // 400 entities, smooth distinct dimensions: entity i has last-order
+    // day i (mod bounded), i%40+1 orders of distinct-ish amounts
+    val tx = (0 until 400).flatMap { c =>
+      val nOrders = c % 40 + 1
+      (0 until nOrders).map(j =>
+        (c.toLong, java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(c % 365)),
+          10.0 + c * 0.37 + j * 0.011))
+    }.toDF("cust", "d", "amt")
+    val exact = Segmentation.rfm(tx, "cust", "d", "amt")
+      .select("cust", "r_score", "f_score", "m_score").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    val approxDf = Segmentation.rfmApprox(tx, "cust", "d", "amt")
+    // fully parallel: no window operator anywhere in the plan
+    val plan = approxDf.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Window"), s"rfmApprox must not plan a window:\n${plan.take(800)}")
+    val approx = approxDf.select("cust", "r_score", "f_score", "m_score").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(approx.keySet === exact.keySet)
+    val agree = approx.count { case (c, sc) => exact(c) === sc }
+    assert(agree >= (exact.size * 0.95).toInt,
+      s"only $agree/${exact.size} entities agree with exact quintiles")
+    // scores stay in 1..5
+    approx.values.foreach { case (r, f, m) =>
+      assert(r >= 1 && r <= 5 && f >= 1 && f <= 5 && m >= 1 && m <= 5) }
+  }
+
   // ------------------------------------------------------------------ PMI
 
   test("pmi: hand-computed score, minCount prunes") {
