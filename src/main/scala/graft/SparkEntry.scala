@@ -1822,8 +1822,20 @@ object SparkEntry {
       .orderBy("month")
   }
 
+  /** Trailing-6h sliding distinct users every hour, from MERGED hourly
+    * HLL register states — events are hashed once per pane, windows are
+    * register-wise merges ([[Sketches.hllSlidingDistinct]]); the
+    * re-aggregable replacement for a per-window exact count_distinct
+    * that would re-scan each event 6 times.
+    */
+  private def qEventsSlidingHll(s: SparkSession, dir: String): DataFrame =
+    Sketches.hllSlidingDistinct(events(s, dir), "ts",
+        col("user_id").cast("string"), b = 6, panes = 6, paneUs = 3600000000L)
+      .orderBy("win")
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_sliding_hll" -> (qEventsSlidingHll _),
     "events_rolling_features" -> (qEventsRollingFeatures _),
     "orders_monthly_growth" -> (qOrdersMonthlyGrowth _),
     "cdc_pit_join" -> (qCdcPitJoin _),
@@ -2430,6 +2442,10 @@ object SparkEntry {
     "ann_ivfpq_append" -> oracleSqlBase("ann_ivfpq_topk"))
 
   private val oracleSqlBase: Map[String, String] = Map(
+    "events_sliding_hll" ->
+      Sketches.hllSlidingDistinctSql("events", "epoch_us(ts)",
+        "CAST(user_id AS VARCHAR)", b = 6, panes = 6, paneUs = 3600000000L),
+
     "events_rolling_features" ->
       """SELECT event_id, user_id,
         |       CAST(count(*) OVER w AS BIGINT) AS n_24h,

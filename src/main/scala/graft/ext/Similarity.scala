@@ -810,7 +810,15 @@ object Similarity {
       dim: Int = -1): DataFrame = {
     val d = if (dim > 0) dim else inferDim(df, vecCol)
     val hp = hyperplanes(bands * planes, d)
+    // degenerate guard: null / empty / null-element vectors already fall
+    // out (null bucket or null cosine), but a RAGGED vector of the wrong
+    // dimension can meet another of the SAME wrong length and score a
+    // full cosine — the property sweep caught exactly that pair. A
+    // vector that doesn't match the corpus dimension is not a
+    // neighbor candidate, period.
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .filter(col("v").isNotNull && size(col("v")) === d &&
+        !exists(col("v"), _.isNull))
     val buckets = vecs.select(col("id"),
       posexplode(array((0 until bands).map(b =>
         lshBucket(col("v"), hp.slice(b * planes, (b + 1) * planes))): _*))

@@ -489,6 +489,123 @@ object Sketches {
     */
   def hllAlphaM2(m: Int): Double = 0.7213 / (1.0 + 1.079 / m) * m * m
 
+  /** Sliding-window distinct counts from MERGED per-pane HLL register
+    * states — the re-aggregability that makes trailing distinct counts
+    * feasible on a stream: the raw data is hashed ONCE into per-pane
+    * (e.g. hourly) register states; every sliding window is then the
+    * register-wise MERGE (`min` of `wmin`, = `max` of rho) of its
+    * constituent panes. An exact `count_distinct` cannot do this — each
+    * window would re-scan its full span, counting every event `panes`
+    * times; here the expansion runs on pane-register rows, bounded by
+    * panes × m, NEVER on events.
+    *
+    * Windows are trailing: window `w` covers panes `(w-panes, w]`, one
+    * output row per pane index up to the last observed pane (head
+    * windows are partial by construction; the cap avoids phantom
+    * post-stream windows). Same deterministic estimator arithmetic as
+    * [[hllDistinct]] — the estimate is oracle-checkable value-for-value,
+    * and merged-window estimates are EXACTLY what a one-shot sketch of
+    * the window's span would produce (merge = min is associative and
+    * lossless on register states).
+    */
+  def hllSlidingDistinct(
+      df: DataFrame,
+      tsCol: String,
+      keyStr: Column,
+      b: Int,
+      panes: Int,
+      paneUs: Long): DataFrame = {
+    require(b >= 2 && b <= 12, s"b must be in [2, 12], got $b")
+    require(panes > 0 && paneUs > 0, s"need panes > 0, paneUs > 0; got $panes, $paneUs")
+    val m = 1 << b
+    val bigW = 32 - b
+    val alphaM2 = hllAlphaM2(m)
+    val paneRegs = df
+      .withColumn("__h", PortableHash.hash32(keyStr))
+      .filter(col("__h").isNotNull)
+      .select(
+        (unix_micros(col(tsCol)) / paneUs).cast("long").as("__p"),
+        pmod(col("__h"), lit(m.toLong)).as("__b"),
+        expr(s"__h div ${m}L").as("__w"))
+      .groupBy(col("__p"), col("__b"))
+      .agg(min(col("__w")).as("__wmin"))
+    val maxPane = paneRegs.agg(max(col("__p")).as("__maxp"))
+    paneRegs
+      .select(col("__b"), col("__wmin"),
+        explode(sequence(col("__p"), col("__p") + (panes - 1))).as("__win"))
+      .crossJoin(broadcast(maxPane))
+      .filter(col("__win") <= col("__maxp"))
+      .groupBy(col("__win"), col("__b"))
+      .agg(min(col("__wmin")).as("__wmin"))
+      .withColumn("__rho",
+        when(col("__wmin") === 0L, lit(bigW + 1))
+          .otherwise(lit(bigW + 1) - length(bin(col("__wmin")))))
+      .groupBy(col("__win"))
+      .agg(
+        count(lit(1)).as("__np"),
+        sum(lit(1.0) / expr("shiftleft(1L, __rho)").cast("double")).as("__sp"))
+      .withColumn("__s", col("__sp") + (lit(m.toDouble) - col("__np").cast("double")))
+      .withColumn("__zeros", lit(m.toLong) - col("__np"))
+      .withColumn("__raw", lit(alphaM2) / col("__s"))
+      .select(
+        col("__win").as("win"),
+        date_format(timestamp_micros((col("__win") + 1) * paneUs),
+          "yyyy-MM-dd HH:mm:ss").as("win_end"),
+        col("__np").cast("int").as("n_present"),
+        round(
+          when(col("__raw") <= lit(2.5 * m) && col("__zeros") > 0L,
+            lit(m.toDouble) * log(lit(m.toDouble) / col("__zeros").cast("double")))
+            .otherwise(col("__raw")),
+          6).as("estimate"))
+  }
+
+  /** DuckDB twin of [[hllSlidingDistinct]]: same pane split, pane→window
+    * expansion, register-wise min merge, and estimator arithmetic.
+    */
+  def hllSlidingDistinctSql(
+      table: String,
+      tsUsSql: String,
+      keyStrSql: String,
+      b: Int,
+      panes: Int,
+      paneUs: Long): String = {
+    val m = 1 << b
+    val bigW = 32 - b
+    val alphaM2 = hllAlphaM2(m)
+    s"""WITH h AS (
+       |  SELECT ($tsUsSql) // $paneUs AS p, ${PortableHash.hash32Sql(keyStrSql)} AS hv
+       |  FROM $table
+       |  WHERE ${PortableHash.hash32Sql(keyStrSql)} IS NOT NULL),
+       |bk AS (
+       |  SELECT p, hv % $m AS b, MIN(hv // $m) AS wmin
+       |  FROM h GROUP BY p, hv % $m),
+       |mx AS (SELECT MAX(p) AS maxp FROM bk),
+       |ex AS (
+       |  SELECT unnest(generate_series(p, p + ${panes - 1})) AS win, b, wmin FROM bk),
+       |wb AS (
+       |  SELECT win, b, MIN(wmin) AS wmin FROM ex
+       |  WHERE win <= (SELECT maxp FROM mx) GROUP BY win, b),
+       |rg AS (
+       |  SELECT win,
+       |         CASE WHEN wmin = 0 THEN ${bigW + 1}
+       |              ELSE ${bigW + 1} - length(bin(wmin)) END AS rho
+       |  FROM wb),
+       |ag AS (
+       |  SELECT win, COUNT(*) AS np,
+       |         SUM(1.0 / CAST(CAST(1 AS BIGINT) << rho AS DOUBLE)) AS sp
+       |  FROM rg GROUP BY win)
+       |SELECT win,
+       |  strftime(make_timestamp((win + 1) * $paneUs), '%Y-%m-%d %H:%M:%S') AS win_end,
+       |  CAST(np AS INTEGER) AS n_present,
+       |  round(CASE WHEN $alphaM2 / (sp + (CAST($m AS DOUBLE) - CAST(np AS DOUBLE))) <= ${2.5 * m}
+       |                  AND $m - np > 0
+       |             THEN CAST($m AS DOUBLE) * ln(CAST($m AS DOUBLE) / CAST($m - np AS DOUBLE))
+       |             ELSE $alphaM2 / (sp + (CAST($m AS DOUBLE) - CAST(np AS DOUBLE))) END,
+       |        6) AS estimate
+       |FROM ag
+       |ORDER BY win""".stripMargin
+  }
+
   /** DuckDB twin of [[hllDistinct]] for a single group column: same
     * bucket/rank split, same exact harmonic sum, same inlined alpha·m²
     * literal, same linear-counting branch and 6-dp rounding.

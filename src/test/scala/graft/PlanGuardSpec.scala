@@ -38,7 +38,9 @@ class PlanGuardSpec extends SparkSpecBase {
     // 1-row bigram-total scalar broadcast onto the vocabulary-sized frame
     "corpus_pmi",
     // 1-row n_checked scalar broadcast onto the |rules|-row report
-    "orders_expectations")
+    "orders_expectations",
+    // 1-row max-pane scalar broadcast onto the pane-register frame
+    "events_sliding_hll")
 
   private def walk(p: SparkPlan): Seq[SparkPlan] = {
     val kids = p match {

@@ -171,6 +171,36 @@ class RoundSixOpsSpec extends SparkSpecBase {
     assert(math.abs(out.map(_.getDouble(4)).sum - 1.0) < 1e-5)
   }
 
+  // ---------------------------------------------------------- sliding HLL
+
+  test("hllSlidingDistinct: merged-pane window == one-shot sketch of the span") {
+    import graft.ext.Sketches
+    val ts = (h: Int, m: Int) =>
+      java.sql.Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:00Z")
+        .plusSeconds(3600L * h + 60L * m))
+    // users spread over 10 hours; some recur across panes
+    val ev = (0 until 10).flatMap { h =>
+      (0 until 20).map(u => (s"u${(u * 7 + h * 3) % 40}", ts(h, u)))
+    }.toDF("user_id", "ts")
+    val panes = 4
+    val slid = Sketches.hllSlidingDistinct(ev, "ts", col("user_id"), b = 5,
+        panes = panes, paneUs = 3600000000L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // merge is lossless: each window's estimate equals a one-shot sketch
+    // over exactly that window's events
+    val h0 = java.time.Instant.parse("2024-01-01T00:00:00Z").getEpochSecond / 3600
+    slid.keys.foreach { win =>
+      val hr = (unix_micros(col("ts")) / 3600000000L).cast("long")
+      val span = ev.filter(hr > win - panes && hr <= win)
+      val oneShot = Sketches.hllDistinct(span.withColumn("g", lit(1)), Seq("g"),
+        col("user_id"), b = 5).head().getDouble(2)
+      assert(slid(win) === oneShot, s"window $win merge diverges from one-shot")
+    }
+    // windows stop at the last observed pane (no phantom tail)
+    assert(slid.keys.max === h0 + 9)
+    assert(slid.keys.min === h0) // head windows partial but present
+  }
+
   // ----------------------------------------------------- rolling features
 
   test("rollingFeatures: trailing bound inclusive, equal-ts rows are peers") {
