@@ -567,7 +567,12 @@ object EventAnalytics {
     val hourUs = 3600000000L
     val h = (us / hourUs).cast("long")
     val inBucketOrd = (us - h * hourUs) * 10000000L + col(seqCol)
+    // ONE physical shuffle: hash-partitioning on the key alone satisfies
+    // both the (key, hour) aggregate's clustering AND the window's
+    // partitioning, so the explicit repartition replaces what would
+    // otherwise be two back-to-back exchanges ((key, h) then (key))
     val hourly = events
+      .repartition(col(keyCol))
       .groupBy(col(keyCol), h.as("h"))
       .agg(
         count(lit(1)).as("n"),
