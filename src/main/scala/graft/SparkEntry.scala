@@ -193,6 +193,27 @@ object SparkEntry {
       .orderBy("record_id", "valid_from")
   }
 
+  /** Attribute-timeline decomposition + temporal ALIGN join: the
+    * two-batch history split into a status track and a price track
+    * ([[graft.log.History.coalesceVersions]] — adjacent versions with an
+    * unchanged attribute merge), then re-intersected
+    * ([[graft.log.History.alignHistories]]). The align of the
+    * per-attribute timelines reconstructs the combined history exactly —
+    * which is what the oracle derives directly.
+    */
+  private def qCdcHistoryAlign(s: SparkSession, dir: String): DataFrame = {
+    val combined = changeLog(s, dir).unionByName(secondBatchLog(s, dir))
+    val hist = graft.log.History.scd2(
+      orders(s, dir).select(OrdersSpec.columns.map(col): _*), combined, OrdersSpec)
+    val st = graft.log.History.coalesceVersions(hist, Seq("o_orderstatus"))
+    val pr = graft.log.History.coalesceVersions(hist, Seq("o_totalprice"))
+    graft.log.History.alignHistories(st, pr, Seq("o_orderstatus"), Seq("o_totalprice"))
+      .select(col("record_id"), col("o_orderstatus").as("status"),
+        col("o_totalprice").as("totalprice"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+      .orderBy("record_id", "valid_from")
+  }
+
   /** SCD2 consumer lookup: every key's version valid at log position
     * 700 (mid-first-batch: pre-700 changes visible as closed or open
     * rows, post-700 changes invisible, pre-700 deletes absent) — the
@@ -1257,6 +1278,26 @@ object SparkEntry {
       .orderBy("priority")
   }
 
+  /** Incremental JOIN-view maintenance: the customer-enriched orders view
+    * refreshed from the change log alone ([[graft.apply.IncrementalJoin]])
+    * — only the batch's images join the dimension; the stored view sheds
+    * changed keys by anti-join and the fact table is never rescanned.
+    * Equal to recomputing `after ⋈ customer`, which is what the oracle
+    * does.
+    */
+  private def qCdcIncrementalJoin(s: SparkSession, dir: String): DataFrame = {
+    val dimCols = Seq("c_name", "c_nationkey")
+    val base = graft.apply.IncrementalJoin.snapshotView(
+      orders(s, dir), customer(s, dir), OrdersSpec, "o_custkey", "c_custkey", dimCols)
+    graft.apply.IncrementalJoin.maintain(
+        base, changeLog(s, dir), customer(s, dir), OrdersSpec,
+        "o_custkey", "c_custkey", dimCols)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("c_name"),
+        col("c_nationkey").cast("long").as("c_nationkey"))
+      .orderBy("o_orderkey")
+  }
+
   /** KMV distinct-count sketch: distinct parts per returnflag, estimated
     * from the 256 smallest portable-hash values per group — the
     * bounded-state alternative to `countDistinct` whose shuffle carries k
@@ -1846,6 +1887,7 @@ object SparkEntry {
     "lineitem_histogram" -> (qLineitemHistogram _),
     "events_gapfill" -> (qEventsGapfill _),
     "cdc_incremental_agg" -> (qCdcIncrementalAgg _),
+    "cdc_incremental_join" -> (qCdcIncrementalJoin _),
     "sketch_distinct_kmv" -> (qSketchDistinctKmv _),
     "sketch_quantiles" -> (qSketchQuantiles _),
     "sketch_set_ops" -> (qSketchSetOps _),
@@ -1890,6 +1932,7 @@ object SparkEntry {
     "cdc_verify_diff" -> (qVerifyDiff _),
     "cdc_json_roundtrip" -> (qJsonRoundtrip _),
     "cdc_scd2" -> (qScd2 _),
+    "cdc_history_align" -> (qCdcHistoryAlign _),
     "cdc_compact_log" -> (qCompactLog _),
     "cdc_snapshot_asof" -> (qSnapshotAsOf _),
     "dedup_exact" -> (qDedupExact _),
@@ -2620,6 +2663,15 @@ object SparkEntry {
          |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
          |FROM after_t GROUP BY o_orderpriority ORDER BY priority""".stripMargin,
 
+    // the maintained join view must equal recomputing the enriched view
+    // over the post-change snapshot — the oracle IS that recompute
+    "cdc_incremental_join" ->
+      s"""WITH ${FixtureSql.AfterCte}
+         |SELECT a.o_orderkey, a.o_orderstatus, a.o_totalprice,
+         |       c.c_name, CAST(c.c_nationkey AS BIGINT) AS c_nationkey
+         |FROM after_t a JOIN customer c ON a.o_custkey = c.c_custkey
+         |ORDER BY o_orderkey""".stripMargin,
+
     "sketch_distinct_kmv" ->
       Sketches.kmvDistinctSql("lineitem", "l_returnflag",
         "CAST(l_partkey AS VARCHAR)", k = 256),
@@ -3131,6 +3183,48 @@ object SparkEntry {
          |SELECT record_id, st AS status, cdc_id AS valid_from, valid_to,
          |       CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
          |FROM v WHERE NOT del ORDER BY record_id, valid_from""".stripMargin,
+
+    // per-attribute timelines (gaps-and-islands coalescing) re-intersected;
+    // Inf sentinel 2^63-1 stands in for the open bound in both engines
+    "cdc_history_align" ->
+      s"""WITH ${FixtureSql.LogCte}, ${FixtureSql.Log2Cte},
+         |ev AS (
+         |  SELECT CAST(0 AS BIGINT) AS cdc_id, o_orderkey AS record_id,
+         |         o_orderstatus AS st, o_totalprice AS pr, FALSE AS del FROM orders
+         |  UNION ALL
+         |  SELECT cdc_id, record_id, new_status, new_totalprice,
+         |         operation = 'DELETE' FROM logm_t
+         |  UNION ALL
+         |  SELECT l2.cdc_id, l2.record_id, l2.new_status, a.o_totalprice, FALSE
+         |  FROM log2_t l2 JOIN after_t a ON a.o_orderkey = l2.record_id),
+         |v AS (SELECT *, lead(cdc_id) OVER (PARTITION BY record_id ORDER BY cdc_id) AS valid_to
+         |      FROM ev),
+         |h AS (SELECT record_id, st, pr, cdc_id AS valid_from,
+         |             COALESCE(valid_to, 9223372036854775807) AS vt
+         |      FROM v WHERE NOT del),
+         |sb AS (SELECT *, CASE WHEN row_number() OVER w = 1
+         |                        OR st IS DISTINCT FROM lag(st) OVER w
+         |                        OR lag(vt) OVER w IS DISTINCT FROM valid_from
+         |                      THEN 1 ELSE 0 END AS brk
+         |       FROM h WINDOW w AS (PARTITION BY record_id ORDER BY valid_from)),
+         |si AS (SELECT *, SUM(brk) OVER (PARTITION BY record_id ORDER BY valid_from) AS isl FROM sb),
+         |st_t AS (SELECT record_id, first(st) AS st, MIN(valid_from) AS f, MAX(vt) AS t
+         |         FROM si GROUP BY record_id, isl),
+         |pb AS (SELECT *, CASE WHEN row_number() OVER w = 1
+         |                        OR pr IS DISTINCT FROM lag(pr) OVER w
+         |                        OR lag(vt) OVER w IS DISTINCT FROM valid_from
+         |                      THEN 1 ELSE 0 END AS brk
+         |       FROM h WINDOW w AS (PARTITION BY record_id ORDER BY valid_from)),
+         |pi AS (SELECT *, SUM(brk) OVER (PARTITION BY record_id ORDER BY valid_from) AS isl FROM pb),
+         |pr_t AS (SELECT record_id, first(pr) AS pr, MIN(valid_from) AS f, MAX(vt) AS t
+         |         FROM pi GROUP BY record_id, isl)
+         |SELECT s.record_id, s.st AS status, p.pr AS totalprice,
+         |       greatest(s.f, p.f) AS valid_from,
+         |       nullif(least(s.t, p.t), 9223372036854775807) AS valid_to,
+         |       CAST(CASE WHEN least(s.t, p.t) = 9223372036854775807 THEN 1 ELSE 0 END AS INT) AS is_current
+         |FROM st_t s JOIN pr_t p
+         |  ON s.record_id = p.record_id AND greatest(s.f, p.f) < least(s.t, p.t)
+         |ORDER BY 1, 4""".stripMargin,
 
     "cdc_history_lookup" ->
       s"""WITH ${FixtureSql.LogCte}, ${FixtureSql.Log2Cte},

@@ -87,8 +87,12 @@ object IncrementalAgg {
       .select(
         coalesce(col("g_key"), col("d_key")).as("g_key"),
         (coalesce(col("cnt"), lit(0L)) + coalesce(col("d_cnt"), lit(0L))).as("cnt"),
+        // decimal addition widens to (29,4); clamp back to the stored
+        // view's (28,4) so maintain(view) round-trips through parquet
+        // with a stable schema (values are far below either bound)
         (coalesce(col("total"), lit(0).cast(DecimalType(28, 4))) +
-          coalesce(col("d_total"), lit(0).cast(DecimalType(28, 4)))).as("total"))
+          coalesce(col("d_total"), lit(0).cast(DecimalType(28, 4))))
+          .cast(DecimalType(28, 4)).as("total"))
       .filter(col("cnt") > 0)
   }
 }

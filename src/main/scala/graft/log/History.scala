@@ -166,4 +166,92 @@ object History {
         when(col("r.valid_to").isNull || col("r.valid_to") > col(s"l.$posCol"),
           col("r")))
   }
+
+  /** Open-interval sentinel: `valid_to IS NULL` (current version) ordered
+    * after every real close position. Interval arithmetic on
+    * `coalesce(valid_to, Inf)` with a final `nullif` is portable across
+    * engines where aggregate null-skipping semantics (max_by over null
+    * values) are not.
+    */
+  private val Inf = Long.MaxValue
+
+  /** Temporal COALESCING: collapse adjacent versions whose projection on
+    * `cols` is unchanged — the attribute-timeline view of an SCD2 table
+    * ("when did the STATUS change", ignoring versions opened by other
+    * columns' churn). Classic temporal-database normalization: without
+    * it, every downstream interval join pays the full version count of
+    * the most-churning column.
+    *
+    * Islands per key: a version starts a new island when its `cols`
+    * values differ (null-safely) from its predecessor's, OR when it is
+    * not contiguous with it (`valid_from ≠` predecessor's `valid_to` —
+    * a DELETE/re-INSERT gap must never merge, even with equal values).
+    * One shuffle (per-key window), then a per-island aggregate on the
+    * same key — island count ≤ version count, so state is bounded by
+    * per-key churn.
+    *
+    * Output: `record_id`, `cols`, `[valid_from, valid_to)`, `is_current`
+    * — the same shape as [[scd2]] restricted to `cols`.
+    */
+  def coalesceVersions(history: DataFrame, cols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col(RecordId)).orderBy(col("valid_from"))
+    val valueChanged = cols
+      .map(c => !(col(c) <=> lag(col(c), 1).over(w)))
+      .reduce(_ || _)
+    val gap = !(lag(col("valid_to"), 1).over(w) <=> col("valid_from"))
+    history
+      .select(col(RecordId) +: cols.map(col) :+ col("valid_from") :+
+        col("valid_to") :+ col("is_current"): _*)
+      .withColumn("__island",
+        sum(when(row_number().over(w) === 1 || valueChanged || gap, 1).otherwise(0))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(RecordId), col("__island"))
+      .agg(
+        first(col(cols.head)).as(cols.head),
+        cols.tail.map(c => first(col(c)).as(c)) ++ Seq(
+          min(col("valid_from")).as("valid_from"),
+          max(coalesce(col("valid_to"), lit(Inf))).as("__to"),
+          max(col("is_current")).as("is_current")): _*)
+      .select(col(RecordId) +: cols.map(col) :+ col("valid_from") :+
+        nullif(col("__to"), lit(Inf)).as("valid_to") :+ col("is_current"): _*)
+  }
+
+  /** Temporal ALIGN join: intersect two version histories of the same key
+    * space — each output row is a maximal interval over which BOTH sides'
+    * attributes were simultaneously valid, carrying both projections
+    * (TSQL2's temporal inner join). Aligning the per-attribute timelines
+    * produced by [[coalesceVersions]] reconstructs the combined history:
+    * `align(coalesce(H, a), coalesce(H, b)) = H` projected on `a ∪ b`.
+    *
+    * Formulation: per-key versions are non-overlapping and few (bounded
+    * by the key's change count, never by table size), so the plan is a
+    * plain hash equi-join on the key with the interval-intersection
+    * predicate applied as a filter — per-key fanout is
+    * `versions_a × versions_b`, pruned to the intersecting pairs. For
+    * pathological churn (thousands of versions on one key), pre-bucket
+    * both sides by position range first (the [[graft.ext.RangeJoin]]
+    * grid), same contract.
+    *
+    * `aCols`/`bCols` must be disjoint; both inputs need `record_id`,
+    * `valid_from`, `valid_to`, `is_current`.
+    */
+  def alignHistories(
+      a: DataFrame,
+      b: DataFrame,
+      aCols: Seq[String],
+      bCols: Seq[String]): DataFrame = {
+    val l = a.select(col(RecordId) +: aCols.map(col) :+
+      col("valid_from").as("__af") :+
+      coalesce(col("valid_to"), lit(Inf)).as("__at"): _*)
+    val r = b.select(col(RecordId).as("__rid") +: bCols.map(col) :+
+      col("valid_from").as("__bf") :+
+      coalesce(col("valid_to"), lit(Inf)).as("__bt"): _*)
+    l.join(r, col(RecordId) === col("__rid") &&
+        greatest(col("__af"), col("__bf")) < least(col("__at"), col("__bt")))
+      .select(col(RecordId) +: (aCols ++ bCols).map(col) :+
+        greatest(col("__af"), col("__bf")).as("valid_from") :+
+        nullif(least(col("__at"), col("__bt")), lit(Inf)).as("valid_to") :+
+        when(least(col("__at"), col("__bt")) === Inf, lit(1)).otherwise(lit(0))
+          .as("is_current"): _*)
+  }
 }

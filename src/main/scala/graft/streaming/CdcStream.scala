@@ -337,6 +337,87 @@ object CdcStream {
       epoch, historyDir, prior, changedBuckets)
   }
 
+  // ------------------------------------------- aggregate-view maintenance
+
+  /** Schema of the maintained aggregate view — identical to
+    * [[graft.apply.IncrementalAgg.snapshotAgg]]'s output.
+    */
+  private def aggSchema(keyType: org.apache.spark.sql.types.DataType): StructType = {
+    import org.apache.spark.sql.types.{DecimalType, LongType, StructField}
+    StructType(Seq(
+      StructField("g_key", keyType),
+      StructField("cnt", LongType),
+      StructField("total", DecimalType(28, 4))))
+  }
+
+  /** Seed the aggregate view from the base snapshot, committed as
+    * pseudo-epoch `v=-1` (mirrors [[bootstrapHistory]]).
+    */
+  def bootstrapAgg(
+      base: DataFrame,
+      aggDir: String,
+      keyCol: String,
+      valueCol: String): Unit = {
+    graft.apply.IncrementalAgg.snapshotAgg(base, keyCol, valueCol)
+      .write.mode("overwrite").parquet(s"$aggDir/v=-1")
+    commitVersion(aggDir, -1L)
+  }
+
+  /** Read the current committed aggregate view. */
+  def readAgg(
+      spark: SparkSession,
+      aggDir: String,
+      keyType: org.apache.spark.sql.types.DataType): DataFrame =
+    currentVersion(aggDir) match {
+      case Some(v) => spark.read.schema(aggSchema(keyType)).parquet(s"$aggDir/v=$v")
+      case None    => emptyDf(spark, aggSchema(keyType))
+    }
+
+  /** Incrementally maintain a grouped count/sum view for one micro-batch
+    * — the streaming form of [[graft.apply.IncrementalAgg.maintain]],
+    * completing the streaming materialized-view family next to the
+    * latest-state target ([[applyBatch]]) and the SCD2 history
+    * ([[applyHistoryBatch]]).
+    *
+    * The view is O(groups) rows — always small relative to the log — so
+    * unlike the bucketed tables each epoch rewrites it WHOLE:
+    * `aggDir/v=<epoch>` is one overwrite (exactly-once per epoch by
+    * directory replacement), and a crashed epoch's re-run reads
+    * `versionBefore(epoch)` — the first attempt's exact input — making
+    * replay idempotent without any bucket bookkeeping. Per-epoch work is
+    * O(batch) deltas + O(groups) merge; the base table is never
+    * rescanned after bootstrap.
+    */
+  def applyAggBatch(
+      batch: DataFrame,
+      epoch: Long,
+      aggDir: String,
+      keyCol: String,
+      valueCol: String,
+      keyType: org.apache.spark.sql.types.DataType): Unit = {
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return
+    val prior = versionBefore(aggDir, epoch)
+    val stored = prior match {
+      case Some(pv) => spark.read.schema(aggSchema(keyType)).parquet(s"$aggDir/v=$pv")
+      case None     => emptyDf(spark, aggSchema(keyType))
+    }
+    graft.apply.IncrementalAgg.maintain(stored, batch, keyCol, valueCol)
+      .write.mode("overwrite").parquet(s"$aggDir/v=$epoch")
+    commitVersion(aggDir, epoch)
+  }
+
+  /** Aggregate-view wiring for [[start]]: maintain
+    * `groupBy(keyCol).agg(count, sum(valueCol))` in `dir` alongside the
+    * target. `keyCol` must be one of the spec's columns; `keyType` its
+    * type in the row schema.
+    */
+  final case class AggView(
+      dir: String,
+      keyCol: String,
+      valueCol: String,
+      keyType: org.apache.spark.sql.types.DataType)
+
   /** Start continuous replication: stream the change-log directory and
     * merge each micro-batch into the versioned target.
     *
@@ -352,6 +433,11 @@ object CdcStream {
     *                     epoch number; each is idempotent per epoch, so
     *                     a crash between the two commits replays to the
     *                     identical pair of directories.
+    * @param aggView      when set, the grouped count/sum view is
+    *                     maintained incrementally alongside the target
+    *                     ([[applyAggBatch]] per micro-batch) — same
+    *                     shared-epoch, per-surface-idempotent contract
+    *                     as `historyDir`.
     */
   def start(
       spark: SparkSession,
@@ -365,7 +451,8 @@ object CdcStream {
       maxFilesPerTrigger: Int = 100,
       strategy: ConflictStrategy = ConflictStrategy.LastWriteWins,
       numBuckets: Int = 16,
-      historyDir: Option[String] = None): StreamingQuery = {
+      historyDir: Option[String] = None,
+      aggView: Option[AggView] = None): StreamingQuery = {
     val logSchema = graft.log.ChangeLog.schema(rowSchema)
     val stream = spark.readStream
       .schema(logSchema)
@@ -383,6 +470,8 @@ object CdcStream {
         // of the target, never behind AND ahead at once — both replay).
         historyDir.foreach(h =>
           applyHistoryBatch(batch, epoch, h, spec, rowSchema, numBuckets))
+        aggView.foreach(v =>
+          applyAggBatch(batch, epoch, v.dir, v.keyCol, v.valueCol, v.keyType))
         applyBatch(batch, epoch, targetDir, spec, rowSchema, strategy, numBuckets)
       }
       .start()
@@ -402,10 +491,12 @@ object CdcStream {
       rowSchema: StructType,
       strategy: ConflictStrategy = ConflictStrategy.LastWriteWins,
       maxFilesPerTrigger: Int = 100,
-      historyDir: Option[String] = None): Unit = {
+      historyDir: Option[String] = None,
+      aggView: Option[AggView] = None): Unit = {
     val q = start(spark, logDir, targetDir, checkpointDir, spec, rowSchema,
       trigger = Some(Trigger.AvailableNow()), strategy = strategy,
-      maxFilesPerTrigger = maxFilesPerTrigger, historyDir = historyDir)
+      maxFilesPerTrigger = maxFilesPerTrigger, historyDir = historyDir,
+      aggView = aggView)
     q.awaitTermination()
   }
 

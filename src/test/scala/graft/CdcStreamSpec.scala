@@ -340,6 +340,36 @@ class CdcStreamSpec extends SparkSpecBase {
     assert(after === expected)
   }
 
+  test("streamed aggregate view across micro-batches equals recompute; crashed epoch idempotent") {
+    val tmp = Files.createTempDirectory("cdcagg").toString
+    val aggDir = s"$tmp/agg"
+    val spec = DemoWorkload.UsersSpec
+    val base = DemoWorkload.users(s, 3, startId = 400L).localCheckpoint(true)
+    val table = DemoWorkload.replay(CdcTable(base, spec), s,
+      inserts = 6, updates = 3, deletes = 2)
+    table.update(col("id") === 400L, Map("status" -> lit("inactive")))
+    val log = table.changeLog.localCheckpoint(true)
+    val batch1 = log.filter(col("cdc_id") <= 5)
+    val batch2 = log.filter(col("cdc_id") > 5)
+
+    CdcStream.bootstrapAgg(base, aggDir, "status", "id")
+    CdcStream.applyAggBatch(batch1, 0L, aggDir, "status", "id",
+      org.apache.spark.sql.types.StringType)
+    CdcStream.applyAggBatch(batch2, 1L, aggDir, "status", "id",
+      org.apache.spark.sql.types.StringType)
+    val after = CdcStream.readAgg(s, aggDir, org.apache.spark.sql.types.StringType)
+      .collect().toSet
+    // the maintained view equals a per-status recompute over the final snapshot
+    val expected = graft.apply.IncrementalAgg
+      .snapshotAgg(table.snapshot, "status", "id").collect().toSet
+    assert(after === expected)
+    // crash window: re-run epoch 1 — reads versionBefore(1), reproduces
+    CdcStream.applyAggBatch(batch2, 1L, aggDir, "status", "id",
+      org.apache.spark.sql.types.StringType)
+    assert(CdcStream.readAgg(s, aggDir, org.apache.spark.sql.types.StringType)
+      .collect().toSet === after)
+  }
+
   test("health listener emits a report per progress event") {
     val tmp = Files.createTempDirectory("cdclisten").toString
     val table = DemoWorkload.replay(

@@ -55,6 +55,65 @@ class HistoryLayoutSpec extends SparkSpecBase {
       (4L, 40L, 7L, None, 1)))
   }
 
+  test("coalesceVersions: equal-value adjacents merge; delete gaps never merge") {
+    val spec2 = CdcTableSpec("t", Seq("id", "v", "w"), "id")
+    def mk(rows: Seq[(Long, Long, String, Option[(Long, Long)])]): DataFrame = {
+      val df = rows.map { case (c, r, o, nv) =>
+        (c, r, o, nv.map(_._1), nv.map(_._2))
+      }.toDF("cdc_id", "record_id", "operation", "nv", "nw")
+      df.select(
+        col("cdc_id"), col("operation"), col("record_id"),
+        lit(null).cast("struct<id:bigint,v:bigint,w:bigint>").as("old_data"),
+        when(col("operation") === "DELETE", lit(null))
+          .otherwise(struct(col("record_id").as("id"), col("nv").as("v"),
+            col("nw").as("w"))).as("new_data"),
+        lit(Fixtures.T0).as("changed_at"), lit(0).as("synced"),
+        lit(null).cast("timestamp").as("sync_timestamp"))
+    }
+    val base = Seq((1L, 10L, 100L), (2L, 20L, 200L)).toDF("id", "v", "w")
+    // key 1: only w churns at 5,7 (v stays 10) -> v-track is ONE interval [0, inf)
+    //        but w-track has three
+    // key 2: delete at 4, re-insert SAME v at 6 -> gap must keep two islands
+    val log = mk(Seq(
+      (5L, 1L, "UPDATE", Some((10L, 101L))),
+      (7L, 1L, "UPDATE", Some((10L, 102L))),
+      (4L, 2L, "DELETE", None),
+      (6L, 2L, "INSERT", Some((20L, 200L)))))
+    val h = History.scd2(base, log, spec2)
+    val vTrack = History.coalesceVersions(h, Seq("v"))
+      .select("record_id", "v", "valid_from", "valid_to", "is_current")
+      .as[(Long, Long, Long, Option[Long], Int)].collect().sortBy(r => (r._1, r._3))
+    assert(vTrack.toSeq == Seq(
+      (1L, 10L, 0L, None, 1),       // three versions, unchanged v -> one island
+      (2L, 20L, 0L, Some(4L), 0),   // closed by delete
+      (2L, 20L, 6L, None, 1)),      // re-insert: same value, NOT merged (gap)
+      s"got ${vTrack.toSeq}")
+    val wTrack = History.coalesceVersions(h, Seq("w"))
+      .filter(col("record_id") === 1L)
+    assert(wTrack.count() == 3, "w churns every version: nothing merges")
+  }
+
+  test("alignHistories of the attribute timelines reconstructs the combined history") {
+    val combined = Fixtures.changeLog(spark, dir)
+      .unionByName(Fixtures.secondBatchLog(spark, dir))
+    val hist = History.scd2(
+      Fixtures.orders(spark, dir).select(Fixtures.OrdersSpec.columns.map(col): _*),
+      combined, Fixtures.OrdersSpec)
+    val st = History.coalesceVersions(hist, Seq("o_orderstatus"))
+    val pr = History.coalesceVersions(hist, Seq("o_totalprice"))
+    val aligned = History.alignHistories(st, pr,
+      Seq("o_orderstatus"), Seq("o_totalprice"))
+    // every fixture change touches status or price, so align(st, pr) = hist
+    assertSameRows(
+      aligned.select("record_id", "o_orderstatus", "o_totalprice",
+        "valid_from", "valid_to", "is_current"),
+      hist.select("record_id", "o_orderstatus", "o_totalprice",
+        "valid_from", "valid_to", "is_current"),
+      "align reconstructs")
+    // and the tracks are genuinely coarser: batch-2 touches only status
+    assert(pr.count() < hist.count(), "price track must coalesce batch-2 churn")
+  }
+
   test("versionAt: boundary semantics against the scd2 fixture") {
     val base = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v")
     val log = mkLog(Seq(
