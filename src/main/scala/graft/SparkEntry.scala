@@ -981,6 +981,45 @@ object SparkEntry {
     EventAnalytics.transitions(events(s, dir), "user_id", "ts", "event_type", "event_id")
       .orderBy("from_type", "to_type")
 
+  /** First/last-touch conversion attribution: every purchase credited to
+    * the user's earliest and latest touch (click/view/signup) strictly
+    * before it in (ts, id) order, counted per (first, last) pair —
+    * NULL = unattributed ([[EventAnalytics.attribution]]).
+    */
+  private def qEventsAttribution(s: SparkSession, dir: String): DataFrame =
+    EventAnalytics.attribution(events(s, dir), "user_id", "ts", "event_type",
+        "event_id", convType = "purchase",
+        touchTypes = Seq("click", "view", "signup"))
+      .orderBy("first_touch", "last_touch")
+
+  /** Weighted PageRank over the event-type transition graph, 3 damped
+    * rounds from a uniform start ([[graft.ext.Graph.pageRank]] over
+    * [[EventAnalytics.transitions]] edges) — the iterative-graph member
+    * of the analytics family; per-iteration 12-dp rounding pins the
+    * trajectory across engines.
+    */
+  private def qEventsPagerank(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Graph.pageRank(
+        EventAnalytics.transitions(events(s, dir), "user_id", "ts",
+          "event_type", "event_id"),
+        "from_type", "to_type", "n", iterations = 3)
+      .select(col("v").as("event_type"), round(col("rank"), 6).as("rank"))
+      .orderBy("event_type")
+
+  /** Market-basket brand affinity: support/confidence/lift over the
+    * distinct brands co-occurring in an order
+    * ([[graft.ext.MarketBasket.pairLift]] on lineitem ⋈ part).
+    */
+  private def qOrdersBasketLift(s: SparkSession, dir: String): DataFrame = {
+    val items = lineitem(s, dir)
+      .join(s.read.parquet(s"$dir/part.parquet"),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand"))
+    graft.ext.MarketBasket.pairLift(items, "l_orderkey", "p_brand",
+        minPairCount = 20L)
+      .orderBy("item_a", "item_b")
+  }
+
   /** As-of attribution: each purchase matched to the user's most recent
     * click at or before it (NULL when none) — the ASOF JOIN surface
     * Spark lacks natively, via the linear union+window formulation.
@@ -1992,6 +2031,9 @@ object SparkEntry {
     "events_dedup" -> (qEventsDedup _),
     "events_funnel" -> (qEventsFunnel _),
     "events_transitions" -> (qEventsTransitions _),
+    "events_attribution" -> (qEventsAttribution _),
+    "events_pagerank" -> (qEventsPagerank _),
+    "orders_basket_lift" -> (qOrdersBasketLift _),
     "events_retention" -> (qEventsRetention _),
     "events_asof_within" -> (qEventsAsofWithin _),
     "orders_running_total" -> (qOrdersRunningTotal _),
@@ -4017,6 +4059,69 @@ object SparkEntry {
         |SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
         |FROM e WHERE to_type IS NOT NULL
         |GROUP BY from_type, to_type ORDER BY from_type, to_type""".stripMargin,
+
+    // NULLS FIRST pins DuckDB's default NULLS LAST to Spark's ASC order
+    "events_attribution" ->
+      """WITH t AS (
+        |  SELECT user_id, event_type,
+        |         first_value(CASE WHEN event_type IN ('click','view','signup')
+        |                          THEN event_type END IGNORE NULLS)
+        |           OVER w AS first_touch,
+        |         last_value(CASE WHEN event_type IN ('click','view','signup')
+        |                         THEN event_type END IGNORE NULLS)
+        |           OVER w AS last_touch
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT first_touch, last_touch, CAST(COUNT(*) AS BIGINT) AS conversions
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY 1, 2
+        |ORDER BY first_touch NULLS FIRST, last_touch NULLS FIRST""".stripMargin,
+
+    // three unrolled damped rounds; every rank rounded to 12 dp per round
+    // (and 6 dp at the end) — the same trajectory pinning as the engine
+    "events_pagerank" ->
+      """WITH ed AS (
+        |  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        |    SELECT event_type AS from_type,
+        |           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |    FROM events) WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |ow AS (SELECT from_type, CAST(SUM(n) AS DOUBLE) AS W FROM ed GROUP BY 1),
+        |pr AS (SELECT e.from_type AS s, e.to_type AS d, CAST(e.n AS DOUBLE) / o.W AS p
+        |       FROM ed e JOIN ow o ON e.from_type = o.from_type),
+        |verts AS (SELECT from_type AS v FROM ed UNION SELECT to_type FROM ed),
+        |nv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),
+        |r0 AS (SELECT v, round(1.0 / nv.n, 12) AS rank FROM verts CROSS JOIN nv),
+        |r1 AS (SELECT verts.v, round(0.15 / nv.n + 0.85 * COALESCE(c.i, 0), 12) AS rank
+        |       FROM verts CROSS JOIN nv LEFT JOIN
+        |         (SELECT p.d, SUM(r.rank * p.p) AS i FROM pr p JOIN r0 r ON r.v = p.s GROUP BY p.d) c
+        |         ON c.d = verts.v),
+        |r2 AS (SELECT verts.v, round(0.15 / nv.n + 0.85 * COALESCE(c.i, 0), 12) AS rank
+        |       FROM verts CROSS JOIN nv LEFT JOIN
+        |         (SELECT p.d, SUM(r.rank * p.p) AS i FROM pr p JOIN r1 r ON r.v = p.s GROUP BY p.d) c
+        |         ON c.d = verts.v),
+        |r3 AS (SELECT verts.v, round(0.15 / nv.n + 0.85 * COALESCE(c.i, 0), 12) AS rank
+        |       FROM verts CROSS JOIN nv LEFT JOIN
+        |         (SELECT p.d, SUM(r.rank * p.p) AS i FROM pr p JOIN r2 r ON r.v = p.s GROUP BY p.d) c
+        |         ON c.d = verts.v)
+        |SELECT v AS event_type, round(rank, 6) AS rank FROM r3 ORDER BY 1""".stripMargin,
+
+    "orders_basket_lift" ->
+      """WITH d AS (
+        |  SELECT DISTINCT l.l_orderkey AS bk, p.p_brand AS it
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |nb AS (SELECT CAST(COUNT(DISTINCT bk) AS BIGINT) AS n FROM d),
+        |ic AS (SELECT it, CAST(COUNT(*) AS BIGINT) AS ni FROM d GROUP BY it),
+        |pc AS (SELECT a.it AS item_a, b.it AS item_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+        |       FROM d a JOIN d b ON a.bk = b.bk AND a.it < b.it
+        |       GROUP BY 1, 2 HAVING COUNT(*) >= 20)
+        |SELECT pc.item_a, pc.item_b, pc.n_ab, ia.ni AS n_a, ib.ni AS n_b,
+        |       round(CAST(pc.n_ab AS DOUBLE) / ia.ni, 6) AS confidence,
+        |       round(CAST(nb.n * pc.n_ab AS DOUBLE) / (ia.ni * ib.ni), 6) AS lift
+        |FROM pc JOIN ic ia ON ia.it = pc.item_a
+        |        JOIN ic ib ON ib.it = pc.item_b
+        |        CROSS JOIN nb
+        |ORDER BY item_a, item_b""".stripMargin,
 
     "text_search" ->
       s"""WITH $TextTokensCte

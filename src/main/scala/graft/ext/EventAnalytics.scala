@@ -139,6 +139,45 @@ object EventAnalytics {
     *
     * Output: one row per step — `step_idx` (0-based), `step`, `n_users`.
     */
+  /** Multi-touch conversion ATTRIBUTION: for every conversion event,
+    * which marketing touch gets the credit — `first_touch` (the user's
+    * earliest qualifying touch before the conversion) and `last_touch`
+    * (the latest), counted per (first, last) pair. The two classic
+    * single-touch models read off the two margins of this output; a
+    * linear/positional model needs the same window with a collected
+    * touch count, same plan shape.
+    *
+    * A touch attributes to a conversion when it sorts STRICTLY before it
+    * in the user's (ts, id) order — the id tiebreak makes simultaneous
+    * touch/conversion rows deterministic across engines. Conversions
+    * with no preceding touch report NULL (counted, not dropped: unattributed
+    * conversions are the number a marketing report most needs).
+    *
+    * Scale shape: ONE window shuffle partitioned by user (running
+    * first/last over a `[unbounded, current-1]` frame — no self-join,
+    * no pair enumeration), then a map-side-combined count over at most
+    * (|touch types|+1)² groups.
+    */
+  def attribution(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      idCol: String,
+      convType: String,
+      touchTypes: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col(typeCol).isin(touchTypes.map(x => x: Any): _*), col(typeCol))
+    events
+      .select(col(userCol), col(tsCol), col(idCol), col(typeCol))
+      .withColumn("first_touch", first(touch, ignoreNulls = true).over(w))
+      .withColumn("last_touch", last(touch, ignoreNulls = true).over(w))
+      .filter(col(typeCol) === convType)
+      .groupBy("first_touch", "last_touch")
+      .agg(count(lit(1)).as("conversions"))
+  }
+
   /** First-order path analysis: counts of consecutive (event_type →
     * next event_type) transitions within each user's timeline — the
     * transition matrix behind "where do users go after X" and Markov-

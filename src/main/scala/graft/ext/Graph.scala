@@ -1,0 +1,81 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics as declarative dataflow — the PageRank
+  * member of the family whose connected-components member is
+  * [[Corpus]]'s min-label propagation (`dedup_clusters`).
+  *
+  * Each iteration is ONE equi-join (ranks ⋈ edges on the source vertex)
+  * plus one hash aggregate on the destination — shuffle volume is
+  * O(edges) with map-side combine on the destination key, state is
+  * O(vertices). No driver-side graph structure: at 100 TB-scale vertex
+  * counts the same plan holds, with AQE handling the (typically
+  * power-law-skewed) destination aggregation; for a hot destination
+  * vertex the partial aggregate absorbs the skew before the exchange.
+  * Iterations are unrolled into the plan for small fixed counts (the
+  * oracle-checkable shape); long runs should checkpoint ranks per
+  * iteration like the label-propagation frontier does.
+  */
+object Graph {
+
+  /** Weighted PageRank over an edge list `(srcCol, dstCol, weightCol)`,
+    * `iterations` damped rounds from a uniform start:
+    *
+    *   r₀(v)    = 1/N
+    *   rᵢ₊₁(v) = (1−d)/N + d · Σ_{u→v} rᵢ(u) · w(u,v) / W(u)
+    *
+    * where `W(u)` is u's total out-weight. Vertices are the union of
+    * sources and destinations; a vertex with no in-edges keeps the
+    * teleport term. Dangling mass (vertices with no OUT-edges) is not
+    * redistributed — the caller's graphs (event-type transitions) have
+    * none; redistributing it would add one O(vertices) aggregate per
+    * round.
+    *
+    * Determinism contract: every rank is rounded to 12 dp per iteration
+    * — double summation order varies across engines/partitionings, and
+    * the round re-pins each round's fixed point far above the 1e-16
+    * association noise. Callers comparing across engines must apply the
+    * same per-iteration rounding (see the `events_pagerank` oracle).
+    */
+  def pageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: String,
+      iterations: Int,
+      damping: Double = 0.85): DataFrame = {
+    val e = edges.select(
+      col(srcCol).as("__src"), col(dstCol).as("__dst"),
+      col(weightCol).cast("double").as("__w"))
+    val vertices = e.select(col("__src").as("v"))
+      .union(e.select(col("__dst").as("v")))
+      .distinct()
+
+    // out-weight per source, attached once — the per-iteration join then
+    // carries the precomputed transition probability
+    val outW = e.groupBy("__src").agg(sum(col("__w")).as("__wtot"))
+    val probs = e.join(outW, "__src")
+      .select(col("__src"), col("__dst"), (col("__w") / col("__wtot")).as("__p"))
+
+    val n = vertices.count()
+    val teleport = (1.0 - damping) / n
+
+    var ranks = vertices.select(col("v"),
+      round(lit(1.0 / n), 12).as("rank"))
+    for (_ <- 1 to iterations) {
+      val contrib = probs
+        .join(ranks, col("__src") === col("v"))
+        .select(col("__dst").as("v"), (col("rank") * col("__p")).as("__c"))
+        .groupBy("v")
+        .agg(sum(col("__c")).as("__in"))
+      ranks = vertices
+        .join(contrib, Seq("v"), "left_outer")
+        .select(col("v"),
+          round(lit(teleport) + lit(damping) * coalesce(col("__in"), lit(0.0)), 12)
+            .as("rank"))
+    }
+    ranks
+  }
+}

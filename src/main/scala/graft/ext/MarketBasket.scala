@@ -1,0 +1,60 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Market-basket co-occurrence analysis — pairwise association rules
+  * (support / confidence / lift) over (basket, item) facts: "orders that
+  * contain brand A also contain brand B". The recommender-adjacent
+  * aggregate every retail warehouse derives from its order lines.
+  */
+object MarketBasket {
+
+  /** Pairwise lift over `(basketCol, itemCol)` rows.
+    *
+    * Output per unordered item pair (emitted once, `item_a < item_b`):
+    * `n_ab` (baskets containing both), `n_a`/`n_b` (baskets containing
+    * each), `confidence` = n_ab/n_a (P(b|a)), `lift` =
+    * N·n_ab/(n_a·n_b); pairs below `minPairCount` baskets are pruned.
+    *
+    * Scale shape: input collapses to DISTINCT (basket, item) first —
+    * one shuffle on the pair, map-side combined. Pair generation is the
+    * basket self-join (co-partitioned on the basket key — one shuffle
+    * both sides, fanout bounded by basket size², never corpus²), then a
+    * map-side-combined pair count bounded by |items|². Per-item counts
+    * and the one-row basket total ride in as broadcasts. All counts are
+    * exact integers; `lift`/`confidence` are single divisions of exact
+    * doubles, rounded to 6 dp — bit-identical across engines.
+    *
+    * At 100 TB the only watch item is a mega-basket (size² fanout): cap
+    * or sample baskets above a size bound upstream; item-alphabet
+    * skew is absorbed by the partial aggregates.
+    */
+  def pairLift(
+      items: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      minPairCount: Long): DataFrame = {
+    val d = items.select(col(basketCol).as("__bk"), col(itemCol).as("__it"))
+      .distinct()
+    val totals = d.agg(countDistinct(col("__bk")).as("__n"))
+    val itemCounts = d.groupBy(col("__it")).agg(count(lit(1)).as("__ni"))
+
+    val a = d.select(col("__bk"), col("__it").as("item_a"))
+    val b = d.select(col("__bk").as("__bk2"), col("__it").as("item_b"))
+    val pairs = a.join(b, col("__bk") === col("__bk2") && col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairCount)
+
+    pairs
+      .join(broadcast(itemCounts.select(col("__it").as("item_a"), col("__ni").as("n_a"))), "item_a")
+      .join(broadcast(itemCounts.select(col("__it").as("item_b"), col("__ni").as("n_b"))), "item_b")
+      .crossJoin(broadcast(totals))
+      .select(
+        col("item_a"), col("item_b"), col("n_ab"), col("n_a"), col("n_b"),
+        round(col("n_ab").cast("double") / col("n_a"), 6).as("confidence"),
+        round((col("__n") * col("n_ab")).cast("double") /
+          (col("n_a") * col("n_b")), 6).as("lift"))
+  }
+}

@@ -40,7 +40,9 @@ class PlanGuardSpec extends SparkSpecBase {
     // 1-row n_checked scalar broadcast onto the |rules|-row report
     "orders_expectations",
     // 1-row max-pane scalar broadcast onto the pane-register frame
-    "events_sliding_hll")
+    "events_sliding_hll",
+    // 1-row basket-total scalar broadcast onto the |items|²-bounded pairs
+    "orders_basket_lift")
 
   private def walk(p: SparkPlan): Seq[SparkPlan] = {
     val kids = p match {
