@@ -418,6 +418,76 @@ object CdcStream {
       valueCol: String,
       keyType: org.apache.spark.sql.types.DataType)
 
+  // ------------------------------------------------ join-view maintenance
+
+  /** Incrementally maintain an enriched JOIN view (`fact ⋈ dim` on
+    * `fkCol = dimKey`, carrying `dimCols`) for one micro-batch — the
+    * streaming form of [[graft.apply.IncrementalJoin.maintain]], reusing
+    * [[applyBatch]]'s bucketed epoch-versioned machinery wholesale: the
+    * batch's images are enriched against the dimension (one
+    * O(batch) ⋈ dim join, AQE-broadcast), then applied as a change batch
+    * on the VIEW's extended row shape, so only the buckets containing
+    * changed keys are rewritten and crash replay is idempotent per
+    * epoch.
+    *
+    * Inner-join parity: an upsert whose fk has no dim match must REMOVE
+    * the key from the view (a recompute would not emit it) — such
+    * changes are rewritten to DELETE before the apply. The dimension is
+    * taken as-of the epoch (static or slowly snapshotted — see
+    * [[graft.apply.IncrementalJoin]] for why dim-side deltas are the
+    * SCD2/pitLookup path instead).
+    *
+    * `viewSchema` = fact row schema columns followed by `dimCols` (as
+    * produced by [[graft.apply.IncrementalJoin.snapshotView]]).
+    */
+  def applyJoinBatch(
+      batch: DataFrame,
+      epoch: Long,
+      viewDir: String,
+      spec: CdcTableSpec,
+      viewSchema: StructType,
+      dim: DataFrame,
+      fkCol: String,
+      dimKey: String,
+      dimCols: Seq[String],
+      numBuckets: Int = 16): Unit = {
+    import graft.log.ChangeLog.{NewData, Operation}
+    if (batch.isEmpty) return
+    val viewSpec = CdcTableSpec(spec.table + "_join", spec.columns ++ dimCols, spec.pkCol)
+
+    // enrich each non-DELETE image; dangling fk (null dimKey after the
+    // left join) demotes the change to DELETE
+    val d = dim.select((dimKey +: dimCols).distinct.map(col): _*)
+    val enriched = batch
+      .join(d, col(s"$NewData.$fkCol") === col(dimKey), "left_outer")
+      .withColumn(Operation,
+        when(col(Operation) === "DELETE" || col(dimKey).isNull, lit("DELETE"))
+          .otherwise(col(Operation)))
+      .withColumn(NewData,
+        when(col(Operation) === "DELETE",
+          lit(null).cast(org.apache.spark.sql.types.StructType(
+            viewSchema.fields)))
+          .otherwise(struct(
+            spec.columns.map(c => col(s"$NewData.$c").as(c)) ++
+              dimCols.map(col): _*)))
+      .drop((dimKey +: dimCols).distinct: _*)
+
+    applyBatch(enriched, epoch, viewDir, viewSpec, viewSchema,
+      numBuckets = numBuckets)
+  }
+
+  /** Join-view wiring for [[start]]: maintain the `fact ⋈ dim` view in
+    * `dir` alongside the target. `dim` is read per epoch from the
+    * caller's frame; `viewSchema` per [[applyJoinBatch]].
+    */
+  final case class JoinView(
+      dir: String,
+      dim: DataFrame,
+      fkCol: String,
+      dimKey: String,
+      dimCols: Seq[String],
+      viewSchema: StructType)
+
   /** Start continuous replication: stream the change-log directory and
     * merge each micro-batch into the versioned target.
     *
@@ -438,6 +508,10 @@ object CdcStream {
     *                     ([[applyAggBatch]] per micro-batch) — same
     *                     shared-epoch, per-surface-idempotent contract
     *                     as `historyDir`.
+    * @param joinView     when set, the dim-enriched join view is
+    *                     maintained incrementally alongside the target
+    *                     ([[applyJoinBatch]] per micro-batch) — same
+    *                     contract.
     */
   def start(
       spark: SparkSession,
@@ -452,7 +526,8 @@ object CdcStream {
       strategy: ConflictStrategy = ConflictStrategy.LastWriteWins,
       numBuckets: Int = 16,
       historyDir: Option[String] = None,
-      aggView: Option[AggView] = None): StreamingQuery = {
+      aggView: Option[AggView] = None,
+      joinView: Option[JoinView] = None): StreamingQuery = {
     val logSchema = graft.log.ChangeLog.schema(rowSchema)
     val stream = spark.readStream
       .schema(logSchema)
@@ -472,6 +547,9 @@ object CdcStream {
           applyHistoryBatch(batch, epoch, h, spec, rowSchema, numBuckets))
         aggView.foreach(v =>
           applyAggBatch(batch, epoch, v.dir, v.keyCol, v.valueCol, v.keyType))
+        joinView.foreach(v =>
+          applyJoinBatch(batch, epoch, v.dir, spec, v.viewSchema, v.dim,
+            v.fkCol, v.dimKey, v.dimCols, numBuckets))
         applyBatch(batch, epoch, targetDir, spec, rowSchema, strategy, numBuckets)
       }
       .start()
@@ -492,11 +570,12 @@ object CdcStream {
       strategy: ConflictStrategy = ConflictStrategy.LastWriteWins,
       maxFilesPerTrigger: Int = 100,
       historyDir: Option[String] = None,
-      aggView: Option[AggView] = None): Unit = {
+      aggView: Option[AggView] = None,
+      joinView: Option[JoinView] = None): Unit = {
     val q = start(spark, logDir, targetDir, checkpointDir, spec, rowSchema,
       trigger = Some(Trigger.AvailableNow()), strategy = strategy,
       maxFilesPerTrigger = maxFilesPerTrigger, historyDir = historyDir,
-      aggView = aggView)
+      aggView = aggView, joinView = joinView)
     q.awaitTermination()
   }
 

@@ -370,6 +370,49 @@ class CdcStreamSpec extends SparkSpecBase {
       .collect().toSet === after)
   }
 
+  test("streamed join view equals recompute; dangling fk drops; crashed epoch idempotent") {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val tmp = Files.createTempDirectory("cdcjoinview").toString
+    val viewDir = s"$tmp/view"
+    val spec = DemoWorkload.UsersSpec
+    val table = DemoWorkload.replay(
+      CdcTable(DemoWorkload.users(s, 0), spec), s,
+      inserts = 8, updates = 4, deletes = 2)
+    val rowSchema = table.snapshot.schema
+    val log = table.changeLog.localCheckpoint(true)
+    val batch1 = log.filter(col("cdc_id") <= 6)
+    val batch2 = log.filter(col("cdc_id") > 6)
+
+    // 'pending' deliberately missing: its rows must LEAVE the view
+    import s.implicits._
+    val dim = Seq(("active", "tier-A"), ("inactive", "tier-I"))
+      .toDF("st", "tier").localCheckpoint(true)
+    val viewSchema = StructType(rowSchema.fields :+ StructField("tier", StringType))
+
+    CdcStream.applyJoinBatch(batch1, 0L, viewDir, spec, viewSchema, dim,
+      "status", "st", Seq("tier"), numBuckets = 4)
+    CdcStream.applyJoinBatch(batch2, 1L, viewDir, spec, viewSchema, dim,
+      "status", "st", Seq("tier"), numBuckets = 4)
+    val got = CdcStream.readTarget(s, viewDir, viewSchema).collect().toSet
+
+    // recompute: final applied state (stream target starts empty) ⋈ dim
+    val emptyBase = s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row], rowSchema)
+    val finalState = graft.apply.ChangeApplier.applyChanges(emptyBase, log, spec)
+    val expected = graft.apply.IncrementalJoin.snapshotView(
+        finalState, dim, spec, "status", "st", Seq("tier"))
+      .collect().toSet
+    assert(got === expected)
+    assert(!got.exists(_.getAs[String]("status") == "pending"),
+      "dangling fk must drop")
+    assert(got.nonEmpty)
+
+    // crash window: re-run epoch 1 — reads versionBefore(1), reproduces
+    CdcStream.applyJoinBatch(batch2, 1L, viewDir, spec, viewSchema, dim,
+      "status", "st", Seq("tier"), numBuckets = 4)
+    assert(CdcStream.readTarget(s, viewDir, viewSchema).collect().toSet === got)
+  }
+
   test("health listener emits a report per progress event") {
     val tmp = Files.createTempDirectory("cdclisten").toString
     val table = DemoWorkload.replay(
