@@ -49,15 +49,23 @@ object Graph {
     val e = edges.select(
       col(srcCol).as("__src"), col(dstCol).as("__dst"),
       col(weightCol).cast("double").as("__w"))
+    // materialized: every iteration's plan nests the previous one, so
+    // without the checkpoint round i re-runs the caller's full edge
+    // lineage (events scan + window behind a transition graph) — and the
+    // count() below pays it once more. Measured at sf0.1: 2.24 s with,
+    // 2.65 s without (vs the two-branch ReusedExchange case, where a
+    // blocking checkpoint LOSES — see cdc_history_align).
     val vertices = e.select(col("__src").as("v"))
       .union(e.select(col("__dst").as("v")))
       .distinct()
+      .localCheckpoint(true)
 
     // out-weight per source, attached once — the per-iteration join then
     // carries the precomputed transition probability
     val outW = e.groupBy("__src").agg(sum(col("__w")).as("__wtot"))
     val probs = e.join(outW, "__src")
       .select(col("__src"), col("__dst"), (col("__w") / col("__wtot")).as("__p"))
+      .localCheckpoint(true)
 
     val n = vertices.count()
     val teleport = (1.0 - damping) / n

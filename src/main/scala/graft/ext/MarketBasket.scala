@@ -35,6 +35,9 @@ object MarketBasket {
       basketCol: String,
       itemCol: String,
       minPairCount: Long): DataFrame = {
+    // the distinct frame feeds four consumers; its shuffle is one
+    // subplan, deduped by ReusedExchange — an eager localCheckpoint
+    // measured slower at sf0.1 (blocking materialization, no saved work)
     val d = items.select(col(basketCol).as("__bk"), col(itemCol).as("__it"))
       .distinct()
     val totals = d.agg(countDistinct(col("__bk")).as("__n"))
