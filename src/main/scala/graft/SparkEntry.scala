@@ -218,6 +218,26 @@ object SparkEntry {
       .orderBy("record_id", "valid_from")
   }
 
+  /** Duration-weighted status dwell over the two-batch history
+    * ([[graft.log.History.dwell]]): versions per status, total and mean
+    * log-position dwell, open intervals closed at a pinned horizon above
+    * every assigned id — the temporal aggregate an SCD2 table exists to
+    * answer.
+    */
+  private def qCdcStatusDwell(s: SparkSession, dir: String): DataFrame = {
+    val combined = changeLog(s, dir).unionByName(secondBatchLog(s, dir))
+    val hist = graft.log.History.scd2(
+      orders(s, dir).select(OrdersSpec.columns.map(col): _*), combined, OrdersSpec)
+    // integer-floor mean: dwell magnitudes sit at 2^40 (the packed-id
+    // envelope), where a double's ulp exceeds 6-dp rounding — exact
+    // BIGINT division is the cross-engine-stable formulation
+    graft.log.History.dwell(hist, Seq("o_orderstatus"), horizon = 1L << 41)
+      .select(col("o_orderstatus").as("status"), col("n_versions"),
+        col("total_dwell"),
+        expr("total_dwell div n_versions").as("avg_dwell"))
+      .orderBy("status")
+  }
+
   /** SCD2 consumer lookup: every key's version valid at log position
     * 700 (mid-first-batch: pre-700 changes visible as closed or open
     * rows, post-700 changes invisible, pre-700 deletes absent) — the
@@ -1976,6 +1996,7 @@ object SparkEntry {
     "cdc_json_roundtrip" -> (qJsonRoundtrip _),
     "cdc_scd2" -> (qScd2 _),
     "cdc_history_align" -> (qCdcHistoryAlign _),
+    "cdc_status_dwell" -> (qCdcStatusDwell _),
     "cdc_compact_log" -> (qCompactLog _),
     "cdc_snapshot_asof" -> (qSnapshotAsOf _),
     "dedup_exact" -> (qDedupExact _),
@@ -3229,6 +3250,25 @@ object SparkEntry {
          |SELECT record_id, st AS status, cdc_id AS valid_from, valid_to,
          |       CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS INT) AS is_current
          |FROM v WHERE NOT del ORDER BY record_id, valid_from""".stripMargin,
+
+    // duration-weighted dwell per status; horizon 2^41 closes open intervals
+    "cdc_status_dwell" ->
+      s"""WITH ${FixtureSql.LogCte}, ${FixtureSql.Log2Cte},
+         |ev AS (
+         |  SELECT CAST(0 AS BIGINT) AS cdc_id, o_orderkey AS record_id,
+         |         o_orderstatus AS st, FALSE AS del FROM orders
+         |  UNION ALL
+         |  SELECT cdc_id, record_id, new_status, operation = 'DELETE' FROM logm_t
+         |  UNION ALL
+         |  SELECT cdc_id, record_id, new_status, FALSE FROM log2_t),
+         |v AS (SELECT *, lead(cdc_id) OVER (PARTITION BY record_id ORDER BY cdc_id) AS valid_to
+         |      FROM ev)
+         |SELECT st AS status, CAST(COUNT(*) AS BIGINT) AS n_versions,
+         |       CAST(SUM(COALESCE(valid_to, 2199023255552) - cdc_id) AS BIGINT) AS total_dwell,
+         |       CAST(SUM(COALESCE(valid_to, 2199023255552) - cdc_id)
+         |            // COUNT(*) AS BIGINT) AS avg_dwell
+         |FROM v WHERE NOT del
+         |GROUP BY st ORDER BY st""".stripMargin,
 
     // per-attribute timelines (gaps-and-islands coalescing) re-intersected;
     // Inf sentinel 2^63-1 stands in for the open bound in both engines

@@ -216,6 +216,24 @@ object History {
         nullif(col("__to"), lit(Inf)).as("valid_to") :+ col("is_current"): _*)
   }
 
+  /** Temporal (duration-weighted) AGGREGATE: how long the table's keys
+    * dwell in each state — `sum/count` of version interval lengths
+    * grouped by the version's attribute values. THE question an SCD2
+    * table exists to answer ("average time an order spends in each
+    * status") that the latest-state target cannot. Open intervals are
+    * closed at `horizon` (the read position — pass the current max log
+    * position, or a pinned audit point).
+    *
+    * ONE map-side-combined hash aggregate over the history; shuffle is
+    * O(distinct attribute values).
+    */
+  def dwell(history: DataFrame, cols: Seq[String], horizon: Long): DataFrame =
+    history.groupBy(cols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_versions"),
+        sum(coalesce(col("valid_to"), lit(horizon)) - col("valid_from"))
+          .as("total_dwell"))
+
   /** Temporal ALIGN join: intersect two version histories of the same key
     * space — each output row is a maximal interval over which BOTH sides'
     * attributes were simultaneously valid, carrying both projections
