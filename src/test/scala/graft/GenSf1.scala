@@ -22,9 +22,12 @@ import org.apache.spark.sql.functions._
   *    (same rationale as the round-5 containment replicas, SCALE.md);
   *  - `embeddings` replicate with id offsets only (vector values repeat;
   *    the probed ANN paths don't block on text identity);
-  *  - `events.parquet` is copied byte-for-byte (TIMESTAMP(NANOS) —
-  *    rewriting would change its physical type; only the bench warm-up
-  *    reads it here).
+  *  - `events` replicates at the raw-int64-ns level with per-replica
+  *    user/event id offsets: 10× users, per-user timeline depth
+  *    preserved (the written `ts` is plain INT64 ns; `Fixtures.events`'
+  *    `ts div 1000` handles both physical types);
+  *  - small dimensions (part/supplier/nation/region) stay 1× — facts
+  *    outgrow dims in any real warehouse.
   */
 object GenSf1 {
   private val Reps = 10
@@ -77,23 +80,43 @@ object GenSf1 {
       d.withColumn("vec_id", col("vec_id") + lit(i * Off))
     }, "embeddings")
 
-    // events: byte-identical copy (see scaladoc)
-    val from = java.nio.file.Paths.get(s"$src/events.parquet")
-    val to = java.nio.file.Paths.get(s"$dst/events.parquet")
-    val walk = java.nio.file.Files.walk(from)
-    try {
-      import scala.jdk.CollectionConverters._
-      walk.iterator().asScala.foreach { p =>
-        val rel = to.resolve(from.relativize(p).toString)
-        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(rel)
-        else {
-          java.nio.file.Files.createDirectories(rel.getParent)
-          java.nio.file.Files.copy(p, rel,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // events: replicate at the raw-int64 level — TIMESTAMP(NANOS) read
+    // as ns-longs (the same nanosAsLong door Fixtures.events uses), ids
+    // and users offset per replica so timelines stay disjoint and
+    // per-user depth is preserved while user count scales 10×. The
+    // written column is plain INT64 ns, which Fixtures.events' `ts div
+    // 1000` handles identically. (Earlier sf1 rounds byte-copied events
+    // UN-replicated, so events-query "sf1" numbers measured unchanged
+    // input — corrected in SCALE.md with re-measured values.)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet(s"$src/events.parquet")
+    write(rep(events) { (d, i) =>
+      d.withColumn("event_id", col("event_id") + lit(i * Off))
+        .withColumn("user_id", col("user_id") + lit(i * Off))
+    }, "events")
+
+    // small dimensions (part/supplier/nation/region) copy UN-replicated
+    // — dims grow far slower than facts, so 10× facts against the same
+    // dim is the honest scale-up (and lineitem's l_partkey still joins)
+    def byteCopy(name: String): Unit = {
+      val from = java.nio.file.Paths.get(s"$src/$name.parquet")
+      val to = java.nio.file.Paths.get(s"$dst/$name.parquet")
+      val walk = java.nio.file.Files.walk(from)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.foreach { p =>
+          val rel = to.resolve(from.relativize(p).toString)
+          if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(rel)
+          else {
+            java.nio.file.Files.createDirectories(rel.getParent)
+            java.nio.file.Files.copy(p, rel,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
         }
-      }
-    } finally walk.close()
-    println("[gensf1] copied events")
+      } finally walk.close()
+      println(s"[gensf1] copied $name")
+    }
+    Seq("part", "supplier", "nation", "region").foreach(byteCopy)
     spark.stop()
   }
 }
