@@ -37,7 +37,10 @@ object MarketBasket {
       minPairCount: Long): DataFrame = {
     // the distinct frame feeds four consumers; its shuffle is one
     // subplan, deduped by ReusedExchange — an eager localCheckpoint
-    // measured slower at sf0.1 (blocking materialization, no saved work)
+    // measured slower at sf0.1 (blocking materialization, no saved work),
+    // and a collect_set + array-pair-explode rewrite (one basket shuffle)
+    // measured 10.0 s vs this plan's 8.1 s at sf1: the nested
+    // transform/slice pair lambda runs interpreted per basket row
     val d = items.select(col(basketCol).as("__bk"), col(itemCol).as("__it"))
       .distinct()
     val totals = d.agg(countDistinct(col("__bk")).as("__n"))
