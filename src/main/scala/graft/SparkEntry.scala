@@ -1341,6 +1341,27 @@ object SparkEntry {
       .orderBy("priority")
   }
 
+  /** Incremental MIN/MAX view maintenance — the NON-self-maintainable
+    * aggregate family, kept fresh by dirty-group recompute
+    * ([[IncrementalAgg.maintainMinMax]]): the batch's images name the
+    * affected priorities, ONLY those groups re-aggregate from the
+    * post-change target (which the CDC apply step maintains anyway),
+    * unchanged groups carry from the stored view byte-identically.
+    * Equal to recomputing min/max over the post-change snapshot — the
+    * oracle IS that recompute.
+    */
+  private def qCdcIncrementalMinmax(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir).select(OrdersSpec.columns.map(col): _*)
+    val base = IncrementalAgg.snapshotMinMax(o, "o_orderpriority", "o_totalprice")
+    val after = ChangeApplier.applyChanges(o, changeLog(s, dir), OrdersSpec)
+    IncrementalAgg.maintainMinMax(base, changeLog(s, dir), after,
+        "o_orderpriority", "o_totalprice")
+      .select(col("g_key").as("priority"),
+        col("min_val").cast("double").as("min_price"),
+        col("max_val").cast("double").as("max_price"))
+      .orderBy("priority")
+  }
+
   /** Incremental JOIN-view maintenance: the customer-enriched orders view
     * refreshed from the change log alone ([[graft.apply.IncrementalJoin]])
     * — only the batch's images join the dimension; the stored view sheds
@@ -1578,6 +1599,68 @@ object SparkEntry {
     Similarity.semanticDedup(embeddings(s, dir), "vec_id", "embedding",
         cents, threshold = 0.42)
       .orderBy("id")
+  }
+
+  /** Cluster-scoped k-NN graph over the embeddings table with the shared
+    * IVF codebook: every vector's top-5 cosine neighbors among its own
+    * coarse cluster's members ([[Similarity.knnGraph]]) — the all-corpus
+    * neighbor structure behind SemDeDup scoring and graph-based
+    * diversity sampling. Pair work is bounded at N²/k_clusters (~60-member
+    * clusters here); the per-source reduction is the partial top-k
+    * aggregator, so the final shuffle carries O(N·k) structs.
+    */
+  private def qAnnKnnGraph(s: SparkSession, dir: String): DataFrame = {
+    val cents = Similarity.collectCentroids(embCentroids(s, dir), "vec_id", "embedding")
+    Similarity.knnGraph(embeddings(s, dir), "vec_id", "embedding", cents, k = 5)
+      .orderBy("src_id", "rnk")
+  }
+
+  /** Gopher-style composite quality gate over documents: word-count,
+    * mean-word-length, and stopword-presence rules from ONE tokenization
+    * pass, with per-rule verdicts (as 0/1 ints — drop REASONS, not just
+    * survivors). The bounds are TEST-DATA parameters chosen to exercise
+    * both sides of every rule on the synthetic corpus (words 10..100
+    * ~uniform so [20, 90] cuts both tails; mean word length spans
+    * 3.5..5.73 around 4.5 so [4.0, 5.0] cuts both tails; 47/500 docs at
+    * sf0.01 have zero stopword hits) — production Gopher cuts
+    * (50..100k words, 3..10 chars) would pass every synthetic doc and
+    * leave the gate unexercised.
+    */
+  private def qTextQualityFilter(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityFilter(documents(s, dir), "doc_id", "text",
+        minWords = 20, maxWords = 90, minMeanWordLen = 4.0, maxMeanWordLen = 5.0,
+        minStopHits = 1, stopwords = TextAnalysis.EnglishStopwords)
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"), col("stop_hits"),
+        col("pass_words").cast("int").as("pass_words"),
+        col("pass_word_len").cast("int").as("pass_word_len"),
+        col("pass_stopwords").cast("int").as("pass_stopwords"),
+        col("keep").cast("int").as("keep"))
+      .orderBy("doc_id")
+
+  /** Train/valid/test split leakage report: every minhash near-dup pair
+    * annotated with each member's deterministic hash split (800/100/100
+    * permille of `hash32("graftsplit" || doc_id)` — the
+    * [[Corpus.sampleByHash]] recipe, so splits are reproducible across
+    * runs and engines) and a `leaks` flag marking pairs that straddle
+    * splits — the standard pre-training audit that a held-out set is not
+    * contaminated by near-duplicates of training documents. Reuses the
+    * shared minhash pair set; the split assignment is a narrow map, the
+    * annotation two id-equi-joins against the collision-scale pair set.
+    */
+  private def qCorpusSplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val h = PortableHash.hash32(
+      concat(lit("graftsplit"), col("doc_id").cast("string"))) % 1000
+    val splits = documents(s, dir).select(col("doc_id"),
+      when(h < 800, lit("train")).when(h < 900, lit("valid"))
+        .otherwise(lit("test")).as("split"))
+    minhashPairs(s, dir)
+      .join(splits.select(col("doc_id").as("id_a"), col("split").as("split_a")),
+        Seq("id_a"))
+      .join(splits.select(col("doc_id").as("id_b"), col("split").as("split_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("jac"), col("split_a"), col("split_b"),
+        (col("split_a") =!= col("split_b")).cast("int").as("leaks"))
+      .orderBy("id_a", "id_b")
   }
 
   /** Corpus-unigram LM quality score per document. */
@@ -2013,6 +2096,10 @@ object SparkEntry {
     "text_nb_train" -> (qTextNbTrain _),
     "text_nb_score" -> (qTextNbScore _),
     "ann_recall" -> (qAnnRecall _),
+    "ann_knn_graph" -> (qAnnKnnGraph _),
+    "text_quality_filter" -> (qTextQualityFilter _),
+    "corpus_split_leakage" -> (qCorpusSplitLeakage _),
+    "cdc_incremental_minmax" -> (qCdcIncrementalMinmax _),
     "text_rolling_hash" -> (qTextRollingHash _),
     "media_meta" -> (qMediaMeta _),
     "media_frames" -> (qMediaFrames _),
@@ -2730,6 +2817,15 @@ object SparkEntry {
          |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
          |FROM after_t GROUP BY o_orderpriority ORDER BY priority""".stripMargin,
 
+    // dirty-group recompute must equal a FULL min/max recompute on the
+    // post-change snapshot — so the oracle is that recompute
+    "cdc_incremental_minmax" ->
+      s"""WITH ${FixtureSql.AfterCte}
+         |SELECT o_orderpriority AS priority,
+         |       CAST(MIN(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS min_price,
+         |       CAST(MAX(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS max_price
+         |FROM after_t GROUP BY o_orderpriority ORDER BY priority""".stripMargin,
+
     // the maintained join view must equal recomputing the enriched view
     // over the post-change snapshot — the oracle IS that recompute
     "cdc_incremental_join" ->
@@ -2915,6 +3011,36 @@ object SparkEntry {
          |FROM a1 LEFT JOIN drp ON a1.vec_id = drp.id_b
          |WHERE drp.id_b IS NULL ORDER BY id""".stripMargin,
 
+    // same assign CTEs as emb_semantic_dedup; candidates both directions
+    // within a cluster, per-source top-5 — score IS NOT NULL mirrors the
+    // TopKAggregator contract shared by every ANN surface
+    "ann_knn_graph" ->
+      s"""WITH $EmbBase,
+         |rawc AS (
+         |  SELECT e.vec_id, c.cid,
+         |         ${dotSql("e.v", "c.cv")} AS dp,
+         |         sqrt(${dotSql("e.v", "e.v")}) AS na,
+         |         sqrt(${dotSql("c.cv", "c.cv")}) AS nb
+         |  FROM e, c),
+         |${cosScoreSql("rawc", "sc")},
+         |a1 AS (SELECT vec_id, cid FROM
+         |        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn FROM sc)
+         |       WHERE rn = 1),
+         |p AS (SELECT x.vec_id AS src_id, y.vec_id AS neighbor_id
+         |      FROM a1 x JOIN a1 y ON x.cid = y.cid AND x.vec_id <> y.vec_id),
+         |rawp AS (
+         |  SELECT p.src_id, p.neighbor_id,
+         |         ${dotSql("ea.v", "eb.v")} AS dp,
+         |         sqrt(${dotSql("ea.v", "ea.v")}) AS na,
+         |         sqrt(${dotSql("eb.v", "eb.v")}) AS nb
+         |  FROM p JOIN e ea ON p.src_id = ea.vec_id
+         |         JOIN e eb ON p.neighbor_id = eb.vec_id),
+         |${cosScoreSql("rawp", "scp")},
+         |r AS (SELECT *, row_number() OVER (PARTITION BY src_id ORDER BY score DESC, neighbor_id) AS rn
+         |      FROM scp WHERE score IS NOT NULL)
+         |SELECT src_id, neighbor_id, score, CAST(rn AS INT) AS rnk
+         |FROM r WHERE rn <= 5 ORDER BY src_id, rnk""".stripMargin,
+
     "text_lm_score" ->
       s"""WITH $TextTokensCte,
          |tok AS (SELECT doc_id, unnest(ltoks) AS tok FROM t),
@@ -2926,6 +3052,27 @@ object SparkEntry {
          |SELECT d.doc_id, COALESCE(sc.n_tokens, 0) AS n_tokens, sc.lm_score
          |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    // one tokenization pass, every rule from it; verdicts as 0/1 ints.
+    // array_to_string gives the summed token length (mirrors the
+    // engine's length(concat_ws)); NULL mean-word-len coalesces to fail
+    "text_quality_filter" ->
+      s"""WITH $TextTokensCte,
+         |m AS (SELECT doc_id,
+         |        CAST(len(toks) AS BIGINT) AS n_words,
+         |        CASE WHEN len(toks) > 0
+         |          THEN round(CAST(length(array_to_string(toks, '')) AS DOUBLE) / len(toks), 6)
+         |        END AS mean_word_len,
+         |        CAST(len(list_filter(ltoks, tk -> list_contains($StopwordsSql, tk))) AS BIGINT) AS stop_hits
+         |      FROM t)
+         |SELECT doc_id, n_words, mean_word_len, stop_hits,
+         |  CAST(n_words >= 20 AND n_words <= 90 AS INT) AS pass_words,
+         |  CAST(COALESCE(mean_word_len >= 4.0 AND mean_word_len <= 5.0, false) AS INT) AS pass_word_len,
+         |  CAST(stop_hits >= 1 AS INT) AS pass_stopwords,
+         |  CAST((n_words >= 20 AND n_words <= 90)
+         |    AND COALESCE(mean_word_len >= 4.0 AND mean_word_len <= 5.0, false)
+         |    AND stop_hits >= 1 AS INT) AS keep
+         |FROM m ORDER BY doc_id""".stripMargin,
 
     "cdc_key_churn" ->
       s"""WITH ${FixtureSql.LogCte}, ${FixtureSql.Log2Cte},
@@ -3094,6 +3241,25 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
     "dedup_minhash_lsh" ->
       minhashOracleSql(numHashes = 128, bands = 16, rowsPerBand = 8, threshold = 0.5),
+
+    // same pair CTEs as dedup_minhash_lsh; each member annotated with its
+    // deterministic 800/100/100 hash split, leaks = pair straddles splits
+    "corpus_split_leakage" -> {
+      val h = PortableHash.hash32Sql("concat('graftsplit', CAST(doc_id AS VARCHAR))")
+      s"""${minhashPairCtes(numHashes = 128, bands = 16, rowsPerBand = 8)},
+         |pp AS (SELECT id_a, id_b, jac FROM j WHERE jac >= 0.5),
+         |sp AS (SELECT doc_id,
+         |         CASE WHEN $h % 1000 < 800 THEN 'train'
+         |              WHEN $h % 1000 < 900 THEN 'valid'
+         |              ELSE 'test' END AS split
+         |       FROM documents)
+         |SELECT pp.id_a, pp.id_b, pp.jac,
+         |       sa.split AS split_a, sb.split AS split_b,
+         |       CAST(sa.split <> sb.split AS INT) AS leaks
+         |FROM pp JOIN sp sa ON pp.id_a = sa.doc_id
+         |        JOIN sp sb ON pp.id_b = sb.doc_id
+         |ORDER BY id_a, id_b""".stripMargin
+    },
 
     // same signature pipeline as dedup_minhash_lsh; the candidate join is
     // split batch-vs-corpus (doc_id % 5) instead of self — the index's

@@ -95,4 +95,64 @@ object IncrementalAgg {
           .cast(DecimalType(28, 4)).as("total"))
       .filter(col("cnt") > 0)
   }
+
+  /** `groupBy(key).agg(min(value), max(value))` over a base snapshot, in
+    * the exact decimal shape [[maintainMinMax]] preserves.
+    */
+  def snapshotMinMax(base: DataFrame, keyCol: String, valueCol: String): DataFrame =
+    base.groupBy(col(keyCol).as("g_key"))
+      .agg(
+        min(col(valueCol).cast(DecimalType(18, 4))).as("min_val"),
+        max(col(valueCol).cast(DecimalType(18, 4))).as("max_val"))
+
+  /** Incremental maintenance of a MIN/MAX view — the NON-self-maintainable
+    * aggregate family [[maintain]]'s scaladoc excludes: a delete of the
+    * current max cannot be undone from the change alone (the runner-up
+    * lives only in base data). The standard answer is DIRTY-GROUP
+    * recompute:
+    *
+    *   - the change batch names the affected groups — both images' keys,
+    *     so an UPDATE that moves a row between groups dirties both sides;
+    *     O(batch) work, distinct-collapsed to O(dirty groups);
+    *   - ONLY dirty groups are recomputed, from the post-change target the
+    *     CDC apply step maintains anyway ([[ChangeApplier.applyChanges]]):
+    *     the dirty-key semi-join (broadcast at batch scale) means only
+    *     those groups' rows flow into the aggregate — with the target
+    *     partitioned/z-ordered by the group key this is a partition-pruned
+    *     scan, never O(target);
+    *   - unchanged groups are carried from the stored view byte-identically
+    *     (anti-join on the dirty set, O(groups)); a group whose rows all
+    *     died recomputes to empty and correctly disappears.
+    *
+    * Null-safe on the group key throughout (`<=>`): a NULL-keyed group
+    * dirties and recomputes like any other. Equal to recomputing
+    * [[snapshotMinMax]] on the post-change snapshot — exactly, decimal
+    * arithmetic end to end.
+    */
+  def maintainMinMax(
+      storedView: DataFrame,
+      changes: DataFrame,
+      postChangeBase: DataFrame,
+      keyCol: String,
+      valueCol: String): DataFrame = {
+    // absent images (INSERT's old / DELETE's new) must NOT dirty anything,
+    // while a PRESENT image whose group key is genuinely NULL must dirty
+    // the NULL group — so presence is carried as the struct's own
+    // nullability, not the key's
+    val dirty = changes
+      .select(explode(array(
+        when(col(OldData).isNotNull,
+          struct(col(OldData).getField(keyCol).as("k"))),
+        when(col(NewData).isNotNull,
+          struct(col(NewData).getField(keyCol).as("k"))))).as("c"))
+      .filter(col("c").isNotNull)
+      .select(col("c.k").as("d_key"))
+      .distinct()
+    val recomputed = snapshotMinMax(
+      postChangeBase.join(dirty, col(keyCol) <=> col("d_key"), "left_semi"),
+      keyCol, valueCol)
+    storedView
+      .join(dirty, col("g_key") <=> col("d_key"), "left_anti")
+      .unionByName(recomputed)
+  }
 }

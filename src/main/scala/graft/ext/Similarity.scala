@@ -886,4 +886,49 @@ object Similarity {
       .join(dropped, Seq("id"), "left_anti")
       .select(col("id"), col("centroid_id"))
   }
+
+  /** Cluster-scoped k-nearest-neighbor GRAPH: for every corpus vector,
+    * its top-`k` cosine neighbors among its own coarse cluster's members
+    * — the all-corpus neighbor structure behind SemDeDup scoring,
+    * SSL-prototype filtering, and graph-based diversity sampling, where
+    * [[ivfTopK]] answers a small query SET instead.
+    *
+    * Exact all-pairs is N² and unrunnable at corpus scale; the coarse
+    * partition bounds total pair work at N²/k_clusters (the caller's
+    * scale knob, same bound as [[semanticDedup]] — clusters are
+    * independent tasks). Assignment is the zero-shuffle literal-codebook
+    * map of [[ivfAssign]]; the candidate join carries ids only (vectors
+    * re-fetched per side); per-source reduction is the partial top-k
+    * aggregator ([[graft.ext.TopK.perGroup]]), so the final shuffle is
+    * O(N·k) candidate structs, never the O(N·clusterSize) raw pair set.
+    * Neighbors whose cosine is NULL (ragged/degenerate vectors) are
+    * dropped, not ranked — the [[TopKAggregator]] contract shared by
+    * every ANN surface here.
+    *
+    * Cross-cluster near-neighbors are invisible by construction (the
+    * recall/k_clusters trade documented for SemDeDup applies verbatim);
+    * callers needing recall across boundaries probe with nprobe > 1 via
+    * [[ivfTopK]] using the corpus itself as the query set.
+    */
+  def knnGraph(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Seq[(Long, Seq[Double])],
+      k: Int): DataFrame = {
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val ids = ivfAssign(vecs, cents, "v").select(col("id"), col("centroid_id"))
+    val cand = ids.select(col("id").as("src_id"), col("centroid_id"))
+      .join(ids.select(col("id").as("neighbor_id"), col("centroid_id")),
+        Seq("centroid_id"))
+      .filter(col("src_id") =!= col("neighbor_id"))
+      .select("src_id", "neighbor_id")
+    val scored = cand
+      .join(vecs.select(col("id").as("src_id"), col("v").as("va")), Seq("src_id"))
+      .join(vecs.select(col("id").as("neighbor_id"), col("v").as("vb")),
+        Seq("neighbor_id"))
+      .select(col("src_id"), col("neighbor_id"),
+        round(cosine(col("va"), col("vb")), 6).as("score"))
+    TopK.perGroup(scored, Seq("src_id"), col("score"), col("neighbor_id"), k)
+  }
 }

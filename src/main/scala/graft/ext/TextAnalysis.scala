@@ -301,4 +301,56 @@ object TextAnalysis {
         round(log(col("n_ab").cast("double") * col("__n_pairs") /
           (col("__n1").cast("double") * col("__n2"))), 6).as("pmi"))
   }
+
+  /** Gopher-style composite quality gate: the rule-based document filter
+    * every web-scale corpus passes through before dedup (Gopher §A1.1 /
+    * C4 / RefinedWeb) — word-count bounds, mean-word-length bounds, and
+    * a minimum stopword-hit count, composed as ONE narrow map over the
+    * text column (one tokenization, all rules from it; no shuffle, no
+    * UDF — `length(concat_ws)` gives the summed token length inside
+    * codegen, avoiding a per-element lambda).
+    *
+    * Returns every document with its metrics, each rule's verdict, and
+    * the composite `keep` — the observability-first shape (drop REASONS,
+    * not just survivors): downstream picks `filter(col("keep"))` or logs
+    * the per-rule kill counts. An empty/whitespace document has
+    * `n_words = 0`, NULL `mean_word_len`, and fails the word-count rule
+    * (its NULL mean-length verdict coalesces to false — empty docs are
+    * dropped, not NULL-propagated).
+    *
+    * Stopword matching is lowercase whole-token equality with
+    * multiplicity (count of stopword OCCURRENCES, Gopher's definition),
+    * against a caller-supplied list small enough to ride in the plan as
+    * a literal.
+    */
+  def qualityFilter(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minWords: Int,
+      maxWords: Int,
+      minMeanWordLen: Double,
+      maxMeanWordLen: Double,
+      minStopHits: Int,
+      stopwords: Seq[String]): DataFrame = {
+    val toks = tokens(col(textCol))
+    val ltoks = tokens(lower(col(textCol)))
+    val nWords = size(toks).cast("long")
+    val meanWl = when(nWords > 0,
+      round(length(concat_ws("", toks)).cast("double") / nWords.cast("double"), 6))
+    val stopHits = size(filter(ltoks, t => t.isInCollection(stopwords))).cast("long")
+    df.select(
+        col(idCol),
+        nWords.as("n_words"),
+        meanWl.as("mean_word_len"),
+        stopHits.as("stop_hits"))
+      .withColumn("pass_words",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("pass_word_len",
+        coalesce(col("mean_word_len") >= minMeanWordLen &&
+          col("mean_word_len") <= maxMeanWordLen, lit(false)))
+      .withColumn("pass_stopwords", col("stop_hits") >= minStopHits)
+      .withColumn("keep",
+        col("pass_words") && col("pass_word_len") && col("pass_stopwords"))
+  }
 }

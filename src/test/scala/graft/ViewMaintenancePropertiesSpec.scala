@@ -1,6 +1,6 @@
 package graft
 
-import graft.apply.IncrementalJoin
+import graft.apply.{IncrementalAgg, IncrementalJoin}
 import graft.log.{ChangeLog, History}
 import graft.capture.ChangeCapture
 import graft.model.CdcTableSpec
@@ -154,6 +154,46 @@ class ViewMaintenancePropertiesSpec extends SparkSpecBase {
       val rhs = History.coalesceVersions(h, Seq("x", "y"))
         .select("record_id", "x", "y", "valid_from", "valid_to", "is_current")
       sameRows(aligned, rhs)
+    }, minSuccessful = 6)
+  }
+
+  // --------------------------------------------- min/max view maintenance
+
+  private val mmSpec = CdcTableSpec("mm", Seq("id", "g", "v"), "id")
+
+  sealed private trait MOp
+  private case class MIns(id: Long, g: Option[String], v: Long) extends MOp
+  private case class MUpd(id: Long, g: Option[String], v: Long) extends MOp
+  private case class MDel(id: Long) extends MOp
+
+  private val genMOp: Gen[MOp] = for {
+    id <- Gen.choose(1L, 5L)
+    g <- Gen.oneOf(Some("a"), Some("b"), None) // NULL group key in play
+    v <- Gen.choose(0L, 9L)
+    op <- Gen.oneOf[MOp](MIns(id, g, v), MUpd(id, g, v), MDel(id))
+  } yield op
+
+  test("property: min/max view equals recompute for any op sequence incl null keys") {
+    checkProp(Prop.forAllNoShrink(Gen.listOfN(7, genMOp)) { ops =>
+      // start with a max that can be deleted and a NULL-keyed group
+      val init = Map(1L -> (Option("a"), 9L), 2L -> (Option.empty[String], 3L))
+      var st = init
+      ops.foreach {
+        case MIns(id, g, v) if !st.contains(id) => st += id -> (g, v)
+        case MUpd(id, g, v) if st.contains(id)  => st += id -> (g, v)
+        case MDel(id) if st.contains(id)        => st -= id
+        case _                                  => ()
+      }
+      val before = init.toSeq.map { case (id, (g, v)) => (id, g, v) }
+        .toDF("id", "g", "v")
+      val after = st.toSeq.map { case (id, (g, v)) => (id, g, v) }
+        .toDF("id", "g", "v")
+      val log = ChangeLog.assignCdcIds(
+        ChangeCapture.finishLogSchema(
+          ChangeCapture.captureChanges(before, after, mmSpec)), global = true)
+      val stored = IncrementalAgg.snapshotMinMax(before, "g", "v")
+      val maintained = IncrementalAgg.maintainMinMax(stored, log, after, "g", "v")
+      sameRows(maintained, IncrementalAgg.snapshotMinMax(after, "g", "v"))
     }, minSuccessful = 6)
   }
 }
