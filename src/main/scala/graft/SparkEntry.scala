@@ -1663,6 +1663,23 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
+  /** CCNet-style head/middle/tail quality tiers per language by LM score
+    * — `ntile(3)` over the 6-dp-rounded score with doc-id tiebreak, so
+    * every bucket boundary is engine-identical.
+    */
+  private def qTextPplBuckets(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.perplexityBuckets(documents(s, dir), "doc_id", "text", "lang")
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("lm_score"),
+        col("bucket"))
+      .orderBy("doc_id")
+
+  /** Per-dimension embedding health report over the embeddings table —
+    * the anisotropy/collapse audit; O(dim) state via map-side combine,
+    * decimal-exact moments.
+    */
+  private def qEmbDimStats(s: SparkSession, dir: String): DataFrame =
+    Similarity.dimStats(embeddings(s, dir), "embedding").orderBy("dim_i")
+
   /** Corpus-unigram LM quality score per document. */
   private def qTextLmScore(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.lmScore(documents(s, dir), "doc_id", "text").orderBy("doc_id")
@@ -2097,6 +2114,8 @@ object SparkEntry {
     "text_nb_score" -> (qTextNbScore _),
     "ann_recall" -> (qAnnRecall _),
     "ann_knn_graph" -> (qAnnKnnGraph _),
+    "emb_dim_stats" -> (qEmbDimStats _),
+    "text_ppl_buckets" -> (qTextPplBuckets _),
     "text_quality_filter" -> (qTextQualityFilter _),
     "corpus_split_leakage" -> (qCorpusSplitLeakage _),
     "cdc_incremental_minmax" -> (qCdcIncrementalMinmax _),
@@ -3052,6 +3071,45 @@ object SparkEntry {
          |SELECT d.doc_id, COALESCE(sc.n_tokens, 0) AS n_tokens, sc.lm_score
          |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    // same scoring CTEs as text_lm_score; ntile only over scored docs
+    // (NULL-score docs get a NULL bucket, outside the window)
+    "text_ppl_buckets" ->
+      s"""WITH $TextTokensCte,
+         |tok AS (SELECT doc_id, unnest(ltoks) AS tok FROM t),
+         |freq AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+         |tot AS (SELECT ln(SUM(cnt)) AS lt FROM freq),
+         |sc AS (SELECT tok.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |         round(avg(ln(CAST(cnt AS DOUBLE))) - (SELECT lt FROM tot), 6) AS lm_score
+         |       FROM tok JOIN freq USING (tok) GROUP BY tok.doc_id),
+         |base AS (SELECT d.doc_id, d.lang, COALESCE(sc.n_tokens, 0) AS n_tokens, sc.lm_score
+         |         FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id),
+         |bk AS (SELECT doc_id,
+         |         ntile(3) OVER (PARTITION BY lang ORDER BY lm_score DESC, doc_id) AS tle
+         |       FROM base WHERE lm_score IS NOT NULL)
+         |SELECT base.doc_id, base.lang, base.n_tokens, base.lm_score,
+         |  CASE tle WHEN 1 THEN 'head' WHEN 2 THEN 'middle' WHEN 3 THEN 'tail' END AS bucket
+         |FROM base LEFT JOIN bk ON base.doc_id = bk.doc_id
+         |ORDER BY base.doc_id""".stripMargin,
+
+    // decimal-exact moments per coordinate (the lloyd-step recipe);
+    // count is per-dimension non-null so NULL vectors/elements drop out
+    // identically in both engines
+    "emb_dim_stats" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |x AS (SELECT CAST(k AS INT) AS dim_i, v[CAST(k+1 AS INT)] AS x
+         |      FROM e, (SELECT unnest(range(0, 64)) AS k) WHERE v IS NOT NULL),
+         |a AS (SELECT dim_i, CAST(COUNT(x) AS BIGINT) AS n_vals,
+         |        SUM(CAST(x AS DECIMAL(28,10))) AS s1,
+         |        SUM(CAST(x*x AS DECIMAL(28,10))) AS s2,
+         |        round(MIN(x), 6) AS min_val, round(MAX(x), 6) AS max_val
+         |      FROM x WHERE x IS NOT NULL GROUP BY dim_i)
+         |SELECT dim_i, n_vals,
+         |  round(CAST(s1 AS DOUBLE)/n_vals, 6) AS mean_val,
+         |  round(sqrt(GREATEST(CAST(s2 AS DOUBLE)/n_vals
+         |    - (CAST(s1 AS DOUBLE)/n_vals)*(CAST(s1 AS DOUBLE)/n_vals), 0.0)), 6) AS std_val,
+         |  min_val, max_val
+         |FROM a ORDER BY dim_i""".stripMargin,
 
     // one tokenization pass, every rule from it; verdicts as 0/1 ints.
     // array_to_string gives the summed token length (mirrors the

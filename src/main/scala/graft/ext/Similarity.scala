@@ -931,4 +931,44 @@ object Similarity {
         round(cosine(col("va"), col("vb")), 6).as("score"))
     TopK.perGroup(scored, Seq("src_id"), col("score"), col("neighbor_id"), k)
   }
+
+  /** Per-dimension embedding health report: count / mean / std / min /
+    * max for every coordinate across the corpus — the anisotropy &
+    * collapse audit run before trusting cosine geometry (a dimension
+    * with near-zero variance contributes nothing; wildly uncentered
+    * dimensions dominate dot products; a handful of rogue dimensions is
+    * the classic symptom of a degenerate encoder).
+    *
+    * One `posexplode` + one hash aggregate keyed by dimension index:
+    * map-side combine collapses each partition to `dim` partial rows, so
+    * the shuffle and final state are O(dim), never O(corpus). Sums are
+    * carried as DECIMAL(28,10) (the [[ivfTrain]] recipe) so mean and
+    * variance are association-order-exact and engine-identical; the
+    * variance uses the moment identity E[x²]−E[x]² on the UNROUNDED
+    * decimal-exact means, rounded once at the end. NULL vectors
+    * contribute no rows; NULL elements are excluded per-dimension
+    * (`count` is per-dimension non-null, not corpus size).
+    */
+  def dimStats(df: DataFrame, vecCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val ex = df
+      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("dim_i", "x")))
+      .filter(col("x").isNotNull)
+    ex.groupBy(col("dim_i"))
+      .agg(
+        count(col("x")).as("n_vals"),
+        sum(col("x").cast(DecimalType(28, 10))).as("__s1"),
+        sum((col("x") * col("x")).cast(DecimalType(28, 10))).as("__s2"),
+        round(min(col("x")), 6).as("min_val"),
+        round(max(col("x")), 6).as("max_val"))
+      .select(
+        col("dim_i"), col("n_vals"),
+        round(col("__s1").cast("double") / col("n_vals"), 6).as("mean_val"),
+        round(sqrt(greatest(
+          col("__s2").cast("double") / col("n_vals") -
+            (col("__s1").cast("double") / col("n_vals")) *
+            (col("__s1").cast("double") / col("n_vals")),
+          lit(0.0))), 6).as("std_val"),
+        col("min_val"), col("max_val"))
+  }
 }

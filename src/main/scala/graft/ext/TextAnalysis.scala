@@ -302,6 +302,39 @@ object TextAnalysis {
           (col("__n1").cast("double") * col("__n2"))), 6).as("pmi"))
   }
 
+  /** CCNet-style perplexity bucketing: split each language's documents
+    * into head / middle / tail thirds by LM score ([[lmScore]] — higher
+    * = more natural text), the standard quality-tiering step before
+    * mixing (train mostly on head+middle, sample the tail). `ntile(3)`
+    * runs per language ordered by `(lm_score DESC, doc_id)` — the score
+    * is already 6-dp-rounded, so the total order (and therefore every
+    * bucket boundary) is engine-identical; ties break by id. Documents
+    * with NULL score (empty docs) get a NULL bucket — unscorable is not
+    * a quality tier.
+    *
+    * Cost on top of the LM scoring itself: ONE per-language window over
+    * (id, score) pairs. At extreme per-language cardinality the same
+    * contract is served by percentile-cut bucketing (the
+    * [[graft.ext.Segmentation.rfmApprox]] swap documented there).
+    */
+  def perplexityBuckets(
+      df: DataFrame, idCol: String, textCol: String, langCol: String): DataFrame = {
+    val scored = df.select(col(idCol).as("doc_id"), col(langCol).as("lang"))
+      .join(lmScore(df, idCol, textCol), Seq("doc_id"))
+    val hasScore = scored.filter(col("lm_score").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("lm_score").desc, col("doc_id"))
+    val bucketed = hasScore
+      .withColumn("t", ntile(3).over(w))
+      .withColumn("bucket",
+        when(col("t") === 1, "head").when(col("t") === 2, "middle")
+          .otherwise("tail"))
+      .drop("t")
+    bucketed.unionByName(
+      scored.filter(col("lm_score").isNull)
+        .withColumn("bucket", lit(null).cast("string")))
+  }
+
   /** Gopher-style composite quality gate: the rule-based document filter
     * every web-scale corpus passes through before dedup (Gopher §A1.1 /
     * C4 / RefinedWeb) — word-count bounds, mean-word-length bounds, and

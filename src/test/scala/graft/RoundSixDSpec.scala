@@ -93,6 +93,58 @@ class RoundSixDSpec extends SparkSpecBase {
     assert(m(3L).getBoolean(4) && m(3L).getBoolean(5) && !m(3L).getBoolean(6) && !m(3L).getBoolean(7))
   }
 
+  // ---------------------------------------------------- perplexityBuckets
+
+  test("perplexityBuckets: thirds per lang, score-ordered, empty doc gets NULL bucket") {
+    // 6 scorable docs in lang en (repeated words -> distinct lm scores),
+    // 1 empty doc, 3 in lang fr
+    val docs = Seq(
+      (1L, "en", "x x x x x x"), (2L, "en", "x x x y"), (3L, "en", "x y z"),
+      (4L, "en", "y z w"), (5L, "en", "w w y"), (6L, "en", "z w q"),
+      (7L, "en", "   "),
+      (8L, "fr", "a a b"), (9L, "fr", "a b c"), (10L, "fr", "b c c")
+    ).toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.perplexityBuckets(docs, "doc_id", "text", "lang")
+    val rows = out.collect().map(r => (r.getLong(0), r.getString(1),
+      if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+      Option(r.getString(4)))).toSeq
+    // empty doc: NULL score -> NULL bucket
+    assert(rows.find(_._1 == 7L).get._3.isEmpty &&
+      rows.find(_._1 == 7L).get._4.isEmpty)
+    // en: 6 scored docs -> 2/2/2; fr: 3 -> 1/1/1
+    val en = rows.filter(r => r._2 == "en" && r._4.nonEmpty)
+    val fr = rows.filter(r => r._2 == "fr" && r._4.nonEmpty)
+    assert(en.groupBy(_._4.get).view.mapValues(_.size).toMap ==
+      Map("head" -> 2, "middle" -> 2, "tail" -> 2))
+    assert(fr.groupBy(_._4.get).view.mapValues(_.size).toMap ==
+      Map("head" -> 1, "middle" -> 1, "tail" -> 1))
+    // tier ordering: min(head) >= max(middle) >= ... within each lang
+    for (grp <- Seq(en, fr)) {
+      def scores(b: String) = grp.filter(_._4.contains(b)).map(_._3.get)
+      assert(scores("head").min >= scores("middle").max)
+      assert(scores("middle").min >= scores("tail").max)
+    }
+  }
+
+  // --------------------------------------------------------------- dimStats
+
+  test("dimStats: hand-computed moments; null vector and null element excluded") {
+    val vs = Seq(
+      (1L, Some(Seq(Some(1.0), Some(4.0)))),
+      (2L, Some(Seq(Some(3.0), None))),
+      (3L, Option.empty[Seq[Option[Double]]])
+    ).toDF("id", "v")
+    val out = Similarity.dimStats(vs, "v").orderBy("dim_i").collect()
+    assert(out.length == 2)
+    // dim 0: {1, 3} -> mean 2, var ((1+9)/2 - 4)=1 -> std 1
+    assert(out(0).getInt(0) == 0 && out(0).getLong(1) == 2L &&
+      out(0).getDouble(2) == 2.0 && out(0).getDouble(3) == 1.0 &&
+      out(0).getDouble(4) == 1.0 && out(0).getDouble(5) == 3.0)
+    // dim 1: {4} alone (null element dropped) -> mean 4, std 0
+    assert(out(1).getInt(0) == 1 && out(1).getLong(1) == 1L &&
+      out(1).getDouble(2) == 4.0 && out(1).getDouble(3) == 0.0)
+  }
+
   // ------------------------------------------------------- maintainMinMax
 
   private val mSpec = CdcTableSpec("mt", Seq("id", "g", "v"), "id")
