@@ -26,11 +26,34 @@ object Bench {
     val selected = SparkEntry.queries.filter { case (name, _) =>
       only.forall(_.contains(name))
     }
+    // Every warm-up / fixture / artifact step below is individually
+    // fault-isolated: round 6's testdata regenerated with a new events
+    // encoding, Fixtures.events threw in this untimed preamble, and the
+    // WHOLE bench died rc=1 with no JSON — the round had no official
+    // number at all. A broken table must cost only its own family (its
+    // queries fail visibly in the timed loop, which already try/catches
+    // per query); the harness must always reach the JSON emit.
+    // Manually probed (round 7): an sf dir with a garbage events.parquet
+    // and SPARK_GRAFT_ONLY=events_hourly,lineitem_agg produced a complete
+    // run — lineitem_agg timed normally, failed:["events_hourly",
+    // "prep:warmup_events"], exit 1 — instead of rc=1 with no JSON.
+    val prepFailed = scala.collection.mutable.ListBuffer.empty[String]
+    def prep(family: String)(body: => Unit): Unit =
+      try body catch {
+        case e: Throwable =>
+          prepFailed += family
+          // First line of the message: the root cause, not a stack tail —
+          // the driver's bounded capture truncated round 6's analyzer
+          // trace into an artifact that couldn't substantiate itself.
+          val firstLine = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .linesIterator.take(3).mkString(" | ")
+          System.err.println(s"[bench] prep:$family FAILED: $firstLine")
+      }
     // Build the shared CDC test fixture (a derived change log the testdata
     // doesn't ship) BEFORE the timed loop: it is test scaffolding, not an
     // operator under test, and would otherwise be absorbed into whichever
     // CDC query happens to run first.
-    if (selected.keys.exists(_.startsWith("cdc_"))) {
+    if (selected.keys.exists(_.startsWith("cdc_"))) prep("cdc_fixture") {
       Fixtures.changeLog(spark, sfDir).count()
       Fixtures.secondBatchLog(spark, sfDir).count()
       ()
@@ -46,22 +69,24 @@ object Bench {
     // window + join over each base table pays that cost once, up front.
     Seq("lineitem", "orders", "customer", "documents", "embeddings", "events")
       .foreach { t =>
-        val df =
-          if (t == "events") Fixtures.events(spark, sfDir)
-          else spark.read.parquet(s"$sfDir/$t.parquet")
-        val key = df.schema.head.name
-        import org.apache.spark.sql.functions.{col, count, lit, row_number}
-        import org.apache.spark.sql.expressions.Window
-        df.groupBy(col(key)).agg(count(lit(1)).as("__n"))
-          .withColumn("__r",
-            row_number().over(Window.partitionBy(col(key)).orderBy(col("__n"))))
-          .filter(col("__r") === 1).count()
-        ()
+        prep(s"warmup_$t") {
+          val df =
+            if (t == "events") Fixtures.events(spark, sfDir)
+            else spark.read.parquet(s"$sfDir/$t.parquet")
+          val key = df.schema.head.name
+          import org.apache.spark.sql.functions.{col, count, lit, row_number}
+          import org.apache.spark.sql.expressions.Window
+          df.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+            .withColumn("__r",
+              row_number().over(Window.partitionBy(col(key)).orderBy(col("__n"))))
+            .filter(col("__r") === 1).count()
+          ()
+        }
       }
     // Prime the corpus-constant memo (the N in tfidf's idf) outside the
     // timed loop — in a fresh JVM the first lookup is otherwise a miss
     // INSIDE corpus_tfidf's timing.
-    Fixtures.documentCount(spark, sfDir)
+    prep("doc_count") { Fixtures.documentCount(spark, sfDir); () }
     // Build the shared one-time artifacts (serving indexes, memoized pair
     // tables) OUTSIDE the query timings but VISIBLY: each build is timed
     // under its own name and reported in the "artifacts" map, so the
@@ -73,7 +98,7 @@ object Bench {
       SparkEntry.artifactBuilds.toSeq.sortBy(_._1).flatMap { case (name, build) =>
         if (artifactConsumers(name).exists(selected.contains)) {
           val t0 = System.nanoTime()
-          build(spark, sfDir)
+          prep(s"artifact_$name")(build(spark, sfDir))
           Some(name -> (System.nanoTime() - t0) / 1e9)
         } else None
       }
@@ -101,7 +126,9 @@ object Bench {
           Right((System.nanoTime() - t0) / 1e9)
         } catch {
           case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            val firstLine = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .linesIterator.take(3).mkString(" | ")
+            System.err.println(s"[bench] $name FAILED: $firstLine")
             Left(e.getClass.getSimpleName)
         })
       }
@@ -115,7 +142,8 @@ object Bench {
     val qs = qEntries.mkString("{", ",", "}")
     val aJson = artifacts.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, Left(_)) => k }.toSeq.sorted
+    val failed =
+      (results.collect { case (k, Left(_)) => k } ++ prepFailed.map("prep:" + _)).sorted
     val total = results.collect { case (_, Right(s)) => s }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val totalLine =

@@ -129,22 +129,41 @@ object Fixtures {
   def embeddings(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(s"$dir/embeddings.parquet")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to map
-    * to TimestampType; read it as long nanos (legacy conf) and convert to
-    * a microsecond timestamp (the testdata is µs-aligned, so no precision
-    * is lost; truncation would be deterministic anyway).
+  /** `events.ts` has shipped under two physical parquet encodings: INT64
+    * TIMESTAMP(NANOS) (which Spark 4 refuses to map to TimestampType —
+    * readable only as raw ns-longs via the legacy conf) and INT64
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) (which Spark reads as
+    * TIMESTAMP_NTZ). Branch on the LOADED dtype rather than assuming
+    * either: the driver regenerates the testdata between rounds and the
+    * encoding has changed under us once already. Every branch normalizes
+    * to session-TZ TimestampType (session TZ is UTC) so downstream
+    * operators and the DuckDB oracle see identical wall-clock values.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    // integral `div`, NOT `/`: ns-since-epoch longs (~1.7e18) exceed a
-    // double's 53-bit mantissa, so float division silently loses the
-    // low microsecond bits.
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    // The conf only affects TIMESTAMP(NANOS) columns; setting it is a
+    // no-op for micros data, so it is safe to set unconditionally and
+    // branch on what the footer actually produced.
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "true")
-    try
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    finally // schema is inferred eagerly by read(); don't leak the conf
+    try {
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      raw.schema("ts").dataType match {
+        case LongType =>
+          // integral `div`, NOT `/`: ns-since-epoch longs (~1.7e18) exceed
+          // a double's 53-bit mantissa, so float division silently loses
+          // the low microsecond bits.
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType =>
+          // NTZ→TZ cast reinterprets the wall-clock in the session TZ
+          // (UTC), matching what DuckDB reads from the same footer.
+          raw.withColumn("ts", col("ts").cast(TimestampType))
+        case TimestampType => raw
+        case other => throw new IllegalStateException(
+          s"events.ts: unsupported physical type $other (expected long ns, TIMESTAMP_NTZ, or TIMESTAMP)")
+      }
+    } finally // schema is inferred eagerly by read(); don't leak the conf
       prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
   }
 

@@ -22,10 +22,10 @@ import org.apache.spark.sql.functions._
   *    (same rationale as the round-5 containment replicas, SCALE.md);
   *  - `embeddings` replicate with id offsets only (vector values repeat;
   *    the probed ANN paths don't block on text identity);
-  *  - `events` replicates at the raw-int64-ns level with per-replica
-  *    user/event id offsets: 10× users, per-user timeline depth
-  *    preserved (the written `ts` is plain INT64 ns; `Fixtures.events`'
-  *    `ts div 1000` handles both physical types);
+  *  - `events` replicates with per-replica user/event id offsets: 10×
+  *    users, per-user timeline depth preserved; `ts` passes through in
+  *    whatever physical encoding the source uses (INT64 ns or µs NTZ —
+  *    `Fixtures.events` branches on the loaded dtype for both);
   *  - small dimensions (part/supplier/nation/region) stay 1× — facts
   *    outgrow dims in any real warehouse.
   */
@@ -80,14 +80,14 @@ object GenSf1 {
       d.withColumn("vec_id", col("vec_id") + lit(i * Off))
     }, "embeddings")
 
-    // events: replicate at the raw-int64 level — TIMESTAMP(NANOS) read
-    // as ns-longs (the same nanosAsLong door Fixtures.events uses), ids
-    // and users offset per replica so timelines stay disjoint and
-    // per-user depth is preserved while user count scales 10×. The
-    // written column is plain INT64 ns, which Fixtures.events' `ts div
-    // 1000` handles identically. (Earlier sf1 rounds byte-copied events
-    // UN-replicated, so events-query "sf1" numbers measured unchanged
-    // input — corrected in SCALE.md with re-measured values.)
+    // events: ids and users offset per replica so timelines stay
+    // disjoint and per-user depth is preserved while user count scales
+    // 10×. `ts` is untouched and round-trips in the source encoding:
+    // nanosAsLong makes legacy TIMESTAMP(NANOS) data readable as
+    // ns-longs and is a no-op for the current µs-NTZ testdata —
+    // Fixtures.events branches on the loaded dtype either way. (Earlier
+    // sf1 rounds byte-copied events UN-replicated, so events-query "sf1"
+    // numbers measured unchanged input — corrected in SCALE.md.)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = spark.read.parquet(s"$src/events.parquet")
     write(rep(events) { (d, i) =>
