@@ -28,16 +28,24 @@ object Graph {
     *
     * where `W(u)` is u's total out-weight. Vertices are the union of
     * sources and destinations; a vertex with no in-edges keeps the
-    * teleport term. Dangling mass (vertices with no OUT-edges) is not
+    * teleport term.
+    *
+    * Dangling mass (vertices with no OUT-edges): by default NOT
     * redistributed — the caller's graphs (event-type transitions) have
-    * none; redistributing it would add one O(vertices) aggregate per
-    * round.
+    * none, and the flag-off plan is byte-identical to the historical
+    * shape. With `redistributeDangling = true`, each round adds ONE
+    * O(dangling-vertices) aggregate producing a 1-row frame that rides
+    * into the rank update as a broadcast — every vertex receives
+    * d·M/N where M is the round's dangling mass, so ranks stay a
+    * probability distribution on graphs with sink vertices. No
+    * driver-side collect: the 1-row mass stays in the plan.
     *
     * Determinism contract: every rank is rounded to 12 dp per iteration
     * — double summation order varies across engines/partitionings, and
     * the round re-pins each round's fixed point far above the 1e-16
-    * association noise. Callers comparing across engines must apply the
-    * same per-iteration rounding (see the `events_pagerank` oracle).
+    * association noise. The dangling mass is rounded to 12 dp too, same
+    * reason. Callers comparing across engines must apply the same
+    * per-iteration rounding (see the `events_pagerank` oracle).
     */
   def pageRank(
       edges: DataFrame,
@@ -45,7 +53,8 @@ object Graph {
       dstCol: String,
       weightCol: String,
       iterations: Int,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85,
+      redistributeDangling: Boolean = false): DataFrame = {
     val e = edges.select(
       col(srcCol).as("__src"), col(dstCol).as("__dst"),
       col(weightCol).cast("double").as("__w"))
@@ -70,6 +79,14 @@ object Graph {
     val n = vertices.count()
     val teleport = (1.0 - damping) / n
 
+    // static over iterations; tiny (⊆ vertices), checkpointed with them
+    val dangling =
+      if (redistributeDangling)
+        vertices.join(probs.select(col("__src").as("v")).distinct(),
+            Seq("v"), "left_anti")
+          .localCheckpoint(true)
+      else null
+
     var ranks = vertices.select(col("v"),
       round(lit(1.0 / n), 12).as("rank"))
     for (_ <- 1 to iterations) {
@@ -78,11 +95,24 @@ object Graph {
         .select(col("__dst").as("v"), (col("rank") * col("__p")).as("__c"))
         .groupBy("v")
         .agg(sum(col("__c")).as("__in"))
-      ranks = vertices
-        .join(contrib, Seq("v"), "left_outer")
-        .select(col("v"),
-          round(lit(teleport) + lit(damping) * coalesce(col("__in"), lit(0.0)), 12)
-            .as("rank"))
+      val base = vertices.join(contrib, Seq("v"), "left_outer")
+      ranks =
+        if (redistributeDangling) {
+          // 1-row dangling mass for THIS round, broadcast into the
+          // update — d·M/N lands on every vertex (dangling vertices
+          // teleport uniformly). coalesce: sum over an empty set is
+          // NULL, and a no-sink graph must reduce to the flag-off math.
+          val mass = ranks.join(dangling, "v")
+            .agg(round(coalesce(sum(col("rank")), lit(0.0)), 12).as("__dm"))
+          base.crossJoin(broadcast(mass))
+            .select(col("v"),
+              round(lit(teleport) +
+                lit(damping) * (coalesce(col("__in"), lit(0.0)) + col("__dm") / n), 12)
+                .as("rank"))
+        } else
+          base.select(col("v"),
+            round(lit(teleport) + lit(damping) * coalesce(col("__in"), lit(0.0)), 12)
+              .as("rank"))
     }
     ranks
   }

@@ -26,23 +26,52 @@ object MarketBasket {
     * exact integers; `lift`/`confidence` are single divisions of exact
     * doubles, rounded to 6 dp — bit-identical across engines.
     *
-    * At 100 TB the only watch item is a mega-basket (size² fanout): cap
-    * or sample baskets above a size bound upstream; item-alphabet
-    * skew is absorbed by the partial aggregates.
+    * At 100 TB the only watch item is a mega-basket (size² fanout):
+    * `maxBasketSize` guards it — when set, baskets whose DISTINCT item
+    * count exceeds the cap fail the job fast with the offenders named
+    * (same pattern as [[Dedup]]'s hot-block guard: silently letting one
+    * hot basket go quadratic is the scale failure mode, and a 10⁶-item
+    * basket is a data-quality bug, not a workload). `None` (default)
+    * keeps the plan byte-identical to the unguarded shape — zero extra
+    * aggregates. Item-alphabet skew is absorbed by the partial
+    * aggregates either way.
     */
   def pairLift(
       items: DataFrame,
       basketCol: String,
       itemCol: String,
-      minPairCount: Long): DataFrame = {
+      minPairCount: Long,
+      maxBasketSize: Option[Long] = None): DataFrame = {
     // the distinct frame feeds four consumers; its shuffle is one
     // subplan, deduped by ReusedExchange — an eager localCheckpoint
     // measured slower at sf0.1 (blocking materialization, no saved work),
     // and a collect_set + array-pair-explode rewrite (one basket shuffle)
     // measured 10.0 s vs this plan's 8.1 s at sf1: the nested
     // transform/slice pair lambda runs interpreted per basket row
-    val d = items.select(col(basketCol).as("__bk"), col(itemCol).as("__it"))
+    val d0 = items.select(col(basketCol).as("__bk"), col(itemCol).as("__it"))
       .distinct()
+    // With the guard on, d gains a fifth consumer (the guard count);
+    // materialize once so the distinct shuffle isn't re-run per consumer
+    // (ReusedExchange dedups within ONE action, not across the guard's
+    // separate collect()).
+    val d =
+      if (maxBasketSize.isDefined)
+        d0.repartition(items.sparkSession.sparkContext.defaultParallelism)
+          .localCheckpoint(true)
+      else d0
+    maxBasketSize.foreach { cap =>
+      val hot = d.groupBy(col("__bk")).count()
+        .filter(col("count") > cap)
+        .orderBy(col("count").desc).limit(5)
+        .collect()
+      if (hot.nonEmpty) {
+        val desc = hot.map(r => s"(basket=${r.get(0)}: ${r.getLong(1)} distinct items)")
+          .mkString(", ")
+        throw new IllegalStateException(
+          s"pairLift: baskets exceed maxBasketSize=$cap — $desc. " +
+            "Filter or sample mega-baskets upstream; pair fanout is size² per basket.")
+      }
+    }
     val totals = d.agg(countDistinct(col("__bk")).as("__n"))
     val itemCounts = d.groupBy(col("__it")).agg(count(lit(1)).as("__ni"))
 

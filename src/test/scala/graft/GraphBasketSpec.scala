@@ -78,6 +78,38 @@ class GraphBasketSpec extends SparkSpecBase {
     assert(math.abs(got.values.sum - 1.0) < 1e-6)
   }
 
+  test("pageRank: dangling redistribution conserves mass on a sink graph") {
+    // b is a sink (no out-edges): a->b, c->b, b-> nothing.
+    val edges = Seq(("a", "b", 1L), ("c", "b", 1L)).toDF("src", "dst", "w")
+    val iters = 3
+    val d = 0.85
+    // Flag OFF: sink mass leaks — the distribution sums below 1.
+    val off = Graph.pageRank(edges, "src", "dst", "w", iters, d)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(off.values.sum < 1.0 - 1e-3, s"expected leaked mass, got $off")
+    // Flag ON: matches a driver-side reference with M/N redistribution
+    // and sums to 1 (up to per-iteration 12-dp rounding).
+    val got = Graph.pageRank(edges, "src", "dst", "w", iters, d,
+        redistributeDangling = true)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    def rnd(x: Double, p: Int) = BigDecimal(x)
+      .setScale(p, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val verts = Seq("a", "b", "c")
+    val n = verts.size
+    var r = verts.map(v => v -> rnd(1.0 / n, 12)).toMap
+    for (_ <- 1 to iters) {
+      val m = rnd(r("b"), 12) // b is the only dangling vertex
+      r = verts.map { v =>
+        val in = if (v == "b") r("a") + r("c") else 0.0
+        v -> rnd((1 - d) / n + d * (in + m / n), 12)
+      }.toMap
+    }
+    verts.foreach { v =>
+      assert(math.abs(got(v) - r(v)) < 1e-9, s"$v: got ${got(v)} want ${r(v)}")
+    }
+    assert(math.abs(got.values.sum - 1.0) < 1e-6, s"mass not conserved: $got")
+  }
+
   // ------------------------------------------------------------- pairLift
 
   test("pairLift: hand-computed support/confidence/lift; minPairCount prunes") {
@@ -99,5 +131,24 @@ class GraphBasketSpec extends SparkSpecBase {
       ("A", "B", 3L, 4L, 4L, 0.75, 5.0 * 3 / 16),
       ("A", "C", 2L, 4L, 2L, 0.5, 5.0 * 2 / 8)),
       s"got $got")
+  }
+
+  test("pairLift: mega-basket guard fails fast naming the offender; compliant data unchanged") {
+    // basket 9 has 5 distinct items — over a cap of 4; basket 1 is fine.
+    val items = (Seq((1L, "A"), (1L, "B")) ++
+      (1 to 5).map(i => (9L, s"X$i"))).toDF("bk", "it")
+    val e = intercept[IllegalStateException] {
+      MarketBasket.pairLift(items, "bk", "it", minPairCount = 1L,
+        maxBasketSize = Some(4L))
+    }
+    assert(e.getMessage.contains("basket=9") && e.getMessage.contains("5 distinct items"),
+      e.getMessage)
+    // Under the cap, guarded and unguarded results agree exactly.
+    val want = MarketBasket.pairLift(items, "bk", "it", minPairCount = 1L)
+      .collect().map(_.toSeq).toSet
+    val guarded = MarketBasket.pairLift(items, "bk", "it", minPairCount = 1L,
+        maxBasketSize = Some(5L))
+      .collect().map(_.toSeq).toSet
+    assert(guarded == want)
   }
 }
