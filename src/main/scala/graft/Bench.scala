@@ -83,6 +83,28 @@ object Bench {
           ()
         }
       }
+    // Join warm-up: the per-table pass above compiles scan/agg/window
+    // codegen but never a JOIN — so in name order the first join-heavy
+    // query paid SortMergeJoin + BroadcastHashJoin first-compile inside
+    // its timing. Round 7 traced the four "regressed >2×" queries to
+    // exactly this: steady-state in-JVM times match round 5 (e.g.
+    // region_nation_revenue 0.75 s vs the 1.6 s first-run), the plans
+    // are unchanged — r5's Map-hash ordering had simply billed the tax
+    // to OTHER queries. One small sort-merge + one broadcast join over
+    // real tables compiles both paths up front.
+    prep("warmup_joins") {
+      import org.apache.spark.sql.functions.{broadcast, col, count, lit}
+      val o = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val c = spark.read.parquet(s"$sfDir/customer.parquet")
+        .select(col("c_custkey"))
+      o.join(c, col("o_custkey") === col("c_custkey"))          // sort-merge
+        .join(broadcast(c.limit(100)
+            .select(col("c_custkey").as("c2"))),
+          col("o_custkey") === col("c2"), "left_outer")          // broadcast
+        .groupBy(col("c_custkey")).agg(count(lit(1)).as("__n")).count()
+      ()
+    }
     // Prime the corpus-constant memo (the N in tfidf's idf) outside the
     // timed loop — in a fresh JVM the first lookup is otherwise a miss
     // INSIDE corpus_tfidf's timing.
@@ -118,8 +140,13 @@ object Bench {
         // running (round 5 measured dedup_incremental at 9.7 s mid-run
         // vs 1.7 s focused). Force the GC + give the cleaner a beat
         // BEFORE starting the clock, billing cleanup to the harness.
-        System.gc()
-        Thread.sleep(100)
+        // SPARK_GRAFT_NO_HOUSEKEEPING=1 disables it for A/B methodology
+        // probes (round 7: tested whether the GC itself perturbs the
+        // timed region — it does not, deltas were within run noise).
+        if (!sys.env.contains("SPARK_GRAFT_NO_HOUSEKEEPING")) {
+          System.gc()
+          Thread.sleep(100)
+        }
         val t0 = System.nanoTime()
         name -> (try {
           fn(spark, sfDir).count()
