@@ -501,6 +501,37 @@ object SparkEntry {
     Corpus.passageDedup(documents(s, dir), "doc_id", "text", passageLen = 64)
       .orderBy("doc_id")
 
+  /** Per-source cap at 15 docs ([[Corpus.sourceCap]]): each of the
+    * corpus's sources keeps its 15 hash-first documents — the domain-cap
+    * curation step, two bounded window passes, exact vs the oracle's
+    * single window.
+    */
+  private def qCorpusSourceCap(s: SparkSession, dir: String): DataFrame =
+    Corpus.sourceCap(documents(s, dir), "doc_id", "source", cap = 15, salt = "cap")
+      .orderBy("source", "rk")
+
+  /** Line-level dedup over a deterministic multi-line rendering of the
+    * corpus (64-char chunks joined by newline — the synthetic docs ship
+    * as single lines): any ≥10-char line recurring in more than 2
+    * distinct docs is boilerplate and drops from every doc.
+    */
+  private def qCorpusLineDedup(s: SparkSession, dir: String): DataFrame = {
+    val ml = Corpus.chunkDocuments(documents(s, dir), "doc_id", "text", 64, 64)
+      .groupBy(col("doc_id"))
+      .agg(concat_ws("\n",
+        transform(
+          array_sort(collect_list(struct(col("chunk_i"), col("chunk")))),
+          e => e.getField("chunk"))).as("text"))
+    documents(s, dir).select(col("doc_id"))
+      .join(Corpus.lineDedup(ml, "doc_id", "text", maxDocs = 2, minLineLen = 10),
+        Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        col("clean_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Fuzzy benchmark decontamination: MinHash near-dup match of the
     * training split against the held-out eval split (same 10% hash
     * sample as [[qCorpusDecontaminate]]) — catches lightly-edited
@@ -976,6 +1007,28 @@ object SparkEntry {
     graft.ext.Search.bm25TopK(postings, graft.ext.Search.docStats(postings),
         Seq("dup", "spark", "key"), k = 20)
       .orderBy(col("score").desc, col("doc_id"))
+  }
+
+  /** Hybrid retrieval: the [[qTextBm25]] lexical run RRF-fused
+    * ([[graft.ext.Search.rrfFuse]]) with a brute-force cosine run for
+    * query vector 100 over the same id space — the standard two-tower
+    * serving composition, built entirely from k-row frames.
+    */
+  private def qTextHybridSearch(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val postings = graft.ext.Search.invertedPostings(documents(s, dir), "doc_id", "text")
+    val lex = graft.ext.Search.bm25TopK(postings, graft.ext.Search.docStats(postings),
+        Seq("dup", "spark", "key"), k = 20)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(pmod(coalesce(col("doc_id"), lit(0L)), lit(1)))
+          .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+    val vec = Similarity.bruteForceTopK(embeddings(s, dir),
+        embeddings(s, dir).filter(col("vec_id") === 100),
+        "vec_id", "embedding", "vec_id", "embedding", k = 20)
+      .select(col("neighbor_id").as("doc_id"), col("rnk").cast("long").as("rank"))
+    graft.ext.Search.rrfFuse(lex.select(col("doc_id"), col("rank")), vec,
+        "doc_id", "rank", k = 20)
+      .orderBy("rk")
   }
 
   /** Multinomial NB conditional table trained on the `lang` label —
@@ -2130,6 +2183,9 @@ object SparkEntry {
     "corpus_manifest" -> (qCorpusManifest _),
     "corpus_decontaminate" -> (qCorpusDecontaminate _),
     "corpus_passage_dedup" -> (qCorpusPassageDedup _),
+    "corpus_source_cap" -> (qCorpusSourceCap _),
+    "corpus_line_dedup" -> (qCorpusLineDedup _),
+    "text_hybrid_search" -> (qTextHybridSearch _),
     "corpus_decontaminate_fuzzy" -> (qCorpusDecontFuzzy _),
     "text_bpe_train" -> (qTextBpeTrain _),
     "text_bpe_encode" -> (qTextBpeEncode _),
@@ -3774,6 +3830,89 @@ object SparkEntry {
         |       ELSE coalesce(a.clean_md5, md5('')) END AS clean_md5
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    "corpus_source_cap" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, source,
+         |         ${PortableHash.hash32Sql("concat('cap', CAST(doc_id AS VARCHAR))")} AS hv
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, source,
+         |         CAST(row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS BIGINT) AS rk
+         |  FROM h)
+         |SELECT doc_id, source, rk FROM r WHERE rk <= 15
+         |ORDER BY source, rk""".stripMargin,
+
+    "corpus_line_dedup" ->
+      """WITH ch AS (
+        |  SELECT doc_id, CAST((s-1)//64 AS BIGINT) AS pos,
+        |         substr(text, CAST(s AS INT), 64) AS line
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(1, len(text), 64)) AS s
+        |        FROM documents WHERE text IS NOT NULL AND len(text) > 0)),
+        |hot AS (
+        |  SELECT line FROM (
+        |    SELECT line, COUNT(DISTINCT doc_id) AS nd
+        |    FROM ch WHERE len(line) >= 10 GROUP BY line)
+        |  WHERE nd > 2),
+        |keep AS (
+        |  SELECT c.doc_id, c.pos, c.line,
+        |         (len(c.line) < 10 OR h.line IS NULL) AS k
+        |  FROM ch c LEFT JOIN hot h USING (line)),
+        |agg AS (
+        |  SELECT doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_lines,
+        |    CAST(sum(CASE WHEN k THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |    md5(coalesce(string_agg(CASE WHEN k THEN line END, chr(10) ORDER BY pos), '')) AS clean_md5
+        |  FROM keep GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(a.n_lines, 0) AS n_lines,
+        |  coalesce(a.n_kept, 0) AS n_kept,
+        |  a.clean_md5
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "text_hybrid_search" ->
+      s"""WITH $TextTokensCte,
+         |p AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+         |      FROM (SELECT doc_id, unnest(ltoks) AS token FROM t)
+         |      GROUP BY doc_id, token),
+         |dl AS (SELECT doc_id, SUM(tf) AS dl FROM p GROUP BY doc_id),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |               avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+         |m AS (SELECT * FROM p WHERE token IN ('dup', 'spark', 'key')),
+         |dfq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM m GROUP BY token),
+         |w AS (SELECT m.doc_id,
+         |        ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+         |        * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+         |        / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(dl.dl AS DOUBLE) / avgdl)) AS wt
+         |      FROM m JOIN dfq USING (token) JOIN dl USING (doc_id), tot),
+         |sc AS (SELECT doc_id, round(SUM(wt), 6) AS score FROM w GROUP BY doc_id),
+         |lex AS (SELECT doc_id, rl FROM (
+         |          SELECT doc_id,
+         |                 CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rl
+         |          FROM sc) WHERE rl <= 20),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q100 AS (SELECT v AS qv FROM e WHERE vec_id = 100),
+         |raw AS (SELECT e.vec_id AS id,
+         |          ${dotSql("e.v", "q100.qv")} AS dp,
+         |          sqrt(${dotSql("e.v", "e.v")}) AS na,
+         |          sqrt(${dotSql("q100.qv", "q100.qv")}) AS nb
+         |        FROM e, q100 WHERE e.vec_id <> 100),
+         |${cosScoreSql("raw", "vscored")},
+         |vec AS (SELECT id, rv FROM (
+         |          SELECT id, CAST(row_number() OVER (ORDER BY score DESC, id) AS BIGINT) AS rv
+         |          FROM vscored WHERE score IS NOT NULL) WHERE rv <= 20),
+         |f AS (SELECT coalesce(l.doc_id, v.id) AS doc_id, l.rl, v.rv
+         |      FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.id),
+         |s AS (SELECT doc_id, rl IS NOT NULL AS in_lexical, rv IS NOT NULL AS in_vector,
+         |        round(coalesce(CAST(1.0 AS DOUBLE) / (60 + rl), 0.0) +
+         |              coalesce(CAST(1.0 AS DOUBLE) / (60 + rv), 0.0), 6) AS rrf_score
+         |      FROM f),
+         |r AS (SELECT *, CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rk
+         |      FROM s)
+         |SELECT doc_id, in_lexical, in_vector, rrf_score, rk FROM r WHERE rk <= 20
+         |ORDER BY rk""".stripMargin,
 
     "corpus_mix" -> {
       val cases = MixWeights.toSeq.sortBy(_._1)

@@ -439,6 +439,112 @@ object Corpus {
           .otherwise(coalesce(col("clean_md5"), md5(lit("")))).as("clean_md5"))
   }
 
+  /** Per-source document cap — the C4/RefinedWeb "domain cap" curation
+    * step: no source (domain, crawl, feed) may contribute more than
+    * `cap` documents, the kept ones chosen by deterministic portable
+    * hash order (uniform without-replacement sample per source, stable
+    * across runs/engines; ties impossible — id is unique).
+    *
+    * Scale shape: selection is TWO bounded window passes, not one
+    * global sort per source. Pass 1 partitions each source's rows into
+    * `preBuckets` hash sub-buckets and keeps the top `cap` per
+    * (source, bucket) — any single window task sorts only its
+    * sub-bucket, so a hot source (the skew case: one domain with 10⁹
+    * docs) splits across `preBuckets` tasks. Pass 2 ranks the surviving
+    * ≤ preBuckets·cap rows per source — bounded input regardless of
+    * source size. Both passes carry (id, source, hash) only, never text.
+    * Exactness: the global top-cap by hash order is a subset of the
+    * per-bucket top-caps, so the two-phase result equals the single-
+    * window result row-for-row (same argument as a partial top-k).
+    *
+    * Output: (idCol, sourceCol, rk BIGINT 1..cap in hash order).
+    */
+  def sourceCap(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      cap: Int,
+      salt: String,
+      preBuckets: Int = 16): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    import org.apache.spark.sql.expressions.Window
+    val h = PortableHash.hash32(concat(lit(salt), col(idCol).cast("string")))
+    val hashed = df.select(col(idCol), col(sourceCol), h.as("__h"))
+    val phase1 = hashed
+      .withColumn("__b", pmod(col("__h"), lit(preBuckets)))
+      .withColumn("__r1", row_number().over(
+        Window.partitionBy(col(sourceCol), col("__b"))
+          .orderBy(col("__h"), col(idCol))))
+      .filter(col("__r1") <= cap)
+    phase1
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col(sourceCol))
+          .orderBy(col("__h"), col(idCol))).cast("long"))
+      .filter(col("rk") <= cap)
+      .select(col(idCol), col(sourceCol), col("rk"))
+  }
+
+  /** Line-level exact deduplication — the RefinedWeb granularity below
+    * [[passageDedup]]'s fixed windows: a LINE (newline-delimited) that
+    * occurs in more than `maxDocs` distinct documents is boilerplate
+    * (nav bars, cookie banners, license headers) and is removed from
+    * EVERY document; lines shorter than `minLineLen` characters are
+    * exempt (too little content to call boilerplate — empty lines and
+    * separators keep document structure, the analog of passageDedup's
+    * short-tail rule).
+    *
+    * Scale shape: the boilerplate decision is a (line, doc)-distinct
+    * aggregate — map-side combined, one row per distinct line out — and
+    * the hot set (lines OVER the threshold) is, by construction, small
+    * relative to the corpus; it joins back against the line frame as a
+    * broadcast-eligible anti-join on the line content. A viral line
+    * collapses in the partial aggregate, not in a single reduce task.
+    * Reassembly is one doc-keyed aggregate. The audit row is O(1) wide:
+    * counts + md5 of the cleaned text, never the text.
+    *
+    * Output: idCol ++ (n_lines BIGINT, n_kept BIGINT, clean_md5 STRING —
+    * md5 of surviving lines joined by newline, NULL iff text was NULL).
+    */
+  def lineDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDocs: Int,
+      minLineLen: Int = 10): DataFrame = {
+    require(maxDocs > 0, s"maxDocs must be positive, got $maxDocs")
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val candidates = lines.filter(length(col("line")) >= minLineLen)
+    // distinct-doc count per line, two-stage: (line, doc) distinct is
+    // map-side combinable where a countDistinct would hold per-line doc
+    // sets in the aggregation state
+    val hot = candidates.select(col("line"), col(idCol)).distinct()
+      .groupBy(col("line")).agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") > maxDocs)
+      .select(col("line"))
+    val marked = lines
+      .join(hot.withColumn("__hot", lit(true)), Seq("line"), "left_outer")
+      .withColumn("__keep",
+        length(col("line")) < minLineLen || col("__hot").isNull)
+    val agg = marked
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+        md5(concat_ws("\n",
+          transform(
+            array_sort(collect_list(when(col("__keep"),
+              struct(col("pos"), col("line"))))),
+            e => e.getField("line")))).as("clean_md5"))
+    df.select(col(idCol), col(textCol).as("__t"))
+      .join(agg, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        when(col("__t").isNull, lit(null).cast("string"))
+          .otherwise(col("clean_md5")).as("clean_md5"))
+  }
+
   /** Connected components over near-duplicate pairs: every document in a
     * duplicate cluster is labeled with the cluster's minimum id — the
     * step that turns pairwise dedup output into "keep one per cluster".

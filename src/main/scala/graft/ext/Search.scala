@@ -96,4 +96,48 @@ object Search {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** Hybrid retrieval via reciprocal-rank fusion (RRF, Cormack et al.
+    * 2009, public method): fuse a lexical ranking and a vector ranking
+    * of the same id space by `score = Σ_runs 1/(rrfK + rank)`, summing
+    * only over runs where the document appears. The standard way to
+    * combine BM25 with embedding search without calibrating their
+    * incomparable score scales.
+    *
+    * Inputs are ALREADY-ranked top-k frames `(idCol, rank)` (ranks
+    * 1-based, ties pre-broken) — both k-sized, so every operation here
+    * is on k-row frames regardless of corpus size: the expensive parts
+    * (posting probe, ANN probe) stay in their own operators. The fused
+    * score is rounded to 6 dp before the final rank; ties break on id.
+    *
+    * Output: (idCol, in_lexical BOOLEAN, in_vector BOOLEAN,
+    * rrf_score DOUBLE, rk BIGINT 1..k).
+    */
+  def rrfFuse(
+      lexical: DataFrame,
+      vector: DataFrame,
+      idCol: String,
+      rankCol: String,
+      k: Int,
+      rrfK: Int = 60): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val lex = lexical.select(col(idCol), col(rankCol).cast("long").as("__rl"))
+    val vec = vector.select(col(idCol), col(rankCol).cast("long").as("__rv"))
+    lex.join(vec, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        col("__rl").isNotNull.as("in_lexical"),
+        col("__rv").isNotNull.as("in_vector"),
+        round(
+          coalesce(lit(1.0) / (lit(rrfK) + col("__rl")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(rrfK) + col("__rv")), lit(0.0)),
+          6).as("rrf_score"))
+      // global rank over ≤2k rows; single partition DECLARED via a
+      // non-foldable constant (the [[graft.log.ChangeLog.assignCdcIds]]
+      // idiom — Spark 4 strips foldable partition specs)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(pmod(coalesce(col(idCol).cast("long"), lit(0L)), lit(1)))
+          .orderBy(col("rrf_score").desc, col(idCol))).cast("long"))
+      .filter(col("rk") <= k)
+  }
 }

@@ -1,0 +1,85 @@
+package graft
+
+import graft.ext.{Corpus, Search}
+import org.apache.spark.sql.functions._
+
+/** Hand-checkable cases for the round-7 curation/retrieval operators:
+  * per-source cap, line-level dedup, RRF hybrid fusion.
+  */
+class CurationSpec extends SparkSpecBase {
+
+  private lazy val s = spark
+  import s.implicits._
+
+  // ------------------------------------------------------------ sourceCap
+
+  test("sourceCap: at most cap per source; two-phase equals single-window reference") {
+    val docs = (1L to 40L).map(i => (i, if (i <= 30) "big" else "small"))
+      .toDF("doc_id", "source")
+    val got = Corpus.sourceCap(docs, "doc_id", "source", cap = 5, salt = "t")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySrc = got.groupBy(_._2)
+    assert(bySrc("big").length == 5 && bySrc("small").length == 5)
+    assert(got.forall(_._3 <= 5))
+    // preBuckets=1 degenerates to the single-window formulation; the
+    // two-phase default must select the identical rows and ranks
+    val ref = Corpus.sourceCap(docs, "doc_id", "source", cap = 5, salt = "t",
+        preBuckets = 1)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got.toSet == ref)
+  }
+
+  // ------------------------------------------------------------ lineDedup
+
+  test("lineDedup: boilerplate over maxDocs removed everywhere, short lines exempt, null text -> null md5") {
+    val boiler = "COOKIE BANNER TEXT"
+    val docs = Seq(
+      (1L, s"unique one line\n$boiler\nx"),
+      (2L, s"$boiler\nanother unique line"),
+      (3L, s"third unique line\n$boiler"),
+      (4L, "standalone document"),
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    // boiler appears in 3 > maxDocs=2 docs -> dropped from all three;
+    // "x" is short (<10 chars) -> exempt even though unique
+    val got = Corpus.lineDedup(docs, "doc_id", "text", maxDocs = 2, minLineLen = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.getString(3)))).toMap
+    def m(t: String) = Option(
+      java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString)
+    assert(got(1L) == ((3L, 2L, m("unique one line\nx"))))
+    assert(got(2L) == ((2L, 1L, m("another unique line"))))
+    assert(got(3L) == ((2L, 1L, m("third unique line"))))
+    assert(got(4L) == ((1L, 1L, m("standalone document"))))
+    assert(got(5L) == ((0L, 0L, None)))
+  }
+
+  test("lineDedup: line recurring within ONE doc does not count as boilerplate") {
+    val rep = "repeated inside one document"
+    val docs = Seq((1L, s"$rep\n$rep\n$rep"), (2L, "some other text entirely"))
+      .toDF("doc_id", "text")
+    val got = Corpus.lineDedup(docs, "doc_id", "text", maxDocs = 2, minLineLen = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // 1 distinct doc <= maxDocs -> kept (within-doc repetition is
+    // text_repetition's business, not cross-corpus boilerplate's)
+    assert(got(1L) == ((3L, 3L)))
+  }
+
+  // -------------------------------------------------------------- rrfFuse
+
+  test("rrfFuse: hand-computed reciprocal-rank fusion with partial overlap") {
+    val lex = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rank")
+    val vec = Seq((20L, 1L), (40L, 2L)).toDF("id", "rank")
+    val got = Search.rrfFuse(lex, vec, "id", "rank", k = 10, rrfK = 60)
+      .collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2), r.getDouble(3), r.getLong(4)))
+    def rnd(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = Seq(
+      (20L, true, true, rnd(1.0 / 62 + 1.0 / 61), 1L),   // both runs
+      (10L, true, false, rnd(1.0 / 61), 2L),              // lexical only
+      (40L, false, true, rnd(1.0 / 62), 3L),              // vector only
+      (30L, true, false, rnd(1.0 / 63), 4L))
+    assert(got.toSeq == want, s"got ${got.toSeq}")
+  }
+}

@@ -23,6 +23,9 @@ class PlanGuardSpec extends SparkSpecBase {
     "sketch_set_ops",
     // recall joins the brute-force ground truth, inheriting its sweep
     "ann_recall",
+    // hybrid fusion's vector run IS the brute-force sweep (1-row query
+    // vector broadcast against the corpus); the fusion itself is k×k
+    "text_hybrid_search",
     // 1-row corpus-stats frame (n_docs, avgdl) broadcast onto postings
     "text_bm25",
     // 1-row vocabulary-size scalar broadcast onto the (label, token) table
