@@ -510,6 +510,25 @@ object SparkEntry {
     Corpus.sourceCap(documents(s, dir), "doc_id", "source", cap = 15, salt = "cap")
       .orderBy("source", "rk")
 
+  /** Day-over-day source-cap maintenance, then the serve: the corpus
+    * minus every 10th doc is indexed, the held-out batch is APPENDED —
+    * touching only the partitions its sources fold into — and the
+    * served kept set must equal the single-shot cap over the FULL
+    * corpus (the oracle), proving append ≡ rebuild.
+    */
+  private def qCorpusSourceCapAppend(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val idxPath = Fixtures.scratchDir("srccap_idx", dir)
+    Fixtures.buildOnce("srccap_idx", s, dir) {
+      Corpus.writeSourceCapIndex(docs.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "source", cap = 15, salt = "cap", path = idxPath)
+      Corpus.appendToSourceCapIndex(docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "source", cap = 15, salt = "cap", path = idxPath)
+    }
+    Corpus.serveSourceCapIndex(s, idxPath, "doc_id", "source")
+      .orderBy("source", "rk")
+  }
+
   /** Line-level dedup over a deterministic multi-line rendering of the
     * corpus (64-char chunks joined by newline — the synthetic docs ship
     * as single lines): any ≥10-char line recurring in more than 2
@@ -852,6 +871,14 @@ object SparkEntry {
       Similarity.appendToIvfPqIndex(
         embeddings(s, dir).filter(col("vec_id") % 3 === 0),
         "vec_id", "embedding", cents, m = 4, p)
+    }
+    Fixtures.buildOnce("srccap_idx", s, dir) {
+      val docs = documents(s, dir)
+      val p = Fixtures.scratchDir("srccap_idx", dir)
+      Corpus.writeSourceCapIndex(docs.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "source", cap = 15, salt = "cap", path = p)
+      Corpus.appendToSourceCapIndex(docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "source", cap = 15, salt = "cap", path = p)
     }
   }
 
@@ -2184,6 +2211,7 @@ object SparkEntry {
     "corpus_decontaminate" -> (qCorpusDecontaminate _),
     "corpus_passage_dedup" -> (qCorpusPassageDedup _),
     "corpus_source_cap" -> (qCorpusSourceCap _),
+    "corpus_source_cap_append" -> (qCorpusSourceCapAppend _),
     "corpus_line_dedup" -> (qCorpusLineDedup _),
     "text_hybrid_search" -> (qTextHybridSearch _),
     "corpus_decontaminate_fuzzy" -> (qCorpusDecontFuzzy _),
@@ -3832,6 +3860,20 @@ object SparkEntry {
         |ORDER BY d.doc_id""".stripMargin,
 
     "corpus_source_cap" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, source,
+         |         ${PortableHash.hash32Sql("concat('cap', CAST(doc_id AS VARCHAR))")} AS hv
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, source,
+         |         CAST(row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS BIGINT) AS rk
+         |  FROM h)
+         |SELECT doc_id, source, rk FROM r WHERE rk <= 15
+         |ORDER BY source, rk""".stripMargin,
+
+    // append ≡ rebuild: the incremental index must serve exactly the
+    // single-shot cap over the full corpus
+    "corpus_source_cap_append" ->
       s"""WITH h AS (
          |  SELECT doc_id, source,
          |         ${PortableHash.hash32Sql("concat('cap', CAST(doc_id AS VARCHAR))")} AS hv

@@ -465,24 +465,129 @@ object Corpus {
       sourceCol: String,
       cap: Int,
       salt: String,
-      preBuckets: Int = 16): DataFrame = {
+      preBuckets: Int = 16): DataFrame =
+    rankCapped(
+      hashedSourceRows(df, idCol, sourceCol, salt),
+      idCol, sourceCol, cap, preBuckets)
+      .select(col(idCol), col(sourceCol), col("rk"))
+
+  private def hashedSourceRows(
+      df: DataFrame, idCol: String, sourceCol: String, salt: String): DataFrame =
+    df.select(col(idCol), col(sourceCol),
+      PortableHash.hash32(concat(lit(salt), col(idCol).cast("string"))).as("__h"))
+
+  /** Shared two-phase top-cap ranking over a hashed (id, source, __h)
+    * frame — see [[sourceCap]] for the exactness/skew argument.
+    * Output keeps `__h` so the incremental index can re-rank appends.
+    */
+  private def rankCapped(
+      hashed: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      cap: Int,
+      preBuckets: Int): DataFrame = {
     require(cap > 0, s"cap must be positive, got $cap")
     import org.apache.spark.sql.expressions.Window
-    val h = PortableHash.hash32(concat(lit(salt), col(idCol).cast("string")))
-    val hashed = df.select(col(idCol), col(sourceCol), h.as("__h"))
-    val phase1 = hashed
+    hashed
       .withColumn("__b", pmod(col("__h"), lit(preBuckets)))
       .withColumn("__r1", row_number().over(
         Window.partitionBy(col(sourceCol), col("__b"))
           .orderBy(col("__h"), col(idCol))))
       .filter(col("__r1") <= cap)
-    phase1
       .withColumn("rk", row_number().over(
         Window.partitionBy(col(sourceCol))
           .orderBy(col("__h"), col(idCol))).cast("long"))
       .filter(col("rk") <= cap)
-      .select(col(idCol), col(sourceCol), col("rk"))
+      .select(col(idCol), col(sourceCol), col("__h"), col("rk"))
   }
+
+  /** Persisted incremental form of [[sourceCap]] — the curation member
+    * of the serving-index family ([[Dedup.writeSignatureIndex]],
+    * IVF+PQ): the kept set lands on disk partitioned by a FOLDED source
+    * hash (`ps = pmod(hash32(source), sourceParts)` — bounded directory
+    * count, partition-prunable maintenance), and a day's batch updates
+    * ONLY the partitions its sources fold into.
+    *
+    * Append ≡ rebuild, exactly: the new kept set per touched source is
+    * top-cap(stored-kept ∪ batch) by hash order, and any row of
+    * top-cap(base ∪ batch) is either a batch row or already in
+    * top-cap(base) — the standard partial-top-k argument — so dropped
+    * rows can never re-enter and the stored hashes (`hv`) are all the
+    * state re-ranking needs. Untouched sources in a rewritten partition
+    * re-rank to identical rows (idempotent). Parameters are persisted
+    * and append fails fast on a mismatch (a different salt or cap would
+    * silently produce a set that equals NO single-shot cap).
+    */
+  def writeSourceCapIndex(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      cap: Int,
+      salt: String,
+      path: String,
+      sourceParts: Int = 64,
+      preBuckets: Int = 16): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((cap, salt, sourceParts)).toDF("cap", "salt", "source_parts")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+    rankCapped(hashedSourceRows(df, idCol, sourceCol, salt),
+        idCol, sourceCol, cap, preBuckets)
+      .withColumn("ps", pmod(PortableHash.hash32(col(sourceCol)), lit(sourceParts)).cast("int"))
+      .repartition(sourceParts, col("ps"))
+      .write.partitionBy("ps").mode("overwrite").parquet(s"$path/kept")
+  }
+
+  private def requireCapParams(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, cap: Int, salt: String, sourceParts: Int): Unit = {
+    val r = spark.read.parquet(s"$path/params").collect()(0)
+    val stored = (r.getInt(0), r.getString(1), r.getInt(2))
+    require(stored == ((cap, salt, sourceParts)),
+      s"source-cap index at $path was built with (cap, salt, sourceParts) = " +
+        s"$stored; caller passed ${(cap, salt, sourceParts)}")
+  }
+
+  /** Fold a batch into the persisted cap index. I/O is proportional to
+    * the batch's source spread: the batch's distinct `ps` values (≤
+    * sourceParts, a bounded driver-side list) become a partition filter
+    * on the stored kept set, and only those partitions are re-ranked
+    * and dynamically overwritten.
+    */
+  def appendToSourceCapIndex(
+      batch: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      cap: Int,
+      salt: String,
+      path: String,
+      sourceParts: Int = 64,
+      preBuckets: Int = 16): Unit = {
+    val spark = batch.sparkSession
+    requireCapParams(spark, path, cap, salt, sourceParts)
+    val hashed = hashedSourceRows(batch, idCol, sourceCol, salt)
+      .withColumn("ps", pmod(PortableHash.hash32(col(sourceCol)), lit(sourceParts)).cast("int"))
+      .localCheckpoint(true) // consumed twice (ps list + union); small: one batch
+    val touched = hashed.select(col("ps")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val stored = spark.read.parquet(s"$path/kept")
+      .filter(col("ps").isin(touched.map(Integer.valueOf): _*))
+    val merged = stored.select(col(idCol), col(sourceCol), col("__h"), col("ps"))
+      .unionByName(hashed)
+    rankCapped(merged, idCol, sourceCol, cap, preBuckets)
+      .withColumn("ps", pmod(PortableHash.hash32(col(sourceCol)), lit(sourceParts)).cast("int"))
+      .repartition(math.max(1, touched.length), col("ps"))
+      .write.partitionBy("ps").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(s"$path/kept")
+  }
+
+  /** The served kept set: (id, source, rk). */
+  def serveSourceCapIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String, idCol: String, sourceCol: String): DataFrame =
+    spark.read.parquet(s"$path/kept")
+      .select(col(idCol), col(sourceCol), col("rk"))
 
   /** Line-level exact deduplication — the RefinedWeb granularity below
     * [[passageDedup]]'s fixed windows: a LINE (newline-delimited) that

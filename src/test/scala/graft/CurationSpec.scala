@@ -29,6 +29,24 @@ class CurationSpec extends SparkSpecBase {
     assert(got.toSet == ref)
   }
 
+  test("sourceCap index: append equals rebuild; param mismatch fails fast") {
+    val all = (1L to 60L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "source")
+    val base = all.filter($"doc_id" % 4 =!= 0)
+    val batch = all.filter($"doc_id" % 4 === 0)
+    val path = java.nio.file.Files.createTempDirectory("srccap").toString
+    Corpus.writeSourceCapIndex(base, "doc_id", "source", cap = 7, salt = "x", path = path)
+    Corpus.appendToSourceCapIndex(batch, "doc_id", "source", cap = 7, salt = "x", path = path)
+    val served = Corpus.serveSourceCapIndex(spark, path, "doc_id", "source")
+    val rebuilt = Corpus.sourceCap(all, "doc_id", "source", cap = 7, salt = "x")
+    assertSameRows(served, rebuilt, "append-vs-rebuild")
+    // a different salt or cap would silently serve a set no single-shot
+    // cap produces — the params guard must reject it
+    val e = intercept[IllegalArgumentException] {
+      Corpus.appendToSourceCapIndex(batch, "doc_id", "source", cap = 9, salt = "x", path = path)
+    }
+    assert(e.getMessage.contains("cap"), e.getMessage)
+  }
+
   // ------------------------------------------------------------ lineDedup
 
   test("lineDedup: boilerplate over maxDocs removed everywhere, short lines exempt, null text -> null md5") {
