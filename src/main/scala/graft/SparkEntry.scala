@@ -320,6 +320,26 @@ object SparkEntry {
         mode = HashMode.Portable)
     }
 
+  /** Measured LSH recall by Jaccard decile on a 50% hash sample — the
+    * dedup analog of `ann_recall`: the production banding (16×8,
+    * tuned for s ≥ 0.8) against exhaustive sample ground truth; the
+    * decile table exposes the collision s-curve (low recall at 0.5,
+    * near-1 at 0.9+) instead of a single averaged number.
+    */
+  private def qDedupLshRecall(s: SparkSession, dir: String): DataFrame =
+    Dedup.lshRecall(documents(s, dir), "text", "doc_id",
+        samplePermille = 500, salt = "rec", n = 3, bands = 16,
+        rowsPerBand = 8, minJaccard = 0.5, mode = HashMode.Portable)
+      .orderBy("jac_lo")
+
+  /** Shuffle-key skew diagnostic on lineitem's supplier key: per-key
+    * count distribution quantiles + heaviest keys — the pre-flight
+    * check before a 100 TB join on the key.
+    */
+  private def qLineitemKeySkew(s: SparkSession, dir: String): DataFrame =
+    graft.ext.Profiler.keySkew(lineitem(s, dir), "l_suppkey", topK = 10)
+      .orderBy("stat", "key")
+
   private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
     minhashPairs(s, dir).orderBy("id_a", "id_b")
 
@@ -2182,6 +2202,8 @@ object SparkEntry {
     "dedup_exact" -> (qDedupExact _),
     "dedup_ngram_jaccard" -> (qDedupNgramJaccard _),
     "dedup_minhash_lsh" -> (qDedupMinhash _),
+    "dedup_lsh_recall" -> (qDedupLshRecall _),
+    "lineitem_key_skew" -> (qLineitemKeySkew _),
     "dedup_incremental" -> (qDedupIncremental _),
     "dedup_incremental_append" -> (qDedupIncrementalAppend _),
     "dedup_simhash" -> (qDedupSimhash _),
@@ -3383,6 +3405,61 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
     "dedup_minhash_lsh" ->
       minhashOracleSql(numHashes = 128, bands = 16, rowsPerBand = 8, threshold = 0.5),
+
+    // recall by decile: exhaustive truth over the 50% hash sample vs the
+    // production banding. The `j` CTE (full-corpus LSH pairs) restricted
+    // to sample² equals LSH-on-the-sample exactly — a doc's band buckets
+    // are a pure function of its own text, so sample pairs collide in
+    // the full run iff they collide in the sample run.
+    "dedup_lsh_recall" -> {
+      val smp = s"${PortableHash.hash32Sql("concat('rec', CAST(doc_id AS VARCHAR))")} % 1000 < 500"
+      s"""${minhashPairCtes(numHashes = 128, bands = 16, rowsPerBand = 8)},
+         |smp AS (SELECT doc_id FROM documents WHERE $smp),
+         |tshg AS (SELECT * FROM shg WHERE doc_id IN (SELECT doc_id FROM smp)),
+         |tr AS (SELECT * FROM (
+         |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |      round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+         |            ELSE CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+         |                 / len(list_distinct(list_concat(a.sh, b.sh))) END, 6) AS jac
+         |    FROM tshg a JOIN tshg b ON a.doc_id < b.doc_id)
+         |  WHERE jac >= 0.5),
+         |ct AS (SELECT id_a, id_b FROM j
+         |       WHERE jac >= 0.5
+         |         AND id_a IN (SELECT doc_id FROM smp)
+         |         AND id_b IN (SELECT doc_id FROM smp))
+         |SELECT floor(jac * 10) / 10.0 AS jac_lo,
+         |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |       CAST(SUM(CASE WHEN ct.id_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_caught,
+         |       round(CAST(SUM(CASE WHEN ct.id_a IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         |             / COUNT(*), 6) AS recall
+         |FROM tr LEFT JOIN ct USING (id_a, id_b)
+         |GROUP BY 1 ORDER BY jac_lo""".stripMargin
+    },
+
+    "lineitem_key_skew" ->
+      """WITH c AS (SELECT CAST(l_suppkey AS VARCHAR) AS k, CAST(COUNT(*) AS BIGINT) AS c
+        |           FROM lineitem GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys, CAST(SUM(c) AS BIGINT) AS n_rows FROM c),
+        |h AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS nk FROM c GROUP BY c),
+        |cm AS (SELECT c, SUM(nk) OVER (ORDER BY c) AS cum FROM h),
+        |q AS (SELECT
+        |  (SELECT MIN(c) FROM cm, tot WHERE cum >= CEIL(CAST(0.5 AS DOUBLE) * n_keys)) AS p50,
+        |  (SELECT MIN(c) FROM cm, tot WHERE cum >= CEIL(CAST(0.9 AS DOUBLE) * n_keys)) AS p90,
+        |  (SELECT MIN(c) FROM cm, tot WHERE cum >= CEIL(CAST(0.99 AS DOUBLE) * n_keys)) AS p99,
+        |  (SELECT MAX(c) FROM c) AS mx)
+        |SELECT stat, key, value FROM (
+        |  SELECT 'n_rows' AS stat, CAST(NULL AS VARCHAR) AS key, CAST(n_rows AS DOUBLE) AS value FROM tot
+        |  UNION ALL SELECT 'n_keys', NULL, CAST(n_keys AS DOUBLE) FROM tot
+        |  UNION ALL SELECT 'mean', NULL, round(CAST(n_rows AS DOUBLE) / n_keys, 6) FROM tot
+        |  UNION ALL SELECT 'p50', NULL, CAST(p50 AS DOUBLE) FROM q
+        |  UNION ALL SELECT 'p90', NULL, CAST(p90 AS DOUBLE) FROM q
+        |  UNION ALL SELECT 'p99', NULL, CAST(p99 AS DOUBLE) FROM q
+        |  UNION ALL SELECT 'max', NULL, CAST(mx AS DOUBLE) FROM q
+        |  UNION ALL SELECT 'skew', NULL,
+        |    round(CAST(mx AS DOUBLE) / (CAST(n_rows AS DOUBLE) / n_keys), 6) FROM q, tot
+        |  UNION ALL SELECT 'top', k, CAST(c AS DOUBLE)
+        |    FROM (SELECT k, c FROM c ORDER BY c DESC, k LIMIT 10))
+        |ORDER BY stat, key""".stripMargin,
 
     // same pair CTEs as dedup_minhash_lsh; each member annotated with its
     // deterministic 800/100/100 hash split, leaks = pair straddles splits

@@ -860,4 +860,58 @@ object Dedup {
       .groupBy(col("new_id"), col("dup_of"))
       .agg(min(col("jac")).as("jac"))
   }
+
+  /** Measured recall of the LSH banding against exhaustive ground truth
+    * on a deterministic hash sample — the index-quality metric an
+    * approximate dedup must ship with (the [[graft.ext.Similarity]]
+    * `ann_recall` argument, applied to minhash): per Jaccard decile,
+    * what fraction of truly-similar pairs does the banding surface?
+    *
+    * Ground truth is EXHAUSTIVE only over the sample: the all-pairs
+    * sweep is sample²-bounded by construction (the sample rate is the
+    * caller's accuracy/cost knob; a 0.1‰ sample of 10⁹ docs is 10⁶ docs
+    * — still a bounded sweep when blocked; at this operator's scale the
+    * sample is thousands, so the sweep is a deliberate broadcast
+    * nested-loop, same design as the brute-force ANN ground truth).
+    * The LSH side runs the production [[minhashLshDedup]] path on the
+    * same sample, so the measured recall is the served pipeline's, not
+    * a simulation's.
+    *
+    * Output: (jac_lo DOUBLE decile lower bound, n_pairs BIGINT true
+    * pairs in decile, n_caught BIGINT surfaced by LSH, recall DOUBLE).
+    */
+  def lshRecall(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      samplePermille: Int,
+      salt: String,
+      n: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 8,
+      minJaccard: Double = 0.5,
+      mode: HashMode = HashMode.Engine): DataFrame = {
+    val sample = Corpus.sampleByHash(df, idCol, samplePermille, salt)
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    val hashed = sample
+      .select(col(idCol).as("id"), hashedShingles(col(textCol), n).as("sh"))
+      .repartition(parallelism)
+      .localCheckpoint(true) // consumed by both sweep sides
+    val truth = hashed.select(col("id").as("id_a"), col("sh").as("sh_a"))
+      .join(hashed.select(col("id").as("id_b"), col("sh").as("sh_b")),
+        col("id_a") < col("id_b"))
+      .withColumn("jac", round(jaccardSortedAtLeast(col("sh_a"), col("sh_b"), minJaccard), 6))
+      .filter(col("jac") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jac"))
+    val caught = minhashLshDedup(sample, textCol, idCol, n, bands, rowsPerBand,
+        threshold = minJaccard, mode = mode)
+      .select(col("id_a"), col("id_b"), lit(true).as("__c"))
+    truth.join(caught, Seq("id_a", "id_b"), "left_outer")
+      .withColumn("jac_lo", floor(col("jac") * 10) / 10.0)
+      .groupBy(col("jac_lo"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("__c"), 1L).otherwise(0L)).as("n_caught"))
+      .withColumn("recall",
+        round(col("n_caught").cast("double") / col("n_pairs"), 6))
+  }
 }

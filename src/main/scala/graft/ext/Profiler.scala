@@ -96,6 +96,75 @@ object Profiler {
     * (`least(bin, nBins-1)`); bounds are rounded to 6 dp at the output
     * boundary only — binning itself uses the raw doubles in BOTH engines.
     */
+  /** Join-key skew diagnostic — "will a shuffle on this key hot-spot at
+    * 100 TB?": distribution statistics of per-key row counts (the
+    * quantity AQE's skew handling and salting decisions key off),
+    * plus the top-`topK` heaviest keys by name.
+    *
+    * Scale shape: the per-key count aggregate is map-side combined; the
+    * quantile extraction then runs on the COUNT HISTOGRAM (distinct
+    * count value → number of keys with that count) — a frame bounded by
+    * the number of DISTINCT multiplicities (ln-ish in practice, never
+    * |keys|) — via a cumulative window over that tiny frame, so there is
+    * no global sort of the key frame anywhere. Discrete quantiles
+    * (smallest count with cumulative keys ≥ ⌈q·n_keys⌉) are exact and
+    * engine-identical, with none of quantile_cont's interpolation-
+    * formula risk. Top-k is `TakeOrderedAndProject` on the count frame.
+    *
+    * Output rows (stat STRING, key STRING, value DOUBLE):
+    * `n_rows`/`n_keys`/`mean`/`p50`/`p90`/`p99`/`max`/`skew` with NULL
+    * key (skew = max/mean), then one `top` row per heaviest key.
+    */
+  def keySkew(df: DataFrame, keyCol: String, topK: Int): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(keyCol).cast("string").as("__k"))
+      .agg(count(lit(1)).as("__c"))
+    val hist = counts.groupBy(col("__c")).agg(count(lit(1)).as("__nk"))
+    // cumulative keys by ascending count over the multiplicity histogram;
+    // single partition DECLARED (non-foldable constant) — the frame is
+    // |distinct multiplicities|, not |keys|
+    val w = Window.partitionBy(pmod(coalesce(col("__c"), lit(0L)), lit(1)))
+      .orderBy(col("__c"))
+    val cum = hist.withColumn("__cum", sum(col("__nk")).over(w))
+      .crossJoin(broadcast(
+        counts.agg(count(lit(1)).as("__n_keys"), sum(col("__c")).as("__n_rows"))))
+      .localCheckpoint(true) // consumed by 3 quantile probes + scalars
+    def quant(q: Double): DataFrame = cum
+      .filter(col("__cum") >= ceil(lit(q) * col("__n_keys")))
+      .agg(min(col("__c")).as("v"))
+    val scalars = cum.limit(1).select(col("__n_rows"), col("__n_keys"))
+      .crossJoin(broadcast(quant(0.5).select(col("v").as("__p50"))))
+      .crossJoin(broadcast(quant(0.9).select(col("v").as("__p90"))))
+      .crossJoin(broadcast(quant(0.99).select(col("v").as("__p99"))))
+      .crossJoin(broadcast(cum.agg(max(col("__c")).as("__max"))))
+    val mean = col("__n_rows").cast("double") / col("__n_keys")
+    val statRows = scalars.select(explode(array(
+      struct(lit("n_rows").as("stat"), lit(null).cast("string").as("key"),
+        col("__n_rows").cast("double").as("value")),
+      struct(lit("n_keys").as("stat"), lit(null).cast("string").as("key"),
+        col("__n_keys").cast("double").as("value")),
+      struct(lit("mean").as("stat"), lit(null).cast("string").as("key"),
+        round(mean, 6).as("value")),
+      struct(lit("p50").as("stat"), lit(null).cast("string").as("key"),
+        col("__p50").cast("double").as("value")),
+      struct(lit("p90").as("stat"), lit(null).cast("string").as("key"),
+        col("__p90").cast("double").as("value")),
+      struct(lit("p99").as("stat"), lit(null).cast("string").as("key"),
+        col("__p99").cast("double").as("value")),
+      struct(lit("max").as("stat"), lit(null).cast("string").as("key"),
+        col("__max").cast("double").as("value")),
+      struct(lit("skew").as("stat"), lit(null).cast("string").as("key"),
+        round(col("__max") / mean, 6).as("value")))).as("__r"))
+      .select(col("__r.*"))
+    val topRows = counts
+      .orderBy(col("__c").desc, col("__k"))
+      .limit(topK)
+      .select(lit("top").as("stat"), col("__k").as("key"),
+        col("__c").cast("double").as("value"))
+    statRows.unionByName(topRows)
+  }
+
   def histogram(df: DataFrame, colName: String, nBins: Int): DataFrame = {
     require(nBins > 0, s"nBins must be positive, got $nBins")
     val v = col(colName).cast("double")

@@ -84,6 +84,41 @@ class CurationSpec extends SparkSpecBase {
     assert(got(1L) == ((3L, 3L)))
   }
 
+  // ------------------------------------------------------------ lshRecall
+
+  test("lshRecall: exact copies land in the top decile fully caught; disjoint docs produce no pairs") {
+    val dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, dup), (2L, dup), (3L, dup),                     // 3 exact copies -> 3 pairs jac 1.0
+      (4L, "totally different words entirely here now"),
+      (5L, "another unrelated document with fresh tokens")
+    ).toDF("doc_id", "text")
+    val got = graft.ext.Dedup.lshRecall(docs, "text", "doc_id",
+        samplePermille = 1000, salt = "t", minJaccard = 0.5)
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // jac=1.0 -> floor(10)/10 = 1.0 bucket; identical shingle sets MUST
+    // collide in every band, so recall is exactly 1
+    assert(got.toSeq == Seq((1.0, 3L, 3L, 1.0)), s"got ${got.toSeq}")
+  }
+
+  // ------------------------------------------------------------- keySkew
+
+  test("keySkew: hand-computed stats and top keys on a skewed frame") {
+    // key a: 6 rows, b: 2, c: 1, d: 1 -> n_rows 10, n_keys 4, mean 2.5
+    // counts sorted: [1, 1, 2, 6]; p50 = ceil(.5*4)=2nd -> 1,
+    // p90 = ceil(3.6)=4th -> 6, p99 -> 6, max 6, skew 6/2.5 = 2.4
+    val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d"))
+      .zipWithIndex.map { case (k, i) => (i.toLong, k) }.toDF("id", "k")
+    val got = graft.ext.Profiler.keySkew(df, "k", topK = 2)
+      .collect().map(r => (r.getString(0), Option(r.getString(1)), r.getDouble(2))).toSet
+    assert(got == Set(
+      ("n_rows", None, 10.0), ("n_keys", None, 4.0), ("mean", None, 2.5),
+      ("p50", None, 1.0), ("p90", None, 6.0), ("p99", None, 6.0),
+      ("max", None, 6.0), ("skew", None, 2.4),
+      ("top", Some("a"), 6.0), ("top", Some("b"), 2.0)),
+      s"got $got")
+  }
+
   // -------------------------------------------------------------- rrfFuse
 
   test("rrfFuse: hand-computed reciprocal-rank fusion with partial overlap") {

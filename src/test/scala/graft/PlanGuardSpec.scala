@@ -36,6 +36,12 @@ class PlanGuardSpec extends SparkSpecBase {
     "text_nb_score",
     // 1-row (min, max, total) frame broadcast onto the binning scan
     "lineitem_histogram",
+    // 1-row quantile/scalar frames broadcast together; all inputs are
+    // the multiplicity histogram, never the key frame
+    "lineitem_key_skew",
+    // exhaustive ground truth over the hash sample is a deliberate
+    // sample²-bounded sweep (the ann_brute_force argument for dedup)
+    "dedup_lsh_recall",
     // 1-row global-max-date frame broadcast onto the per-customer frame
     "customer_rfm",
     // 1-row bigram-total scalar broadcast onto the vocabulary-sized frame
