@@ -1784,6 +1784,28 @@ object SparkEntry {
   private def qTextLmScore(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.lmScore(documents(s, dir), "doc_id", "text").orderBy("doc_id")
 
+  /** Quality-weighted corpus sampling — the FineWeb/RefinedWeb "keep
+    * with probability ∝ quality" move, composed from the oracle-proven
+    * pieces: [[TextAnalysis.lmScore]] min-max-scaled to a [0, 1] keep
+    * probability (1-row bounds broadcast; 6-dp-rounded so the weight is
+    * bit-identical cross-engine), fed to the deterministic
+    * [[Corpus.weightedSampleByHash]]. Re-running with a different score
+    * function keeps a predictable superset/subset — the iterative
+    * mix-tuning property inherited from the hash sampler.
+    */
+  private def qCorpusQualitySample(s: SparkSession, dir: String): DataFrame = {
+    val sc = TextAnalysis.lmScore(documents(s, dir), "doc_id", "text")
+      .filter(col("lm_score").isNotNull)
+    val mm = sc.agg(min(col("lm_score")).as("__mn"), max(col("lm_score")).as("__mx"))
+    val weighted = sc.crossJoin(broadcast(mm))
+      .withColumn("w",
+        when(col("__mx") === col("__mn"), lit(1.0))
+          .otherwise(round((col("lm_score") - col("__mn")) / (col("__mx") - col("__mn")), 6)))
+    Corpus.weightedSampleByHash(weighted, "doc_id", col("w"), "qs")
+      .select(col("doc_id"), col("n_tokens"), col("w"))
+      .orderBy("doc_id")
+  }
+
   /** Join-type parity suite: row cardinality of every SQL join flavor
     * (inner / left / right / full / semi / anti) between orders and a
     * deliberately-partial customer subset (negative-balance customers
@@ -2167,6 +2189,7 @@ object SparkEntry {
     "events_top_paths" -> (qEventsTopPaths _),
     "emb_semantic_dedup" -> (qEmbSemanticDedup _),
     "text_lm_score" -> (qTextLmScore _),
+    "corpus_quality_sample" -> (qCorpusQualitySample _),
     "events_funnel_window" -> (qEventsFunnelWindow _),
     "events_funnel_exists" -> (qEventsFunnelExists _),
     "text_langid_confusion" -> (qTextLangidConfusion _),
@@ -3177,6 +3200,26 @@ object SparkEntry {
          |SELECT d.doc_id, COALESCE(sc.n_tokens, 0) AS n_tokens, sc.lm_score
          |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    // same scoring CTEs as text_lm_score; min-max-scaled keep weight,
+    // then the weighted-hash filter (corpus_weighted_sample's form)
+    "corpus_quality_sample" ->
+      s"""WITH $TextTokensCte,
+         |tok AS (SELECT doc_id, unnest(ltoks) AS tok FROM t),
+         |freq AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+         |tot AS (SELECT ln(SUM(cnt)) AS lt FROM freq),
+         |sc AS (SELECT tok.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |         round(avg(ln(CAST(cnt AS DOUBLE))) - (SELECT lt FROM tot), 6) AS lm_score
+         |       FROM tok JOIN freq USING (tok) GROUP BY tok.doc_id),
+         |mm AS (SELECT MIN(lm_score) AS mn, MAX(lm_score) AS mx FROM sc),
+         |wt AS (SELECT doc_id, n_tokens,
+         |         CASE WHEN mx = mn THEN 1.0
+         |              ELSE round((lm_score - mn) / (mx - mn), 6) END AS w
+         |       FROM sc, mm)
+         |SELECT doc_id, n_tokens, w FROM wt
+         |WHERE CAST(${PortableHash.hash32Sql("concat('qs', CAST(doc_id AS VARCHAR))")} AS DOUBLE)
+         |      < LEAST(1.0, GREATEST(0.0, w)) * 4294967296.0
+         |ORDER BY doc_id""".stripMargin,
 
     // same scoring CTEs as text_lm_score; ntile only over scored docs
     // (NULL-score docs get a NULL bucket, outside the window)

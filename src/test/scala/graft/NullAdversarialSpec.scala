@@ -329,6 +329,52 @@ class NullAdversarialSpec extends SparkSpecBase {
     (if (hasId) Some(i.toLong) else None, t, l)
   }
 
+  test("curation family (r7): null sources are a cappable group, null texts audit as null, fusion ranks never vanish") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "s1"),
+      (2L, "beta gamma delta epsilon", null.asInstanceOf[String]),
+      (3L, null.asInstanceOf[String], "s1"),
+      (4L, "", "s2"),
+      (5L, "zeta eta theta iota", null.asInstanceOf[String])
+    ).toDF("doc_id", "text", "source")
+
+    // sourceCap: a NULL source is its own group (SQL GROUP/PARTITION BY
+    // semantics) — its docs are capped together, never silently dropped
+    val capped = Corpus.sourceCap(docs, "doc_id", "source", cap = 1, salt = "n")
+      .collect().map(r => (Option(r.getString(1)), r.getLong(0), r.getLong(2)))
+    assert(capped.count(_._1.isEmpty) == 1, s"null-source group not capped: ${capped.toSeq}")
+    assert(capped.length == 3) // s1, s2, null — one survivor each at cap=1
+
+    // lineDedup: null text → (0, 0, NULL) audit row, present exactly once;
+    // empty text is ONE empty line, exempt as short, kept
+    val ld = Corpus.lineDedup(docs, "doc_id", "text", maxDocs = 1, minLineLen = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.getString(3)))).toMap
+    assert(ld.size == 5)
+    assert(ld(3L) == ((0L, 0L, None)))
+    assert(ld(4L)._1 == 1L && ld(4L)._2 == 1L && ld(4L)._3.isDefined)
+
+    // rrfFuse: a null id joins as its own key (full-outer null row) —
+    // but ranked frames can't produce null ids by construction; assert
+    // instead that disjoint runs lose no ids and ranks stay dense 1..n
+    val lex = Seq((1L, 1L), (2L, 2L)).toDF("id", "rank")
+    val vec = Seq((3L, 1L)).toDF("id", "rank")
+    val fused = Search.rrfFuse(lex, vec, "id", "rank", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(4)))
+    assert(fused.map(_._1).toSet == Set(1L, 2L, 3L))
+    assert(fused.map(_._2).sorted.sameElements(Array(1L, 2L, 3L)))
+
+    // keySkew: null keys count as a key (cast to string keeps them as a
+    // NULL group); totals must account for every input row
+    val sk = Profiler.keySkew(
+        Seq((1L, "a"), (2L, "a"), (3L, null.asInstanceOf[String])).toDF("id", "k"),
+        "k", topK = 5)
+      .collect().map(r => (r.getString(0), Option(r.getString(1)), r.getDouble(2)))
+    val stats = sk.filter(_._2.isEmpty).map(t => t._1 -> t._3).toMap
+    assert(stats("n_rows") == 3.0 && stats("n_keys") == 2.0,
+      s"null key lost from totals: ${sk.toSeq}")
+  }
+
   test("corpus family: null ids never sample, null texts never tokenize, null strata are strata") {
     val prop = Prop.forAllNoShrink(genCorpus) { rows =>
       val df = rows

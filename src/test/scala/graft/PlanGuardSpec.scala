@@ -39,6 +39,8 @@ class PlanGuardSpec extends SparkSpecBase {
     // 1-row quantile/scalar frames broadcast together; all inputs are
     // the multiplicity histogram, never the key frame
     "lineitem_key_skew",
+    // 1-row (min, max) score-bounds frame broadcast onto the scored docs
+    "corpus_quality_sample",
     // exhaustive ground truth over the hash sample is a deliberate
     // sample²-bounded sweep (the ann_brute_force argument for dedup)
     "dedup_lsh_recall",
