@@ -320,15 +320,16 @@ object SparkEntry {
         mode = HashMode.Portable)
     }
 
-  /** Measured LSH recall by Jaccard decile on a 50% hash sample — the
-    * dedup analog of `ann_recall`: the production banding (16×8,
-    * tuned for s ≥ 0.8) against exhaustive sample ground truth; the
-    * decile table exposes the collision s-curve (low recall at 0.5,
-    * near-1 at 0.9+) instead of a single averaged number.
+  /** Measured LSH recall by Jaccard decile on a fixed 250-doc hash
+    * sample — the dedup analog of `ann_recall`: the production banding
+    * (16×8, tuned for s ≥ 0.8) against exhaustive sample ground truth;
+    * the decile table exposes the collision s-curve (low recall at 0.5,
+    * near-1 at 0.9+) instead of a single averaged number. Fixed sample
+    * COUNT keeps the metric's cost constant at any corpus size.
     */
   private def qDedupLshRecall(s: SparkSession, dir: String): DataFrame =
     Dedup.lshRecall(documents(s, dir), "text", "doc_id",
-        samplePermille = 500, salt = "rec", n = 3, bands = 16,
+        sampleSize = 250, salt = "rec", n = 3, bands = 16,
         rowsPerBand = 8, minJaccard = 0.5, mode = HashMode.Portable)
       .orderBy("jac_lo")
 
@@ -3449,15 +3450,15 @@ object SparkEntry {
     "dedup_minhash_lsh" ->
       minhashOracleSql(numHashes = 128, bands = 16, rowsPerBand = 8, threshold = 0.5),
 
-    // recall by decile: exhaustive truth over the 50% hash sample vs the
-    // production banding. The `j` CTE (full-corpus LSH pairs) restricted
-    // to sample² equals LSH-on-the-sample exactly — a doc's band buckets
-    // are a pure function of its own text, so sample pairs collide in
-    // the full run iff they collide in the sample run.
+    // recall by decile: exhaustive truth over the fixed 250-doc hash
+    // sample vs the production banding. The `j` CTE (full-corpus LSH
+    // pairs) restricted to sample² equals LSH-on-the-sample exactly — a
+    // doc's band buckets are a pure function of its own text, so sample
+    // pairs collide in the full run iff they collide in the sample run.
     "dedup_lsh_recall" -> {
-      val smp = s"${PortableHash.hash32Sql("concat('rec', CAST(doc_id AS VARCHAR))")} % 1000 < 500"
+      val smp = s"ORDER BY ${PortableHash.hash32Sql("concat('rec', CAST(doc_id AS VARCHAR))")}, doc_id LIMIT 250"
       s"""${minhashPairCtes(numHashes = 128, bands = 16, rowsPerBand = 8)},
-         |smp AS (SELECT doc_id FROM documents WHERE $smp),
+         |smp AS (SELECT doc_id FROM documents $smp),
          |tshg AS (SELECT * FROM shg WHERE doc_id IN (SELECT doc_id FROM smp)),
          |tr AS (SELECT * FROM (
          |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -867,15 +867,18 @@ object Dedup {
     * `ann_recall` argument, applied to minhash): per Jaccard decile,
     * what fraction of truly-similar pairs does the banding surface?
     *
-    * Ground truth is EXHAUSTIVE only over the sample: the all-pairs
-    * sweep is sample²-bounded by construction (the sample rate is the
-    * caller's accuracy/cost knob; a 0.1‰ sample of 10⁹ docs is 10⁶ docs
-    * — still a bounded sweep when blocked; at this operator's scale the
-    * sample is thousands, so the sweep is a deliberate broadcast
-    * nested-loop, same design as the brute-force ANN ground truth).
-    * The LSH side runs the production [[minhashLshDedup]] path on the
-    * same sample, so the measured recall is the served pipeline's, not
-    * a simulation's.
+    * Ground truth is EXHAUSTIVE only over a FIXED-SIZE sample — the
+    * `sampleSize` docs with the smallest portable hash (deterministic,
+    * uniform, engine-identical), selected by `TakeOrderedAndProject`.
+    * Fixed COUNT, not fixed rate, is what makes the metric's cost
+    * CONSTANT in corpus size: a rate sample's all-pairs truth grows
+    * quadratically with the corpus (measured: 2.1 s → 68 s at 10× under
+    * the earlier permille form), while a metric's accuracy depends on
+    * the absolute pair count, not coverage. The sweep itself is a
+    * deliberate sampleSize²-bounded broadcast nested-loop, same design
+    * as the brute-force ANN ground truth. The LSH side runs the
+    * production [[minhashLshDedup]] path on the same sample, so the
+    * measured recall is the served pipeline's, not a simulation's.
     *
     * Output: (jac_lo DOUBLE decile lower bound, n_pairs BIGINT true
     * pairs in decile, n_caught BIGINT surfaced by LSH, recall DOUBLE).
@@ -884,14 +887,20 @@ object Dedup {
       df: DataFrame,
       textCol: String,
       idCol: String,
-      samplePermille: Int,
+      sampleSize: Int,
       salt: String,
       n: Int = 3,
       bands: Int = 16,
       rowsPerBand: Int = 8,
       minJaccard: Double = 0.5,
       mode: HashMode = HashMode.Engine): DataFrame = {
-    val sample = Corpus.sampleByHash(df, idCol, samplePermille, salt)
+    require(sampleSize > 1, s"sampleSize must be > 1, got $sampleSize")
+    val sample = df
+      .withColumn("__rh",
+        PortableHash.hash32(concat(lit(salt), col(idCol).cast("string"))))
+      .orderBy(col("__rh"), col(idCol))
+      .limit(sampleSize)
+      .drop("__rh")
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
     val hashed = sample
       .select(col(idCol).as("id"), hashedShingles(col(textCol), n).as("sh"))

@@ -94,7 +94,7 @@ class CurationSpec extends SparkSpecBase {
       (5L, "another unrelated document with fresh tokens")
     ).toDF("doc_id", "text")
     val got = graft.ext.Dedup.lshRecall(docs, "text", "doc_id",
-        samplePermille = 1000, salt = "t", minJaccard = 0.5)
+        sampleSize = 5, salt = "t", minJaccard = 0.5)
       .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     // jac=1.0 -> floor(10)/10 = 1.0 bucket; identical shingle sets MUST
     // collide in every band, so recall is exactly 1
