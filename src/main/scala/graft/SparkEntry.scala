@@ -925,6 +925,14 @@ object SparkEntry {
         array_max(col("codes")).as("code_max"))
       .orderBy("vec_id")
 
+  /** Whitened embeddings flattened to (vec, dim, value) scalars — the
+    * standardization audit surface; zero-variance dims map to 0.
+    */
+  private def qEmbWhiten(s: SparkSession, dir: String): DataFrame =
+    Similarity.whiten(embeddings(s, dir), "vec_id", "embedding")
+      .select(col("vec_id"), posexplode(col("w")).as(Seq("dim_i", "wv")))
+      .orderBy("vec_id", "dim_i")
+
   private def embQueries(s: SparkSession, dir: String): DataFrame =
     embeddings(s, dir).filter(col("vec_id") % 50 === 0)
 
@@ -2241,6 +2249,7 @@ object SparkEntry {
     "ann_recall" -> (qAnnRecall _),
     "ann_knn_graph" -> (qAnnKnnGraph _),
     "emb_dim_stats" -> (qEmbDimStats _),
+    "emb_whiten" -> (qEmbWhiten _),
     "text_ppl_buckets" -> (qTextPplBuckets _),
     "text_quality_filter" -> (qTextQualityFilter _),
     "corpus_split_leakage" -> (qCorpusSplitLeakage _),
@@ -3260,6 +3269,28 @@ object SparkEntry {
          |    - (CAST(s1 AS DOUBLE)/n_vals)*(CAST(s1 AS DOUBLE)/n_vals), 0.0)), 6) AS std_val,
          |  min_val, max_val
          |FROM a ORDER BY dim_i""".stripMargin,
+
+    // same moment CTEs as emb_dim_stats; whitening = (x - mean)/std on
+    // the 6-dp-rounded moments, zero-variance dims -> 0.0
+    "emb_whiten" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |x AS (SELECT CAST(k AS INT) AS dim_i, v[CAST(k+1 AS INT)] AS x
+         |      FROM e, (SELECT unnest(range(0, 64)) AS k) WHERE v IS NOT NULL),
+         |a AS (SELECT dim_i, CAST(COUNT(x) AS BIGINT) AS n_vals,
+         |        SUM(CAST(x AS DECIMAL(28,10))) AS s1,
+         |        SUM(CAST(x*x AS DECIMAL(28,10))) AS s2
+         |      FROM x WHERE x IS NOT NULL GROUP BY dim_i),
+         |s AS (SELECT dim_i,
+         |        round(CAST(s1 AS DOUBLE)/n_vals, 6) AS mean_val,
+         |        round(sqrt(GREATEST(CAST(s2 AS DOUBLE)/n_vals
+         |          - (CAST(s1 AS DOUBLE)/n_vals)*(CAST(s1 AS DOUBLE)/n_vals), 0.0)), 6) AS std_val
+         |      FROM a)
+         |SELECT vec_id, s.dim_i,
+         |  CASE WHEN v[CAST(s.dim_i+1 AS INT)] IS NULL THEN NULL
+         |       WHEN std_val = 0 THEN 0.0
+         |       ELSE round((v[CAST(s.dim_i+1 AS INT)] - mean_val) / std_val, 6) END AS wv
+         |FROM e, s WHERE v IS NOT NULL
+         |ORDER BY vec_id, s.dim_i""".stripMargin,
 
     // one tokenization pass, every rule from it; verdicts as 0/1 ints.
     // array_to_string gives the summed token length (mirrors the

@@ -971,4 +971,43 @@ object Similarity {
           lit(0.0))), 6).as("std_val"),
         col("min_val"), col("max_val"))
   }
+
+  /** Per-dimension whitening (standardization): `w_i = (x_i − μ_i)/σ_i`
+    * with the corpus moments from [[dimStats]] — the preprocessing that
+    * re-centers and re-scales embedding space before cosine/dot-product
+    * geometry is trusted (uncentered or rogue-variance dimensions
+    * dominate dot products; see the dimStats rationale). Zero-variance
+    * dimensions whiten to 0.0 (they carry no information; dividing
+    * would poison the vector with ±∞).
+    *
+    * Scale shape: the stats collapse to ONE O(dim) driver row set (the
+    * codebook pattern — same as IVF centroids), inlined as array
+    * literals into a `zip_with` chain: the whitening itself is a NARROW
+    * MAP over the corpus, no join, no shuffle, no per-element lambda
+    * indexing (the corpus_bigrams interpreted-lambda lesson). Vectors
+    * of a different length than the stats (ragged) produce NULL tail
+    * elements via zip_with's padding — visibly wrong rather than
+    * silently mis-scaled; NULL vectors stay NULL.
+    *
+    * Determinism: μ/σ are dimStats' 6-dp-rounded decimal-exact moments;
+    * each whitened element rounds to 6 dp — the composition is
+    * bit-identical across engines.
+    *
+    * Output: (idCol, w ARRAY<DOUBLE>).
+    */
+  def whiten(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val stats = dimStats(df, vecCol)
+      .select(col("dim_i"), col("mean_val"), col("std_val"))
+      .orderBy("dim_i")
+      .collect()
+    require(stats.nonEmpty, "whiten: corpus has no non-null vector elements")
+    val means = array(stats.map(r => lit(r.getDouble(1))).toSeq: _*)
+    val stds = array(stats.map(r => lit(r.getDouble(2))).toSeq: _*)
+    val centered = zip_with(col(vecCol).cast("array<double>"), means, (x, m) => x - m)
+    val whitened = zip_with(centered, stds, (x, s) =>
+      when(x.isNull, lit(null).cast("double"))
+        .when(s === 0.0, lit(0.0))
+        .otherwise(round(x / s, 6)))
+    df.select(col(idCol), whitened.as("w"))
+  }
 }

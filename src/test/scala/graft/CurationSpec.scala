@@ -119,6 +119,21 @@ class CurationSpec extends SparkSpecBase {
       s"got $got")
   }
 
+  // --------------------------------------------------------------- whiten
+
+  test("whiten: hand-computed standardization; zero-variance dim -> 0; null vector stays null") {
+    // dim0: values 1, 3 -> mean 2, std 1; dim1: constant 5 -> std 0
+    val df = Seq(
+      (1L, Seq(1.0f, 5.0f)), (2L, Seq(3.0f, 5.0f))
+    ).toDF("vec_id", "embedding")
+      .unionByName(Seq((3L, null.asInstanceOf[Seq[Float]])).toDF("vec_id", "embedding"))
+    val got = graft.ext.Similarity.whiten(df, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[Double](1))).toMap
+    assert(got(1L).get == Seq(-1.0, 0.0), s"got ${got(1L)}")
+    assert(got(2L).get == Seq(1.0, 0.0))
+    assert(got(3L).isEmpty)
+  }
+
   // -------------------------------------------------------------- rrfFuse
 
   test("rrfFuse: hand-computed reciprocal-rank fusion with partial overlap") {
