@@ -792,6 +792,59 @@ object Dedup {
     writeSignatureIndex(df, textCol, idCol, path, n, bands, rowsPerBand,
       bucketParts, saveMode = "append")
 
+  /** Compact an appended signature index: every [[appendToSignatureIndex]]
+    * lands one file set per append job, so a daily-append index
+    * accumulates small files until listing/open overhead dominates probe
+    * cost (the classic LSM problem, hit by any file-based index). This
+    * rewrites `buckets/` to one file per occupied `pb` partition and
+    * `shingles/` to `shingleFiles` files, preserving contents exactly —
+    * probes before and after are row-identical (spec-pinned).
+    *
+    * Written to a sibling temp dir then atomically swapped (local
+    * rename; on an object store, swap via the table-format commit this
+    * convention stands in for — same stance as the epoch-dir overwrite,
+    * SURVEY §1.3). Readers racing the swap see the old OR new complete
+    * index, never a mix.
+    */
+  def compactSignatureIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      bucketParts: Int = 64,
+      shingleFiles: Int = 8): Unit = {
+    def swap(sub: String)(rewrite: (String, String) => Unit): Unit = {
+      val live = s"$path/$sub"
+      val tmp = s"$path/.${sub}_compact_tmp"
+      val old = s"$path/.${sub}_compact_old"
+      rewrite(live, tmp)
+      def fs(p: String): java.nio.file.Path = java.nio.file.Paths.get(p)
+      def rm(p: String): Unit = {
+        val root = fs(p)
+        if (java.nio.file.Files.exists(root)) {
+          val walk = java.nio.file.Files.walk(root)
+          try {
+            import scala.jdk.CollectionConverters._
+            walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .iterator().asScala.foreach(java.nio.file.Files.delete)
+          } finally walk.close()
+        }
+      }
+      rm(old)
+      java.nio.file.Files.move(fs(live), fs(old))
+      java.nio.file.Files.move(fs(tmp), fs(live))
+      rm(old)
+    }
+    swap("buckets") { (live, tmp) =>
+      spark.read.parquet(live)
+        .repartition(bucketParts, col("pb"))
+        .write.partitionBy("pb").mode("overwrite").parquet(tmp)
+    }
+    swap("shingles") { (live, tmp) =>
+      spark.read.parquet(live)
+        .repartition(shingleFiles)
+        .write.mode("overwrite").parquet(tmp)
+    }
+  }
+
   /** Near-duplicates of `newBatch` against a persisted signature index:
     * (new_id, dup_of, jac) for every batch doc whose exact Jaccard with
     * an indexed doc reaches `threshold`.

@@ -315,6 +315,39 @@ class CorpusSpec extends SparkSpecBase {
     assert(landed === Set(1L, 2L, 4L), "only clean docs appended to the index")
   }
 
+  test("compactSignatureIndex: fewer files, probe results row-identical") {
+    import graft.ext.Dedup
+    val tmp = java.nio.file.Files.createTempDirectory("compact").toString
+    val idx = s"$tmp/idx"
+    def doc(i: Long, suffix: String) =
+      (i, s"the quick brown fox jumps over the lazy dog $suffix")
+    Dedup.writeSignatureIndex(
+      Seq(doc(1, "one"), doc(2, "two")).toDF("doc_id", "text"), "text", "doc_id", idx)
+    // three appends -> one small file set per append job per partition
+    (3L to 5L).foreach { i =>
+      Dedup.appendToSignatureIndex(
+        Seq(doc(i, s"v$i")).toDF("doc_id", "text"), "text", "doc_id", idx)
+    }
+    def parquetFiles(p: String): Int = {
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.count(_.toString.endsWith(".parquet"))
+      } finally walk.close()
+    }
+    val probe = Seq(doc(9, "one")).toDF("doc_id", "text") // near-dup of 1
+    val before = Dedup.dedupAgainstIndex(probe, "text", "doc_id", idx, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val filesBefore = parquetFiles(s"$idx/buckets")
+    Dedup.compactSignatureIndex(spark, idx)
+    val filesAfter = parquetFiles(s"$idx/buckets")
+    assert(filesAfter < filesBefore,
+      s"expected compaction to shrink file count: $filesBefore -> $filesAfter")
+    val after = Dedup.dedupAgainstIndex(probe, "text", "doc_id", idx, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(after == before && before.nonEmpty, s"probe changed: $before -> $after")
+  }
+
   test("dedupClusters labels transitive duplicate chains with the component min id") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
     val labels = Corpus.dedupClusters(pairs)
