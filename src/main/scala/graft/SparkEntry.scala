@@ -411,6 +411,10 @@ object SparkEntry {
         "punct_ratio", "stopword_ratio", "quality", "lang_guess", "fingerprint")
       .orderBy("doc_id")
 
+  private def qTextEntropy(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenEntropy(documents(s, dir), "doc_id", "text")
+      .orderBy("doc_id")
+
   private def qTextRollingHash(s: SparkSession, dir: String): DataFrame =
     documents(s, dir)
       .select(col("doc_id"),
@@ -2248,6 +2252,7 @@ object SparkEntry {
     "part_fuzzy_pairs" -> (qPartFuzzyPairs _),
     "events_props_agg" -> (qEventsPropsAgg _),
     "text_stats" -> (qTextStats _),
+    "text_entropy" -> (qTextEntropy _),
     "text_search" -> (qTextSearch _),
     "text_bm25" -> (qTextBm25 _),
     "text_nb_train" -> (qTextNbTrain _),
@@ -3215,6 +3220,20 @@ object SparkEntry {
          |       FROM tok JOIN freq USING (tok) GROUP BY tok.doc_id)
          |SELECT d.doc_id, COALESCE(sc.n_tokens, 0) AS n_tokens, sc.lm_score
          |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // entropy identity H = ln(n) - (sum c*ln c)/n — no per-doc join
+    "text_entropy" ->
+      s"""WITH $TextTokensCte,
+         |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+         |       FROM (SELECT doc_id, unnest(ltoks) AS tok FROM t)
+         |       GROUP BY doc_id, tok),
+         |h AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |        round(ln(CAST(SUM(c) AS DOUBLE))
+         |          - SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) / SUM(c), 6) AS entropy
+         |      FROM tf GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(h.n_tokens, 0) AS n_tokens, h.entropy
+         |FROM documents d LEFT JOIN h USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin,
 
     // same scoring CTEs as text_lm_score; min-max-scaled keep weight,

@@ -166,6 +166,32 @@ object TextAnalysis {
     * `avg(ln cnt) − ln T`, algebraically equal to the mean log
     * probability but with the scalar applied once per doc.
     */
+  /** Per-document unigram entropy `H = ln(n) − (Σ c·ln c)/n` over the
+    * doc's own token distribution — the low-diversity quality signal
+    * orthogonal to [[lmScore]] (corpus-typicality) and
+    * [[repetitionStats]] (adjacency): keyword-stuffed or template docs
+    * score near 0, diverse prose near ln(n_distinct). One (doc, token)
+    * aggregate then one doc-keyed aggregate, both map-side combined;
+    * the identity form needs no per-doc token-count join. Empty/null
+    * docs report n_tokens=0 with NULL entropy (undefined, not zero).
+    */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = df.select(col(idCol).as("doc_id"),
+        explode(tokens(lower(col(textCol)))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val h = tf.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("s"))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        round(log(col("n").cast("double")) - col("s") / col("n"), 6).as("entropy"))
+    df.select(col(idCol).as("doc_id"))
+      .join(h, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("entropy"))
+  }
+
   def lmScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("doc_id"),
       explode(tokens(lower(col(textCol)))).as("tok"))

@@ -119,6 +119,24 @@ class CurationSpec extends SparkSpecBase {
       s"got $got")
   }
 
+  // --------------------------------------------------------- tokenEntropy
+
+  test("tokenEntropy: uniform tokens hit ln(k), repeated single token hits 0, empty is NULL") {
+    val docs = Seq(
+      (1L, "a b c d"),        // 4 distinct uniform -> ln(4)
+      (2L, "x x x x x"),      // single token -> 0
+      (3L, ""),               // no tokens -> NULL entropy
+      (4L, "a a b b")         // 2×2 uniform -> ln(2)
+    ).toDF("doc_id", "text")
+    val got = graft.ext.TextAnalysis.tokenEntropy(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), Option(r.get(2)))).toMap
+    def rnd(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L) == ((4L, Some(rnd(math.log(4))))), s"got ${got(1L)}")
+    assert(got(2L) == ((5L, Some(0.0))))
+    assert(got(3L) == ((0L, None)))
+    assert(got(4L) == ((4L, Some(rnd(math.log(2))))))
+  }
+
   // --------------------------------------------------------------- whiten
 
   test("whiten: hand-computed standardization; zero-variance dim -> 0; null vector stays null") {
