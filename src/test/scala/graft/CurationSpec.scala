@@ -47,6 +47,68 @@ class CurationSpec extends SparkSpecBase {
     assert(e.getMessage.contains("cap"), e.getMessage)
   }
 
+  test("sourceCap index: append ≡ rebuild under random split/batch orders (property)") {
+    import org.scalacheck.{Gen, Prop, Test => ScTest}
+    import org.scalacheck.Prop.propBoolean
+    val genCase = for {
+      nDocs <- Gen.choose(10, 50)
+      nSrc <- Gen.choose(1, 5)
+      cap <- Gen.choose(1, 6)
+      nBatches <- Gen.choose(1, 3)
+      cut <- Gen.listOfN(nDocs, Gen.choose(0, nBatches)) // 0 = base
+    } yield (nDocs, nSrc, cap, nBatches, cut)
+    val prop = Prop.forAll(genCase) { case (nDocs, nSrc, cap, nBatches, cut) =>
+      val all = (1 to nDocs).map(i => (i.toLong, s"s${i % nSrc}")).toDF("doc_id", "source")
+      val path = java.nio.file.Files.createTempDirectory("srccap_prop").toString
+      val parts = (1 to nDocs).map(i => cut(i - 1))
+      def slice(b: Int) = {
+        val ids = (1 to nDocs).filter(i => parts(i - 1) == b).map(_.toLong)
+        all.filter(col("doc_id").isin(ids.map(java.lang.Long.valueOf): _*))
+      }
+      Corpus.writeSourceCapIndex(slice(0), "doc_id", "source", cap, "p", path)
+      (1 to nBatches).foreach { b =>
+        val batch = slice(b)
+        if (batch.head(1).nonEmpty)
+          Corpus.appendToSourceCapIndex(batch, "doc_id", "source", cap, "p", path)
+      }
+      val served = Corpus.serveSourceCapIndex(spark, path, "doc_id", "source")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val rebuilt = Corpus.sourceCap(all, "doc_id", "source", cap, "p")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      (served == rebuilt) :| s"served=$served rebuilt=$rebuilt"
+    }
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, s"property failed: ${res.status}")
+  }
+
+  test("streaming micro-batches maintain the source-cap index (foreachBatch)") {
+    // the curation analog of the streaming dedup-index test: each
+    // micro-batch folds into the persisted cap index; after the drain
+    // the served set equals the single-shot cap over everything landed
+    val s2 = spark
+    import s2.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("srccap_stream").toString
+    val all = (1L to 40L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "source")
+    Corpus.writeSourceCapIndex(all.filter($"doc_id" <= 10), "doc_id", "source",
+      cap = 4, salt = "st", path = s"$tmp/idx")
+    all.filter($"doc_id" > 10).coalesce(1)
+      .write.mode("append").parquet(s"$tmp/src")
+    val q = s2.readStream.schema(all.schema).parquet(s"$tmp/src")
+      .writeStream.option("checkpointLocation", s"$tmp/chk")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        Corpus.appendToSourceCapIndex(b, "doc_id", "source",
+          cap = 4, salt = "st", path = s"$tmp/idx")
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assertSameRows(
+      Corpus.serveSourceCapIndex(spark, s"$tmp/idx", "doc_id", "source"),
+      Corpus.sourceCap(all, "doc_id", "source", cap = 4, salt = "st"),
+      "streamed-vs-rebuild")
+  }
+
   // ------------------------------------------------------------ lineDedup
 
   test("lineDedup: boilerplate over maxDocs removed everywhere, short lines exempt, null text -> null md5") {
