@@ -1438,6 +1438,62 @@ object SparkEntry {
       .orderBy("n_name")
   }
 
+  /** TPC-H Q7-style cross-nation trade volume: revenue shipped between
+    * every (supplier nation, customer nation) pair per ship year. The
+    * one genuinely big join is fact-to-fact (lineitem ⋈ orders on the
+    * order key — one hash-partition shuffle each); both nation-name
+    * lookups ride on dimension joins AQE turns into broadcasts (the
+    * supplier side is hinted — at 100 TB supplier/customer stay
+    * dim-sized relative to the facts, and nation is 25 rows forever).
+    * Group-by output is bounded by |nations|² × years regardless of
+    * fact size.
+    */
+  private def qNationTradeVolume(s: SparkSession, dir: String): DataFrame = {
+    val nat = s.read.parquet(s"$dir/nation.parquet")
+    val supp = s.read.parquet(s"$dir/supplier.parquet")
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = customer(s, dir)
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    lineitem(s, dir)
+      .join(orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(18, 4))).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  /** Per-cluster quality report over the shared IVF codebook: member
+    * count, decimal-exact mean cosine-to-centroid, and the worst member
+    * — the "is this coarse quantizer any good" audit run after every
+    * codebook (re)train. Assignment is the same narrow-map kernel IVF
+    * serving uses; the centroid vectors come back via a broadcast join
+    * and the whole thing collapses into an O(|centroids|) aggregate.
+    */
+  private def qEmbClusterQuality(s: SparkSession, dir: String): DataFrame = {
+    val centDf = embCentroids(s, dir).select(col("vec_id").as("centroid_id"),
+      col("embedding").cast("array<double>").as("__cv"))
+    val cents = Similarity.collectCentroids(embCentroids(s, dir), "vec_id", "embedding")
+    Similarity.ivfAssign(embeddings(s, dir), cents, "embedding")
+      .join(broadcast(centDf), Seq("centroid_id"))
+      .withColumn("__score",
+        round(Similarity.cosine(col("embedding").cast("array<double>"), col("__cv")), 6))
+      .groupBy(col("centroid_id"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        round(sum(col("__score").cast(DecimalType(28, 10))).cast("double") /
+          count(lit(1)), 6).as("mean_score"),
+        min(col("__score")).as("min_score"))
+      .orderBy("centroid_id")
+  }
+
   /** Incremental materialized-aggregate maintenance: the per-priority
     * (count, sum(totalprice)) view refreshed from the change log ALONE —
     * O(changes) work + an O(groups) merge, never rescanning the base
@@ -1682,6 +1738,29 @@ object SparkEntry {
         docs.filter(inEval), minTokens = 5, n = 5, maxHitNgrams = 2L)
       .orderBy("doc_id")
   }
+
+  /** Curation-funnel observability twin of `corpus_curate`: same eval
+    * split, same stage parameters, but the output is the per-stage
+    * in/out/drop counts a pipeline dashboard charts run-over-run. One
+    * corpus scan + broadcast decon probe + a single global aggregate.
+    */
+  private def qCorpusCurationFunnel(s: SparkSession, dir: String): DataFrame = {
+    val docs = documents(s, dir)
+    val inEval =
+      PortableHash.hash32(concat(lit("evalset"), col("doc_id").cast("string"))) % 1000 < 100
+    Corpus.curationFunnel(docs.filter(!inEval), "doc_id", "text",
+        docs.filter(inEval), minTokens = 5, n = 5, maxHitNgrams = 2L)
+      .orderBy("stage_ord")
+  }
+
+  /** Memorization-risk audit: word 5-grams occurring in ≥2 distinct
+    * documents, ranked by total (non-distinct) occurrence count — the
+    * boilerplate/template detector that tells the dedup pipeline where
+    * to look. Heavy-hitters plan: explode → one map-side-combined hash
+    * aggregate → top-20.
+    */
+  private def qCorpusDupNgrams(s: SparkSession, dir: String): DataFrame =
+    Corpus.dupNgrams(documents(s, dir), "doc_id", "text", n = 5, minDocs = 2, k = 20)
 
   /** Asymmetric containment near-dup pairs (quoted/embedded documents)
     * under rare-gram blocking; df cap 20 bounds the per-gram fanout.
@@ -2204,6 +2283,10 @@ object SparkEntry {
     "orders_cube" -> (qOrdersCube _),
     "orders_grouping_sets" -> (qOrdersGroupingSets _),
     "corpus_curate" -> (qCorpusCurate _),
+    "corpus_curation_funnel" -> (qCorpusCurationFunnel _),
+    "corpus_dup_ngrams" -> (qCorpusDupNgrams _),
+    "nation_trade_volume" -> (qNationTradeVolume _),
+    "emb_cluster_quality" -> (qEmbClusterQuality _),
     "text_containment" -> (qTextContainment _),
     "events_top_paths" -> (qEventsTopPaths _),
     "emb_semantic_dedup" -> (qEmbSemanticDedup _),
@@ -3136,6 +3219,51 @@ object SparkEntry {
          |FROM kept LEFT JOIN hits ON kept.doc_id = hits.doc_id
          |WHERE COALESCE(hits.c, 0) <= 2
          |ORDER BY kept.doc_id""".stripMargin,
+
+    // per-stage funnel over the same pipeline corpus_curate runs: the
+    // conditional-count CTE mirrors Corpus.curationFunnel's one-pass
+    // aggregate (same eval split, same stage parameters)
+    "corpus_curation_funnel" ->
+      s"""WITH $TextTokensCte,
+         |b AS (SELECT t.doc_id, t.ltoks, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+         |        md5(regexp_replace(lower(trim(t.text)), '\\s+', ' ', 'g')) AS fp,
+         |        ${PortableHash.hash32Sql("concat('evalset', CAST(t.doc_id AS VARCHAR))")} % 1000 < 100 AS is_eval
+         |      FROM t),
+         |ev AS (SELECT DISTINCT unnest(${shingleExprSqlN(5)}) AS gram FROM b WHERE is_eval),
+         |trg AS (SELECT doc_id, unnest(${shingleExprSqlN(5)}) AS gram
+         |        FROM b WHERE NOT is_eval AND n_tokens >= 5),
+         |hits AS (SELECT trg.doc_id, COUNT(*) AS c FROM trg JOIN ev USING (gram)
+         |         GROUP BY trg.doc_id),
+         |f AS (SELECT b.doc_id, b.n_tokens, b.fp, COALESCE(h.c, 0) AS hits
+         |      FROM b LEFT JOIN hits h ON b.doc_id = h.doc_id WHERE NOT b.is_eval),
+         |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS raw,
+         |          CAST(COUNT(CASE WHEN n_tokens >= 5 THEN 1 END) AS BIGINT) AS a_len,
+         |          CAST(COUNT(CASE WHEN n_tokens >= 5 AND hits <= 2 THEN 1 END) AS BIGINT) AS a_dec,
+         |          CAST(COUNT(DISTINCT CASE WHEN n_tokens >= 5 AND hits <= 2 THEN fp END) AS BIGINT) AS a_dd
+         |        FROM f)
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS INT) AS stage_ord, 'raw' AS stage,
+         |         raw AS docs_in, raw AS docs_out, CAST(0 AS BIGINT) AS docs_dropped FROM agg
+         |  UNION ALL SELECT CAST(2 AS INT), 'min_tokens', raw, a_len, raw - a_len FROM agg
+         |  UNION ALL SELECT CAST(3 AS INT), 'decontaminate', a_len, a_dec, a_len - a_dec FROM agg
+         |  UNION ALL SELECT CAST(4 AS INT), 'exact_dedup', a_dec, a_dd, a_dec - a_dd FROM agg)
+         |ORDER BY stage_ord""".stripMargin,
+
+    // non-distinct 5-gram occurrences (memorization audit) — unlike the
+    // dedup shingle CTEs there is deliberately no list_distinct and no
+    // whole-text fallback for short docs
+    "corpus_dup_ngrams" ->
+      s"""WITH $TextTokensCte,
+         |g AS (SELECT doc_id, unnest(
+         |        CASE WHEN len(ltoks) < 5 THEN CAST([] AS VARCHAR[])
+         |             ELSE list_transform(range(1, len(ltoks)-3),
+         |                    i -> array_to_string(ltoks[i:i+4], ' ')) END) AS gram
+         |      FROM t),
+         |a AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+         |        CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |      FROM g GROUP BY gram)
+         |SELECT gram, n_occurrences, n_docs FROM a WHERE n_docs >= 2
+         |ORDER BY n_occurrences DESC, gram LIMIT 20""".stripMargin,
 
     "text_containment" ->
       s"""WITH $TextTokensCte,
@@ -4414,6 +4542,27 @@ object SparkEntry {
          |       WHERE rn = 1)
          |SELECT vec_id, cid AS centroid_id FROM a1 ORDER BY vec_id""".stripMargin,
 
+    // coarse-quantizer quality audit: same assignment CTEs as
+    // ann_ivf_assign, but keeping the member's (rounded) score and
+    // collapsing per cid — decimal-exact mean mirrors the engine's
+    // DECIMAL(28,10) sum
+    "emb_cluster_quality" ->
+      s"""WITH $EmbBase,
+         |rawc AS (
+         |  SELECT e.vec_id, c.cid,
+         |         ${dotSql("e.v", "c.cv")} AS dp,
+         |         sqrt(${dotSql("e.v", "e.v")}) AS na,
+         |         sqrt(${dotSql("c.cv", "c.cv")}) AS nb
+         |  FROM e, c),
+         |${cosScoreSql("rawc", "sc")},
+         |a1 AS (SELECT vec_id, cid, score FROM
+         |        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn FROM sc)
+         |       WHERE rn = 1)
+         |SELECT cid AS centroid_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+         |       round(CAST(SUM(CAST(score AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS mean_score,
+         |       min(score) AS min_score
+         |FROM a1 GROUP BY cid ORDER BY centroid_id""".stripMargin,
+
     "ann_ivf_topk" -> AnnIvfTopkSql,
 
     // composed IVF+PQ serving: coarse assignment + probe CTEs from
@@ -4889,6 +5038,20 @@ object SparkEntry {
         |  AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
         |  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
+
+    "nation_trade_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |       CAST(year(l.l_shipdate) AS INT) AS l_year,
+        |       CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |       CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |WHERE sn.n_name <> cn.n_name
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     // the shared pair CTEs + the keep-first anti-join (drop every id_b)
     "dedup_apply_minhash" ->
