@@ -1374,6 +1374,15 @@ object SparkEntry {
         Seq("signup", "view", "click", "purchase"))
       .orderBy("step_idx")
 
+  /** Transition-latency companion to `events_funnel`: count/mean/min/max
+    * seconds each converting cohort took between consecutive anchor
+    * events.
+    */
+  private def qEventsFunnelLatency(s: SparkSession, dir: String): DataFrame =
+    EventAnalytics.funnelLatency(events(s, dir), "user_id", "ts", "event_type",
+        Seq("signup", "view", "click", "purchase"))
+      .orderBy("step_idx")
+
   /** Weekly cohort retention ([[EventAnalytics.retention]]). */
   private def qEventsRetention(s: SparkSession, dir: String): DataFrame =
     EventAnalytics.retention(events(s, dir), "user_id", "ts")
@@ -1469,6 +1478,157 @@ object SparkEntry {
         count(lit(1)).as("n_items"))
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
+
+  /** Full-fidelity TPC-H Q1 pricing summary: all eight aggregates over
+    * the shipped-before-cutoff lineitems, grouped by return flag and
+    * line status. Sums are exact decimals; each average is ONE double
+    * division of an exact sum by the group count, rounded once — the
+    * only float operations in the query. Plan: one pushed-filter scan →
+    * one map-side-combined hash aggregate on a 6-value key space.
+    */
+  private def qLineitemQ1Full(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = java.sql.Timestamp.from(java.time.Instant.parse("2001-09-01T00:00:00Z"))
+    val qty = col("l_quantity").cast(DecimalType(18, 4))
+    val base = col("l_extendedprice").cast(DecimalType(18, 4))
+    // the two products are EXACT decimal arithmetic over the 2-dp
+    // inputs (price/discount/tax are all 2-dp values, so the input
+    // casts sit 1e-13 from the nearest tie — boundary-safe on both
+    // engines, and the multiplications then never round at all). The
+    // double-product-then-cast-to-DECIMAL form used by the revenue
+    // queries drifted on the THREE-factor charge: double→decimal cast
+    // ties resolve differently across engines often enough to show up
+    // (63 × 1e-4 over 55 k rows, caught by the oracle).
+    val disc = col("l_extendedprice").cast(DecimalType(12, 2)) *
+      (lit(1.0) - col("l_discount")).cast(DecimalType(4, 2))
+    val charge = disc * (lit(1.0) + col("l_tax")).cast(DecimalType(4, 2))
+    lineitem(s, dir).filter(col("l_shipdate") <= lit(cutoff))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(qty).cast("double").as("sum_qty"),
+        sum(base).cast("double").as("sum_base_price"),
+        sum(disc).cast("double").as("sum_disc_price"),
+        sum(charge).cast("double").as("sum_charge"),
+        round(sum(qty).cast("double") / count(lit(1)), 6).as("avg_qty"),
+        round(sum(base).cast("double") / count(lit(1)), 6).as("avg_price"),
+        round(sum(col("l_discount").cast(DecimalType(18, 6))).cast("double") /
+          count(lit(1)), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** TPC-H Q4-style priority check: per order priority, how many orders
+    * taken in the window have at least one lineitem shipped more than 90
+    * days after the order date (the late-fulfilment signal; the
+    * reference schema has no commit/receipt dates, so lateness is
+    * ship-vs-order lag). EXISTS = one LEFT SEMI join on the order key —
+    * each qualifying order counts once however many lineitems are late —
+    * then an O(|priorities|) aggregate.
+    */
+  private def qOrdersPriorityCount(s: SparkSession, dir: String): DataFrame = {
+    val d1 = java.sql.Timestamp.from(java.time.Instant.parse("1997-01-01T00:00:00Z"))
+    val d2 = java.sql.Timestamp.from(java.time.Instant.parse("1998-01-01T00:00:00Z"))
+    val o = orders(s, dir)
+      .filter(col("o_orderdate") >= lit(d1) && col("o_orderdate") < lit(d2))
+    val late = lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate"))
+    o.join(late,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "leftsemi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** TPC-H Q13-style customer distribution: how many customers placed
+    * exactly k orders, INCLUDING the zero-order customers a plain
+    * fact-side aggregate would silently drop (left outer join, count of
+    * the nullable order key). Two aggregates: per-customer count
+    * (shuffle on the customer key the join already partitioned by —
+    * AQE reuses it), then the tiny k-histogram.
+    */
+  private def qOrdersCustomerDistribution(s: SparkSession, dir: String): DataFrame =
+    customer(s, dir).select(col("c_custkey"))
+      .join(orders(s, dir).select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** Flesch reading-ease per document (syllables ≈ vowel-group runs):
+    * the classic readability quality signal beside lmScore/entropy. One
+    * narrow map — three regex passes in one codegen stage.
+    */
+  private def qTextReadability(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir).select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_words"),
+      TextAnalysis.sentenceCount(col("text")).cast("long").as("n_sentences"),
+      TextAnalysis.syllableCountProxy(col("text")).cast("long").as("n_syllables"),
+      TextAnalysis.fleschScore(col("text")).as("flesch"))
+      .orderBy("doc_id")
+
+  /** TPC-H Q3-style shipping priority: the 10 highest-revenue orders in
+    * the BUILDING segment taken before the cutoff with lineitems still
+    * shipping after it. Both date filters reach the parquet scans
+    * (pushed), the customer dimension join broadcasts under AQE, and the
+    * revenue top-10 is a `TakeOrderedAndProject` — only 10 rows per
+    * partition survive into the final ordering at any fact size.
+    */
+  private def qOrdersShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cutoff = java.sql.Timestamp.from(java.time.Instant.parse("1998-06-01T00:00:00Z"))
+    customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      .join(orders(s, dir).filter(col("o_orderdate") < lit(cutoff)),
+        col("c_custkey") === col("o_custkey"))
+      .join(lineitem(s, dir).filter(col("l_shipdate") > lit(cutoff)),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(DecimalType(18, 4))).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q14-style promotion share: per ship month, the fraction of
+    * revenue from PROMO-typed parts. One fact scan ⋈ broadcast part
+    * dimension; both revenue sums are exact decimals, the single share
+    * division happens once per month row in double.
+    */
+  private def qLineitemPromoShare(s: SparkSession, dir: String): DataFrame = {
+    val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      .cast(DecimalType(18, 4))
+    lineitem(s, dir)
+      .join(broadcast(s.read.parquet(s"$dir/part.parquet")
+        .select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast(DecimalType(18, 4))))
+          .cast("double").as("promo_revenue"),
+        sum(rev).cast("double").as("total_revenue"),
+        count(lit(1)).as("n_items"))
+      .withColumn("promo_share",
+        round(lit(100.0) * col("promo_revenue") / col("total_revenue"), 6))
+      .orderBy("month")
+  }
+
+  /** Normalization-gain dedup audit: per language, how many MORE
+    * duplicate documents the aggressive normalized fingerprint
+    * (lowercase, punctuation stripped, whitespace collapsed) finds over
+    * the raw whitespace-only fingerprint — the "should we run the
+    * second dedup pass" decision input. One scan, one aggregate; both
+    * keys are narrow md5s computed in the same codegen stage.
+    */
+  private def qCorpusNormDedup(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(TextAnalysis.fingerprint(col("text"))).as("n_raw_distinct"),
+        countDistinct(TextAnalysis.normFingerprint(col("text"))).as("n_norm_distinct"))
+      .withColumn("extra_dups", col("n_raw_distinct") - col("n_norm_distinct"))
+      .orderBy("lang")
 
   /** Per-cluster quality report over the shared IVF codebook: member
     * count, decimal-exact mean cosine-to-centroid, and the worst member
@@ -2285,7 +2445,15 @@ object SparkEntry {
     "corpus_curate" -> (qCorpusCurate _),
     "corpus_curation_funnel" -> (qCorpusCurationFunnel _),
     "corpus_dup_ngrams" -> (qCorpusDupNgrams _),
+    "corpus_norm_dedup" -> (qCorpusNormDedup _),
     "nation_trade_volume" -> (qNationTradeVolume _),
+    "orders_shipping_priority" -> (qOrdersShippingPriority _),
+    "lineitem_promo_share" -> (qLineitemPromoShare _),
+    "lineitem_q1_full" -> (qLineitemQ1Full _),
+    "orders_priority_count" -> (qOrdersPriorityCount _),
+    "orders_customer_distribution" -> (qOrdersCustomerDistribution _),
+    "text_readability" -> (qTextReadability _),
+    "events_funnel_latency" -> (qEventsFunnelLatency _),
     "emb_cluster_quality" -> (qEmbClusterQuality _),
     "text_containment" -> (qTextContainment _),
     "events_top_paths" -> (qEventsTopPaths _),
@@ -3264,6 +3432,36 @@ object SparkEntry {
          |      FROM g GROUP BY gram)
          |SELECT gram, n_occurrences, n_docs FROM a WHERE n_docs >= 2
          |ORDER BY n_occurrences DESC, gram LIMIT 20""".stripMargin,
+
+    // normalization-gain audit: raw fingerprint = whitespace-only
+    // normalization (TextAnalysis.fingerprint), normalized = punctuation
+    // stripped first (TextAnalysis.normFingerprint)
+    "corpus_norm_dedup" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS BIGINT) AS n_raw_distinct,
+        |       CAST(COUNT(DISTINCT md5(trim(regexp_replace(
+        |         regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')))) AS BIGINT) AS n_norm_distinct,
+        |       CAST(COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')))
+        |          - COUNT(DISTINCT md5(trim(regexp_replace(
+        |              regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')))) AS BIGINT) AS extra_dups
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // Flesch reading ease with the vowel-group syllable proxy; the
+    // arithmetic association order matches the engine expression exactly
+    "text_readability" ->
+      s"""WITH $TextTokensCte,
+         |m AS (SELECT doc_id,
+         |        CAST(len(toks) AS BIGINT) AS n_words,
+         |        CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+         |        CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+         |      FROM t)
+         |SELECT doc_id, n_words, n_sentences, n_syllables,
+         |  CASE WHEN n_words = 0 THEN NULL
+         |       ELSE round(206.835
+         |              - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+         |              - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 6)
+         |  END AS flesch
+         |FROM m ORDER BY doc_id""".stripMargin,
 
     "text_containment" ->
       s"""WITH $TextTokensCte,
@@ -4793,6 +4991,40 @@ object SparkEntry {
         |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
         |ORDER BY step_idx""".stripMargin,
 
+    // same sequential-min anchor CTEs as events_funnel, widened to the
+    // transition durations; micros sum exact, ONE double division +
+    // round per transition (mirrors EventAnalytics.funnelLatency)
+    "events_funnel_latency" ->
+      """WITH s0 AS (SELECT user_id AS u, min(ts) AS t FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |s1 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+        |       JOIN s0 ON e.user_id = s0.u AND e.ts > s0.t
+        |       WHERE e.event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+        |       JOIN s1 ON e.user_id = s1.u AND e.ts > s1.t
+        |       WHERE e.event_type = 'click' GROUP BY 1),
+        |s3 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+        |       JOIN s2 ON e.user_id = s2.u AND e.ts > s2.t
+        |       WHERE e.event_type = 'purchase' GROUP BY 1),
+        |d0 AS (SELECT epoch_us(s1.t) - epoch_us(s0.t) AS d FROM s1 JOIN s0 ON s1.u = s0.u),
+        |d1 AS (SELECT epoch_us(s2.t) - epoch_us(s1.t) AS d FROM s2 JOIN s1 ON s2.u = s1.u),
+        |d2 AS (SELECT epoch_us(s3.t) - epoch_us(s2.t) AS d FROM s3 JOIN s2 ON s3.u = s2.u)
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS INT) AS step_idx, 'signup→view' AS transition,
+        |         CAST(COUNT(*) AS BIGINT) AS n_users,
+        |         round(CAST(SUM(d) AS DOUBLE) / (COUNT(*) * 1000000.0), 6) AS mean_s,
+        |         round(CAST(MIN(d) AS DOUBLE) / 1000000.0, 6) AS min_s,
+        |         round(CAST(MAX(d) AS DOUBLE) / 1000000.0, 6) AS max_s FROM d0
+        |  UNION ALL SELECT CAST(1 AS INT), 'view→click', CAST(COUNT(*) AS BIGINT),
+        |         round(CAST(SUM(d) AS DOUBLE) / (COUNT(*) * 1000000.0), 6),
+        |         round(CAST(MIN(d) AS DOUBLE) / 1000000.0, 6),
+        |         round(CAST(MAX(d) AS DOUBLE) / 1000000.0, 6) FROM d1
+        |  UNION ALL SELECT CAST(2 AS INT), 'click→purchase', CAST(COUNT(*) AS BIGINT),
+        |         round(CAST(SUM(d) AS DOUBLE) / (COUNT(*) * 1000000.0), 6),
+        |         round(CAST(MIN(d) AS DOUBLE) / 1000000.0, 6),
+        |         round(CAST(MAX(d) AS DOUBLE) / 1000000.0, 6) FROM d2)
+        |ORDER BY step_idx""".stripMargin,
+
     // integer epoch-week cohorts — `//` is DuckDB's integral division,
     // mirroring the engine's `div` (no calendar week-start ambiguity)
     "events_retention" ->
@@ -5052,6 +5284,74 @@ object SparkEntry {
         |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
         |WHERE sn.n_name <> cn.n_name
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "orders_shipping_priority" ->
+      """SELECT o.o_orderkey, o.o_orderdate,
+        |       CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        |  AND l.l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        |GROUP BY 1, 2 ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    // promo share: both revenue sums exact decimals; the share is the
+    // single double division + round, identical on both engines
+    "lineitem_promo_share" ->
+      """SELECT strftime(l.l_shipdate, '%Y-%m') AS month,
+        |       CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+        |                THEN CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,4))
+        |                ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue,
+        |       CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue,
+        |       CAST(COUNT(*) AS BIGINT) AS n_items,
+        |       round(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+        |                THEN CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,4))
+        |                ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+        |             / CAST(SUM(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE), 6) AS promo_share
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // full Q1: exact decimal sums; each avg is ONE double division of an
+    // exact sum, rounded once (mirrors the engine aggregate exactly)
+    "lineitem_q1_full" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |           * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |           * CAST(1.0 - l_discount AS DECIMAL(4,2))
+        |           * CAST(1.0 + l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
+        |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+        |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+        |  round(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+        |  CAST(COUNT(*) AS BIGINT) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Q4-style EXISTS: semi-join semantics — an order counts once no
+    // matter how many of its lineitems shipped >90 days late
+    "orders_priority_count" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Q13-style: zero-order customers kept by the left join (count of
+    // the nullable key), then the k-histogram
+    "orders_customer_distribution" ->
+      """WITH pc AS (
+        |  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |  GROUP BY 1)
+        |SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        |FROM pc GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
 
     // the shared pair CTEs + the keep-first anti-join (drop every id_b)
     "dedup_apply_minhash" ->

@@ -367,6 +367,65 @@ object EventAnalytics {
     }.reduce(_.unionByName(_))
   }
 
+  /** Per-transition latency of the [[funnel]]: for each consecutive step
+    * pair, how long the users who advanced took — count, mean, min, max
+    * seconds between the two anchor timestamps. The anchors are exactly
+    * [[funnel]]'s (earliest step-i event, then earliest LATER step-i+1
+    * event), so `n_users` of transition i equals `funnel`'s count at
+    * step i+1 — the same report, widened from "how many converted" to
+    * "how fast".
+    *
+    * Plan shape: the per-step (user, anchor-ts) frames are the funnel's
+    * shrinking per-user aggregates; each transition is ONE equi-join of
+    * frame i with frame i+1 on the user key (frame i+1's users are a
+    * subset, so the join is |frame i+1|-sized) and an O(1)-row stats
+    * aggregate. Durations aggregate as exact integer micros (the long
+    * sum is exact; the single double division + 6-dp round happens once,
+    * per transition, on both engines identically).
+    *
+    * Output: (step_idx INT — 0-based transition index, transition
+    * "a→b", n_users, mean_s, min_s, max_s), one row per transition.
+    */
+  def funnelLatency(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.length >= 2, "funnelLatency needs at least two steps")
+    val reached = steps.scanLeft(Option.empty[DataFrame]) {
+      case (prev, step) =>
+        val f = events.filter(col(typeCol) === step)
+          .select(col(userCol).as("__u2"), col(tsCol).as("__ts"))
+        Some(prev match {
+          case None =>
+            f.groupBy(col("__u2").as("__u")).agg(min(col("__ts")).as("__t"))
+          case Some(p) =>
+            f.join(p, f("__u2") === p("__u") && f("__ts") > p("__t"))
+              .groupBy(f("__u2").as("__u")).agg(min(col("__ts")).as("__t"))
+        })
+    }.flatten
+    reached.sliding(2).toSeq.zipWithIndex.map { case (Seq(a, b0), i) =>
+      val b = b0.select(col("__u").as("__bu"), col("__t").as("__bt"))
+      val durUs = unix_micros(col("__bt")) - unix_micros(col("__t"))
+      a.join(b, col("__u") === col("__bu"))
+        .select(durUs.as("__d"))
+        .agg(
+          count(lit(1)).as("n_users"),
+          sum(col("__d")).as("__sum"),
+          min(col("__d")).as("__min"),
+          max(col("__d")).as("__max"))
+        .select(
+          lit(i).as("step_idx"),
+          lit(s"${steps(i)}→${steps(i + 1)}").as("transition"),
+          col("n_users"),
+          round(col("__sum").cast("double") / (col("n_users") * lit(1000000.0)), 6)
+            .as("mean_s"),
+          round(col("__min").cast("double") / 1000000.0, 6).as("min_s"),
+          round(col("__max").cast("double") / 1000000.0, 6).as("max_s"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Weekly cohort retention: users are cohorted by the epoch-week of
     * their first event; for each (cohort, week-offset) cell, the number
     * of cohort members active that week and the retained fraction.

@@ -111,6 +111,51 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** Aggressive text normalization for near-exact dedup: lowercase,
+    * punctuation/symbols → space, whitespace collapsed, trimmed.
+    * "Hello,  World!" and "hello world" normalize identically — the
+    * canonical form that catches the formatting-only duplicates
+    * [[fingerprint]]'s whitespace-only normalization misses. A pure
+    * narrow map (two regexes inside codegen).
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
+  /** Exact-dedup key over [[normalizeText]] — the second, stronger key
+    * of a two-pass exact dedup (raw fingerprint first, normalized
+    * second).
+    */
+  def normFingerprint(text: Column): Column = md5(normalizeText(text))
+
+  /** Sentence count: runs of terminal punctuation, floored at 1 so the
+    * readability ratio is total for fragment-only docs.
+    */
+  def sentenceCount(text: Column): Column =
+    greatest(size(regexp_extract_all(text, lit("[.!?]+"), lit(0))), lit(1))
+
+  /** Syllable-count proxy: vowel-group runs across the lowercased text —
+    * the standard cheap stand-in when no pronunciation dictionary is
+    * available ("readability" ≈ 1 syllable per [aeiouy]+ run).
+    */
+  def syllableCountProxy(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[aeiouy]+"), lit(0)))
+
+  /** Flesch reading-ease score over the whitespace token count,
+    * [[sentenceCount]], and [[syllableCountProxy]]:
+    * `206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)`,
+    * rounded to 6 dp. NULL for empty docs (words = 0 — undefined, not
+    * 0). Pure narrow map: three regex passes inside one codegen stage,
+    * double arithmetic in a fixed association order both engines share.
+    */
+  def fleschScore(text: Column): Column = {
+    val w = tokenCount(text).cast("double")
+    val s = sentenceCount(text).cast("double")
+    val sy = syllableCountProxy(text).cast("double")
+    when(w === 0, lit(null).cast("double"))
+      .otherwise(round(lit(206.835) - lit(1.015) * (w / s) - lit(84.6) * (sy / w), 6))
+  }
+
   /** 64-bit rolling hash over tokens: a left-fold xxhash64 chain
     * (`h_i = xxhash64(h_{i-1}, token_i)`) — order-sensitive, unlike
     * [[fingerprint]]'s content hash; the building block for

@@ -62,6 +62,95 @@ class RoundSevenOpsSpec extends SparkSpecBase {
     assert(out(3)._4 === kept)
   }
 
+  test("funnelLatency measures the anchor-to-anchor durations of funnel's cohort") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // user 1 converts a→b in 10 s and b→c in 20 s; user 2 reaches b only
+    // (120 s); user 3 never starts. b-before-a events must not anchor.
+    val ev = Seq(
+      (1L, ts(0), "a"), (1L, ts(10), "b"), (1L, ts(30), "c"),
+      (2L, ts(100), "b"), (2L, ts(200), "a"), (2L, ts(320), "b"),
+      (3L, ts(50), "c")
+    ).toDF("user_id", "ts", "event_type")
+    val out = graft.ext.EventAnalytics.funnelLatency(ev, "user_id", "ts", "event_type",
+        Seq("a", "b", "c"))
+      .orderBy("step_idx").collect()
+    assert(out.map(_.getString(1)).toSeq === Seq("a→b", "b→c"))
+    // a→b: user1 10 s, user2 120 s → n=2, mean 65, min 10, max 120
+    assert(out(0).getLong(2) === 2L)
+    assert(out(0).getDouble(3) === 65.0)
+    assert(out(0).getDouble(4) === 10.0)
+    assert(out(0).getDouble(5) === 120.0)
+    // b→c: only user1, 20 s
+    assert(out(1).getLong(2) === 1L)
+    assert(out(1).getDouble(3) === 20.0)
+  }
+
+  test("funnelLatency n_users matches funnel's downstream step counts") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val ev = Seq(
+      (1L, ts(0), "a"), (1L, ts(1), "b"),
+      (2L, ts(0), "a"), (2L, ts(5), "b"),
+      (4L, ts(0), "a")
+    ).toDF("user_id", "ts", "event_type")
+    val lat = graft.ext.EventAnalytics.funnelLatency(ev, "user_id", "ts", "event_type",
+      Seq("a", "b")).collect()
+    val fun = graft.ext.EventAnalytics.funnel(ev, "user_id", "ts", "event_type",
+      Seq("a", "b")).orderBy("step_idx").collect()
+    assert(lat(0).getLong(2) === fun(1).getLong(2))
+  }
+
+  test("normalizeText canonicalizes punctuation/case/whitespace; fingerprints diverge accordingly") {
+    import graft.ext.TextAnalysis
+    val df = Seq(
+      (1L, "Hello,  World!"),
+      (2L, "hello world"),
+      (3L, "HELLO -- world"),
+      (4L, "hello  worlds")
+    ).toDF("doc_id", "text")
+    val rows = df.select(col("doc_id"), TextAnalysis.normalizeText(col("text")).as("n"),
+        TextAnalysis.normFingerprint(col("text")).as("nfp"),
+        TextAnalysis.fingerprint(col("text")).as("rfp"))
+      .orderBy("doc_id").collect()
+    assert(rows.map(_.getString(1)).toSeq ===
+      Seq("hello world", "hello world", "hello world", "hello worlds"))
+    // normalized fingerprints: docs 1-3 collapse, raw fingerprints don't
+    assert(rows.map(_.getString(2)).distinct.length === 2)
+    assert(rows.map(_.getString(3)).distinct.length === 4)
+  }
+
+  test("fleschScore: hand-computed value, sentence floor, empty-doc NULL") {
+    import graft.ext.TextAnalysis
+    val df = Seq(
+      (1L, "The cat sat. The dog ran!"),   // 6 words, 2 sentences, 6 vowel runs
+      (2L, "no terminal punctuation here"), // sentence floor = 1
+      (3L, "")                              // empty → NULL flesch
+    ).toDF("doc_id", "text")
+    val rows = df.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("w"),
+        TextAnalysis.sentenceCount(col("text")).as("s"),
+        TextAnalysis.syllableCountProxy(col("text")).as("sy"),
+        TextAnalysis.fleschScore(col("text")).as("f"))
+      .orderBy("doc_id").collect()
+    assert(rows(0).getInt(1) === 6 && rows(0).getInt(2) === 2 && rows(0).getInt(3) === 6)
+    // 206.835 - 1.015*(6/2) - 84.6*(6/6) = 206.835 - 3.045 - 84.6
+    assert(rows(0).getDouble(4) === 119.19)
+    assert(rows(1).getInt(2) === 1)
+    assert(rows(2).isNullAt(4))
+  }
+
+  test("customer distribution keeps zero-order customers") {
+    val s2 = s
+    val out = SparkEntry.queries("orders_customer_distribution")(s2, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val nCust = s2.read.parquet("/root/testdata/sf0.001/customer.parquet").count()
+    assert(out.values.sum === nCust)          // every customer lands in a bucket
+    val withOrders = s2.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select("o_custkey").distinct().count()
+    assert(out.getOrElse(0L, 0L) === nCust - withOrders) // zero bucket exact
+  }
+
   test("curationFunnel on an empty corpus yields an all-zero funnel") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val eval = Seq((1L, "whatever eval doc")).toDF("doc_id", "text")
