@@ -1479,6 +1479,67 @@ object SparkEntry {
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
+  /** TPC-H Q18-style large-volume orders: orders whose total lineitem
+    * quantity reaches the threshold, with the customer name, top-20 by
+    * order value. The per-order quantity aggregate runs BEFORE any join
+    * (map-side combined, shuffled once on the order key); only the few
+    * surviving big orders join back to orders/customer, so the joins are
+    * filter-sized, and the top-20 is a TakeOrderedAndProject.
+    */
+  private def qOrdersLargeOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("total_qty"))
+      .filter(col("total_qty") >= 200)
+    orders(s, dir).join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(customer(s, dir).select(col("c_custkey"), col("c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"), col("total_qty").cast("double").as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q15-style top supplier: the supplier(s) with the maximum
+    * revenue over a 3-month ship window — the revenue view aggregates
+    * once (exact decimals, so the max-equality join is exact, no float
+    * epsilon), the 1-row max broadcasts back onto the O(|suppliers|)
+    * view, and ties surface as multiple rows instead of an arbitrary
+    * winner.
+    */
+  private def qSupplierTopRevenue(s: SparkSession, dir: String): DataFrame = {
+    val d1 = java.sql.Timestamp.from(java.time.Instant.parse("1997-01-01T00:00:00Z"))
+    val d2 = java.sql.Timestamp.from(java.time.Instant.parse("1997-04-01T00:00:00Z"))
+    val rev = lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit(d1) && col("l_shipdate") < lit(d2))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
+        (lit(1.0) - col("l_discount")).cast(DecimalType(4, 2))).as("__tr"))
+    val maxRev = rev.agg(max(col("__tr")).as("__mr"))
+    s.read.parquet(s"$dir/supplier.parquet")
+      .join(rev, col("s_suppkey") === col("l_suppkey"))
+      .join(broadcast(maxRev), col("__tr") === col("__mr"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("__tr").cast("double").as("total_rev"))
+      .orderBy("s_suppkey")
+  }
+
+  /** Embedding-hygiene sweep over the shared IVF codebook: members more
+    * than 1.5σ below their own cluster's mean cosine-to-centroid.
+    * 1.5 is a TEST-DATA parameter (the semdedup-0.42 argument): the
+    * synthetic embeddings carry no planted garbage, so the production
+    * 2–3σ flags nothing at any sf and the boundary would go
+    * unexercised — 1.5σ flags 1/3 vectors at sf0.01/sf0.1.
+    */
+  private def qEmbOutliers(s: SparkSession, dir: String): DataFrame =
+    Similarity.clusterOutliers(embeddings(s, dir), "vec_id", "embedding",
+        embCentroids(s, dir), "vec_id", "embedding", sigmas = 1.5)
+      .orderBy("vec_id")
+
+  /** Per-source token-length distribution on exact power-of-two buckets. */
+  private def qCorpusLengthCurves(s: SparkSession, dir: String): DataFrame =
+    Corpus.lengthCurves(documents(s, dir), "text", "source")
+
   /** Full-fidelity TPC-H Q1 pricing summary: all eight aggregates over
     * the shipped-before-cutoff lineitems, grouped by return flag and
     * line status. Sums are exact decimals; each average is ONE double
@@ -2452,6 +2513,10 @@ object SparkEntry {
     "lineitem_q1_full" -> (qLineitemQ1Full _),
     "orders_priority_count" -> (qOrdersPriorityCount _),
     "orders_customer_distribution" -> (qOrdersCustomerDistribution _),
+    "orders_large_orders" -> (qOrdersLargeOrders _),
+    "supplier_top_revenue" -> (qSupplierTopRevenue _),
+    "emb_outliers" -> (qEmbOutliers _),
+    "corpus_length_curves" -> (qCorpusLengthCurves _),
     "text_readability" -> (qTextReadability _),
     "events_funnel_latency" -> (qEventsFunnelLatency _),
     "emb_cluster_quality" -> (qEmbClusterQuality _),
@@ -3445,6 +3510,19 @@ object SparkEntry {
         |          - COUNT(DISTINCT md5(trim(regexp_replace(
         |              regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')))) AS BIGINT) AS extra_dups
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // exact integer bit-length buckets (length(bin(n))-1) — no floating
+    // log2 to disagree at exact powers of two
+    "corpus_length_curves" ->
+      s"""WITH $TextTokensCte,
+         |b AS (SELECT d.source, CAST(len(t.toks) AS BIGINT) AS nt
+         |      FROM t JOIN documents d ON t.doc_id = d.doc_id)
+         |SELECT source, CAST(length(bin(GREATEST(nt, 1))) - 1 AS INT) AS bucket,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(nt) AS BIGINT) AS sum_tokens,
+         |       CAST(MIN(nt) AS BIGINT) AS min_tokens,
+         |       CAST(MAX(nt) AS BIGINT) AS max_tokens
+         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Flesch reading ease with the vowel-group syllable proxy; the
     // arithmetic association order matches the engine expression exactly
@@ -4740,6 +4818,34 @@ object SparkEntry {
          |       WHERE rn = 1)
          |SELECT vec_id, cid AS centroid_id FROM a1 ORDER BY vec_id""".stripMargin,
 
+    // embedding-hygiene outliers: assignment-with-score CTEs + the
+    // decimal-exact per-cluster moments (dimStats recipe), strict-<
+    // against the 6-dp-rounded 2σ threshold
+    "emb_outliers" ->
+      s"""WITH $EmbBase,
+         |rawc AS (
+         |  SELECT e.vec_id, c.cid,
+         |         ${dotSql("e.v", "c.cv")} AS dp,
+         |         sqrt(${dotSql("e.v", "e.v")}) AS na,
+         |         sqrt(${dotSql("c.cv", "c.cv")}) AS nb
+         |  FROM e, c),
+         |${cosScoreSql("rawc", "sc")},
+         |a1 AS (SELECT vec_id, cid, score FROM
+         |        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn FROM sc)
+         |       WHERE rn = 1),
+         |st AS (SELECT cid,
+         |         round(CAST(SUM(CAST(score AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS c_mean,
+         |         round(sqrt(GREATEST(
+         |           CAST(SUM(CAST(score * score AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*)
+         |           - (CAST(SUM(CAST(score AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*))
+         |             * (CAST(SUM(CAST(score AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*)),
+         |           0.0)), 6) AS c_std
+         |       FROM a1 GROUP BY cid)
+         |SELECT a1.vec_id, a1.cid AS centroid_id, a1.score, st.c_mean, st.c_std
+         |FROM a1 JOIN st ON a1.cid = st.cid
+         |WHERE a1.score < round(st.c_mean - 1.5 * st.c_std, 6)
+         |ORDER BY a1.vec_id""".stripMargin,
+
     // coarse-quantizer quality audit: same assignment CTEs as
     // ann_ivf_assign, but keeping the member's (rounded) score and
     // collapsing per cid — decimal-exact mean mirrors the engine's
@@ -5352,6 +5458,33 @@ object SparkEntry {
         |  GROUP BY 1)
         |SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
         |FROM pc GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    // Q18-style: quantity rollup first (exact decimal), joins only on
+    // the surviving big orders, value top-20 with orderkey tiebreak
+    "orders_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS tq
+        |  FROM lineitem GROUP BY 1 HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) >= 200)
+        |SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+        |       CAST(big.tq AS DOUBLE) AS total_qty
+        |FROM big JOIN orders o ON o.o_orderkey = big.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 20""".stripMargin,
+
+    // Q15-style: exact-decimal revenue view, max-equality join (ties
+    // surface as multiple rows)
+    "supplier_top_revenue" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey, SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |                        * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS tr
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY 1)
+        |SELECT s.s_suppkey, s.s_name, CAST(rev.tr AS DOUBLE) AS total_rev
+        |FROM supplier s JOIN rev ON s.s_suppkey = rev.l_suppkey
+        |WHERE rev.tr = (SELECT MAX(tr) FROM rev)
+        |ORDER BY s.s_suppkey""".stripMargin,
 
     // the shared pair CTEs + the keep-first anti-join (drop every id_b)
     "dedup_apply_minhash" ->

@@ -747,6 +747,37 @@ object Corpus {
       .limit(k)
   }
 
+  /** Per-source document-length distribution on power-of-two buckets —
+    * the pretraining length audit (context-window planning, packing
+    * efficiency, truncation exposure) charted per corpus source. The
+    * bucket index is `⌊log₂(max(tokens, 1))⌋` computed EXACTLY as
+    * `length(bin(n)) − 1` — integer bit-length, no floating log to
+    * disagree at exact powers of two across engines; 0-token docs land
+    * in bucket 0 with the 1-token docs.
+    *
+    * One narrow scan (token count only) → one map-side-combined hash
+    * aggregate on (source, bucket) — output bounded by
+    * |sources| × ~40 buckets at any corpus size.
+    *
+    * Output: (source, bucket INT, n_docs, sum_tokens, min_tokens,
+    * max_tokens).
+    */
+  def lengthCurves(
+      df: DataFrame,
+      textCol: String,
+      sourceCol: String): DataFrame =
+    df.select(col(sourceCol).as("source"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("__nt"))
+      .withColumn("bucket",
+        (length(bin(greatest(col("__nt"), lit(1L)))) - 1).cast("int"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__nt")).as("sum_tokens"),
+        min(col("__nt")).as("min_tokens"),
+        max(col("__nt")).as("max_tokens"))
+      .orderBy("source", "bucket")
+
   /** Curation-funnel report — per-stage observability for the [[curate]]
     * pipeline: how many documents enter and survive each stage
     * (minimum-token quality gate → decontamination → exact dedup), as a

@@ -932,6 +932,57 @@ object Similarity {
     TopK.perGroup(scored, Seq("src_id"), col("score"), col("neighbor_id"), k)
   }
 
+  /** Per-cluster cosine-to-centroid outliers: members whose similarity
+    * to their own coarse centroid falls more than `sigmas` standard
+    * deviations below the cluster mean — the embedding-hygiene sweep
+    * that surfaces garbage/poisoned/mis-encoded vectors AFTER
+    * quantization has hidden them inside a list. Same narrow-map
+    * assignment as serving; the mean/std come from one O(|centroids|)
+    * aggregate (decimal-exact moments, the [[dimStats]] recipe)
+    * broadcast back onto the member stream — two corpus-sized narrow
+    * passes, zero corpus-sized shuffles. Single-member clusters have
+    * std 0 and can never flag their one member (strict `<`).
+    *
+    * Output: (idCol, centroid_id, score, c_mean, c_std), outliers only.
+    */
+  def clusterOutliers(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      centroidId: String,
+      centroidVec: String,
+      sigmas: Double = 2.0): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cents = collectCentroids(centroids, centroidId, centroidVec)
+    val centDf = centroids.select(col(centroidId).cast("long").as("centroid_id"),
+      col(centroidVec).cast("array<double>").as("__cv"))
+    val scored = corpus
+      .withColumn("centroid_id", nearestCentroid(col(vecCol), cents))
+      .join(broadcast(centDf), Seq("centroid_id"))
+      .select(col(idCol), col("centroid_id"),
+        round(cosine(col(vecCol).cast("array<double>"), col("__cv")), 6).as("score"))
+    // per-cluster moments via the dimStats recipe: DECIMAL(28,10) sums →
+    // association-order-exact mean/std, rounded once; O(|centroids|)
+    // stats frame broadcast back onto the member stream
+    val stats = scored.groupBy(col("centroid_id"))
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(col("score").cast(DecimalType(28, 10))).as("__s1"),
+        sum((col("score") * col("score")).cast(DecimalType(28, 10))).as("__s2"))
+      .select(
+        col("centroid_id"),
+        round(col("__s1").cast("double") / col("__n"), 6).as("c_mean"),
+        round(sqrt(greatest(
+          col("__s2").cast("double") / col("__n") -
+            (col("__s1").cast("double") / col("__n")) *
+            (col("__s1").cast("double") / col("__n")),
+          lit(0.0))), 6).as("c_std"))
+    scored.join(broadcast(stats), Seq("centroid_id"))
+      .filter(col("score") < round(col("c_mean") - lit(sigmas) * col("c_std"), 6))
+      .select(col(idCol), col("centroid_id"), col("score"), col("c_mean"), col("c_std"))
+  }
+
   /** Per-dimension embedding health report: count / mean / std / min /
     * max for every coordinate across the corpus — the anisotropy &
     * collapse audit run before trusting cosine geometry (a dimension

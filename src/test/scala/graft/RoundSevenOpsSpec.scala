@@ -151,6 +151,46 @@ class RoundSevenOpsSpec extends SparkSpecBase {
     assert(out.getOrElse(0L, 0L) === nCust - withOrders) // zero bucket exact
   }
 
+  test("clusterOutliers flags the planted garbage vector, strict-< spares clean clusters") {
+    import graft.ext.Similarity
+    // cluster at centroid (1,0): three aligned members + one near-orthogonal
+    // garbage vector; cluster at (0,1): two aligned members only
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.99, 0.1)), (3L, Seq(0.98, -0.1)),
+      (4L, Seq(0.1, 0.99)),   // assigned to (0,1)
+      (5L, Seq(0.2, 0.97)),
+      (6L, Seq(0.6, 0.55))    // garbage-ish: nearest (1,0) but far off
+    ).toDF("vec_id", "embedding")
+    val cents = Seq((100L, Seq(1.0, 0.0)), (200L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.clusterOutliers(vecs, "vec_id", "embedding",
+        cents, "vec_id", "embedding", sigmas = 1.0)
+      .collect().map(_.getLong(0)).toSet
+    assert(out === Set(6L))
+    // single/tight clusters never self-flag at any sigma (strict <)
+    val clean = Similarity.clusterOutliers(
+      Seq((1L, Seq(1.0, 0.0))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", cents, "vec_id", "embedding", sigmas = 0.0)
+    assert(clean.count() === 0)
+  }
+
+  test("lengthCurves buckets are exact powers of two, short/empty docs in bucket 0") {
+    val df = Seq(
+      (1L, "a", "s1"),                        // 1 token  → bucket 0
+      (2L, "", "s1"),                         // 0 tokens → bucket 0
+      (3L, "a b c", "s1"),                    // 3 tokens → bucket 1
+      (4L, "a b c d", "s1"),                  // 4 tokens → bucket 2
+      (5L, (1 to 17).map(_ => "w").mkString(" "), "s2") // 17 → bucket 4
+    ).toDF("doc_id", "text", "source")
+    val out = graft.ext.Corpus.lengthCurves(df, "text", "source")
+      .collect().map(r => ((r.getString(0), r.getInt(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(out(("s1", 0)) === ((2L, 1L)))   // docs 1+2, tokens 1+0
+    assert(out(("s1", 1)) === ((1L, 3L)))
+    assert(out(("s1", 2)) === ((1L, 4L)))
+    assert(out(("s2", 4)) === ((1L, 17L)))
+    assert(out.size === 4)
+  }
+
   test("curationFunnel on an empty corpus yields an all-zero funnel") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val eval = Seq((1L, "whatever eval doc")).toDF("doc_id", "text")
