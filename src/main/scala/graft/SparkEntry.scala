@@ -1540,6 +1540,36 @@ object SparkEntry {
   private def qCorpusLengthCurves(s: SparkSession, dir: String): DataFrame =
     Corpus.lengthCurves(documents(s, dir), "text", "source")
 
+  /** Vocabulary coverage at rank cutoffs 10/100/1000/10000 — the
+    * tokenizer-design curve; only the bounded top-k frame ever sorts.
+    */
+  private def qTextVocabCoverage(s: SparkSession, dir: String): DataFrame =
+    Corpus.vocabCoverage(documents(s, dir), "text", Seq(10, 100, 1000, 10000))
+      .orderBy("rank_cutoff")
+
+  /** Temperature-0.5 source mixing weights (`q ∝ √p`): the multilingual
+    * upweight-the-tail sampling recipe as a reproducible report.
+    */
+  private def qCorpusMixTemperature(s: SparkSession, dir: String): DataFrame =
+    Corpus.temperatureWeights(documents(s, dir), "source", alpha = 0.5)
+
+  /** Upper-triangle coordinate covariance of the embeddings table —
+    * decimal-exact moments, O(dim²) output at any corpus size.
+    */
+  private def qEmbCovariance(s: SparkSession, dir: String): DataFrame =
+    Similarity.covariance(embeddings(s, dir), "embedding", dim = 64)
+      .orderBy("dim_i", "dim_j")
+
+  /** Leading principal component (3 power-iteration rounds over the
+    * covariance): the dominant direction the whitening/PCA decisions
+    * key off. Deterministic decimal trajectory — the oracle replays it.
+    */
+  private def qEmbTopComponent(s: SparkSession, dir: String): DataFrame =
+    Similarity.topComponent(
+        Similarity.covariance(embeddings(s, dir), "embedding", dim = 64),
+        dim = 64, rounds = 3)
+      .orderBy("dim_i")
+
   /** Full-fidelity TPC-H Q1 pricing summary: all eight aggregates over
     * the shipped-before-cutoff lineitems, grouped by return flag and
     * line status. Sums are exact decimals; each average is ONE double
@@ -2517,6 +2547,10 @@ object SparkEntry {
     "supplier_top_revenue" -> (qSupplierTopRevenue _),
     "emb_outliers" -> (qEmbOutliers _),
     "corpus_length_curves" -> (qCorpusLengthCurves _),
+    "text_vocab_coverage" -> (qTextVocabCoverage _),
+    "corpus_mix_temperature" -> (qCorpusMixTemperature _),
+    "emb_covariance" -> (qEmbCovariance _),
+    "emb_top_component" -> (qEmbTopComponent _),
     "text_readability" -> (qTextReadability _),
     "events_funnel_latency" -> (qEventsFunnelLatency _),
     "emb_cluster_quality" -> (qEmbClusterQuality _),
@@ -2660,6 +2694,41 @@ object SparkEntry {
     s"list_sum(list_transform(range(1, len($a)+1), i -> $a[i]*$b[i]))"
 
   /** Shared scored-cosine CTE body: query set x corpus with dp/na/nb. */
+  /** Shared covariance CTEs (through `cov(di, dj, c)`, upper triangle)
+    * mirroring [[Similarity.covariance]]: DECIMAL(28,10) moment sums,
+    * one 6-dp round per cell.
+    */
+  private val EmbCovCtes: String =
+    """g AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      |      WHERE len(embedding) = 64
+      |        AND len(list_filter(CAST(embedding AS DOUBLE[]), x -> x IS NULL)) = 0),
+      |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM g),
+      |ij AS (SELECT i.i AS di, j.j AS dj
+      |       FROM (SELECT unnest(range(0, 64)) AS i) i,
+      |            (SELECT unnest(range(0, 64)) AS j) j
+      |       WHERE j.j >= i.i),
+      |s2 AS (SELECT ij.di, ij.dj,
+      |         SUM(CAST(g.v[CAST(ij.di+1 AS INT)] * g.v[CAST(ij.dj+1 AS INT)] AS DECIMAL(28,10))) AS s2
+      |       FROM g, ij GROUP BY 1, 2),
+      |s1 AS (SELECT k.k AS i, SUM(CAST(g.v[CAST(k.k+1 AS INT)] AS DECIMAL(28,10))) AS s1
+      |       FROM g, (SELECT unnest(range(0, 64)) AS k) k GROUP BY 1),
+      |cov AS (SELECT s2.di, s2.dj,
+      |          round(CAST(s2.s2 AS DOUBLE)/nn.n
+      |                - (CAST(mi.s1 AS DOUBLE)/nn.n) * (CAST(mj.s1 AS DOUBLE)/nn.n), 6) AS c
+      |        FROM s2 JOIN s1 mi ON s2.di = mi.i JOIN s1 mj ON s2.dj = mj.i, nn)""".stripMargin
+
+  /** One power-iteration round as CTEs ([[Similarity.topComponent]]'s
+    * exact-decimal trajectory): matvec over `cfull` with DECIMAL(18,6)
+    * products (order-free sums), exact scale-12 norm squares, one double
+    * divide + 6-dp round per entry.
+    */
+  private def powerIterSql(k: Int, zin: String): String =
+    s"""r$k AS (SELECT c.i, SUM(CAST(c.c AS DECIMAL(18,6)) * CAST($zin.z AS DECIMAL(18,6))) AS raw
+       |       FROM cfull c JOIN $zin ON c.j = $zin.i GROUP BY 1),
+       |nrm$k AS (SELECT sqrt(CAST(SUM(CAST(raw AS DECIMAL(18,12)) * CAST(raw AS DECIMAL(18,12))) AS DOUBLE)) AS nn
+       |          FROM r$k),
+       |z$k AS (SELECT i, round(CAST(raw AS DOUBLE) / nrm$k.nn, 6) AS z FROM r$k, nrm$k)""".stripMargin
+
   private val EmbBase: String =
     """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
@@ -3510,6 +3579,40 @@ object SparkEntry {
         |          - COUNT(DISTINCT md5(trim(regexp_replace(
         |              regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')))) AS BIGINT) AS extra_dups
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // only the bounded top-10000 frame is ever ranked; coverage = share
+    // of ALL token occurrences covered by the top-k types
+    "text_vocab_coverage" ->
+      s"""WITH $TextTokensCte,
+         |tok AS (SELECT unnest(ltoks) AS token FROM t),
+         |f AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS freq FROM tok GROUP BY 1),
+         |tt AS (SELECT SUM(freq) AS total FROM f),
+         |r AS (SELECT token, freq, row_number() OVER (ORDER BY freq DESC, token) AS rn
+         |      FROM (SELECT * FROM f ORDER BY freq DESC, token LIMIT 10000)),
+         |cut AS (SELECT unnest([10, 100, 1000, 10000]) AS rank_cutoff)
+         |SELECT CAST(cut.rank_cutoff AS INT) AS rank_cutoff,
+         |       CAST(COUNT(r.token) AS BIGINT) AS n_types,
+         |       CAST(COALESCE(SUM(r.freq), 0) AS BIGINT) AS covered_tokens,
+         |       round(CAST(COALESCE(SUM(r.freq), 0) AS DOUBLE) / tt.total, 6) AS coverage
+         |FROM cut LEFT JOIN r ON r.rn <= cut.rank_cutoff, tt
+         |GROUP BY cut.rank_cutoff, tt.total ORDER BY rank_cutoff""".stripMargin,
+
+    // q ∝ p^0.5 temperature mixing; every float chains from 6-dp
+    // pieces and the normalizer sums 6-dp decimals (order-free)
+    "corpus_mix_temperature" ->
+      """WITH c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |           FROM documents GROUP BY 1),
+        |t AS (SELECT SUM(n_docs) AS tot FROM c),
+        |s AS (SELECT source, n_docs,
+        |        round(CAST(n_docs AS DOUBLE) / t.tot, 6) AS p
+        |      FROM c, t),
+        |w AS (SELECT source, n_docs, p,
+        |        CAST(round(pow(p, 0.5), 6) AS DECIMAL(18,6)) AS wv FROM s),
+        |z AS (SELECT SUM(wv) AS zz FROM w)
+        |SELECT source, n_docs, p,
+        |       round(CAST(wv AS DOUBLE) / CAST(z.zz AS DOUBLE), 6) AS q,
+        |       round(round(CAST(wv AS DOUBLE) / CAST(z.zz AS DOUBLE), 6) / p, 6) AS boost
+        |FROM w, z ORDER BY source""".stripMargin,
 
     // exact integer bit-length buckets (length(bin(n))-1) — no floating
     // log2 to disagree at exact powers of two
@@ -4817,6 +4920,25 @@ object SparkEntry {
          |        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn FROM sc)
          |       WHERE rn = 1)
          |SELECT vec_id, cid AS centroid_id FROM a1 ORDER BY vec_id""".stripMargin,
+
+    "emb_covariance" ->
+      s"""WITH $EmbCovCtes
+         |SELECT CAST(di AS INT) AS dim_i, CAST(dj AS INT) AS dim_j, c AS cov
+         |FROM cov ORDER BY dim_i, dim_j""".stripMargin,
+
+    // 3 unrolled power-iteration rounds over the mirrored covariance;
+    // the z trajectory is exact-decimal so both engines replay it
+    "emb_top_component" ->
+      s"""WITH $EmbCovCtes,
+         |cfull AS (SELECT di AS i, dj AS j, c FROM cov
+         |          UNION ALL SELECT dj, di, c FROM cov WHERE di <> dj),
+         |z0 AS (SELECT unnest(range(0, 64)) AS i, round(1.0/sqrt(64.0), 6) AS z),
+         |${powerIterSql(1, "z0")},
+         |${powerIterSql(2, "z1")},
+         |${powerIterSql(3, "z2")}
+         |SELECT CAST(z3.i AS INT) AS dim_i, z3.z AS loading,
+         |       (SELECT round(nn, 6) FROM nrm3) AS eigenvalue
+         |FROM z3 ORDER BY dim_i""".stripMargin,
 
     // embedding-hygiene outliers: assignment-with-score CTEs + the
     // decimal-exact per-cluster moments (dimStats recipe), strict-<

@@ -747,6 +747,75 @@ object Corpus {
       .limit(k)
   }
 
+  /** Vocabulary coverage curve: what fraction of all token OCCURRENCES
+    * the top-k most frequent types cover, at each cutoff — the
+    * tokenizer/vocab-size design input (the knee of this curve is where
+    * a word-level vocab stops paying for itself).
+    *
+    * Scale shape: one explode + map-side-combined frequency aggregate
+    * (vocab-sized), a 1-row total, and a `TakeOrderedAndProject` of the
+    * top max(cutoffs) types — the ONLY ordered frame is that bounded
+    * top-k, ranked in a single declared partition (non-foldable constant
+    * key, ≤ max cutoff rows by construction). The corpus never sorts.
+    *
+    * Output: (rank_cutoff INT, n_types, covered_tokens, coverage DOUBLE
+    * 6-dp), one row per cutoff.
+    */
+  def vocabCoverage(
+      df: DataFrame,
+      textCol: String,
+      cutoffs: Seq[Int]): DataFrame = {
+    require(cutoffs.nonEmpty && cutoffs.forall(_ > 0), "cutoffs must be positive")
+    val freq = df
+      .select(explode(TextAnalysis.tokens(lower(col(textCol)))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"))
+    val total = freq.agg(sum(col("freq")).as("__total"))
+    val top = freq.orderBy(col("freq").desc, col("token")).limit(cutoffs.max)
+    val w = Window.partitionBy(pmod(xxhash64(col("token")), lit(1)))
+      .orderBy(col("freq").desc, col("token"))
+    val ranked = top.withColumn("__rn", row_number().over(w))
+    val pieces = cutoffs.sorted.map { c =>
+      ranked.filter(col("__rn") <= c)
+        .agg(count(lit(1)).as("n_types"), sum(col("freq")).as("covered_tokens"))
+        .select(lit(c).as("rank_cutoff"), col("n_types"), col("covered_tokens"))
+    }.reduce(_.unionByName(_))
+    pieces.crossJoin(broadcast(total))
+      .select(col("rank_cutoff"), col("n_types"), col("covered_tokens"),
+        round(col("covered_tokens").cast("double") / col("__total"), 6).as("coverage"))
+  }
+
+  /** Temperature-scaled source mixing weights — the multilingual/
+    * multi-source sampling trick (`q_s ∝ p_s^α`, α < 1 upweights the
+    * tail): for each source its share `p`, its temperature-flattened
+    * share `q`, and the boost factor `q/p` a sampler would apply.
+    * All derived values chain from 6-dp-rounded pieces, and the
+    * normalizer sums 6-dp DECIMALs — association-order-exact, so the
+    * report is engine-identical. O(|sources|) everything after one
+    * map-side-combined count.
+    *
+    * Output: (source, n_docs, p, q, boost), ordered by source.
+    */
+  def temperatureWeights(
+      df: DataFrame,
+      sourceCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha in (0, 1] expected, got $alpha")
+    val counts = df.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val total = counts.agg(sum(col("n_docs")).as("__t"))
+    val scored = counts.crossJoin(broadcast(total))
+      .withColumn("p", round(col("n_docs").cast("double") / col("__t"), 6))
+      .withColumn("__w", round(pow(col("p"), lit(alpha)), 6)
+        .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+    val z = scored.agg(sum(col("__w")).as("__z"))
+    scored.crossJoin(broadcast(z))
+      .withColumn("q", round(col("__w").cast("double") / col("__z").cast("double"), 6))
+      .select(col("source"), col("n_docs"), col("p"), col("q"),
+        round(col("q") / col("p"), 6).as("boost"))
+      .orderBy("source")
+  }
+
   /** Per-source document-length distribution on power-of-two buckets —
     * the pretraining length audit (context-window planning, packing
     * efficiency, truncation exposure) charted per corpus source. The

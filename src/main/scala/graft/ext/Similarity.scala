@@ -983,6 +983,114 @@ object Similarity {
       .select(col(idCol), col("centroid_id"), col("score"), col("c_mean"), col("c_std"))
   }
 
+  /** Upper-triangle covariance matrix of the embedding coordinates —
+    * the input to PCA/whitening decisions and the [[topComponent]]
+    * power iteration. `cov(i,j) = E[xᵢxⱼ] − E[xᵢ]E[xⱼ]` with the
+    * cross-moment sums carried as DECIMAL(28,10) (the [[dimStats]]
+    * recipe) so every entry is association-order-exact and
+    * engine-identical after its single 6-dp round.
+    *
+    * Scale shape: ONE narrow pass emits the dim·(dim+1)/2 upper-triangle
+    * products per row (nested `transform`, no shuffle before the
+    * aggregate), then a map-side-combined hash aggregate collapses to
+    * O(dim²) cells — for dim 64 that is 2,080 rows of state at any
+    * corpus size; means ride the same pattern at O(dim). Rows with a
+    * wrong-length or null-element vector are excluded up front (a
+    * partial row would silently bias every cell it touches). The
+    * interpreted-lambda cost of the nested transform is the known HOF
+    * trade (corpus_bigrams lesson) — a native kernel is the upgrade
+    * path if this becomes hot; at dim 64 the explode dominates anyway.
+    *
+    * Output: (dim_i INT, dim_j INT, cov DOUBLE), i ≤ j.
+    */
+  def covariance(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(dim > 0, s"dim must be positive, got $dim")
+    val v = col(vecCol).cast("array<double>")
+    val clean = df
+      .filter(size(v) === dim && !exists(v, _.isNull))
+      .select(v.as("__v"))
+    val n1 = clean.agg(count(lit(1)).as("__n"))
+    val pairs = clean
+      .select(explode(flatten(transform(sequence(lit(0), lit(dim - 1)), i =>
+        transform(sequence(i, lit(dim - 1)), j =>
+          struct(i.as("i"), j.as("j"),
+            (element_at(col("__v"), i + 1) * element_at(col("__v"), j + 1)).as("xy"))))))
+        .as("p"))
+      .select(col("p.i").as("dim_i"), col("p.j").as("dim_j"), col("p.xy").as("xy"))
+      .groupBy(col("dim_i"), col("dim_j"))
+      .agg(sum(col("xy").cast(DecimalType(28, 10))).as("__s2"))
+    val means = clean
+      .select(posexplode(col("__v")).as(Seq("dim_i", "x")))
+      .groupBy(col("dim_i"))
+      .agg(sum(col("x").cast(DecimalType(28, 10))).as("__s1"))
+    pairs
+      .join(broadcast(means.select(col("dim_i"), col("__s1").as("__s1i"))), Seq("dim_i"))
+      .join(broadcast(means.select(col("dim_i").as("dim_j"), col("__s1").as("__s1j"))),
+        Seq("dim_j"))
+      .crossJoin(broadcast(n1))
+      .select(col("dim_i"), col("dim_j"),
+        round(col("__s2").cast("double") / col("__n") -
+          (col("__s1i").cast("double") / col("__n")) *
+          (col("__s1j").cast("double") / col("__n")), 6).as("cov"))
+  }
+
+  /** Leading principal component by power iteration over a
+    * [[covariance]] frame: `z_{k+1} = C·z_k / ‖C·z_k‖`, `rounds` times
+    * from the deterministic all-positive start `z₀ = 1/√dim`, returning
+    * the loading vector and the Rayleigh-style eigenvalue estimate
+    * (‖C·z‖ at the final step).
+    *
+    * The distributed work IS the covariance pass; the iteration runs on
+    * the collected O(dim²) cell table — the IVF-codebook driver-size
+    * argument. Determinism is engineered so the DuckDB oracle replays
+    * the exact trajectory: C and every z are 6-dp decimals, each matvec
+    * accumulates exact decimal products (order-free), the norm squares
+    * exact scale-12 decimals, and the ONLY floating steps are the final
+    * divide + 6-dp HALF_UP round per entry — bit-identical on both
+    * engines. Power iteration's sign ambiguity is pinned by the
+    * all-positive start and the shared trajectory.
+    *
+    * Output: (dim_i INT, loading DOUBLE, eigenvalue DOUBLE), dim rows.
+    */
+  def topComponent(
+      cov: DataFrame,
+      dim: Int,
+      rounds: Int = 3): DataFrame = {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    require(rounds > 0, s"rounds must be positive, got $rounds")
+    val c = Array.ofDim[JBD](dim, dim)
+    val zero = JBD.ZERO.setScale(6)
+    for (i <- 0 until dim; j <- 0 until dim) c(i)(j) = zero
+    cov.select(col("dim_i").cast("int"), col("dim_j").cast("int"),
+        col("cov").cast("double"))
+      .collect().foreach { r =>
+        val v = JBD.valueOf(r.getDouble(2)).setScale(6, RoundingMode.HALF_UP)
+        c(r.getInt(0))(r.getInt(1)) = v
+        c(r.getInt(1))(r.getInt(0)) = v
+      }
+    var z = Array.fill(dim)(
+      JBD.valueOf(1.0 / math.sqrt(dim.toDouble)).setScale(6, RoundingMode.HALF_UP))
+    var norm = 0.0
+    for (_ <- 1 to rounds) {
+      // exact decimal matvec (order-free), exact scale-12 squares
+      val raw = Array.tabulate(dim) { i =>
+        (0 until dim).foldLeft(JBD.ZERO) { (acc, j) =>
+          acc.add(c(i)(j).multiply(z(j)))
+        }.setScale(12, RoundingMode.HALF_UP)
+      }
+      val sumSq = raw.foldLeft(JBD.ZERO)((acc, r) => acc.add(r.multiply(r)))
+      norm = math.sqrt(sumSq.doubleValue())
+      z = raw.map(r =>
+        JBD.valueOf(r.doubleValue() / norm).setScale(6, RoundingMode.HALF_UP))
+    }
+    val spark = cov.sparkSession
+    import spark.implicits._
+    val ev = JBD.valueOf(norm).setScale(6, RoundingMode.HALF_UP).doubleValue()
+    z.zipWithIndex.map { case (l, i) => (i, l.doubleValue(), ev) }.toSeq
+      .toDF("dim_i", "loading", "eigenvalue")
+  }
+
   /** Per-dimension embedding health report: count / mean / std / min /
     * max for every coordinate across the corpus — the anisotropy &
     * collapse audit run before trusting cosine geometry (a dimension

@@ -53,7 +53,14 @@ class PlanGuardSpec extends SparkSpecBase {
     // 1-row max-pane scalar broadcast onto the pane-register frame
     "events_sliding_hll",
     // 1-row basket-total scalar broadcast onto the |items|²-bounded pairs
-    "orders_basket_lift")
+    "orders_basket_lift",
+    // 1-row token-total scalar broadcast onto the ≤|cutoffs|-row curve
+    "text_vocab_coverage",
+    // 1-row corpus-total and 1-row normalizer broadcast onto the
+    // |sources|-row weight frame
+    "corpus_mix_temperature",
+    // 1-row clean-vector-count scalar broadcast onto the O(dim²) cells
+    "emb_covariance")
 
   private def walk(p: SparkPlan): Seq[SparkPlan] = {
     val kids = p match {

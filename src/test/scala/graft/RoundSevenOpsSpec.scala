@@ -191,6 +191,62 @@ class RoundSevenOpsSpec extends SparkSpecBase {
     assert(out.size === 4)
   }
 
+  test("vocabCoverage: hand-computed curve, cutoffs beyond vocab saturate") {
+    val df = Seq(
+      (1L, "a a a a b b c"),   // a:4 b:2 c:1 (+ doc 2: a:1, d:1)
+      (2L, "a d")
+    ).toDF("doc_id", "text")
+    val out = graft.ext.Corpus.vocabCoverage(df, "text", Seq(1, 2, 10))
+      .orderBy("rank_cutoff")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // freq: a=5, b=2, c=1, d=1; total 9
+    assert(out(0) === ((1, 1L, 5L, math.rint(5.0 / 9 * 1e6) / 1e6)))
+    assert(out(1) === ((2, 2L, 7L, math.rint(7.0 / 9 * 1e6) / 1e6)))
+    assert(out(2)._2 === 4L && out(2)._3 === 9L && out(2)._4 === 1.0)
+  }
+
+  test("temperatureWeights flattens shares toward the tail and boosts rare sources") {
+    val df = (1 to 90).map(i => (i.toLong, "big")) ++ (91 to 100).map(i => (i.toLong, "small"))
+    val out = graft.ext.Corpus.temperatureWeights(
+        df.toDF("doc_id", "source"), "source", alpha = 0.5)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    val (pBig, qBig, boostBig) = out("big")
+    val (pSmall, qSmall, boostSmall) = out("small")
+    assert(pBig === 0.9 && pSmall === 0.1)
+    // sqrt temperature: q_small/q_big = sqrt(0.1/0.9) > p ratio
+    assert(qSmall > pSmall && qBig < pBig)
+    assert(boostSmall > 1.0 && boostBig < 1.0)
+    assert(math.abs(qBig + qSmall - 1.0) < 1e-5)
+  }
+
+  test("covariance: hand-computed 2x2 moments, dirty vectors excluded") {
+    import graft.ext.Similarity
+    val df = Seq(
+      (1L, Seq[java.lang.Double](1.0, 2.0)),
+      (2L, Seq[java.lang.Double](3.0, 4.0)),
+      (3L, Seq[java.lang.Double](5.0, null)),      // null element → excluded
+      (4L, Seq[java.lang.Double](1.0, 2.0, 3.0))   // wrong length → excluded
+    ).toDF("vec_id", "embedding")
+    val cov = Similarity.covariance(df, "embedding", dim = 2)
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    // two clean rows (1,2),(3,4): var(x)=1, var(y)=1, cov(x,y)=1
+    assert(cov((0, 0)) === 1.0 && cov((1, 1)) === 1.0 && cov((0, 1)) === 1.0)
+    assert(cov.size === 3)
+  }
+
+  test("topComponent converges to the dominant axis of a diagonal covariance") {
+    import graft.ext.Similarity
+    val cov = Seq((0, 0, 9.0), (0, 1, 0.0), (1, 1, 1.0)).toDF("dim_i", "dim_j", "cov")
+    val out = Similarity.topComponent(cov, dim = 2, rounds = 8)
+      .orderBy("dim_i").collect()
+    val loadings = out.map(_.getDouble(1))
+    assert(loadings(0) > 0.999)              // e0 dominates
+    assert(math.abs(loadings(1)) < 0.01)
+    assert(math.abs(out(0).getDouble(2) - 9.0) < 0.05) // eigenvalue ≈ 9
+  }
+
   test("curationFunnel on an empty corpus yields an all-zero funnel") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val eval = Seq((1L, "whatever eval doc")).toDF("doc_id", "text")
