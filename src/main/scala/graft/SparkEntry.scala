@@ -2,7 +2,7 @@ package graft
 
 import graft.apply.{ChangeApplier, IncrementalAgg}
 import graft.capture.ChangeCapture
-import graft.ext.{Bpe, Corpus, Dedup, EventAnalytics, HashMode, Multimodal, PortableHash, Similarity, Sketches, TextAnalysis}
+import graft.ext.{Bpe, Corpus, Dedup, EventAnalytics, Graph, HashMode, Metrics, Multimodal, PortableHash, Similarity, Sketches, TextAnalysis}
 import graft.model.ConflictStrategy
 import graft.log.ChangeLog
 import graft.monitor.CdcMonitor
@@ -1607,6 +1607,280 @@ object SparkEntry {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** TPC-H Q6: the forecast-revenue-change scalar — one pushed-filter
+    * scan (date window ∧ discount band ∧ quantity cap, all reaching the
+    * parquet reader) into a 1-row aggregate. The revenue terms are exact
+    * decimal products of the 2-dp inputs; the discount-band bounds are
+    * double literals compared against the parquet doubles, identical in
+    * both engines.
+    */
+  private def qLineitemForecastRevenue(s: SparkSession, dir: String): DataFrame = {
+    val d1 = java.sql.Timestamp.from(java.time.Instant.parse("1997-01-01T00:00:00Z"))
+    val d2 = java.sql.Timestamp.from(java.time.Instant.parse("1998-01-01T00:00:00Z"))
+    lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit(d1) && col("l_shipdate") < lit(d2) &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24.0)
+      .agg(
+        sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
+          col("l_discount").cast(DecimalType(4, 2))).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q8-style national market share: of the PROMO-part revenue
+    * sold into AMERICA-region customers over two order years, the share
+    * supplied by NATION_5, per year. Plan: the part filter broadcasts
+    * into the lineitem scan first (the most selective edge), orders and
+    * customer join on their keys, nation/region/supplier are all
+    * broadcast dims; the share is a conditional-sum ratio on exact
+    * decimals with one double division per year.
+    */
+  private def qNationMarketShare(s: SparkSession, dir: String): DataFrame = {
+    val d1 = java.sql.Timestamp.from(java.time.Instant.parse("1995-01-01T00:00:00Z"))
+    val d2 = java.sql.Timestamp.from(java.time.Instant.parse("1997-01-01T00:00:00Z"))
+    val promoParts = s.read.parquet(s"$dir/part.parquet")
+      .filter(col("p_type") === "PROMO").select(col("p_partkey"))
+    val amNations = s.read.parquet(s"$dir/nation.parquet")
+      .join(broadcast(s.read.parquet(s"$dir/region.parquet")
+        .filter(col("r_name") === "AMERICA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val rev = col("l_extendedprice").cast(DecimalType(12, 2)) *
+      (lit(1.0) - col("l_discount")).cast(DecimalType(4, 2))
+    lineitem(s, dir)
+      .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"))
+      .join(orders(s, dir)
+          .filter(col("o_orderdate") >= lit(d1) && col("o_orderdate") < lit(d2)),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(amNations), col("c_nationkey") === col("n_nationkey"),
+        "leftsemi")
+      .join(broadcast(s.read.parquet(s"$dir/supplier.parquet")
+          .select(col("s_suppkey"), col("s_nationkey"))
+          .join(s.read.parquet(s"$dir/nation.parquet")
+            .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation")),
+            col("s_nationkey") === col("sn_key"))
+          .select(col("s_suppkey"), col("supp_nation"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        round(coalesce(sum(when(col("supp_nation") === "NATION_5", rev))
+            .cast("double"), lit(0.0)) / sum(rev).cast("double"), 6).as("mkt_share"),
+        sum(rev).cast("double").as("total_rev"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q17: average yearly revenue lost by refusing small-quantity
+    * orders for one brand's parts. The per-part quantity threshold is a
+    * grouped aggregate joined back on the part key; the comparison is
+    * cross-multiplied (`5·qty·cnt < Σqty`) so it stays on exact
+    * integer-valued doubles — no division, no epsilon, bit-identical
+    * across engines. Brand filter broadcasts into both sides.
+    */
+  private def qPartSmallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    val brandParts = s.read.parquet(s"$dir/part.parquet")
+      .filter(col("p_brand") === "Brand#3").select(col("p_partkey"))
+    val li = lineitem(s, dir)
+      .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+    val perPart = li.groupBy(col("l_partkey").as("pk"))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("cnt"))
+    li.join(perPart, col("l_partkey") === col("pk"))
+      .filter(col("l_quantity") * 5.0 * col("cnt") < col("sum_qty"))
+      .agg(
+        round(sum(col("l_extendedprice").cast(DecimalType(18, 4)))
+          .cast("double") / 7.0, 6).as("avg_yearly"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q19-style bracket revenue: three OR'd (brand, size, quantity)
+    * brackets — the disjunctive-predicate shape that stresses pushdown
+    * planning. The part side pre-filters to the union of brand/size
+    * brackets (broadcast); the residual per-bracket quantity conjunction
+    * evaluates post-join. Revenue is the exact-decimal product.
+    */
+  private def qPartBracketRevenue(s: SparkSession, dir: String): DataFrame = {
+    val p = s.read.parquet(s"$dir/part.parquet")
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5)) ||
+        (col("p_brand") === "Brand#23" && col("p_size").between(1, 10)) ||
+        (col("p_brand") === "Brand#15" && col("p_size").between(1, 15)))
+      .select(col("p_partkey"), col("p_brand"))
+    lineitem(s, dir)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("l_quantity").between(1.0, 11.0)) ||
+        (col("p_brand") === "Brand#23" && col("l_quantity").between(10.0, 20.0)) ||
+        (col("p_brand") === "Brand#15" && col("l_quantity").between(20.0, 30.0)))
+      .agg(
+        sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
+          (lit(1.0) - col("l_discount")).cast(DecimalType(4, 2)))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q22-style idle balances: customers whose balance exceeds the
+    * positive-balance average but who placed no order in the last ~2.5
+    * data years, per nation. The average is a 1-row broadcast; the
+    * no-recent-order test is ONE left-anti join on the customer key
+    * against the date-filtered (pushed-down) orders scan. The canonical
+    * Q22 anti-joins against ALL orders — on this data that set is empty
+    * at every SF (all customers order), so the window keeps the
+    * anti-join observable. Balance totals are exact decimals.
+    */
+  private def qCustomerIdleBalance(s: SparkSession, dir: String): DataFrame = {
+    val recent = java.sql.Timestamp.from(java.time.Instant.parse("1999-01-01T00:00:00Z"))
+    val c = customer(s, dir)
+    val avgBal = c.filter(col("c_acctbal") > 0.0)
+      .agg((sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double") /
+        count(lit(1))).as("avg_bal"))
+    c.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(orders(s, dir).filter(col("o_orderdate") >= lit(recent))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(
+        count(lit(1)).as("numcust"),
+        sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double").as("totacctbal"))
+      .orderBy("c_nationkey")
+  }
+
+  /** Triangle census of the part co-purchase graph (parts linked when
+    * they appear in the same order): [[graft.ext.Graph.triangleStats]]'s
+    * degree-ordered count over edges produced by ONE per-order self-join
+    * — fanout bounded by order size², the same bound `orders_basket_lift`
+    * documents. One row: vertex/edge/wedge/triangle counts + global
+    * clustering coefficient.
+    */
+  private def qPartTriangles(s: SparkSession, dir: String): DataFrame = {
+    val items = lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val pairs = items
+      .join(items.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
+      .filter(col("pk") < col("pk2"))
+    Graph.triangleStats(pairs, "pk", "pk2")
+  }
+
+  /** Shared scored frame for the classifier-evaluation queries: the
+    * English-marker-density score (marker hits / tokens, 6-dp) against
+    * the `lang = 'en'` ground truth — a real heuristic scored on the
+    * real corpus, with heavy ties (densities repeat), which is exactly
+    * what makes the tie-aware AUC worth checking.
+    */
+  private def langidScored(s: SparkSession, dir: String): DataFrame = {
+    val en = TextAnalysis.LangMarkers.head._2
+    documents(s, dir).select(
+      (col("lang") === "en").as("is_en"),
+      round(TextAnalysis.langScore(col("text"), en).cast("double") /
+        greatest(TextAnalysis.tokenCount(col("text")), lit(1)).cast("double"), 6)
+        .as("score"))
+  }
+
+  /** Tie-aware ROC AUC of the en-marker-density score vs `lang = 'en'`:
+    * one row (n_pos, n_neg, n_scores, auc) via the rank-sum identity on
+    * the distinct-score histogram — corpus rows never enter the ordered
+    * window ([[graft.ext.Metrics.binaryAuc]]).
+    */
+  private def qTextLangidAuc(s: SparkSession, dir: String): DataFrame =
+    Metrics.binaryAuc(langidScored(s, dir), "is_en", "score")
+
+  /** 10-bucket reliability diagram for the same score: per fixed-width
+    * bucket over the observed range, size / exact mean score / empirical
+    * positive rate ([[graft.ext.Metrics.calibration]]).
+    */
+  private def qTextLangidCalibration(s: SparkSession, dir: String): DataFrame =
+    Metrics.calibration(langidScored(s, dir), "is_en", "score", nBuckets = 10)
+      .orderBy("bucket")
+
+  /** Precision/recall/F1 sweep at five operating thresholds of the same
+    * score — the table a filter-threshold decision actually reads
+    * ([[graft.ext.Metrics.prAtThresholds]]).
+    */
+  private def qTextLangidPr(s: SparkSession, dir: String): DataFrame =
+    Metrics.prAtThresholds(langidScored(s, dir), "is_en", "score",
+        thresholds = Seq(0.0, 0.02, 0.05, 0.1, 0.2))
+      .orderBy("threshold")
+
+  /** TPC-H Q10: top 20 customers by revenue lost to returned items in a
+    * quarter. The date filter reaches the orders scan, the returnflag
+    * filter the lineitem scan; nation broadcasts; revenue is the exact
+    * decimal sum ordered AFTER the cast to double with the customer key
+    * as tiebreak — top-k is a TakeOrderedAndProject, never a full sort
+    * at scale.
+    */
+  private def qCustomerReturns(s: SparkSession, dir: String): DataFrame = {
+    val d1 = java.sql.Timestamp.from(java.time.Instant.parse("1996-01-01T00:00:00Z"))
+    val d2 = java.sql.Timestamp.from(java.time.Instant.parse("1996-04-01T00:00:00Z"))
+    customer(s, dir)
+      .join(orders(s, dir)
+          .filter(col("o_orderdate") >= lit(d1) && col("o_orderdate") < lit(d2)),
+        col("c_custkey") === col("o_custkey"))
+      .join(lineitem(s, dir).filter(col("l_returnflag") === "R"),
+        col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(s.read.parquet(s"$dir/nation.parquet")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
+        (lit(1.0) - col("l_discount")).cast(DecimalType(4, 2)))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q9-adapted product-line margin: per supplier nation × order
+    * year, revenue minus a retail-cost proxy (`p_retailprice ·
+    * l_quantity` — the reference schema ships no partsupp/supplycost)
+    * over parts matching '%red%'. Part filter broadcasts into the
+    * lineitem scan; both sides of the margin are exact decimal products
+    * summed exactly, one cast at the output.
+    */
+  private def qNationProfit(s: SparkSession, dir: String): DataFrame = {
+    val redParts = s.read.parquet(s"$dir/part.parquet")
+      .filter(col("p_name").contains("red"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val amount =
+      col("l_extendedprice").cast(DecimalType(12, 2)) *
+        (lit(1.0) - col("l_discount")).cast(DecimalType(4, 2)) -
+      col("p_retailprice").cast(DecimalType(12, 2)) *
+        col("l_quantity").cast(DecimalType(12, 2))
+    lineitem(s, dir)
+      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+      .join(orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(s.read.parquet(s"$dir/supplier.parquet")
+          .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(s.read.parquet(s"$dir/nation.parquet")
+          .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(amount).cast("double").as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** Deterministic A/B readout over events: arms split by `user_id % 2`,
+    * per-user value totals, Welch z across arms
+    * ([[graft.ext.EventAnalytics.abTest]]). One row.
+    */
+  private def qEventsAbTest(s: SparkSession, dir: String): DataFrame =
+    EventAnalytics.abTest(events(s, dir), "user_id", "value")
+
+  /** Data-constrained epoch plan over the documents corpus
+    * ([[graft.ext.Corpus.epochPlan]], cap 4 epochs): per source, the
+    * uniform token target, the repeat multiplier, and the realized mix
+    * share.
+    */
+  private def qCorpusEpochPlan(s: SparkSession, dir: String): DataFrame =
+    Corpus.epochPlan(documents(s, dir), "text", "source").orderBy("source")
+
+  /** Embedding energy-retention curve at prefix cutoffs 8/16/32/64
+    * ([[graft.ext.Similarity.energyCurve]]) — the truncated-serving
+    * quality table.
+    */
+  private def qEmbEnergyCurve(s: SparkSession, dir: String): DataFrame =
+    Similarity.energyCurve(embeddings(s, dir), "embedding", Seq(8, 16, 32, 64))
+      .orderBy("d")
+
   /** TPC-H Q4-style priority check: per order priority, how many orders
     * taken in the window have at least one lineitem shipped more than 90
     * days after the order date (the late-fulfilment signal; the
@@ -2541,6 +2815,20 @@ object SparkEntry {
     "orders_shipping_priority" -> (qOrdersShippingPriority _),
     "lineitem_promo_share" -> (qLineitemPromoShare _),
     "lineitem_q1_full" -> (qLineitemQ1Full _),
+    "lineitem_forecast_revenue" -> (qLineitemForecastRevenue _),
+    "nation_market_share" -> (qNationMarketShare _),
+    "part_small_qty_revenue" -> (qPartSmallQtyRevenue _),
+    "part_bracket_revenue" -> (qPartBracketRevenue _),
+    "customer_idle_balance" -> (qCustomerIdleBalance _),
+    "part_triangles" -> (qPartTriangles _),
+    "text_langid_auc" -> (qTextLangidAuc _),
+    "text_langid_calibration" -> (qTextLangidCalibration _),
+    "text_langid_pr" -> (qTextLangidPr _),
+    "customer_returns" -> (qCustomerReturns _),
+    "nation_profit" -> (qNationProfit _),
+    "events_ab_test" -> (qEventsAbTest _),
+    "corpus_epoch_plan" -> (qCorpusEpochPlan _),
+    "emb_energy_curve" -> (qEmbEnergyCurve _),
     "orders_priority_count" -> (qOrdersPriorityCount _),
     "orders_customer_distribution" -> (qOrdersCustomerDistribution _),
     "orders_large_orders" -> (qOrdersLargeOrders _),
@@ -2880,6 +3168,31 @@ object SparkEntry {
       |  FROM documents)""".stripMargin
 
   private val StopwordsSql = "['the','a','an','of','and','to','in','is','it','that']"
+
+  /** Scored-corpus histogram shared by the classifier-evaluation oracles
+    * (`text_langid_auc` / `_calibration` / `_pr`): the en-marker-density
+    * score (6 dp) against the `lang = 'en'` truth, collapsed to one row
+    * per distinct score — the exact frame
+    * [[graft.ext.Metrics]] computes on.
+    */
+  private val LangidScoredCtes: String =
+    """lsc AS (
+      |  SELECT (lang = 'en') AS is_en,
+      |         round(CAST(len(list_filter(
+      |                 CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |                      ELSE regexp_split_to_array(lower(trim(text)), '\s+') END,
+      |                 t -> t IN ('the', 'a', 'of', 'and', 'to', 'is'))) AS DOUBLE)
+      |           / CAST(GREATEST(
+      |                 CASE WHEN length(trim(text)) = 0 THEN 0
+      |                      ELSE len(regexp_split_to_array(trim(text), '\s+')) END,
+      |                 1) AS DOUBLE), 6) AS score
+      |  FROM documents),
+      |lps AS (
+      |  SELECT score AS s,
+      |         SUM(CASE WHEN is_en THEN 1 ELSE 0 END) AS pos,
+      |         SUM(CASE WHEN is_en THEN 0 ELSE 1 END) AS neg,
+      |         COUNT(*) AS n
+      |  FROM lsc GROUP BY 1)""".stripMargin
 
   /** Naive-Bayes training CTEs shared by `text_nb_train` and
     * `text_nb_score`: per-(label, token) counts with multiplicity, the
@@ -5558,6 +5871,276 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Q6: scalar forecast-revenue; discount bounds cast to DOUBLE so
+    // DuckDB's decimal literals don't shift the comparison type
+    "lineitem_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |                * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+        |       CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount >= CAST(0.05 AS DOUBLE) AND l_discount <= CAST(0.07 AS DOUBLE)
+        |  AND l_quantity < 24""".stripMargin,
+
+    // Q8-style market share: conditional-sum ratio on exact decimals,
+    // one double division per year
+    "nation_market_share" ->
+      """SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+        |  round(COALESCE(CAST(SUM(CASE WHEN sn.n_name = 'NATION_5'
+        |           THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+        |                * CAST(1.0 - l.l_discount AS DECIMAL(4,2)) END) AS DOUBLE), 0.0)
+        |        / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+        |                   * CAST(1.0 - l.l_discount AS DECIMAL(4,2))) AS DOUBLE), 6) AS mkt_share,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+        |           * CAST(1.0 - l.l_discount AS DECIMAL(4,2))) AS DOUBLE) AS total_rev
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |JOIN region r ON cn.n_regionkey = r.r_regionkey AND r.r_name = 'AMERICA'
+        |JOIN supplier sp ON l.l_suppkey = sp.s_suppkey
+        |JOIN nation sn ON sp.s_nationkey = sn.n_nationkey
+        |WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Q17: the small-quantity threshold cross-multiplied (5·qty·cnt <
+    // Σqty) so both engines compare exact integer-valued doubles
+    "part_small_qty_revenue" ->
+      """WITH li AS (
+        |  SELECT l.* FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey AND p.p_brand = 'Brand#3'),
+        |pp AS (
+        |  SELECT l_partkey AS pk, SUM(l_quantity) AS sum_qty, COUNT(*) AS cnt
+        |  FROM li GROUP BY 1)
+        |SELECT round(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0, 6) AS avg_yearly,
+        |       CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM li l JOIN pp ON l.l_partkey = pp.pk
+        |WHERE l.l_quantity * 5.0 * pp.cnt < pp.sum_qty""".stripMargin,
+
+    // Q19-style OR'd brackets; quantity bounds are integer-valued
+    // doubles on both sides
+    "part_bracket_revenue" ->
+      """SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+        |                * CAST(1.0 - l.l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+        |       CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+        |       AND l.l_quantity BETWEEN 1 AND 11)
+        |   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+        |       AND l.l_quantity BETWEEN 10 AND 20)
+        |   OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 15
+        |       AND l.l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    // Q22-style: 1-row positive-balance average + NOT EXISTS anti-join
+    // on the recent-orders window (the all-time set is empty on this
+    // data — see the engine scaladoc)
+    "customer_idle_balance" ->
+      """WITH ab AS (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+        |  FROM customer WHERE c_acctbal > 0.0)
+        |SELECT CAST(c.c_nationkey AS INT) AS c_nationkey,
+        |       CAST(COUNT(*) AS BIGINT) AS numcust,
+        |       CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer c, ab
+        |WHERE c.c_acctbal > ab.avg_bal
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // triangle census: id-ordered a<b<c triple join — count-identical to
+    // the engine's degree-ordered orientation, which only changes WHERE
+    // each triangle is enumerated, never whether
+    "part_triangles" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |edges AS (
+        |  SELECT DISTINCT a.pk AS lo, b.pk AS hi
+        |  FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk),
+        |deg AS (
+        |  SELECT v, COUNT(*) AS deg FROM (
+        |    SELECT lo AS v FROM edges UNION ALL SELECT hi AS v FROM edges)
+        |  GROUP BY v),
+        |ds AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
+        |         CAST(SUM(deg) // 2 AS BIGINT) AS n_edges,
+        |         CAST(SUM(deg * (deg - 1)) // 2 AS BIGINT) AS n_wedges
+        |  FROM deg),
+        |tri AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        |  FROM edges e1
+        |  JOIN edges e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+        |  JOIN edges e3 ON e3.lo = e1.hi AND e3.hi = e2.hi)
+        |SELECT n_vertices, n_edges, n_wedges, n_triangles,
+        |       CASE WHEN n_wedges > 0
+        |            THEN round(3.0 * n_triangles / CAST(n_wedges AS DOUBLE), 6)
+        |       END AS clustering_coeff
+        |FROM ds, tri""".stripMargin,
+
+    // tie-aware rank-sum AUC over the distinct-score histogram; the
+    // doubled-numerator sum is integral (DECIMAL(38,0)) — exact on both
+    // engines at any corpus size
+    "text_langid_auc" ->
+      s"""WITH $LangidScoredCtes,
+         |wb AS (SELECT *, COALESCE(SUM(neg) OVER (ORDER BY s
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+         |       FROM lps)
+         |SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+         |       CAST(SUM(neg) AS BIGINT) AS n_neg,
+         |       CAST(COUNT(*) AS BIGINT) AS n_scores,
+         |       CASE WHEN SUM(pos) > 0 AND SUM(neg) > 0 THEN
+         |         round(CAST(SUM(CAST(pos * (2 * neg_below + neg) AS DECIMAL(38,0))) AS DOUBLE)
+         |               / (2.0 * SUM(pos) * SUM(neg)), 6)
+         |       END AS auc
+         |FROM wb""".stripMargin,
+
+    // reliability diagram: fixed-width buckets over the observed range
+    // (identical float expression order to the engine), decimal-exact
+    // weighted mean
+    "text_langid_calibration" ->
+      s"""WITH $LangidScoredCtes,
+         |bounds AS (SELECT MIN(s) AS lo, MAX(s) AS hi FROM lps),
+         |bk AS (
+         |  SELECT CASE WHEN hi = lo THEN 0
+         |              ELSE CAST(LEAST(FLOOR((s - lo) / (hi - lo) * 10), 9) AS INT)
+         |         END AS bucket, s, pos, n
+         |  FROM lps, bounds)
+         |SELECT bucket, CAST(SUM(n) AS BIGINT) AS n,
+         |       round(CAST(SUM(CAST(s AS DECIMAL(28,10)) * n) AS DOUBLE)
+         |             / CAST(SUM(n) AS DOUBLE), 6) AS mean_score,
+         |       round(CAST(SUM(pos) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6) AS frac_pos
+         |FROM bk GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // PR sweep: thresholds as a DOUBLE[] unnest (decimal list literals
+    // would shift the >= comparison type), conditional sums over the
+    // same histogram
+    "text_langid_pr" ->
+      s"""WITH $LangidScoredCtes,
+         |tot AS (SELECT SUM(pos) AS p_total FROM lps),
+         |th AS (SELECT unnest(CAST([0.0, 0.02, 0.05, 0.1, 0.2] AS DOUBLE[])) AS threshold),
+         |ag AS (
+         |  SELECT threshold,
+         |         SUM(CASE WHEN s >= threshold THEN pos ELSE 0 END) AS tp,
+         |         SUM(CASE WHEN s >= threshold THEN neg ELSE 0 END) AS fp
+         |  FROM lps, th GROUP BY 1)
+         |SELECT threshold, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+         |       CASE WHEN tp + fp > 0
+         |            THEN round(CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE), 6) END AS precision,
+         |       CASE WHEN p_total > 0
+         |            THEN round(CAST(tp AS DOUBLE) / CAST(p_total AS DOUBLE), 6)
+         |            ELSE 0.0 END AS recall,
+         |       CASE WHEN tp + fp > 0 AND p_total > 0
+         |            THEN round(2.0 * CAST(tp AS DOUBLE) / CAST(tp + fp + p_total AS DOUBLE), 6)
+         |       END AS f1
+         |FROM ag, tot ORDER BY threshold""".stripMargin,
+
+    // Q10: returned-item revenue top-20; order by the double revenue
+    // with the key tiebreak, same as the engine
+    "customer_returns" ->
+      """SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+        |       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+        |                * CAST(1.0 - l.l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON o.o_orderkey = l.l_orderkey AND l.l_returnflag = 'R'
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue DESC, c.c_custkey LIMIT 20""".stripMargin,
+
+    // Q9-adapted margin: exact decimal products on both sides of the
+    // subtraction, one output cast
+    "nation_profit" ->
+      """SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+        |       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+        |                  * CAST(1.0 - l.l_discount AS DECIMAL(4,2))
+        |                - CAST(p.p_retailprice AS DECIMAL(12,2))
+        |                  * CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_profit
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%red%'
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |GROUP BY 1, 2 ORDER BY 1, 2 DESC""".stripMargin,
+
+    // Welch z over user_id%2 arms: per-user and per-arm sums exact
+    // decimals, the mean/variance/z chain a fixed double-op sequence
+    // mirrored term-for-term from EventAnalytics.abTest
+    "events_ab_test" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS x
+        |  FROM events GROUP BY 1),
+        |pa AS (
+        |  SELECT user_id % 2 AS variant, COUNT(*) AS n, SUM(x) AS sx,
+        |         SUM(CAST(x * x AS DECIMAL(38,4))) AS sxx
+        |  FROM pu GROUP BY 1),
+        |st AS (
+        |  SELECT variant, n, CAST(sx AS DOUBLE) / n AS mean,
+        |         CASE WHEN n > 1 THEN
+        |           (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1)
+        |         END AS variance
+        |  FROM pa),
+        |fin AS (
+        |  SELECT MAX(CASE WHEN variant = 0 THEN n END) AS n0,
+        |         MAX(CASE WHEN variant = 1 THEN n END) AS n1,
+        |         MAX(CASE WHEN variant = 0 THEN mean END) AS m0,
+        |         MAX(CASE WHEN variant = 1 THEN mean END) AS m1,
+        |         MAX(CASE WHEN variant = 0 THEN variance END) AS v0,
+        |         MAX(CASE WHEN variant = 1 THEN variance END) AS v1
+        |  FROM st)
+        |SELECT CAST(n0 AS BIGINT) AS n_0, CAST(n1 AS BIGINT) AS n_1,
+        |       round(m0, 6) AS mean_0, round(m1, 6) AS mean_1,
+        |       round(v0, 6) AS var_0, round(v1, 6) AS var_1,
+        |       round(m1 - m0, 6) AS diff,
+        |       CASE WHEN v0 / n0 + v1 / n1 > 0.0
+        |            THEN round((m1 - m0) / sqrt(v0 / n0 + v1 / n1), 6) END AS z_score
+        |FROM fin""".stripMargin,
+
+    // epoch plan: exact long token counts; target/epochs/allocation are
+    // the same fixed double-op chain as Corpus.epochPlan; 2-dp
+    // allocations sum as exact decimals
+    "corpus_epoch_plan" ->
+      """WITH ps AS (
+        |  SELECT source,
+        |         SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+        |             ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS avail_tokens
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT SUM(avail_tokens) AS total, COUNT(*) AS k FROM ps),
+        |pl AS (
+        |  SELECT source, avail_tokens,
+        |         round(CAST(total AS DOUBLE) / k, 2) AS target_tokens,
+        |         round(LEAST(round(CAST(total AS DOUBLE) / k, 2) / avail_tokens, 4.0), 6) AS epochs,
+        |         round(LEAST(round(CAST(total AS DOUBLE) / k, 2),
+        |                     CAST(avail_tokens AS DOUBLE) * 4.0), 2) AS allocated_tokens
+        |  FROM ps, tot),
+        |rz AS (SELECT SUM(CAST(allocated_tokens AS DECIMAL(28,2))) AS realized FROM pl)
+        |SELECT source, CAST(avail_tokens AS BIGINT) AS avail_tokens,
+        |       target_tokens, epochs, allocated_tokens,
+        |       round(allocated_tokens / CAST(realized AS DOUBLE), 6) AS share
+        |FROM pl, rz ORDER BY source""".stripMargin,
+
+    // energy curve: per-vector sequential-fold prefix/full norm ratio
+    // (6 dp), decimal-exact mean per cutoff
+    "emb_energy_curve" ->
+      """WITH e2 AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |dm AS (SELECT unnest([8, 16, 32, 64]) AS d),
+        |r AS (
+        |  SELECT d,
+        |         list_sum(list_transform(range(1, len(v)+1), i -> v[i]*v[i])) AS ssq_full,
+        |         list_sum(list_transform(range(1, d+1), i -> v[i]*v[i])) AS ssq_d
+        |  FROM e2, dm),
+        |rr AS (
+        |  SELECT d, CASE WHEN ssq_full = 0.0 THEN 1.0
+        |                 ELSE round(sqrt(ssq_d / ssq_full), 6) END AS ratio
+        |  FROM r)
+        |SELECT CAST(d AS INT) AS d, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |       round(CAST(SUM(CAST(ratio AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS mean_retention
+        |FROM rr GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Q4-style EXISTS: semi-join semantics — an order counts once no
     // matter how many of its lineitems shipped >90 days late

@@ -899,4 +899,46 @@ object Corpus {
       .select(col("stage_ord").cast("int").as("stage_ord"), col("stage"),
         col("docs_in"), col("docs_out"), col("docs_dropped"))
   }
+
+  /** Data-constrained epoch plan: distribute a token budget (= the
+    * corpus total, i.e. "train for as many tokens as we have, but
+    * uniformly across sources") over sources, repeating scarce sources
+    * up to `maxEpochs` times — the public data-constrained-scaling
+    * recipe ("repeat up to ~4 epochs before returns collapse") as a
+    * reproducible plan table. Per source: available tokens, the uniform
+    * target, the epoch multiplier `min(target/avail, maxEpochs)`, the
+    * allocation `min(target, avail·maxEpochs)` (scarce sources cap out
+    * below target), and the final share of the realized mix.
+    *
+    * One corpus scan → one O(|sources|) aggregate; the two 1-row
+    * rollups (total/k, realized-allocation sum) broadcast back onto the
+    * tiny per-source frame. Token counts are exact longs; every derived
+    * double is a fixed op sequence over them (no float accumulation —
+    * the 2-dp allocations sum as exact decimals), rounded once.
+    */
+  def epochPlan(df: DataFrame, textCol: String, sourceCol: String,
+                maxEpochs: Double = 4.0): DataFrame = {
+    val perSrc = df.groupBy(col(sourceCol).as("source"))
+      .agg(sum(TextAnalysis.tokenCount(col(textCol)).cast("long"))
+        .as("avail_tokens"))
+    val tot = perSrc.agg(sum(col("avail_tokens")).as("total"),
+      count(lit(1)).as("k"))
+    val planned = perSrc.crossJoin(broadcast(tot))
+      .withColumn("target_tokens",
+        round(col("total").cast("double") / col("k"), 2))
+      .withColumn("epochs",
+        round(least(col("target_tokens") / col("avail_tokens"),
+          lit(maxEpochs)), 6))
+      .withColumn("allocated_tokens",
+        round(least(col("target_tokens"),
+          col("avail_tokens").cast("double") * maxEpochs), 2))
+    val realized = planned.agg(
+      sum(col("allocated_tokens")
+        .cast(org.apache.spark.sql.types.DecimalType(28, 2))).as("realized"))
+    planned.crossJoin(broadcast(realized))
+      .select(col("source"), col("avail_tokens"), col("target_tokens"),
+        col("epochs"), col("allocated_tokens"),
+        round(col("allocated_tokens") / col("realized").cast("double"), 6)
+          .as("share"))
+  }
 }

@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Event-stream analytics over the `events` table — windowed aggregation
   * and gap-based sessionization (the watermark/window surface of SURVEY
@@ -689,5 +690,61 @@ object EventAnalytics {
           "yyyy-MM-dd HH:00:00").as("bucket_start"),
         when(col("bucket_h") === col("h"), col("n")).otherwise(0L).as("n"),
         col("last_type").as("carried_type"))
+  }
+
+  /** Deterministic A/B readout: users split by `userCol % 2` (the
+    * reproducible stand-in for an assignment table — swap in a real one
+    * by joining it upstream), per-user metric = sum of `valueCol`, then
+    * a Welch z on the two user-level populations:
+    *
+    *   z = (mean₁ − mean₀) / √(var₀/n₀ + var₁/n₁)
+    *
+    * One row: n/mean/var per arm, diff, z. Two aggregates end-to-end —
+    * user-level (map-side combined, shuffle keyed on the user) and the
+    * 1-row arm rollup; nothing driver-side, so the same plan holds over
+    * any user count. Exactness: per-event values are 2-dp, so the
+    * per-user and per-arm sums are exact DECIMALs; means/variances are
+    * a fixed sequence of double ops over those exact sums (deterministic
+    * across engines — no float accumulation anywhere), rounded once at
+    * the output. Variance is the n−1 sample form; z is NULL for a
+    * degenerate arm (n < 2 or zero variance) rather than ±Inf.
+    */
+  def abTest(events: DataFrame, userCol: String, valueCol: String): DataFrame = {
+    val perUser = events
+      .groupBy(col(userCol).as("u"))
+      // re-narrowed to (18,2): keeps x·x inside both engines' 38-digit
+      // decimal ceiling (DuckDB errors rather than widens past 38); a
+      // per-user total beyond 1e16 would overflow — not a realistic
+      // metric magnitude
+      .agg(sum(col(valueCol).cast(DecimalType(18, 2)))
+        .cast(DecimalType(18, 2)).as("x"))
+      .select((col("u") % 2).cast("int").as("variant"), col("x"))
+    val perArm = perUser.groupBy(col("variant"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum((col("x") * col("x")).cast(DecimalType(38, 4))).as("sxx"))
+      .select(col("variant"), col("n"),
+        (col("sx").cast("double") / col("n")).as("mean"),
+        when(col("n") > 1,
+          (col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double") / col("n")) /
+            (col("n") - 1)).as("variance"))
+    perArm.agg(
+        max(when(col("variant") === 0, col("n"))).as("n_0"),
+        max(when(col("variant") === 1, col("n"))).as("n_1"),
+        max(when(col("variant") === 0, col("mean"))).as("m_0"),
+        max(when(col("variant") === 1, col("mean"))).as("m_1"),
+        max(when(col("variant") === 0, col("variance"))).as("v_0"),
+        max(when(col("variant") === 1, col("variance"))).as("v_1"))
+      .select(
+        col("n_0"), col("n_1"),
+        round(col("m_0"), 6).as("mean_0"), round(col("m_1"), 6).as("mean_1"),
+        round(col("v_0"), 6).as("var_0"), round(col("v_1"), 6).as("var_1"),
+        round(col("m_1") - col("m_0"), 6).as("diff"),
+        when(col("v_0") / col("n_0") + col("v_1") / col("n_1") > 0.0,
+          round((col("m_1") - col("m_0")) /
+            sqrt(col("v_0") / col("n_0") + col("v_1") / col("n_1")), 6))
+          .as("z_score"))
   }
 }

@@ -1,0 +1,141 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classifier-evaluation metrics over scored corpora — the measurement
+  * tier that closes the loop on the model-based filters ([[Classify]],
+  * [[TextAnalysis.qualityScore]], langid): a curation pipeline that
+  * gates documents on a score needs AUC / calibration / PR evidence
+  * that the score separates, and it needs them computed ON the corpus,
+  * distributed, not on a driver-side sample.
+  *
+  * reference: the reference system (cdc_system.py) has no evaluation
+  * tier; this extends the classifier family the way a production
+  * data-quality loop needs.
+  *
+  * Scale shape: every metric here first collapses the corpus to ONE row
+  * per distinct score value (`groupBy(score)` — map-side combined, so
+  * the shuffle is bounded by |distinct scores|, not rows). Scores are
+  * rounded to 6 dp by the callers, capping the collapsed frame at ~2M
+  * rows per score unit no matter the corpus size. The ROC sweep then
+  * runs a single-partition ordered window over THAT frame — the same
+  * deliberate bounded-frame-global-window trade [[Sketches]] documents:
+  * at 100 TB the corpus never moves, only the distinct-score histogram
+  * does.
+  */
+object Metrics {
+
+  /** Area under the ROC curve by the rank-sum (Mann–Whitney) identity,
+    * tie-aware:
+    *
+    *   AUC = Σ_s  pos(s) · (negBelow(s) + neg(s)/2)  /  (P · N)
+    *
+    * i.e. the probability a random positive outranks a random negative,
+    * ties counted half. `posCol` is a boolean column; `scoreCol` the
+    * (already rounded) score. Returns ONE row
+    * (n_pos, n_neg, n_scores, auc) — auc is NULL when either class is
+    * empty (undefined, and both engines must agree on the encoding).
+    */
+  def binaryAuc(df: DataFrame, posCol: String, scoreCol: String): DataFrame = {
+    val perScore = df.groupBy(col(scoreCol).as("s"))
+      .agg(
+        sum(when(col(posCol), 1L).otherwise(0L)).as("pos"),
+        sum(when(col(posCol), 0L).otherwise(1L)).as("neg"))
+    // single-partition ordered window over the |distinct scores| frame —
+    // bounded by construction (see object scaladoc), never by corpus rows
+    val w = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // numerator kept INTEGRAL (doubled to clear the half-tie term):
+    // 2·num = Σ pos·(2·negBelow + neg), summed as DECIMAL(38,0) — exact
+    // at any corpus size, no float-association drift, one rounding at
+    // the final division
+    perScore
+      .withColumn("neg_below", coalesce(sum(col("neg")).over(w), lit(0L)))
+      .agg(
+        sum(col("pos")).as("n_pos"),
+        sum(col("neg")).as("n_neg"),
+        count(lit(1)).as("n_scores"),
+        sum((col("pos") * (lit(2L) * col("neg_below") + col("neg")))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("__num2"))
+      .select(col("n_pos"), col("n_neg"), col("n_scores"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round(col("__num2").cast("double") /
+            (lit(2.0) * col("n_pos") * col("n_neg")), 6))
+          .as("auc"))
+  }
+
+  /** Reliability diagram: `nBuckets` fixed-width score buckets over the
+    * OBSERVED [min, max] (a 1-row broadcast, not a parameter — the
+    * caller shouldn't need to know the score's range), each reporting
+    * size, mean score, and empirical positive rate. A calibrated score
+    * has mean_score ≈ frac_pos per bucket. The max score lands in the
+    * top bucket (least(), not a half-open miss); a constant score
+    * degenerates to one bucket 0 row.
+    */
+  def calibration(df: DataFrame, posCol: String, scoreCol: String,
+                  nBuckets: Int): DataFrame = {
+    val perScore = df.groupBy(col(scoreCol).as("s"))
+      .agg(
+        sum(when(col(posCol), 1L).otherwise(0L)).as("pos"),
+        count(lit(1)).as("n"))
+    val bounds = perScore.agg(min(col("s")).as("lo"), max(col("s")).as("hi"))
+    perScore.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        when(col("hi") === col("lo"), lit(0))
+          .otherwise(least(
+            floor((col("s") - col("lo")) / (col("hi") - col("lo")) * nBuckets),
+            lit(nBuckets - 1L))).cast("int"))
+      .groupBy(col("bucket"))
+      .agg(
+        sum(col("n")).as("n"),
+        // scores arrive 6-dp-rounded, so the DECIMAL cast is lossless
+        // and the weighted sum exact — float association would drift
+        // across engines/partitionings at the 6-dp compare boundary
+        round(sum(col("s").cast(org.apache.spark.sql.types.DecimalType(28, 10)) *
+          col("n")).cast("double") / sum(col("n")).cast("double"), 6)
+          .as("mean_score"),
+        round(sum(col("pos")).cast("double") / sum(col("n")).cast("double"), 6)
+          .as("frac_pos"))
+  }
+
+  /** Precision/recall/F1 at each given threshold (prediction = score ≥
+    * t). Thresholds ride in as ONE broadcast literal frame against the
+    * per-score histogram, so the whole sweep is |thresholds| ×
+    * |distinct scores| on bounded frames — adding thresholds never
+    * rescans the corpus. Empty-prediction thresholds report NULL
+    * precision/F1 (undefined), recall 0.
+    */
+  def prAtThresholds(df: DataFrame, posCol: String, scoreCol: String,
+                     thresholds: Seq[Double]): DataFrame = {
+    val perScore = df.groupBy(col(scoreCol).as("s"))
+      .agg(
+        sum(when(col(posCol), 1L).otherwise(0L)).as("pos"),
+        sum(when(col(posCol), 0L).otherwise(1L)).as("neg"))
+    val totals = perScore.agg(sum(col("pos")).as("p_total"))
+    val th = thresholds.map(t => lit(t)).toArray
+    val thFrame = perScore.sparkSession.range(1).select(
+      explode(array(th: _*)).as("threshold"))
+    perScore.crossJoin(broadcast(thFrame))
+      .groupBy(col("threshold"))
+      .agg(
+        sum(when(col("s") >= col("threshold"), col("pos")).otherwise(0L)).as("tp"),
+        sum(when(col("s") >= col("threshold"), col("neg")).otherwise(0L)).as("fp"))
+      .crossJoin(broadcast(totals))
+      .select(
+        col("threshold"), col("tp"), col("fp"),
+        when(col("tp") + col("fp") > 0,
+          round(col("tp").cast("double") / (col("tp") + col("fp")).cast("double"), 6))
+          .as("precision"),
+        when(col("p_total") > 0,
+          round(col("tp").cast("double") / col("p_total").cast("double"), 6))
+          .otherwise(lit(0.0)).as("recall"),
+        // 2tp/(2tp+fp+fn) with fn = p_total − tp; defined exactly when
+        // both precision and recall are
+        when(col("tp") + col("fp") > 0 && col("p_total") > 0,
+          round(lit(2.0) * col("tp").cast("double") /
+            (col("tp") + col("fp") + col("p_total")).cast("double"), 6))
+          .as("f1"))
+  }
+}

@@ -1169,4 +1169,33 @@ object Similarity {
         .otherwise(round(x / s, 6)))
     df.select(col(idCol), whitened.as("w"))
   }
+
+  /** Energy-retention curve under prefix truncation: for each cutoff d,
+    * the mean over vectors of ‖v[0:d]‖ / ‖v‖ — the number a
+    * Matryoshka-style "can we serve the first d dims?" decision reads.
+    * The cutoffs ride in as one broadcast literal frame (rows ×
+    * |dims| narrow expansion, no shuffle until the O(|dims|)
+    * aggregate); per-vector ratios are deterministic double folds
+    * ([[dot]] is a sequential fold) rounded to 6 dp, then averaged as
+    * exact decimals — adding cutoffs never rescans the corpus twice.
+    * All-zero vectors count as fully retained (ratio 1) rather than
+    * poisoning the mean with NaN.
+    */
+  def energyCurve(df: DataFrame, vecCol: String, dims: Seq[Int]): DataFrame = {
+    val dimFrame = df.sparkSession.range(1).select(
+      explode(array(dims.map(d => lit(d)): _*)).as("d"))
+    df.select(col(vecCol).as("v"))
+      .withColumn("ssq_full", dot(col("v"), col("v")))
+      .crossJoin(broadcast(dimFrame))
+      .withColumn("ssq_d",
+        dot(slice(col("v"), lit(1), col("d")), slice(col("v"), lit(1), col("d"))))
+      .withColumn("ratio",
+        when(col("ssq_full") === 0.0, lit(1.0))
+          .otherwise(round(sqrt(col("ssq_d") / col("ssq_full")), 6)))
+      .groupBy(col("d"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        round(sum(col("ratio").cast(org.apache.spark.sql.types.DecimalType(28, 10)))
+          .cast("double") / count(lit(1)), 6).as("mean_retention"))
+  }
 }

@@ -60,7 +60,24 @@ class PlanGuardSpec extends SparkSpecBase {
     // |sources|-row weight frame
     "corpus_mix_temperature",
     // 1-row clean-vector-count scalar broadcast onto the O(dim²) cells
-    "emb_covariance")
+    "emb_covariance",
+    // 1-row total/k frame + 1-row realized-sum broadcast onto the
+    // |sources|-row plan table
+    "corpus_epoch_plan",
+    // 1-row positive-balance-average frame broadcast onto the customer
+    // scan (the Q22 scalar-subquery shape)
+    "customer_idle_balance",
+    // |cutoffs|-row literal dims frame swept against the corpus by
+    // design (one scan serves every truncation cutoff)
+    "emb_energy_curve",
+    // 1-row degree-census × 1-row triangle-count combine
+    "part_triangles",
+    // 1-row observed-range bounds broadcast onto the distinct-score
+    // histogram
+    "text_langid_calibration",
+    // |thresholds|-row literal frame + 1-row positives-total broadcast
+    // onto the distinct-score histogram
+    "text_langid_pr")
 
   private def walk(p: SparkPlan): Seq[SparkPlan] = {
     val kids = p match {
