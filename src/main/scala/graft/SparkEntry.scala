@@ -1881,6 +1881,49 @@ object SparkEntry {
     Similarity.energyCurve(embeddings(s, dir), "embedding", Seq(8, 16, 32, 64))
       .orderBy("d")
 
+  /** Banding-precision audit of the production MinHash-LSH config: run
+    * the same 16×8 pipeline with NO verify threshold (every banded
+    * candidate survives with its true 3-gram Jaccard) and report how
+    * many candidates the bands surface, their mean true Jaccard, and
+    * the fraction that clear the 0.5 verify bar — the precision
+    * complement of `dedup_lsh_recall`'s decile table. Cost is the
+    * candidate set (collision-scale), never corpus².
+    */
+  private def qDedupLshPrecision(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshDedup(documents(s, dir), "text", "doc_id",
+        n = 3, bands = 16, rowsPerBand = 8, threshold = 0.0,
+        mode = HashMode.Portable)
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        round(sum(col("jac").cast(DecimalType(28, 10))).cast("double") /
+          count(lit(1)), 6).as("mean_jaccard"),
+        sum(when(col("jac") >= 0.5, 1L).otherwise(0L)).as("n_good"),
+        round(sum(when(col("jac") >= 0.5, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)), 6).as("precision_at_t"))
+
+  /** Per-source unigram KL divergence from the corpus distribution
+    * ([[graft.ext.Corpus.sourceDivergence]]) — the domain-shift report.
+    */
+  private def qCorpusSourceDivergence(s: SparkSession, dir: String): DataFrame =
+    Corpus.sourceDivergence(documents(s, dir), "text", "source")
+      .orderBy("source")
+
+  /** Tokenizer fertility per language: BPE-ish subword tokens per
+    * whitespace word — the cross-lingual cost table a tokenizer/budget
+    * decision reads. Exact long sums, one double division per language.
+    */
+  private def qTextFertility(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text")).cast("long")).as("ws_tokens"),
+        sum(TextAnalysis.bpeishTokenCount(col("text")).cast("long")).as("bpe_tokens"),
+        round(sum(TextAnalysis.bpeishTokenCount(col("text")).cast("long")).cast("double") /
+          sum(TextAnalysis.tokenCount(col("text")).cast("long")).cast("double"), 6)
+          .as("fertility"))
+      .orderBy("lang")
+
   /** TPC-H Q4-style priority check: per order priority, how many orders
     * taken in the window have at least one lineitem shipped more than 90
     * days after the order date (the late-fulfilment signal; the
@@ -2829,6 +2872,9 @@ object SparkEntry {
     "events_ab_test" -> (qEventsAbTest _),
     "corpus_epoch_plan" -> (qCorpusEpochPlan _),
     "emb_energy_curve" -> (qEmbEnergyCurve _),
+    "dedup_lsh_precision" -> (qDedupLshPrecision _),
+    "corpus_source_divergence" -> (qCorpusSourceDivergence _),
+    "text_fertility" -> (qTextFertility _),
     "orders_priority_count" -> (qOrdersPriorityCount _),
     "orders_customer_distribution" -> (qOrdersCustomerDistribution _),
     "orders_large_orders" -> (qOrdersLargeOrders _),
@@ -6123,6 +6169,52 @@ object SparkEntry {
         |       target_tokens, epochs, allocated_tokens,
         |       round(allocated_tokens / CAST(realized AS DOUBLE), 6) AS share
         |FROM pl, rz ORDER BY source""".stripMargin,
+
+    // banding-precision audit: the shared minhash pair CTEs with no
+    // threshold filter, rolled up to candidate-set metrics
+    "dedup_lsh_precision" ->
+      s"""${minhashPairCtes(numHashes = 128, bands = 16, rowsPerBand = 8)}
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |       round(CAST(SUM(CAST(jac AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS mean_jaccard,
+         |       CAST(SUM(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+         |       round(CAST(SUM(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS precision_at_t
+         |FROM j""".stripMargin,
+
+    // per-source KL: per-term fixed double chain over exact counts,
+    // rounded 12 dp, decimal-summed — order-independent
+    "corpus_source_divergence" ->
+      """WITH tk AS (
+        |  SELECT source,
+        |         unnest(CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |                ELSE regexp_split_to_array(lower(trim(text)), '\s+') END) AS token
+        |  FROM documents),
+        |sc AS (SELECT source, token, COUNT(*) AS cnt FROM tk GROUP BY 1, 2),
+        |st AS (SELECT source, SUM(cnt) AS tot, COUNT(*) AS vocab FROM sc GROUP BY 1),
+        |cc AS (SELECT token, SUM(cnt) AS ccnt FROM sc GROUP BY 1),
+        |ct AS (SELECT SUM(tot) AS ctotal FROM st),
+        |term AS (
+        |  SELECT sc.source,
+        |         CAST(round((CAST(sc.cnt AS DOUBLE) / st.tot)
+        |           * ln((CAST(sc.cnt AS DOUBLE) / st.tot)
+        |                / (CAST(cc.ccnt AS DOUBLE) / ct.ctotal)), 12) AS DECIMAL(28,14)) AS term
+        |  FROM sc JOIN st ON sc.source = st.source
+        |          JOIN cc ON sc.token = cc.token, ct)
+        |SELECT st.source, CAST(st.tot AS BIGINT) AS n_tokens,
+        |       CAST(st.vocab AS BIGINT) AS vocab,
+        |       round(CAST(SUM(term.term) AS DOUBLE), 6) AS kl_divergence
+        |FROM term JOIN st ON term.source = st.source
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+
+    // fertility: exact long token sums, one double division per lang
+    "text_fertility" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+        |                ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS ws_tokens,
+        |       CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS bpe_tokens,
+        |       round(CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS DOUBLE)
+        |             / CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+        |                      ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS DOUBLE), 6) AS fertility
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // energy curve: per-vector sequential-fold prefix/full norm ratio
     // (6 dp), decimal-exact mean per cutoff

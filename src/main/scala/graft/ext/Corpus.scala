@@ -916,6 +916,49 @@ object Corpus {
     * double is a fixed op sequence over them (no float accumulation —
     * the 2-dp allocations sum as exact decimals), rounded once.
     */
+  /** Per-source unigram KL divergence from the corpus-wide distribution
+    * — the domain-shift detector a mixing decision reads (a source whose
+    * token distribution diverges hard from the pool is either a
+    * treasure or a contamination, and either way warrants a look).
+    *
+    *   KL(source ‖ corpus) = Σ_t p_s(t) · ln(p_s(t) / p_c(t))
+    *
+    * summed over the source's own tokens (p_s > 0 by construction;
+    * p_c ≥ p_s·tot_s/total > 0 always, so no smoothing is needed —
+    * unlike the reverse direction, which this deliberately is not).
+    *
+    * One corpus scan; every aggregate after it is keyed on (source,
+    * token) or token — bounded by |sources| × vocabulary, never corpus
+    * rows, with map-side combine on the token explosion. The corpus
+    * marginal reuses the per-source counts (no second scan). Per-term
+    * values are a fixed double-op chain over exact long counts, rounded
+    * to 12 dp, then summed as exact decimals — the KL total is
+    * order-independent across engines and partitionings.
+    */
+  def sourceDivergence(df: DataFrame, textCol: String,
+                       sourceCol: String): DataFrame = {
+    val tk = df.select(col(sourceCol).as("source"),
+      explode(TextAnalysis.tokens(lower(col(textCol)))).as("token"))
+    val sCnt = tk.groupBy("source", "token").agg(count(lit(1)).as("cnt"))
+    val sTot = sCnt.groupBy("source").agg(
+      sum(col("cnt")).as("tot"), count(lit(1)).as("vocab"))
+    val cCnt = sCnt.groupBy("token").agg(sum(col("cnt")).as("ccnt"))
+    val cTot = sTot.agg(sum(col("tot")).as("ctotal"))
+    val ps = col("cnt").cast("double") / col("tot")
+    val pc = col("ccnt").cast("double") / col("ctotal")
+    sCnt.join(sTot, "source")
+      .join(cCnt, "token")
+      .crossJoin(broadcast(cTot))
+      .withColumn("term",
+        round(ps * log(ps / pc), 12)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 14)))
+      .groupBy(col("source"))
+      .agg(
+        max(col("tot")).as("n_tokens"),
+        max(col("vocab")).as("vocab"),
+        round(sum(col("term")).cast("double"), 6).as("kl_divergence"))
+  }
+
   def epochPlan(df: DataFrame, textCol: String, sourceCol: String,
                 maxEpochs: Double = 4.0): DataFrame = {
     val perSrc = df.groupBy(col(sourceCol).as("source"))

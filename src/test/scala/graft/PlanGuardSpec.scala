@@ -77,7 +77,9 @@ class PlanGuardSpec extends SparkSpecBase {
     "text_langid_calibration",
     // |thresholds|-row literal frame + 1-row positives-total broadcast
     // onto the distinct-score histogram
-    "text_langid_pr")
+    "text_langid_pr",
+    // 1-row corpus-token-total broadcast onto the (source, token) frame
+    "corpus_source_divergence")
 
   private def walk(p: SparkPlan): Seq[SparkPlan] = {
     val kids = p match {
