@@ -2078,6 +2078,41 @@ object SparkEntry {
       .orderBy("priority")
   }
 
+  /** Incremental VARIANCE view maintenance: per-priority second moments
+    * (count, Σv, Σv²) refreshed from the change log alone
+    * ([[IncrementalAgg.maintainMoments]] — self-maintainable like
+    * count/sum, no dirty-group fallback needed), with mean/variance
+    * derived at read time from the exact maintained decimals. Equal to
+    * recomputing moments over the post-change snapshot, which is what
+    * the oracle does.
+    */
+  private def qCdcIncrementalVariance(s: SparkSession, dir: String): DataFrame = {
+    val base = IncrementalAgg.snapshotMoments(
+      orders(s, dir).select(OrdersSpec.columns.map(col): _*),
+      "o_orderpriority", "o_totalprice")
+    IncrementalAgg.maintainMoments(base, changeLog(s, dir),
+        "o_orderpriority", "o_totalprice")
+      .select(col("g_key").as("priority"), col("cnt").as("n_orders"),
+        round(col("total").cast("double") / col("cnt"), 6).as("mean_price"),
+        when(col("cnt") > 1,
+          round((col("total_sq").cast("double") -
+            col("total").cast("double") * col("total").cast("double") / col("cnt")) /
+            (col("cnt") - 1), 6)).as("var_price"))
+      .orderBy("priority")
+  }
+
+  /** Triangle census of the VERIFIED near-duplicate pair graph — the
+    * structural audit of what dedup will delete: near-complete triangle
+    * closure means duplicate groups are true replica cliques (safe to
+    * keep one representative); low closure means drift chains where
+    * transitive keep-first deletion is lossier. Composes the shared
+    * minhash pair set with [[graft.ext.Graph.triangleStats]]'s
+    * degree-ordered count; cost is the (collision-scale) pair graph,
+    * never the corpus.
+    */
+  private def qDedupGraphStats(s: SparkSession, dir: String): DataFrame =
+    Graph.triangleStats(minhashPairs(s, dir), "id_a", "id_b")
+
   /** Incremental MIN/MAX view maintenance — the NON-self-maintainable
     * aggregate family, kept fresh by dirty-group recompute
     * ([[IncrementalAgg.maintainMinMax]]): the batch's images name the
@@ -2875,6 +2910,8 @@ object SparkEntry {
     "dedup_lsh_precision" -> (qDedupLshPrecision _),
     "corpus_source_divergence" -> (qCorpusSourceDivergence _),
     "text_fertility" -> (qTextFertility _),
+    "cdc_incremental_variance" -> (qCdcIncrementalVariance _),
+    "dedup_graph_stats" -> (qDedupGraphStats _),
     "orders_priority_count" -> (qOrdersPriorityCount _),
     "orders_customer_distribution" -> (qOrdersCustomerDistribution _),
     "orders_large_orders" -> (qOrdersLargeOrders _),
@@ -6122,8 +6159,11 @@ object SparkEntry {
         |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS x
         |  FROM events GROUP BY 1),
         |pa AS (
+        |  -- precision-19 operands keep the square on DuckDB's hugeint
+        |  -- path (the int64 fast path overflows once per-user totals
+        |  -- pass ~9e5); same values as the engine's (18,2)² decimals
         |  SELECT user_id % 2 AS variant, COUNT(*) AS n, SUM(x) AS sx,
-        |         SUM(CAST(x * x AS DECIMAL(38,4))) AS sxx
+        |         SUM(CAST(CAST(x AS DECIMAL(19,2)) * CAST(x AS DECIMAL(19,2)) AS DECIMAL(38,4))) AS sxx
         |  FROM pu GROUP BY 1),
         |st AS (
         |  SELECT variant, n, CAST(sx AS DOUBLE) / n AS mean,
@@ -6204,6 +6244,52 @@ object SparkEntry {
         |       round(CAST(SUM(term.term) AS DOUBLE), 6) AS kl_divergence
         |FROM term JOIN st ON term.source = st.source
         |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+
+    // maintained moments must equal a recompute on the post-change
+    // snapshot — the oracle IS that recompute, with the identical
+    // mean/variance derivation op order
+    "cdc_incremental_variance" ->
+      s"""WITH ${FixtureSql.AfterCte}
+         |SELECT o_orderpriority AS priority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |  round(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / COUNT(*), 6) AS mean_price,
+         |  CASE WHEN COUNT(*) > 1 THEN
+         |    -- operands at precision 19 force DuckDB onto hugeint decimal
+         |    -- math (the 18,4 square overflows its int64 fast path); the
+         |    -- VARCHAR hop makes the decimal→double cast CORRECTLY
+         |    -- rounded (DuckDB's direct cast is scaled-int→double then
+         |    -- ÷10^scale — two roundings, 1 ulp off the JVM's
+         |    -- BigDecimal.doubleValue at the ~1e18 sumsq magnitude)
+         |    round((CAST(CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(19,4))
+         |                        * CAST(o_totalprice AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS VARCHAR) AS DOUBLE)
+         |           - CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+         |             * CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / COUNT(*))
+         |          / (COUNT(*) - 1), 6) END AS var_price
+         |FROM after_t GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // triangle census over the verified near-dup pairs: id-ordered
+    // triple join, count-identical to the engine's degree orientation
+    "dedup_graph_stats" ->
+      s"""${minhashPairCtes(numHashes = 128, bands = 16, rowsPerBand = 8)},
+         |edges AS (SELECT DISTINCT id_a AS lo, id_b AS hi FROM j WHERE jac >= 0.5),
+         |deg AS (
+         |  SELECT v, COUNT(*) AS deg FROM (
+         |    SELECT lo AS v FROM edges UNION ALL SELECT hi AS v FROM edges)
+         |  GROUP BY v),
+         |ds AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
+         |         CAST(SUM(deg) // 2 AS BIGINT) AS n_edges,
+         |         CAST(SUM(deg * (deg - 1)) // 2 AS BIGINT) AS n_wedges
+         |  FROM deg),
+         |tri AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+         |  FROM edges e1
+         |  JOIN edges e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+         |  JOIN edges e3 ON e3.lo = e1.hi AND e3.hi = e2.hi)
+         |SELECT n_vertices, n_edges, n_wedges, n_triangles,
+         |       CASE WHEN n_wedges > 0
+         |            THEN round(3.0 * n_triangles / CAST(n_wedges AS DOUBLE), 6)
+         |       END AS clustering_coeff
+         |FROM ds, tri""".stripMargin,
 
     // fertility: exact long token sums, one double division per lang
     "text_fertility" ->

@@ -96,6 +96,69 @@ object IncrementalAgg {
       .filter(col("cnt") > 0)
   }
 
+  /** `groupBy(key).agg(count, sum, sum-of-squares)` over a base snapshot
+    * — the second-moment extension of [[snapshotAgg]], from which a
+    * mean/variance/stddev dashboard derives at read time. Squares are
+    * exact decimals ((18,4)² = (37,8), clamped to the stable (38,8)
+    * storage type), so the maintained moments are bit-identical to a
+    * recompute. COUNT/SUM/SUMSQ are all self-maintainable — variance
+    * views need no dirty-group fallback, unlike MIN/MAX.
+    */
+  def snapshotMoments(base: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    val v = col(valueCol).cast(DecimalType(18, 4))
+    base.groupBy(col(keyCol).as("g_key"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(v).as("total"),
+        sum((v * v).cast(DecimalType(38, 8))).as("total_sq"))
+  }
+
+  /** Merge stored moments with a change batch — [[maintain]]'s recipe
+    * with the squared term riding the same ±delta explosion and the
+    * same O(groups) outer merge. Exactly equal to recomputing
+    * [[snapshotMoments]] on the post-change snapshot.
+    */
+  def maintainMoments(storedMoments: DataFrame, changes: DataFrame,
+                      keyCol: String, valueCol: String): DataFrame = {
+    val oldImg = col(OldData)
+    val newImg = col(NewData)
+    def sq(img: org.apache.spark.sql.Column) = {
+      val v = img.getField(valueCol).cast(DecimalType(18, 4))
+      (v * v).cast(DecimalType(38, 8))
+    }
+    val contrib = array(
+      when(oldImg.isNotNull, struct(
+        oldImg.getField(keyCol).as("g_key"),
+        lit(-1L).as("d_cnt"),
+        (-oldImg.getField(valueCol).cast(DecimalType(18, 4))).as("d_total"),
+        (-sq(oldImg)).as("d_total_sq"))),
+      when(newImg.isNotNull, struct(
+        newImg.getField(keyCol).as("g_key"),
+        lit(1L).as("d_cnt"),
+        newImg.getField(valueCol).cast(DecimalType(18, 4)).as("d_total"),
+        sq(newImg).as("d_total_sq"))))
+    val d = changes
+      .select(explode(contrib).as("c"))
+      .filter(col("c").isNotNull)
+      .select(col("c.g_key"), col("c.d_cnt"), col("c.d_total"), col("c.d_total_sq"))
+      .groupBy("g_key")
+      .agg(sum(col("d_cnt")).as("d_cnt"), sum(col("d_total")).as("d_total"),
+        sum(col("d_total_sq")).as("d_total_sq"))
+    storedMoments.select(col("g_key"), col("cnt"), col("total"), col("total_sq"))
+      .join(d.withColumnRenamed("g_key", "d_key"),
+        col("g_key") <=> col("d_key"), "full_outer")
+      .select(
+        coalesce(col("g_key"), col("d_key")).as("g_key"),
+        (coalesce(col("cnt"), lit(0L)) + coalesce(col("d_cnt"), lit(0L))).as("cnt"),
+        (coalesce(col("total"), lit(0).cast(DecimalType(28, 4))) +
+          coalesce(col("d_total"), lit(0).cast(DecimalType(28, 4))))
+          .cast(DecimalType(28, 4)).as("total"),
+        (coalesce(col("total_sq"), lit(0).cast(DecimalType(38, 8))) +
+          coalesce(col("d_total_sq"), lit(0).cast(DecimalType(38, 8))))
+          .cast(DecimalType(38, 8)).as("total_sq"))
+      .filter(col("cnt") > 0)
+  }
+
   /** `groupBy(key).agg(min(value), max(value))` over a base snapshot, in
     * the exact decimal shape [[maintainMinMax]] preserves.
     */

@@ -79,7 +79,9 @@ class PlanGuardSpec extends SparkSpecBase {
     // onto the distinct-score histogram
     "text_langid_pr",
     // 1-row corpus-token-total broadcast onto the (source, token) frame
-    "corpus_source_divergence")
+    "corpus_source_divergence",
+    // 1-row degree-census × 1-row triangle-count combine (near-dup graph)
+    "dedup_graph_stats")
 
   private def walk(p: SparkPlan): Seq[SparkPlan] = {
     val kids = p match {

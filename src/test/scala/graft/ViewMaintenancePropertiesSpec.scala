@@ -196,4 +196,31 @@ class ViewMaintenancePropertiesSpec extends SparkSpecBase {
       sameRows(maintained, IncrementalAgg.snapshotMinMax(after, "g", "v"))
     }, minSuccessful = 6)
   }
+
+  test("property: second-moment view equals recompute for any op sequence incl null keys and group moves") {
+    checkProp(Prop.forAllNoShrink(Gen.listOfN(7, genMOp)) { ops =>
+      // same op alphabet as the min/max property: NULL group keys in
+      // play, updates that move rows between groups, deletes that can
+      // empty a group entirely — the cases where a sign error in the
+      // retraction/assertion deltas would survive a happy-path test
+      val init = Map(1L -> (Option("a"), 9L), 2L -> (Option.empty[String], 3L))
+      var st = init
+      ops.foreach {
+        case MIns(id, g, v) if !st.contains(id) => st += id -> (g, v)
+        case MUpd(id, g, v) if st.contains(id)  => st += id -> (g, v)
+        case MDel(id) if st.contains(id)        => st -= id
+        case _                                  => ()
+      }
+      val before = init.toSeq.map { case (id, (g, v)) => (id, g, v) }
+        .toDF("id", "g", "v")
+      val after = st.toSeq.map { case (id, (g, v)) => (id, g, v) }
+        .toDF("id", "g", "v")
+      val log = ChangeLog.assignCdcIds(
+        ChangeCapture.finishLogSchema(
+          ChangeCapture.captureChanges(before, after, mmSpec)), global = true)
+      val stored = IncrementalAgg.snapshotMoments(before, "g", "v")
+      val maintained = IncrementalAgg.maintainMoments(stored, log, "g", "v")
+      sameRows(maintained, IncrementalAgg.snapshotMoments(after, "g", "v"))
+    }, minSuccessful = 6)
+  }
 }
