@@ -418,6 +418,77 @@ object CdcStream {
       valueCol: String,
       keyType: org.apache.spark.sql.types.DataType)
 
+  /** Schema of the maintained second-moment view — identical to
+    * [[graft.apply.IncrementalAgg.snapshotMoments]]'s output.
+    */
+  private def momentsSchema(keyType: org.apache.spark.sql.types.DataType): StructType = {
+    import org.apache.spark.sql.types.{DecimalType, LongType, StructField}
+    StructType(Seq(
+      StructField("g_key", keyType),
+      StructField("cnt", LongType),
+      StructField("total", DecimalType(28, 4)),
+      StructField("total_sq", DecimalType(38, 8))))
+  }
+
+  /** Seed the moments view from the base snapshot (pseudo-epoch −1). */
+  def bootstrapMoments(
+      base: DataFrame,
+      momentsDir: String,
+      keyCol: String,
+      valueCol: String): Unit = {
+    graft.apply.IncrementalAgg.snapshotMoments(base, keyCol, valueCol)
+      .write.mode("overwrite").parquet(s"$momentsDir/v=-1")
+    commitVersion(momentsDir, -1L)
+  }
+
+  /** Read the current committed moments view. */
+  def readMoments(
+      spark: SparkSession,
+      momentsDir: String,
+      keyType: org.apache.spark.sql.types.DataType): DataFrame =
+    currentVersion(momentsDir) match {
+      case Some(v) =>
+        spark.read.schema(momentsSchema(keyType)).parquet(s"$momentsDir/v=$v")
+      case None => emptyDf(spark, momentsSchema(keyType))
+    }
+
+  /** Incrementally maintain a grouped count/sum/sum-of-squares view for
+    * one micro-batch — [[applyAggBatch]]'s contract (whole-view
+    * overwrite per epoch, `versionBefore` replay, O(batch) deltas +
+    * O(groups) merge) with the squared term riding along, so a
+    * mean/variance/stddev dashboard stays exactly fresh per epoch
+    * without ever rescanning the base.
+    */
+  def applyMomentsBatch(
+      batch: DataFrame,
+      epoch: Long,
+      momentsDir: String,
+      keyCol: String,
+      valueCol: String,
+      keyType: org.apache.spark.sql.types.DataType): Unit = {
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return
+    val prior = versionBefore(momentsDir, epoch)
+    val stored = prior match {
+      case Some(pv) =>
+        spark.read.schema(momentsSchema(keyType)).parquet(s"$momentsDir/v=$pv")
+      case None => emptyDf(spark, momentsSchema(keyType))
+    }
+    graft.apply.IncrementalAgg.maintainMoments(stored, batch, keyCol, valueCol)
+      .write.mode("overwrite").parquet(s"$momentsDir/v=$epoch")
+    commitVersion(momentsDir, epoch)
+  }
+
+  /** Moments-view wiring for [[start]]: maintain
+    * `groupBy(keyCol).agg(count, sum, sumsq of valueCol)` in `dir`
+    * alongside the target.
+    */
+  final case class MomentsView(
+      dir: String,
+      keyCol: String,
+      valueCol: String,
+      keyType: org.apache.spark.sql.types.DataType)
+
   // ------------------------------------------------ join-view maintenance
 
   /** Incrementally maintain an enriched JOIN view (`fact ⋈ dim` on
@@ -527,6 +598,7 @@ object CdcStream {
       numBuckets: Int = 16,
       historyDir: Option[String] = None,
       aggView: Option[AggView] = None,
+      momentsView: Option[MomentsView] = None,
       joinView: Option[JoinView] = None): StreamingQuery = {
     val logSchema = graft.log.ChangeLog.schema(rowSchema)
     val stream = spark.readStream
@@ -547,6 +619,8 @@ object CdcStream {
           applyHistoryBatch(batch, epoch, h, spec, rowSchema, numBuckets))
         aggView.foreach(v =>
           applyAggBatch(batch, epoch, v.dir, v.keyCol, v.valueCol, v.keyType))
+        momentsView.foreach(v =>
+          applyMomentsBatch(batch, epoch, v.dir, v.keyCol, v.valueCol, v.keyType))
         joinView.foreach(v =>
           applyJoinBatch(batch, epoch, v.dir, spec, v.viewSchema, v.dim,
             v.fkCol, v.dimKey, v.dimCols, numBuckets))
@@ -571,11 +645,12 @@ object CdcStream {
       maxFilesPerTrigger: Int = 100,
       historyDir: Option[String] = None,
       aggView: Option[AggView] = None,
+      momentsView: Option[MomentsView] = None,
       joinView: Option[JoinView] = None): Unit = {
     val q = start(spark, logDir, targetDir, checkpointDir, spec, rowSchema,
       trigger = Some(Trigger.AvailableNow()), strategy = strategy,
       maxFilesPerTrigger = maxFilesPerTrigger, historyDir = historyDir,
-      aggView = aggView, joinView = joinView)
+      aggView = aggView, momentsView = momentsView, joinView = joinView)
     q.awaitTermination()
   }
 

@@ -370,6 +370,36 @@ class CdcStreamSpec extends SparkSpecBase {
       .collect().toSet === after)
   }
 
+  test("streamed moments view across micro-batches equals recompute; crashed epoch idempotent") {
+    val tmp = Files.createTempDirectory("cdcmoments").toString
+    val mDir = s"$tmp/moments"
+    val spec = DemoWorkload.UsersSpec
+    val base = DemoWorkload.users(s, 3, startId = 500L).localCheckpoint(true)
+    val table = DemoWorkload.replay(CdcTable(base, spec), s,
+      inserts = 6, updates = 3, deletes = 2)
+    table.update(col("id") === 500L, Map("status" -> lit("inactive")))
+    val log = table.changeLog.localCheckpoint(true)
+    val batch1 = log.filter(col("cdc_id") <= 5)
+    val batch2 = log.filter(col("cdc_id") > 5)
+
+    CdcStream.bootstrapMoments(base, mDir, "status", "id")
+    CdcStream.applyMomentsBatch(batch1, 0L, mDir, "status", "id",
+      org.apache.spark.sql.types.StringType)
+    CdcStream.applyMomentsBatch(batch2, 1L, mDir, "status", "id",
+      org.apache.spark.sql.types.StringType)
+    val after = CdcStream.readMoments(s, mDir, org.apache.spark.sql.types.StringType)
+      .collect().toSet
+    // maintained second moments equal a recompute over the final snapshot
+    val expected = graft.apply.IncrementalAgg
+      .snapshotMoments(table.snapshot, "status", "id").collect().toSet
+    assert(after === expected)
+    // crash window: re-run epoch 1 — reads versionBefore(1), reproduces
+    CdcStream.applyMomentsBatch(batch2, 1L, mDir, "status", "id",
+      org.apache.spark.sql.types.StringType)
+    assert(CdcStream.readMoments(s, mDir, org.apache.spark.sql.types.StringType)
+      .collect().toSet === after)
+  }
+
   test("streamed join view equals recompute; dangling fk drops; crashed epoch idempotent") {
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
     val tmp = Files.createTempDirectory("cdcjoinview").toString
