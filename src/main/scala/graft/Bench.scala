@@ -10,7 +10,8 @@ object Bench {
       "dedup_incremental_append", "ann_ivfpq_append",
       "corpus_source_cap_append"),
     "ngram_pairs" -> Set("dedup_ngram_jaccard", "dedup_clusters"),
-    "minhash_pairs" -> Set("dedup_minhash_lsh", "dedup_apply_minhash"))
+    "minhash_pairs" -> Set("dedup_minhash_lsh", "dedup_apply_minhash",
+      "dedup_graph_stats"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1908,6 +1908,90 @@ object SparkEntry {
     Corpus.sourceDivergence(documents(s, dir), "text", "source")
       .orderBy("source")
 
+  /** TPC-H Q12-adapted late-shipment severity: per ship-lag bucket
+    * (≤30 / ≤60 / ≤90 / >90 days after order), how many lineitems
+    * belong to critical-priority orders (1-URGENT/2-HIGH) vs the rest —
+    * Q12's priority-split counting with lag buckets standing in for the
+    * ship modes this schema doesn't carry. One fact-fact equi-join
+    * (pushed date filter) + an O(4)-key conditional aggregate.
+    */
+  private def qOrdersLateShipments(s: SparkSession, dir: String): DataFrame = {
+    val d1 = java.sql.Timestamp.from(java.time.Instant.parse("1997-01-01T00:00:00Z"))
+    val d2 = java.sql.Timestamp.from(java.time.Instant.parse("1998-01-01T00:00:00Z"))
+    val lag = datediff(col("l_shipdate"), col("o_orderdate"))
+    lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit(d1) && col("l_shipdate") < lit(d2))
+      .join(orders(s, dir).select(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(
+        when(lag <= 30, "0-30").when(lag <= 60, "31-60")
+          .when(lag <= 90, "61-90").otherwise("90+").as("lag_bucket"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy("lag_bucket")
+  }
+
+  /** Per-state entropy of the event-type Markov chain: for each
+    * from-state, `H = −Σ_to p·ln p` over its outgoing transition
+    * distribution — near-zero entropy states are deterministic funnels,
+    * high-entropy states are branch points. Builds on the shared
+    * [[graft.ext.EventAnalytics.transitions]] aggregate (|types|²
+    * bounded); per-term values round at 12 dp then sum as exact
+    * decimals, so the entropy is partition-order independent.
+    */
+  private def qEventsMarkovEntropy(s: SparkSession, dir: String): DataFrame = {
+    val t = EventAnalytics.transitions(events(s, dir), "user_id", "ts",
+      "event_type", "event_id")
+    val tot = t.groupBy(col("from_type").as("ft"))
+      .agg(sum(col("n")).as("tot"), count(lit(1)).as("n_dests"))
+    val p = col("n").cast("double") / col("tot")
+    t.join(tot, col("from_type") === col("ft"))
+      .withColumn("term", round(-p * log(p), 12).cast(DecimalType(28, 14)))
+      .groupBy(col("from_type"))
+      .agg(
+        max(col("tot")).as("n_out"),
+        max(col("n_dests")).as("n_dests"),
+        round(sum(col("term")).cast("double"), 6).as("entropy"))
+      .orderBy("from_type")
+  }
+
+  /** Measured vs theoretical Bloom false-positive rate: build the
+    * production filter (2^16 bits, k=5) over the hot order keys, probe
+    * EVERY known-absent key (the cold orders), and report the measured
+    * FPR next to the `(1 − e^{−kn/m})^k` prediction — the calibration
+    * check that says whether the filter is sized right before it ships
+    * into a 100 TB semi-join. The filter is a driver-built 1 KiB word
+    * array riding into codegen as a literal ([[graft.ext.BloomFilter]]);
+    * the probe is one narrow scan.
+    */
+  private def qSketchBloomFpr(s: SparkSession, dir: String): DataFrame = {
+    import graft.ext.BloomFilter
+    val mBits = 1 << 16
+    val k = 5
+    val o = orders(s, dir)
+    val words = BloomFilter.build(
+      o.filter(col("o_totalprice") > 300000.0).select(col("o_orderkey")),
+      col("o_orderkey").cast("string"), mBits, k)
+    val nKeys = o.filter(col("o_totalprice") > 300000.0)
+      .agg(count(lit(1)).as("n_keys"))
+    o.filter(col("o_totalprice") <= 300000.0)
+      .select(BloomFilter.mightContain(words.toSeq,
+        col("o_orderkey").cast("string"), mBits, k).as("hit"))
+      .agg(
+        count(lit(1)).as("n_probed"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_false_pos"))
+      .crossJoin(broadcast(nKeys))
+      .select(col("n_keys"), col("n_probed"), col("n_false_pos"),
+        round(col("n_false_pos").cast("double") / col("n_probed"), 6)
+          .as("fpr_measured"),
+        round(pow(lit(1.0) - exp((lit(-1.0) * k * col("n_keys")) / mBits),
+          k), 6).as("fpr_theory"))
+  }
+
   /** Tokenizer fertility per language: BPE-ish subword tokens per
     * whitespace word — the cross-lingual cost table a tokenizer/budget
     * decision reads. Exact long sums, one double division per language.
@@ -2912,6 +2996,9 @@ object SparkEntry {
     "text_fertility" -> (qTextFertility _),
     "cdc_incremental_variance" -> (qCdcIncrementalVariance _),
     "dedup_graph_stats" -> (qDedupGraphStats _),
+    "orders_late_shipments" -> (qOrdersLateShipments _),
+    "events_markov_entropy" -> (qEventsMarkovEntropy _),
+    "sketch_bloom_fpr" -> (qSketchBloomFpr _),
     "orders_priority_count" -> (qOrdersPriorityCount _),
     "orders_customer_distribution" -> (qOrdersCustomerDistribution _),
     "orders_large_orders" -> (qOrdersLargeOrders _),
@@ -6290,6 +6377,65 @@ object SparkEntry {
          |            THEN round(3.0 * n_triangles / CAST(n_wedges AS DOUBLE), 6)
          |       END AS clustering_coeff
          |FROM ds, tri""".stripMargin,
+
+    // Q12-adapted: lag buckets replace ship modes; same priority-split
+    // conditional counting
+    "orders_late_shipments" ->
+      """SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 30 THEN '0-30'
+        |            WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 60 THEN '31-60'
+        |            WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 90 THEN '61-90'
+        |            ELSE '90+' END AS lag_bucket,
+        |       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+        |                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // per-state entropy over the shared transition aggregate; 12-dp
+    // terms decimal-summed
+    "events_markov_entropy" ->
+      """WITH e AS (
+        |  SELECT event_type AS from_type,
+        |         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |t AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM e WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |tt AS (SELECT from_type AS ft, SUM(n) AS tot, COUNT(*) AS n_dests
+        |       FROM t GROUP BY 1),
+        |term AS (
+        |  SELECT t.from_type, tt.tot, tt.n_dests,
+        |         CAST(round(-(CAST(t.n AS DOUBLE) / tt.tot)
+        |           * ln(CAST(t.n AS DOUBLE) / tt.tot), 12) AS DECIMAL(28,14)) AS term
+        |  FROM t JOIN tt ON t.from_type = tt.ft)
+        |SELECT from_type, CAST(MAX(tot) AS BIGINT) AS n_out,
+        |       CAST(MAX(n_dests) AS BIGINT) AS n_dests,
+        |       round(CAST(SUM(term) AS DOUBLE), 6) AS entropy
+        |FROM term GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // bloom calibration: identical word-array build CTEs to the
+    // semi-join twin; probes are every known-absent key, theory is the
+    // same fixed double chain
+    "sketch_bloom_fpr" ->
+      s"""WITH ${graft.ext.BloomFilter.buildSqlCtes(
+             "(SELECT o_orderkey FROM orders WHERE o_totalprice > 300000.0) hk",
+             "CAST(hk.o_orderkey AS VARCHAR)", 1 << 16, 5)},
+         |nk AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys
+         |       FROM orders WHERE o_totalprice > 300000.0),
+         |pr AS (
+         |  SELECT CASE WHEN ${graft.ext.BloomFilter.mightContainSql(
+                    "CAST(o.o_orderkey AS VARCHAR)", 1 << 16, 5)} THEN 1 ELSE 0 END AS hit
+         |  FROM orders o, barr
+         |  WHERE o.o_totalprice <= 300000.0)
+         |SELECT nk.n_keys,
+         |       CAST(COUNT(*) AS BIGINT) AS n_probed,
+         |       CAST(SUM(hit) AS BIGINT) AS n_false_pos,
+         |       round(CAST(SUM(hit) AS DOUBLE) / COUNT(*), 6) AS fpr_measured,
+         |       round(power(1.0 - exp((-1.0 * 5 * nk.n_keys) / ${1 << 16}),
+         |         5), 6) AS fpr_theory
+         |FROM pr, nk GROUP BY nk.n_keys""".stripMargin,
 
     // fertility: exact long token sums, one double division per lang
     "text_fertility" ->

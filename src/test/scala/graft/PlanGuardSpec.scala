@@ -81,7 +81,9 @@ class PlanGuardSpec extends SparkSpecBase {
     // 1-row corpus-token-total broadcast onto the (source, token) frame
     "corpus_source_divergence",
     // 1-row degree-census × 1-row triangle-count combine (near-dup graph)
-    "dedup_graph_stats")
+    "dedup_graph_stats",
+    // 1-row hot-key-count scalar broadcast for the theoretical-FPR term
+    "sketch_bloom_fpr")
 
   private def walk(p: SparkPlan): Seq[SparkPlan] = {
     val kids = p match {
