@@ -988,6 +988,58 @@ object SparkEntry {
       .orderBy("query_id")
   }
 
+  /** Recall@10 vs nprobe ∈ {1, 2, 4} — the tuning curve behind the
+    * latency/recall trade every IVF deployment dials: ground truth
+    * computed ONCE (checkpointed — three sweep points re-read it), the
+    * assignment once, then one probe-bounded search per point. Zero-hit
+    * queries count in every mean; per-query recalls are 6-dp decimals
+    * summed exactly.
+    */
+  private def qAnnRecallSweep(s: SparkSession, dir: String): DataFrame = {
+    val bf = qAnnBruteForce(s, dir).select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(true)
+    val cents = Similarity.collectCentroids(embCentroids(s, dir), "vec_id", "embedding")
+    val assigned = Similarity.ivfAssign(embeddings(s, dir), cents, "embedding")
+      .localCheckpoint(true)
+    Seq(1, 2, 4).map { np =>
+      val iv = Similarity.ivfTopK(assigned, cents, embQueries(s, dir),
+          "vec_id", "embedding", "vec_id", "embedding", k = 10, nprobe = np)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = iv.join(bf, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+      bf.select("query_id").distinct()
+        .join(hits, Seq("query_id"), "left_outer")
+        .select(round(coalesce(col("hits"), lit(0L)).cast("double") / 10.0, 6)
+          .as("recall"))
+        .agg(
+          count(lit(1)).as("n_queries"),
+          round(sum(col("recall").cast(DecimalType(18, 6))).cast("double") /
+            count(lit(1)), 6).as("mean_recall"))
+        .select(lit(np).as("nprobe"), col("n_queries"), col("mean_recall"))
+    }.reduce(_ unionByName _).orderBy("nprobe")
+  }
+
+  /** Which sources duplicate WHICH: the verified near-dup pair set
+    * annotated with both members' sources and rolled up per unordered
+    * source pair — the report that turns "the corpus has near-dups"
+    * into "crawl A is mirroring crawl B, drop one". Two id-joins of the
+    * collision-scale pair set against the (doc_id, source) projection.
+    */
+  private def qCorpusCrossSourceDups(s: SparkSession, dir: String): DataFrame = {
+    val src = documents(s, dir).select(col("doc_id"), col("source"))
+    minhashPairs(s, dir)
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
+      .groupBy(
+        least(col("sa"), col("sb")).as("source_x"),
+        greatest(col("sa"), col("sb")).as("source_y"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        round(sum(col("jac").cast(DecimalType(28, 10))).cast("double") /
+          count(lit(1)), 6).as("mean_jaccard"))
+      .orderBy("source_x", "source_y")
+  }
+
   /** One k-means refinement step over the IVF codebook, flattened to
     * (centroid, dim) scalars so the oracle hash-compares scalar columns.
     */
@@ -2999,6 +3051,8 @@ object SparkEntry {
     "orders_late_shipments" -> (qOrdersLateShipments _),
     "events_markov_entropy" -> (qEventsMarkovEntropy _),
     "sketch_bloom_fpr" -> (qSketchBloomFpr _),
+    "ann_recall_sweep" -> (qAnnRecallSweep _),
+    "corpus_cross_source_dups" -> (qCorpusCrossSourceDups _),
     "orders_priority_count" -> (qOrdersPriorityCount _),
     "orders_customer_distribution" -> (qOrdersCustomerDistribution _),
     "orders_large_orders" -> (qOrdersLargeOrders _),
@@ -3288,7 +3342,13 @@ object SparkEntry {
   /** IVF nprobe=3 top-10 — shared verbatim by the `ann_ivf_topk` oracle
     * and (as the approximate-answer CTE) by `ann_recall`.
     */
-  private val AnnIvfTopkSql: String =
+  private val AnnIvfTopkSql: String = annIvfTopkSql(nprobe = 3)
+
+  /** IVF top-k twin parameterized by nprobe — shared by `ann_ivf_topk`
+    * (nprobe = 3), `ann_recall`, and the `ann_recall_sweep` tuning
+    * curve.
+    */
+  private def annIvfTopkSql(nprobe: Int): String =
     s"""WITH $EmbBase,
        |rawc AS (
        |  SELECT e.vec_id, c.cid,
@@ -3309,7 +3369,7 @@ object SparkEntry {
        |${cosScoreSql("praw", "ps")},
        |probes AS (SELECT query_id, cid FROM
        |            (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cid) AS rn FROM ps)
-       |           WHERE rn <= 3),
+       |           WHERE rn <= $nprobe),
        |craw AS (
        |  SELECT p.query_id, a.vec_id AS neighbor_id,
        |         ${dotSql("e.v", "q.qv")} AS dp,
@@ -6436,6 +6496,43 @@ object SparkEntry {
          |       round(power(1.0 - exp((-1.0 * 5 * nk.n_keys) / ${1 << 16}),
          |         5), 6) AS fpr_theory
          |FROM pr, nk GROUP BY nk.n_keys""".stripMargin,
+
+    // recall sweep: three parameterized IVF twins against one ground
+    // truth; zero-hit queries kept by the grid left join
+    "ann_recall_sweep" ->
+      s"""WITH bf AS ($AnnBruteForceSql),
+         |iv1 AS (${annIvfTopkSql(1)}),
+         |iv2 AS (${annIvfTopkSql(2)}),
+         |iv4 AS (${annIvfTopkSql(4)}),
+         |un AS (SELECT 1 AS np, query_id, neighbor_id FROM iv1
+         |       UNION ALL SELECT 2, query_id, neighbor_id FROM iv2
+         |       UNION ALL SELECT 4, query_id, neighbor_id FROM iv4),
+         |ov AS (SELECT un.np, un.query_id, CAST(COUNT(*) AS BIGINT) AS hits
+         |       FROM un JOIN bf ON bf.query_id = un.query_id
+         |                      AND bf.neighbor_id = un.neighbor_id
+         |       GROUP BY 1, 2),
+         |qs AS (SELECT DISTINCT query_id FROM bf),
+         |grid AS (SELECT nps.np, qs.query_id
+         |         FROM (SELECT unnest([1, 2, 4]) AS np) nps, qs),
+         |rec AS (SELECT g.np, g.query_id,
+         |          round(CAST(COALESCE(ov.hits, 0) AS DOUBLE) / 10.0, 6) AS recall
+         |        FROM grid g LEFT JOIN ov ON ov.np = g.np AND ov.query_id = g.query_id)
+         |SELECT CAST(np AS INT) AS nprobe, CAST(COUNT(*) AS BIGINT) AS n_queries,
+         |       round(CAST(SUM(CAST(recall AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS mean_recall
+         |FROM rec GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // per-source-pair rollup of the shared verified pair set
+    "corpus_cross_source_dups" ->
+      s"""${minhashPairCtes(numHashes = 128, bands = 16, rowsPerBand = 8)},
+         |pj AS (
+         |  SELECT LEAST(da.source, db.source) AS source_x,
+         |         GREATEST(da.source, db.source) AS source_y, j.jac
+         |  FROM j JOIN documents da ON da.doc_id = j.id_a
+         |         JOIN documents db ON db.doc_id = j.id_b
+         |  WHERE j.jac >= 0.5)
+         |SELECT source_x, source_y, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |       round(CAST(SUM(CAST(jac AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS mean_jaccard
+         |FROM pj GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // fertility: exact long token sums, one double division per lang
     "text_fertility" ->
