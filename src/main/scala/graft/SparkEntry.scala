@@ -1040,6 +1040,105 @@ object SparkEntry {
       .orderBy("source_x", "source_y")
   }
 
+  /** Pareto/ABC concentration curve over supplier revenue: suppliers
+    * ranked by revenue, cumulative share, and the A/<80% B/<95% C
+    * classing a procurement review reads. The fact table collapses to
+    * ONE row per supplier before the (bounded, |suppliers|-sized)
+    * global-order window — the same deliberate trade `orders_monthly_
+    * growth` documents; the cumulative sum runs on exact decimals and
+    * each share is one double division.
+    */
+  private def qSupplierPareto(s: SparkSession, dir: String): DataFrame = {
+    val rev = lineitem(s, dir)
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_extendedprice").cast(DecimalType(12, 2)) *
+        (lit(1.0) - col("l_discount")).cast(DecimalType(4, 2)))
+        .cast(DecimalType(28, 4)).as("rev"))
+    val total = rev.agg(sum(col("rev")).cast(DecimalType(28, 4)).as("tot"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rev").desc, col("l_suppkey"))
+    rev.crossJoin(broadcast(total))
+      .withColumn("cum", sum(col("rev")).over(w).cast(DecimalType(28, 4)))
+      .select(col("l_suppkey"), col("rev").cast("double").as("revenue"),
+        round(col("cum").cast("double") / col("tot").cast("double"), 6)
+          .as("cum_share"))
+      .withColumn("abc_class",
+        when(col("cum_share") <= 0.8, "A")
+          .when(col("cum_share") <= 0.95, "B").otherwise("C"))
+      .orderBy(col("cum_share"), col("l_suppkey"))
+  }
+
+  /** Distributed simple OLS: quantity regressed on discount over the
+    * whole fact table — slope/intercept/correlation from SIX exact
+    * decimal sums via the closed-form moment identities, so the
+    * regression is one map-side-combined aggregate scan (no iterative
+    * solver, no collect) and the only float ops are the fixed final
+    * identity chain. The "does discounting move volume" elasticity
+    * check.
+    */
+  private def qLineitemOlsSlope(s: SparkSession, dir: String): DataFrame = {
+    val x = col("l_discount").cast(DecimalType(8, 2))
+    val y = col("l_quantity").cast(DecimalType(8, 2))
+    val sums = lineitem(s, dir).agg(
+      count(lit(1)).as("n"),
+      sum(x).cast(DecimalType(28, 2)).as("sx"),
+      sum(y).cast(DecimalType(28, 2)).as("sy"),
+      sum((x * y).cast(DecimalType(28, 4))).cast(DecimalType(28, 4)).as("sxy"),
+      sum((x * x).cast(DecimalType(28, 4))).cast(DecimalType(28, 4)).as("sxx"),
+      sum((y * y).cast(DecimalType(28, 4))).cast(DecimalType(28, 4)).as("syy"))
+    val nD = col("n").cast("double")
+    val sxD = col("sx").cast("double"); val syD = col("sy").cast("double")
+    val covN = nD * col("sxy").cast("double") - sxD * syD
+    val varX = nD * col("sxx").cast("double") - sxD * sxD
+    val varY = nD * col("syy").cast("double") - syD * syD
+    sums.select(
+      col("n"),
+      round(covN / varX, 6).as("slope"),
+      round((syD - covN / varX * sxD) / nD, 6).as("intercept"),
+      round(covN / sqrt(varX * varY), 6).as("r"))
+  }
+
+  /** Are near-duplicates lower quality? Point-biserial correlation
+    * between duplicate membership (doc appears in the verified minhash
+    * pair set) and the heuristic quality score, plus the two group
+    * means — the number that justifies (or kills) "dedup improves
+    * average quality". One scan + the collision-scale dup-id set as a
+    * broadcast membership join; same exact-moment identity as the OLS
+    * query.
+    */
+  private def qCorpusQualityVsDup(s: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashPairs(s, dir)
+    val dupIds = pairs.select(col("id_a").as("did"))
+      .unionByName(pairs.select(col("id_b").as("did"))).distinct()
+    val scored = documents(s, dir)
+      .join(dupIds, col("doc_id") === col("did"), "left_outer")
+      .select(
+        when(col("did").isNotNull, 1L).otherwise(0L).as("xd"),
+        round(TextAnalysis.qualityScore(col("text")), 6)
+          .cast(DecimalType(18, 6)).as("q"))
+    val sums = scored.agg(
+      count(lit(1)).as("n"),
+      sum(col("xd")).as("n_dup"),
+      sum(col("q")).cast(DecimalType(28, 6)).as("sy"),
+      sum(when(col("xd") === 1L, col("q"))).cast(DecimalType(28, 6)).as("sy_dup"),
+      sum((col("q") * col("q")).cast(DecimalType(38, 12)))
+        .cast(DecimalType(38, 12)).as("syy"))
+    val nD = col("n").cast("double"); val nd = col("n_dup").cast("double")
+    val syD = col("sy").cast("double"); val sydD = coalesce(col("sy_dup").cast("double"), lit(0.0))
+    // x is 0/1: Σx = Σx² = n_dup, Σxy = Σ(q | dup) — the biserial
+    // specialization of the same moment identity
+    val covN = nD * sydD - nd * syD
+    val varX = nD * nd - nd * nd
+    val varY = nD * col("syy").cast("double") - syD * syD
+    sums.select(
+      col("n"), col("n_dup"),
+      when(col("n_dup") > 0 && col("n_dup") < col("n"),
+        round(covN / sqrt(varX * varY), 6)).as("r_dup_quality"),
+      when(col("n_dup") > 0, round(sydD / nd, 6)).as("mean_q_dup"),
+      when(col("n") > col("n_dup"),
+        round((syD - sydD) / (nD - nd), 6)).as("mean_q_clean"))
+  }
+
   /** One k-means refinement step over the IVF codebook, flattened to
     * (centroid, dim) scalars so the oracle hash-compares scalar columns.
     */
@@ -3053,6 +3152,9 @@ object SparkEntry {
     "sketch_bloom_fpr" -> (qSketchBloomFpr _),
     "ann_recall_sweep" -> (qAnnRecallSweep _),
     "corpus_cross_source_dups" -> (qCorpusCrossSourceDups _),
+    "supplier_pareto" -> (qSupplierPareto _),
+    "lineitem_ols_slope" -> (qLineitemOlsSlope _),
+    "corpus_quality_vs_dup" -> (qCorpusQualityVsDup _),
     "orders_priority_count" -> (qOrdersPriorityCount _),
     "orders_customer_distribution" -> (qOrdersCustomerDistribution _),
     "orders_large_orders" -> (qOrdersLargeOrders _),
@@ -6533,6 +6635,105 @@ object SparkEntry {
          |SELECT source_x, source_y, CAST(COUNT(*) AS BIGINT) AS n_pairs,
          |       round(CAST(SUM(CAST(jac AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS mean_jaccard
          |FROM pj GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Pareto curve: decimal cumulative over the |suppliers| frame;
+    // VARCHAR-hop casts keep the big decimal→double conversions
+    // correctly rounded at any SF
+    "supplier_pareto" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |                  * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DECIMAL(28,4)) AS rev
+        |  FROM lineitem GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(rev) AS DECIMAL(28,4)) AS tot FROM rev),
+        |cum AS (
+        |  SELECT l_suppkey, rev,
+        |         CAST(SUM(rev) OVER (ORDER BY rev DESC, l_suppkey) AS DECIMAL(28,4)) AS cum
+        |  FROM rev),
+        |shr AS (
+        |  SELECT c.l_suppkey, CAST(CAST(c.rev AS VARCHAR) AS DOUBLE) AS revenue,
+        |         round(CAST(CAST(c.cum AS VARCHAR) AS DOUBLE)
+        |               / CAST(CAST(t.tot AS VARCHAR) AS DOUBLE), 6) AS cum_share
+        |  FROM cum c, tot t)
+        |SELECT l_suppkey, revenue, cum_share,
+        |       CASE WHEN cum_share <= 0.8 THEN 'A'
+        |            WHEN cum_share <= 0.95 THEN 'B' ELSE 'C' END AS abc_class
+        |FROM shr ORDER BY cum_share, l_suppkey""".stripMargin,
+
+    // closed-form OLS from six exact sums; identity chain mirrored
+    // term-for-term, VARCHAR-hop casts (sums pass 2^53 at scale)
+    "lineitem_ols_slope" ->
+      """WITH s AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(8,2))) AS DECIMAL(28,2)) AS sx,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(8,2))) AS DECIMAL(28,2)) AS sy,
+        |    CAST(SUM(CAST(CAST(l_discount AS DECIMAL(8,2))
+        |             * CAST(l_quantity AS DECIMAL(8,2)) AS DECIMAL(28,4))) AS DECIMAL(28,4)) AS sxy,
+        |    CAST(SUM(CAST(CAST(l_discount AS DECIMAL(8,2))
+        |             * CAST(l_discount AS DECIMAL(8,2)) AS DECIMAL(28,4))) AS DECIMAL(28,4)) AS sxx,
+        |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(8,2))
+        |             * CAST(l_quantity AS DECIMAL(8,2)) AS DECIMAL(28,4))) AS DECIMAL(28,4)) AS syy
+        |  FROM lineitem),
+        |d AS (
+        |  SELECT n,
+        |    CAST(n AS DOUBLE) AS nd,
+        |    CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sxd,
+        |    CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS syd,
+        |    CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxyd,
+        |    CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxxd,
+        |    CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS syyd
+        |  FROM s)
+        |SELECT n,
+        |  round((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd), 6) AS slope,
+        |  round((syd - (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) * sxd) / nd, 6) AS intercept,
+        |  round((nd * sxyd - sxd * syd)
+        |        / sqrt((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)), 6) AS r
+        |FROM d""".stripMargin,
+
+    // point-biserial over the shared pair set's member ids; same
+    // moment identity, x ∈ {0,1}
+    "corpus_quality_vs_dup" ->
+      s"""${minhashPairCtes(numHashes = 128, bands = 16, rowsPerBand = 8)},
+         |dups AS (SELECT DISTINCT did FROM (
+         |  SELECT id_a AS did FROM j WHERE jac >= 0.5
+         |  UNION ALL SELECT id_b FROM j WHERE jac >= 0.5)),
+         |m AS (
+         |  SELECT t.doc_id, t.toks,
+         |    CASE WHEN length(t.text) = 0 THEN 0.0
+         |         ELSE length(regexp_replace(t.text, '[^[:punct:]]', '', 'g'))
+         |              / CAST(length(t.text) AS DOUBLE) END AS praw,
+         |    CASE WHEN len(t.ltoks) = 0 THEN 0.0
+         |         ELSE len(list_filter(t.ltoks, x -> list_contains($StopwordsSql, x)))
+         |              / CAST(len(t.ltoks) AS DOUBLE) END AS sraw
+         |  FROM t),
+         |sc AS (
+         |  SELECT CASE WHEN d.did IS NOT NULL THEN 1 ELSE 0 END AS xd,
+         |    CAST(round(least(CAST(len(m.toks) AS DOUBLE) / 100.0, 1.0) * 0.3
+         |          + (1.0 - least(m.praw * 4.0, 1.0)) * 0.3
+         |          + least(m.sraw * 4.0, 1.0) * 0.4, 6) AS DECIMAL(18,6)) AS q
+         |  FROM m LEFT JOIN dups d ON d.did = m.doc_id),
+         |ss AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |         CAST(SUM(xd) AS BIGINT) AS n_dup,
+         |         CAST(SUM(q) AS DECIMAL(28,6)) AS sy,
+         |         CAST(SUM(CASE WHEN xd = 1 THEN q END) AS DECIMAL(28,6)) AS sy_dup,
+         |         CAST(SUM(CAST(CAST(q AS DECIMAL(19,6)) * CAST(q AS DECIMAL(19,6))
+         |                   AS DECIMAL(38,12))) AS DECIMAL(38,12)) AS syy
+         |  FROM sc),
+         |dd AS (
+         |  SELECT n, n_dup, CAST(n AS DOUBLE) AS nd, CAST(n_dup AS DOUBLE) AS ndd,
+         |    CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS syd,
+         |    COALESCE(CAST(CAST(sy_dup AS VARCHAR) AS DOUBLE), 0.0) AS sydd,
+         |    CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS syyd
+         |  FROM ss)
+         |SELECT n, n_dup,
+         |  CASE WHEN n_dup > 0 AND n_dup < n THEN
+         |    round((nd * sydd - ndd * syd)
+         |          / sqrt((nd * ndd - ndd * ndd) * (nd * syyd - syd * syd)), 6)
+         |  END AS r_dup_quality,
+         |  CASE WHEN n_dup > 0 THEN round(sydd / ndd, 6) END AS mean_q_dup,
+         |  CASE WHEN n > n_dup THEN round((syd - sydd) / (nd - ndd), 6) END AS mean_q_clean
+         |FROM dd""".stripMargin,
 
     // fertility: exact long token sums, one double division per lang
     "text_fertility" ->

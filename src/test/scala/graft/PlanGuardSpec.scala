@@ -83,7 +83,9 @@ class PlanGuardSpec extends SparkSpecBase {
     // 1-row degree-census × 1-row triangle-count combine (near-dup graph)
     "dedup_graph_stats",
     // 1-row hot-key-count scalar broadcast for the theoretical-FPR term
-    "sketch_bloom_fpr")
+    "sketch_bloom_fpr",
+    // 1-row revenue-total broadcast onto the |suppliers|-row curve
+    "supplier_pareto")
 
   private def walk(p: SparkPlan): Seq[SparkPlan] = {
     val kids = p match {
