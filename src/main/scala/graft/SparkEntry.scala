@@ -449,6 +449,83 @@ object SparkEntry {
       .agg(min(col("media_id")).as("keep_media_id"), count(lit(1)).as("n_frames"))
       .orderBy("frame_md5")
 
+  /** Scene-cut detection plumbing: per media asset, how many
+    * consecutive-frame transitions change content (frame signature ≠
+    * previous frame's). With the synthetic decode the signature is an
+    * exact checksum, so every content change is a "cut"; with a real
+    * decoder the same plan runs over a perceptual hash and the
+    * threshold becomes a hamming bound — the windowed-lag-per-asset
+    * shape IS the real pipeline. One window keyed on the asset.
+    */
+  private def qMediaSceneCuts(s: SparkSession, dir: String): DataFrame = {
+    val frames = Multimodal.sampleFrames(
+        Multimodal.withFakePayload(documents(s, dir), "doc_id", "text"), n = 4)
+      .select(col("media_id"), col("frame_i"),
+        md5(hex(col("frame_bytes"))).as("sig"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id")).orderBy(col("frame_i"))
+    frames.withColumn("prev", lag(col("sig"), 1).over(w))
+      .groupBy(col("media_id"))
+      .agg(
+        count(lit(1)).as("n_frames"),
+        sum(when(col("prev").isNotNull && col("prev") =!= col("sig"), 1L)
+          .otherwise(0L)).as("n_cuts"),
+        countDistinct(col("sig")).as("n_distinct_frames"))
+      .orderBy("media_id")
+  }
+
+  /** Calendar seasonality profile: order count and exact-decimal revenue
+    * by month-of-year — one scan, a 12-key aggregate.
+    */
+  private def qOrdersSeasonality(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .groupBy(month(col("o_orderdate")).as("month_of_year"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 4))).cast("double")
+          .as("total_revenue"))
+      .orderBy("month_of_year")
+
+  /** Zipf-law fit over the top-1000 token frequencies: OLS slope of
+    * ln(freq) on ln(rank) (natural text ≈ −1; heavily templated or
+    * deduplicated corpora drift) plus the fit r. Frequencies are a
+    * vocabulary-bounded aggregate; only the top-k frame enters the
+    * (bounded) ranking window; the regression is the same closed-form
+    * moment identity as `lineitem_ols_slope`, with 10-dp log terms
+    * decimal-summed.
+    */
+  private def qTextZipfSlope(s: SparkSession, dir: String): DataFrame = {
+    val freqs = documents(s, dir)
+      .select(explode(TextAnalysis.tokens(lower(col("text")))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("token"))
+    val ranked = freqs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 1000)
+      .select(
+        round(log(col("rank").cast("double")), 10).as("x"),
+        round(log(col("freq").cast("double")), 10).as("y"))
+    val sums = ranked.agg(
+      count(lit(1)).as("n"),
+      sum(col("x").cast(DecimalType(28, 12))).as("sx"),
+      sum(col("y").cast(DecimalType(28, 12))).as("sy"),
+      sum((col("x").cast(DecimalType(19, 10)) * col("y").cast(DecimalType(19, 10)))
+        .cast(DecimalType(38, 20))).as("sxy"),
+      sum((col("x").cast(DecimalType(19, 10)) * col("x").cast(DecimalType(19, 10)))
+        .cast(DecimalType(38, 20))).as("sxx"),
+      sum((col("y").cast(DecimalType(19, 10)) * col("y").cast(DecimalType(19, 10)))
+        .cast(DecimalType(38, 20))).as("syy"))
+    val nD = col("n").cast("double")
+    val sxD = col("sx").cast("double"); val syD = col("sy").cast("double")
+    val covN = nD * col("sxy").cast("double") - sxD * syD
+    val varX = nD * col("sxx").cast("double") - sxD * sxD
+    val varY = nD * col("syy").cast("double") - syD * syD
+    sums.select(
+      col("n"),
+      round(covN / varX, 6).as("zipf_slope"),
+      round(covN / sqrt(varX * varY), 6).as("r"))
+  }
+
   private def qMediaFeatures(s: SparkSession, dir: String): DataFrame = {
     import Multimodal._
     val typed = withFakePayload(documents(s, dir), "doc_id", "text")
@@ -3155,6 +3232,9 @@ object SparkEntry {
     "supplier_pareto" -> (qSupplierPareto _),
     "lineitem_ols_slope" -> (qLineitemOlsSlope _),
     "corpus_quality_vs_dup" -> (qCorpusQualityVsDup _),
+    "media_scene_cuts" -> (qMediaSceneCuts _),
+    "orders_seasonality" -> (qOrdersSeasonality _),
+    "text_zipf_slope" -> (qTextZipfSlope _),
     "orders_priority_count" -> (qOrdersPriorityCount _),
     "orders_customer_distribution" -> (qOrdersCustomerDistribution _),
     "orders_large_orders" -> (qOrdersLargeOrders _),
@@ -6734,6 +6814,65 @@ object SparkEntry {
          |  CASE WHEN n_dup > 0 THEN round(sydd / ndd, 6) END AS mean_q_dup,
          |  CASE WHEN n > n_dup THEN round((syd - sydd) / (nd - ndd), 6) END AS mean_q_clean
          |FROM dd""".stripMargin,
+
+    // scene cuts: same frame-signature CTE as media_frames, windowed
+    // lag per asset
+    "media_scene_cuts" ->
+      """WITH f AS (
+        |  SELECT doc_id AS media_id, i AS frame_i,
+        |         md5(substring(hex(encode(text)),
+        |           2 * CAST(i * octet_length(encode(text)) // 4 AS INTEGER) + 1, 128)) AS sig
+        |  FROM documents, (SELECT unnest(range(0, 4)) AS i)),
+        |lagged AS (
+        |  SELECT media_id, sig,
+        |         lag(sig) OVER (PARTITION BY media_id ORDER BY frame_i) AS prev
+        |  FROM f)
+        |SELECT media_id, CAST(COUNT(*) AS BIGINT) AS n_frames,
+        |       CAST(SUM(CASE WHEN prev IS NOT NULL AND prev <> sig THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+        |       CAST(COUNT(DISTINCT sig) AS BIGINT) AS n_distinct_frames
+        |FROM lagged GROUP BY media_id ORDER BY media_id""".stripMargin,
+
+    // 12-key calendar profile, exact decimal revenue
+    "orders_seasonality" ->
+      """SELECT CAST(month(o_orderdate) AS INT) AS month_of_year,
+        |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Zipf fit: top-1000 rank/frequency logs through the same OLS
+    // moment identity; 10-dp terms decimal-summed
+    "text_zipf_slope" ->
+      """WITH tk AS (
+        |  SELECT unnest(CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(lower(trim(text)), '\s+') END) AS token
+        |  FROM documents),
+        |fr AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS freq FROM tk GROUP BY 1),
+        |rk AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, token) AS rank FROM fr),
+        |xy AS (
+        |  SELECT round(ln(CAST(rank AS DOUBLE)), 10) AS x,
+        |         round(ln(CAST(freq AS DOUBLE)), 10) AS y
+        |  FROM rk WHERE rank <= 1000),
+        |s AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DECIMAL(28,12)) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(28,12))) AS DECIMAL(28,12)) AS sy,
+        |    CAST(SUM(CAST(CAST(x AS DECIMAL(19,10)) * CAST(y AS DECIMAL(19,10)) AS DECIMAL(38,20))) AS DECIMAL(38,20)) AS sxy,
+        |    CAST(SUM(CAST(CAST(x AS DECIMAL(19,10)) * CAST(x AS DECIMAL(19,10)) AS DECIMAL(38,20))) AS DECIMAL(38,20)) AS sxx,
+        |    CAST(SUM(CAST(CAST(y AS DECIMAL(19,10)) * CAST(y AS DECIMAL(19,10)) AS DECIMAL(38,20))) AS DECIMAL(38,20)) AS syy
+        |  FROM xy),
+        |d AS (
+        |  SELECT n, CAST(n AS DOUBLE) AS nd,
+        |    CAST(CAST(sx AS VARCHAR) AS DOUBLE) AS sxd,
+        |    CAST(CAST(sy AS VARCHAR) AS DOUBLE) AS syd,
+        |    CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxyd,
+        |    CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxxd,
+        |    CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS syyd
+        |  FROM s)
+        |SELECT n,
+        |  round((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd), 6) AS zipf_slope,
+        |  round((nd * sxyd - sxd * syd)
+        |        / sqrt((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)), 6) AS r
+        |FROM d""".stripMargin,
 
     // fertility: exact long token sums, one double division per lang
     "text_fertility" ->
