@@ -526,6 +526,29 @@ object SparkEntry {
       round(covN / sqrt(varX * varY), 6).as("r"))
   }
 
+  /** Split-representativeness KS test: the deterministic-hash train/val
+    * assignment (the `corpus_manifest` 900/100 split) checked for
+    * distribution drift on token count — max CDF gap between the two
+    * splits' length distributions ([[graft.ext.Metrics.ksTest]]). A
+    * biased split shows up here before it shows up in eval noise.
+    */
+  private def qCorpusSplitKs(s: SparkSession, dir: String): DataFrame = {
+    val split = PortableHash.hash32(
+      concat(lit("split"), col("doc_id").cast("string"))) % 1000 < 900
+    Metrics.ksTest(
+      documents(s, dir).select(
+        split.as("is_train"),
+        TextAnalysis.tokenCount(col("text")).cast("double").as("len")),
+      "is_train", "len")
+  }
+
+  /** Language × source independence: Pearson chi-square over the
+    * contingency grid ([[graft.ext.Metrics.chiSquare]]) — the check
+    * that stratifying on source doesn't silently stratify on language.
+    */
+  private def qCorpusLangSourceChi2(s: SparkSession, dir: String): DataFrame =
+    Metrics.chiSquare(documents(s, dir), "lang", "source")
+
   private def qMediaFeatures(s: SparkSession, dir: String): DataFrame = {
     import Multimodal._
     val typed = withFakePayload(documents(s, dir), "doc_id", "text")
@@ -3235,6 +3258,8 @@ object SparkEntry {
     "media_scene_cuts" -> (qMediaSceneCuts _),
     "orders_seasonality" -> (qOrdersSeasonality _),
     "text_zipf_slope" -> (qTextZipfSlope _),
+    "corpus_split_ks" -> (qCorpusSplitKs _),
+    "corpus_lang_source_chi2" -> (qCorpusLangSourceChi2 _),
     "orders_priority_count" -> (qOrdersPriorityCount _),
     "orders_customer_distribution" -> (qOrdersCustomerDistribution _),
     "orders_large_orders" -> (qOrdersLargeOrders _),
@@ -6873,6 +6898,62 @@ object SparkEntry {
         |  round((nd * sxyd - sxd * syd)
         |        / sqrt((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)), 6) AS r
         |FROM d""".stripMargin,
+
+    // two-sample KS on the hash-split length distributions: one ordered
+    // window over the distinct-length histogram; 10-dp gap rounding
+    // pins the argmax row
+    "corpus_split_ks" ->
+      s"""WITH sc AS (
+         |  SELECT ${PortableHash.hash32Sql("concat('split', CAST(doc_id AS VARCHAR))")} % 1000 < 900 AS is_train,
+         |         CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS DOUBLE) AS len
+         |  FROM documents),
+         |ps AS (SELECT len AS s,
+         |         SUM(CASE WHEN is_train THEN 1 ELSE 0 END) AS ca,
+         |         SUM(CASE WHEN is_train THEN 0 ELSE 1 END) AS cb
+         |       FROM sc GROUP BY 1),
+         |cum AS (SELECT s,
+         |         SUM(ca) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+         |         SUM(cb) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b
+         |       FROM ps),
+         |tot AS (SELECT MAX(cum_a) AS n_a, MAX(cum_b) AS n_b FROM cum),
+         |gaps AS (
+         |  SELECT s, n_a, n_b,
+         |         round(abs(CAST(cum_a AS DOUBLE) / n_a - CAST(cum_b AS DOUBLE) / n_b), 10) AS gap
+         |  FROM cum, tot),
+         |pick AS (SELECT *, row_number() OVER (ORDER BY gap DESC, s) AS rn FROM gaps)
+         |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+         |       CASE WHEN n_a > 0 AND n_b > 0 THEN round(gap, 6) END AS ks_stat,
+         |       CASE WHEN n_a > 0 AND n_b > 0 THEN s END AS at_score
+         |FROM pick WHERE rn = 1""".stripMargin,
+
+    // chi-square independence over the lang × source grid; 8-dp cell
+    // terms decimal-summed, E in doubles end-to-end
+    "corpus_lang_source_chi2" ->
+      """WITH cell AS (
+        |  SELECT lang AS a, source AS b, CAST(COUNT(*) AS BIGINT) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT a, SUM(o) AS ra FROM cell GROUP BY 1),
+        |ct AS (SELECT b, SUM(o) AS cb FROM cell GROUP BY 1),
+        |nn AS (SELECT SUM(o) AS nn FROM cell),
+        |-- FULL grid: absent cells carry O = 0 but still contribute E
+        |grid AS (
+        |  SELECT rt.a, ct.b, rt.ra, ct.cb, COALESCE(cell.o, 0) AS o
+        |  FROM rt CROSS JOIN ct
+        |  LEFT JOIN cell ON cell.a = rt.a AND cell.b = ct.b),
+        |term AS (
+        |  SELECT CAST(round((grid.o - CAST(grid.ra AS DOUBLE) * CAST(grid.cb AS DOUBLE) / CAST(nn.nn AS DOUBLE))
+        |                    * (grid.o - CAST(grid.ra AS DOUBLE) * CAST(grid.cb AS DOUBLE) / CAST(nn.nn AS DOUBLE))
+        |                    / (CAST(grid.ra AS DOUBLE) * CAST(grid.cb AS DOUBLE) / CAST(nn.nn AS DOUBLE)), 8)
+        |              AS DECIMAL(28,10)) AS term,
+        |         grid.a, grid.b, nn.nn
+        |  FROM grid, nn)
+        |SELECT CAST(MAX(nn) AS BIGINT) AS n,
+        |       CAST(COUNT(DISTINCT a) AS BIGINT) AS n_rows,
+        |       CAST(COUNT(DISTINCT b) AS BIGINT) AS n_cols,
+        |       CAST((COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1) AS BIGINT) AS dof,
+        |       round(CAST(SUM(term) AS DOUBLE), 6) AS chi2
+        |FROM term""".stripMargin,
 
     // fertility: exact long token sums, one double division per lang
     "text_fertility" ->

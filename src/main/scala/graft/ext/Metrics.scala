@@ -100,6 +100,81 @@ object Metrics {
           .as("frac_pos"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic: the max CDF gap between
+    * the `inACol = true` and `= false` populations of `scoreCol` — the
+    * distribution-drift test behind "is the holdout representative?" /
+    * "did this source shift?". Same bounded-histogram shape as
+    * [[binaryAuc]]: collapse to one row per distinct score, ONE ordered
+    * window for both cumulatives, then an argmax row. CDF gaps are
+    * rounded to 10 dp before the max so the argmax row (gap DESC, score
+    * ASC) is engine-stable; empty sides yield a NULL statistic. Returns
+    * one row (n_a, n_b, ks_stat, at_score).
+    */
+  def ksTest(df: DataFrame, inACol: String, scoreCol: String): DataFrame = {
+    val perScore = df.groupBy(col(scoreCol).as("s"))
+      .agg(
+        sum(when(col(inACol), 1L).otherwise(0L)).as("ca"),
+        sum(when(col(inACol), 0L).otherwise(1L)).as("cb"))
+    val w = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perScore
+      .withColumn("cum_a", sum(col("ca")).over(w))
+      .withColumn("cum_b", sum(col("cb")).over(w))
+    val tot = cum.agg(max(col("cum_a")).as("n_a"), max(col("cum_b")).as("n_b"))
+    val gaps = cum.crossJoin(broadcast(tot))
+      .withColumn("gap",
+        // guarded: ANSI division by an empty side's 0 total would throw
+        // before the final NULL-out ever sees the row
+        when(col("n_a") > 0 && col("n_b") > 0,
+          round(abs(col("cum_a").cast("double") / col("n_a") -
+            col("cum_b").cast("double") / col("n_b")), 10))
+          .otherwise(lit(0.0)))
+    val pick = Window.orderBy(col("gap").desc, col("s"))
+    gaps.withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .select(col("n_a"), col("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0, round(col("gap"), 6))
+          .as("ks_stat"),
+        when(col("n_a") > 0 && col("n_b") > 0, col("s")).as("at_score"))
+  }
+
+  /** Pearson chi-square test of independence over two categorical
+    * columns: `Σ (O − E)² / E` with `E = rowTot·colTot/N`, plus the
+    * degrees of freedom — the "is language independent of source?"
+    * check before stratifying on either. Everything after the one
+    * corpus scan is bounded by the |a|×|b| contingency grid; per-cell
+    * terms are a fixed double chain over exact counts, rounded to 8 dp
+    * and decimal-summed (partition-order independent). Returns one row
+    * (n, n_rows, n_cols, dof, chi2).
+    */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cell = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("o"))
+    val rowT = cell.groupBy("a").agg(sum(col("o")).as("ra"))
+    val colT = cell.groupBy("b").agg(sum(col("o")).as("cb"))
+    val n = cell.agg(sum(col("o")).as("nn"))
+    // E in doubles end-to-end: the long product rowTot·colTot overflows
+    // at ~1e10-row inputs; the double chain is deterministic either way
+    val e = col("ra").cast("double") * col("cb").cast("double") /
+      col("nn").cast("double")
+    // the FULL |a|×|b| grid, not just observed cells: an absent cell has
+    // O = 0 but E > 0 and still contributes E to the statistic —
+    // skipping it understates dependence exactly where it's strongest
+    rowT.crossJoin(broadcast(colT))
+      .join(cell, Seq("a", "b"), "left_outer")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(n))
+      .withColumn("term",
+        round((col("o") - e) * (col("o") - e) / e, 8)
+          .cast(org.apache.spark.sql.types.DecimalType(28, 10)))
+      .agg(
+        max(col("nn")).as("n"),
+        countDistinct(col("a")).as("n_rows"),
+        countDistinct(col("b")).as("n_cols"),
+        ((countDistinct(col("a")) - 1) * (countDistinct(col("b")) - 1)).as("dof"),
+        round(sum(col("term")).cast("double"), 6).as("chi2"))
+  }
+
   /** Precision/recall/F1 at each given threshold (prediction = score ≥
     * t). Thresholds ride in as ONE broadcast literal frame against the
     * per-score histogram, so the whole sweep is |thresholds| ×

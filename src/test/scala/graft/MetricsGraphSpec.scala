@@ -94,6 +94,50 @@ class MetricsGraphSpec extends SparkSpecBase {
     assert(rows(2).isNullAt(5))
   }
 
+  // ---- ksTest ----
+
+  test("ksTest: hand-computed max CDF gap with ties; identical samples give 0") {
+    val s = spark
+    import s.implicits._
+    // A = {1, 2, 2}, B = {2, 3}: CDFs at 1 → 1/3 vs 0 (gap .333…),
+    // at 2 → 1 vs 1/2 (gap .5), at 3 → 1 vs 1 (0) → KS = 0.5 at 2
+    val df = Seq((true, 1.0), (true, 2.0), (true, 2.0),
+      (false, 2.0), (false, 3.0)).toDF("a", "sc")
+    val r = Metrics.ksTest(df, "a", "sc").collect()(0)
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Double]("ks_stat") == 0.5)
+    assert(r.getAs[Double]("at_score") == 2.0)
+    val same = Seq((true, 1.0), (false, 1.0), (true, 7.0), (false, 7.0))
+      .toDF("a", "sc")
+    assert(Metrics.ksTest(same, "a", "sc").collect()(0).getAs[Double]("ks_stat") == 0.0)
+  }
+
+  test("ksTest: one empty side yields NULL statistic") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((true, 1.0), (true, 2.0)).toDF("a", "sc")
+    val r = Metrics.ksTest(df, "a", "sc").collect()(0)
+    assert(r.isNullAt(2) && r.isNullAt(3))
+  }
+
+  // ---- chiSquare ----
+
+  test("chiSquare: independent 2x2 grid gives 0; hand-computed dependence") {
+    val s = spark
+    import s.implicits._
+    // perfectly proportional counts → E = O everywhere → chi2 = 0
+    val indep = Seq.fill(10)(("x", "u")) ++ Seq.fill(20)(("x", "v")) ++
+      Seq.fill(30)(("y", "u")) ++ Seq.fill(60)(("y", "v"))
+    val r0 = Metrics.chiSquare(indep.toDF("a", "b"), "a", "b").collect()(0)
+    assert(r0.getAs[Long]("dof") == 1L)
+    assert(r0.getAs[Double]("chi2") == 0.0)
+    // 2x2 with O = [[10, 0], [0, 10]]: E = 5 everywhere → chi2 = 20
+    val dep = Seq.fill(10)(("x", "u")) ++ Seq.fill(10)(("y", "v"))
+    val r1 = Metrics.chiSquare(dep.toDF("a", "b"), "a", "b").collect()(0)
+    assert(r1.getAs[Long]("n") == 20L)
+    assert(r1.getAs[Double]("chi2") == 20.0)
+  }
+
   // ---- triangleStats ----
 
   test("triangleStats: K4 counts 4 triangles with clustering 1") {

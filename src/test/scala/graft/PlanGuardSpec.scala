@@ -85,7 +85,11 @@ class PlanGuardSpec extends SparkSpecBase {
     // 1-row hot-key-count scalar broadcast for the theoretical-FPR term
     "sketch_bloom_fpr",
     // 1-row revenue-total broadcast onto the |suppliers|-row curve
-    "supplier_pareto")
+    "supplier_pareto",
+    // 1-row population-totals broadcast onto the distinct-score histogram
+    "corpus_split_ks",
+    // 1-row grand-total broadcast onto the |langs|×|sources| grid
+    "corpus_lang_source_chi2")
 
   private def walk(p: SparkPlan): Seq[SparkPlan] = {
     val kids = p match {
