@@ -549,6 +549,91 @@ object SparkEntry {
   private def qCorpusLangSourceChi2(s: SparkSession, dir: String): DataFrame =
     Metrics.chiSquare(documents(s, dir), "lang", "source")
 
+  /** Sketch-driven join-size estimation: the KMV bottom-k sketches of
+    * the two join-key columns predict the distinct-key intersection (the
+    * first-order input to a join planner's size model) next to the exact
+    * answer and the relative error — answering "how big is this join"
+    * without running it. Sketch state is 2·k hashes; the exact side is
+    * one distinct + semi-join (test-data sized; at 100 TB you'd ONLY
+    * run the sketch side — that asymmetry is the point).
+    */
+  private def qSketchJoinEstimate(s: SparkSession, dir: String): DataFrame = {
+    val o = orders(s, dir)
+    val l = lineitem(s, dir)
+    val est = Sketches.kmvSetOps(
+      o, col("o_orderkey").cast("string"),
+      l, col("l_orderkey").cast("string"), k = 256)
+    val actual = o.select(col("o_orderkey")).distinct()
+      .join(l.select(col("l_orderkey")).distinct(),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .agg(count(lit(1)).as("actual_intersection"))
+    est.crossJoin(broadcast(actual))
+      .select(col("est_a"), col("est_b"), col("est_intersection"),
+        col("actual_intersection"),
+        round(col("est_intersection") / col("actual_intersection").cast("double")
+          - 1.0, 6).as("rel_error"))
+  }
+
+  /** Pairwise Pearson correlation between event types' daily volumes —
+    * which activities move together. The corpus collapses to the
+    * (days × types) grid FIRST (absent days count 0 via the full-grid
+    * left join, not silent omission); the pair join and the moment
+    * identity then run on bounded frames. Products summed as
+    * DECIMAL(38,0) — exact at any volume.
+    */
+  private def qEventsTypeCorrelation(s: SparkSession, dir: String): DataFrame = {
+    val daily = events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"),
+        col("event_type").as("et"))
+      .agg(count(lit(1)).as("n"))
+    val types = daily.select(col("et")).distinct()
+    val grid = daily.select(col("day")).distinct()
+      .crossJoin(broadcast(types))
+    val full = grid.join(daily, Seq("day", "et"), "left_outer")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+    val pairs = full.select(col("day"), col("et").as("type_a"), col("n").as("x"))
+      .join(full.select(col("day"), col("et").as("type_b"), col("n").as("y")),
+        Seq("day"))
+      .filter(col("type_a") < col("type_b"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val sums = pairs.groupBy(col("type_a"), col("type_b"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum((col("x") * col("y")).cast(dec)).as("sxy"),
+        sum((col("x") * col("x")).cast(dec)).as("sxx"),
+        sum((col("y") * col("y")).cast(dec)).as("syy"))
+    val nD = col("n_days").cast("double")
+    val sxD = col("sx").cast("double"); val syD = col("sy").cast("double")
+    val covN = nD * col("sxy").cast("double") - sxD * syD
+    val varX = nD * col("sxx").cast("double") - sxD * sxD
+    val varY = nD * col("syy").cast("double") - syD * syD
+    sums.select(col("type_a"), col("type_b"), col("n_days"),
+        when(varX > 0.0 && varY > 0.0,
+          round(covN / sqrt(varX * varY), 6)).as("r"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** Per-source quality quartiles (exact interpolating percentiles —
+    * the `orders_outliers` parity recipe) + IQR: the spread report
+    * behind per-source quality thresholds. One scan; the percentile
+    * aggregate's state is per-group sorted values, bounded by the
+    * largest source (swap in gridQuantiles past that, as documented
+    * there).
+    */
+  private def qCorpusQualityQuartiles(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir)
+      .select(col("source"), TextAnalysis.qualityScore(col("text")).as("q"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(percentile(col("q"), lit(0.25)), 6).as("q1"),
+        round(percentile(col("q"), lit(0.5)), 6).as("median"),
+        round(percentile(col("q"), lit(0.75)), 6).as("q3"),
+        round(percentile(col("q"), lit(0.75)) - percentile(col("q"), lit(0.25)), 6)
+          .as("iqr"))
+      .orderBy("source")
+
   private def qMediaFeatures(s: SparkSession, dir: String): DataFrame = {
     import Multimodal._
     val typed = withFakePayload(documents(s, dir), "doc_id", "text")
@@ -3260,6 +3345,9 @@ object SparkEntry {
     "text_zipf_slope" -> (qTextZipfSlope _),
     "corpus_split_ks" -> (qCorpusSplitKs _),
     "corpus_lang_source_chi2" -> (qCorpusLangSourceChi2 _),
+    "sketch_join_estimate" -> (qSketchJoinEstimate _),
+    "events_type_correlation" -> (qEventsTypeCorrelation _),
+    "corpus_quality_quartiles" -> (qCorpusQualityQuartiles _),
     "orders_priority_count" -> (qOrdersPriorityCount _),
     "orders_customer_distribution" -> (qOrdersCustomerDistribution _),
     "orders_large_orders" -> (qOrdersLargeOrders _),
@@ -6954,6 +7042,86 @@ object SparkEntry {
         |       CAST((COUNT(DISTINCT a) - 1) * (COUNT(DISTINCT b) - 1) AS BIGINT) AS dof,
         |       round(CAST(SUM(term) AS DOUBLE), 6) AS chi2
         |FROM term""".stripMargin,
+
+    // sketch vs exact join-key intersection; the estimator CTEs are the
+    // shared kmvSetOps twin
+    "sketch_join_estimate" ->
+      s"""WITH est AS (
+         |${Sketches.kmvSetOpsSql(
+             "orders", "CAST(o_orderkey AS VARCHAR)",
+             "lineitem", "CAST(l_orderkey AS VARCHAR)", 256)}
+         |),
+         |act AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS actual_intersection
+         |  FROM (SELECT DISTINCT o_orderkey FROM orders) o
+         |  WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey))
+         |SELECT est.est_a, est.est_b, est.est_intersection, act.actual_intersection,
+         |       round(est.est_intersection / CAST(act.actual_intersection AS DOUBLE) - 1.0, 6) AS rel_error
+         |FROM est, act""".stripMargin,
+
+    // daily-volume correlation per type pair: full (day × type) grid
+    // with explicit zeros, then the moment identity on exact sums
+    "events_type_correlation" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', ts) AS day, event_type AS et,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT d.day, t.et FROM (SELECT DISTINCT day FROM daily) d
+        |  CROSS JOIN (SELECT DISTINCT et FROM daily) t),
+        |full_g AS (
+        |  SELECT g.day, g.et, COALESCE(daily.n, 0) AS n
+        |  FROM grid g LEFT JOIN daily ON daily.day = g.day AND daily.et = g.et),
+        |pr AS (
+        |  SELECT a.et AS type_a, b.et AS type_b, a.n AS x, b.n AS y
+        |  FROM full_g a JOIN full_g b ON a.day = b.day AND a.et < b.et),
+        |s AS (
+        |  SELECT type_a, type_b, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    SUM(x) AS sx, SUM(y) AS sy,
+        |    CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
+        |    CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx,
+        |    CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS syy
+        |  FROM pr GROUP BY 1, 2),
+        |d AS (
+        |  SELECT type_a, type_b, n_days, CAST(n_days AS DOUBLE) AS nd,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+        |    CAST(CAST(sxy AS VARCHAR) AS DOUBLE) AS sxyd,
+        |    CAST(CAST(sxx AS VARCHAR) AS DOUBLE) AS sxxd,
+        |    CAST(CAST(syy AS VARCHAR) AS DOUBLE) AS syyd
+        |  FROM s)
+        |SELECT type_a, type_b, n_days,
+        |  CASE WHEN nd * sxxd - sxd * sxd > 0.0 AND nd * syyd - syd * syd > 0.0 THEN
+        |    round((nd * sxyd - sxd * syd)
+        |          / sqrt((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)), 6)
+        |  END AS r
+        |FROM d ORDER BY type_a, type_b""".stripMargin,
+
+    // per-source exact interpolating quartiles (quantile_cont parity —
+    // the orders_outliers recipe) + IQR
+    "corpus_quality_quartiles" ->
+      s"""WITH $TextTokensCte,
+         |m AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(text) = 0 THEN 0.0
+         |         ELSE length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
+         |              / CAST(length(text) AS DOUBLE) END AS praw,
+         |    CASE WHEN len(ltoks) = 0 THEN 0.0
+         |         ELSE len(list_filter(ltoks, x -> list_contains($StopwordsSql, x)))
+         |              / CAST(len(ltoks) AS DOUBLE) END AS sraw,
+         |    len(toks) AS ntok
+         |  FROM t),
+         |q AS (
+         |  SELECT d.source,
+         |    round(least(CAST(m.ntok AS DOUBLE) / 100.0, 1.0) * 0.3
+         |          + (1.0 - least(m.praw * 4.0, 1.0)) * 0.3
+         |          + least(m.sraw * 4.0, 1.0) * 0.4, 6) AS q
+         |  FROM m JOIN documents d ON d.doc_id = m.doc_id)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       round(quantile_cont(q, 0.25), 6) AS q1,
+         |       round(quantile_cont(q, 0.5), 6) AS median,
+         |       round(quantile_cont(q, 0.75), 6) AS q3,
+         |       round(quantile_cont(q, 0.75) - quantile_cont(q, 0.25), 6) AS iqr
+         |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // fertility: exact long token sums, one double division per lang
     "text_fertility" ->

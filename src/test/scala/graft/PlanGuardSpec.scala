@@ -89,7 +89,11 @@ class PlanGuardSpec extends SparkSpecBase {
     // 1-row population-totals broadcast onto the distinct-score histogram
     "corpus_split_ks",
     // 1-row grand-total broadcast onto the |langs|×|sources| grid
-    "corpus_lang_source_chi2")
+    "corpus_lang_source_chi2",
+    // 1-row sketch frames + 1-row exact-count combine
+    "sketch_join_estimate",
+    // |types|-row literal frame swept over the bounded day grid
+    "events_type_correlation")
 
   private def walk(p: SparkPlan): Seq[SparkPlan] = {
     val kids = p match {
