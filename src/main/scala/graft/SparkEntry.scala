@@ -2194,6 +2194,115 @@ object SparkEntry {
       .orderBy(col("nation"), col("o_year").desc)
   }
 
+  /** TPC-H Q21-style "suppliers who kept orders waiting": for finished
+    * ('F') orders, count each supplier's late lines (shipped >60 days
+    * after the order date) on multi-supplier orders where it was the
+    * ONLY late supplier — the classic exists/not-exists pair, expressed
+    * as one left-semi and one left-anti hash join, both equi-keyed on
+    * the order key with the supplier-inequality as a join residual.
+    * All three join inputs are keyed on `l_orderkey`, so at 100 TB this
+    * is one shuffle partitioning reused across the chain (AQE reuses
+    * the exchange); the supplier dim rides in as a broadcast. The late
+    * set shrinks first (status+date filters precede every join), so the
+    * semi/anti probes are sized by the violators, not the fact table.
+    * Reference semantics: the replication-verifier "who is out of
+    * sync" pattern (`/root/reference/verifier.py`) generalized to
+    * multi-party blame.
+    */
+  private def qSupplierWaitBlame(s: SparkSession, dir: String): DataFrame = {
+    val late = lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      .join(orders(s, dir).filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val others = lineitem(s, dir)
+      .select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2")).distinct()
+    val lateOthers = late
+      .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3")).distinct()
+    late
+      .join(others, col("l_orderkey") === col("o2") && col("l_suppkey") =!= col("s2"),
+        "left_semi")
+      .join(lateOthers, col("l_orderkey") === col("o3") && col("l_suppkey") =!= col("s3"),
+        "left_anti")
+      .join(broadcast(s.read.parquet(s"$dir/supplier.parquet")
+          .select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  /** TPC-H Q16-style supplier-relationship census: distinct suppliers
+    * per (brand, type, size) bucket over the OBSERVED part-supplier
+    * relation (distinct `(l_partkey, l_suppkey)` pairs — the testdata
+    * ships no partsupp table, so the shipped-lineitem relation stands in
+    * for it), excluding under-capitalized suppliers (`s_acctbal < 0`,
+    * the stand-in for Q16's complaints exclusion) via a broadcast
+    * anti-join. The distinct-pair reduction happens BEFORE any dim join
+    * (the fact table collapses to |parts|×|suppliers-per-part| rows);
+    * count(DISTINCT) then runs on the already-distinct relation, so its
+    * expand is a no-op-sized two-phase aggregate.
+    */
+  private def qPartSupplierCount(s: SparkSession, dir: String): DataFrame = {
+    val rel = lineitem(s, dir)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val badSupp = s.read.parquet(s"$dir/supplier.parquet")
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey"))
+    val dims = s.read.parquet(s"$dir/part.parquet")
+      .filter(col("p_brand") =!= "Brand#45" &&
+        col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    rel
+      .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(dims), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  /** TPC-H Q2-style minimum-cost supplier: for each small STANDARD-type
+    * part, the EUROPE-based supplier(s) achieving the minimum observed
+    * unit cost (min `l_extendedprice / l_quantity` over that
+    * part-supplier pair's shipments — the lineitem-derived stand-in for
+    * `ps_supplycost`). The per-pair cost aggregate runs first (fact
+    * scan collapses to the pair space); the per-part minimum is a
+    * window over the part key on that reduced frame; dims broadcast.
+    * The double comparison `cost == min(cost)` is engine-portable:
+    * both sides are IEEE-754 min/division over identical inputs, no
+    * summation order involved. Ties (two suppliers at the exact min)
+    * keep both rows, as in Q2.
+    */
+  private def qPartMinCostSupplier(s: SparkSession, dir: String): DataFrame = {
+    val parts = s.read.parquet(s"$dir/part.parquet")
+      .filter(col("p_size") <= 10 && col("p_type") === "STANDARD")
+      .select(col("p_partkey"), col("p_name"))
+    val euroSupp = s.read.parquet(s"$dir/supplier.parquet")
+      .join(broadcast(s.read.parquet(s"$dir/nation.parquet")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(s.read.parquet(s"$dir/region.parquet")
+          .filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val pairCost = lineitem(s, dir)
+      .join(broadcast(parts.select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("cost"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
+    pairCost
+      .join(broadcast(euroSupp), col("l_suppkey") === col("s_suppkey"))
+      .withColumn("min_cost", min(col("cost")).over(w))
+      .filter(col("cost") === col("min_cost"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"), round(col("cost"), 6).as("unit_cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
   /** Deterministic A/B readout over events: arms split by `user_id % 2`,
     * per-user value totals, Welch z across arms
     * ([[graft.ext.EventAnalytics.abTest]]). One row.
@@ -3324,6 +3433,9 @@ object SparkEntry {
     "text_langid_pr" -> (qTextLangidPr _),
     "customer_returns" -> (qCustomerReturns _),
     "nation_profit" -> (qNationProfit _),
+    "supplier_wait_blame" -> (qSupplierWaitBlame _),
+    "part_supplier_count" -> (qPartSupplierCount _),
+    "part_min_cost_supplier" -> (qPartMinCostSupplier _),
     "events_ab_test" -> (qEventsAbTest _),
     "corpus_epoch_plan" -> (qCorpusEpochPlan _),
     "emb_energy_curve" -> (qEmbEnergyCurve _),
@@ -6591,6 +6703,67 @@ object SparkEntry {
         |JOIN supplier s ON l.l_suppkey = s.s_suppkey
         |JOIN nation n ON s.s_nationkey = n.n_nationkey
         |GROUP BY 1, 2 ORDER BY 1, 2 DESC""".stripMargin,
+
+    // Q21-style: the exists/not-exists pair as correlated subqueries;
+    // late = shipped >60 days after an 'F' order's date
+    "supplier_wait_blame" ->
+      """WITH late AS (
+        |  SELECT l.l_orderkey, l.l_suppkey
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderstatus = 'F'
+        |    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        |SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM late t1
+        |JOIN supplier s ON t1.l_suppkey = s.s_suppkey
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = t1.l_orderkey
+        |                AND l2.l_suppkey <> t1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |                  WHERE l3.l_orderkey = t1.l_orderkey
+        |                    AND l3.l_suppkey <> t1.l_suppkey)
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+
+    // Q16-style: distinct suppliers per part bucket over the observed
+    // (partkey, suppkey) relation, negative-balance suppliers excluded
+    "part_supplier_count" ->
+      """WITH rel AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |ok AS (
+        |  SELECT r.l_partkey, r.l_suppkey FROM rel r
+        |  WHERE NOT EXISTS (SELECT 1 FROM supplier s
+        |                    WHERE s.s_suppkey = r.l_suppkey AND s.s_acctbal < 0))
+        |SELECT p.p_brand, p.p_type, p.p_size,
+        |       CAST(COUNT(DISTINCT ok.l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM ok JOIN part p ON ok.l_partkey = p.p_partkey
+        |WHERE p.p_brand <> 'Brand#45' AND p.p_size IN (1,5,9,13,17,21,25,29)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    // Q2-style: per-part min observed unit cost among EUROPE suppliers;
+    // the min/division comparison is IEEE-identical across engines
+    "part_min_cost_supplier" ->
+      """WITH pc AS (
+        |  SELECT l.l_partkey, l.l_suppkey,
+        |         MIN(l.l_extendedprice / l.l_quantity) AS cost
+        |  FROM lineitem l
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE p.p_size <= 10 AND p.p_type = 'STANDARD'
+        |  GROUP BY 1, 2),
+        |eu AS (
+        |  SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+        |  FROM supplier s
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  WHERE r.r_name = 'EUROPE'),
+        |ranked AS (
+        |  SELECT pc.l_partkey, pc.cost, eu.s_name, eu.s_acctbal, eu.n_name,
+        |         MIN(pc.cost) OVER (PARTITION BY pc.l_partkey) AS min_cost
+        |  FROM pc JOIN eu ON pc.l_suppkey = eu.s_suppkey)
+        |SELECT rk.s_acctbal, rk.s_name, rk.n_name,
+        |       rk.l_partkey AS p_partkey, p.p_name, round(rk.cost, 6) AS unit_cost
+        |FROM ranked rk JOIN part p ON rk.l_partkey = p.p_partkey
+        |WHERE rk.cost = rk.min_cost
+        |ORDER BY rk.s_acctbal DESC, rk.n_name, rk.s_name, rk.l_partkey
+        |LIMIT 100""".stripMargin,
 
     // Welch z over user_id%2 arms: per-user and per-arm sums exact
     // decimals, the mean/variance/z chain a fixed double-op sequence
