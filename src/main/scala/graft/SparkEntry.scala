@@ -634,6 +634,34 @@ object SparkEntry {
           .as("iqr"))
       .orderBy("source")
 
+  /** Sparse TF-cosine near-dup pairs over 3-gram shingle counts
+    * ([[Dedup.cosinePairs]], df cap 64, threshold 0.5) — the weighted
+    * complement of the Jaccard/MinHash set family: repetition-heavy
+    * near-dups that set similarity underrates score high here.
+    */
+  private def qTextCosinePairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.cosinePairs(documents(s, dir), "text", "doc_id")
+      .orderBy("doc_a", "doc_b")
+
+  /** Median/MAD robust daily-volume anomalies per event type
+    * ([[EventAnalytics.anomalyMadDaily]], cut 2.5 robust σ).
+    */
+  private def qEventsAnomalyMad(s: SparkSession, dir: String): DataFrame =
+    EventAnalytics.anomalyMadDaily(events(s, dir), "event_type", "ts", 2.5)
+
+  /** Mann–Whitney U on the quality score between the first two sources
+    * ([[Metrics.mannWhitney]]): "is src0's quality distribution
+    * stochastically above src1's?" — the rank test companion to the
+    * KS drift check, computed rank-free from the score histogram.
+    */
+  private def qCorpusQualityMw(s: SparkSession, dir: String): DataFrame =
+    Metrics.mannWhitney(
+      documents(s, dir)
+        .filter(col("source").isin("src0", "src1"))
+        .select((col("source") === "src0").as("in_a"),
+          round(TextAnalysis.qualityScore(col("text")), 6).as("q")),
+      "in_a", "q")
+
   private def qMediaFeatures(s: SparkSession, dir: String): DataFrame = {
     import Multimodal._
     val typed = withFakePayload(documents(s, dir), "doc_id", "text")
@@ -3460,6 +3488,9 @@ object SparkEntry {
     "sketch_join_estimate" -> (qSketchJoinEstimate _),
     "events_type_correlation" -> (qEventsTypeCorrelation _),
     "corpus_quality_quartiles" -> (qCorpusQualityQuartiles _),
+    "text_cosine_pairs" -> (qTextCosinePairs _),
+    "events_anomaly_mad" -> (qEventsAnomalyMad _),
+    "corpus_quality_mw" -> (qCorpusQualityMw _),
     "orders_priority_count" -> (qOrdersPriorityCount _),
     "orders_customer_distribution" -> (qOrdersCustomerDistribution _),
     "orders_large_orders" -> (qOrdersLargeOrders _),
@@ -7295,6 +7326,108 @@ object SparkEntry {
          |       round(quantile_cont(q, 0.75), 6) AS q3,
          |       round(quantile_cont(q, 0.75) - quantile_cont(q, 0.25), 6) AS iqr
          |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // sparse TF-cosine pairs: posting-list self-join on 3-gram shingles
+    // (WITH multiplicity), df<=64 subspace, exact integer dot/norms
+    "text_cosine_pairs" ->
+      s"""WITH $TextTokensCte,
+         |shm AS (SELECT doc_id,
+         |          unnest(CASE WHEN len(ltoks) < 3 THEN [array_to_string(ltoks, ' ')]
+         |                 ELSE list_transform(range(1, len(ltoks)-1),
+         |                        i -> array_to_string(ltoks[i:i+2], ' ')) END) AS g
+         |        FROM t),
+         |tfm AS (SELECT g, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+         |        FROM shm GROUP BY 1, 2),
+         |pst AS (SELECT * FROM
+         |          (SELECT tfm.*, COUNT(*) OVER (PARTITION BY g) AS df FROM tfm)
+         |        WHERE df <= 64),
+         |nrm AS (SELECT doc_id, SUM(tf*tf) AS n2 FROM pst GROUP BY 1),
+         |dt AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.tf*b.tf) AS dot
+         |       FROM pst a JOIN pst b ON a.g = b.g AND a.doc_id < b.doc_id
+         |       GROUP BY 1, 2),
+         |cs AS (SELECT d.doc_a, d.doc_b,
+         |         round(CAST(d.dot AS DOUBLE)
+         |               / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cosine
+         |       FROM dt d
+         |       JOIN nrm na ON d.doc_a = na.doc_id
+         |       JOIN nrm nb ON d.doc_b = nb.doc_id)
+         |SELECT doc_a, doc_b, cosine FROM cs
+         |WHERE cosine >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+
+    // median/MAD robust anomaly: two exact-percentile layers over the
+    // (type × day) grid; score rounded before the 2.5 cut
+    "events_anomaly_mad" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS d,
+        |         CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |med AS (SELECT event_type, quantile_cont(n, 0.5) AS med
+        |        FROM daily GROUP BY 1),
+        |dev AS (SELECT daily.*, med.med, abs(daily.n - med.med) AS ad
+        |        FROM daily JOIN med USING (event_type)),
+        |mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad
+        |        FROM dev GROUP BY 1),
+        |sc AS (SELECT dev.event_type, dev.d, dev.n, dev.med, mad.mad,
+        |         CASE WHEN mad.mad > 0.0 THEN
+        |           round((dev.n - dev.med) / (1.4826 * mad.mad), 6) END AS score
+        |       FROM dev JOIN mad USING (event_type))
+        |SELECT event_type, strftime(d, '%Y-%m-%d') AS day, n,
+        |       round(med, 6) AS med, round(mad, 6) AS mad, score
+        |FROM sc WHERE abs(score) >= 2.5
+        |ORDER BY event_type, day""".stripMargin,
+
+    // Mann-Whitney U from the quality-score histogram: doubled-U and
+    // tie sums exact integers; the z chain mirrors Metrics.mannWhitney
+    // double-op for double-op
+    "corpus_quality_mw" ->
+      s"""WITH $TextTokensCte,
+         |m AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(text) = 0 THEN 0.0
+         |         ELSE length(regexp_replace(text, '[^[:punct:]]', '', 'g'))
+         |              / CAST(length(text) AS DOUBLE) END AS praw,
+         |    CASE WHEN len(ltoks) = 0 THEN 0.0
+         |         ELSE len(list_filter(ltoks, x -> list_contains($StopwordsSql, x)))
+         |              / CAST(len(ltoks) AS DOUBLE) END AS sraw,
+         |    len(toks) AS ntok
+         |  FROM t),
+         |qs AS (
+         |  SELECT (d.source = 'src0') AS in_a,
+         |    round(least(CAST(m.ntok AS DOUBLE) / 100.0, 1.0) * 0.3
+         |          + (1.0 - least(m.praw * 4.0, 1.0)) * 0.3
+         |          + least(m.sraw * 4.0, 1.0) * 0.4, 6) AS q
+         |  FROM m JOIN documents d ON d.doc_id = m.doc_id
+         |  WHERE d.source IN ('src0', 'src1')),
+         |h AS (
+         |  SELECT q AS s,
+         |         CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         |         CAST(SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS cb
+         |  FROM qs GROUP BY 1),
+         |cum AS (
+         |  SELECT *, COALESCE(SUM(cb) OVER (ORDER BY s
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb_below
+         |  FROM h),
+         |ag AS (
+         |  SELECT CAST(SUM(ca) AS BIGINT) AS n_a, CAST(SUM(cb) AS BIGINT) AS n_b,
+         |         SUM(CAST(ca * (2 * cumb_below + cb) AS DECIMAL(38,0))) AS u2,
+         |         SUM(CAST((ca+cb)*(ca+cb)*(ca+cb) - (ca+cb) AS DECIMAL(38,0))) AS tie3
+         |  FROM cum),
+         |fin AS (
+         |  SELECT n_a, n_b,
+         |         CAST(n_a AS DOUBLE) AS nad, CAST(n_b AS DOUBLE) AS nbd,
+         |         CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) AS nd,
+         |         CAST(u2 AS DOUBLE) / 2.0 AS ua,
+         |         CAST(tie3 AS DOUBLE) AS tie3d
+         |  FROM ag)
+         |SELECT n_a, n_b,
+         |  CASE WHEN n_a > 0 AND n_b > 0 THEN ua END AS u_a,
+         |  CASE WHEN n_a > 0 AND n_b > 0 THEN round(ua / (nad * nbd), 6) END AS p_gt,
+         |  CASE WHEN n_a > 0 AND n_b > 0
+         |        AND nad * nbd / 12.0 * ((nd + 1.0) - tie3d / (nd * (nd - 1.0))) > 0.0
+         |  THEN round((ua - nad * nbd / 2.0)
+         |             / sqrt(nad * nbd / 12.0 * ((nd + 1.0) - tie3d / (nd * (nd - 1.0)))), 6)
+         |  END AS z
+         |FROM fin""".stripMargin,
 
     // fertility: exact long token sums, one double division per lang
     "text_fertility" ->

@@ -139,6 +139,62 @@ object Dedup {
     * over blocks × saltFanout tasks. Replication cost is saltFanout ×
     * |block side|, which is linear, not quadratic.
     */
+  /** Sparse TF-cosine near-duplicate pairs via an inverted-index
+    * self-join — the WEIGHTED sibling of [[ngramJaccardDedup]]: Jaccard
+    * sees shingle SETS, cosine sees shingle COUNTS, so a document that
+    * repeats one passage ten times looks very different to the two
+    * (repetition-heavy spam clusters are exactly where they disagree).
+    *
+    * Per doc, word-`n`-gram shingles WITH multiplicity become a sparse
+    * TF vector; the pair dot products come from a self-join of the
+    * posting list `(gram, doc, tf)` on the gram key — each gram
+    * contributes `df²` candidate pairs, so grams with `df > maxDf` are
+    * dropped from the vector space (both the dot AND the norms — the
+    * cosine is exact within the pruned subspace). That cap is the
+    * scale contract: per-gram fanout is ≤ maxDf², the join is an
+    * equi-join on the gram key (one shuffle partitioning, reused by the
+    * df-annotating window on the same key), and dot products / norms
+    * are exact integer sums — the only doubles are the final
+    * sqrt-divide, identical in any engine. Pairs are emitted once
+    * (id_a < id_b), rounded to 6 dp BEFORE the threshold filter.
+    */
+  def cosinePairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      threshold: Double = 0.5,
+      maxDf: Long = 64): DataFrame = {
+    val tk = TextAnalysis.tokens(lower(col(textCol)))
+    // shingles WITH multiplicity — deliberately NOT [[shingles]], whose
+    // array_distinct would collapse the tf weights this op exists for
+    val grams = when(size(tk) < n, array(concat_ws(" ", tk)))
+      .otherwise(transform(sequence(lit(0), size(tk) - n),
+        i => concat_ws(" ", slice(tk, i + 1, lit(n)))))
+    val tf = df.select(col(idCol).as("__id"), explode(grams).as("__g"))
+      .groupBy(col("__g"), col("__id")).agg(count(lit(1)).as("__tf"))
+    // df via a window on the gram key: reuses the groupBy's hash
+    // partitioning instead of shuffling a separate df aggregate back in
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy(col("__g"))
+    val posting = tf.withColumn("__df", count(lit(1)).over(wg))
+      .filter(col("__df") <= maxDf)
+    val norms = posting.groupBy(col("__id"))
+      .agg(sum(col("__tf") * col("__tf")).as("__n2"))
+    val dots = posting.as("a")
+      .join(posting.as("b"),
+        col("a.__g") === col("b.__g") && col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("doc_a"), col("b.__id").as("doc_b"))
+      .agg(sum(col("a.__tf") * col("b.__tf")).as("__dot"))
+    dots
+      .join(norms.select(col("__id").as("doc_a"), col("__n2").as("__na")), "doc_a")
+      .join(norms.select(col("__id").as("doc_b"), col("__n2").as("__nb")), "doc_b")
+      .withColumn("cosine",
+        round(col("__dot").cast("double") /
+          (sqrt(col("__na").cast("double")) * sqrt(col("__nb").cast("double"))), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("cosine"))
+  }
+
   def ngramJaccardDedup(
       df: DataFrame,
       textCol: String,

@@ -599,6 +599,46 @@ object EventAnalytics {
         col("n"), col("z"))
   }
 
+  /** Robust (median/MAD) companion to [[dailyCountAnomalies]]: flags
+    * (event-type, day) cells whose daily volume deviates from that
+    * type's MEDIAN by more than `cut` robust standard deviations
+    * (MAD · 1.4826 — the normal-consistency constant). Mean/σ anomaly
+    * detection is itself corrupted by the outliers it hunts; the
+    * median/MAD pair has a 50% breakdown point, so one crazy ingest day
+    * cannot mask another. Shape: one events scan collapses to the
+    * (types × days) grid, then two per-type exact-percentile aggregates
+    * (state bounded by days-per-type — swap in [[Sketches.gridQuantiles]]
+    * if the day axis ever outgrows memory). Types whose MAD is 0 (half
+    * the days identical) yield NULL scores and are never flagged rather
+    * than dividing by zero. Scores are rounded to 6 dp BEFORE the cut
+    * filter so the flag set is engine-stable.
+    */
+  def anomalyMadDaily(
+      events: DataFrame,
+      typeCol: String,
+      tsCol: String,
+      cut: Double): DataFrame = {
+    val daily = events
+      .groupBy(col(typeCol).as("event_type"),
+        date_trunc("day", col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val med = daily.groupBy(col("event_type").as("__t"))
+      .agg(percentile(col("n"), lit(0.5)).as("med"))
+    val dev = daily.join(med, col("event_type") === col("__t"))
+      .withColumn("ad", abs(col("n") - col("med")))
+    val mad = dev.groupBy(col("event_type").as("__t2"))
+      .agg(percentile(col("ad"), lit(0.5)).as("mad"))
+    dev.join(mad, col("event_type") === col("__t2"))
+      .withColumn("score",
+        when(col("mad") > 0.0,
+          round((col("n") - col("med")) / (lit(1.4826) * col("mad")), 6)))
+      .filter(abs(col("score")) >= cut)
+      .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n"), round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"),
+        col("score"))
+      .orderBy("event_type", "day")
+  }
+
   /** Point-in-time rolling features: for EVERY event row, aggregates over
     * that key's trailing `windowUs`-microsecond window ending at (and
     * including) the row — the leakage-free feature-engineering primitive

@@ -138,6 +138,54 @@ object Metrics {
         when(col("n_a") > 0 && col("n_b") > 0, col("s")).as("at_score"))
   }
 
+  /** Two-sample Mann–Whitney U (Wilcoxon rank-sum): the rank-based
+    * "is population A stochastically larger than B?" test — the
+    * nonparametric sibling of [[ksTest]] (KS asks "different
+    * distribution?", U asks "shifted?"). No global rank is ever
+    * assigned: U ≡ #{(a,b): a > b} + ½·#{a = b}, computed from the
+    * per-distinct-score histogram and ONE ordered cumulative window
+    * over it — the same bounded-cardinality frame as [[binaryAuc]]
+    * (6-dp scores in [0,1] cap the axis at ~10⁶ rows no matter how many
+    * documents feed it). Doubled-U (`2U = Σ ca·(2·cumB< + cb)`) keeps
+    * the arithmetic in exact integers (DECIMAL(38,0) — the ca·cumB
+    * product overflows a long once both sides pass ~10⁹ rows); the
+    * halving back to U is exact in binary. z carries the tie
+    * correction `Σ(t³−t)`; degenerate frames (an empty side, or every
+    * value tied so σ = 0) yield NULL z rather than ±∞. Returns one row
+    * (n_a, n_b, u_a, p_gt, z): `p_gt = U/(n_a·n_b)` is the
+    * common-language effect size P(A > B) + ½P(A = B).
+    */
+  def mannWhitney(df: DataFrame, inACol: String, scoreCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val perScore = df.groupBy(col(scoreCol).as("s"))
+      .agg(
+        sum(when(col(inACol), 1L).otherwise(0L)).as("ca"),
+        sum(when(col(inACol), 0L).otherwise(1L)).as("cb"))
+    val w = Window.orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = perScore
+      .withColumn("cumb_below", sum(col("cb")).over(w) - col("cb"))
+    val t = col("ca") + col("cb")
+    val agg = cum.agg(
+      sum(col("ca")).as("n_a"),
+      sum(col("cb")).as("n_b"),
+      sum((col("ca") * (lit(2) * col("cumb_below") + col("cb"))).cast(dec))
+        .as("u2"),
+      sum((t * t * t - t).cast(dec)).as("tie3"))
+    val naD = col("n_a").cast("double"); val nbD = col("n_b").cast("double")
+    val nD = naD + nbD
+    val uA = col("u2").cast("double") / 2.0
+    val sigma2 = naD * nbD / 12.0 *
+      ((nD + 1.0) - col("tie3").cast("double") / (nD * (nD - 1.0)))
+    agg.select(
+      col("n_a"), col("n_b"),
+      when(col("n_a") > 0 && col("n_b") > 0, uA).as("u_a"),
+      when(col("n_a") > 0 && col("n_b") > 0,
+        round(uA / (naD * nbD), 6)).as("p_gt"),
+      when(col("n_a") > 0 && col("n_b") > 0 && sigma2 > 0.0,
+        round((uA - naD * nbD / 2.0) / sqrt(sigma2), 6)).as("z"))
+  }
+
   /** Pearson chi-square test of independence over two categorical
     * columns: `Σ (O − E)² / E` with `E = rowTot·colTot/N`, plus the
     * degrees of freedom — the "is language independent of source?"
