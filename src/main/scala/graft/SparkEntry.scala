@@ -3386,6 +3386,151 @@ object SparkEntry {
     * horizon — 80 rows for the test corpus), so the global orderBy
     * window is a deliberate non-issue at any fact-table scale.
     */
+  /** Theil–Sen robust trend of monthly revenue: the MEDIAN of all
+    * pairwise month-to-month slopes (and the median residual intercept)
+    * — the estimator that shrugs off the outlier months that drag the
+    * closed-form OLS line (`lineitem_ols_slope`) around. The corpus
+    * collapses to the |months| frame FIRST; the pairwise frame is
+    * |months|²/2 ≈ bounded (a century of data is ~720k pairs), so the
+    * quadratic step never touches row-scale data. Revenues are exact
+    * decimal sums cast once to double; each slope is one fixed
+    * subtract/divide — engine-identical inputs to both engines'
+    * interpolating median.
+    */
+  private def qOrdersTheilsenTrend(s: SparkSession, dir: String): DataFrame = {
+    val monthly = orders(s, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("mo"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+        .as("rev"))
+      .select((year(col("mo")) * 12 + month(col("mo"))).cast("long").as("idx"),
+        col("rev"))
+    val pairs = monthly.as("a").join(monthly.as("b"), col("b.idx") > col("a.idx"))
+      .select(((col("b.rev") - col("a.rev")) /
+        (col("b.idx") - col("a.idx")).cast("double")).as("slope"))
+    val med = pairs.agg(
+      count(lit(1)).as("n_pairs"),
+      percentile(col("slope"), lit(0.5)).as("m"))
+    monthly.crossJoin(broadcast(med))
+      .groupBy(col("n_pairs"), col("m"))
+      .agg(
+        count(lit(1)).as("n_months"),
+        percentile(col("rev") - col("m") * col("idx"), lit(0.5)).as("b0"))
+      .select(col("n_months"), col("n_pairs"),
+        round(col("m"), 6).as("slope"), round(col("b0"), 6).as("intercept"))
+  }
+
+  /** Lag-1 / lag-7 autocorrelation of daily revenue — "does today
+    * predict tomorrow / the same weekday next week?", the stationarity
+    * probe behind the seasonality and forecast queries. Pairing is an
+    * EQUI-join of the daily frame to itself on `day + k` (missing days
+    * drop their pairs rather than faking zeros — gap policy lives in
+    * `events_gapfill`, not here); revenues stay exact DECIMAL through
+    * the moment sums, one double conversion at the end.
+    */
+  private def qOrdersAcf(s: SparkSession, dir: String): DataFrame = {
+    val daily = orders(s, dir)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("d"))
+      // downcast the (28,2) sum back to (18,2): the x·y products of two
+      // (28,2)s would exceed precision 38 and silently round — (18,2)²
+      // is (37,4), exact (a DAY of revenue fits 10^16 at any scale here)
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+        .cast(DecimalType(18, 2)).as("rev"))
+    val dec = DecimalType(38, 4)
+    val acf = Seq(1, 7).map { k =>
+      val pairs = daily.select(col("d"), col("rev").as("x"))
+        .join(daily.select(
+            (col("d") - expr(s"INTERVAL $k DAYS")).as("d2"), col("rev").as("y")),
+          col("d") === col("d2"))
+      val nD = col("n").cast("double")
+      val sxD = col("sx").cast("double"); val syD = col("sy").cast("double")
+      pairs.agg(
+          count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum((col("x") * col("y")).cast(dec)).as("sxy"),
+          sum((col("x") * col("x")).cast(dec)).as("sxx"),
+          sum((col("y") * col("y")).cast(dec)).as("syy"))
+        .select(lit(k).cast("int").as("lag"), col("n").as("n_pairs"),
+          round((nD * col("sxy").cast("double") - sxD * syD) /
+            sqrt((nD * col("sxx").cast("double") - sxD * sxD) *
+              (nD * col("syy").cast("double") - syD * syD)), 6).as("r"))
+    }
+    acf.reduce(_ unionByName _).orderBy("lag")
+  }
+
+  /** CUSUM changepoint scan over daily order volume: the day where the
+    * cumulative deviation from the global mean peaks — "when did the
+    * level shift?". S_t = cum_t − t·mean needs ONE pass over the
+    * bounded day axis (the same bounded-histogram global-window shape
+    * as [[graft.ext.Metrics.ksTest]]); everything upstream of that axis
+    * is a map-side-combined count. |S| is rounded to 6 dp BEFORE the
+    * argmax so the winning day is engine-stable; the segment means on
+    * each side of the cut come free from the same cumulative.
+    */
+  private def qOrdersCusum(s: SparkSession, dir: String): DataFrame = {
+    val daily = orders(s, dir)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).as("n"))
+    val tot = daily.agg(
+      sum(col("n")).as("total"), count(lit(1)).as("n_days"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("d"))
+    val cum = daily.crossJoin(broadcast(tot))
+      .withColumn("t", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("n")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+      .withColumn("s_t",
+        round(col("cum").cast("double") -
+          col("t").cast("double") *
+            (col("total").cast("double") / col("n_days").cast("double")), 6))
+    val pick = org.apache.spark.sql.expressions.Window
+      .orderBy(abs(col("s_t")).desc, col("d"))
+    cum.withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .select(
+        col("n_days"),
+        date_format(col("d"), "yyyy-MM-dd").as("changepoint_day"),
+        abs(col("s_t")).as("max_abs_s"),
+        round(col("cum").cast("double") / col("t").cast("double"), 6)
+          .as("mean_before"),
+        when(col("n_days") > col("t"),
+          round((col("total") - col("cum")).cast("double") /
+            (col("n_days") - col("t")).cast("double"), 6)).as("mean_after"))
+  }
+
+  /** Benford first-digit audit of order totals: observed leading-digit
+    * frequencies against log₁₀(1+1/d) — the classic fabricated-data /
+    * corrupted-feed screen. Digits come from the CENTS integer's
+    * decimal string (never floor(log10(x)), whose ulp error at exact
+    * powers of ten flips digits between engines); the nine expected
+    * fractions are driver-side constants inlined as literals into BOTH
+    * the Spark plan and the oracle SQL ([[graft.ext.PortableHash]]'s
+    * literal-inlining trick). One scan, 9-row output.
+    */
+  private def qOrdersBenford(s: SparkSession, dir: String): DataFrame = {
+    val exp = benfordExpected.foldLeft(lit(null).cast("double")) {
+      case (acc, (d, p)) => when(col("digit") === d, lit(p)).otherwise(acc)
+    }
+    val digits = orders(s, dir)
+      .select(substring(round(col("o_totalprice") * 100).cast("long")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = digits.agg(sum(col("n")).as("total"))
+    digits.crossJoin(broadcast(tot))
+      .withColumn("obs_frac",
+        round(col("n").cast("double") / col("total").cast("double"), 6))
+      .withColumn("exp_frac", exp)
+      .select(col("digit"), col("n"), col("obs_frac"), col("exp_frac"),
+        round(abs(col("obs_frac") - col("exp_frac")), 6).as("abs_dev"))
+      .orderBy("digit")
+  }
+
+  /** log₁₀(1+1/d) for d = 1..9, rounded to 6 dp driver-side — the ONE
+    * definition both engines see as literals (Scala here, interpolated
+    * text in the oracle SQL).
+    */
+  private val benfordExpected: Seq[(Int, Double)] =
+    (1 to 9).map(d => d -> math.rint(math.log10(1.0 + 1.0 / d) * 1e6) / 1e6)
+
   private def qOrdersMonthlyGrowth(s: SparkSession, dir: String): DataFrame = {
     val monthly = orders(s, dir)
       .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM")
@@ -3491,6 +3636,10 @@ object SparkEntry {
     "text_cosine_pairs" -> (qTextCosinePairs _),
     "events_anomaly_mad" -> (qEventsAnomalyMad _),
     "corpus_quality_mw" -> (qCorpusQualityMw _),
+    "orders_theilsen_trend" -> (qOrdersTheilsenTrend _),
+    "orders_acf" -> (qOrdersAcf _),
+    "orders_cusum" -> (qOrdersCusum _),
+    "orders_benford" -> (qOrdersBenford _),
     "orders_priority_count" -> (qOrdersPriorityCount _),
     "orders_customer_distribution" -> (qOrdersCustomerDistribution _),
     "orders_large_orders" -> (qOrdersLargeOrders _),
@@ -7428,6 +7577,90 @@ object SparkEntry {
          |             / sqrt(nad * nbd / 12.0 * ((nd + 1.0) - tie3d / (nd * (nd - 1.0)))), 6)
          |  END AS z
          |FROM fin""".stripMargin,
+
+    // Theil-Sen: quantile_cont medians over the bounded month-pair frame
+    "orders_theilsen_trend" ->
+      """WITH monthly AS (
+        |  SELECT CAST(year(date_trunc('month', o_orderdate)) * 12
+        |              + month(date_trunc('month', o_orderdate)) AS BIGINT) AS idx,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |  FROM orders GROUP BY 1),
+        |pr AS (SELECT (b.rev - a.rev) / CAST(b.idx - a.idx AS DOUBLE) AS slope
+        |       FROM monthly a JOIN monthly b ON b.idx > a.idx),
+        |med AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |               quantile_cont(slope, 0.5) AS m FROM pr),
+        |fin AS (SELECT med.n_pairs, med.m, CAST(COUNT(*) AS BIGINT) AS n_months,
+        |               quantile_cont(monthly.rev - med.m * monthly.idx, 0.5) AS b0
+        |        FROM monthly, med GROUP BY 1, 2)
+        |SELECT n_months, n_pairs, round(m, 6) AS slope, round(b0, 6) AS intercept
+        |FROM fin""".stripMargin,
+
+    // lag-k autocorrelation: equi-join on day+k, exact decimal moments
+    "orders_acf" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', o_orderdate) AS d,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+        |  FROM orders GROUP BY 1),
+        |pairs AS (
+        |  SELECT 1 AS lag, a.rev AS x, b.rev AS y
+        |  FROM daily a JOIN daily b ON a.d = b.d - INTERVAL 1 DAY
+        |  UNION ALL
+        |  SELECT 7, a.rev, b.rev
+        |  FROM daily a JOIN daily b ON a.d = b.d - INTERVAL 7 DAY),
+        |s AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |        SUM(x) AS sx, SUM(y) AS sy,
+        |        SUM(CAST(x * y AS DECIMAL(38,4))) AS sxy,
+        |        SUM(CAST(x * x AS DECIMAL(38,4))) AS sxx,
+        |        SUM(CAST(y * y AS DECIMAL(38,4))) AS syy
+        |      FROM pairs GROUP BY 1)
+        |SELECT CAST(lag AS INT) AS lag, n_pairs,
+        |  round((CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |        / sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |               * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+        |                  - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r
+        |FROM s ORDER BY lag""".stripMargin,
+
+    // CUSUM: bounded day-axis cumulative, |S| rounded before the argmax
+    "orders_cusum" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', o_orderdate) AS d, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT SUM(n) AS total, CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+        |cum AS (SELECT d, n, total, n_days,
+        |          CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS t,
+        |          SUM(n) OVER (ORDER BY d
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |        FROM daily, tot),
+        |sc AS (SELECT *, round(CAST(cum AS DOUBLE)
+        |          - CAST(t AS DOUBLE) * (CAST(total AS DOUBLE) / CAST(n_days AS DOUBLE)), 6) AS s_t
+        |       FROM cum),
+        |pick AS (SELECT *, row_number() OVER (ORDER BY abs(s_t) DESC, d) AS rn FROM sc)
+        |SELECT n_days, strftime(d, '%Y-%m-%d') AS changepoint_day,
+        |       abs(s_t) AS max_abs_s,
+        |       round(CAST(cum AS DOUBLE) / CAST(t AS DOUBLE), 6) AS mean_before,
+        |       CASE WHEN n_days > t THEN
+        |         round(CAST(total - cum AS DOUBLE) / CAST(n_days - t AS DOUBLE), 6)
+        |       END AS mean_after
+        |FROM pick WHERE rn = 1""".stripMargin,
+
+    // Benford: digits off the cents-integer's decimal string; expected
+    // fractions are the same driver-side literals the Spark plan uses
+    "orders_benford" ->
+      s"""WITH dg AS (
+         |  SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+         |  FROM orders),
+         |h AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM dg GROUP BY 1),
+         |tot AS (SELECT SUM(n) AS total FROM h),
+         |e(digit, exp_frac) AS (VALUES ${benfordExpected
+              .map { case (d, p) => s"($d, $p)" }.mkString(", ")})
+         |SELECT h.digit, h.n,
+         |       round(CAST(h.n AS DOUBLE) / CAST(tot.total AS DOUBLE), 6) AS obs_frac,
+         |       CAST(e.exp_frac AS DOUBLE) AS exp_frac,
+         |       round(abs(round(CAST(h.n AS DOUBLE) / CAST(tot.total AS DOUBLE), 6)
+         |                 - CAST(e.exp_frac AS DOUBLE)), 6) AS abs_dev
+         |FROM h JOIN e ON h.digit = e.digit, tot ORDER BY h.digit""".stripMargin,
 
     // fertility: exact long token sums, one double division per lang
     "text_fertility" ->

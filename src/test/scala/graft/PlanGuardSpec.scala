@@ -93,7 +93,14 @@ class PlanGuardSpec extends SparkSpecBase {
     // 1-row sketch frames + 1-row exact-count combine
     "sketch_join_estimate",
     // |types|-row literal frame swept over the bounded day grid
-    "events_type_correlation")
+    "events_type_correlation",
+    // |months|² pair frame (pure-inequality theta join on the bounded
+    // monthly rollup) + 1-row median-slope broadcast
+    "orders_theilsen_trend",
+    // 1-row day-axis totals broadcast onto the bounded daily frame
+    "orders_cusum",
+    // 1-row grand-total broadcast onto the 9-row digit histogram
+    "orders_benford")
 
   private def walk(p: SparkPlan): Seq[SparkPlan] = {
     val kids = p match {
