@@ -662,6 +662,67 @@ object SparkEntry {
           round(TextAnalysis.qualityScore(col("text")), 6).as("q")),
       "in_a", "q")
 
+  /** Per-label embedding drift between the `vec_id % 2` halves
+    * ([[Similarity.drift]]) — L2 distance of the per-dimension mean
+    * vectors, decimal-exact at every reduction.
+    */
+  private def qEmbDrift(s: SparkSession, dir: String): DataFrame =
+    Similarity.drift(embeddings(s, dir), "embedding", "vec_id", "label")
+
+  /** Template-boilerplate screen: the top-3 most repeated 2-token
+    * document PREFIXES per source (min 2 docs) with their share of the
+    * source — repeated openers ("subscribe to our newsletter…") are the
+    * classic web-scrape boilerplate signature, and prefix grouping
+    * finds them in one aggregate without any pairwise comparison. All
+    * windows are source-partitioned; state per group is the prefix
+    * histogram.
+    */
+  private def qCorpusBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    val tk = TextAnalysis.tokens(lower(col("text")))
+    val cnt = documents(s, dir)
+      .select(col("source"), concat_ws(" ", slice(tk, 1, 2)).as("prefix"))
+      .groupBy(col("source"), col("prefix")).agg(count(lit(1)).as("n_docs"))
+    val wSrc = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+    cnt
+      .withColumn("src_docs", sum(col("n_docs")).over(wSrc))
+      .withColumn("rnk", row_number().over(
+          wSrc.orderBy(col("n_docs").desc, col("prefix"))).cast("int"))
+      .filter(col("rnk") <= 3 && col("n_docs") >= 2)
+      .select(col("source"), col("prefix"), col("n_docs"),
+        round(col("n_docs").cast("double") / col("src_docs").cast("double"), 6)
+          .as("share"),
+        col("rnk"))
+      .orderBy("source", "rnk")
+  }
+
+  /** Dedup savings ledger: per source, total tokens vs tokens after
+    * exact (normalized-fingerprint) dedup — the "how many training
+    * tokens is duplication costing me" number that prices the dedup
+    * stage. Survivor = first doc_id per (source, fingerprint), chosen
+    * inside a keyed window (no global state); token counts are exact
+    * longs end to end.
+    */
+  private def qTextDupInflation(s: SparkSession, dir: String): DataFrame = {
+    val f = documents(s, dir).select(
+      col("source"), col("doc_id"),
+      md5(regexp_replace(lower(trim(col("text"))), "\\s+", " ")).as("fp"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("ntok"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), col("fp")).orderBy(col("doc_id"))
+    f.withColumn("rn", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ntok")).as("tok_all"),
+        sum(when(col("rn") === 1, col("ntok")).otherwise(0L)).as("tok_unique"))
+      .select(col("source"), col("n_docs"), col("tok_all"), col("tok_unique"),
+        (col("tok_all") - col("tok_unique")).as("tok_saved"),
+        when(col("tok_unique") > 0,
+          round(col("tok_all").cast("double") / col("tok_unique").cast("double"), 6))
+          .as("inflation"))
+      .orderBy("source")
+  }
+
   private def qMediaFeatures(s: SparkSession, dir: String): DataFrame = {
     import Multimodal._
     val typed = withFakePayload(documents(s, dir), "doc_id", "text")
@@ -3640,6 +3701,9 @@ object SparkEntry {
     "orders_acf" -> (qOrdersAcf _),
     "orders_cusum" -> (qOrdersCusum _),
     "orders_benford" -> (qOrdersBenford _),
+    "emb_drift" -> (qEmbDrift _),
+    "corpus_boilerplate" -> (qCorpusBoilerplate _),
+    "text_dup_inflation" -> (qTextDupInflation _),
     "orders_priority_count" -> (qOrdersPriorityCount _),
     "orders_customer_distribution" -> (qOrdersCustomerDistribution _),
     "orders_large_orders" -> (qOrdersLargeOrders _),
@@ -7661,6 +7725,74 @@ object SparkEntry {
          |       round(abs(round(CAST(h.n AS DOUBLE) / CAST(tot.total AS DOUBLE), 6)
          |                 - CAST(e.exp_frac AS DOUBLE)), 6) AS abs_dev
          |FROM h JOIN e ON h.digit = e.digit, tot ORDER BY h.digit""".stripMargin,
+
+    // per-label even/odd centroid gap: decimal element sums, 8-dp
+    // per-dim terms, decimal reduction over the dim axis
+    "emb_drift" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |x AS (SELECT label, vec_id % 2 = 0 AS ev, CAST(k AS INT) AS dim_i,
+        |             v[CAST(k+1 AS INT)] AS x
+        |      FROM e, (SELECT unnest(range(0, 64)) AS k) WHERE v IS NOT NULL),
+        |xx AS (SELECT * FROM x WHERE x IS NOT NULL),
+        |per AS (SELECT label, dim_i,
+        |          CAST(SUM(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS ne,
+        |          SUM(CAST(CASE WHEN ev THEN x ELSE 0.0 END AS DECIMAL(28,10))) AS se,
+        |          CAST(SUM(CASE WHEN ev THEN 0 ELSE 1 END) AS BIGINT) AS no,
+        |          SUM(CAST(CASE WHEN ev THEN 0.0 ELSE x END AS DECIMAL(28,10))) AS so
+        |        FROM xx GROUP BY 1, 2),
+        |g AS (SELECT label, ne, no,
+        |        CASE WHEN ne > 0 AND no > 0 THEN
+        |          round((CAST(se AS DOUBLE)/CAST(ne AS DOUBLE)
+        |                 - CAST(so AS DOUBLE)/CAST(no AS DOUBLE))
+        |                * (CAST(se AS DOUBLE)/CAST(ne AS DOUBLE)
+        |                   - CAST(so AS DOUBLE)/CAST(no AS DOUBLE)), 8) END AS g2
+        |      FROM per)
+        |SELECT label, MAX(ne) AS n_even, MAX(no) AS n_odd,
+        |       CAST(COUNT(*) AS BIGINT) AS n_dims,
+        |       CASE WHEN COUNT(g2) = COUNT(*) THEN
+        |         round(sqrt(CAST(SUM(CAST(g2 AS DECIMAL(28,8))) AS DOUBLE)), 6)
+        |       END AS drift_l2
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // top repeated 3-token prefixes per source: one histogram, one
+    // source-keyed rank window
+    "corpus_boilerplate" ->
+      s"""WITH $TextTokensCte,
+         |pre AS (SELECT d.source, array_to_string(t.ltoks[1:2], ' ') AS prefix
+         |        FROM t JOIN documents d USING (doc_id)),
+         |cnt AS (SELECT source, prefix, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |        FROM pre GROUP BY 1, 2),
+         |rk AS (SELECT *,
+         |         SUM(n_docs) OVER (PARTITION BY source) AS src_docs,
+         |         CAST(row_number() OVER (PARTITION BY source
+         |           ORDER BY n_docs DESC, prefix) AS INT) AS rnk
+         |       FROM cnt)
+         |SELECT source, prefix, n_docs,
+         |       round(CAST(n_docs AS DOUBLE) / CAST(src_docs AS DOUBLE), 6) AS share,
+         |       rnk
+         |FROM rk WHERE rnk <= 3 AND n_docs >= 2
+         |ORDER BY source, rnk""".stripMargin,
+
+    // exact-dedup token savings per source; survivor = min doc_id per
+    // (source, normalized fingerprint)
+    "text_dup_inflation" ->
+      s"""WITH $TextTokensCte,
+         |f AS (SELECT d.source, d.doc_id,
+         |        md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')) AS fp,
+         |        CAST(len(t.toks) AS BIGINT) AS ntok
+         |      FROM documents d JOIN t USING (doc_id)),
+         |k AS (SELECT *, row_number() OVER (PARTITION BY source, fp
+         |                                   ORDER BY doc_id) AS rn FROM f)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(ntok) AS BIGINT) AS tok_all,
+         |       CAST(SUM(CASE WHEN rn = 1 THEN ntok ELSE 0 END) AS BIGINT) AS tok_unique,
+         |       CAST(SUM(ntok) - SUM(CASE WHEN rn = 1 THEN ntok ELSE 0 END) AS BIGINT) AS tok_saved,
+         |       CASE WHEN SUM(CASE WHEN rn = 1 THEN ntok ELSE 0 END) > 0 THEN
+         |         round(CAST(SUM(ntok) AS DOUBLE)
+         |               / CAST(SUM(CASE WHEN rn = 1 THEN ntok ELSE 0 END) AS DOUBLE), 6)
+         |       END AS inflation
+         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // fertility: exact long token sums, one double division per lang
     "text_fertility" ->

@@ -1108,6 +1108,50 @@ object Similarity {
     * contribute no rows; NULL elements are excluded per-dimension
     * (`count` is per-dimension non-null, not corpus size).
     */
+  /** Embedding-distribution drift between two halves of the corpus
+    * (`idCol % 2` — the stand-in for "last batch vs this batch"): per
+    * label, the L2 distance between the two halves' per-dimension mean
+    * vectors, the "did the embedding space move?" check run before
+    * trusting a nearest-neighbor index built on yesterday's vectors.
+    *
+    * Determinism at scale: per-(label, dim) element sums are
+    * DECIMAL(28,10)-exact (the [[dimStats]] recipe — partition-order
+    * free); each dimension's squared mean gap is one fixed double
+    * chain rounded to 8 dp, and the over-dims reduction is again a
+    * decimal sum ([[Metrics.chiSquare]]'s bounded-grid pattern — the
+    * state after the one corpus scan is |labels| × dim). Labels with
+    * an empty half report NULL drift rather than a fake 0.
+    */
+  def drift(df: DataFrame, vecCol: String, idCol: String, labelCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(28, 10)
+    val ex = df
+      .select(col(labelCol).as("label"), (col(idCol) % 2 === 0).as("ev"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("dim_i", "x")))
+      .filter(col("x").isNotNull)
+    val per = ex.groupBy(col("label"), col("dim_i"))
+      .agg(
+        sum(when(col("ev"), 1L).otherwise(0L)).as("ne"),
+        sum(when(col("ev"), col("x")).otherwise(lit(0.0)).cast(dec)).as("se"),
+        sum(when(!col("ev"), 1L).otherwise(0L)).as("no"),
+        sum(when(!col("ev"), col("x")).otherwise(lit(0.0)).cast(dec)).as("so"))
+    val gap = col("se").cast("double") / col("ne").cast("double") -
+      col("so").cast("double") / col("no").cast("double")
+    per
+      .withColumn("g2",
+        when(col("ne") > 0 && col("no") > 0, round(gap * gap, 8)))
+      .groupBy(col("label"))
+      .agg(
+        max(col("ne")).as("n_even"), max(col("no")).as("n_odd"),
+        count(lit(1)).as("n_dims"),
+        sum(col("g2").cast(DecimalType(28, 8))).as("__sg"),
+        count(col("g2")).as("__ok"))
+      .select(col("label"), col("n_even"), col("n_odd"), col("n_dims"),
+        when(col("__ok") === col("n_dims"),
+          round(sqrt(col("__sg").cast("double")), 6)).as("drift_l2"))
+      .orderBy("label")
+  }
+
   def dimStats(df: DataFrame, vecCol: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val ex = df
