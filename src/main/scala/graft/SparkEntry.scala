@@ -723,6 +723,43 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** Sorted-neighborhood near-dup pairs within language blocks
+    * ([[Dedup.sortedNeighborhoodPairs]], window 4) — the
+    * collision-free-by-construction candidate class beside LSH buckets
+    * and the inverted index.
+    */
+  private def qDedupSortedNeighborhood(s: SparkSession, dir: String): DataFrame =
+    Dedup.sortedNeighborhoodPairs(documents(s, dir), "text", "doc_id",
+        col("lang"))
+      .orderBy("id_a", "id_b")
+
+  /** Audience overlap between event types: Jaccard of the user sets of
+    * every type pair — "are purchasers a subset of clickers?". The
+    * corpus collapses to distinct (user, type) FIRST; the pair join is
+    * user-keyed with per-user fanout ≤ |types|², and the per-type
+    * totals ride in as a broadcast. All counts exact; one division per
+    * pair row.
+    */
+  private def qEventsTypeAffinity(s: SparkSession, dir: String): DataFrame = {
+    val ut = events(s, dir)
+      .select(col("user_id").as("u"), col("event_type").as("et")).distinct()
+    val totals = ut.groupBy(col("et")).agg(count(lit(1)).as("n"))
+    val inter = ut.as("a")
+      .join(ut.as("b"), col("a.u") === col("b.u") && col("a.et") < col("b.et"))
+      .groupBy(col("a.et").as("type_a"), col("b.et").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    inter
+      .join(broadcast(totals.select(col("et").as("type_a"), col("n").as("n_a"))),
+        "type_a")
+      .join(broadcast(totals.select(col("et").as("type_b"), col("n").as("n_b"))),
+        "type_b")
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"), col("n_both"),
+        round(col("n_both").cast("double") /
+          (col("n_a") + col("n_b") - col("n_both")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy("type_a", "type_b")
+  }
+
   private def qMediaFeatures(s: SparkSession, dir: String): DataFrame = {
     import Multimodal._
     val typed = withFakePayload(documents(s, dir), "doc_id", "text")
@@ -3704,6 +3741,8 @@ object SparkEntry {
     "emb_drift" -> (qEmbDrift _),
     "corpus_boilerplate" -> (qCorpusBoilerplate _),
     "text_dup_inflation" -> (qTextDupInflation _),
+    "dedup_sorted_neighborhood" -> (qDedupSortedNeighborhood _),
+    "events_type_affinity" -> (qEventsTypeAffinity _),
     "orders_priority_count" -> (qOrdersPriorityCount _),
     "orders_customer_distribution" -> (qOrdersCustomerDistribution _),
     "orders_large_orders" -> (qOrdersLargeOrders _),
@@ -7793,6 +7832,51 @@ object SparkEntry {
          |               / CAST(SUM(CASE WHEN rn = 1 THEN ntok ELSE 0 END) AS DOUBLE), 6)
          |       END AS inflation
          |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // SNM: per-lang rank over the normalized key, neighbors within 4
+    // positions, exact Jaccard on the distinct shingle sets
+    "dedup_sorted_neighborhood" ->
+      s"""WITH $TextTokensCte,
+         |$ShinglesCte,
+         |nrm AS (SELECT d.doc_id, d.lang,
+         |          trim(regexp_replace(regexp_replace(lower(d.text),
+         |            '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS key
+         |        FROM documents d),
+         |ord AS (SELECT doc_id, lang,
+         |          row_number() OVER (PARTITION BY lang ORDER BY key, doc_id) AS rn
+         |        FROM nrm),
+         |cand AS (SELECT least(a.doc_id, b.doc_id) AS id_a,
+         |                greatest(a.doc_id, b.doc_id) AS id_b
+         |         FROM ord a JOIN ord b
+         |           ON a.lang = b.lang AND b.rn > a.rn AND b.rn <= a.rn + 4),
+         |pj AS (SELECT c.id_a, c.id_b, sa.sh AS sa, sb.sh AS sb
+         |       FROM cand c
+         |       JOIN shg sa ON sa.doc_id = c.id_a
+         |       JOIN shg sb ON sb.doc_id = c.id_b),
+         |jj AS (SELECT id_a, id_b,
+         |         round(CASE WHEN len(list_distinct(list_concat(sa, sb))) = 0 THEN 0.0
+         |               ELSE CAST(len(list_filter(sa, x -> list_contains(sb, x))) AS DOUBLE)
+         |                    / len(list_distinct(list_concat(sa, sb))) END, 6) AS jac
+         |       FROM pj)
+         |SELECT id_a, id_b, jac FROM jj WHERE jac >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // type-pair audience overlap: distinct (user, type) first, pair
+    // join user-keyed, totals joined back
+    "events_type_affinity" ->
+      """WITH ut AS (SELECT DISTINCT user_id AS u, event_type AS et FROM events),
+        |tot AS (SELECT et, CAST(COUNT(*) AS BIGINT) AS n FROM ut GROUP BY 1),
+        |pr AS (SELECT a.et AS type_a, b.et AS type_b,
+        |              CAST(COUNT(*) AS BIGINT) AS n_both
+        |       FROM ut a JOIN ut b ON a.u = b.u AND a.et < b.et
+        |       GROUP BY 1, 2)
+        |SELECT pr.type_a, pr.type_b, ta.n AS n_a, tb.n AS n_b, pr.n_both,
+        |       round(CAST(pr.n_both AS DOUBLE)
+        |             / CAST(ta.n + tb.n - pr.n_both AS DOUBLE), 6) AS jaccard
+        |FROM pr
+        |JOIN tot ta ON ta.et = pr.type_a
+        |JOIN tot tb ON tb.et = pr.type_b
+        |ORDER BY pr.type_a, pr.type_b""".stripMargin,
 
     // fertility: exact long token sums, one double division per lang
     "text_fertility" ->

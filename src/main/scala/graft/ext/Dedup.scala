@@ -139,6 +139,53 @@ object Dedup {
     * over blocks × saltFanout tasks. Replication cost is saltFanout ×
     * |block side|, which is linear, not quadratic.
     */
+  /** Sorted-neighborhood near-dup pairs (SNM — Hernández/Stolfo's
+    * merge/purge): sort each block by a normalized key and compare only
+    * rows within `window` positions of each other — the THIRD candidate
+    * class beside hash blocking (rare-gram / LSH buckets) and the
+    * inverted index: candidate count is exactly `window` per row BY
+    * CONSTRUCTION (no collision-rate tail at all), at the price of
+    * recall limited to what the sort key makes adjacent (an edit in the
+    * leading tokens teleports a dup away — classic multi-pass SNM runs
+    * several keys; one pass here, the property documented).
+    *
+    * Shape: the sort is PER BLOCK (a window over the block key — never
+    * global), and the window carries only ids; shingle sets join back
+    * by id afterward, so the sorted shuffle moves keys, not arrays.
+    * Per-row fanout `window` keeps the verify join linear. Pairs are
+    * emitted once (each neighbor pair has exactly one (row, offset)
+    * generator), normalized to id_a < id_b, 6-dp-rounded Jaccard BEFORE
+    * the threshold filter.
+    */
+  def sortedNeighborhoodPairs(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      blockCol: Column,
+      window: Int = 4,
+      n: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val base = df.select(col(idCol).as("__id"), blockCol.as("__blk"),
+      TextAnalysis.normalizeText(col(textCol)).as("__key"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__blk")).orderBy(col("__key"), col("__id"))
+    val cand = base
+      .withColumn("__nbrs", array((1 to window).map(i =>
+        lead(col("__id"), i).over(w)): _*))
+      .select(col("__id"), explode(col("__nbrs")).as("__nid"))
+      .filter(col("__nid").isNotNull)
+      .select(least(col("__id"), col("__nid")).as("id_a"),
+        greatest(col("__id"), col("__nid")).as("id_b"))
+    val shingled = df.select(col(idCol).as("__sid"),
+      shingles(col(textCol), n).as("__sh"))
+    cand
+      .join(shingled.select(col("__sid").as("id_a"), col("__sh").as("__sa")), "id_a")
+      .join(shingled.select(col("__sid").as("id_b"), col("__sh").as("__sb")), "id_b")
+      .withColumn("jac", round(jaccard(col("__sa"), col("__sb")), 6))
+      .filter(col("jac") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jac"))
+  }
+
   /** Sparse TF-cosine near-duplicate pairs via an inverted-index
     * self-join — the WEIGHTED sibling of [[ngramJaccardDedup]]: Jaccard
     * sees shingle SETS, cosine sees shingle COUNTS, so a document that

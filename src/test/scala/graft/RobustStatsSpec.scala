@@ -94,6 +94,38 @@ class RobustStatsSpec extends SparkSpecBase {
     assert(r.getAs[Double]("cosine") == math.rint(2.0 / math.sqrt(10.0) * 1e6) / 1e6)
   }
 
+  // ---- sortedNeighborhoodPairs ----
+
+  test("sortedNeighborhood: mid-text edits stay adjacent and pair; leading-token edits teleport away") {
+    import org.apache.spark.sql.functions.col
+    // docs 1/2 differ mid-text → identical normalized prefix → adjacent
+    // in the sort → caught. docs 3/4 are the same near-dup pair but the
+    // EDIT IS IN TOKEN 1, and 20 'm*' fillers sort between them → the
+    // one-pass window provably cannot see the pair (the documented SNM
+    // recall property, not a bug).
+    val fillers = (10L to 29L).map(i => (i, s"m$i filler text block $i"))
+    val docs = (Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),
+      (3L, "aaa common tail one two three four"),
+      (4L, "zzz common tail one two three four")) ++ fillers)
+      .toDF("doc_id", "text")
+    val out = Dedup.sortedNeighborhoodPairs(docs, "text", "doc_id",
+      org.apache.spark.sql.functions.lit("en"), window = 4, threshold = 0.3)
+      .select(col("id_a"), col("id_b")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.contains((1L, 2L)))
+    assert(!out.contains((3L, 4L)))
+  }
+
+  test("sortedNeighborhood: pairs never cross block boundaries") {
+    import org.apache.spark.sql.functions.{col, when}
+    val docs = Seq(
+      (1L, "same exact text here today", "en"),
+      (2L, "same exact text here today", "fr")).toDF("doc_id", "text", "lang")
+    assert(Dedup.sortedNeighborhoodPairs(docs, "text", "doc_id", col("lang"))
+      .isEmpty)
+  }
+
   test("cosinePairs: identical docs score 1.0; df cap drops saturated grams") {
     val twins = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "u v w x y"))
       .toDF("doc_id", "text")
