@@ -3629,6 +3629,84 @@ object SparkEntry {
   private val benfordExpected: Seq[(Int, Double)] =
     (1 to 9).map(d => d -> math.rint(math.log10(1.0 + 1.0 / d) * 1e6) / 1e6)
 
+  /** EWMA smoothing of monthly revenue (α = 0.3, 12-month lookback):
+    * the level estimate + residual a volume monitor alarms on. The
+    * recursion is UNROLLED into literal weights `α(1−α)^k` (10-dp
+    * decimals, driver-generated, the Benford literal-inlining trick) so
+    * the whole computation is one 12× expansion of the bounded monthly
+    * frame and an exact-decimal weighted sum per target month — no
+    * sequential scan, no float accumulation, and missing months simply
+    * contribute nothing (the weight sum renormalizes over the lags
+    * actually present).
+    */
+  private def qOrdersEwma(s: SparkSession, dir: String): DataFrame = {
+    val monthly = orders(s, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("mo"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+        .cast(DecimalType(18, 2)).as("rev"))
+      .withColumn("idx",
+        (year(col("mo")) * 12 + month(col("mo"))).cast("long"))
+    val wts = ewmaWeights.map { case (_, w) =>
+      lit(new java.math.BigDecimal(w)).cast(DecimalType(11, 10))
+    }
+    val wFrame = monthly.sparkSession.range(1)
+      .select(posexplode(array(wts: _*)).as(Seq("k", "w")))
+    val contrib = monthly.crossJoin(broadcast(wFrame))
+      .select((col("idx") + col("k")).as("tgt"),
+        (col("rev") * col("w")).cast(DecimalType(38, 12)).as("wx"), col("w"))
+    val e = contrib.groupBy(col("tgt"))
+      .agg(sum(col("wx")).as("swx"), sum(col("w")).as("sw"))
+    monthly.join(e, col("idx") === col("tgt"))
+      .select(
+        date_format(col("mo"), "yyyy-MM").as("month"),
+        col("rev").cast("double").as("revenue"),
+        round(col("swx").cast("double") / col("sw").cast("double"), 6).as("ewma"),
+        round(col("rev").cast("double") -
+          col("swx").cast("double") / col("sw").cast("double"), 6).as("err"))
+      .orderBy("month")
+  }
+
+  /** `(k, α(1−α)^k)` for k = 0..11 at α = 0.3, as 10-dp decimal STRINGS
+    * — one driver-side definition inlined as literals into both the
+    * Spark plan and the oracle SQL.
+    */
+  private val ewmaWeights: Seq[(Int, String)] =
+    (0 until 12).map { k =>
+      k -> BigDecimal(0.3 * math.pow(0.7, k))
+        .setScale(10, BigDecimal.RoundingMode.HALF_UP).toString
+    }
+
+  /** Wilson 95% confidence intervals on each funnel transition's
+    * conversion rate — the error bars that tell a product review
+    * whether a step-to-step drop is signal or noise. Runs on
+    * [[graft.ext.EventAnalytics.funnel]]'s 4-row output (a step_idx+1
+    * equi-self-join); every float is a fixed double chain from exact
+    * counts with z² = 3.8416 as a shared literal.
+    */
+  private def qEventsFunnelCi(s: SparkSession, dir: String): DataFrame = {
+    val f = EventAnalytics.funnel(events(s, dir), "user_id", "ts", "event_type",
+      Seq("signup", "view", "click", "purchase"))
+    val nxt = f.select((col("step_idx") - 1).as("pi"),
+      col("step").as("to_step"), col("n_users").as("n_to"))
+    val n = col("n_from").cast("double")
+    val p = col("n_to").cast("double") / n
+    val denom = lit(1.0) + lit(3.8416) / n
+    val center = (p + lit(3.8416) / (lit(2.0) * n)) / denom
+    val half = (lit(1.96) * sqrt(p * (lit(1.0) - p) / n +
+      lit(3.8416) / (lit(4.0) * n * n))) / denom
+    f.join(nxt, col("step_idx") === col("pi"))
+      .select(col("step_idx"), col("step").as("from_step"), col("to_step"),
+        col("n_users").as("n_from"), col("n_to"))
+      // an empty from-step has no defined rate — dropped in BOTH engines
+      .filter(col("n_from") > 0)
+      .select(col("step_idx"), col("from_step"), col("to_step"),
+        col("n_from"), col("n_to"),
+        round(p, 6).as("rate"),
+        round(center - half, 6).as("wilson_lo"),
+        round(center + half, 6).as("wilson_hi"))
+      .orderBy("step_idx")
+  }
+
   private def qOrdersMonthlyGrowth(s: SparkSession, dir: String): DataFrame = {
     val monthly = orders(s, dir)
       .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM")
@@ -3743,6 +3821,8 @@ object SparkEntry {
     "text_dup_inflation" -> (qTextDupInflation _),
     "dedup_sorted_neighborhood" -> (qDedupSortedNeighborhood _),
     "events_type_affinity" -> (qEventsTypeAffinity _),
+    "orders_ewma" -> (qOrdersEwma _),
+    "events_funnel_ci" -> (qEventsFunnelCi _),
     "orders_priority_count" -> (qOrdersPriorityCount _),
     "orders_customer_distribution" -> (qOrdersCustomerDistribution _),
     "orders_large_orders" -> (qOrdersLargeOrders _),
@@ -7877,6 +7957,66 @@ object SparkEntry {
         |JOIN tot ta ON ta.et = pr.type_a
         |JOIN tot tb ON tb.et = pr.type_b
         |ORDER BY pr.type_a, pr.type_b""".stripMargin,
+
+    // EWMA via unrolled literal weights: 12x expansion of the monthly
+    // frame, exact-decimal weighted sums, renormalized over present lags
+    "orders_ewma" ->
+      s"""WITH monthly AS (
+         |  SELECT date_trunc('month', o_orderdate) AS mo,
+         |         CAST(year(date_trunc('month', o_orderdate)) * 12
+         |              + month(date_trunc('month', o_orderdate)) AS BIGINT) AS idx,
+         |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS rev
+         |  FROM orders GROUP BY 1, 2),
+         |w(k, w) AS (VALUES ${ewmaWeights
+              .map { case (k, w) => s"($k, CAST($w AS DECIMAL(11,10)))" }
+              .mkString(", ")}),
+         |-- precision-20 left operand forces DuckDB off the overflowing
+         |-- int64 decimal fast path (the events_ab_test finding)
+         |contrib AS (SELECT m.idx + w.k AS tgt,
+         |              CAST(CAST(m.rev AS DECIMAL(20,2)) * w.w AS DECIMAL(38,12)) AS wx, w.w
+         |            FROM monthly m, w),
+         |e AS (SELECT tgt, SUM(wx) AS swx, SUM(w) AS sw FROM contrib GROUP BY 1)
+         |SELECT strftime(m.mo, '%Y-%m') AS month,
+         |       CAST(m.rev AS DOUBLE) AS revenue,
+         |       round(CAST(e.swx AS DOUBLE) / CAST(e.sw AS DOUBLE), 6) AS ewma,
+         |       round(CAST(m.rev AS DOUBLE)
+         |             - CAST(e.swx AS DOUBLE) / CAST(e.sw AS DOUBLE), 6) AS err
+         |FROM monthly m JOIN e ON e.tgt = m.idx ORDER BY month""".stripMargin,
+
+    // Wilson 95% CI per funnel transition over the sequential-min
+    // funnel CTEs; z^2 = 3.8416 shared literal, op order mirrored
+    "events_funnel_ci" ->
+      """WITH s0 AS (SELECT user_id AS u, min(ts) AS t FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |s1 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+        |       JOIN s0 ON e.user_id = s0.u AND e.ts > s0.t
+        |       WHERE e.event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+        |       JOIN s1 ON e.user_id = s1.u AND e.ts > s1.t
+        |       WHERE e.event_type = 'click' GROUP BY 1),
+        |s3 AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e
+        |       JOIN s2 ON e.user_id = s2.u AND e.ts > s2.t
+        |       WHERE e.event_type = 'purchase' GROUP BY 1),
+        |f(step_idx, step, n_users) AS (
+        |  SELECT CAST(0 AS INT), 'signup', (SELECT CAST(count(*) AS BIGINT) FROM s0)
+        |  UNION ALL SELECT 1, 'view', (SELECT count(*) FROM s1)
+        |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM s2)
+        |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3)),
+        |tr AS (SELECT a.step_idx, a.step AS from_step, b.step AS to_step,
+        |              a.n_users AS n_from, b.n_users AS n_to
+        |       FROM f a JOIN f b ON b.step_idx = a.step_idx + 1),
+        |c AS (SELECT *, CAST(n_from AS DOUBLE) AS nd,
+        |        CAST(n_to AS DOUBLE) / CAST(n_from AS DOUBLE) AS pd
+        |      FROM tr WHERE n_from > 0)
+        |SELECT step_idx, from_step, to_step, n_from, n_to,
+        |  round(pd, 6) AS rate,
+        |  round((pd + 3.8416 / (2.0 * nd)) / (1.0 + 3.8416 / nd)
+        |        - (1.96 * sqrt(pd * (1.0 - pd) / nd + 3.8416 / (4.0 * nd * nd)))
+        |          / (1.0 + 3.8416 / nd), 6) AS wilson_lo,
+        |  round((pd + 3.8416 / (2.0 * nd)) / (1.0 + 3.8416 / nd)
+        |        + (1.96 * sqrt(pd * (1.0 - pd) / nd + 3.8416 / (4.0 * nd * nd)))
+        |          / (1.0 + 3.8416 / nd), 6) AS wilson_hi
+        |FROM c ORDER BY step_idx""".stripMargin,
 
     // fertility: exact long token sums, one double division per lang
     "text_fertility" ->

@@ -100,7 +100,9 @@ class PlanGuardSpec extends SparkSpecBase {
     // 1-row day-axis totals broadcast onto the bounded daily frame
     "orders_cusum",
     // 1-row grand-total broadcast onto the 9-row digit histogram
-    "orders_benford")
+    "orders_benford",
+    // 12-row literal weight frame swept over the bounded monthly rollup
+    "orders_ewma")
 
   private def walk(p: SparkPlan): Seq[SparkPlan] = {
     val kids = p match {
