@@ -2723,6 +2723,24 @@ object SparkEntry {
     * table. Equal (exact decimal arithmetic) to recomputing over the
     * post-change snapshot, which is what the oracle does.
     */
+  /** Incremental COUNT(DISTINCT) view maintenance: distinct customers
+    * per priority refreshed from the change log alone via the
+    * multiplicity support table ([[IncrementalAgg.maintainDistinct]] —
+    * the textbook auxiliary state that makes the non-self-maintainable
+    * distinct count maintainable). Equal to recomputing over the
+    * post-change snapshot, which is what the oracle does.
+    */
+  private def qCdcIncrementalDistinct(s: SparkSession, dir: String): DataFrame = {
+    val support = IncrementalAgg.snapshotDistinct(
+      orders(s, dir).select(OrdersSpec.columns.map(col): _*),
+      "o_orderpriority", "o_custkey")
+    IncrementalAgg.distinctView(
+      IncrementalAgg.maintainDistinct(support, changeLog(s, dir),
+        "o_orderpriority", "o_custkey"))
+      .select(col("g_key").as("priority"), col("n_distinct"), col("n_rows"))
+      .orderBy("priority")
+  }
+
   private def qCdcIncrementalAgg(s: SparkSession, dir: String): DataFrame = {
     val base = IncrementalAgg.snapshotAgg(
       orders(s, dir).select(OrdersSpec.columns.map(col): _*),
@@ -3751,6 +3769,7 @@ object SparkEntry {
     "lineitem_histogram" -> (qLineitemHistogram _),
     "events_gapfill" -> (qEventsGapfill _),
     "cdc_incremental_agg" -> (qCdcIncrementalAgg _),
+    "cdc_incremental_distinct" -> (qCdcIncrementalDistinct _),
     "cdc_incremental_join" -> (qCdcIncrementalJoin _),
     "sketch_distinct_kmv" -> (qSketchDistinctKmv _),
     "sketch_quantiles" -> (qSketchQuantiles _),
@@ -4678,6 +4697,15 @@ object SparkEntry {
 
     // the maintained view must equal a full recompute on the post-change
     // snapshot — so the oracle IS that recompute
+    // the maintained support table's view must equal COUNT(DISTINCT)
+    // over the post-change snapshot - the oracle IS that recompute
+    "cdc_incremental_distinct" ->
+      s"""WITH ${FixtureSql.AfterCte}
+         |SELECT o_orderpriority AS priority,
+         |       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+         |       CAST(COUNT(*) AS BIGINT) AS n_rows
+         |FROM after_t GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "cdc_incremental_agg" ->
       s"""WITH ${FixtureSql.AfterCte}
          |SELECT o_orderpriority AS priority, CAST(COUNT(*) AS BIGINT) AS n_orders,

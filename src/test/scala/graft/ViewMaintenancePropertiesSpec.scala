@@ -85,6 +85,54 @@ class ViewMaintenancePropertiesSpec extends SparkSpecBase {
     }, minSuccessful = 6)
   }
 
+  // ------------------------------------- incremental COUNT(DISTINCT) view
+
+  private val dSpec = CdcTableSpec("dt", Seq("id", "g", "v"), "id")
+
+  sealed private trait DOp
+  private case class DIns(id: Long, g: Long, v: Long) extends DOp
+  private case class DUpd(id: Long, g: Long, v: Long) extends DOp
+  private case class DDel(id: Long) extends DOp
+
+  private val genDOp: Gen[DOp] = for {
+    id <- Gen.choose(1L, 6L)
+    g <- Gen.choose(1L, 3L) // few groups → group-moving updates frequent
+    v <- Gen.choose(1L, 4L) // few values → last-copy deletes frequent
+    op <- Gen.oneOf[DOp](DIns(id, g, v), DUpd(id, g, v), DDel(id))
+  } yield op
+
+  private def playD(ops: List[DOp]): (Seq[(Long, Long, Long)], Seq[(Long, Long, Long)]) = {
+    val init = Map(1L -> (1L, 1L), 2L -> (1L, 2L), 3L -> (2L, 2L))
+    var st = init
+    ops.foreach {
+      case DIns(id, g, v) if !st.contains(id) => st += id -> (g, v)
+      case DUpd(id, g, v) if st.contains(id) && st(id) != ((g, v)) =>
+        st += id -> (g, v)
+      case DDel(id) if st.contains(id) => st -= id
+      case _                           => ()
+    }
+    (init.toSeq.map { case (id, (g, v)) => (id, g, v) },
+      st.toSeq.map { case (id, (g, v)) => (id, g, v) })
+  }
+
+  test("property: maintained COUNT(DISTINCT) support table equals recompute for any op sequence") {
+    checkProp(Prop.forAllNoShrink(Gen.listOfN(8, genDOp)) { ops =>
+      val (beforeRows, afterRows) = playD(ops)
+      val before = beforeRows.toDF("id", "g", "v")
+      val after = afterRows.toDF("id", "g", "v")
+      val log = ChangeLog.assignCdcIds(
+        ChangeCapture.finishLogSchema(
+          ChangeCapture.captureChanges(before, after, dSpec)), global = true)
+      val stored = IncrementalAgg.snapshotDistinct(before, "g", "v")
+      val maintained = IncrementalAgg.maintainDistinct(stored, log, "g", "v")
+      val recomputed = IncrementalAgg.snapshotDistinct(after, "g", "v")
+      // support tables equal cell-for-cell AND the derived views agree
+      sameRows(maintained, recomputed) &&
+        sameRows(IncrementalAgg.distinctView(maintained),
+          IncrementalAgg.distinctView(recomputed))
+    }, minSuccessful = 6)
+  }
+
   // ------------------------------------------------- temporal align law
 
   private val hSpec = CdcTableSpec("ht", Seq("id", "x", "y", "z"), "id")
