@@ -489,6 +489,87 @@ object CdcStream {
       valueCol: String,
       keyType: org.apache.spark.sql.types.DataType)
 
+  // -------------------------------------- distinct-count view maintenance
+
+  private def distinctSchema(
+      keyType: org.apache.spark.sql.types.DataType,
+      valueType: org.apache.spark.sql.types.DataType): StructType = {
+    import org.apache.spark.sql.types.{LongType, StructField}
+    StructType(Seq(
+      StructField("g_key", keyType),
+      StructField("v", valueType),
+      StructField("vcnt", LongType)))
+  }
+
+  /** Seed the COUNT(DISTINCT) support table from the base snapshot
+    * (pseudo-epoch −1).
+    */
+  def bootstrapDistinct(
+      base: DataFrame,
+      distinctDir: String,
+      keyCol: String,
+      valueCol: String): Unit = {
+    graft.apply.IncrementalAgg.snapshotDistinct(base, keyCol, valueCol)
+      .write.mode("overwrite").parquet(s"$distinctDir/v=-1")
+    commitVersion(distinctDir, -1L)
+  }
+
+  /** Read the current committed support table; derive the dashboard with
+    * [[graft.apply.IncrementalAgg.distinctView]].
+    */
+  def readDistinct(
+      spark: SparkSession,
+      distinctDir: String,
+      keyType: org.apache.spark.sql.types.DataType,
+      valueType: org.apache.spark.sql.types.DataType): DataFrame =
+    currentVersion(distinctDir) match {
+      case Some(v) =>
+        spark.read.schema(distinctSchema(keyType, valueType))
+          .parquet(s"$distinctDir/v=$v")
+      case None => emptyDf(spark, distinctSchema(keyType, valueType))
+    }
+
+  /** Incrementally maintain the COUNT(DISTINCT) multiplicity support
+    * table for one micro-batch — [[applyAggBatch]]'s contract
+    * (whole-view overwrite per epoch, `versionBefore` replay) over
+    * [[graft.apply.IncrementalAgg.maintainDistinct]], so a distinct-count
+    * dashboard stays exactly fresh per epoch without rescanning base
+    * data: the non-self-maintainable aggregate made maintainable by the
+    * stored multiplicities.
+    */
+  def applyDistinctBatch(
+      batch: DataFrame,
+      epoch: Long,
+      distinctDir: String,
+      keyCol: String,
+      valueCol: String,
+      keyType: org.apache.spark.sql.types.DataType,
+      valueType: org.apache.spark.sql.types.DataType): Unit = {
+    val spark = batch.sparkSession
+    if (batch.isEmpty) return
+    val prior = versionBefore(distinctDir, epoch)
+    val stored = prior match {
+      case Some(pv) =>
+        spark.read.schema(distinctSchema(keyType, valueType))
+          .parquet(s"$distinctDir/v=$pv")
+      case None => emptyDf(spark, distinctSchema(keyType, valueType))
+    }
+    graft.apply.IncrementalAgg.maintainDistinct(stored, batch, keyCol, valueCol)
+      .write.mode("overwrite").parquet(s"$distinctDir/v=$epoch")
+    commitVersion(distinctDir, epoch)
+  }
+
+  /** Distinct-count-view wiring for [[start]]: maintain the
+    * `groupBy(keyCol) -> COUNT(DISTINCT valueCol)` support table in
+    * `dir` alongside the target.
+    */
+  final case class DistinctView(
+      dir: String,
+      keyCol: String,
+      valueCol: String,
+      keyType: org.apache.spark.sql.types.DataType,
+      valueType: org.apache.spark.sql.types.DataType)
+
   // ------------------------------------------------ join-view maintenance
 
   /** Incrementally maintain an enriched JOIN view (`fact ⋈ dim` on
@@ -599,6 +680,7 @@ object CdcStream {
       historyDir: Option[String] = None,
       aggView: Option[AggView] = None,
       momentsView: Option[MomentsView] = None,
+      distinctView: Option[DistinctView] = None,
       joinView: Option[JoinView] = None): StreamingQuery = {
     val logSchema = graft.log.ChangeLog.schema(rowSchema)
     val stream = spark.readStream
@@ -621,6 +703,9 @@ object CdcStream {
           applyAggBatch(batch, epoch, v.dir, v.keyCol, v.valueCol, v.keyType))
         momentsView.foreach(v =>
           applyMomentsBatch(batch, epoch, v.dir, v.keyCol, v.valueCol, v.keyType))
+        distinctView.foreach(v =>
+          applyDistinctBatch(batch, epoch, v.dir, v.keyCol, v.valueCol,
+            v.keyType, v.valueType))
         joinView.foreach(v =>
           applyJoinBatch(batch, epoch, v.dir, spec, v.viewSchema, v.dim,
             v.fkCol, v.dimKey, v.dimCols, numBuckets))
@@ -646,11 +731,13 @@ object CdcStream {
       historyDir: Option[String] = None,
       aggView: Option[AggView] = None,
       momentsView: Option[MomentsView] = None,
+      distinctView: Option[DistinctView] = None,
       joinView: Option[JoinView] = None): Unit = {
     val q = start(spark, logDir, targetDir, checkpointDir, spec, rowSchema,
       trigger = Some(Trigger.AvailableNow()), strategy = strategy,
       maxFilesPerTrigger = maxFilesPerTrigger, historyDir = historyDir,
-      aggView = aggView, momentsView = momentsView, joinView = joinView)
+      aggView = aggView, momentsView = momentsView,
+      distinctView = distinctView, joinView = joinView)
     q.awaitTermination()
   }
 

@@ -400,6 +400,45 @@ class CdcStreamSpec extends SparkSpecBase {
       .collect().toSet === after)
   }
 
+  test("streamed distinct-count view across micro-batches equals recompute; crashed epoch idempotent") {
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val tmp = Files.createTempDirectory("cdcdistinct").toString
+    val dDir = s"$tmp/distinct"
+    val spec = DemoWorkload.UsersSpec
+    val base = DemoWorkload.users(s, 3, startId = 600L).localCheckpoint(true)
+    val table = DemoWorkload.replay(CdcTable(base, spec), s,
+      inserts = 6, updates = 3, deletes = 2)
+    table.update(col("id") === 600L, Map("status" -> lit("inactive")))
+    val log = table.changeLog.localCheckpoint(true)
+    val batch1 = log.filter(col("cdc_id") <= 5)
+    val batch2 = log.filter(col("cdc_id") > 5)
+
+    CdcStream.bootstrapDistinct(base, dDir, "status", "id")
+    CdcStream.applyDistinctBatch(batch1, 0L, dDir, "status", "id",
+      StringType, LongType)
+    CdcStream.applyDistinctBatch(batch2, 1L, dDir, "status", "id",
+      StringType, LongType)
+    val after = CdcStream.readDistinct(s, dDir, StringType, LongType)
+      .collect().toSet
+    // the maintained support table equals a recompute over the final
+    // snapshot — and so does the derived COUNT(DISTINCT) dashboard
+    val expected = graft.apply.IncrementalAgg
+      .snapshotDistinct(table.snapshot, "status", "id").collect().toSet
+    assert(after === expected)
+    assert(graft.apply.IncrementalAgg
+      .distinctView(CdcStream.readDistinct(s, dDir, StringType, LongType))
+      .collect().toSet ===
+      graft.apply.IncrementalAgg
+        .distinctView(graft.apply.IncrementalAgg
+          .snapshotDistinct(table.snapshot, "status", "id"))
+        .collect().toSet)
+    // crash window: re-run epoch 1 — reads versionBefore(1), reproduces
+    CdcStream.applyDistinctBatch(batch2, 1L, dDir, "status", "id",
+      StringType, LongType)
+    assert(CdcStream.readDistinct(s, dDir, StringType, LongType)
+      .collect().toSet === after)
+  }
+
   test("streamed join view equals recompute; dangling fk drops; crashed epoch idempotent") {
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
     val tmp = Files.createTempDirectory("cdcjoinview").toString
