@@ -3725,6 +3725,50 @@ object SparkEntry {
       .orderBy("step_idx")
   }
 
+  /** Set-operation checklist (the `orders_join_suite` treatment for
+    * UNION / UNION ALL / INTERSECT / EXCEPT): cardinalities of every
+    * set op between the 1995 and 1996 buyer populations, via the
+    * Dataset set-op API (each op is one hash aggregate / shuffle on the
+    * key — no joins written by hand). Distinct-collapse happens in the
+    * per-year frames first, so every op runs on |customers|-bounded
+    * inputs.
+    */
+  private def qOrdersSetSuite(s: SparkSession, dir: String): DataFrame = {
+    def buyers(year: Int) = orders(s, dir)
+      .filter(col("o_orderdate") >= lit(s"$year-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit(s"${year + 1}-01-01").cast("timestamp"))
+      .select(col("o_custkey")).distinct()
+    val a = buyers(1995); val b = buyers(1996)
+    def row(op: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n")).select(lit(op).as("op"), col("n"))
+    row("union_distinct", a.union(b).distinct())
+      .unionByName(row("union_all", a.union(b)))
+      .unionByName(row("intersect", a.intersect(b)))
+      .unionByName(row("only_1995", a.except(b)))
+      .unionByName(row("only_1996", b.except(a)))
+      .orderBy("op")
+  }
+
+  /** Wide→long UNPIVOT of the per-priority order metrics (the inverse
+    * of `cdc_statistics_wide`'s pivot): `stack` emits the three metric
+    * rows per priority inside the projection — a narrow map, no
+    * shuffle beyond the source aggregate. Metric values unify to
+    * double; sums stay exact decimals until the final cast.
+    */
+  private def qOrdersUnpivot(s: SparkSession, dir: String): DataFrame =
+    orders(s, dir)
+      .groupBy(col("o_orderpriority").as("priority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("total"))
+      .select(col("priority"), expr(
+        """stack(3,
+          |  'n_orders', CAST(n_orders AS DOUBLE),
+          |  'total_price', CAST(total AS DOUBLE),
+          |  'avg_price', round(CAST(total AS DOUBLE) / n_orders, 6)
+          |) AS (metric, value)""".stripMargin))
+      .orderBy("priority", "metric")
+
   private def qOrdersMonthlyGrowth(s: SparkSession, dir: String): DataFrame = {
     val monthly = orders(s, dir)
       .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM")
@@ -3842,6 +3886,8 @@ object SparkEntry {
     "events_type_affinity" -> (qEventsTypeAffinity _),
     "orders_ewma" -> (qOrdersEwma _),
     "events_funnel_ci" -> (qEventsFunnelCi _),
+    "orders_set_suite" -> (qOrdersSetSuite _),
+    "orders_unpivot" -> (qOrdersUnpivot _),
     "orders_priority_count" -> (qOrdersPriorityCount _),
     "orders_customer_distribution" -> (qOrdersCustomerDistribution _),
     "orders_large_orders" -> (qOrdersLargeOrders _),
@@ -8045,6 +8091,42 @@ object SparkEntry {
         |        + (1.96 * sqrt(pd * (1.0 - pd) / nd + 3.8416 / (4.0 * nd * nd)))
         |          / (1.0 + 3.8416 / nd), 6) AS wilson_hi
         |FROM c ORDER BY step_idx""".stripMargin,
+
+    // set-op checklist over the two buyer populations
+    "orders_set_suite" ->
+      """WITH a AS (SELECT DISTINCT o_custkey FROM orders
+        |           WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |             AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'),
+        |b AS (SELECT DISTINCT o_custkey FROM orders
+        |      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
+        |SELECT 'union_distinct' AS op, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM (SELECT o_custkey FROM a UNION SELECT o_custkey FROM b)
+        |UNION ALL SELECT 'union_all', COUNT(*)
+        |  FROM (SELECT o_custkey FROM a UNION ALL SELECT o_custkey FROM b)
+        |UNION ALL SELECT 'intersect', COUNT(*)
+        |  FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
+        |UNION ALL SELECT 'only_1995', COUNT(*)
+        |  FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+        |UNION ALL SELECT 'only_1996', COUNT(*)
+        |  FROM (SELECT o_custkey FROM b EXCEPT SELECT o_custkey FROM a)
+        |ORDER BY op""".stripMargin,
+
+    // wide->long unpivot as explicit UNION ALL (the portable spelling
+    // of stack/UNPIVOT)
+    "orders_unpivot" ->
+      """WITH w AS (
+        |  SELECT o_orderpriority AS priority,
+        |         CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS total
+        |  FROM orders GROUP BY 1)
+        |SELECT priority, metric, value FROM (
+        |  SELECT priority, 'n_orders' AS metric, CAST(n_orders AS DOUBLE) AS value FROM w
+        |  UNION ALL
+        |  SELECT priority, 'total_price', CAST(total AS DOUBLE) FROM w
+        |  UNION ALL
+        |  SELECT priority, 'avg_price', round(CAST(total AS DOUBLE) / n_orders, 6) FROM w)
+        |ORDER BY priority, metric""".stripMargin,
 
     // fertility: exact long token sums, one double division per lang
     "text_fertility" ->
