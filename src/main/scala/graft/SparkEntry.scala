@@ -3769,6 +3769,25 @@ object SparkEntry {
           |) AS (metric, value)""".stripMargin))
       .orderBy("priority", "metric")
 
+  /** Batch form of the watermarked stream-stream interval join
+    * ([[EventAnalytics.streamingClickAttribution]] — identical
+    * expression; the streaming variant is spec-tested for cross-epoch
+    * equivalence): purchases landing within 1 h after a view by the
+    * same user.
+    */
+  private def qEventsClickAttribution(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir)
+    EventAnalytics.streamingClickAttribution(
+        ev.filter(col("event_type") === "view")
+          .select(col("event_id").as("imp_id"), col("user_id"),
+            col("ts").as("imp_ts")),
+        ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts").as("click_ts")),
+        "user_id", "imp_ts", "click_ts", "imp_id", "click_id")
+      .orderBy("imp_id", "click_id")
+  }
+
   private def qOrdersMonthlyGrowth(s: SparkSession, dir: String): DataFrame = {
     val monthly = orders(s, dir)
       .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM")
@@ -3887,6 +3906,7 @@ object SparkEntry {
     "orders_ewma" -> (qOrdersEwma _),
     "events_funnel_ci" -> (qEventsFunnelCi _),
     "orders_set_suite" -> (qOrdersSetSuite _),
+    "events_click_attribution" -> (qEventsClickAttribution _),
     "orders_unpivot" -> (qOrdersUnpivot _),
     "orders_priority_count" -> (qOrdersPriorityCount _),
     "orders_customer_distribution" -> (qOrdersCustomerDistribution _),
@@ -8091,6 +8111,18 @@ object SparkEntry {
         |        + (1.96 * sqrt(pd * (1.0 - pd) / nd + 3.8416 / (4.0 * nd * nd)))
         |          / (1.0 + 3.8416 / nd), 6) AS wilson_hi
         |FROM c ORDER BY step_idx""".stripMargin,
+
+    // interval join: purchases within 1h after a view, same user;
+    // gap in whole seconds off the epoch-second casts
+    "events_click_attribution" ->
+      """SELECT i.event_id AS imp_id, c.event_id AS click_id,
+        |       i.user_id,
+        |       CAST(epoch_us(c.ts) // 1000000 - epoch_us(i.ts) // 1000000 AS BIGINT) AS gap_seconds
+        |FROM (SELECT * FROM events WHERE event_type = 'view') i
+        |JOIN (SELECT * FROM events WHERE event_type = 'purchase') c
+        |  ON c.user_id = i.user_id
+        | AND c.ts >= i.ts AND c.ts <= i.ts + INTERVAL 1 HOUR
+        |ORDER BY imp_id, click_id""".stripMargin,
 
     // set-op checklist over the two buyer populations
     "orders_set_suite" ->

@@ -524,6 +524,43 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("hour_start"), col(keyCol), col("n"))
 
+  /** Watermarked STREAM-STREAM interval join — the ad-tech canonical
+    * "which click followed which impression": clicks join impressions
+    * of the same user landing within `maxGap` of the impression. Both
+    * sides carry watermarks AND the join condition bounds the time
+    * skew, which is what lets Structured Streaming EVICT join state:
+    * an impression older than watermark + maxGap can never match a
+    * future click, so per-side state is O(events per watermark+gap
+    * window), never O(stream history) — without the bound the state
+    * store grows forever and the job dies at day 3, the classic
+    * stream-join production failure. Inner join ⇒ append-mode output;
+    * the batch equivalent on static frames is the same expression,
+    * which is how the spec pins correctness.
+    */
+  def streamingClickAttribution(
+      impressions: DataFrame,
+      clicks: DataFrame,
+      userCol: String,
+      impTsCol: String,
+      clickTsCol: String,
+      impIdCol: String,
+      clickIdCol: String,
+      maxGap: String = "1 hour",
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    val i = impressions.withWatermark(impTsCol, watermarkDelay).as("i")
+    val c = clicks.withWatermark(clickTsCol, watermarkDelay).as("c")
+    i.join(c,
+        col(s"i.$userCol") === col(s"c.$userCol") &&
+          col(s"c.$clickTsCol") >= col(s"i.$impTsCol") &&
+          col(s"c.$clickTsCol") <= col(s"i.$impTsCol") + expr(s"INTERVAL $maxGap"),
+        "inner")
+      .select(col(s"i.$userCol").as(userCol),
+        col(s"i.$impIdCol").as(impIdCol),
+        col(s"c.$clickIdCol").as(clickIdCol),
+        ((col(s"c.$clickTsCol").cast("long")) -
+          col(s"i.$impTsCol").cast("long")).as("gap_seconds"))
+  }
+
   /** Streaming event-id dedup with bounded state: an at-least-once
     * ingestion (retried producers, replayed partitions) becomes
     * effectively-once events. `dropDuplicatesWithinWatermark` keys state

@@ -217,6 +217,50 @@ class EventAnalyticsSpec extends SparkSpecBase {
     assert(got === expected)
   }
 
+  test("stream-stream interval join matches the batch join; across micro-batches") {
+    def ts(m: String) = Timestamp.valueOf(m)
+    val imps = Seq(
+      (10L, 1L, ts("2024-01-01 10:00:00")),
+      (11L, 1L, ts("2024-01-01 12:00:00")),
+      (12L, 2L, ts("2024-01-01 10:30:00")))
+      .toDF("imp_id", "user_id", "imp_ts")
+    val clicks = Seq(
+      (100L, 1L, ts("2024-01-01 10:20:00")), // → imp 10 (20 min gap)
+      (101L, 1L, ts("2024-01-01 11:30:00")), // > 1h after imp 10 → no match
+      (102L, 1L, ts("2024-01-01 12:40:00")), // → imp 11
+      (103L, 2L, ts("2024-01-01 10:15:00")), // BEFORE imp 12 → no match
+      (104L, 3L, ts("2024-01-01 10:00:00"))) // user with no impression
+      .toDF("click_id", "user_id", "click_ts")
+
+    val tmp = Files.createTempDirectory("ssjoin").toString
+    // feed impressions across two micro-batch files to cross epochs
+    imps.filter(col("imp_id") <= 10).write.mode("overwrite").parquet(s"$tmp/imps")
+    clicks.write.mode("overwrite").parquet(s"$tmp/clicks")
+    val iStream = s.readStream.schema(imps.schema).parquet(s"$tmp/imps")
+    val cStream = s.readStream.schema(clicks.schema).parquet(s"$tmp/clicks")
+    val joined = EventAnalytics.streamingClickAttribution(
+      iStream, cStream, "user_id", "imp_ts", "click_ts", "imp_id", "click_id")
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append")
+      .option("checkpointLocation", s"$tmp/chk")
+      .start()
+    try {
+      q.processAllAvailable()
+      imps.filter(col("imp_id") > 10).write.mode("append").parquet(s"$tmp/imps")
+      q.processAllAvailable()
+      val got = s.table("ss_join")
+        .select(col("imp_id"), col("click_id"), col("gap_seconds"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === Set((10L, 100L, 1200L), (11L, 102L, 2400L)))
+      // the batch form of the same expression agrees
+      val batch = EventAnalytics.streamingClickAttribution(
+          imps, clicks, "user_id", "imp_ts", "click_ts", "imp_id", "click_id")
+        .select(col("imp_id"), col("click_id"), col("gap_seconds"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(batch === got)
+    } finally q.stop()
+  }
+
   test("streaming event dedup suppresses replayed duplicates across micro-batches") {
     val tmp = Files.createTempDirectory("evdedup").toString
     // batch 1: events 1..3
