@@ -3788,6 +3788,66 @@ object SparkEntry {
       .orderBy("imp_id", "click_id")
   }
 
+  /** MinHash signature-estimate accuracy audit: for every verified
+    * near-dup pair, the slot-agreement estimate (matching signature
+    * slots / 128) next to the TRUE Jaccard and the signed error — the
+    * measurement that justifies trusting 128 hashes (`ann_recall`'s
+    * argument applied to the signatures themselves, complementing the
+    * banding-level `dedup_lsh_recall`/`_precision`). Signatures are
+    * portable-hash, so the oracle replays them bit-for-bit.
+    */
+  private def qTextMinhashError(s: SparkSession, dir: String): DataFrame = {
+    val sigs = Dedup.minhashSignatures(documents(s, dir), "text", "doc_id",
+      n = 3, numHashes = 128, mode = HashMode.Portable)
+    val eq = zip_with(col("sa"), col("sb"),
+      (x, y) => when(x === y, 1).otherwise(0))
+    minhashPairs(s, dir)
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sa")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sb")), "id_b")
+      .withColumn("est_jac", round(
+        aggregate(eq, lit(0), (acc, x) => acc + x).cast("double") / 128.0, 6))
+      .select(col("id_a"), col("id_b"), col("jac"), col("est_jac"),
+        round(col("est_jac") - col("jac"), 6).as("err"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Quantile-sketch accuracy audit: [[Sketches.gridQuantiles]] (the
+    * bounded-state 100 TB quantile path, $10 buckets) against the EXACT
+    * discrete quantile at the same ceil-rank, per return flag — the
+    * error bound that justifies swapping the sketch in where exact
+    * percentiles can't run. Errors are exact integers (both sides of
+    * the subtraction are cents), always in [0, width).
+    */
+  private def qSketchQuantileError(s: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("l_extendedprice") * 100)
+    val li = lineitem(s, dir)
+    val sk = Sketches.gridQuantiles(li, Seq("l_returnflag"), cents,
+      width = 1000L, percents = Seq(50, 90, 99))
+    val hist = li.select(col("l_returnflag"), cents.cast("long").as("t"))
+      .filter(col("t").isNotNull)
+      .groupBy(col("l_returnflag"), col("t")).agg(count(lit(1)).as("c"))
+    val wc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_returnflag")).orderBy(col("t"))
+    val wa = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("l_returnflag"))
+    val exact = hist
+      .withColumn("cum", sum(col("c")).over(wc))
+      .withColumn("n", sum(col("c")).over(wa))
+      .select(col("l_returnflag"), col("t"), col("cum"), col("c"), col("n"),
+        explode(typedLit(Seq(50, 90, 99))).as("pct"))
+      .withColumn("target_rank", expr("(pct * n + 99) div 100"))
+      .filter(col("cum") - col("c") < col("target_rank") &&
+        col("cum") >= col("target_rank"))
+      .select(col("l_returnflag"), col("pct").cast("int").as("pct"),
+        col("t").as("exact_cents"))
+    sk.select(col("l_returnflag"), col("pct"), col("upper_tick"))
+      .join(exact, Seq("l_returnflag", "pct"))
+      .select(col("l_returnflag"), col("pct"), col("exact_cents"),
+        col("upper_tick"),
+        (col("upper_tick") - col("exact_cents")).as("err_cents"))
+      .orderBy("l_returnflag", "pct")
+  }
+
   private def qOrdersMonthlyGrowth(s: SparkSession, dir: String): DataFrame = {
     val monthly = orders(s, dir)
       .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM")
@@ -3907,6 +3967,8 @@ object SparkEntry {
     "events_funnel_ci" -> (qEventsFunnelCi _),
     "orders_set_suite" -> (qOrdersSetSuite _),
     "events_click_attribution" -> (qEventsClickAttribution _),
+    "text_minhash_error" -> (qTextMinhashError _),
+    "sketch_quantile_error" -> (qSketchQuantileError _),
     "orders_unpivot" -> (qOrdersUnpivot _),
     "orders_priority_count" -> (qOrdersPriorityCount _),
     "orders_customer_distribution" -> (qOrdersCustomerDistribution _),
@@ -8123,6 +8185,51 @@ object SparkEntry {
         |  ON c.user_id = i.user_id
         | AND c.ts >= i.ts AND c.ts <= i.ts + INTERVAL 1 HOUR
         |ORDER BY imp_id, click_id""".stripMargin,
+
+    // signature slot-agreement estimate vs true jaccard per verified
+    // pair; signatures replayed from the shared portable-hash CTEs
+    "text_minhash_error" ->
+      s"""${minhashPairCtes(128, 16, 8)},
+         |est AS (
+         |  SELECT j.id_a, j.id_b, j.jac,
+         |    round(CAST(len(list_filter(range(1, 129),
+         |                 i -> s1.sig[CAST(i AS INT)] = s2.sig[CAST(i AS INT)])) AS DOUBLE)
+         |          / 128.0, 6) AS est_jac
+         |  FROM j
+         |  JOIN sig s1 ON s1.doc_id = j.id_a
+         |  JOIN sig s2 ON s2.doc_id = j.id_b
+         |  WHERE j.jac >= 0.5)
+         |SELECT id_a, id_b, jac, est_jac, round(est_jac - jac, 6) AS err
+         |FROM est ORDER BY id_a, id_b""".stripMargin,
+
+    // grid-sketch upper tick vs exact discrete quantile at the same
+    // ceil-rank; err exact integer cents in [0, width)
+    "sketch_quantile_error" ->
+      """WITH b AS (SELECT l_returnflag AS g,
+        |             CAST(round(l_extendedprice * 100) AS BIGINT) AS t
+        |           FROM lineitem),
+        |c AS (SELECT g, t // 1000 AS bkt, CAST(COUNT(*) AS BIGINT) AS cnt
+        |      FROM b WHERE t IS NOT NULL GROUP BY 1, 2),
+        |w AS (SELECT g, bkt, cnt,
+        |        SUM(cnt) OVER (PARTITION BY g ORDER BY bkt) AS cum,
+        |        SUM(cnt) OVER (PARTITION BY g) AS n FROM c),
+        |p AS (SELECT unnest([50, 90, 99]) AS pct),
+        |sk AS (SELECT g, CAST(pct AS INT) AS pct,
+        |         CAST((bkt+1)*1000 AS BIGINT) AS upper_tick
+        |       FROM w, p
+        |       WHERE cum - cnt < (pct*n + 99) // 100 AND cum >= (pct*n + 99) // 100),
+        |hw AS (SELECT g, t, cnt2 AS c,
+        |         SUM(cnt2) OVER (PARTITION BY g ORDER BY t) AS cum,
+        |         SUM(cnt2) OVER (PARTITION BY g) AS n
+        |       FROM (SELECT g, t, CAST(COUNT(*) AS BIGINT) AS cnt2
+        |             FROM b WHERE t IS NOT NULL GROUP BY 1, 2)),
+        |ex AS (SELECT g, CAST(pct AS INT) AS pct, t AS exact_cents
+        |       FROM hw, p
+        |       WHERE cum - c < (pct*n + 99) // 100 AND cum >= (pct*n + 99) // 100)
+        |SELECT sk.g AS l_returnflag, sk.pct, ex.exact_cents, sk.upper_tick,
+        |       CAST(sk.upper_tick - ex.exact_cents AS BIGINT) AS err_cents
+        |FROM sk JOIN ex ON ex.g = sk.g AND ex.pct = sk.pct
+        |ORDER BY l_returnflag, sk.pct""".stripMargin,
 
     // set-op checklist over the two buyer populations
     "orders_set_suite" ->

@@ -511,6 +511,19 @@ object Dedup {
           (bnd + 1).cast("long")))
   }
 
+  /** Public face of [[signatureScan]] — one (id, sig) row per document,
+    * for consumers that need raw signatures next to the pair set (e.g.
+    * the signature-estimate accuracy audit).
+    */
+  def minhashSignatures(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int,
+      numHashes: Int,
+      mode: HashMode): DataFrame =
+    signatureScan(df, textCol, idCol, n, numHashes, mode)
+
   /** One (id, sig) row per document — signature length `numHashes`. In
     * Portable mode the fused native kernel never materializes a shingle
     * string (see [[minhashLshDedup]] docs).
