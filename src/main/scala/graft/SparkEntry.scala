@@ -3148,6 +3148,13 @@ object SparkEntry {
   private def qEmbDimStats(s: SparkSession, dir: String): DataFrame =
     Similarity.dimStats(embeddings(s, dir), "embedding").orderBy("dim_i")
 
+  /** Corpus-bigram LM score per document ([[TextAnalysis.bigramLm]]):
+    * the transition-probability quality signal unigram typicality
+    * can't see.
+    */
+  private def qTextBigramLm(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramLm(documents(s, dir), "doc_id", "text").orderBy("doc_id")
+
   /** Corpus-unigram LM quality score per document. */
   private def qTextLmScore(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.lmScore(documents(s, dir), "doc_id", "text").orderBy("doc_id")
@@ -3968,6 +3975,7 @@ object SparkEntry {
     "orders_set_suite" -> (qOrdersSetSuite _),
     "events_click_attribution" -> (qEventsClickAttribution _),
     "text_minhash_error" -> (qTextMinhashError _),
+    "text_bigram_lm" -> (qTextBigramLm _),
     "sketch_quantile_error" -> (qSketchQuantileError _),
     "orders_unpivot" -> (qOrdersUnpivot _),
     "orders_priority_count" -> (qOrdersPriorityCount _),
@@ -8230,6 +8238,32 @@ object SparkEntry {
         |       CAST(sk.upper_tick - ex.exact_cents AS BIGINT) AS err_cents
         |FROM sk JOIN ex ON ex.g = sk.g AND ex.pct = sk.pct
         |ORDER BY l_returnflag, sk.pct""".stripMargin,
+
+    // bigram LM: vocab-bounded training aggregates, 12-dp ln terms
+    // decimal-summed per doc
+    "text_bigram_lm" ->
+      s"""WITH $TextTokensCte,
+         |g2 AS (SELECT doc_id,
+         |         unnest(CASE WHEN len(ltoks) >= 2 THEN
+         |                  list_transform(range(1, len(ltoks)),
+         |                    i -> array_to_string(ltoks[i:i+1], ' '))
+         |                ELSE CAST([] AS VARCHAR[]) END) AS g
+         |       FROM t),
+         |cbt AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS cb FROM g2 GROUP BY 1),
+         |cut AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cu
+         |        FROM (SELECT unnest(ltoks) AS tok FROM t) GROUP BY 1),
+         |vv AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM cut),
+         |lm AS (SELECT cbt.g,
+         |         CAST(round(ln(CAST(cbt.cb + 1 AS DOUBLE)
+         |                       / CAST(cut.cu + vv.v AS DOUBLE)), 12)
+         |              AS DECIMAL(28,12)) AS lp
+         |       FROM cbt JOIN cut ON cut.tok = string_split(cbt.g, ' ')[1], vv),
+         |sc AS (SELECT g2.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |         round(CAST(SUM(lm.lp) AS DOUBLE) / COUNT(*), 6) AS bigram_lp
+         |       FROM g2 JOIN lm ON lm.g = g2.g GROUP BY 1)
+         |SELECT d.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams, sc.bigram_lp
+         |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     // set-op checklist over the two buyer populations
     "orders_set_suite" ->

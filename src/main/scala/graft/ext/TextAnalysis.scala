@@ -264,6 +264,55 @@ object TextAnalysis {
         col("lm_score"))
   }
 
+  /** Corpus-BIGRAM LM score with add-1 smoothing — the sequence-aware
+    * step up from [[lmScore]]'s unigram typicality: mean
+    * `ln((C(w₁w₂)+1)/(C(w₁)+V))` over a doc's adjacent token pairs.
+    * Word-salad docs whose unigrams are all common score high on
+    * [[lmScore]] and low here — transition probability is the signal
+    * unigrams can't see.
+    *
+    * Shape: training is two vocabulary-bounded aggregates off one
+    * corpus scan; every bigram's ln term is resolved ONCE into a
+    * vocabulary²-sparse lookup table (first-token unigram count joined
+    * in, corpus V as a 1-row broadcast), so scoring is a single join of
+    * doc positions against that table. Per-position terms are rounded
+    * to 12 dp and DECIMAL-summed — partition-order-independent, and the
+    * rounding absorbs the ≤1-ulp `ln` divergence across engines (the
+    * KL-divergence recipe). Docs under 2 tokens: n_bigrams = 0, NULL
+    * score.
+    */
+  def bigramLm(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val tk = tokens(lower(col(textCol)))
+    val base = df.select(col(idCol).as("doc_id"), tk.as("tk"))
+      .select(col("doc_id"),
+        when(size(col("tk")) >= 2,
+          transform(sequence(lit(0), size(col("tk")) - 2),
+            i => concat_ws(" ", slice(col("tk"), i + 1, lit(2)))))
+          .otherwise(array().cast("array<string>")).as("g2"))
+    val pos = base.select(col("doc_id"), explode(col("g2")).as("g"))
+    val cb = pos.groupBy(col("g")).agg(count(lit(1)).as("cb"))
+    val cu = df.select(explode(tk).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+    val v = cu.agg(count(lit(1)).as("v"))
+    val lm = cb.withColumn("w1", split(col("g"), " ").getItem(0))
+      .join(cu, col("w1") === col("tok"))
+      .crossJoin(broadcast(v))
+      .select(col("g"),
+        round(log((col("cb") + 1).cast("double") /
+          (col("cu") + col("v")).cast("double")), 12)
+          .cast(DecimalType(28, 12)).as("lp"))
+    val scored = pos.join(lm, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("lp")).cast("double") / count(lit(1)), 6).as("bigram_lp"))
+    df.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("bigram_lp"))
+  }
+
   def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tk = tokens(lower(col(textCol)))
     val base = df.select(col(idCol).as("doc_id"), tk.as("tk"))

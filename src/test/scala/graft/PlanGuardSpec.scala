@@ -102,7 +102,9 @@ class PlanGuardSpec extends SparkSpecBase {
     // 1-row grand-total broadcast onto the 9-row digit histogram
     "orders_benford",
     // 12-row literal weight frame swept over the bounded monthly rollup
-    "orders_ewma")
+    "orders_ewma",
+    // 1-row vocabulary-size scalar broadcast onto the bigram lookup
+    "text_bigram_lm")
 
   private def walk(p: SparkPlan): Seq[SparkPlan] = {
     val kids = p match {
