@@ -3855,6 +3855,57 @@ object SparkEntry {
       .orderBy("l_returnflag", "pct")
   }
 
+  /** k-anonymity / l-diversity audit over the quasi-identifier
+    * (priority, status, order-month) with the $1000 price band as the
+    * sensitive attribute — the governance sibling of `cdc_gdpr_erase`:
+    * before publishing a "de-identified" extract, how many rows sit in
+    * QI groups smaller than k = 5 (re-identifiable), and how many
+    * groups carry fewer than l = 3 distinct sensitive values
+    * (attribute-disclosable)? One aggregate to the QI-group frame, one
+    * O(groups) rollup; every number is an exact integer except the one
+    * rounded share.
+    */
+  private def qOrdersKAnonymity(s: SparkSession, dir: String): DataFrame = {
+    val groups = orders(s, dir)
+      .select(col("o_orderpriority").as("q1"), col("o_orderstatus").as("q2"),
+        month(col("o_orderdate")).as("q3"),
+        floor(col("o_totalprice") / 1000.0).cast("long").as("sens"))
+      .groupBy(col("q1"), col("q2"), col("q3"))
+      .agg(count(lit(1)).as("gsize"), countDistinct(col("sens")).as("ndist"))
+    groups.agg(
+        sum(col("gsize")).as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        min(col("gsize")).as("min_group_size"),
+        sum(when(col("gsize") < 5, col("gsize")).otherwise(0L)).as("rows_lt_k"),
+        min(col("ndist")).as("min_l"),
+        sum(when(col("ndist") < 3, 1L).otherwise(0L)).as("groups_lt_l"))
+      .select(col("n_rows"), col("n_groups"), col("min_group_size"),
+        col("rows_lt_k"),
+        round(col("rows_lt_k").cast("double") / col("n_rows").cast("double"), 6)
+          .as("pct_rows_lt_k"),
+        col("min_l"), col("groups_lt_l"))
+  }
+
+  /** PC1 explained-variance ratio: the power-iteration eigenvalue over
+    * the covariance trace — "is this embedding space one-dimensional in
+    * disguise?" (a ratio near 1 means cosine geometry is measuring a
+    * single axis). Composes the oracle-proven covariance + power
+    * iteration pieces; the 2,080-cell covariance frame is checkpointed
+    * once and feeds both consumers.
+    */
+  private def qEmbPcaVariance(s: SparkSession, dir: String): DataFrame = {
+    val c = Similarity.covariance(embeddings(s, dir), "embedding", dim = 64)
+      .localCheckpoint(true)
+    val top = Similarity.topComponent(c, dim = 64, rounds = 3)
+      .select(col("eigenvalue")).limit(1)
+    val tr = c.filter(col("dim_i") === col("dim_j"))
+      .agg(sum(col("cov").cast(DecimalType(28, 6))).cast("double")
+        .as("trace_raw"))
+    top.crossJoin(broadcast(tr))
+      .select(col("eigenvalue"), round(col("trace_raw"), 6).as("trace"),
+        round(col("eigenvalue") / col("trace_raw"), 6).as("explained_ratio"))
+  }
+
   private def qOrdersMonthlyGrowth(s: SparkSession, dir: String): DataFrame = {
     val monthly = orders(s, dir)
       .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM")
@@ -3976,6 +4027,8 @@ object SparkEntry {
     "events_click_attribution" -> (qEventsClickAttribution _),
     "text_minhash_error" -> (qTextMinhashError _),
     "text_bigram_lm" -> (qTextBigramLm _),
+    "orders_k_anonymity" -> (qOrdersKAnonymity _),
+    "emb_pca_variance" -> (qEmbPcaVariance _),
     "sketch_quantile_error" -> (qSketchQuantileError _),
     "orders_unpivot" -> (qOrdersUnpivot _),
     "orders_priority_count" -> (qOrdersPriorityCount _),
@@ -6405,6 +6458,23 @@ object SparkEntry {
 
     // 3 unrolled power-iteration rounds over the mirrored covariance;
     // the z trajectory is exact-decimal so both engines replay it
+    // PC1 eigenvalue / covariance trace; the iteration CTEs are the
+    // emb_top_component twins, the trace an exact 6-dp decimal sum
+    "emb_pca_variance" ->
+      s"""WITH $EmbCovCtes,
+         |cfull AS (SELECT di AS i, dj AS j, c FROM cov
+         |          UNION ALL SELECT dj, di, c FROM cov WHERE di <> dj),
+         |z0 AS (SELECT unnest(range(0, 64)) AS i, round(1.0/sqrt(64.0), 6) AS z),
+         |${powerIterSql(1, "z0")},
+         |${powerIterSql(2, "z1")},
+         |${powerIterSql(3, "z2")},
+         |tr AS (SELECT CAST(SUM(CAST(c AS DECIMAL(28,6))) AS DOUBLE) AS trace_raw
+         |       FROM cov WHERE di = dj)
+         |SELECT (SELECT round(nn, 6) FROM nrm3) AS eigenvalue,
+         |       round(tr.trace_raw, 6) AS trace,
+         |       round((SELECT round(nn, 6) FROM nrm3) / tr.trace_raw, 6) AS explained_ratio
+         |FROM tr""".stripMargin,
+
     "emb_top_component" ->
       s"""WITH $EmbCovCtes,
          |cfull AS (SELECT di AS i, dj AS j, c FROM cov
@@ -8264,6 +8334,24 @@ object SparkEntry {
          |SELECT d.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams, sc.bigram_lp
          |FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    // k-anonymity/l-diversity: QI-group frame then one O(groups) rollup
+    "orders_k_anonymity" ->
+      """WITH g AS (
+        |  SELECT o_orderpriority AS q1, o_orderstatus AS q2,
+        |         month(o_orderdate) AS q3,
+        |         CAST(COUNT(*) AS BIGINT) AS gsize,
+        |         CAST(COUNT(DISTINCT CAST(floor(o_totalprice / 1000.0) AS BIGINT)) AS BIGINT) AS ndist
+        |  FROM orders GROUP BY 1, 2, 3)
+        |SELECT CAST(SUM(gsize) AS BIGINT) AS n_rows,
+        |       CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |       CAST(MIN(gsize) AS BIGINT) AS min_group_size,
+        |       CAST(SUM(CASE WHEN gsize < 5 THEN gsize ELSE 0 END) AS BIGINT) AS rows_lt_k,
+        |       round(CAST(SUM(CASE WHEN gsize < 5 THEN gsize ELSE 0 END) AS DOUBLE)
+        |             / CAST(SUM(gsize) AS DOUBLE), 6) AS pct_rows_lt_k,
+        |       CAST(MIN(ndist) AS BIGINT) AS min_l,
+        |       CAST(SUM(CASE WHEN ndist < 3 THEN 1 ELSE 0 END) AS BIGINT) AS groups_lt_l
+        |FROM g""".stripMargin,
 
     // set-op checklist over the two buyer populations
     "orders_set_suite" ->

@@ -104,7 +104,9 @@ class PlanGuardSpec extends SparkSpecBase {
     // 12-row literal weight frame swept over the bounded monthly rollup
     "orders_ewma",
     // 1-row vocabulary-size scalar broadcast onto the bigram lookup
-    "text_bigram_lm")
+    "text_bigram_lm",
+    // 1-row eigenvalue x 1-row trace combine
+    "emb_pca_variance")
 
   private def walk(p: SparkPlan): Seq[SparkPlan] = {
     val kids = p match {
