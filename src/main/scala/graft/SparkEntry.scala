@@ -3906,6 +3906,75 @@ object SparkEntry {
         round(col("eigenvalue") / col("trace_raw"), 6).as("explained_ratio"))
   }
 
+  /** Cohort lifetime-value curve: customers cohorted by first-order
+    * month, cumulative revenue per cohort member at each month offset —
+    * the `events_retention` shape applied to money. The fact table
+    * collapses to (cohort, offset) cells before the cumulative window
+    * (which runs per cohort over the bounded offset axis); revenue
+    * stays exact decimal into the final per-member division. Offsets
+    * are capped at 12 to bound the output.
+    */
+  private def qOrdersCohortLtv(s: SparkSession, dir: String): DataFrame = {
+    val wF = org.apache.spark.sql.expressions.Window.partitionBy(col("o_custkey"))
+    val idx = (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).cast("long")
+    val tagged = orders(s, dir)
+      .select(col("o_custkey"), col("o_orderdate"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("rev"), idx.as("mo"))
+      .withColumn("cohort_mo", min(col("mo")).over(wF))
+    val cells = tagged
+      .withColumn("offset", (col("mo") - col("cohort_mo")).cast("int"))
+      .filter(col("offset") <= 12)
+      .groupBy(col("cohort_mo"), col("offset"))
+      .agg(sum(col("rev")).cast(DecimalType(28, 2)).as("rev"))
+    val sizes = tagged.groupBy(col("cohort_mo"))
+      .agg(countDistinct(col("o_custkey")).as("n_customers"))
+    val wC = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cohort_mo")).orderBy(col("offset"))
+    cells
+      .withColumn("cum_rev", sum(col("rev")).over(
+        wC.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow))
+        .cast(DecimalType(28, 2)))
+      .join(sizes, Seq("cohort_mo"))
+      .select(col("cohort_mo"), col("offset"), col("n_customers"),
+        col("cum_rev").cast("double").as("cum_revenue"),
+        round(col("cum_rev").cast("double") /
+          col("n_customers").cast("double"), 6).as("ltv_per_customer"))
+      .orderBy("cohort_mo", "offset")
+  }
+
+  /** Herfindahl–Hirschman concentration index of supplier revenue per
+    * nation — "is this nation's supply one megasupplier in a trench
+    * coat?": HHI = Σ share², shares from exact decimal revenue sums, one
+    * double square/sum over the |suppliers-per-nation|-bounded frame
+    * with 10-dp terms decimal-summed (the chiSquare recipe).
+    */
+  private def qSupplierHhi(s: SparkSession, dir: String): DataFrame = {
+    val rev = lineitem(s, dir)
+      .select(col("l_suppkey"),
+        (col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1.0) - col("l_discount")).cast(DecimalType(4, 2)))
+          .cast(DecimalType(28, 4)).as("r"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("r")).cast(DecimalType(28, 4)).as("srev"))
+      .join(broadcast(s.read.parquet(s"$dir/supplier.parquet")
+          .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(s.read.parquet(s"$dir/nation.parquet")
+          .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+    val wN = org.apache.spark.sql.expressions.Window.partitionBy(col("n_name"))
+    rev
+      .withColumn("ntot", sum(col("srev")).over(wN).cast(DecimalType(38, 4)))
+      .withColumn("share", col("srev").cast("double") / col("ntot").cast("double"))
+      .groupBy(col("n_name").as("nation"))
+      .agg(
+        count(lit(1)).as("n_suppliers"),
+        round(sum(round(col("share") * col("share"), 10)
+          .cast(DecimalType(28, 10))).cast("double"), 6).as("hhi"))
+      .orderBy("nation")
+  }
+
   private def qOrdersMonthlyGrowth(s: SparkSession, dir: String): DataFrame = {
     val monthly = orders(s, dir)
       .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM")
@@ -4028,6 +4097,8 @@ object SparkEntry {
     "text_minhash_error" -> (qTextMinhashError _),
     "text_bigram_lm" -> (qTextBigramLm _),
     "orders_k_anonymity" -> (qOrdersKAnonymity _),
+    "orders_cohort_ltv" -> (qOrdersCohortLtv _),
+    "supplier_hhi" -> (qSupplierHhi _),
     "emb_pca_variance" -> (qEmbPcaVariance _),
     "sketch_quantile_error" -> (qSketchQuantileError _),
     "orders_unpivot" -> (qOrdersUnpivot _),
@@ -8352,6 +8423,52 @@ object SparkEntry {
         |       CAST(MIN(ndist) AS BIGINT) AS min_l,
         |       CAST(SUM(CASE WHEN ndist < 3 THEN 1 ELSE 0 END) AS BIGINT) AS groups_lt_l
         |FROM g""".stripMargin,
+
+    // cohort LTV: per-customer first-month window, (cohort, offset)
+    // cells, bounded cumulative, exact decimals to the last division
+    "orders_cohort_ltv" ->
+      """WITH t AS (
+        |  SELECT o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS rev,
+        |         CAST(year(o_orderdate)*12 + month(o_orderdate) AS BIGINT) AS mo,
+        |         MIN(CAST(year(o_orderdate)*12 + month(o_orderdate) AS BIGINT))
+        |           OVER (PARTITION BY o_custkey) AS cohort_mo
+        |  FROM orders),
+        |cells AS (
+        |  SELECT cohort_mo, CAST(mo - cohort_mo AS INT) AS "offset",
+        |         CAST(SUM(rev) AS DECIMAL(28,2)) AS rev
+        |  FROM t WHERE mo - cohort_mo <= 12 GROUP BY 1, 2),
+        |sizes AS (SELECT cohort_mo, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+        |          FROM t GROUP BY 1),
+        |cum AS (
+        |  SELECT cohort_mo, "offset",
+        |         CAST(SUM(rev) OVER (PARTITION BY cohort_mo ORDER BY "offset"
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(28,2)) AS cum_rev
+        |  FROM cells)
+        |SELECT c.cohort_mo, c."offset", s.n_customers,
+        |       CAST(c.cum_rev AS DOUBLE) AS cum_revenue,
+        |       round(CAST(c.cum_rev AS DOUBLE) / CAST(s.n_customers AS DOUBLE), 6) AS ltv_per_customer
+        |FROM cum c JOIN sizes s USING (cohort_mo)
+        |ORDER BY cohort_mo, "offset"""".stripMargin,
+
+    // HHI: exact decimal revenue, 10-dp share-square terms decimal-summed
+    "supplier_hhi" ->
+      """WITH r AS (
+        |  SELECT l.l_suppkey, n.n_name,
+        |         CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |                  * CAST(1.0 - l.l_discount AS DECIMAL(4,2)) AS DECIMAL(28,4)))
+        |              AS DECIMAL(28,4)) AS srev
+        |  FROM lineitem l
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  GROUP BY 1, 2),
+        |sh AS (
+        |  SELECT n_name,
+        |         CAST(srev AS DOUBLE)
+        |           / CAST(CAST(SUM(srev) OVER (PARTITION BY n_name) AS DECIMAL(38,4)) AS DOUBLE) AS share
+        |  FROM r)
+        |SELECT n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+        |       round(CAST(SUM(CAST(round(share * share, 10) AS DECIMAL(28,10))) AS DOUBLE), 6) AS hhi
+        |FROM sh GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // set-op checklist over the two buyer populations
     "orders_set_suite" ->

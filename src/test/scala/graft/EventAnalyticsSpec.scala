@@ -261,6 +261,51 @@ class EventAnalyticsSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join emits unmatched impressions after the watermark passes") {
+    def ts(m: String) = Timestamp.valueOf(m)
+    val imps = Seq(
+      (10L, 1L, ts("2024-01-01 10:00:00")),  // will match
+      (11L, 2L, ts("2024-01-01 10:00:00")))  // never matches → null click
+      .toDF("imp_id", "user_id", "imp_ts")
+    val clicks = Seq((100L, 1L, ts("2024-01-01 10:20:00")))
+      .toDF("click_id", "user_id", "click_ts")
+    val tmp = Files.createTempDirectory("ssouter").toString
+    imps.write.mode("overwrite").parquet(s"$tmp/imps")
+    clicks.write.mode("overwrite").parquet(s"$tmp/clicks")
+    val iStream = s.readStream.schema(imps.schema).parquet(s"$tmp/imps")
+      .withWatermark("imp_ts", "10 minutes").as("i")
+    val cStream = s.readStream.schema(clicks.schema).parquet(s"$tmp/clicks")
+      .withWatermark("click_ts", "10 minutes").as("c")
+    val joined = iStream.join(cStream,
+      col("i.user_id") === col("c.user_id") &&
+        col("c.click_ts") >= col("i.imp_ts") &&
+        col("c.click_ts") <= col("i.imp_ts") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("i.imp_id"), col("c.click_id"))
+    val q = joined.writeStream.format("memory").queryName("ss_outer")
+      .outputMode("append").option("checkpointLocation", s"$tmp/chk").start()
+    try {
+      q.processAllAvailable()
+      // the unmatched row is HELD until the watermark provably rules out
+      // a future match; the GLOBAL watermark is min(left, right), so
+      // BOTH streams must advance (a later click alone leaves the
+      // impression-side watermark at the epoch of imp 11)
+      Seq((999L, 9L, ts("2024-01-02 00:00:00")))
+        .toDF("click_id", "user_id", "click_ts")
+        .write.mode("append").parquet(s"$tmp/clicks")
+      Seq((99L, 8L, ts("2024-01-02 00:00:00")))
+        .toDF("imp_id", "user_id", "imp_ts")
+        .write.mode("append").parquet(s"$tmp/imps")
+      q.processAllAvailable()
+      q.processAllAvailable() // second pass: null emission follows the wm update
+      val got = s.table("ss_outer").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+      // imp 99 (the advancer) is itself still inside its match window →
+      // correctly HELD in state, not emitted
+      assert(got === Set((10L, 100L), (11L, -1L)))
+    } finally q.stop()
+  }
+
   test("streaming event dedup suppresses replayed duplicates across micro-batches") {
     val tmp = Files.createTempDirectory("evdedup").toString
     // batch 1: events 1..3
