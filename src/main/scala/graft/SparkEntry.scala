@@ -760,6 +760,13 @@ object SparkEntry {
       .orderBy("type_a", "type_b")
   }
 
+  /** Kaplan-Meier time-to-conversion curve signup → purchase with
+    * censoring at last activity ([[EventAnalytics.survivalCurve]]).
+    */
+  private def qEventsSurvival(s: SparkSession, dir: String): DataFrame =
+    EventAnalytics.survivalCurve(events(s, dir), "user_id", "ts",
+      "event_type", "signup", "purchase")
+
   private def qMediaFeatures(s: SparkSession, dir: String): DataFrame = {
     import Multimodal._
     val typed = withFakePayload(documents(s, dir), "doc_id", "text")
@@ -4098,6 +4105,7 @@ object SparkEntry {
     "text_bigram_lm" -> (qTextBigramLm _),
     "orders_k_anonymity" -> (qOrdersKAnonymity _),
     "orders_cohort_ltv" -> (qOrdersCohortLtv _),
+    "events_survival" -> (qEventsSurvival _),
     "supplier_hhi" -> (qSupplierHhi _),
     "emb_pca_variance" -> (qEmbPcaVariance _),
     "sketch_quantile_error" -> (qSketchQuantileError _),
@@ -8469,6 +8477,44 @@ object SparkEntry {
         |SELECT n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n_suppliers,
         |       round(CAST(SUM(CAST(round(share * share, 10) AS DECIMAL(28,10))) AS DOUBLE), 6) AS hhi
         |FROM sh GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Kaplan-Meier: per-user (duration, censoring) rows, bounded day
+    // histogram, at-risk from one cumulative, 12-dp ln terms
+    // decimal-summed into the survival product
+    "events_survival" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t0,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS tc,
+        |    MAX(ts) AS tlast
+        |  FROM events GROUP BY 1),
+        |du AS (
+        |  SELECT *, (tc IS NOT NULL AND tc >= t0) AS is_event,
+        |    CAST(CASE WHEN tc IS NOT NULL AND tc >= t0
+        |         THEN date_diff('day', CAST(t0 AS DATE), CAST(tc AS DATE))
+        |         ELSE date_diff('day', CAST(t0 AS DATE), CAST(tlast AS DATE)) END AS BIGINT) AS dur
+        |  FROM pu WHERE t0 IS NOT NULL),
+        |h AS (SELECT dur, CAST(COUNT(*) AS BIGINT) AS n_total,
+        |        CAST(SUM(CASE WHEN is_event THEN 1 ELSE 0 END) AS BIGINT) AS d
+        |      FROM du GROUP BY 1),
+        |r AS (SELECT *,
+        |        SUM(n_total) OVER (ORDER BY dur
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_le,
+        |        SUM(n_total) OVER () AS n_all FROM h),
+        |r2 AS (SELECT *, n_all - n_le + n_total AS n_risk FROM r),
+        |r3 AS (SELECT *,
+        |        CAST(CASE WHEN d > 0 AND d < n_risk
+        |             THEN round(ln(1.0 - CAST(d AS DOUBLE)/CAST(n_risk AS DOUBLE)), 12)
+        |             ELSE 0.0 END AS DECIMAL(28,12)) AS lnterm,
+        |        MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END) OVER (ORDER BY dur
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS extinct
+        |      FROM r2),
+        |r4 AS (SELECT *, SUM(lnterm) OVER (ORDER BY dur
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lnsum FROM r3)
+        |SELECT dur AS day, CAST(n_risk AS BIGINT) AS n_risk, d AS n_events,
+        |  CASE WHEN extinct = 1 THEN 0.0
+        |       ELSE round(exp(CAST(lnsum AS DOUBLE)), 6) END AS survival
+        |FROM r4 WHERE d > 0 ORDER BY day""".stripMargin,
 
     // set-op checklist over the two buyer populations
     "orders_set_suite" ->

@@ -636,6 +636,76 @@ object EventAnalytics {
         col("n"), col("z"))
   }
 
+  /** Kaplan–Meier survival curve for time-to-conversion: S(t) = the
+    * probability a user has NOT yet converted t days after their first
+    * `startType` event, with users who never convert CENSORED at their
+    * last activity — the estimator that uses non-converters' partial
+    * observation instead of discarding them (a plain mean
+    * time-to-convert is biased low by exactly those drop-outs).
+    *
+    * Shape: the stream collapses to one (duration, is_event) row per
+    * user, then to the per-day histogram; at-risk counts come from ONE
+    * cumulative window over the bounded day axis (the ksTest pattern),
+    * and the survival product is carried as a cumulative sum of
+    * 12-dp-rounded `ln(1 − d/n)` terms (decimal, order-free) —
+    * exponentiated and 6-dp-rounded once per output row, so both
+    * engines replay the curve digit-for-digit. Output: one row per
+    * distinct conversion day.
+    */
+  def survivalCurve(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      typeCol: String,
+      startType: String,
+      eventType: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val perUser = events
+      .groupBy(col(userCol).as("u"))
+      .agg(
+        min(when(col(typeCol) === startType, col(tsCol))).as("t0"),
+        min(when(col(typeCol) === eventType, col(tsCol))).as("tc"),
+        max(col(tsCol)).as("tlast"))
+      .filter(col("t0").isNotNull)
+      // conversions strictly before the start are not conversions OF the
+      // start; such users are censored like any non-converter
+      .withColumn("is_event", col("tc").isNotNull && col("tc") >= col("t0"))
+      .withColumn("dur",
+        when(col("is_event"), datediff(col("tc"), col("t0")))
+          .otherwise(datediff(col("tlast"), col("t0"))).cast("long"))
+    val hist = perUser.groupBy(col("dur"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(col("is_event"), 1L).otherwise(0L)).as("d"))
+    val wc = Window.orderBy(col("dur"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    val risk = hist
+      .withColumn("n_le", sum(col("n_total")).over(wc))
+      .withColumn("n_all", sum(col("n_total")).over(
+        wAll.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      // at risk at day t = everyone whose observed duration is >= t
+      .withColumn("n_risk", col("n_all") - col("n_le") + col("n_total"))
+    risk
+      // d = n_risk extinguishes the curve: ln(0) is not a number either
+      // engine rounds — carry a cumulative zero flag instead
+      .withColumn("lnterm",
+        when(col("d") > 0 && col("d") < col("n_risk"),
+          round(log(lit(1.0) - col("d").cast("double") /
+            col("n_risk").cast("double")), 12))
+          .otherwise(lit(0.0))
+        .cast(DecimalType(28, 12)))
+      .withColumn("extinct",
+        max(when(col("d") >= col("n_risk"), 1).otherwise(0)).over(wc))
+      .withColumn("lnsum", sum(col("lnterm")).over(wc))
+      .filter(col("d") > 0)
+      .select(col("dur").as("day"), col("n_risk"), col("d").as("n_events"),
+        when(col("extinct") === 1, lit(0.0))
+          .otherwise(round(exp(col("lnsum").cast("double")), 6))
+          .as("survival"))
+      .orderBy("day")
+  }
+
   /** Robust (median/MAD) companion to [[dailyCountAnomalies]]: flags
     * (event-type, day) cells whose daily volume deviates from that
     * type's MEDIAN by more than `cut` robust standard deviations

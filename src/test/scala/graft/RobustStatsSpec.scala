@@ -76,6 +76,49 @@ class RobustStatsSpec extends SparkSpecBase {
     assert(r.getAs[Double]("score") == expScore)
   }
 
+  // ---- survivalCurve ----
+
+  test("survivalCurve: textbook KM with censoring between event days") {
+    def ts(m: String) = Timestamp.valueOf(m)
+    // u1 converts day 1; u2 censored day 2; u3, u4 convert day 3;
+    // u5 censored day 5 → S(1) = 4/5, S(3) = 0.8·(1 − 2/3) ≈ 0.266667
+    val rows = Seq(
+      (1L, "signup", ts("2024-01-01 10:00:00")),
+      (1L, "purchase", ts("2024-01-02 10:00:00")),
+      (2L, "signup", ts("2024-01-01 10:00:00")),
+      (2L, "view", ts("2024-01-03 10:00:00")),
+      (3L, "signup", ts("2024-01-01 10:00:00")),
+      (3L, "purchase", ts("2024-01-04 10:00:00")),
+      (4L, "signup", ts("2024-01-01 10:00:00")),
+      (4L, "purchase", ts("2024-01-04 10:00:00")),
+      (5L, "signup", ts("2024-01-01 10:00:00")),
+      (5L, "view", ts("2024-01-06 10:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val got = EventAnalytics.survivalCurve(rows, "user_id", "ts",
+        "event_type", "signup", "purchase")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.length == 2)
+    assert(got(0) == ((1L, 5L, 1L, 0.8)))
+    val s3 = math.rint(math.exp(
+      math.rint(math.log(0.8) * 1e12) / 1e12 +
+        math.rint(math.log(1.0 / 3.0) * 1e12) / 1e12) * 1e6) / 1e6
+    assert(got(1) == ((3L, 3L, 2L, s3)))
+  }
+
+  test("survivalCurve: full conversion on the last day extinguishes S to exactly 0") {
+    def ts(m: String) = Timestamp.valueOf(m)
+    val rows = Seq(
+      (1L, "signup", ts("2024-01-01 10:00:00")),
+      (1L, "purchase", ts("2024-01-02 10:00:00")),
+      (2L, "signup", ts("2024-01-01 10:00:00")),
+      (2L, "purchase", ts("2024-01-02 10:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val got = EventAnalytics.survivalCurve(rows, "user_id", "ts",
+      "event_type", "signup", "purchase").collect()
+    assert(got.length == 1 && got(0).getDouble(3) == 0.0)
+  }
+
   // ---- cosinePairs ----
 
   test("cosinePairs: multiplicity weights the dot product (set Jaccard would not)") {
