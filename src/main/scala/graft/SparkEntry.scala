@@ -3982,6 +3982,78 @@ object SparkEntry {
       .orderBy("nation")
   }
 
+  /** Classical additive seasonal decomposition of daily order counts:
+    * trend = centered 7-day moving average (full windows only),
+    * seasonal = per-weekday mean of the detrended series, remainder =
+    * the rest. All means divide exact integer/decimal sums; detrended
+    * values are 6-dp-rounded before the weekday means so the
+    * decomposition replays identically. Bounded day axis end to end —
+    * one cumulative-window pass plus a 7-key weekday aggregate.
+    */
+  private def qOrdersSeasonalDecompose(s: SparkSession, dir: String): DataFrame = {
+    val daily = orders(s, dir)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("d"))
+    val trended = daily
+      .withColumn("win_sum", sum(col("n")).over(w.rowsBetween(-3, 3)))
+      .withColumn("win_n", count(col("n")).over(w.rowsBetween(-3, 3)))
+      .withColumn("trend",
+        when(col("win_n") === 7,
+          round(col("win_sum").cast("double") / 7.0, 6)))
+      .withColumn("detrended",
+        round(col("n").cast("double") - col("trend"), 6))
+    val seasonal = trended.filter(col("detrended").isNotNull)
+      .groupBy(dayofweek(col("d")).as("dow"))
+      .agg(round(sum(col("detrended").cast(DecimalType(28, 6))).cast("double") /
+        count(lit(1)).cast("double"), 6).as("seasonal"))
+    trended
+      .join(broadcast(seasonal), dayofweek(col("d")) === col("dow"))
+      .filter(col("trend").isNotNull)
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"), col("n"),
+        col("trend"), col("seasonal"),
+        round(col("n").cast("double") - col("trend") - col("seasonal"), 6)
+          .as("remainder"))
+      .orderBy("day")
+  }
+
+  /** Heaps'-law vocabulary growth: distinct vocabulary size after each
+    * 10% prefix of the corpus (corpus order = doc_id), with the local
+    * log-log slope (the Heaps exponent β ≈ 0.4–0.6 for natural text;
+    * templated corpora flatline). The whole curve comes from ONE
+    * aggregate — each token's FIRST-occurrence doc — so no prefix is
+    * ever rescanned: V(k) is a cumulative count over the bounded
+    * checkpoint grid.
+    */
+  private def qTextHeapsLaw(s: SparkSession, dir: String): DataFrame = {
+    val fo = documents(s, dir)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+      .groupBy(col("tok")).agg(min(col("doc_id")).as("fo"))
+    val maxId = documents(s, dir).agg(max(col("doc_id")).as("mx"))
+    val grid = maxId.select(explode(typedLit((1 to 10).map(_ / 10.0))).as("frac"),
+      col("mx"))
+      .withColumn("thr", floor(col("mx").cast("double") * col("frac")).cast("long"))
+    val docsLe = documents(s, dir).select(col("doc_id"))
+      .crossJoin(broadcast(grid))
+      .filter(col("doc_id") <= col("thr"))
+      .groupBy(col("frac"), col("thr")).agg(count(lit(1)).as("n_docs"))
+    val vocabLe = fo.crossJoin(broadcast(grid))
+      .filter(col("fo") <= col("thr"))
+      .groupBy(col("frac").as("f2")).agg(count(lit(1)).as("vocab"))
+    val wG = org.apache.spark.sql.expressions.Window.orderBy(col("frac"))
+    docsLe.join(vocabLe, col("frac") === col("f2"))
+      .withColumn("beta_local",
+        when(log(col("n_docs").cast("double")) =!=
+            log(lag(col("n_docs"), 1).over(wG).cast("double")),
+          round((log(col("vocab").cast("double")) -
+              log(lag(col("vocab"), 1).over(wG).cast("double"))) /
+            (log(col("n_docs").cast("double")) -
+              log(lag(col("n_docs"), 1).over(wG).cast("double"))), 6)))
+      .select(round(col("frac"), 2).as("frac"), col("n_docs"), col("vocab"),
+        col("beta_local"))
+      .orderBy("frac")
+  }
+
   private def qOrdersMonthlyGrowth(s: SparkSession, dir: String): DataFrame = {
     val monthly = orders(s, dir)
       .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM")
@@ -4106,6 +4178,8 @@ object SparkEntry {
     "orders_k_anonymity" -> (qOrdersKAnonymity _),
     "orders_cohort_ltv" -> (qOrdersCohortLtv _),
     "events_survival" -> (qEventsSurvival _),
+    "orders_seasonal_decompose" -> (qOrdersSeasonalDecompose _),
+    "text_heaps_law" -> (qTextHeapsLaw _),
     "supplier_hhi" -> (qSupplierHhi _),
     "emb_pca_variance" -> (qEmbPcaVariance _),
     "sketch_quantile_error" -> (qSketchQuantileError _),
@@ -8515,6 +8589,58 @@ object SparkEntry {
         |  CASE WHEN extinct = 1 THEN 0.0
         |       ELSE round(exp(CAST(lnsum AS DOUBLE)), 6) END AS survival
         |FROM r4 WHERE d > 0 ORDER BY day""".stripMargin,
+
+    // additive decomposition: centered full-window 7-day MA, weekday
+    // means of the 6-dp detrended series, remainder
+    "orders_seasonal_decompose" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', o_orderdate) AS d, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1),
+        |tr AS (
+        |  SELECT d, n,
+        |    SUM(n) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS win_sum,
+        |    COUNT(n) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS win_n
+        |  FROM daily),
+        |t2 AS (
+        |  SELECT d, n,
+        |    CASE WHEN win_n = 7 THEN round(CAST(win_sum AS DOUBLE) / 7.0, 6) END AS trend
+        |  FROM tr),
+        |t3 AS (SELECT *, round(CAST(n AS DOUBLE) - trend, 6) AS detrended FROM t2),
+        |se AS (
+        |  SELECT dayofweek(d) AS dow,
+        |    round(CAST(SUM(CAST(detrended AS DECIMAL(28,6))) AS DOUBLE)
+        |          / CAST(COUNT(*) AS DOUBLE), 6) AS seasonal
+        |  FROM t3 WHERE detrended IS NOT NULL GROUP BY 1)
+        |SELECT strftime(t3.d, '%Y-%m-%d') AS day, t3.n, t3.trend, se.seasonal,
+        |       round(CAST(t3.n AS DOUBLE) - t3.trend - se.seasonal, 6) AS remainder
+        |FROM t3 JOIN se ON dayofweek(t3.d) = se.dow
+        |WHERE t3.trend IS NOT NULL ORDER BY day""".stripMargin,
+
+    // Heaps: first-occurrence doc per token -> whole curve from one
+    // aggregate; local log-log slope between checkpoints
+    "text_heaps_law" ->
+      s"""WITH $TextTokensCte,
+         |fo AS (SELECT tok, MIN(doc_id) AS fo
+         |       FROM (SELECT doc_id, unnest(ltoks) AS tok FROM t) GROUP BY 1),
+         |mx AS (SELECT MAX(doc_id) AS mx FROM documents),
+         |grid AS (SELECT f / 10.0 AS frac,
+         |                CAST(floor(CAST(mx AS DOUBLE) * (f / 10.0)) AS BIGINT) AS thr
+         |         FROM (SELECT unnest(range(1, 11)) AS f), mx),
+         |dl AS (SELECT g.frac, g.thr, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |       FROM documents d, grid g WHERE d.doc_id <= g.thr GROUP BY 1, 2),
+         |vl AS (SELECT g.frac AS f2, CAST(COUNT(*) AS BIGINT) AS vocab
+         |       FROM fo, grid g WHERE fo.fo <= g.thr GROUP BY 1),
+         |j AS (SELECT dl.frac, dl.n_docs, vl.vocab FROM dl JOIN vl ON vl.f2 = dl.frac),
+         |k AS (SELECT *,
+         |        lag(vocab) OVER (ORDER BY frac) AS pv,
+         |        lag(n_docs) OVER (ORDER BY frac) AS pn
+         |      FROM j)
+         |SELECT round(frac, 2) AS frac, n_docs, vocab,
+         |  CASE WHEN ln(CAST(n_docs AS DOUBLE)) <> ln(CAST(pn AS DOUBLE)) THEN
+         |    round((ln(CAST(vocab AS DOUBLE)) - ln(CAST(pv AS DOUBLE)))
+         |          / (ln(CAST(n_docs AS DOUBLE)) - ln(CAST(pn AS DOUBLE))), 6)
+         |  END AS beta_local
+         |FROM k ORDER BY frac""".stripMargin,
 
     // set-op checklist over the two buyer populations
     "orders_set_suite" ->

@@ -106,7 +106,10 @@ class PlanGuardSpec extends SparkSpecBase {
     // 1-row vocabulary-size scalar broadcast onto the bigram lookup
     "text_bigram_lm",
     // 1-row eigenvalue x 1-row trace combine
-    "emb_pca_variance")
+    "emb_pca_variance",
+    // 10-row checkpoint grid swept over docs and the vocab frame by
+    // design (one aggregate serves the whole growth curve)
+    "text_heaps_law")
 
   private def walk(p: SparkPlan): Seq[SparkPlan] = {
     val kids = p match {
