@@ -2748,6 +2748,31 @@ object SparkEntry {
       .orderBy("priority")
   }
 
+  /** Maintained TOP-K view read: the 3 most-frequent customers per
+    * priority, ranked DIRECTLY off the maintained COUNT(DISTINCT)
+    * support table ([[IncrementalAgg.maintainDistinct]]'s multiplicity
+    * cells double as a per-(group, value) frequency table) — top-k is
+    * yet another aggregate the support table makes maintainable without
+    * touching base data. Rank window is group-keyed over the bounded
+    * per-group value set.
+    */
+  private def qCdcIncrementalTopk(s: SparkSession, dir: String): DataFrame = {
+    val support = IncrementalAgg.snapshotDistinct(
+      orders(s, dir).select(OrdersSpec.columns.map(col): _*),
+      "o_orderpriority", "o_custkey")
+    val maintained = IncrementalAgg.maintainDistinct(support, changeLog(s, dir),
+      "o_orderpriority", "o_custkey")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g_key"))
+      .orderBy(col("vcnt").desc, col("v"))
+    maintained
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= 3)
+      .select(col("g_key").as("priority"), col("v").as("custkey"),
+        col("vcnt").as("n_orders"), col("rnk"))
+      .orderBy("priority", "rnk")
+  }
+
   private def qCdcIncrementalAgg(s: SparkSession, dir: String): DataFrame = {
     val base = IncrementalAgg.snapshotAgg(
       orders(s, dir).select(OrdersSpec.columns.map(col): _*),
@@ -4054,6 +4079,42 @@ object SparkEntry {
       .orderBy("frac")
   }
 
+  /** Wald–Wolfowitz runs test on daily revenue vs its median: too FEW
+    * runs of above/below-median days means the series is trending or
+    * regime-switching, too many means oscillation — the randomness
+    * check behind "is this seasonality or noise". Median-equal days are
+    * dropped (standard practice; they belong to neither sign). One
+    * bounded-axis lag window counts the runs; E[R]/Var[R]/z are a fixed
+    * double chain over exact integers.
+    */
+  private def qOrdersRunsTest(s: SparkSession, dir: String): DataFrame = {
+    val daily = orders(s, dir)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("d"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+        .as("rev"))
+    val med = daily.agg(percentile(col("rev"), lit(0.5)).as("med"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("d"))
+    val signed = daily.crossJoin(broadcast(med))
+      .filter(col("rev") =!= col("med"))
+      .withColumn("above", (col("rev") > col("med")).cast("int"))
+      .withColumn("chg",
+        when(lag(col("above"), 1).over(w).isNull, 1)
+          .when(lag(col("above"), 1).over(w) =!= col("above"), 1)
+          .otherwise(0))
+    val agg = signed.agg(
+      sum(when(col("above") === 1, 1L).otherwise(0L)).as("n_above"),
+      sum(when(col("above") === 0, 1L).otherwise(0L)).as("n_below"),
+      sum(col("chg")).cast("long").as("runs"))
+    val n1 = col("n_above").cast("double"); val n2 = col("n_below").cast("double")
+    val n = n1 + n2
+    val eR = lit(2.0) * n1 * n2 / n + lit(1.0)
+    val varR = lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - n1 - n2) /
+      (n * n * (n - lit(1.0)))
+    agg.select(col("n_above"), col("n_below"), col("runs"),
+      when(col("n_above") > 0 && col("n_below") > 0 && varR > 0.0,
+        round((col("runs").cast("double") - eR) / sqrt(varR), 6)).as("z"))
+  }
+
   private def qOrdersMonthlyGrowth(s: SparkSession, dir: String): DataFrame = {
     val monthly = orders(s, dir)
       .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM")
@@ -4099,6 +4160,8 @@ object SparkEntry {
     "events_gapfill" -> (qEventsGapfill _),
     "cdc_incremental_agg" -> (qCdcIncrementalAgg _),
     "cdc_incremental_distinct" -> (qCdcIncrementalDistinct _),
+    "cdc_incremental_topk" -> (qCdcIncrementalTopk _),
+    "orders_runs_test" -> (qOrdersRunsTest _),
     "cdc_incremental_join" -> (qCdcIncrementalJoin _),
     "sketch_distinct_kmv" -> (qSketchDistinctKmv _),
     "sketch_quantiles" -> (qSketchQuantiles _),
@@ -5039,6 +5102,50 @@ object SparkEntry {
 
     // the maintained view must equal a full recompute on the post-change
     // snapshot — so the oracle IS that recompute
+    // maintained top-k must equal ranking the post-change snapshot's
+    // per-(priority, customer) frequencies - the oracle IS that recompute
+    "cdc_incremental_topk" ->
+      s"""WITH ${FixtureSql.AfterCte},
+         |f AS (SELECT o_orderpriority AS priority, o_custkey AS custkey,
+         |        CAST(COUNT(*) AS BIGINT) AS n_orders
+         |      FROM after_t GROUP BY 1, 2),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY priority
+         |        ORDER BY n_orders DESC, custkey) AS INT) AS rnk FROM f)
+         |SELECT priority, custkey, n_orders, rnk FROM r
+         |WHERE rnk <= 3 ORDER BY priority, rnk""".stripMargin,
+
+    // runs test: bounded day axis, exact-integer moments into one
+    // double z chain
+    "orders_runs_test" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', o_orderdate) AS d,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |  FROM orders GROUP BY 1),
+        |med AS (SELECT quantile_cont(rev, 0.5) AS med FROM daily),
+        |sg AS (SELECT d, CAST(rev > med AS INT) AS above
+        |       FROM daily, med WHERE rev <> med),
+        |ch AS (SELECT above,
+        |         CASE WHEN lag(above) OVER (ORDER BY d) IS NULL THEN 1
+        |              WHEN lag(above) OVER (ORDER BY d) <> above THEN 1
+        |              ELSE 0 END AS chg
+        |       FROM sg),
+        |ag AS (SELECT
+        |         CAST(SUM(CASE WHEN above = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_above,
+        |         CAST(SUM(CASE WHEN above = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+        |         CAST(SUM(chg) AS BIGINT) AS runs
+        |       FROM ch),
+        |fin AS (SELECT *, CAST(n_above AS DOUBLE) AS n1, CAST(n_below AS DOUBLE) AS n2
+        |        FROM ag)
+        |SELECT n_above, n_below, runs,
+        |  CASE WHEN n_above > 0 AND n_below > 0
+        |        AND 2.0*n1*n2*(2.0*n1*n2 - n1 - n2)
+        |            / ((n1+n2)*(n1+n2)*((n1+n2) - 1.0)) > 0.0 THEN
+        |    round((CAST(runs AS DOUBLE) - (2.0*n1*n2/(n1+n2) + 1.0))
+        |          / sqrt(2.0*n1*n2*(2.0*n1*n2 - n1 - n2)
+        |                 / ((n1+n2)*(n1+n2)*((n1+n2) - 1.0))), 6)
+        |  END AS z
+        |FROM fin""".stripMargin,
+
     // the maintained support table's view must equal COUNT(DISTINCT)
     // over the post-change snapshot - the oracle IS that recompute
     "cdc_incremental_distinct" ->

@@ -109,7 +109,9 @@ class PlanGuardSpec extends SparkSpecBase {
     "emb_pca_variance",
     // 10-row checkpoint grid swept over docs and the vocab frame by
     // design (one aggregate serves the whole growth curve)
-    "text_heaps_law")
+    "text_heaps_law",
+    // 1-row median broadcast onto the bounded daily frame
+    "orders_runs_test")
 
   private def walk(p: SparkPlan): Seq[SparkPlan] = {
     val kids = p match {
