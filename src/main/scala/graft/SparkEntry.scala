@@ -4115,6 +4115,64 @@ object SparkEntry {
         round((col("runs").cast("double") - eR) / sqrt(varR), 6)).as("z"))
   }
 
+  /** Repeat-purchase latency: the distribution of days between a
+    * customer's consecutive orders (count, mean, p50, p90) — one
+    * customer-keyed lag window, then exact-integer gap stats. The gap
+    * percentiles' state is the gap list; swap in the grid sketch past
+    * memory, as documented there.
+    */
+  private def qOrdersInterorderGaps(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .withColumn("gap",
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
+          .cast("long"))
+      .filter(col("gap").isNotNull)
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        round(sum(col("gap")).cast("double") / count(lit(1)).cast("double"), 6)
+          .as("mean_gap"),
+        round(percentile(col("gap"), lit(0.5)), 6).as("p50_gap"),
+        round(percentile(col("gap"), lit(0.9)), 6).as("p90_gap"))
+  }
+
+  /** Gini coefficient of per-user event activity — "how concentrated is
+    * engagement?" without ever sorting users: the user frame collapses
+    * to the activity-level MULTIPLICITY HISTOGRAM (the keySkew move),
+    * and the pairwise |xᵢ−xⱼ| total comes from one cumulative window
+    * over the bounded level axis via
+    * `T = Σ c·(v·CumC_below − CumS_below)`; G = T/(N·S) — every term an
+    * exact integer (DECIMAL(38,0) — level×cum products pass 2⁶³ at
+    * planet scale), one final division.
+    */
+  private def qEventsGini(s: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val perUser = events(s, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("v"))
+    val hist = perUser.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    hist
+      .withColumn("cumc_below", sum(col("c")).over(w) - col("c"))
+      .withColumn("cums_below",
+        sum((col("v") * col("c")).cast(dec)).over(w) -
+          (col("v") * col("c")).cast(dec))
+      .agg(
+        sum(col("c")).as("n_users"),
+        sum((col("v") * col("c")).cast(dec)).as("total_events"),
+        sum((col("c") * (col("v") * col("cumc_below") - col("cums_below")))
+          .cast(dec)).as("t"))
+      .select(col("n_users"),
+        col("total_events").cast("long").as("total_events"),
+        round(col("t").cast("double") /
+          (col("n_users").cast("double") * col("total_events").cast("double")), 6)
+          .as("gini"))
+  }
+
   private def qOrdersMonthlyGrowth(s: SparkSession, dir: String): DataFrame = {
     val monthly = orders(s, dir)
       .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM")
@@ -4162,6 +4220,8 @@ object SparkEntry {
     "cdc_incremental_distinct" -> (qCdcIncrementalDistinct _),
     "cdc_incremental_topk" -> (qCdcIncrementalTopk _),
     "orders_runs_test" -> (qOrdersRunsTest _),
+    "orders_interorder_gaps" -> (qOrdersInterorderGaps _),
+    "events_gini" -> (qEventsGini _),
     "cdc_incremental_join" -> (qCdcIncrementalJoin _),
     "sketch_distinct_kmv" -> (qSketchDistinctKmv _),
     "sketch_quantiles" -> (qSketchQuantiles _),
@@ -8748,6 +8808,43 @@ object SparkEntry {
          |          / (ln(CAST(n_docs AS DOUBLE)) - ln(CAST(pn AS DOUBLE))), 6)
          |  END AS beta_local
          |FROM k ORDER BY frac""".stripMargin,
+
+    // inter-order gaps: customer-keyed lag, exact integer day stats
+    "orders_interorder_gaps" ->
+      """WITH g AS (
+        |  SELECT o_custkey,
+        |    CAST(date_diff('day',
+        |      CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+        |        ORDER BY o_orderdate, o_orderkey) AS DATE),
+        |      CAST(o_orderdate AS DATE)) AS BIGINT) AS gap
+        |  FROM orders)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        |       round(CAST(SUM(gap) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_gap,
+        |       round(quantile_cont(gap, 0.5), 6) AS p50_gap,
+        |       round(quantile_cont(gap, 0.9), 6) AS p90_gap
+        |FROM g WHERE gap IS NOT NULL""".stripMargin,
+
+    // Gini off the activity-level multiplicity histogram: pairwise
+    // |xi-xj| total from one bounded cumulative, exact to one division
+    "events_gini" ->
+      """WITH pu AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS v
+        |            FROM events GROUP BY 1),
+        |h AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM pu GROUP BY 1),
+        |cw AS (SELECT v, c,
+        |         SUM(c) OVER (ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS cumc_below,
+        |         SUM(CAST(v * c AS DECIMAL(38,0))) OVER (ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           - CAST(v * c AS DECIMAL(38,0)) AS cums_below
+        |       FROM h),
+        |ag AS (SELECT CAST(SUM(c) AS BIGINT) AS n_users,
+        |         SUM(CAST(v * c AS DECIMAL(38,0))) AS total_events,
+        |         SUM(CAST(c * (v * cumc_below - cums_below) AS DECIMAL(38,0))) AS t
+        |       FROM cw)
+        |SELECT n_users, CAST(total_events AS BIGINT) AS total_events,
+        |       round(CAST(t AS DOUBLE)
+        |             / (CAST(n_users AS DOUBLE) * CAST(CAST(total_events AS BIGINT) AS DOUBLE)), 6) AS gini
+        |FROM ag""".stripMargin,
 
     // set-op checklist over the two buyer populations
     "orders_set_suite" ->
