@@ -4173,6 +4173,56 @@ object SparkEntry {
           .as("gini"))
   }
 
+  /** Deterministic Poisson bootstrap: a 95% CI on mean order value from
+    * B = 32 resamples, each row's per-replicate multiplicity drawn
+    * Poisson(1) — the STANDARD distributed bootstrap (true
+    * with-replacement sampling needs global coordination; independent
+    * Poisson counts don't, and the replicate total concentrates at N).
+    * The "randomness" is the portable hash of (key, replicate) compared
+    * against integer CDF thresholds (floor(CDF·2³²), driver literals in
+    * both engines) — no RNG, no floats until the per-replicate means,
+    * bit-identical anywhere. Cost is a deliberate B× narrow expansion
+    * of one scan; per-replicate sums are exact decimals.
+    */
+  private def qOrdersBootstrapCi(s: SparkSession, dir: String): DataFrame = {
+    val rows = orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice").cast(DecimalType(18, 2)).as("x"))
+      .select(col("o_orderkey"), col("x"),
+        explode(typedLit((0 until 32).toList)).as("b"))
+    val hv = PortableHash.hash32(concat(col("o_orderkey").cast("string"),
+      lit("_"), col("b").cast("string")))
+    val cnt = bootThresholds.zipWithIndex.foldRight(lit(6)) {
+      case ((t, k), acc) => when(hv < t, lit(k)).otherwise(acc)
+    }
+    val perRep = rows.withColumn("c", cnt.cast("long"))
+      .groupBy(col("b"))
+      .agg(sum(col("c")).as("n"),
+        sum((col("x") * col("c").cast(DecimalType(10, 0)))
+          .cast(DecimalType(28, 2))).as("sx"))
+      .filter(col("n") > 0)
+      .select((col("sx").cast("double") / col("n").cast("double")).as("m"))
+    val full = orders(s, dir).agg(
+      round(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double") /
+        count(lit(1)).cast("double"), 6).as("mean"))
+    perRep.agg(count(lit(1)).as("n_replicates"),
+        round(percentile(col("m"), lit(0.025)), 6).as("ci_lo"),
+        round(percentile(col("m"), lit(0.975)), 6).as("ci_hi"))
+      .crossJoin(broadcast(full))
+      .select(col("n_replicates"), col("mean"), col("ci_lo"), col("ci_hi"))
+  }
+
+  /** `floor(CDF_Poisson(1)(k) · 2³²)` for k = 0..5 — the ONE integer
+    * threshold table both engines compare the portable hash against
+    * (counts above 5 collapse to 6; P(X > 5) ≈ 6·10⁻⁴ of rows).
+    */
+  private val bootThresholds: Seq[Long] = {
+    val e = math.exp(-1.0)
+    val fact = Seq(1.0, 1.0, 2.0, 6.0, 24.0, 120.0)
+    fact.indices.map { k =>
+      ((0 to k).map(j => e / fact(j)).sum * 4294967296.0).toLong
+    }
+  }
+
   private def qOrdersMonthlyGrowth(s: SparkSession, dir: String): DataFrame = {
     val monthly = orders(s, dir)
       .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM")
@@ -4222,6 +4272,7 @@ object SparkEntry {
     "orders_runs_test" -> (qOrdersRunsTest _),
     "orders_interorder_gaps" -> (qOrdersInterorderGaps _),
     "events_gini" -> (qEventsGini _),
+    "orders_bootstrap_ci" -> (qOrdersBootstrapCi _),
     "cdc_incremental_join" -> (qCdcIncrementalJoin _),
     "sketch_distinct_kmv" -> (qSketchDistinctKmv _),
     "sketch_quantiles" -> (qSketchQuantiles _),
@@ -8845,6 +8896,32 @@ object SparkEntry {
         |       round(CAST(t AS DOUBLE)
         |             / (CAST(n_users AS DOUBLE) * CAST(CAST(total_events AS BIGINT) AS DOUBLE)), 6) AS gini
         |FROM ag""".stripMargin,
+
+    // Poisson bootstrap: portable-hash uniforms vs shared integer CDF
+    // thresholds; precision-20 decimal operand (the ab_test lesson)
+    "orders_bootstrap_ci" ->
+      s"""WITH reps AS (
+         |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(20,2)) AS x, g.b
+         |  FROM orders, (SELECT unnest(range(0, 32)) AS b) g),
+         |hv AS (SELECT *, ${PortableHash.hash32Sql(
+              "concat(CAST(o_orderkey AS VARCHAR), '_', CAST(b AS VARCHAR))")} AS h
+         |       FROM reps),
+         |cn AS (SELECT *, CASE ${bootThresholds.zipWithIndex
+              .map { case (t, k) => s"WHEN h < $t THEN $k" }.mkString(" ")}
+         |         ELSE 6 END AS c FROM hv),
+         |pr AS (SELECT b, CAST(SUM(c) AS BIGINT) AS n,
+         |         CAST(SUM(CAST(x * CAST(c AS DECIMAL(10,0)) AS DECIMAL(28,2)))
+         |              AS DECIMAL(38,2)) AS sx
+         |       FROM cn GROUP BY 1),
+         |m AS (SELECT CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS m
+         |      FROM pr WHERE n > 0),
+         |fu AS (SELECT round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         |                    / CAST(COUNT(*) AS DOUBLE), 6) AS mean FROM orders)
+         |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM m) AS n_replicates,
+         |       fu.mean,
+         |       (SELECT round(quantile_cont(m, 0.025), 6) FROM m) AS ci_lo,
+         |       (SELECT round(quantile_cont(m, 0.975), 6) FROM m) AS ci_hi
+         |FROM fu""".stripMargin,
 
     // set-op checklist over the two buyer populations
     "orders_set_suite" ->

@@ -111,7 +111,9 @@ class PlanGuardSpec extends SparkSpecBase {
     // design (one aggregate serves the whole growth curve)
     "text_heaps_law",
     // 1-row median broadcast onto the bounded daily frame
-    "orders_runs_test")
+    "orders_runs_test",
+    // 1-row full-sample-mean broadcast onto the 32-replicate CI row
+    "orders_bootstrap_ci")
 
   private def walk(p: SparkPlan): Seq[SparkPlan] = {
     val kids = p match {
