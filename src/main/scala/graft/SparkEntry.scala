@@ -4211,6 +4211,55 @@ object SparkEntry {
       .select(col("n_replicates"), col("mean"), col("ci_lo"), col("ci_hi"))
   }
 
+  /** Deterministic permutation test on the A/B arm difference: the
+    * observed mean gap between the `user_id % 2` arms (the
+    * `events_ab_test` readout) against B = 32 hash-relabeled null
+    * replicates — the distribution-free p-value that backs the Welch z
+    * without normality assumptions. Relabeling is the portable hash's
+    * low bit on (user, replicate): no RNG, bit-identical anywhere; the
+    * per-replicate work is ONE B×-expanded aggregate over the per-user
+    * totals frame (already collapsed from events, so the expansion is
+    * users × 32, not events × 32). Diffs are rounded to 6 dp before the
+    * ≥ comparison so the exceedance count is engine-stable.
+    */
+  private def qEventsPermutationTest(s: SparkSession, dir: String): DataFrame = {
+    val perUser = events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(sum(col("value").cast(DecimalType(18, 2))).as("x"))
+    val obs = perUser
+      .agg(
+        sum(when(col("user_id") % 2 === 0, col("x"))).cast(DecimalType(28, 2)).as("s0"),
+        sum(when(col("user_id") % 2 === 0, 1L)).as("n0"),
+        sum(when(col("user_id") % 2 === 1, col("x"))).cast(DecimalType(28, 2)).as("s1"),
+        sum(when(col("user_id") % 2 === 1, 1L)).as("n1"))
+      .select(round(col("s0").cast("double") / col("n0").cast("double") -
+        col("s1").cast("double") / col("n1").cast("double"), 6).as("obs_diff"))
+    val perm = perUser
+      .select(col("user_id"), col("x"),
+        explode(typedLit((0 until 32).toList)).as("b"))
+      .withColumn("arm",
+        PortableHash.hash32(concat(col("user_id").cast("string"),
+          lit("_p"), col("b").cast("string"))) % 2)
+      .groupBy(col("b"))
+      .agg(
+        sum(when(col("arm") === 0, col("x"))).cast(DecimalType(28, 2)).as("s0"),
+        sum(when(col("arm") === 0, 1L)).as("n0"),
+        sum(when(col("arm") === 1, col("x"))).cast(DecimalType(28, 2)).as("s1"),
+        sum(when(col("arm") === 1, 1L)).as("n1"))
+      .filter(col("n0") > 0 && col("n1") > 0)
+      .select(round(col("s0").cast("double") / col("n0").cast("double") -
+        col("s1").cast("double") / col("n1").cast("double"), 6).as("pd"))
+    perm.crossJoin(broadcast(obs))
+      .agg(
+        count(lit(1)).as("n_replicates"),
+        max(col("obs_diff")).as("obs_diff"),
+        sum(when(abs(col("pd")) >= abs(col("obs_diff")), 1L).otherwise(0L))
+          .as("n_exceed"))
+      .select(col("n_replicates"), col("obs_diff"), col("n_exceed"),
+        round((col("n_exceed") + 1).cast("double") /
+          (col("n_replicates") + 1).cast("double"), 6).as("p_value"))
+  }
+
   /** `floor(CDF_Poisson(1)(k) · 2³²)` for k = 0..5 — the ONE integer
     * threshold table both engines compare the portable hash against
     * (counts above 5 collapse to 6; P(X > 5) ≈ 6·10⁻⁴ of rows).
@@ -4273,6 +4322,7 @@ object SparkEntry {
     "orders_interorder_gaps" -> (qOrdersInterorderGaps _),
     "events_gini" -> (qEventsGini _),
     "orders_bootstrap_ci" -> (qOrdersBootstrapCi _),
+    "events_permutation_test" -> (qEventsPermutationTest _),
     "cdc_incremental_join" -> (qCdcIncrementalJoin _),
     "sketch_distinct_kmv" -> (qSketchDistinctKmv _),
     "sketch_quantiles" -> (qSketchQuantiles _),
@@ -8922,6 +8972,40 @@ object SparkEntry {
          |       (SELECT round(quantile_cont(m, 0.025), 6) FROM m) AS ci_lo,
          |       (SELECT round(quantile_cont(m, 0.975), 6) FROM m) AS ci_hi
          |FROM fu""".stripMargin,
+
+    // permutation test: hash-low-bit relabels over the per-user frame,
+    // 6-dp diffs before the exceedance comparison, add-one p-value
+    "events_permutation_test" ->
+      s"""WITH pu AS (SELECT user_id,
+         |              CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS x
+         |            FROM events GROUP BY 1),
+         |ob AS (SELECT round(
+         |         CAST(CAST(SUM(CASE WHEN user_id % 2 = 0 THEN x END) AS DECIMAL(28,2)) AS DOUBLE)
+         |           / CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+         |         - CAST(CAST(SUM(CASE WHEN user_id % 2 = 1 THEN x END) AS DECIMAL(28,2)) AS DOUBLE)
+         |           / CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS DOUBLE), 6) AS obs_diff
+         |       FROM pu),
+         |ex AS (SELECT pu.*, g.b,
+         |         ${PortableHash.hash32Sql(
+              "concat(CAST(user_id AS VARCHAR), '_p', CAST(b AS VARCHAR))")} % 2 AS arm
+         |       FROM pu, (SELECT unnest(range(0, 32)) AS b) g),
+         |pr AS (SELECT b,
+         |         CAST(SUM(CASE WHEN arm = 0 THEN x END) AS DECIMAL(28,2)) AS s0,
+         |         CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         |         CAST(SUM(CASE WHEN arm = 1 THEN x END) AS DECIMAL(28,2)) AS s1,
+         |         CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+         |       FROM ex GROUP BY 1),
+         |pd AS (SELECT round(CAST(s0 AS DOUBLE)/CAST(n0 AS DOUBLE)
+         |                    - CAST(s1 AS DOUBLE)/CAST(n1 AS DOUBLE), 6) AS pd
+         |       FROM pr WHERE n0 > 0 AND n1 > 0)
+         |SELECT CAST((SELECT COUNT(*) FROM pd) AS BIGINT) AS n_replicates,
+         |       ob.obs_diff,
+         |       (SELECT CAST(SUM(CASE WHEN abs(pd) >= abs(ob.obs_diff) THEN 1 ELSE 0 END) AS BIGINT)
+         |        FROM pd) AS n_exceed,
+         |       round(CAST((SELECT SUM(CASE WHEN abs(pd) >= abs(ob.obs_diff) THEN 1 ELSE 0 END)
+         |                   FROM pd) + 1 AS DOUBLE)
+         |             / CAST((SELECT COUNT(*) FROM pd) + 1 AS DOUBLE), 6) AS p_value
+         |FROM ob""".stripMargin,
 
     // set-op checklist over the two buyer populations
     "orders_set_suite" ->

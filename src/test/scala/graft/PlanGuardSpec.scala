@@ -113,7 +113,9 @@ class PlanGuardSpec extends SparkSpecBase {
     // 1-row median broadcast onto the bounded daily frame
     "orders_runs_test",
     // 1-row full-sample-mean broadcast onto the 32-replicate CI row
-    "orders_bootstrap_ci")
+    "orders_bootstrap_ci",
+    // 1-row observed-diff broadcast onto the 32-replicate null frame
+    "events_permutation_test")
 
   private def walk(p: SparkPlan): Seq[SparkPlan] = {
     val kids = p match {
