@@ -4272,6 +4272,81 @@ object SparkEntry {
     }
   }
 
+  /** XYZ demand-variability classing (the ABC/Pareto curve's partner in
+    * every inventory review): per part, the coefficient of variation of
+    * monthly shipped quantity — X (steady, CV < 0.5), Y (variable,
+    * < 1), Z (erratic) — rolled up to class counts with mean CV. The
+    * fact table collapses to (part, month) cells, then to per-part
+    * moments (exact decimal sums, months observed only — absent months
+    * are a DEMAND statement and deliberately not zero-filled: the CV
+    * here scores realized-shipment variability; the gapfill operator
+    * exists for the other semantic). CV is 6-dp-rounded BEFORE classing
+    * so the class boundaries are engine-stable.
+    */
+  private def qPartXyzClass(s: SparkSession, dir: String): DataFrame = {
+    val monthly = lineitem(s, dir)
+      .groupBy(col("l_partkey"),
+        date_trunc("month", col("l_shipdate")).as("mo"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2)))
+        .cast(DecimalType(18, 2)).as("q"))
+    val dec = DecimalType(38, 4)
+    val perPart = monthly.groupBy(col("l_partkey"))
+      .agg(
+        count(lit(1)).as("n_months"),
+        sum(col("q")).cast(DecimalType(28, 2)).as("sq"),
+        sum((col("q") * col("q")).cast(dec)).as("sqq"))
+      .filter(col("n_months") > 1)
+    val nD = col("n_months").cast("double")
+    val mean = col("sq").cast("double") / nD
+    val variance = (col("sqq").cast("double") -
+      col("sq").cast("double") * col("sq").cast("double") / nD) / (nD - 1.0)
+    val classed = perPart
+      .withColumn("cv",
+        when(mean > 0.0, round(sqrt(greatest(variance, lit(0.0))) / mean, 6)))
+      .withColumn("xyz",
+        when(col("cv") < 0.5, "X").when(col("cv") < 1.0, "Y").otherwise("Z"))
+    classed.groupBy(col("xyz"))
+      .agg(
+        count(lit(1)).as("n_parts"),
+        round(sum(col("cv").cast(DecimalType(28, 6))).cast("double") /
+          count(lit(1)).cast("double"), 6).as("mean_cv"))
+      .orderBy("xyz")
+  }
+
+  /** Inter-event burstiness per event type: B = (σ − μ)/(σ + μ) over
+    * the per-user inter-arrival seconds (−1 regular, 0 Poisson, →1
+    * bursty) — the temporal-clumping signal rate alone can't see.
+    * One user-keyed lag window produces the gaps; per-type moments are
+    * exact decimal sums of integer seconds; B is one fixed double
+    * chain, NULL for types without variance.
+    */
+  private def qEventsBurstiness(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"), col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = events(s, dir)
+      .select(col("event_type"), col("user_id"), col("ts"), col("event_id"))
+      .withColumn("gap",
+        (col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long")))
+      .filter(col("gap").isNotNull)
+    val dec = DecimalType(38, 0)
+    val nD = col("n").cast("double")
+    val mean = col("sg").cast("double") / nD
+    val variance = (col("sgg").cast("double") -
+      col("sg").cast("double") * col("sg").cast("double") / nD) / (nD - 1.0)
+    val sd = sqrt(greatest(variance, lit(0.0)))
+    gaps.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("gap")).as("sg"),
+        sum((col("gap") * col("gap")).cast(dec)).as("sgg"))
+      .select(col("event_type"), col("n").as("n_gaps"),
+        round(mean, 6).as("mean_gap_s"),
+        when(col("n") > 1 && (sd + mean) > 0.0,
+          round((sd - mean) / (sd + mean), 6)).as("burstiness"))
+      .orderBy("event_type")
+  }
+
   private def qOrdersMonthlyGrowth(s: SparkSession, dir: String): DataFrame = {
     val monthly = orders(s, dir)
       .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM")
@@ -4323,6 +4398,8 @@ object SparkEntry {
     "events_gini" -> (qEventsGini _),
     "orders_bootstrap_ci" -> (qOrdersBootstrapCi _),
     "events_permutation_test" -> (qEventsPermutationTest _),
+    "part_xyz_class" -> (qPartXyzClass _),
+    "events_burstiness" -> (qEventsBurstiness _),
     "cdc_incremental_join" -> (qCdcIncrementalJoin _),
     "sketch_distinct_kmv" -> (qSketchDistinctKmv _),
     "sketch_quantiles" -> (qSketchQuantiles _),
@@ -9006,6 +9083,57 @@ object SparkEntry {
          |                   FROM pd) + 1 AS DOUBLE)
          |             / CAST((SELECT COUNT(*) FROM pd) + 1 AS DOUBLE), 6) AS p_value
          |FROM ob""".stripMargin,
+
+    // XYZ classes: (part, month) cells -> exact per-part moments, CV
+    // rounded before the class boundaries
+    "part_xyz_class" ->
+      """WITH monthly AS (
+        |  SELECT l_partkey, date_trunc('month', l_shipdate) AS mo,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS q
+        |  FROM lineitem GROUP BY 1, 2),
+        |pp AS (
+        |  SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_months,
+        |         CAST(SUM(q) AS DECIMAL(28,2)) AS sq,
+        |         SUM(CAST(CAST(q AS DECIMAL(20,2)) * CAST(q AS DECIMAL(20,2)) AS DECIMAL(38,4))) AS sqq
+        |  FROM monthly GROUP BY 1),
+        |cv AS (
+        |  SELECT l_partkey, n_months,
+        |    CASE WHEN CAST(sq AS DOUBLE) / CAST(n_months AS DOUBLE) > 0.0 THEN
+        |      round(sqrt(GREATEST(
+        |        (CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / CAST(n_months AS DOUBLE))
+        |          / (CAST(n_months AS DOUBLE) - 1.0), 0.0))
+        |        / (CAST(sq AS DOUBLE) / CAST(n_months AS DOUBLE)), 6) END AS cv
+        |  FROM pp WHERE n_months > 1),
+        |cl AS (SELECT *, CASE WHEN cv < 0.5 THEN 'X' WHEN cv < 1.0 THEN 'Y'
+        |                      ELSE 'Z' END AS xyz FROM cv)
+        |SELECT xyz, CAST(COUNT(*) AS BIGINT) AS n_parts,
+        |       round(CAST(SUM(CAST(cv AS DECIMAL(28,6))) AS DOUBLE)
+        |             / CAST(COUNT(*) AS DOUBLE), 6) AS mean_cv
+        |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // burstiness: user-keyed gaps, exact integer-second moments per type
+    "events_burstiness" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) // 1000000
+        |      - epoch_us(lag(ts) OVER (PARTITION BY event_type, user_id
+        |                               ORDER BY ts, event_id)) // 1000000 AS gap
+        |  FROM events),
+        |a AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(gap) AS BIGINT) AS sg,
+        |         SUM(CAST(gap * gap AS DECIMAL(38,0))) AS sgg
+        |  FROM g WHERE gap IS NOT NULL GROUP BY 1),
+        |f AS (
+        |  SELECT event_type, n, CAST(sg AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |    sqrt(GREATEST(
+        |      (CAST(sgg AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / CAST(n AS DOUBLE))
+        |        / (CAST(n AS DOUBLE) - 1.0), 0.0)) AS sd
+        |  FROM a)
+        |SELECT event_type, n AS n_gaps, round(mean, 6) AS mean_gap_s,
+        |  CASE WHEN n > 1 AND (sd + mean) > 0.0 THEN
+        |    round((sd - mean) / (sd + mean), 6) END AS burstiness
+        |FROM f ORDER BY event_type""".stripMargin,
 
     // set-op checklist over the two buyer populations
     "orders_set_suite" ->
