@@ -767,6 +767,42 @@ object SparkEntry {
     EventAnalytics.survivalCurve(events(s, dir), "user_id", "ts",
       "event_type", "signup", "purchase")
 
+  /** Cross-method dedup agreement audit: for every VERIFIED minhash
+    * near-dup pair, the simhash hamming distance and whether simhash's
+    * 4-chunk banding would also have caught it (some 16-bit chunk
+    * equal) — the two fuzzy-dedup families disagree exactly where one
+    * is weak (simhash under-weights short docs, minhash ignores
+    * repetition), and this table is where that shows up. Both
+    * fingerprints are portable-hash, so the oracle replays everything.
+    */
+  private def qDedupCrossMethod(s: SparkSession, dir: String): DataFrame = {
+    val fp = documents(s, dir)
+      .select(col("doc_id"), Dedup.simhashPortable(col("text")).as("f"))
+      .select(col("doc_id"), col("f.hi").as("f_hi"), col("f.lo").as("f_lo"))
+    def chunks(hi: org.apache.spark.sql.Column,
+               lo: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] =
+      (0 until 4).map { i =>
+        val off = i * 16
+        val (half, sh) = if (off < 32) (lo, off) else (hi, off - 32)
+        shiftrightunsigned(half, sh).bitwiseAND(lit(0xffffL))
+      }
+    val a = fp.select(col("doc_id").as("id_a"),
+      col("f_hi").as("hi_a"), col("f_lo").as("lo_a"))
+    val b = fp.select(col("doc_id").as("id_b"),
+      col("f_hi").as("hi_b"), col("f_lo").as("lo_b"))
+    val caught = chunks(col("hi_a"), col("lo_a"))
+      .zip(chunks(col("hi_b"), col("lo_b")))
+      .map { case (x, y) => x === y }.reduce(_ || _)
+    minhashPairs(s, dir)
+      .join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"), col("jac"),
+        (bit_count(col("lo_a").bitwiseXOR(col("lo_b"))) +
+          bit_count(col("hi_a").bitwiseXOR(col("hi_b")))).cast("int")
+          .as("hamming"),
+        caught.as("caught"))
+      .orderBy("id_a", "id_b")
+  }
+
   private def qMediaFeatures(s: SparkSession, dir: String): DataFrame = {
     import Multimodal._
     val typed = withFakePayload(documents(s, dir), "doc_id", "text")
@@ -4400,6 +4436,7 @@ object SparkEntry {
     "events_permutation_test" -> (qEventsPermutationTest _),
     "part_xyz_class" -> (qPartXyzClass _),
     "events_burstiness" -> (qEventsBurstiness _),
+    "dedup_cross_method" -> (qDedupCrossMethod _),
     "cdc_incremental_join" -> (qCdcIncrementalJoin _),
     "sketch_distinct_kmv" -> (qSketchDistinctKmv _),
     "sketch_quantiles" -> (qSketchQuantiles _),
@@ -5116,9 +5153,12 @@ object SparkEntry {
     * layout hardcoded for maxHamming = 3: 4 chunks x 16 bits; chunks 0/1
     * from the lo half, 2/3 from hi — same split as the engine).
     */
-  private def simhashOracleSql(maxHamming: Int): String =
-    s"""WITH $TextTokensCte,
-       |hs AS (SELECT doc_id, list_transform(ltoks, tk ->
+  /** Portable simhash fingerprint CTEs (`fp(doc_id, f_hi, f_lo)`) over
+    * `t` — shared by the simhash dedup oracle and the cross-method
+    * audit.
+    */
+  private val SimhashFpCtes: String =
+    s"""hs AS (SELECT doc_id, list_transform(ltoks, tk ->
        |         [${PortableHash.hash32Sql("tk")}, ${PortableHash.hash32Sql("tk", 9)}]) AS th
        |       FROM t),
        |tl AS (SELECT doc_id, list_transform(range(0, 64), j ->
@@ -5131,7 +5171,11 @@ object SparkEntry {
        |           CASE WHEN tl[CAST(j+1 AS INT)] > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END)), 0) AS BIGINT) AS f_lo,
        |         CAST(coalesce(list_sum(list_transform(range(32, 64), j ->
        |           CASE WHEN tl[CAST(j+1 AS INT)] > 0 THEN (CAST(1 AS BIGINT) << CAST(j-32 AS INT)) ELSE 0 END)), 0) AS BIGINT) AS f_hi
-       |       FROM tl),
+       |       FROM tl)""".stripMargin
+
+  private def simhashOracleSql(maxHamming: Int): String =
+    s"""WITH $TextTokensCte,
+       |$SimhashFpCtes,
        |ch AS (SELECT doc_id, f_hi, f_lo, i,
        |         CASE CAST(i AS INT) WHEN 0 THEN f_lo & 65535 WHEN 1 THEN (f_lo >> 16) & 65535
        |              WHEN 2 THEN f_hi & 65535 ELSE (f_hi >> 16) & 65535 END AS cv
@@ -9134,6 +9178,23 @@ object SparkEntry {
         |  CASE WHEN n > 1 AND (sd + mean) > 0.0 THEN
         |    round((sd - mean) / (sd + mean), 6) END AS burstiness
         |FROM f ORDER BY event_type""".stripMargin,
+
+    // minhash pairs x simhash fingerprints; catch = any 16-bit chunk
+    // equal (the 4-chunk banding criterion)
+    "dedup_cross_method" ->
+      s"""${minhashPairCtes(128, 16, 8)},
+         |$SimhashFpCtes
+         |SELECT j.id_a, j.id_b, j.jac,
+         |  CAST(bit_count(xor(fa.f_lo, fb.f_lo))
+         |       + bit_count(xor(fa.f_hi, fb.f_hi)) AS INTEGER) AS hamming,
+         |  ((fa.f_lo & 65535) = (fb.f_lo & 65535)
+         |   OR ((fa.f_lo >> 16) & 65535) = ((fb.f_lo >> 16) & 65535)
+         |   OR (fa.f_hi & 65535) = (fb.f_hi & 65535)
+         |   OR ((fa.f_hi >> 16) & 65535) = ((fb.f_hi >> 16) & 65535)) AS caught
+         |FROM j
+         |JOIN fp fa ON fa.doc_id = j.id_a
+         |JOIN fp fb ON fb.doc_id = j.id_b
+         |WHERE j.jac >= 0.5 ORDER BY j.id_a, j.id_b""".stripMargin,
 
     // set-op checklist over the two buyer populations
     "orders_set_suite" ->
