@@ -803,6 +803,37 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
+  /** TwoNN intrinsic-dimension estimate (Facco et al.): only the RATIO
+    * of each point's 2nd- to 1st-nearest-neighbor distance is needed —
+    * `d̂ = n / Σ ln(r₂/r₁)` — so the estimate rides the existing exact
+    * top-k machinery at k = 2 over the deterministic query sample. A
+    * 64-dim embedding whose d̂ comes out ≈ 10 is telling you most of
+    * those dimensions are empty — the actionable companion to
+    * `emb_pca_variance` (which only sees LINEAR structure). Distances
+    * are cosine distances off the 6-dp scores; zero-distance (exact
+    * duplicate) neighbors are excluded per TwoNN; ln ratios 12-dp
+    * decimal-summed.
+    */
+  private def qEmbIntrinsicDim(s: SparkSession, dir: String): DataFrame = {
+    val top2 = Similarity.bruteForceTopK(embeddings(s, dir), embQueries(s, dir),
+      "vec_id", "embedding", "vec_id", "embedding", k = 2)
+    val mu = top2.groupBy(col("query_id"))
+      .agg(
+        max(when(col("rnk") === 1, col("score"))).as("s1"),
+        max(when(col("rnk") === 2, col("score"))).as("s2"))
+      .withColumn("d1", lit(1.0) - col("s1"))
+      .withColumn("d2", lit(1.0) - col("s2"))
+      .filter(col("d1") > 0.0 && col("d2") > 0.0)
+      .withColumn("lnmu",
+        round(log(col("d2") / col("d1")), 12).cast(DecimalType(28, 12)))
+    mu.agg(count(lit(1)).as("n_queries"),
+        sum(col("lnmu")).as("sl"))
+      .select(col("n_queries"),
+        when(col("sl").cast("double") > 0.0,
+          round(col("n_queries").cast("double") / col("sl").cast("double"), 6))
+          .as("intrinsic_dim"))
+  }
+
   private def qMediaFeatures(s: SparkSession, dir: String): DataFrame = {
     import Multimodal._
     val typed = withFakePayload(documents(s, dir), "doc_id", "text")
@@ -4437,6 +4468,7 @@ object SparkEntry {
     "part_xyz_class" -> (qPartXyzClass _),
     "events_burstiness" -> (qEventsBurstiness _),
     "dedup_cross_method" -> (qDedupCrossMethod _),
+    "emb_intrinsic_dim" -> (qEmbIntrinsicDim _),
     "cdc_incremental_join" -> (qCdcIncrementalJoin _),
     "sketch_distinct_kmv" -> (qSketchDistinctKmv _),
     "sketch_quantiles" -> (qSketchQuantiles _),
@@ -9195,6 +9227,33 @@ object SparkEntry {
          |JOIN fp fa ON fa.doc_id = j.id_a
          |JOIN fp fb ON fb.doc_id = j.id_b
          |WHERE j.jac >= 0.5 ORDER BY j.id_a, j.id_b""".stripMargin,
+
+    // TwoNN: the brute-force CTEs at rn <= 2, cosine distances off the
+    // 6-dp scores, 12-dp ln ratios decimal-summed into the MLE
+    "emb_intrinsic_dim" ->
+      s"""WITH $EmbBase,
+         |raw AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |         ${dotSql("e.v", "q.qv")} AS dp,
+         |         sqrt(${dotSql("e.v", "e.v")}) AS na,
+         |         sqrt(${dotSql("q.qv", "q.qv")}) AS nb
+         |  FROM e, q WHERE e.vec_id <> q.query_id),
+         |${cosScoreSql("raw", "scored")},
+         |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY score DESC, neighbor_id) AS rn
+         |      FROM scored WHERE score IS NOT NULL),
+         |wd AS (SELECT query_id,
+         |         1.0 - MAX(CASE WHEN rn = 1 THEN score END) AS d1,
+         |         1.0 - MAX(CASE WHEN rn = 2 THEN score END) AS d2
+         |       FROM r WHERE rn <= 2 GROUP BY 1),
+         |muq AS (SELECT query_id,
+         |          CAST(round(ln(d2 / d1), 12) AS DECIMAL(28,12)) AS lnmu
+         |        FROM wd WHERE d1 > 0.0 AND d2 > 0.0)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+         |  CASE WHEN CAST(SUM(lnmu) AS DOUBLE) > 0.0 THEN
+         |    round(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(lnmu) AS DOUBLE), 6)
+         |  END AS intrinsic_dim
+         |FROM muq""".stripMargin,
 
     // set-op checklist over the two buyer populations
     "orders_set_suite" ->

@@ -115,7 +115,9 @@ class PlanGuardSpec extends SparkSpecBase {
     // 1-row full-sample-mean broadcast onto the 32-replicate CI row
     "orders_bootstrap_ci",
     // 1-row observed-diff broadcast onto the 32-replicate null frame
-    "events_permutation_test")
+    "events_permutation_test",
+    // TwoNN rides the brute-force sweep (broadcast query sample vs corpus)
+    "emb_intrinsic_dim")
 
   private def walk(p: SparkPlan): Seq[SparkPlan] = {
     val kids = p match {
