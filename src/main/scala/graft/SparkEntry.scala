@@ -4414,6 +4414,84 @@ object SparkEntry {
       .orderBy("event_type")
   }
 
+  /** Mann–Kendall trend test on monthly revenue — the SIGNIFICANCE half
+    * of the classic pair whose MAGNITUDE half is `orders_theilsen_trend`
+    * (same bounded month-pair frame): S = Σ sign(revⱼ − revᵢ) over
+    * ordered pairs, variance with the tie correction, continuity-
+    * corrected z. Every term is an exact integer until one double
+    * chain.
+    */
+  private def qOrdersMannKendall(s: SparkSession, dir: String): DataFrame = {
+    val monthly = orders(s, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("mo"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
+        .as("rev"))
+      .select((year(col("mo")) * 12 + month(col("mo"))).cast("long").as("idx"),
+        col("rev"))
+    val sAgg = monthly.as("a").join(monthly.as("b"), col("b.idx") > col("a.idx"))
+      .agg(sum(signum(col("b.rev") - col("a.rev")).cast("long")).as("s_stat"))
+    val ties = monthly.groupBy(col("rev")).agg(count(lit(1)).as("t"))
+      .agg(
+        count(lit(1)).cast("long").as("n_distinct"),
+        sum(col("t")).as("n_months"),
+        sum((col("t") * (col("t") - 1) * (lit(2) * col("t") + 5)).cast("long"))
+          .as("tie_term"))
+    val nD = col("n_months").cast("double")
+    val varS = (nD * (nD - 1.0) * (lit(2.0) * nD + 5.0) -
+      col("tie_term").cast("double")) / 18.0
+    val sD = col("s_stat").cast("double")
+    sAgg.crossJoin(broadcast(ties))
+      .select(col("n_months"), col("s_stat"),
+        when(varS > 0.0,
+          round(
+            when(col("s_stat") > 0, (sD - 1.0) / sqrt(varS))
+              .when(col("s_stat") < 0, (sD + 1.0) / sqrt(varS))
+              .otherwise(lit(0.0)), 6)).as("z"))
+  }
+
+  /** Spearman rank correlation between document length (tokens) and the
+    * quality score — "does the quality heuristic just measure length?"
+    * asked monotonically (Pearson would answer only linearly). No
+    * per-doc rank window: AVERAGE ranks come from the two DISTINCT-value
+    * histograms' cumulatives (bounded axes) and join back by value;
+    * ranks are exact halves, so the Pearson-on-ranks moments are exact
+    * decimals end to end.
+    */
+  private def qCorpusSpearman(s: SparkSession, dir: String): DataFrame = {
+    val base = documents(s, dir).select(col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("x"),
+      round(TextAnalysis.qualityScore(col("text")), 6).as("y"))
+    def avgRanks(valCol: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      base.groupBy(col(valCol).as("v")).agg(count(lit(1)).as("c"))
+        .withColumn("cum_below", sum(col("c")).over(w) - col("c"))
+        .select(col("v").as(s"${valCol}_v"),
+          (col("cum_below").cast("double") +
+            (col("c") + 1).cast("double") / 2.0)
+            .cast(DecimalType(28, 1)).as(s"r$valCol"))
+    }
+    val dec = DecimalType(38, 2)
+    val ranked = base
+      .join(avgRanks("x"), col("x") === col("x_v"))
+      .join(avgRanks("y"), col("y") === col("y_v"))
+    val sums = ranked.agg(
+      count(lit(1)).as("n"),
+      sum(col("rx")).as("sx"), sum(col("ry")).as("sy"),
+      sum((col("rx") * col("ry")).cast(dec)).as("sxy"),
+      sum((col("rx") * col("rx")).cast(dec)).as("sxx"),
+      sum((col("ry") * col("ry")).cast(dec)).as("syy"))
+    val nD = col("n").cast("double")
+    val sxD = col("sx").cast("double"); val syD = col("sy").cast("double")
+    val covN = nD * col("sxy").cast("double") - sxD * syD
+    val varX = nD * col("sxx").cast("double") - sxD * sxD
+    val varY = nD * col("syy").cast("double") - syD * syD
+    sums.select(col("n").as("n_docs"),
+      when(varX > 0.0 && varY > 0.0,
+        round(covN / sqrt(varX * varY), 6)).as("rho"))
+  }
+
   private def qOrdersMonthlyGrowth(s: SparkSession, dir: String): DataFrame = {
     val monthly = orders(s, dir)
       .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM")
@@ -4469,6 +4547,8 @@ object SparkEntry {
     "events_burstiness" -> (qEventsBurstiness _),
     "dedup_cross_method" -> (qDedupCrossMethod _),
     "emb_intrinsic_dim" -> (qEmbIntrinsicDim _),
+    "orders_mann_kendall" -> (qOrdersMannKendall _),
+    "corpus_spearman" -> (qCorpusSpearman _),
     "cdc_incremental_join" -> (qCdcIncrementalJoin _),
     "sketch_distinct_kmv" -> (qSketchDistinctKmv _),
     "sketch_quantiles" -> (qSketchQuantiles _),
@@ -9254,6 +9334,77 @@ object SparkEntry {
          |    round(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(lnmu) AS DOUBLE), 6)
          |  END AS intrinsic_dim
          |FROM muq""".stripMargin,
+
+    // Mann-Kendall: sign sums over the bounded month pairs, tie-
+    // corrected variance, continuity-corrected z
+    "orders_mann_kendall" ->
+      """WITH monthly AS (
+        |  SELECT CAST(year(date_trunc('month', o_orderdate)) * 12
+        |              + month(date_trunc('month', o_orderdate)) AS BIGINT) AS idx,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+        |  FROM orders GROUP BY 1),
+        |sa AS (SELECT CAST(SUM(CAST(sign(b.rev - a.rev) AS BIGINT)) AS BIGINT) AS s_stat
+        |       FROM monthly a JOIN monthly b ON b.idx > a.idx),
+        |ti AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |              CAST(SUM(t) AS BIGINT) AS n_months,
+        |              CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+        |       FROM (SELECT rev, CAST(COUNT(*) AS BIGINT) AS t
+        |             FROM monthly GROUP BY 1)),
+        |f AS (SELECT sa.s_stat, ti.n_months, ti.tie_term,
+        |        CAST(ti.n_months AS DOUBLE) AS nd, CAST(sa.s_stat AS DOUBLE) AS sd
+        |      FROM sa, ti)
+        |SELECT n_months, s_stat,
+        |  CASE WHEN (nd * (nd - 1.0) * (2.0 * nd + 5.0) - CAST(tie_term AS DOUBLE)) / 18.0 > 0.0 THEN
+        |    round(CASE WHEN s_stat > 0 THEN (sd - 1.0)
+        |                 / sqrt((nd * (nd - 1.0) * (2.0 * nd + 5.0) - CAST(tie_term AS DOUBLE)) / 18.0)
+        |               WHEN s_stat < 0 THEN (sd + 1.0)
+        |                 / sqrt((nd * (nd - 1.0) * (2.0 * nd + 5.0) - CAST(tie_term AS DOUBLE)) / 18.0)
+        |               ELSE 0.0 END, 6)
+        |  END AS z
+        |FROM f""".stripMargin,
+
+    // Spearman: average ranks off the two value histograms' cumulatives,
+    // Pearson-on-ranks with exact half-integer decimal moments
+    "corpus_spearman" ->
+      s"""WITH $TextTokensCte,
+         |bs AS (SELECT m.doc_id, CAST(len(m.toks) AS BIGINT) AS x,
+         |         round(least(CAST(len(m.toks) AS DOUBLE) / 100.0, 1.0) * 0.3
+         |           + (1.0 - least(CASE WHEN length(m.text) = 0 THEN 0.0
+         |                ELSE length(regexp_replace(m.text, '[^[:punct:]]', '', 'g'))
+         |                     / CAST(length(m.text) AS DOUBLE) END * 4.0, 1.0)) * 0.3
+         |           + least(CASE WHEN len(m.ltoks) = 0 THEN 0.0
+         |                ELSE len(list_filter(m.ltoks, w -> list_contains($StopwordsSql, w)))
+         |                     / CAST(len(m.ltoks) AS DOUBLE) END * 4.0, 1.0) * 0.4, 6) AS y
+         |       FROM t m),
+         |rx AS (SELECT v AS x_v, CAST(cum_below + (c + 1) / 2.0 AS DECIMAL(28,1)) AS rx
+         |       FROM (SELECT v, c,
+         |               SUM(c) OVER (ORDER BY v
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS cum_below
+         |             FROM (SELECT x AS v, CAST(COUNT(*) AS DOUBLE) AS c FROM bs GROUP BY 1))),
+         |ry AS (SELECT v AS y_v, CAST(cum_below + (c + 1) / 2.0 AS DECIMAL(28,1)) AS ry
+         |       FROM (SELECT v, c,
+         |               SUM(c) OVER (ORDER BY v
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS cum_below
+         |             FROM (SELECT y AS v, CAST(COUNT(*) AS DOUBLE) AS c FROM bs GROUP BY 1))),
+         |rk AS (SELECT bs.doc_id, rx.rx, ry.ry
+         |       FROM bs JOIN rx ON bs.x = rx.x_v JOIN ry ON bs.y = ry.y_v),
+         |sm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |         SUM(rx) AS sx, SUM(ry) AS sy,
+         |         SUM(CAST(CAST(rx AS DECIMAL(19,1)) * CAST(ry AS DECIMAL(19,1)) AS DECIMAL(38,2))) AS sxy,
+         |         SUM(CAST(CAST(rx AS DECIMAL(19,1)) * CAST(rx AS DECIMAL(19,1)) AS DECIMAL(38,2))) AS sxx,
+         |         SUM(CAST(CAST(ry AS DECIMAL(19,1)) * CAST(ry AS DECIMAL(19,1)) AS DECIMAL(38,2))) AS syy
+         |       FROM rk),
+         |ff AS (SELECT n, CAST(n AS DOUBLE) AS nd,
+         |         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+         |         CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd,
+         |         CAST(syy AS DOUBLE) AS syyd
+         |       FROM sm)
+         |SELECT n AS n_docs,
+         |  CASE WHEN nd * sxxd - sxd * sxd > 0.0 AND nd * syyd - syd * syd > 0.0 THEN
+         |    round((nd * sxyd - sxd * syd)
+         |          / sqrt((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)), 6)
+         |  END AS rho
+         |FROM ff""".stripMargin,
 
     // set-op checklist over the two buyer populations
     "orders_set_suite" ->

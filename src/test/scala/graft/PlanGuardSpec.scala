@@ -117,7 +117,9 @@ class PlanGuardSpec extends SparkSpecBase {
     // 1-row observed-diff broadcast onto the 32-replicate null frame
     "events_permutation_test",
     // TwoNN rides the brute-force sweep (broadcast query sample vs corpus)
-    "emb_intrinsic_dim")
+    "emb_intrinsic_dim",
+    // |months|² pair frame + 1-row tie-stats broadcast (the theilsen twin)
+    "orders_mann_kendall")
 
   private def walk(p: SparkPlan): Seq[SparkPlan] = {
     val kids = p match {
