@@ -834,6 +834,48 @@ object SparkEntry {
           .as("intrinsic_dim"))
   }
 
+  /** Jensen–Shannon divergence between src0's and src1's unigram
+    * distributions — the SYMMETRIC, always-finite companion to the
+    * per-source KL report (`corpus_source_divergence`): KL explodes on
+    * tokens one side lacks; JS's mixture midpoint never does, which is
+    * why corpus-vs-corpus comparisons report JS. Everything after one
+    * token aggregate is bounded by the union vocabulary; per-token
+    * terms are 12-dp-rounded and decimal-summed (the KL recipe), and
+    * the normalized form `js/ln 2 ∈ [0, 1]` divides by a driver-side
+    * literal shared with the oracle.
+    */
+  private def qCorpusJsDivergence(s: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(28, 12)
+    val counts = documents(s, dir)
+      .filter(col("source").isin("src0", "src1"))
+      .select(col("source"),
+        explode(TextAnalysis.tokens(lower(col("text")))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("c0"),
+        sum(when(col("source") === "src1", 1L).otherwise(0L)).as("c1"))
+    val tot = counts.agg(sum(col("c0")).as("n0"), sum(col("c1")).as("n1"))
+    val p = col("c0").cast("double") / col("n0").cast("double")
+    val q = col("c1").cast("double") / col("n1").cast("double")
+    val m = (p + q) / 2.0
+    val term =
+      when(col("c0") > 0, round(lit(0.5) * p * log(p / m), 12)).otherwise(0.0) +
+        when(col("c1") > 0, round(lit(0.5) * q * log(q / m), 12)).otherwise(0.0)
+    counts.crossJoin(broadcast(tot))
+      .agg(
+        max(col("n0")).as("n0_tokens"), max(col("n1")).as("n1_tokens"),
+        count(lit(1)).as("vocab_union"),
+        sum(term.cast(dec)).as("__js"))
+      .select(col("n0_tokens"), col("n1_tokens"), col("vocab_union"),
+        round(col("__js").cast("double"), 6).as("js"),
+        round(col("__js").cast("double") / ln2Lit, 6).as("js_norm"))
+  }
+
+  /** `ln 2` to 12 dp — one driver-side literal shared by the Spark plan
+    * and the oracle SQL.
+    */
+  private val ln2Lit: Double = math.rint(math.log(2.0) * 1e12) / 1e12
+
   private def qMediaFeatures(s: SparkSession, dir: String): DataFrame = {
     import Multimodal._
     val typed = withFakePayload(documents(s, dir), "doc_id", "text")
@@ -4549,6 +4591,7 @@ object SparkEntry {
     "emb_intrinsic_dim" -> (qEmbIntrinsicDim _),
     "orders_mann_kendall" -> (qOrdersMannKendall _),
     "corpus_spearman" -> (qCorpusSpearman _),
+    "corpus_js_divergence" -> (qCorpusJsDivergence _),
     "cdc_incremental_join" -> (qCdcIncrementalJoin _),
     "sketch_distinct_kmv" -> (qSketchDistinctKmv _),
     "sketch_quantiles" -> (qSketchQuantiles _),
@@ -9405,6 +9448,32 @@ object SparkEntry {
          |          / sqrt((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)), 6)
          |  END AS rho
          |FROM ff""".stripMargin,
+
+    // JS divergence: union-vocab mixture midpoint, 12-dp terms
+    // decimal-summed, ln2 shared literal
+    "corpus_js_divergence" ->
+      s"""WITH $TextTokensCte,
+         |tk AS (SELECT d.source, unnest(t.ltoks) AS tok
+         |       FROM t JOIN documents d USING (doc_id)
+         |       WHERE d.source IN ('src0', 'src1')),
+         |cn AS (SELECT tok,
+         |         CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+         |         CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS c1
+         |       FROM tk GROUP BY 1),
+         |tt AS (SELECT CAST(SUM(c0) AS BIGINT) AS n0, CAST(SUM(c1) AS BIGINT) AS n1 FROM cn),
+         |tm AS (SELECT cn.*, tt.n0, tt.n1,
+         |         CAST(cn.c0 AS DOUBLE) / CAST(tt.n0 AS DOUBLE) AS p,
+         |         CAST(cn.c1 AS DOUBLE) / CAST(tt.n1 AS DOUBLE) AS q
+         |       FROM cn, tt),
+         |te AS (SELECT n0, n1,
+         |         CASE WHEN c0 > 0 THEN round(0.5 * p * ln(p / ((p + q) / 2.0)), 12) ELSE 0.0 END
+         |         + CASE WHEN c1 > 0 THEN round(0.5 * q * ln(q / ((p + q) / 2.0)), 12) ELSE 0.0 END AS term
+         |       FROM tm)
+         |SELECT MAX(n0) AS n0_tokens, MAX(n1) AS n1_tokens,
+         |       CAST(COUNT(*) AS BIGINT) AS vocab_union,
+         |       round(CAST(SUM(CAST(term AS DECIMAL(28,12))) AS DOUBLE), 6) AS js,
+         |       round(CAST(SUM(CAST(term AS DECIMAL(28,12))) AS DOUBLE) / ${ln2Lit}, 6) AS js_norm
+         |FROM te""".stripMargin,
 
     // set-op checklist over the two buyer populations
     "orders_set_suite" ->

@@ -119,7 +119,9 @@ class PlanGuardSpec extends SparkSpecBase {
     // TwoNN rides the brute-force sweep (broadcast query sample vs corpus)
     "emb_intrinsic_dim",
     // |months|² pair frame + 1-row tie-stats broadcast (the theilsen twin)
-    "orders_mann_kendall")
+    "orders_mann_kendall",
+    // 1-row token-totals broadcast onto the union-vocabulary frame
+    "corpus_js_divergence")
 
   private def walk(p: SparkPlan): Seq[SparkPlan] = {
     val kids = p match {
