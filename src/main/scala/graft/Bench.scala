@@ -8,7 +8,7 @@ object Bench {
   private val artifactConsumers: Map[String, Set[String]] = Map(
     "serving_indexes" -> Set("dedup_incremental", "ann_ivfpq_topk",
       "dedup_incremental_append", "ann_ivfpq_append",
-      "corpus_source_cap_append"),
+      "corpus_source_cap_append", "text_hybrid_ivfpq", "text_hybrid_recall"),
     "ngram_pairs" -> Set("dedup_ngram_jaccard", "dedup_clusters"),
     "minhash_pairs" -> Set("dedup_minhash_lsh", "dedup_apply_minhash",
       "dedup_graph_stats"),

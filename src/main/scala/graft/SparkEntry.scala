@@ -1648,26 +1648,75 @@ object SparkEntry {
       .orderBy(col("score").desc, col("doc_id"))
   }
 
-  /** Hybrid retrieval: the [[qTextBm25]] lexical run RRF-fused
-    * ([[graft.ext.Search.rrfFuse]]) with a brute-force cosine run for
-    * query vector 100 over the same id space — the standard two-tower
-    * serving composition, built entirely from k-row frames.
+  /** The shared BM25 lexical top-20 run `(doc_id, rank)` feeding every
+    * hybrid-retrieval fusion variant.
     */
-  private def qTextHybridSearch(s: SparkSession, dir: String): DataFrame = {
+  private def hybridLex(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val postings = graft.ext.Search.invertedPostings(documents(s, dir), "doc_id", "text")
-    val lex = graft.ext.Search.bm25TopK(postings, graft.ext.Search.docStats(postings),
+    graft.ext.Search.bm25TopK(postings, graft.ext.Search.docStats(postings),
         Seq("dup", "spark", "key"), k = 20)
       .withColumn("rank", row_number().over(
         Window.partitionBy(pmod(coalesce(col("doc_id"), lit(0L)), lit(1)))
           .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("rank"))
+  }
+
+  /** Hybrid retrieval: the [[qTextBm25]] lexical run RRF-fused
+    * ([[graft.ext.Search.rrfFuse]]) with a brute-force cosine run for
+    * query vector 100 over the same id space — the standard two-tower
+    * serving composition, built entirely from k-row frames. The vector
+    * side is exhaustive BY CHOICE here (the oracle-checkable baseline);
+    * [[qTextHybridIvfPq]] is the registered scale path.
+    */
+  private def qTextHybridSearch(s: SparkSession, dir: String): DataFrame = {
     val vec = Similarity.bruteForceTopK(embeddings(s, dir),
         embeddings(s, dir).filter(col("vec_id") === 100),
         "vec_id", "embedding", "vec_id", "embedding", k = 20)
       .select(col("neighbor_id").as("doc_id"), col("rnk").cast("long").as("rank"))
-    graft.ext.Search.rrfFuse(lex.select(col("doc_id"), col("rank")), vec,
-        "doc_id", "rank", k = 20)
+    graft.ext.Search.rrfFuse(hybridLex(s, dir), vec, "doc_id", "rank", k = 20)
       .orderBy("rk")
+  }
+
+  /** Hybrid retrieval, scale path: the same BM25 lexical run RRF-fused
+    * with an IVF+PQ ADC probe (nprobe = 3) of the prebuilt serving index
+    * — the composition a 100 TB deployment actually runs, where the
+    * vector side touches only the probed coarse lists instead of
+    * scanning every embedding ([[Similarity.ivfPqTopK]]'s partition-
+    * pruned index read). Deterministic end to end (codebook, codes and
+    * ADC ranks all replayed by the oracle), so it gets a full hash
+    * oracle rather than a rows-only check.
+    */
+  private def qTextHybridIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val cents = Similarity.collectCentroids(embCentroids(s, dir), "vec_id", "embedding")
+    val idxPath = Fixtures.scratchDir("ivfpq", dir)
+    Fixtures.buildOnce("ivfpq", s, dir) {
+      Similarity.writeIvfPqIndex(embeddings(s, dir), "vec_id", "embedding",
+        cents, m = 4, idxPath)
+    }
+    val vec = Similarity.ivfPqTopK(Similarity.readIvfIndex(s, idxPath),
+        embeddings(s, dir).filter(col("vec_id") === 100),
+        "vec_id", "embedding", cents, m = 4, k = 20, nprobe = 3)
+      .select(col("neighbor_id").as("doc_id"), col("rnk").cast("long").as("rank"))
+    graft.ext.Search.rrfFuse(hybridLex(s, dir), vec, "doc_id", "rank", k = 20)
+      .orderBy("rk")
+  }
+
+  /** Retrieval-level recall of the IVF+PQ hybrid fusion against the
+    * brute-force fusion — the `ann_recall` argument applied to the END
+    * PRODUCT (the fused top-20 a user sees), not the intermediate
+    * vector run: an approximate retrieval path without a measured
+    * fused-list recall is an unknown, not an optimization. Both sides
+    * are 20-row frames, so the overlap join is trivially small at any
+    * corpus size.
+    */
+  private def qTextHybridRecall(s: SparkSession, dir: String): DataFrame = {
+    val brute = qTextHybridSearch(s, dir).select(col("doc_id"))
+    val ivf = qTextHybridIvfPq(s, dir).select(col("doc_id"))
+    ivf.join(brute, Seq("doc_id"), "left_semi")
+      .agg(count(lit(1)).as("n_overlap"))
+      .select(lit(20).as("k"), col("n_overlap"),
+        round(col("n_overlap").cast("double") / lit(20.0), 6).as("recall"))
   }
 
   /** Multinomial NB conditional table trained on the `lang` label —
@@ -4778,6 +4827,8 @@ object SparkEntry {
     "corpus_source_cap_append" -> (qCorpusSourceCapAppend _),
     "corpus_line_dedup" -> (qCorpusLineDedup _),
     "text_hybrid_search" -> (qTextHybridSearch _),
+    "text_hybrid_ivfpq" -> (qTextHybridIvfPq _),
+    "text_hybrid_recall" -> (qTextHybridRecall _),
     "corpus_decontaminate_fuzzy" -> (qCorpusDecontFuzzy _),
     "text_bpe_train" -> (qTextBpeTrain _),
     "text_bpe_encode" -> (qTextBpeEncode _),
@@ -4961,6 +5012,115 @@ object SparkEntry {
     s"""$out AS (SELECT * EXCLUDE (dp, na, nb),
        |  round(CASE WHEN na*nb = 0 THEN 0.0 ELSE dp/(na*nb) END, 6) AS score
        |  FROM $raw)""".stripMargin
+
+  /** [[EmbBase]] narrowed to the single query vector 100 — the hybrid-
+    * retrieval twins probe one query, so their oracles skip the ~30×
+    * all-standard-queries ADC work.
+    */
+  private val EmbBaseQ100: String =
+    """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id = 100),
+      |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 61 = 0)""".stripMargin
+
+  /** IVF+PQ ADC serving chain (CTEs through `rr(query_id, neighbor_id,
+    * adc_dist2, rn)`), assuming an [[EmbBase]]-shaped `e`/`q`/`c` —
+    * mirrors [[Similarity.ivfPqTopK]] over the [[Similarity
+    * .writeIvfPqIndex]] artifact (m = 4 subspaces of 16 dims, codebook =
+    * the coarse centroids, nprobe = 3). Shared by the `ann_ivfpq_topk` /
+    * `ann_ivfpq_append` oracles and the hybrid scale-path twins; CTE
+    * names are prefixed so the chain composes with the BM25 lexical
+    * CTEs without collision.
+    */
+  private val IvfPqServeCtes: String =
+    s"""pqrawc AS (
+       |  SELECT e.vec_id, c.cid,
+       |         ${dotSql("e.v", "c.cv")} AS dp,
+       |         sqrt(${dotSql("e.v", "e.v")}) AS na,
+       |         sqrt(${dotSql("c.cv", "c.cv")}) AS nb
+       |  FROM e, c),
+       |${cosScoreSql("pqrawc", "pqcs")},
+       |a1 AS (SELECT vec_id, cid FROM
+       |        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn FROM pqcs)
+       |       WHERE rn = 1),
+       |praw AS (
+       |  SELECT q.query_id, c.cid,
+       |         ${dotSql("q.qv", "c.cv")} AS dp,
+       |         sqrt(${dotSql("q.qv", "q.qv")}) AS na,
+       |         sqrt(${dotSql("c.cv", "c.cv")}) AS nb
+       |  FROM q, c),
+       |${cosScoreSql("praw", "ps")},
+       |probes AS (SELECT query_id, cid FROM
+       |            (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cid) AS rn FROM ps)
+       |           WHERE rn <= 3),
+       |sp AS (SELECT unnest(range(0, 4)) AS i),
+       |pqd AS (
+       |  SELECT e.vec_id, sp.i AS sub_i, c.cid,
+       |    list_reduce(list_prepend(0.0, list_transform(range(1, 17),
+       |      k -> (e.v[CAST(sp.i*16+k AS INT)] - c.cv[CAST(sp.i*16+k AS INT)])
+       |           * (e.v[CAST(sp.i*16+k AS INT)] - c.cv[CAST(sp.i*16+k AS INT)]))),
+       |      (acc, x) -> acc + x) AS dist2
+       |  FROM e, c, sp),
+       |pqrk AS (SELECT *, row_number() OVER (PARTITION BY vec_id, sub_i
+       |                                   ORDER BY dist2, cid) AS rn FROM pqd),
+       |pqc AS (SELECT vec_id, sub_i, cid AS code FROM pqrk WHERE rn = 1),
+       |qd AS (
+       |  SELECT q.query_id, pqc.vec_id, pqc.sub_i,
+       |    list_reduce(list_prepend(0.0, list_transform(range(1, 17),
+       |      k -> (q.qv[CAST(pqc.sub_i*16+k AS INT)] - c.cv[CAST(pqc.sub_i*16+k AS INT)])
+       |           * (q.qv[CAST(pqc.sub_i*16+k AS INT)] - c.cv[CAST(pqc.sub_i*16+k AS INT)]))),
+       |      (acc, x) -> acc + x) AS dsub
+       |  FROM pqc
+       |  JOIN a1 ON a1.vec_id = pqc.vec_id
+       |  JOIN probes pb ON pb.cid = a1.cid
+       |  JOIN q ON q.query_id = pb.query_id
+       |  JOIN c ON c.cid = pqc.code
+       |  WHERE pqc.vec_id <> q.query_id),
+       |adc AS (
+       |  SELECT query_id, vec_id AS neighbor_id,
+       |    round(list_reduce(list_prepend(0.0, list(dsub ORDER BY sub_i)),
+       |      (a, x) -> a + x), 6) AS adc_dist2
+       |  FROM qd GROUP BY query_id, vec_id),
+       |rr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |                                    ORDER BY adc_dist2, neighbor_id) AS rn FROM adc)""".stripMargin
+
+  /** BM25 lexical top-20 CTEs (through `lex(doc_id, rl)`), assuming
+    * [[TextTokensCte]]'s `t` — the lexical half shared by the three
+    * hybrid-retrieval oracles, mirroring [[hybridLex]].
+    */
+  private val HybridLexCtes: String =
+    """p AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      |      FROM (SELECT doc_id, unnest(ltoks) AS token FROM t)
+      |      GROUP BY doc_id, token),
+      |dl AS (SELECT doc_id, SUM(tf) AS dl FROM p GROUP BY doc_id),
+      |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |               avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+      |m AS (SELECT * FROM p WHERE token IN ('dup', 'spark', 'key')),
+      |dfq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM m GROUP BY token),
+      |w AS (SELECT m.doc_id,
+      |        ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
+      |        * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+      |        / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(dl.dl AS DOUBLE) / avgdl)) AS wt
+      |      FROM m JOIN dfq USING (token) JOIN dl USING (doc_id), tot),
+      |sc AS (SELECT doc_id, round(SUM(wt), 6) AS score FROM w GROUP BY doc_id),
+      |lex AS (SELECT doc_id, rl FROM (
+      |          SELECT doc_id,
+      |                 CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rl
+      |          FROM sc) WHERE rl <= 20)""".stripMargin
+
+  /** RRF fusion CTEs (mirroring [[graft.ext.Search.rrfFuse]], rrfK = 60)
+    * over `lex(doc_id, rl)` and a `(id, rv)`-shaped vector run, emitting
+    * `${pfx}r(doc_id, in_lexical, in_vector, rrf_score, rk)` — prefixed
+    * so the recall oracle can fuse two vector runs in one query.
+    */
+  private def rrfFuseCtes(vecCte: String, pfx: String): String =
+    s"""${pfx}f AS (SELECT coalesce(l.doc_id, v.id) AS doc_id, l.rl, v.rv
+       |      FROM lex l FULL OUTER JOIN $vecCte v ON l.doc_id = v.id),
+       |${pfx}s AS (SELECT doc_id, rl IS NOT NULL AS in_lexical, rv IS NOT NULL AS in_vector,
+       |        round(coalesce(CAST(1.0 AS DOUBLE) / (60 + rl), 0.0) +
+       |              coalesce(CAST(1.0 AS DOUBLE) / (60 + rv), 0.0), 6) AS rrf_score
+       |      FROM ${pfx}f),
+       |${pfx}r AS (SELECT *, CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rk
+       |      FROM ${pfx}s)""".stripMargin
 
   /** Exhaustive cosine top-10 — shared verbatim by the `ann_brute_force`
     * oracle and (as the ground-truth CTE) by `ann_recall`.
@@ -6845,24 +7005,7 @@ object SparkEntry {
 
     "text_hybrid_search" ->
       s"""WITH $TextTokensCte,
-         |p AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
-         |      FROM (SELECT doc_id, unnest(ltoks) AS token FROM t)
-         |      GROUP BY doc_id, token),
-         |dl AS (SELECT doc_id, SUM(tf) AS dl FROM p GROUP BY doc_id),
-         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |               avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
-         |m AS (SELECT * FROM p WHERE token IN ('dup', 'spark', 'key')),
-         |dfq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM m GROUP BY token),
-         |w AS (SELECT m.doc_id,
-         |        ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0)
-         |        * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
-         |        / (CAST(tf AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75 * CAST(dl.dl AS DOUBLE) / avgdl)) AS wt
-         |      FROM m JOIN dfq USING (token) JOIN dl USING (doc_id), tot),
-         |sc AS (SELECT doc_id, round(SUM(wt), 6) AS score FROM w GROUP BY doc_id),
-         |lex AS (SELECT doc_id, rl FROM (
-         |          SELECT doc_id,
-         |                 CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rl
-         |          FROM sc) WHERE rl <= 20),
+         |$HybridLexCtes,
          |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |q100 AS (SELECT v AS qv FROM e WHERE vec_id = 100),
          |raw AS (SELECT e.vec_id AS id,
@@ -6874,16 +7017,43 @@ object SparkEntry {
          |vec AS (SELECT id, rv FROM (
          |          SELECT id, CAST(row_number() OVER (ORDER BY score DESC, id) AS BIGINT) AS rv
          |          FROM vscored WHERE score IS NOT NULL) WHERE rv <= 20),
-         |f AS (SELECT coalesce(l.doc_id, v.id) AS doc_id, l.rl, v.rv
-         |      FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.id),
-         |s AS (SELECT doc_id, rl IS NOT NULL AS in_lexical, rv IS NOT NULL AS in_vector,
-         |        round(coalesce(CAST(1.0 AS DOUBLE) / (60 + rl), 0.0) +
-         |              coalesce(CAST(1.0 AS DOUBLE) / (60 + rv), 0.0), 6) AS rrf_score
-         |      FROM f),
-         |r AS (SELECT *, CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rk
-         |      FROM s)
-         |SELECT doc_id, in_lexical, in_vector, rrf_score, rk FROM r WHERE rk <= 20
+         |${rrfFuseCtes("vec", "h")}
+         |SELECT doc_id, in_lexical, in_vector, rrf_score, rk FROM hr WHERE rk <= 20
          |ORDER BY rk""".stripMargin,
+
+    "text_hybrid_ivfpq" ->
+      s"""WITH $TextTokensCte,
+         |$HybridLexCtes,
+         |$EmbBaseQ100,
+         |$IvfPqServeCtes,
+         |pvec AS (SELECT neighbor_id AS id, CAST(rn AS BIGINT) AS rv
+         |         FROM rr WHERE rn <= 20),
+         |${rrfFuseCtes("pvec", "h")}
+         |SELECT doc_id, in_lexical, in_vector, rrf_score, rk FROM hr WHERE rk <= 20
+         |ORDER BY rk""".stripMargin,
+
+    "text_hybrid_recall" ->
+      s"""WITH $TextTokensCte,
+         |$HybridLexCtes,
+         |$EmbBaseQ100,
+         |$IvfPqServeCtes,
+         |pvec AS (SELECT neighbor_id AS id, CAST(rn AS BIGINT) AS rv
+         |         FROM rr WHERE rn <= 20),
+         |braw AS (SELECT e.vec_id AS id,
+         |          ${dotSql("e.v", "q.qv")} AS dp,
+         |          sqrt(${dotSql("e.v", "e.v")}) AS na,
+         |          sqrt(${dotSql("q.qv", "q.qv")}) AS nb
+         |        FROM e, q WHERE e.vec_id <> 100),
+         |${cosScoreSql("braw", "bscored")},
+         |bvec AS (SELECT id, rv FROM (
+         |          SELECT id, CAST(row_number() OVER (ORDER BY score DESC, id) AS BIGINT) AS rv
+         |          FROM bscored WHERE score IS NOT NULL) WHERE rv <= 20),
+         |${rrfFuseCtes("pvec", "h")},
+         |${rrfFuseCtes("bvec", "b")}
+         |SELECT CAST(20 AS INTEGER) AS k, CAST(COUNT(*) AS BIGINT) AS n_overlap,
+         |       round(CAST(COUNT(*) AS DOUBLE) / 20, 6) AS recall
+         |FROM (SELECT doc_id FROM hr WHERE rk <= 20) a
+         |JOIN (SELECT doc_id FROM br WHERE rk <= 20) b USING (doc_id)""".stripMargin,
 
     "corpus_mix" -> {
       val cases = MixWeights.toSeq.sortBy(_._1)
@@ -7258,56 +7428,7 @@ object SparkEntry {
     // restricted to vectors whose coarse list is probed by the query
     "ann_ivfpq_topk" ->
       s"""WITH $EmbBase,
-         |rawc AS (
-         |  SELECT e.vec_id, c.cid,
-         |         ${dotSql("e.v", "c.cv")} AS dp,
-         |         sqrt(${dotSql("e.v", "e.v")}) AS na,
-         |         sqrt(${dotSql("c.cv", "c.cv")}) AS nb
-         |  FROM e, c),
-         |${cosScoreSql("rawc", "sc")},
-         |a1 AS (SELECT vec_id, cid FROM
-         |        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn FROM sc)
-         |       WHERE rn = 1),
-         |praw AS (
-         |  SELECT q.query_id, c.cid,
-         |         ${dotSql("q.qv", "c.cv")} AS dp,
-         |         sqrt(${dotSql("q.qv", "q.qv")}) AS na,
-         |         sqrt(${dotSql("c.cv", "c.cv")}) AS nb
-         |  FROM q, c),
-         |${cosScoreSql("praw", "ps")},
-         |probes AS (SELECT query_id, cid FROM
-         |            (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cid) AS rn FROM ps)
-         |           WHERE rn <= 3),
-         |sp AS (SELECT unnest(range(0, 4)) AS i),
-         |d AS (
-         |  SELECT e.vec_id, sp.i AS sub_i, c.cid,
-         |    list_reduce(list_prepend(0.0, list_transform(range(1, 17),
-         |      k -> (e.v[CAST(sp.i*16+k AS INT)] - c.cv[CAST(sp.i*16+k AS INT)])
-         |           * (e.v[CAST(sp.i*16+k AS INT)] - c.cv[CAST(sp.i*16+k AS INT)]))),
-         |      (acc, x) -> acc + x) AS dist2
-         |  FROM e, c, sp),
-         |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id, sub_i
-         |                                   ORDER BY dist2, cid) AS rn FROM d),
-         |pqc AS (SELECT vec_id, sub_i, cid AS code FROM r WHERE rn = 1),
-         |qd AS (
-         |  SELECT q.query_id, pqc.vec_id, pqc.sub_i,
-         |    list_reduce(list_prepend(0.0, list_transform(range(1, 17),
-         |      k -> (q.qv[CAST(pqc.sub_i*16+k AS INT)] - c.cv[CAST(pqc.sub_i*16+k AS INT)])
-         |           * (q.qv[CAST(pqc.sub_i*16+k AS INT)] - c.cv[CAST(pqc.sub_i*16+k AS INT)]))),
-         |      (acc, x) -> acc + x) AS dsub
-         |  FROM pqc
-         |  JOIN a1 ON a1.vec_id = pqc.vec_id
-         |  JOIN probes p ON p.cid = a1.cid
-         |  JOIN q ON q.query_id = p.query_id
-         |  JOIN c ON c.cid = pqc.code
-         |  WHERE pqc.vec_id <> q.query_id),
-         |adc AS (
-         |  SELECT query_id, vec_id AS neighbor_id,
-         |    round(list_reduce(list_prepend(0.0, list(dsub ORDER BY sub_i)),
-         |      (a, x) -> a + x), 6) AS adc_dist2
-         |  FROM qd GROUP BY query_id, vec_id),
-         |rr AS (SELECT *, row_number() OVER (PARTITION BY query_id
-         |                                    ORDER BY adc_dist2, neighbor_id) AS rn FROM adc)
+         |$IvfPqServeCtes
          |SELECT query_id, neighbor_id, adc_dist2, CAST(rn AS INT) AS rnk
          |FROM rr WHERE rn <= 10 ORDER BY query_id, rnk""".stripMargin,
 

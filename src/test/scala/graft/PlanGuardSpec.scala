@@ -26,6 +26,10 @@ class PlanGuardSpec extends SparkSpecBase {
     // hybrid fusion's vector run IS the brute-force sweep (1-row query
     // vector broadcast against the corpus); the fusion itself is k×k
     "text_hybrid_search",
+    // the IVF+PQ hybrid twin and its recall row inherit the lexical
+    // side's 1-row corpus-stats (n_docs, avgdl) broadcast; their vector
+    // run is the partition-pruned index probe, not a sweep
+    "text_hybrid_ivfpq", "text_hybrid_recall",
     // 1-row corpus-stats frame (n_docs, avgdl) broadcast onto postings
     "text_bm25",
     // 1-row vocabulary-size scalar broadcast onto the (label, token) table
