@@ -12,7 +12,9 @@ object Bench {
     "ngram_pairs" -> Set("dedup_ngram_jaccard", "dedup_clusters"),
     "minhash_pairs" -> Set("dedup_minhash_lsh", "dedup_apply_minhash",
       "dedup_graph_stats"),
-    "emb_cov" -> Set("emb_covariance", "emb_top_component", "emb_pca_variance"))
+    "emb_cov" -> Set("emb_covariance", "emb_top_component", "emb_pca_variance"),
+    "hybrid_runs" -> Set("text_hybrid_search", "text_hybrid_ivfpq",
+      "text_hybrid_recall"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
