@@ -614,12 +614,20 @@ object Similarity {
       // (a static partitioned overwrite clears the whole root first);
       // the `_` prefix keeps the dir invisible to partition discovery,
       // so readIvfIndex sees only the centroid_id= list dirs.
-      import spark.implicits._
-      Seq((m, cents.size, cents.headOption.map(_._2.size).getOrElse(0),
-          codebookFingerprint(cents)))
-        .toDF("m", "k", "dim", "codebook_fp")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/_params")
+      writeIvfPqParams(spark, path, cents, m)
     }
+  }
+
+  private def writeIvfPqParams(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      cents: Seq[(Long, Seq[Double])],
+      m: Int): Unit = {
+    import spark.implicits._
+    Seq((m, cents.size, cents.headOption.map(_._2.size).getOrElse(0),
+        codebookFingerprint(cents)))
+      .toDF("m", "k", "dim", "codebook_fp")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_params")
   }
 
   /** Grow an existing [[writeIvfPqIndex]] index with a new vector batch —
@@ -643,6 +651,57 @@ object Similarity {
       m: Int,
       path: String): Unit =
     writeIvfPqIndex(newVecs, idCol, vecCol, cents, m, path, mode = "append")
+
+  /** Epoch-scoped, EXACTLY-ONCE growth of an IVF+PQ index — the
+    * streaming-maintenance primitive behind
+    * [[graft.streaming.AnnIndexStream]]. Codes land under
+    * `centroid_id=<list>/epoch=<n>/`, written as a DYNAMIC-partition
+    * overwrite: a replayed epoch REWRITES its own (list, epoch)
+    * directories instead of duplicating rows. That stronger contract
+    * matters here where plain parquet append (at-least-once) is fine
+    * for the signature index: a duplicate (band, bucket, id) row
+    * collapses in the probe's candidate dedup, but a duplicate CODE row
+    * would occupy two top-k slots and corrupt every rank below it.
+    *
+    * Serving is unchanged: `centroid_id` stays the TOP directory level,
+    * so [[ivfPqTopK]]'s partition pruning works identically, and the
+    * probe projects only (id, codes, centroid_id) — the epoch column is
+    * physical layout it never reads. The streamed index root must be
+    * SEEDED by this writer (epoch = -1 over the initial corpus; stream
+    * epochs are checkpoint-assigned from 0, and a seed inside that
+    * space would be overwritten by the first replayed batch) — parquet
+    * partition discovery rejects a root mixing epoch-less and
+    * epoch-scoped leaves, so the batch [[writeIvfPqIndex]] layout and
+    * this one cannot share a directory.
+    *
+    * Codebook safety: fails fast on a `_params` mismatch exactly like
+    * the batch append; a cold root gets `_params` written after its
+    * first epoch lands.
+    */
+  def appendEpochToIvfPqIndex(
+      newVecs: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cents: Seq[(Long, Seq[Double])],
+      m: Int,
+      path: String,
+      epoch: Long): Unit = {
+    val spark = newVecs.sparkSession
+    val hasParams =
+      scala.util.Try(spark.read.parquet(s"$path/_params").head()).isSuccess
+    if (hasParams) requireIvfPqParams(spark, path, cents, m)
+    ivfAssign(newVecs, cents, vecCol)
+      .select(col(idCol).as("id"),
+        transform(pqEncoded(col(vecCol).cast("array<double>"), pqSorted(cents), m),
+          e => e.getField("code")).as("codes"),
+        col("centroid_id"))
+      .withColumn("epoch", lit(epoch))
+      .repartition(col("centroid_id"))
+      .write.partitionBy("centroid_id", "epoch")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(path)
+    if (!hasParams) writeIvfPqParams(spark, path, cents, m)
+  }
 
   /** Order-independent fingerprint of a coarse codebook: murmur3 of the
     * id-sorted (id, components) sequence — stable across JVM runs for
