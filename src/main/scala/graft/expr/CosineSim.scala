@@ -154,5 +154,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(fromColumns("graft_sample_bucket")(cs =>
       graft.ext.PortableHash.hash32(
         org.apache.spark.sql.functions.concat(cs(1), cs.head.cast("string"))) % 1000))
+    // DataFrame-returning operator families as table-valued functions —
+    // `SELECT * FROM graft_dedup_minhash('docs', 'text', 'doc_id', 0.5)`;
+    // see [[GraftTableFunctions]] for the full surface + naming scheme.
+    GraftTableFunctions.register(ext)
   }
 }

@@ -1,0 +1,119 @@
+package graft
+
+import graft.ext.{Bpe, Corpus, Dedup, HashMode, Search, Similarity, Sketches}
+import org.apache.spark.sql.functions._
+
+/** The SQL-console surface: every operator-family table-valued function
+  * registered by [[graft.expr.GraftTableFunctions]] must run end-to-end
+  * from a `spark.sql` STRING over temp views and return exactly what the
+  * Scala API returns — one implementation, two surfaces.
+  */
+class SqlSurfaceSpec extends SparkSpecBase {
+
+  private lazy val s = spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def withViews[T](body: => T): T = {
+    Fixtures.documents(s, dir).createOrReplaceTempView("docs")
+    Fixtures.embeddings(s, dir).createOrReplaceTempView("embs")
+    Fixtures.embeddings(s, dir).filter(col("vec_id") % 50 === 0)
+      .createOrReplaceTempView("queries")
+    try body
+    finally Seq("docs", "embs", "queries").foreach(s.catalog.dropTempView(_))
+  }
+
+  test("dedup family from SQL: exact + minhash TVFs match the Scala operators") {
+    withViews {
+      val docs = Fixtures.documents(s, dir)
+      assertSameRows(
+        s.sql("SELECT * FROM graft_dedup_exact('docs', 'text', 'doc_id')"),
+        Dedup.exactDedup(docs, "text", "doc_id"), "graft_dedup_exact")
+      assertSameRows(
+        s.sql("SELECT * FROM graft_dedup_minhash('docs', 'text', 'doc_id', 0.5)"),
+        Dedup.minhashLshDedup(docs, "text", "doc_id",
+          threshold = 0.5, mode = HashMode.Portable), "graft_dedup_minhash")
+    }
+  }
+
+  test("ANN family from SQL: brute-force top-k TVF matches the Scala operator") {
+    withViews {
+      assertSameRows(
+        s.sql("SELECT * FROM graft_ann_topk('embs', 'queries', 'vec_id', 'embedding', 5)"),
+        Similarity.bruteForceTopK(Fixtures.embeddings(s, dir),
+          Fixtures.embeddings(s, dir).filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", "vec_id", "embedding", k = 5), "graft_ann_topk")
+    }
+  }
+
+  test("retrieval family from SQL: BM25 TVF matches the Scala chain") {
+    withViews {
+      val postings = Search.invertedPostings(Fixtures.documents(s, dir), "doc_id", "text")
+      assertSameRows(
+        s.sql("SELECT * FROM graft_text_bm25('docs', 'doc_id', 'text', 'dup,spark,key', 20)"),
+        Search.bm25TopK(postings, Search.docStats(postings),
+          Seq("dup", "spark", "key"), k = 20), "graft_text_bm25")
+    }
+  }
+
+  test("curation family from SQL: source cap + temperature TVFs match") {
+    withViews {
+      val docs = Fixtures.documents(s, dir)
+      assertSameRows(
+        s.sql("SELECT * FROM graft_corpus_source_cap('docs', 'doc_id', 'source', 15, 'cap')"),
+        Corpus.sourceCap(docs, "doc_id", "source", cap = 15, salt = "cap"),
+        "graft_corpus_source_cap")
+      assertSameRows(
+        s.sql("SELECT * FROM graft_corpus_temperature('docs', 'source', 0.5)"),
+        Corpus.temperatureWeights(docs, "source", alpha = 0.5),
+        "graft_corpus_temperature")
+    }
+  }
+
+  test("sketch family from SQL: HLL distinct TVF matches") {
+    withViews {
+      assertSameRows(
+        s.sql("SELECT * FROM graft_sketch_hll('docs', 'doc_id', 6)"),
+        Sketches.hllDistinct(Fixtures.documents(s, dir), Seq.empty,
+          col("doc_id").cast("string"), b = 6), "graft_sketch_hll")
+    }
+  }
+
+  test("BPE family from SQL: train TVF matches the in-memory trainer") {
+    withViews {
+      import s.implicits._
+      assertSameRows(
+        s.sql("SELECT * FROM graft_bpe_train('docs', 'text', 6)"),
+        Bpe.trainInMemory(Fixtures.documents(s, dir), "text", 6)
+          .merges.toDF("merge_rank", "merge_left", "merge_right", "pair_freq"),
+        "graft_bpe_train")
+    }
+  }
+
+  test("embedding family from SQL: dim-stats TVF matches, and composes with SQL") {
+    withViews {
+      assertSameRows(
+        s.sql("SELECT * FROM graft_emb_dim_stats('embs', 'embedding')"),
+        Similarity.dimStats(Fixtures.embeddings(s, dir), "embedding"),
+        "graft_emb_dim_stats")
+      // TVF output is a normal relation: aggregates/filters compose on top
+      val n = s.sql(
+        """SELECT COUNT(*) AS c FROM graft_emb_dim_stats('embs', 'embedding')
+          |WHERE std_val > 0""".stripMargin).head().getLong(0)
+      assert(n > 0)
+    }
+  }
+
+  test("TVF argument errors are caught with a usage message") {
+    withViews {
+      val e = intercept[Exception] {
+        s.sql("SELECT * FROM graft_dedup_minhash('docs', 'text')").collect()
+      }
+      assert(e.getMessage.contains("usage"), s"got: ${e.getMessage}")
+      val e2 = intercept[Exception] {
+        s.sql("SELECT * FROM graft_ann_topk('embs', 'queries', 'vec_id', 'embedding', rand())")
+          .collect()
+      }
+      assert(e2.getMessage.contains("literal"), s"got: ${e2.getMessage}")
+    }
+  }
+}
