@@ -1,0 +1,126 @@
+package graft
+
+import graft.sources.TxTable
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** The transactional table layer: atomic multi-file commits, snapshot
+  * isolation, time travel, additive schema evolution, optimistic
+  * concurrency, vacuum — the contracts a production CDC target reads
+  * against, proven on the real filesystem protocol (hard-link
+  * put-if-absent), not mocks.
+  */
+class TxTableSpec extends SparkSpecBase {
+
+  private lazy val s = spark
+  import s.implicits._
+
+  test("append/overwrite versioning and time travel") {
+    val dir = Files.createTempDirectory("txtable").toString
+    val v0 = TxTable.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    val v1 = TxTable.commit(Seq((3L, "c")).toDF("id", "v"), dir, "append")
+    val v2 = TxTable.commit(Seq((9L, "z")).toDF("id", "v"), dir, "overwrite")
+    assert(Seq(v0, v1, v2) === Seq(0L, 1L, 2L))
+    assert(TxTable.read(s, dir).select("id").collect().map(_.getLong(0)).toSet === Set(9L))
+    assert(TxTable.read(s, dir, Some(1L)).select("id")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
+    assert(TxTable.read(s, dir, Some(0L)).select("id")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+  }
+
+  test("readers never see uncommitted data files") {
+    val dir = Files.createTempDirectory("txatomic").toString
+    TxTable.commit(Seq((1L, "a")).toDF("id", "v"), dir)
+    // a writer lands data files but dies before publishing the manifest
+    Seq((99L, "ghost")).toDF("id", "v").write.parquet(s"$dir/data/orphan-commit")
+    assert(TxTable.read(s, dir).select("id").collect().map(_.getLong(0)).toSet
+      === Set(1L), "unpublished files must be invisible")
+    assert(TxTable.versions(dir) === Seq(0L))
+  }
+
+  test("concurrent appends both commit; the union survives") {
+    val dir = Files.createTempDirectory("txrace").toString
+    TxTable.commit(Seq((0L, "base")).toDF("id", "v"), dir)
+    val dfs = (1 to 4).map(i => Seq((i.toLong, s"w$i")).toDF("id", "v"))
+    val threads = dfs.map { d =>
+      new Thread(() => { TxTable.commit(d, dir, "append"); () })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(TxTable.versions(dir) === (0L to 4L),
+      "every racer must land its own version")
+    assert(TxTable.read(s, dir).select("id").collect().map(_.getLong(0)).toSet
+      === Set(0L, 1L, 2L, 3L, 4L), "appends commute — nothing lost")
+  }
+
+  test("schema evolution: additive append works, destructive append is rejected") {
+    val dir = Files.createTempDirectory("txschema").toString
+    TxTable.commit(Seq((1L, "a")).toDF("id", "v"), dir)
+    TxTable.commit(Seq((2L, "b", 7.5)).toDF("id", "v", "score"), dir, "append")
+    val rows = TxTable.read(s, dir).orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L))
+    assert(rows(0).isNullAt(2), "old files surface the new column as null")
+    assert(rows(1).getDouble(2) === 7.5)
+    // old version reads under its own (2-column) schema
+    assert(TxTable.read(s, dir, Some(0L)).schema.fieldNames.toSeq === Seq("id", "v"))
+
+    val drop = intercept[IllegalArgumentException] {
+      TxTable.commit(Seq(Tuple1(3L)).toDF("id"), dir, "append")
+    }
+    assert(drop.getMessage.contains("drops column"))
+    val retype = intercept[IllegalArgumentException] {
+      TxTable.commit(Seq((4L, 5L, 1.0)).toDF("id", "v", "score"), dir, "append")
+    }
+    assert(retype.getMessage.contains("retypes column"))
+    // overwrite may replace the schema wholesale
+    TxTable.commit(Seq(Tuple1(10L)).toDF("id"), dir, "overwrite")
+    assert(TxTable.read(s, dir).schema.fieldNames.toSeq === Seq("id"))
+  }
+
+  test("vacuum retires expired versions and their unreferenced files only") {
+    val dir = Files.createTempDirectory("txvacuum").toString
+    TxTable.commit(Seq((1L, "a")).toDF("id", "v"), dir)             // v0
+    TxTable.commit(Seq((2L, "b")).toDF("id", "v"), dir, "append")   // v1 = v0 files + new
+    TxTable.commit(Seq((3L, "c")).toDF("id", "v"), dir, "append")   // v2 = v1 files + new
+    val keptFiles = TxTable.snapshot(dir, 2L).files
+    TxTable.vacuum(dir, keepVersions = 1)
+    assert(TxTable.versions(dir) === Seq(2L))
+    // v2 references every file ever appended, so nothing is deleted
+    keptFiles.foreach(f =>
+      assert(Files.exists(Paths.get(dir, f)), s"referenced file $f must survive"))
+    assert(TxTable.read(s, dir).select("id").collect().map(_.getLong(0)).toSet
+      === Set(1L, 2L, 3L))
+
+    // an overwrite orphans history: vacuum now deletes the old files
+    TxTable.commit(Seq((9L, "z")).toDF("id", "v"), dir, "overwrite") // v3
+    val orphaned = TxTable.snapshot(dir, 2L).files
+    TxTable.vacuum(dir, keepVersions = 1)
+    assert(TxTable.versions(dir) === Seq(3L))
+    orphaned.foreach(f =>
+      assert(!Files.exists(Paths.get(dir, f)), s"orphaned file $f must be deleted"))
+    assert(TxTable.read(s, dir).select("id").collect().map(_.getLong(0)).toSet
+      === Set(9L))
+  }
+
+  test("CDC target with history: each applied batch is a version, time travel replays state") {
+    val dir = Files.createTempDirectory("txcdc").toString
+    val base = Seq((1L, "A", 10.0), (2L, "B", 20.0), (3L, "C", 30.0))
+      .toDF("k", "status", "price")
+    TxTable.commit(base, dir) // v0: initial snapshot
+
+    // batch 1: update key 2, delete key 3 — the applied state is the new
+    // FULL snapshot (overwrite), exactly how ChangeApplier's output lands
+    val applied1 = Seq((1L, "A", 10.0), (2L, "B2", 25.0)).toDF("k", "status", "price")
+    TxTable.commit(applied1, dir, "overwrite") // v1
+    // batch 2: insert key 4
+    val applied2 = applied1.unionByName(Seq((4L, "D", 40.0)).toDF("k", "status", "price"))
+    TxTable.commit(applied2, dir, "overwrite") // v2
+
+    assert(TxTable.read(s, dir).select("k").collect().map(_.getLong(0)).toSet
+      === Set(1L, 2L, 4L))
+    // "what did the target look like before batch 1?" — one read
+    val before = TxTable.read(s, dir, Some(0L)).orderBy("k").collect()
+    assert(before.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(before(1).getString(1) === "B")
+  }
+}
