@@ -14,7 +14,8 @@ object Bench {
       "dedup_graph_stats"),
     "emb_cov" -> Set("emb_covariance", "emb_top_component", "emb_pca_variance"),
     "hybrid_runs" -> Set("text_hybrid_search", "text_hybrid_ivfpq",
-      "text_hybrid_recall"))
+      "text_hybrid_recall"),
+    "tx_table" -> Set("tx_time_travel"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1352,7 +1352,8 @@ object SparkEntry {
     "emb_cov" -> ((s, dir) => { covFrame(s, dir).count(); () }),
     "hybrid_runs" -> ((s, dir) => {
       qTextHybridSearch(s, dir).count(); qTextHybridIvfPq(s, dir).count(); ()
-    }))
+    }),
+    "tx_table" -> ((s, dir) => { qTxTimeTravel(s, dir).count(); () }))
 
   private def qEmbQuantize(s: SparkSession, dir: String): DataFrame =
     Similarity.quantizeInt8(embeddings(s, dir), "vec_id", "embedding")
@@ -1630,6 +1631,54 @@ object SparkEntry {
     o.withColumn("zval", Layout.zOrderKey2(col("zx"), col("zy")))
       .orderBy(col("zval"), col("o_orderkey"))
       .limit(200)
+  }
+
+  /** Transactional-table lifecycle exercised end-to-end through the
+    * oracle gate: half the orders are committed as version 0 of a
+    * [[graft.sources.TxTable]], the other half APPENDED as version 1,
+    * and the registered result summarizes BOTH time-travel reads —
+    * row count, key span, and an exact-decimal price sum per version.
+    * The oracle recomputes the summaries straight from the orders
+    * parquet, so a green row proves commit atomicity + snapshot
+    * addressing end to end: any lost file, double-counted commit, or
+    * mis-addressed version changes a count or a sum. Sums follow the
+    * decimal-exact float rule (DECIMAL(18,4) accumulate, one
+    * VARCHAR-routed cast to double, round 6).
+    */
+  private def qTxTimeTravel(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxTable
+    val path = Fixtures.scratchDir("txtable", dir)
+    Fixtures.buildOnce("txtable", s, dir) {
+      // deterministic rebuild: a previous process's table would otherwise
+      // keep growing the version log in the persistent scratch dir
+      def wipe(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p)) {
+          val it = java.nio.file.Files.list(p)
+          try it.iterator().forEachRemaining(wipe)
+          finally it.close()
+        }
+        java.nio.file.Files.deleteIfExists(p)
+        ()
+      }
+      val root = java.nio.file.Paths.get(path)
+      Seq("data", "_txlog").foreach(d => wipe(root.resolve(d)))
+      val o = orders(s, dir)
+      TxTable.commit(o.filter(col("o_orderkey") % 10 < 5), path, "overwrite")
+      TxTable.commit(o.filter(col("o_orderkey") % 10 >= 5), path, "append")
+      ()
+    }
+    def summarize(df: DataFrame, version: Int): DataFrame =
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"),
+        round(sum(col("o_totalprice").cast(DecimalType(18, 4))).cast("double"), 6)
+          .as("sum_price"))
+        .select(lit(version).as("version"), col("n_rows"), col("min_key"),
+          col("max_key"), col("sum_price"))
+    summarize(TxTable.read(s, path, Some(0L)), 0)
+      .unionByName(summarize(TxTable.read(s, path, Some(1L)), 1))
+      .orderBy("version")
   }
 
   /** Conjunctive inverted-index search: postings built once (token, doc,
@@ -4839,6 +4888,7 @@ object SparkEntry {
     "text_hybrid_search" -> (qTextHybridSearch _),
     "text_hybrid_ivfpq" -> (qTextHybridIvfPq _),
     "text_hybrid_recall" -> (qTextHybridRecall _),
+    "tx_time_travel" -> (qTxTimeTravel _),
     "corpus_decontaminate_fuzzy" -> (qCorpusDecontFuzzy _),
     "text_bpe_train" -> (qTextBpeTrain _),
     "text_bpe_encode" -> (qTextBpeEncode _),
@@ -7030,6 +7080,23 @@ object SparkEntry {
          |${rrfFuseCtes("vec", "h")}
          |SELECT doc_id, in_lexical, in_vector, rrf_score, rk FROM hr WHERE rk <= 20
          |ORDER BY rk""".stripMargin,
+
+    "tx_time_travel" ->
+      """WITH s AS (
+        |  SELECT CASE WHEN o_orderkey % 10 < 5 THEN 0 ELSE 1 END AS half,
+        |         o_orderkey, o_totalprice
+        |  FROM orders),
+        |v AS (
+        |  SELECT 0 AS version, o_orderkey, o_totalprice FROM s WHERE half = 0
+        |  UNION ALL
+        |  SELECT 1 AS version, o_orderkey, o_totalprice FROM s)
+        |SELECT CAST(version AS INTEGER) AS version,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       MIN(o_orderkey) AS min_key,
+        |       MAX(o_orderkey) AS max_key,
+        |       round(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR)
+        |                  AS DOUBLE), 6) AS sum_price
+        |FROM v GROUP BY version ORDER BY version""".stripMargin,
 
     "text_hybrid_ivfpq" ->
       s"""WITH $TextTokensCte,

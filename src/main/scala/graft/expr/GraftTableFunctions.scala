@@ -69,7 +69,16 @@ object GraftTableFunctions {
       })),
     "graft_emb_dim_stats" -> (("(table, vecCol)",
       (s: SparkSession, a: Seq[Any]) =>
-        graft.ext.Similarity.dimStats(s.table(str(a(0))), str(a(1))))))
+        graft.ext.Similarity.dimStats(s.table(str(a(0))), str(a(1))))),
+    "graft_tx_read" -> (("(tableDir [, version])",
+      (s: SparkSession, a: Seq[Any]) =>
+        graft.sources.TxTable.read(s, str(a(0)),
+          if (a.length > 1) Some(int(a(1)).toLong) else None))),
+    "graft_tx_versions" -> (("(tableDir)",
+      (s: SparkSession, a: Seq[Any]) => {
+        import s.implicits._
+        graft.sources.TxTable.versions(str(a(0))).toDF("version")
+      })))
 
   /** The registered TVF names (for docs/tests). */
   def names: Seq[String] = registry.keys.toSeq.sorted

@@ -103,6 +103,19 @@ class SqlSurfaceSpec extends SparkSpecBase {
     }
   }
 
+  test("transactional-table family from SQL: versions + time travel") {
+    val dir = java.nio.file.Files.createTempDirectory("txsql").toString
+    import s.implicits._
+    graft.sources.TxTable.commit(Seq((1L, "a")).toDF("id", "v"), dir)
+    graft.sources.TxTable.commit(Seq((2L, "b")).toDF("id", "v"), dir, "append")
+    assert(s.sql(s"SELECT * FROM graft_tx_versions('$dir')")
+      .collect().map(_.getLong(0)).toSeq === Seq(0L, 1L))
+    assert(s.sql(s"SELECT id FROM graft_tx_read('$dir')")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    assert(s.sql(s"SELECT id FROM graft_tx_read('$dir', 0)")
+      .collect().map(_.getLong(0)).toSet === Set(1L))
+  }
+
   test("TVF argument errors are caught with a usage message") {
     withViews {
       val e = intercept[Exception] {
