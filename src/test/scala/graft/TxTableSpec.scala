@@ -102,6 +102,78 @@ class TxTableSpec extends SparkSpecBase {
       === Set(9L))
   }
 
+  test("streaming commits are exactly-once per epoch; TxSink drains batches into versions") {
+    val tmp = Files.createTempDirectory("txstream").toString
+    val (srcDir, tableDir, chk) = (s"$tmp/src", s"$tmp/table", s"$tmp/chk")
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", org.apache.spark.sql.types.LongType, nullable = false)
+      .add("v", org.apache.spark.sql.types.StringType, nullable = true)
+
+    Seq(Seq((1L, "a"), (2L, "b")), Seq((3L, "c"))).foreach(rows =>
+      rows.toDF("id", "v").coalesce(1).write.mode("append").parquet(srcDir))
+    graft.streaming.TxSink.drain(s, srcDir, schema, tableDir, chk,
+      maxFilesPerTrigger = 1)
+    assert(TxTable.versions(tableDir).size === 2,
+      "each micro-batch lands as one version")
+    assert(TxTable.read(s, tableDir).select("id")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
+
+    // crash window: the checkpoint never committed, the epoch re-runs —
+    // the stamp short-circuits, no new version, same answers
+    val epoch0 = TxTable.versions(tableDir).map(TxTable.snapshot(tableDir, _))
+      .find(_.epoch.isDefined).get.epoch.get
+    val before = TxTable.versions(tableDir)
+    val got = TxTable.commitStreaming(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), tableDir, epoch0)
+    assert(TxTable.versions(tableDir) === before, "replayed epoch commits nothing")
+    assert(TxTable.snapshot(tableDir, got).epoch.contains(epoch0))
+  }
+
+  test("manifest file stats prune whole files; pruned read equals filtered read") {
+    val dir = Files.createTempDirectory("txprune").toString
+    // three commits with DISJOINT id ranges, each its own file
+    Seq(0L until 100L, 100L until 200L, 200L until 300L).foreach { r =>
+      TxTable.commit(r.map(i => (i, s"r$i")).toDF("id", "v").coalesce(1),
+        dir, "append", statsColumns = Seq("id"))
+    }
+    val pruned = TxTable.readPruned(s, dir, "id", 120L, 150L)
+    assert(pruned.inputFiles.length === 1,
+      s"only the overlapping file is opened, got ${pruned.inputFiles.length}")
+    val full = TxTable.read(s, dir).where(col("id") >= 120L && col("id") <= 150L)
+    assertSameRows(pruned, full, "pruned read vs filtered full read")
+    // a range spanning two files opens exactly two
+    assert(TxTable.readPruned(s, dir, "id", 90L, 110L).inputFiles.length === 2)
+  }
+
+  test("compaction rewrites to fewer files with identical rows and surviving stats") {
+    val dir = Files.createTempDirectory("txcompact").toString
+    (0 until 6).foreach(i =>
+      TxTable.commit(Seq((i.toLong, s"w$i")).toDF("id", "v").coalesce(1),
+        dir, "append", statsColumns = Seq("id")))
+    val before = TxTable.read(s, dir).collect().map(_.toSeq).toSet
+    assert(TxTable.latest(dir).get.files.length === 6)
+    TxTable.compact(s, dir, targetFiles = 2)
+    assert(TxTable.latest(dir).get.files.length <= 2)
+    assert(TxTable.read(s, dir).collect().map(_.toSeq).toSet === before)
+    // stats survived the rewrite: a disjoint range opens no files
+    assert(TxTable.readPruned(s, dir, "id", 1000L, 2000L).inputFiles.isEmpty)
+  }
+
+  test("vacuum sweeps crashed-commit orphans after the grace window only") {
+    val dir = Files.createTempDirectory("txorphan").toString
+    TxTable.commit(Seq((1L, "a")).toDF("id", "v"), dir)
+    Seq((99L, "ghost")).toDF("id", "v").write.parquet(s"$dir/data/orphan-x")
+    // inside the grace window the orphan survives (in-flight commits
+    // must never lose their files)
+    TxTable.vacuum(dir, keepVersions = 1)
+    assert(Files.exists(Paths.get(dir, "data/orphan-x")))
+    // past the grace window it is swept
+    TxTable.vacuum(dir, keepVersions = 1, orphanGraceMs = 0L)
+    assert(!Files.exists(Paths.get(dir, "data/orphan-x")))
+    assert(TxTable.read(s, dir).select("id").collect().map(_.getLong(0)).toSet
+      === Set(1L), "committed data untouched")
+  }
+
   test("CDC target with history: each applied batch is a version, time travel replays state") {
     val dir = Files.createTempDirectory("txcdc").toString
     val base = Seq((1L, "A", 10.0), (2L, "B", 20.0), (3L, "C", 30.0))
