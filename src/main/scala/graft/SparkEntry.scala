@@ -4956,11 +4956,12 @@ object SparkEntry {
   /** Shared covariance CTEs (through `cov(di, dj, c)`, upper triangle)
     * mirroring [[Similarity.covariance]]: DECIMAL(28,10) moment sums,
     * one 6-dp round per cell. The decimal→double casts are VARCHAR-routed
-    * (one correctly-rounded strtod) — DuckDB's direct cast rounds twice
-    * (scaled-int→double, ÷10^scale) and lands 1 ulp off the JVM's
-    * BigDecimal.doubleValue near .5e-6 round ties, which flipped a
-    * handful of the 2,080 six-dp cells in the round-7 driver run (the
-    * same trap the `cdc_incremental_variance` oracle documents).
+    * (one correctly-rounded strtod) as defensive version-robust parity —
+    * though measured equal to the direct cast at these magnitudes
+    * (unscaled ≤ ~1e11 << 2^53). The round-7 driver-run hash fail on this
+    * query was SIGNED ZERO, not the cast: cell (5,9) raw = -3.5e-7,
+    * DuckDB round → -0.0, Spark round (BigDecimal) → +0.0 — handled
+    * globally by [[normalizeNegZero]].
     */
   private val EmbCovCtes: String =
     """g AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -5596,13 +5597,60 @@ object SparkEntry {
     * ([[PortableHash]]) precisely so these twins exist — every query in
     * [[queries]] now has a full rows+schema+hash oracle.
     */
-  def oracleSql: Map[String, String] = oracleSqlBase ++ Map(
-    // The append-grown index queries share their oracle SQL with the
-    // one-shot builds over the same total corpus — identical twin =
-    // the correctness claim itself: growing an index by appending a
-    // batch is indistinguishable, to every probe, from rebuilding it.
-    "dedup_incremental_append" -> oracleSqlBase("dedup_incremental"),
-    "ann_ivfpq_append" -> oracleSqlBase("ann_ivfpq_topk"))
+  def oracleSql: Map[String, String] =
+    (oracleSqlBase ++ Map(
+      // The append-grown index queries share their oracle SQL with the
+      // one-shot builds over the same total corpus — identical twin =
+      // the correctness claim itself: growing an index by appending a
+      // batch is indistinguishable, to every probe, from rebuilding it.
+      "dedup_incremental_append" -> oracleSqlBase("dedup_incremental"),
+      "ann_ivfpq_append" -> oracleSqlBase("ann_ivfpq_topk")))
+      .map { case (k, sql) => k -> normalizeNegZero(sql) }
+
+  /** Wrap every `round(...)` in the oracle SQL as `(round(...) + 0)` —
+    * the negative-zero normalizer. DuckDB's `round` is IEEE-signed
+    * (`round(-1e-9, 6)` = -0.0) while Spark's routes through BigDecimal
+    * (always +0.0): a signed statistic whose rounded value crosses zero
+    * therefore hash-MISMATCHES under a compare that distinguishes the
+    * two bit patterns, even though `-0.0 == 0.0` — the round-7
+    * `emb_covariance` red cell was exactly this (cell (5,9), raw
+    * -3.5e-7: Spark +0.0, DuckDB -0.0; rows and schema matched, hash
+    * didn't, and the `==`-based local gate saw nothing). `x + 0`
+    * normalizes -0.0 to +0.0 and is the identity on every other double,
+    * so results are unchanged except the zero's sign. Applied
+    * mechanically at the emission point so every current AND future
+    * oracle inherits the guard.
+    */
+  private def normalizeNegZero(sql: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      val isStart = sql.regionMatches(true, i, "round(", 0, 6) &&
+        (i == 0 || (!Character.isLetterOrDigit(sql(i - 1)) && sql(i - 1) != '_'))
+      if (isStart) {
+        var depth = 0
+        var k = i + 5 // the '('
+        var close = -1
+        while (k < sql.length && close < 0) {
+          sql(k) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1; if (depth == 0) close = k
+            case _ => ()
+          }
+          k += 1
+        }
+        if (close < 0) { out.append(sql(i)); i += 1 }
+        else {
+          out.append('(').append(sql.substring(i, close + 1)).append(" + 0)")
+          i = close + 1
+        }
+      } else {
+        out.append(sql(i))
+        i += 1
+      }
+    }
+    out.toString
+  }
 
   private val oracleSqlBase: Map[String, String] = Map(
     "events_sliding_hll" ->

@@ -48,8 +48,13 @@ for name, sql in sorted(oracle.items()):
             a, b = sdf[c].tolist(), odf[c].tolist()
             for i, (x, y) in enumerate(zip(a, b)):
                 same = (x == y) or (x is None and y is None)
-                if not same and isinstance(x, float) and isinstance(y, float):
-                    same = (math.isnan(x) and math.isnan(y)) or x == y
+                if isinstance(x, float) and isinstance(y, float):
+                    # sign-of-zero sensitive, like the driver's value hash:
+                    # -0.0 == 0.0 under ==, but the bit patterns differ and
+                    # a hash-based compare fails (the round-7 emb_covariance
+                    # red cell: DuckDB round(-3.5e-7, 6) = -0.0, Spark +0.0)
+                    same = (math.isnan(x) and math.isnan(y)) or (
+                        x == y and math.copysign(1.0, x) == math.copysign(1.0, y))
                 if not same:
                     print(f"{name}: VALUE row {i} col {c}: spark={x!r} oracle={y!r}")
                     ok = False
