@@ -1605,6 +1605,22 @@ object SparkEntry {
       .orderBy("centroid_id", "dim_i")
   }
 
+  /** Embedding-space eval-set decontamination: corpus vectors (ids not
+    * ≡ 0 mod 50) swept against the broadcast eval set (ids ≡ 0 mod 50)
+    * at cosine ≥ 0.3 — the semantic tier of the decontamination family
+    * (n-gram exact + minhash fuzzy + embedding); threshold 0.3 because
+    * the synthetic embeddings top out near 0.45 cross-cosine (the
+    * `emb_near_dup` argument): a production 0.9 would check nothing.
+    */
+  private def qEmbDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir)
+    Similarity.embeddingDecontaminate(
+        emb.filter(col("vec_id") % 50 =!= 0),
+        emb.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", threshold = 0.3)
+      .orderBy("vec_id")
+  }
+
   private def qEmbNearDup(s: SparkSession, dir: String): DataFrame =
     // threshold 0.3: the synthetic embeddings have no true near-dups
     // (max same-bucket cosine ≈ 0.45), so a production-like 0.95 would
@@ -4889,6 +4905,7 @@ object SparkEntry {
     "text_hybrid_ivfpq" -> (qTextHybridIvfPq _),
     "text_hybrid_recall" -> (qTextHybridRecall _),
     "tx_time_travel" -> (qTxTimeTravel _),
+    "emb_decontaminate" -> (qEmbDecontaminate _),
     "corpus_decontaminate_fuzzy" -> (qCorpusDecontFuzzy _),
     "text_bpe_train" -> (qTextBpeTrain _),
     "text_bpe_encode" -> (qTextBpeEncode _),
@@ -7128,6 +7145,21 @@ object SparkEntry {
          |${rrfFuseCtes("vec", "h")}
          |SELECT doc_id, in_lexical, in_vector, rrf_score, rk FROM hr WHERE rk <= 20
          |ORDER BY rk""".stripMargin,
+
+    "emb_decontaminate" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS eid, v AS ev FROM e WHERE vec_id % 50 = 0),
+         |c AS (SELECT vec_id, v AS cv FROM e WHERE vec_id % 50 <> 0),
+         |raw AS (SELECT c.vec_id,
+         |          ${dotSql("c.cv", "q.ev")} AS dp,
+         |          sqrt(${dotSql("c.cv", "c.cv")}) AS na,
+         |          sqrt(${dotSql("q.ev", "q.ev")}) AS nb
+         |        FROM c, q),
+         |${cosScoreSql("raw", "scored")}
+         |SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_eval_matches,
+         |       MAX(score) AS max_score
+         |FROM scored WHERE score >= 0.3
+         |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
 
     "tx_time_travel" ->
       """WITH s AS (

@@ -859,6 +859,39 @@ object Similarity {
         round(sqrt(col("err2")), 6).as("l2_err"), col("codes"))
   }
 
+  /** Embedding-space decontamination: for every corpus vector, its
+    * cosine matches in a (small) evaluation set at or above `threshold`
+    * — the semantic sibling of the n-gram `Corpus.decontaminate` and the
+    * fuzzy `Dedup.crossNearDupPairs`: a paraphrased or translated eval
+    * item shares no n-grams with its leaked twin, but their embeddings
+    * still collide. Output: one row per CONTAMINATED corpus vector
+    * (idCol, n_eval_matches BIGINT, max_score DOUBLE 6-dp).
+    *
+    * Scale shape: the eval set is broadcast (eval sets are thousands of
+    * rows — the same "queries are small" argument as
+    * [[bruteForceTopK]]), so the sweep is a narrow map over ONE corpus
+    * scan with a map-side-combined per-id aggregate; nothing shuffles
+    * but the matched ids. For eval sets too big to broadcast, route
+    * both sides through [[ivfAssign]] and join within coarse lists
+    * (the [[semanticDedup]] bounding argument).
+    */
+  def embeddingDecontaminate(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val c = corpus.select(col(idCol), col(vecCol).cast("array<double>").as("__cv"))
+    val e = evalSet.select(col(idCol).as("__eid"),
+      col(vecCol).cast("array<double>").as("__ev"))
+    c.crossJoin(broadcast(e))
+      .select(col(idCol),
+        round(cosine(col("__cv"), col("__ev")), 6).as("__score"))
+      .filter(col("__score") >= threshold)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_eval_matches"), max(col("__score")).as("max_score"))
+  }
+
   def embeddingNearDup(
       df: DataFrame,
       idCol: String,

@@ -19,6 +19,9 @@ class PlanGuardSpec extends SparkSpecBase {
     */
   private val nestedLoopAllowed = Set(
     "ann_brute_force", "ann_pq_topk", "ann_lsh",
+    // broadcast eval-set sweep — the "queries are small" brute-force
+    // argument applied to decontamination
+    "emb_decontaminate",
     // 1-row × 1-row sketch-combine frames
     "sketch_set_ops",
     // recall joins the brute-force ground truth, inheriting its sweep

@@ -174,6 +174,56 @@ class TxTableSpec extends SparkSpecBase {
       === Set(1L), "committed data untouched")
   }
 
+  test("property: any append/overwrite/compact/vacuum sequence matches the in-memory model") {
+    import org.scalacheck.{Gen, Prop, Test => ScTest}
+    import org.scalacheck.Prop.propBoolean
+    // ops: 0 = append, 1 = overwrite, 2 = compact, 3 = vacuum(keep 2)
+    val genCase = for {
+      nOps <- Gen.choose(2, 5)
+      ops <- Gen.listOfN(nOps, Gen.choose(0, 3))
+      sizes <- Gen.listOfN(nOps, Gen.choose(1, 4))
+    } yield (ops, sizes)
+    var nextId = 0L
+    val prop = Prop.forAll(genCase) { case (ops0, sizes) =>
+      val dir = Files.createTempDirectory("txmodel").toString
+      val ops = 0 +: ops0 // first op is always an append (table must exist)
+      // model: the full row set of every committed version
+      var model = Vector.empty[Set[(Long, String)]]
+      var firstRetained = 0
+      ops.zip(sizes.head +: sizes).foreach { case (op, n) =>
+        def fresh = {
+          val rows = (0 until n).map { k => nextId += 1; (nextId, s"r$nextId") }
+          (rows.toDF("id", "v"), rows.toSet)
+        }
+        op match {
+          case 0 =>
+            val (df, rows) = fresh
+            TxTable.commit(df, dir, "append")
+            model :+= model.lastOption.getOrElse(Set.empty).union(rows)
+          case 1 =>
+            val (df, rows) = fresh
+            TxTable.commit(df, dir, "overwrite")
+            model :+= rows
+          case 2 =>
+            TxTable.compact(s, dir, targetFiles = 1)
+            model :+= model.last
+          case 3 =>
+            TxTable.vacuum(dir, keepVersions = 2, orphanGraceMs = 0L)
+            firstRetained = math.max(firstRetained, model.size - 2)
+          case other => throw new MatchError(other)
+        }
+      }
+      val vsOk = TxTable.versions(dir) == (firstRetained.toLong until model.size.toLong)
+      val reads = (firstRetained until model.size).forall { v =>
+        TxTable.read(s, dir, Some(v.toLong))
+          .collect().map(r => (r.getLong(0), r.getString(1))).toSet == model(v)
+      }
+      (vsOk && reads) :| s"versions=${TxTable.versions(dir)} expected=${firstRetained until model.size}"
+    }
+    val res = ScTest.check(ScTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, s"property failed: ${res.status}")
+  }
+
   test("CDC target with history: each applied batch is a version, time travel replays state") {
     val dir = Files.createTempDirectory("txcdc").toString
     val base = Seq((1L, "A", 10.0), (2L, "B", 20.0), (3L, "C", 30.0))
