@@ -1353,7 +1353,12 @@ object SparkEntry {
     "hybrid_runs" -> ((s, dir) => {
       qTextHybridSearch(s, dir).count(); qTextHybridIvfPq(s, dir).count(); ()
     }),
-    "tx_table" -> ((s, dir) => { qTxTimeTravel(s, dir).count(); () }))
+    "tx_table" -> ((s, dir) => {
+      qTxTimeTravel(s, dir).count()
+      qTxChangeFeed(s, dir).count()
+      qTxMergeApply(s, dir).count()
+      ()
+    }))
 
   private def qEmbQuantize(s: SparkSession, dir: String): DataFrame =
     Similarity.quantizeInt8(embeddings(s, dir), "vec_id", "embedding")
@@ -1695,6 +1700,103 @@ object SparkEntry {
     summarize(TxTable.read(s, path, Some(0L)), 0)
       .unionByName(summarize(TxTable.read(s, path, Some(1L)), 1))
       .orderBy("version")
+  }
+
+  /** Deterministic wipe of a scratch TxTable dir so buildOnce rebuilds
+    * from a clean version log (a previous process's table would
+    * otherwise keep growing it).
+    */
+  private def wipeTxDir(path: String): Unit = {
+    def wipe(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p)) {
+        val it = java.nio.file.Files.list(p)
+        try it.iterator().forEachRemaining(wipe)
+        finally it.close()
+      }
+      java.nio.file.Files.deleteIfExists(p)
+      ()
+    }
+    val root = java.nio.file.Paths.get(path)
+    Seq("data", "_txlog").foreach(d => wipe(root.resolve(d)))
+  }
+
+  /** Change-data-feed between two committed TxTable versions — the
+    * transactional target turned change SOURCE for downstream replicas
+    * (the Delta CDF tier). Version 0 is the customer snapshot; version 1
+    * is an overwrite that deletes every 7th key, bumps the balance of
+    * every 5th, and inserts relabeled copies of every 11th under new
+    * keys. The feed must classify exactly those rows (pre-image on
+    * delete, post-image otherwise) and stay SILENT on untouched keys —
+    * the oracle recomputes the diff as a FULL OUTER JOIN of the two
+    * derived states. Balance arithmetic is a single IEEE double add,
+    * bit-deterministic in both engines, so values cross the compare
+    * boundary raw.
+    */
+  private def qTxChangeFeed(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxTable
+    val path = Fixtures.scratchDir("txfeed", dir)
+    Fixtures.buildOnce("txfeed", s, dir) {
+      wipeTxDir(path)
+      val b = customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      TxTable.commit(b, path, "overwrite")
+      val survivors = b.filter(col("c_custkey") % 7 =!= 0)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 5 === 0, col("c_acctbal") + 100.0)
+            .otherwise(col("c_acctbal")))
+      val inserts = b.filter(col("c_custkey") % 11 === 0)
+        .select((-col("c_custkey") - 1L).as("c_custkey"),
+          lit("NEWSEG").as("c_mktsegment"), col("c_acctbal"))
+      TxTable.commit(survivors.unionByName(inserts), path, "overwrite")
+      ()
+    }
+    TxTable.changeFeed(s, path, 0L, 1L, Seq("c_custkey"))
+      .orderBy("c_custkey", "change_type")
+  }
+
+  /** Serializable copy-on-write MERGE through the oracle gate: the
+    * customer snapshot is committed range-partitioned with key stats
+    * (so the merge's file-hit scan has real skipping to do), then ONE
+    * deduplicated CDC batch — deletes (every 9th key), updates (+50 on
+    * keys ≡ 1 mod 4), inserts (relabeled copies of keys ≡ 2 mod 13
+    * under new keys) — lands atomically as version 1 via
+    * [[graft.sources.TxTable.merge]]. The registered result summarizes
+    * the POST-merge table per segment; the oracle recomputes the final
+    * state from the customer parquet, so a lost delete, double-applied
+    * update, dropped carry-forward file, or phantom rewrite all flip a
+    * count or a sum. Sums follow the decimal-exact float rule.
+    */
+  private def qTxMergeApply(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxTable
+    val path = Fixtures.scratchDir("txmerge", dir)
+    Fixtures.buildOnce("txmerge", s, dir) {
+      wipeTxDir(path)
+      val b = customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      TxTable.commit(b.repartitionByRange(8, col("c_custkey")), path,
+        "overwrite", statsColumns = Seq("c_custkey"))
+      val deletes = b.filter(col("c_custkey") % 9 === 0)
+        .select(col("c_custkey"), lit(null).cast("string").as("c_mktsegment"),
+          lit(null).cast("double").as("c_acctbal"), lit("DELETE").as("operation"))
+      val updates = b.filter(col("c_custkey") % 9 =!= 0 && col("c_custkey") % 4 === 1)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          (col("c_acctbal") + 50.0).as("c_acctbal"), lit("UPDATE").as("operation"))
+      val inserts = b.filter(col("c_custkey") % 13 === 2)
+        .select((-col("c_custkey") - 1L).as("c_custkey"),
+          lit("MERGED").as("c_mktsegment"), lit(1.0).as("c_acctbal"),
+          lit("INSERT").as("operation"))
+      TxTable.merge(s, path, deletes.unionByName(updates).unionByName(inserts),
+        Seq("c_custkey"))
+      ()
+    }
+    TxTable.read(s, path)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("c_custkey")).as("min_key"),
+        max(col("c_custkey")).as("max_key"),
+        round(sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double"), 6)
+          .as("sum_bal"))
+      .orderBy("c_mktsegment")
   }
 
   /** Conjunctive inverted-index search: postings built once (token, doc,
@@ -4905,6 +5007,8 @@ object SparkEntry {
     "text_hybrid_ivfpq" -> (qTextHybridIvfPq _),
     "text_hybrid_recall" -> (qTextHybridRecall _),
     "tx_time_travel" -> (qTxTimeTravel _),
+    "tx_change_feed" -> (qTxChangeFeed _),
+    "tx_merge_apply" -> (qTxMergeApply _),
     "emb_decontaminate" -> (qEmbDecontaminate _),
     "corpus_decontaminate_fuzzy" -> (qCorpusDecontFuzzy _),
     "text_bpe_train" -> (qTextBpeTrain _),
@@ -7177,6 +7281,54 @@ object SparkEntry {
         |       round(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR)
         |                  AS DOUBLE), 6) AS sum_price
         |FROM v GROUP BY version ORDER BY version""".stripMargin,
+
+    "tx_change_feed" ->
+      """WITH b AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+        |v1 AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |         CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100.0
+        |              ELSE c_acctbal END AS c_acctbal
+        |  FROM b WHERE c_custkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT -c_custkey - 1, 'NEWSEG', c_acctbal
+        |  FROM b WHERE c_custkey % 11 = 0),
+        |j AS (
+        |  SELECT COALESCE(b.c_custkey, v1.c_custkey) AS c_custkey,
+        |         b.c_mktsegment AS om, b.c_acctbal AS oa,
+        |         v1.c_mktsegment AS nm, v1.c_acctbal AS na,
+        |         b.c_custkey IS NOT NULL AS in_o,
+        |         v1.c_custkey IS NOT NULL AS in_n
+        |  FROM b FULL OUTER JOIN v1 ON b.c_custkey = v1.c_custkey),
+        |f AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN NOT in_o THEN 'insert'
+        |              WHEN NOT in_n THEN 'delete'
+        |              WHEN om IS DISTINCT FROM nm
+        |                OR oa IS DISTINCT FROM na THEN 'update' END AS change_type,
+        |         CASE WHEN NOT in_n THEN om ELSE nm END AS c_mktsegment,
+        |         CASE WHEN NOT in_n THEN oa ELSE na END AS c_acctbal
+        |  FROM j)
+        |SELECT c_custkey, c_mktsegment, c_acctbal, change_type
+        |FROM f WHERE change_type IS NOT NULL
+        |ORDER BY c_custkey, change_type""".stripMargin,
+
+    "tx_merge_apply" ->
+      """WITH b AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+        |surv AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |         CASE WHEN c_custkey % 4 = 1 THEN c_acctbal + 50.0
+        |              ELSE c_acctbal END AS c_acctbal
+        |  FROM b WHERE c_custkey % 9 <> 0),
+        |ins AS (
+        |  SELECT -c_custkey - 1 AS c_custkey,
+        |         'MERGED' AS c_mktsegment, 1.0 AS c_acctbal
+        |  FROM b WHERE c_custkey % 13 = 2),
+        |f AS (SELECT * FROM surv UNION ALL SELECT * FROM ins)
+        |SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key,
+        |       round(CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR)
+        |                  AS DOUBLE), 6) AS sum_bal
+        |FROM f GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "text_hybrid_ivfpq" ->
       s"""WITH $TextTokensCte,

@@ -159,8 +159,36 @@ object TxTable {
       statsColumns: Seq[String] = Nil, epochId: Option[Long] = None): Long = {
     require(mode == "append" || mode == "overwrite",
       s"mode must be append or overwrite, got $mode")
+    val (commitRel, newFiles, newStats) = writeData(df, dir, statsColumns)
+    val newSchema = df.schema
+    // 2 + 3. compose against the CURRENT latest and publish; on a lost
+    // race, re-read and retry (appends commute; overwrite last-wins)
+    var committed = -1L
+    while (committed < 0) {
+      val base = latest(dir)
+      val v = base.map(_.version + 1).getOrElse(0L)
+      val (files, schema, stats) = (mode, base) match {
+        case ("overwrite", _) | (_, None) => (newFiles, newSchema, newStats)
+        case ("append", Some(b)) =>
+          (b.files ++ newFiles, mergedAppendSchema(b.schema, newSchema, dir),
+            b.stats ++ newStats)
+        case other => throw new MatchError(other) // unreachable
+      }
+      if (publishAt(dir, v, mode, schema, files, stats, epochId,
+          tmpTag = commitRel.stripPrefix("data/")))
+        committed = v
+    }
+    committed
+  }
+
+  /** Land `df`'s parquet files under a fresh invisible commit dir.
+    * Returns (commit-relative dir, sorted relative file list, per-file
+    * min/max stats for `statsColumns`). Step 1 of the commit protocol,
+    * factored out so [[merge]] can compose file lists before publishing.
+    */
+  private def writeData(df: DataFrame, dir: String, statsColumns: Seq[String])
+      : (String, Seq[String], Map[String, Map[String, (Long, Long)]]) = {
     Files.createDirectories(logDir(dir))
-    // 1. land immutable data files under a fresh commit dir
     val uuid = java.util.UUID.randomUUID().toString
     val commitRel = s"data/$uuid"
     df.write.parquet(s"$dir/$commitRel")
@@ -171,7 +199,6 @@ object TxTable {
         .map(n => s"$commitRel/$n").toSeq.sorted
       finally it.close()
     }
-    val newSchema = df.schema
     val newStats: Map[String, Map[String, (Long, Long)]] =
       if (statsColumns.isEmpty || newFiles.isEmpty) Map.empty
       else {
@@ -194,39 +221,37 @@ object TxTable {
             }.toMap
           }.toMap
       }
-    // 2 + 3. compose against the CURRENT latest and publish; on a lost
-    // race, re-read and retry (appends commute; overwrite last-wins)
-    var committed = -1L
-    while (committed < 0) {
-      val base = latest(dir)
-      val v = base.map(_.version + 1).getOrElse(0L)
-      val (files, schema, stats) = (mode, base) match {
-        case ("overwrite", _) | (_, None) => (newFiles, newSchema, newStats)
-        case ("append", Some(b)) =>
-          (b.files ++ newFiles, mergedAppendSchema(b.schema, newSchema, dir),
-            b.stats ++ newStats)
-        case other => throw new MatchError(other) // unreachable
-      }
-      val statsLines = stats.toSeq.sortBy(_._1).flatMap { case (f, cols) =>
-        cols.toSeq.sortBy(_._1).map { case (c, (mn, mx)) => s"stats=$f|$c|$mn|$mx" }
-      }
-      val content = (Seq(
-        s"version=$v",
-        s"op=$mode",
-        s"schema=${schema.json}") ++
-        epochId.map(e => s"epoch=$e").toSeq ++
-        files.map(f => s"file=$f") ++ statsLines)
-        .mkString("", "\n", "\n")
-      val tmp = logDir(dir).resolve(s".tmp-$uuid-$v")
-      Files.writeString(tmp, content)
-      try {
-        Files.createLink(manifestPath(dir, v), tmp)
-        committed = v
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => () // lost race; retry
-      } finally Files.deleteIfExists(tmp)
+    (commitRel, newFiles, newStats)
+  }
+
+  /** Publish a manifest at EXACTLY version `v` via the hard-link
+    * put-if-absent. Returns false if `v` was taken by a concurrent
+    * writer — the compare-and-swap primitive [[merge]]'s serializable
+    * read-modify-write loop needs (plain [[commit]] retries internally
+    * because append/overwrite compose against ANY base; a merge's
+    * output is only valid against the base version it read).
+    */
+  private def publishAt(dir: String, v: Long, op: String, schema: StructType,
+      files: Seq[String], stats: Map[String, Map[String, (Long, Long)]],
+      epochId: Option[Long], tmpTag: String): Boolean = {
+    val statsLines = stats.toSeq.sortBy(_._1).flatMap { case (f, cols) =>
+      cols.toSeq.sortBy(_._1).map { case (c, (mn, mx)) => s"stats=$f|$c|$mn|$mx" }
     }
-    committed
+    val content = (Seq(
+      s"version=$v",
+      s"op=$op",
+      s"schema=${schema.json}") ++
+      epochId.map(e => s"epoch=$e").toSeq ++
+      files.map(f => s"file=$f") ++ statsLines)
+      .mkString("", "\n", "\n")
+    val tmp = logDir(dir).resolve(s".tmp-$tmpTag-$v")
+    Files.writeString(tmp, content)
+    try {
+      Files.createLink(manifestPath(dir, v), tmp)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false // lost race
+    } finally Files.deleteIfExists(tmp)
   }
 
   /** Exactly-once streaming commit: the foreachBatch body for a TxTable
@@ -278,6 +303,206 @@ object TxTable {
       throw new IllegalArgumentException(s"no committed version at $dir"))
     val statsCols = snap.stats.values.flatMap(_.keys).toSeq.distinct.sorted
     commit(read(spark, dir).repartition(targetFiles), dir, "overwrite", statsCols)
+  }
+
+  /** Row-level change feed between two committed versions — the
+    * Delta/Iceberg change-data-feed tier, closing the loop for a CDC
+    * engine: the transactional TARGET can itself be a change SOURCE for
+    * downstream replicas. One row per changed key with `change_type` in
+    * insert/update/delete; insert/update rows carry the `to`-version
+    * image, delete rows the `from`-version image; keys whose full row is
+    * byte-identical in both versions emit nothing.
+    *
+    * Requires `keyCols` to be unique within each version (the invariant
+    * [[merge]] maintains); under duplicate keys a row-level diff is
+    * ill-defined and the keyed join would multiply.
+    *
+    * ==Scale shape==
+    * If `from`'s file set is a subset of `to`'s (pure appends between the
+    * versions), deletes are impossible and only rows in the ADDED files
+    * can differ: the feed reads the manifest-diff delta — O(changed
+    * data), not O(table) — and joins it against the base on keys (the
+    * delta side is batch-sized; Spark/AQE picks the broadcast build).
+    * Otherwise (an overwrite/merge rewrote files) the general path is one
+    * full-outer key-shuffle join of the two snapshots — the unavoidable
+    * lower bound when any file may have been rewritten, and still a
+    * single co-partitioned shuffle, no N². Schema evolution is honored:
+    * the output schema is the union (columns absent in a version read as
+    * null there, and count toward the difference test).
+    */
+  def changeFeed(spark: SparkSession, dir: String, fromVersion: Long,
+      toVersion: Long, keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    require(keyCols.nonEmpty, "changeFeed needs at least one key column")
+    require(fromVersion != toVersion, "changeFeed needs two distinct versions")
+    val fromSnap = snapshot(dir, fromVersion)
+    val toSnap = snapshot(dir, toVersion)
+    // union output schema: to-version order first (the current shape),
+    // then any from-only columns
+    val toNames = toSnap.schema.fieldNames.toSeq
+    val fromOnly = fromSnap.schema.fields.filterNot(f => toNames.contains(f.name))
+    val outFields = toSnap.schema.fields ++ fromOnly
+    val dataCols = outFields.map(_.name).filterNot(keyCols.contains)
+    def widen(df: DataFrame, own: StructType): DataFrame =
+      df.select(outFields.map { f =>
+        if (own.fieldNames.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }.toSeq: _*)
+    val appendOnly = fromSnap.files.toSet.subsetOf(toSnap.files.toSet)
+    val newSide =
+      if (appendOnly) {
+        val added = toSnap.files.filterNot(fromSnap.files.toSet)
+        if (added.isEmpty)
+          return spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(outFields :+
+              org.apache.spark.sql.types.StructField("change_type",
+                org.apache.spark.sql.types.StringType)))
+        widen(spark.read.schema(toSnap.schema)
+          .parquet(added.map(f => s"$dir/$f"): _*), toSnap.schema)
+      } else widen(read(spark, dir, Some(toVersion)), toSnap.schema)
+    // append path: the base is consulted only for keys the delta
+    // carries, so manifest stats (when recorded for the first key)
+    // prune base FILES to those overlapping the delta's key range —
+    // the same skipping tier [[merge]] uses for its hit scan
+    val oldBase =
+      if (appendOnly && fromSnap.stats.values.exists(_.contains(keyCols.head))) {
+        import org.apache.spark.sql.functions.{max => fmax, min => fmin}
+        val b = newSide.agg(
+          fmin(col(keyCols.head).cast("long")),
+          fmax(col(keyCols.head).cast("long"))).collect()(0)
+        val keep =
+          if (b.isNullAt(0)) Seq.empty
+          else fromSnap.filesOverlapping(keyCols.head, b.getLong(0), b.getLong(1))
+        if (keep.isEmpty)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            fromSnap.schema)
+        else spark.read.schema(fromSnap.schema)
+          .parquet(keep.map(f => s"$dir/$f"): _*)
+      } else read(spark, dir, Some(fromVersion))
+    val oldSide = widen(oldBase, fromSnap.schema)
+    val o = oldSide.select(
+      keyCols.map(col) ++ dataCols.map(c => col(c).as(s"__o_$c")) :+
+        lit(true).as("__in_o"): _*)
+    val n = newSide.select(
+      keyCols.map(col) ++ dataCols.map(c => col(c).as(s"__n_$c")) :+
+        lit(true).as("__in_n"): _*)
+    // append-only: added rows joined against the base (no deletes);
+    // general: full outer of the two snapshots
+    val joined =
+      if (appendOnly) n.join(o, keyCols, "left_outer")
+      else o.join(n, keyCols, "full_outer")
+    val differs = dataCols
+      .map(c => !(col(s"__o_$c") <=> col(s"__n_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    joined
+      .withColumn("change_type",
+        when(col("__in_o").isNull, lit("insert"))
+          .when(col("__in_n").isNull, lit("delete"))
+          .when(differs, lit("update"))
+          .otherwise(lit(null)))
+      .filter(col("change_type").isNotNull)
+      .select(keyCols.map(col) ++ dataCols.map { c =>
+        // delete rows carry the pre-image; insert/update the post-image
+        when(col("change_type") === "delete", col(s"__o_$c"))
+          .otherwise(col(s"__n_$c")).as(c)
+      } :+ col("change_type"): _*)
+  }
+
+  /** Serializable copy-on-write MERGE: apply one deduplicated CDC batch
+    * (`operation` column in INSERT/UPDATE/DELETE, the
+    * [[graft.apply.ChangeApplier]] op vocabulary; INSERT and UPDATE both
+    * upsert the new image — `INSERT OR REPLACE`, reference:
+    * cdc_system.py:327) as ONE atomic new version. Requires at most one
+    * change row per key (run `ChangeApplier.dedupToLatest` first).
+    *
+    * ==Copy-on-write file selection (the Delta MERGE shape)==
+    * Only files that can contain a touched key are rewritten:
+    *  1. manifest-stats pre-prune — the touched keys' [min, max] (one
+    *     1-row aggregate) intersected with each file's recorded range
+    *     (driver-side, O(files)); stat-less files stay candidates,
+    *  2. exact hit scan — candidates read with a KEY-ONLY projection +
+    *     `input_file_name`, semi-joined to the touched keys, distinct
+    *     file names collected (O(files) driver rows).
+    * Hit files are rewritten minus touched keys, surviving upsert images
+    * are appended, and every untouched file carries forward by REFERENCE
+    * (its manifest entry and stats, zero data movement) — at 100 TB a
+    * batch touching 0.1% of keys rewrites ~0.1% of files, not the table.
+    *
+    * ==Serializability==
+    * The read-modify-write is valid only against the base version it
+    * read, so the publish is a compare-and-swap at `base + 1`
+    * ([[publishAt]]); a lost race re-reads the new latest and re-derives
+    * the whole merge (bounded by `maxRetries`). Losers leave only
+    * invisible orphan dirs, retired by [[vacuum]].
+    *
+    * Returns the committed version.
+    */
+  def merge(spark: SparkSession, dir: String, changes: DataFrame,
+      keyCols: Seq[String], opCol: String = "operation",
+      maxRetries: Int = 10): Long = {
+    import org.apache.spark.sql.functions.{col, input_file_name, lit, max, min}
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val touched = changes.select(keyCols.map(col): _*).distinct()
+    require(changes.select(keyCols.map(col): _*).count() == touched.count(),
+      s"merge requires one change row per key (${keyCols.mkString(",")}); " +
+        "run ChangeApplier.dedupToLatest first")
+    var attempt = 0
+    var committed = -1L
+    while (committed < 0) {
+      attempt += 1
+      require(attempt <= maxRetries,
+        s"merge at $dir lost $maxRetries publish races; giving up")
+      val base = latest(dir).getOrElse(throw new IllegalArgumentException(
+        s"no committed version at $dir to merge into"))
+      val upserts = changes.filter(col(opCol).isin("INSERT", "UPDATE"))
+        .select(base.schema.fieldNames.map(col).toSeq: _*)
+      // 1. stats pre-prune on the first key's global touched range
+      val statKey = keyCols.head
+      val hasStats = base.stats.values.exists(_.contains(statKey))
+      val candidates =
+        if (!hasStats) base.files
+        else {
+          val b = touched.agg(
+            min(col(statKey).cast("long")), max(col(statKey).cast("long")))
+            .collect()(0)
+          if (b.isNullAt(0)) Seq.empty // empty batch touches nothing
+          else base.filesOverlapping(statKey, b.getLong(0), b.getLong(1))
+        }
+      // 2. exact per-file hits: key-only projection + semi join (Spark
+      // picks the build side; the touched batch is the small one)
+      val hitFiles: Seq[String] =
+        if (candidates.isEmpty) Seq.empty
+        else spark.read.schema(base.schema)
+          .parquet(candidates.map(f => s"$dir/$f"): _*)
+          .select(keyCols.map(col) :+ input_file_name().as("__f"): _*)
+          .join(touched, keyCols, "left_semi")
+          .select(col("__f")).distinct().collect()
+          .map { r =>
+            val f = r.getString(0)
+            // absolute URI -> table-relative data/<uuid>/<part>
+            f.split('/').takeRight(3).mkString("/")
+          }.toSeq.sorted
+      // 3. rewrite only the hit files; untouched files carry forward
+      val rewritten =
+        if (hitFiles.isEmpty) upserts
+        else spark.read.schema(base.schema)
+          .parquet(hitFiles.map(f => s"$dir/$f"): _*)
+          .join(touched, keyCols, "left_anti")
+          .unionByName(upserts)
+      val statsCols = base.stats.values.flatMap(_.keys).toSeq.distinct.sorted
+      val (commitRel, newFiles, newStats) = writeData(rewritten, dir, statsCols)
+      val hitSet = hitFiles.toSet
+      val files = base.files.filterNot(hitSet) ++ newFiles
+      val stats = (base.stats -- hitSet) ++ newStats
+      if (publishAt(dir, base.version + 1, "merge", base.schema, files, stats,
+          epochId = None, tmpTag = commitRel.stripPrefix("data/")))
+        committed = base.version + 1
+      // lost race: the just-written commitRel dir is orphaned (invisible);
+      // vacuum retires it
+    }
+    committed
   }
 
   /** Append-mode schema rule: additive only. Every existing column must

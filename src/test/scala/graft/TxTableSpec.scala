@@ -224,6 +224,127 @@ class TxTableSpec extends SparkSpecBase {
     assert(res.passed, s"property failed: ${res.status}")
   }
 
+  test("changeFeed general path: insert/update/delete classified, no-ops silent, images correct") {
+    val dir = Files.createTempDirectory("txcf").toString
+    TxTable.commit(Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("id", "v"), dir)
+    // overwrite: 1 and 4 deleted, 3 updated, 5 inserted, 2 untouched
+    TxTable.commit(Seq((2L, "b"), (3L, "X"), (5L, "e")).toDF("id", "v"),
+      dir, "overwrite")
+    val feed = TxTable.changeFeed(s, dir, 0L, 1L, Seq("id"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(feed.toSeq === Seq(
+      (1L, "a", "delete"),   // pre-image
+      (3L, "X", "update"),   // post-image
+      (4L, "d", "delete"),
+      (5L, "e", "insert")), "key 2 is unchanged and must emit nothing")
+  }
+
+  test("changeFeed append path: delta files only, stats prune the base side") {
+    val dir = Files.createTempDirectory("txcfa").toString
+    val base = (1L to 40L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartitionByRange(4, col("id"))
+    TxTable.commit(base, dir, "overwrite", statsColumns = Seq("id"))
+    TxTable.commit(Seq((41L, "n1"), (42L, "n2")).toDF("id", "v"), dir, "append",
+      statsColumns = Seq("id"))
+    val feed = TxTable.changeFeed(s, dir, 0L, 1L, Seq("id"))
+    val rows = feed.orderBy("id").collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(rows.toSeq === Seq((41L, "insert"), (42L, "insert")))
+    // the base side must be pruned to files overlapping [41, 42] — none
+    // of v0's four range-partitioned files qualifies, so the plan scans
+    // ONLY the delta files
+    val scanned = feed.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.inputFiles.toSeq
+    }.flatten
+    val v0Files = TxTable.snapshot(dir, 0L).files.map(f => s"$dir/$f").toSet
+    assert(scanned.forall(p => !v0Files.exists(p.endsWith)),
+      s"base files must be stats-pruned away, scanned: $scanned")
+
+    // appends that CAN overlap the base still classify updates correctly
+    TxTable.commit(Seq((1L, "v1b")).toDF("id", "v"), dir, "append",
+      statsColumns = Seq("id"))
+    val feed2 = TxTable.changeFeed(s, dir, 1L, 2L, Seq("id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(feed2.toSeq === Seq((1L, "v1b", "update")))
+  }
+
+  test("changeFeed across schema evolution: new column joins the diff") {
+    val dir = Files.createTempDirectory("txcfs").toString
+    TxTable.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    TxTable.commit(Seq((2L, "b", 9.5), (3L, "c", 1.0)).toDF("id", "v", "score"),
+      dir, "overwrite")
+    val feed = TxTable.changeFeed(s, dir, 0L, 1L, Seq("id")).orderBy("id").collect()
+    // 1: deleted (score null in the pre-image); 2: update — v identical
+    // but score went null -> 9.5; 3: insert
+    assert(feed.map(r => (r.getLong(0), r.getString(3))).toSeq
+      === Seq((1L, "delete"), (2L, "update"), (3L, "insert")))
+    assert(feed(0).isNullAt(2), "pre-image of a pre-evolution row has null score")
+    assert(feed(1).getDouble(2) === 9.5)
+  }
+
+  test("merge: copy-on-write rewrites only files containing touched keys") {
+    val dir = Files.createTempDirectory("txmergecow").toString
+    val base = (1L to 40L).map(i => (i, s"v$i", i * 10.0)).toDF("id", "v", "x")
+      .repartitionByRange(4, col("id"))
+    TxTable.commit(base, dir, "overwrite", statsColumns = Seq("id"))
+    val v0 = TxTable.snapshot(dir, 0L)
+    assert(v0.files.size === 4, "range partitioning must land 4 files")
+    // touch only keys 2 and 5 (first range file) + insert beyond all ranges
+    val changes = Seq(
+      (2L, null.asInstanceOf[String], 0.0, "DELETE"),
+      (5L, "five!", 55.0, "UPDATE"),
+      (99L, "new", 990.0, "INSERT")).toDF("id", "v", "x", "operation")
+    val v1 = TxTable.merge(s, dir, changes, Seq("id"))
+    assert(v1 === 1L)
+    assert(TxTable.snapshot(dir, 1L).op === "merge")
+    // content: 2 gone, 5 rewritten, 99 added, everything else untouched
+    val rows = TxTable.read(s, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(!rows.contains(2L))
+    assert(rows(5L) === "five!")
+    assert(rows(99L) === "new")
+    assert(rows.size === 40, "39 survivors + 1 insert")
+    // copy-on-write: the three files NOT containing keys 2/5 carry
+    // forward by reference
+    val carried = TxTable.snapshot(dir, 1L).files.toSet
+      .intersect(v0.files.toSet)
+    assert(carried.size === 3,
+      s"only the hit file may be rewritten; carried: ${carried.size}")
+    // and their skipping stats carried with them
+    assert(carried.forall(f => TxTable.snapshot(dir, 1L).stats.contains(f)))
+  }
+
+  test("merge: concurrent merges serialize via CAS retry, both land") {
+    val dir = Files.createTempDirectory("txmergerace").toString
+    TxTable.commit((1L to 10L).map(i => (i, s"v$i")).toDF("id", "v"), dir,
+      "overwrite", statsColumns = Seq("id"))
+    val a = Seq((3L, "A", "UPDATE")).toDF("id", "v", "operation")
+    val b = Seq((7L, "B", "UPDATE")).toDF("id", "v", "operation")
+    val threads = Seq(a, b).map { ch =>
+      new Thread(() => { TxTable.merge(s, dir, ch, Seq("id")); () })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(TxTable.versions(dir) === Seq(0L, 1L, 2L),
+      "the loser must retry against the winner's version, not overwrite it")
+    val rows = TxTable.read(s, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows(3L) === "A" && rows(7L) === "B", "both merges' effects survive")
+    assert(rows.size === 10)
+  }
+
+  test("merge rejects a batch with duplicate keys") {
+    val dir = Files.createTempDirectory("txmergedup").toString
+    TxTable.commit(Seq((1L, "a")).toDF("id", "v"), dir)
+    val dup = Seq((1L, "x", "UPDATE"), (1L, "y", "UPDATE"))
+      .toDF("id", "v", "operation")
+    val e = intercept[IllegalArgumentException] {
+      TxTable.merge(s, dir, dup, Seq("id"))
+    }
+    assert(e.getMessage.contains("one change row per key"))
+  }
+
   test("CDC target with history: each applied batch is a version, time travel replays state") {
     val dir = Files.createTempDirectory("txcdc").toString
     val base = Seq((1L, "A", 10.0), (2L, "B", 20.0), (3L, "C", 30.0))
