@@ -78,7 +78,11 @@ object GraftTableFunctions {
       (s: SparkSession, a: Seq[Any]) => {
         import s.implicits._
         graft.sources.TxTable.versions(str(a(0))).toDF("version")
-      })))
+      })),
+    "graft_tx_change_feed" -> (("(tableDir, fromVersion, toVersion, keyColsCsv)",
+      (s: SparkSession, a: Seq[Any]) =>
+        graft.sources.TxTable.changeFeed(s, str(a(0)), int(a(1)).toLong,
+          int(a(2)).toLong, str(a(3)).split(",").map(_.trim).toSeq))))
 
   /** The registered TVF names (for docs/tests). */
   def names: Seq[String] = registry.keys.toSeq.sorted

@@ -116,6 +116,25 @@ class SqlSurfaceSpec extends SparkSpecBase {
       .collect().map(_.getLong(0)).toSet === Set(1L))
   }
 
+  test("transactional change feed from SQL: graft_tx_change_feed") {
+    val dir = java.nio.file.Files.createTempDirectory("sqltxcf").toString
+    import s.implicits._
+    graft.sources.TxTable.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    graft.sources.TxTable.commit(Seq((2L, "B"), (3L, "c")).toDF("id", "v"),
+      dir, "overwrite")
+    val feed = s.sql(
+      s"SELECT id, v, change_type FROM graft_tx_change_feed('$dir', 0, 1, 'id')")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(feed.toSeq === Seq((1L, "a", "delete"), (2L, "B", "update"),
+      (3L, "c", "insert")))
+    // SQL ≡ Scala — one implementation, two surfaces
+    val scalaFeed = graft.sources.TxTable.changeFeed(s, dir, 0L, 1L, Seq("id"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(feed.toSeq === scalaFeed.toSeq)
+  }
+
   test("TVF argument errors are caught with a usage message") {
     withViews {
       val e = intercept[Exception] {

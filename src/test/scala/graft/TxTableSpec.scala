@@ -334,6 +334,31 @@ class TxTableSpec extends SparkSpecBase {
     assert(rows.size === 10)
   }
 
+  test("CDF round-trip: the change feed applied via merge reproduces the target version") {
+    // the composition a downstream replica runs: read the feed from the
+    // primary, apply it with merge — feed ops ARE merge ops
+    val dir = Files.createTempDirectory("txroundtrip").toString
+    TxTable.commit((1L to 20L).map(i => (i, s"v$i")).toDF("id", "v"), dir)
+    TxTable.commit(
+      ((3L to 18L).map(i => (i, if (i % 5 == 0) s"V$i" else s"v$i")) ++
+        Seq((30L, "new"))).toDF("id", "v"), dir, "overwrite")
+    val feed = TxTable.changeFeed(s, dir, 0L, 1L, Seq("id"))
+      .withColumn("operation",
+        when(col("change_type") === "delete", "DELETE")
+          .when(col("change_type") === "insert", "INSERT")
+          .otherwise("UPDATE"))
+      .drop("change_type")
+    val replica = Files.createTempDirectory("txreplica").toString
+    TxTable.commit(TxTable.read(s, dir, Some(0L)), replica, "overwrite",
+      statsColumns = Seq("id"))
+    TxTable.merge(s, replica, feed, Seq("id"))
+    val got = TxTable.read(s, replica).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = TxTable.read(s, dir, Some(1L)).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got === want, "replica after applying the feed must equal the primary's v1")
+  }
+
   test("merge rejects a batch with duplicate keys") {
     val dir = Files.createTempDirectory("txmergedup").toString
     TxTable.commit(Seq((1L, "a")).toDF("id", "v"), dir)
