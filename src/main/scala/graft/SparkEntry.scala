@@ -1734,6 +1734,17 @@ object SparkEntry {
     */
   private def qTxChangeFeed(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.TxTable
+    TxTable.changeFeed(s, buildTxFeedTable(s, dir), 0L, 1L, Seq("c_custkey"))
+      .orderBy("c_custkey", "change_type")
+  }
+
+  /** The two-version customer table [[qTxChangeFeed]] diffs and
+    * [[qTxIncrementalView]] maintains a view over: v0 = the snapshot,
+    * v1 = an overwrite with deletes (every 7th key), balance updates
+    * (every 5th), and relabeled inserts (every 11th, negative keys).
+    */
+  private def buildTxFeedTable(s: SparkSession, dir: String): String = {
+    import graft.sources.TxTable
     val path = Fixtures.scratchDir("txfeed", dir)
     Fixtures.buildOnce("txfeed", s, dir) {
       wipeTxDir(path)
@@ -1750,8 +1761,30 @@ object SparkEntry {
       TxTable.commit(survivors.unionByName(inserts), path, "overwrite")
       ()
     }
-    TxTable.changeFeed(s, path, 0L, 1L, Seq("c_custkey"))
-      .orderBy("c_custkey", "change_type")
+    path
+  }
+
+  /** Incremental view maintenance OVER THE TABLE FORMAT: a per-segment
+    * count/sum view built on version 0 is refreshed purely from the
+    * v0→v1 change-feed IMAGES ([[graft.sources.TxTable.changeFeedImages]]
+    * → [[graft.apply.IncrementalAgg.maintain]]) — O(changes + groups)
+    * work, the base never rescanned — and the oracle recomputes the
+    * aggregate DIRECTLY on the v1 state from the customer parquet. A
+    * green hash proves the retraction/assertion algebra end to end: a
+    * missed pre-image, double-counted post-image, or leaked no-op row
+    * flips a count or an exact-decimal sum.
+    */
+  private def qTxIncrementalView(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxTable
+    import graft.apply.IncrementalAgg
+    val path = buildTxFeedTable(s, dir)
+    val view0 = IncrementalAgg.snapshotAgg(
+      TxTable.read(s, path, Some(0L)), "c_mktsegment", "c_acctbal")
+    val feed = TxTable.changeFeedImages(s, path, 0L, 1L, Seq("c_custkey"))
+    IncrementalAgg.maintain(view0, feed, "c_mktsegment", "c_acctbal")
+      .select(col("g_key").as("c_mktsegment"), col("cnt"),
+        round(col("total").cast("double"), 6).as("total_bal"))
+      .orderBy("c_mktsegment")
   }
 
   /** Serializable copy-on-write MERGE through the oracle gate: the
@@ -5009,6 +5042,7 @@ object SparkEntry {
     "tx_time_travel" -> (qTxTimeTravel _),
     "tx_change_feed" -> (qTxChangeFeed _),
     "tx_merge_apply" -> (qTxMergeApply _),
+    "tx_incremental_view" -> (qTxIncrementalView _),
     "emb_decontaminate" -> (qEmbDecontaminate _),
     "corpus_decontaminate_fuzzy" -> (qCorpusDecontFuzzy _),
     "text_bpe_train" -> (qTextBpeTrain _),
@@ -7311,6 +7345,21 @@ object SparkEntry {
         |SELECT c_custkey, c_mktsegment, c_acctbal, change_type
         |FROM f WHERE change_type IS NOT NULL
         |ORDER BY c_custkey, change_type""".stripMargin,
+
+    "tx_incremental_view" ->
+      """WITH b AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+        |v1 AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |         CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100.0
+        |              ELSE c_acctbal END AS c_acctbal
+        |  FROM b WHERE c_custkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT -c_custkey - 1, 'NEWSEG', c_acctbal
+        |  FROM b WHERE c_custkey % 11 = 0)
+        |SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |       round(CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS VARCHAR)
+        |                  AS DOUBLE), 6) AS total_bal
+        |FROM v1 GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "tx_merge_apply" ->
       """WITH b AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),

@@ -332,7 +332,45 @@ object TxTable {
     */
   def changeFeed(spark: SparkSession, dir: String, fromVersion: Long,
       toVersion: Long, keyCols: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+    import org.apache.spark.sql.functions.{col, when}
+    val (joined, dataCols) = feedJoin(spark, dir, fromVersion, toVersion, keyCols)
+    joined.select(keyCols.map(col) ++ dataCols.map { c =>
+      // delete rows carry the pre-image; insert/update the post-image
+      when(col("change_type") === "delete", col(s"__o_$c"))
+        .otherwise(col(s"__n_$c")).as(c)
+    } :+ col("change_type"): _*)
+  }
+
+  /** [[changeFeed]] in the CDC-log image shape: one row per changed key
+    * with `old_data` / `new_data` STRUCT columns (null when the side
+    * does not exist — no old image on insert, no new image on delete;
+    * an update carries BOTH, the retraction/assertion pair incremental
+    * view maintenance needs). This is the bridge from the table format
+    * to [[graft.apply.IncrementalAgg]]: a stored `groupBy` view is
+    * maintained from `changeFeedImages` deltas alone — O(changes +
+    * groups) per refresh, never O(table) — and the result is EXACTLY
+    * (decimal arithmetic) the recompute on the target version.
+    */
+  def changeFeedImages(spark: SparkSession, dir: String, fromVersion: Long,
+      toVersion: Long, keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, struct, when}
+    val (joined, dataCols) = feedJoin(spark, dir, fromVersion, toVersion, keyCols)
+    def img(prefix: String) = struct(
+      keyCols.map(col) ++ dataCols.map(c => col(s"$prefix$c").as(c)): _*)
+    joined.select(keyCols.map(col) ++ Seq(
+      when(col("change_type") =!= "insert", img("__o_")).as("old_data"),
+      when(col("change_type") =!= "delete", img("__n_")).as("new_data"),
+      col("change_type")): _*)
+  }
+
+  /** Shared internals of [[changeFeed]]/[[changeFeedImages]]: the keyed
+    * diff join with per-side image columns (`__o_*` / `__n_*`) and the
+    * `change_type` classification, no-op rows already dropped.
+    * Returns (joined frame, data column names).
+    */
+  private def feedJoin(spark: SparkSession, dir: String, fromVersion: Long,
+      toVersion: Long, keyCols: Seq[String]): (DataFrame, Seq[String]) = {
+    import org.apache.spark.sql.functions.{col, lit, when}
     require(keyCols.nonEmpty, "changeFeed needs at least one key column")
     require(fromVersion != toVersion, "changeFeed needs two distinct versions")
     val fromSnap = snapshot(dir, fromVersion)
@@ -352,12 +390,17 @@ object TxTable {
     val newSide =
       if (appendOnly) {
         val added = toSnap.files.filterNot(fromSnap.files.toSet)
-        if (added.isEmpty)
-          return spark.createDataFrame(
+        if (added.isEmpty) {
+          // no delta files -> an empty feed with the full join shape
+          val empty = spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            StructType(outFields :+
-              org.apache.spark.sql.types.StructField("change_type",
-                org.apache.spark.sql.types.StringType)))
+            StructType(outFields))
+          val o0 = empty.select(
+            keyCols.map(col) ++ dataCols.map(c => col(c).as(s"__o_$c")) ++
+              dataCols.map(c => col(c).as(s"__n_$c")) :+
+              lit(null).cast("string").as("change_type"): _*)
+          return (o0, dataCols.toSeq)
+        }
         widen(spark.read.schema(toSnap.schema)
           .parquet(added.map(f => s"$dir/$f"): _*), toSnap.schema)
       } else widen(read(spark, dir, Some(toVersion)), toSnap.schema)
@@ -396,18 +439,14 @@ object TxTable {
     val differs = dataCols
       .map(c => !(col(s"__o_$c") <=> col(s"__n_$c")))
       .reduceOption(_ || _).getOrElse(lit(false))
-    joined
+    val classified = joined
       .withColumn("change_type",
         when(col("__in_o").isNull, lit("insert"))
           .when(col("__in_n").isNull, lit("delete"))
           .when(differs, lit("update"))
           .otherwise(lit(null)))
       .filter(col("change_type").isNotNull)
-      .select(keyCols.map(col) ++ dataCols.map { c =>
-        // delete rows carry the pre-image; insert/update the post-image
-        when(col("change_type") === "delete", col(s"__o_$c"))
-          .otherwise(col(s"__n_$c")).as(c)
-      } :+ col("change_type"): _*)
+    (classified, dataCols.toSeq)
   }
 
   /** Serializable copy-on-write MERGE: apply one deduplicated CDC batch

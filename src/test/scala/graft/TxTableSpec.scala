@@ -359,6 +359,34 @@ class TxTableSpec extends SparkSpecBase {
     assert(got === want, "replica after applying the feed must equal the primary's v1")
   }
 
+  test("changeFeedImages: image pairs drive incremental view maintenance ≡ recompute") {
+    val dir = Files.createTempDirectory("txivm").toString
+    // groups: segment -> balance; v1 moves key 2 BETWEEN groups, updates
+    // 3 in place, deletes 4, inserts 5
+    TxTable.commit(Seq(
+      (1L, "A", 10.0), (2L, "A", 20.0), (3L, "B", 30.0), (4L, "B", 40.0))
+      .toDF("id", "seg", "bal"), dir)
+    TxTable.commit(Seq(
+      (1L, "A", 10.0), (2L, "B", 20.0), (3L, "B", 35.0), (5L, "C", 50.0))
+      .toDF("id", "seg", "bal"), dir, "overwrite")
+    val imgs = TxTable.changeFeedImages(s, dir, 0L, 1L, Seq("id"))
+    val byId = imgs.collect().map(r => r.getLong(0) ->
+      (r.isNullAt(1), r.isNullAt(2), r.getString(3))).toMap
+    assert(byId(2L) === ((false, false, "update")), "group move carries both images")
+    assert(byId(4L) === ((false, true, "delete")), "delete has no new image")
+    assert(byId(5L) === ((true, false, "insert")), "insert has no old image")
+    assert(!byId.contains(1L), "unchanged keys emit nothing")
+    // IVM: view(v0) + deltas(feed) must equal the straight recompute on v1
+    import graft.apply.IncrementalAgg
+    val view0 = IncrementalAgg.snapshotAgg(TxTable.read(s, dir, Some(0L)), "seg", "bal")
+    val maintained = IncrementalAgg.maintain(view0, imgs, "seg", "bal")
+      .orderBy("g_key").collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2)))
+    val recomputed = IncrementalAgg.snapshotAgg(TxTable.read(s, dir, Some(1L)), "seg", "bal")
+      .orderBy("g_key").collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2)))
+    assert(maintained.toSeq === recomputed.toSeq,
+      "maintained view must be EXACTLY the recompute (decimal arithmetic)")
+  }
+
   test("merge rejects a batch with duplicate keys") {
     val dir = Files.createTempDirectory("txmergedup").toString
     TxTable.commit(Seq((1L, "a")).toDF("id", "v"), dir)
