@@ -296,13 +296,42 @@ object TxTable {
     * small-files compaction every append-heavy table eventually needs.
     * Data is unchanged (one read + one overwrite commit); stats columns
     * carry over so skipping survives compaction. Returns the new version.
+    *
+    * `clusterBy` additionally CLUSTERS the rewrite (the OPTIMIZE ZORDER
+    * tier): one column range-sorts, two columns interleave through
+    * [[graft.ext.Layout.zOrderKey2]] (each taken mod 2^16 — locality,
+    * not reversibility). Clustered files get tight disjoint-ish min/max
+    * ranges on the cluster columns, which is what turns manifest stats
+    * from "never drops data" into "actually skips most files":
+    * [[readPruned]] on a clustered column opens O(matching) files
+    * instead of all of them. Cluster columns join the recorded stats
+    * columns automatically.
     */
-  def compact(spark: SparkSession, dir: String, targetFiles: Int): Long = {
+  def compact(spark: SparkSession, dir: String, targetFiles: Int,
+      clusterBy: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
     require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
+    require(clusterBy.size <= 2,
+      s"clusterBy supports at most 2 columns, got ${clusterBy.size}")
     val snap = latest(dir).getOrElse(
       throw new IllegalArgumentException(s"no committed version at $dir"))
-    val statsCols = snap.stats.values.flatMap(_.keys).toSeq.distinct.sorted
-    commit(read(spark, dir).repartition(targetFiles), dir, "overwrite", statsCols)
+    val statsCols =
+      (snap.stats.values.flatMap(_.keys).toSeq ++ clusterBy).distinct.sorted
+    val data = read(spark, dir)
+    val arranged = clusterBy match {
+      case Nil => data.repartition(targetFiles)
+      case Seq(c) =>
+        data.repartitionByRange(targetFiles, col(c)).sortWithinPartitions(col(c))
+      case Seq(a, b) =>
+        data.withColumn("__z", graft.ext.Layout.zOrderKey2(
+            pmod(col(a).cast("long"), lit(65536L)),
+            pmod(col(b).cast("long"), lit(65536L))))
+          .repartitionByRange(targetFiles, col("__z"))
+          .sortWithinPartitions(col("__z"))
+          .drop("__z")
+      case _ => throw new MatchError(clusterBy) // unreachable
+    }
+    commit(arranged, dir, "overwrite", statsCols)
   }
 
   /** Row-level change feed between two committed versions — the

@@ -387,6 +387,43 @@ class TxTableSpec extends SparkSpecBase {
       "maintained view must be EXACTLY the recompute (decimal arithmetic)")
   }
 
+  test("clustered compaction: readPruned opens O(matching) files afterwards") {
+    val dir = Files.createTempDirectory("txcluster").toString
+    // keys land shuffled across commits -> every file's range spans the
+    // whole key space -> stats skip nothing
+    val rnd = new scala.util.Random(7)
+    val shuffled = rnd.shuffle((1L to 400L).toVector)
+    shuffled.grouped(100).zipWithIndex.foreach { case (ks, i) =>
+      TxTable.commit(ks.map(k => (k, s"v$k")).toDF("id", "v"), dir,
+        if (i == 0) "overwrite" else "append", statsColumns = Seq("id"))
+    }
+    def openedFiles(lo: Long, hi: Long): Int = {
+      val snap = TxTable.latest(dir).get
+      snap.filesOverlapping("id", lo, hi).size
+    }
+    val pre = openedFiles(10L, 20L)
+    assert(pre >= 8, s"pre-clustering most files overlap (got $pre)")
+    // cluster by id: 4 range-sorted files with disjoint key ranges
+    TxTable.compact(s, dir, targetFiles = 4, clusterBy = Seq("id"))
+    assert(openedFiles(10L, 20L) === 1, "post-clustering one file covers [10,20]")
+    val pruned = TxTable.readPruned(s, dir, "id", 10L, 20L)
+      .collect().map(_.getLong(0)).toSet
+    assert(pruned === (10L to 20L).toSet, "pruned read is still exact")
+
+    // 2-column z-order keeps BOTH dimensions skippable
+    val dir2 = Files.createTempDirectory("txzorder").toString
+    val grid = for { x <- 0L until 32L; y <- 0L until 32L } yield (x, y, s"$x/$y")
+    TxTable.commit(rnd.shuffle(grid).toDF("x", "y", "v"), dir2, "overwrite",
+      statsColumns = Seq("x", "y"))
+    TxTable.compact(s, dir2, targetFiles = 16, clusterBy = Seq("x", "y"))
+    val snap2 = TxTable.latest(dir2).get
+    val xFiles = snap2.filesOverlapping("x", 0L, 7L).size
+    val yFiles = snap2.filesOverlapping("y", 0L, 7L).size
+    assert(xFiles < 16 && yFiles < 16,
+      s"z-order must keep both dims skippable: x=$xFiles y=$yFiles of 16")
+    assert(TxTable.readPruned(s, dir2, "x", 0L, 7L).count() === 8 * 32)
+  }
+
   test("merge rejects a batch with duplicate keys") {
     val dir = Files.createTempDirectory("txmergedup").toString
     TxTable.commit(Seq((1L, "a")).toDF("id", "v"), dir)
