@@ -1026,6 +1026,52 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** The three decontamination tiers unified into ONE per-document
+    * report — the artifact a data-quality review actually reads: exact
+    * (shared word 5-grams, [[Corpus.decontaminate]]), fuzzy (minhash
+    * LSH cross pairs at j ≥ 0.5, [[Dedup.crossNearDupPairs]]), and
+    * semantic (embedding cosine ≥ 0.3, aligned vec_id = doc_id space,
+    * [[Similarity.embeddingDecontaminate]]), all against the SAME
+    * hash-sampled eval set, full-outer-merged per doc with an
+    * agreement count. A paraphrased leak shows up semantic-only; a
+    * verbatim leak lights all three — `n_tiers` is the reviewer's
+    * triage order. Scale: each tier keeps its own bounded shape
+    * (broadcast gram set / banded buckets / broadcast eval sweep); the
+    * merge joins are O(flagged docs), a vanishing fraction of the
+    * corpus at realistic contamination rates.
+    */
+  private def qCorpusContamReport(s: SparkSession, dir: String): DataFrame = {
+    def inEval(c: org.apache.spark.sql.Column) =
+      PortableHash.hash32(concat(lit("evalset"), c.cast("string"))) % 1000 < 100
+    val docs = documents(s, dir)
+    val train = docs.filter(!inEval(col("doc_id")))
+    val eval = docs.filter(inEval(col("doc_id")))
+    val exact = Corpus.decontaminate(train, eval, "text", "doc_id", n = 5)
+      .select(col("doc_id"), col("n_hit_ngrams").as("exact_hits"))
+    val fuzzy = Dedup.crossNearDupPairs(train, eval, "text", "doc_id",
+        n = 3, bands = 64, rowsPerBand = 2, threshold = 0.5,
+        mode = HashMode.Portable)
+      .groupBy(col("id_l").as("doc_id"))
+      .agg(count(lit(1)).as("fuzzy_matches"))
+    val emb = embeddings(s, dir)
+    val sem = Similarity.embeddingDecontaminate(
+        emb.filter(!inEval(col("vec_id"))), emb.filter(inEval(col("vec_id"))),
+        "vec_id", "embedding", threshold = 0.3)
+      .select(col("vec_id").as("doc_id"),
+        col("n_eval_matches").as("semantic_matches"))
+    exact.join(fuzzy, Seq("doc_id"), "full_outer")
+      .join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("exact_hits"), lit(0L)).as("exact_hits"),
+        coalesce(col("fuzzy_matches"), lit(0L)).as("fuzzy_matches"),
+        coalesce(col("semantic_matches"), lit(0L)).as("semantic_matches"))
+      .withColumn("n_tiers",
+        (col("exact_hits") > 0).cast("int") +
+          (col("fuzzy_matches") > 0).cast("int") +
+          (col("semantic_matches") > 0).cast("int"))
+      .orderBy("doc_id")
+  }
+
   /** BPE tokenizer training: 8 merges learned over the corpus
     * word-frequency table — ranked (pair, frequency) merge list. The
     * corpus is touched ONCE (the word-freq aggregate); the greedy loop
@@ -5045,6 +5091,7 @@ object SparkEntry {
     "tx_incremental_view" -> (qTxIncrementalView _),
     "emb_decontaminate" -> (qEmbDecontaminate _),
     "corpus_decontaminate_fuzzy" -> (qCorpusDecontFuzzy _),
+    "corpus_contamination_report" -> (qCorpusContamReport _),
     "text_bpe_train" -> (qTextBpeTrain _),
     "text_bpe_encode" -> (qTextBpeEncode _),
     "corpus_mix" -> (qCorpusMix _),
@@ -6767,6 +6814,46 @@ object SparkEntry {
     "corpus_decontaminate_fuzzy" ->
       crossMinhashOracleSql(numHashes = 128, bands = 64, rowsPerBand = 2,
         threshold = 0.5),
+
+    "corpus_contamination_report" -> {
+      def isEval(ref: String) =
+        s"${PortableHash.hash32Sql(s"concat('evalset', CAST($ref AS VARCHAR))")} % 1000 < 100"
+      s"""WITH ex AS (SELECT * FROM (
+         |  WITH $TextTokensCte,
+         |  shg5 AS (SELECT doc_id, ${shingleExprSqlN(5)} AS sh FROM t),
+         |  sel AS (SELECT doc_id, sh, ${isEval("doc_id")} AS is_eval FROM shg5),
+         |  ev AS (SELECT DISTINCT unnest(sh) AS gram FROM sel WHERE is_eval),
+         |  tr AS (SELECT doc_id, unnest(sh) AS gram FROM sel WHERE NOT is_eval)
+         |  SELECT tr.doc_id, CAST(COUNT(*) AS BIGINT) AS exact_hits
+         |  FROM tr JOIN ev ON tr.gram = ev.gram GROUP BY tr.doc_id)),
+         |fz AS (SELECT doc_id, n_eval_matches AS fuzzy_matches FROM (
+         |  ${crossMinhashOracleSql(128, 64, 2, 0.5)})),
+         |sm AS (SELECT vec_id AS doc_id, n_eval_matches AS semantic_matches FROM (
+         |  WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |  q AS (SELECT vec_id AS eid, v AS ev FROM e WHERE ${isEval("vec_id")}),
+         |  c AS (SELECT vec_id, v AS cv FROM e WHERE NOT (${isEval("vec_id")})),
+         |  raw AS (SELECT c.vec_id,
+         |            ${dotSql("c.cv", "q.ev")} AS dp,
+         |            sqrt(${dotSql("c.cv", "c.cv")}) AS na,
+         |            sqrt(${dotSql("q.ev", "q.ev")}) AS nb
+         |          FROM c, q),
+         |  ${cosScoreSql("raw", "scored")}
+         |  SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_eval_matches
+         |  FROM scored WHERE score >= 0.3 GROUP BY vec_id)),
+         |ids AS (SELECT doc_id FROM ex UNION SELECT doc_id FROM fz
+         |        UNION SELECT doc_id FROM sm)
+         |SELECT i.doc_id,
+         |       COALESCE(ex.exact_hits, 0) AS exact_hits,
+         |       COALESCE(fz.fuzzy_matches, 0) AS fuzzy_matches,
+         |       COALESCE(sm.semantic_matches, 0) AS semantic_matches,
+         |       CAST(ex.doc_id IS NOT NULL AS INTEGER)
+         |         + CAST(fz.doc_id IS NOT NULL AS INTEGER)
+         |         + CAST(sm.doc_id IS NOT NULL AS INTEGER) AS n_tiers
+         |FROM ids i LEFT JOIN ex ON ex.doc_id = i.doc_id
+         |           LEFT JOIN fz ON fz.doc_id = i.doc_id
+         |           LEFT JOIN sm ON sm.doc_id = i.doc_id
+         |ORDER BY i.doc_id""".stripMargin
+    },
 
     "text_bpe_train" -> bpeTrainOracleSql(numMerges = 8),
     "text_bpe_encode" -> bpeEncodeOracleSql(numMerges = 8),

@@ -22,6 +22,8 @@ class PlanGuardSpec extends SparkSpecBase {
     // broadcast eval-set sweep — the "queries are small" brute-force
     // argument applied to decontamination
     "emb_decontaminate",
+    // inherits the same sweep as its semantic tier
+    "corpus_contamination_report",
     // 1-row × 1-row sketch-combine frames
     "sketch_set_ops",
     // recall joins the brute-force ground truth, inheriting its sweep
