@@ -509,7 +509,7 @@ object TxTable {
     */
   def merge(spark: SparkSession, dir: String, changes: DataFrame,
       keyCols: Seq[String], opCol: String = "operation",
-      maxRetries: Int = 10): Long = {
+      maxRetries: Int = 10, epochId: Option[Long] = None): Long = {
     import org.apache.spark.sql.functions.{col, input_file_name, lit, max, min}
     require(keyCols.nonEmpty, "merge needs at least one key column")
     val touched = changes.select(keyCols.map(col): _*).distinct()
@@ -565,12 +565,73 @@ object TxTable {
       val files = base.files.filterNot(hitSet) ++ newFiles
       val stats = (base.stats -- hitSet) ++ newStats
       if (publishAt(dir, base.version + 1, "merge", base.schema, files, stats,
-          epochId = None, tmpTag = commitRel.stripPrefix("data/")))
+          epochId, tmpTag = commitRel.stripPrefix("data/")))
         committed = base.version + 1
       // lost race: the just-written commitRel dir is orphaned (invisible);
       // vacuum retires it
     }
     committed
+  }
+
+  /** Catch a replica table up to the primary's latest version by
+    * replaying the change feed version-by-version through [[merge]] —
+    * the pull-based replication loop a downstream cluster runs on a
+    * schedule (each call is one "micro-batch"; calling it in a
+    * foreachBatch/timer loop IS the streaming form).
+    *
+    * Exactly-once without a checkpoint store: each applied primary
+    * version commits on the replica with `epochId = primaryVersion`, so
+    * a crash-replayed sync finds the stamp in the replica's own log and
+    * skips the version ([[commitStreaming]]'s idempotence argument,
+    * applied to replication). The replica must not be written by anyone
+    * else — its version log IS the applied-offset ledger.
+    *
+    * Scale: each step ships O(changed keys) through the feed (delta
+    * files only for appends) and rewrites O(hit files) via the
+    * copy-on-write merge — a quiet primary costs nothing, a busy one
+    * costs its churn, never its size. Returns the number of primary
+    * versions applied this call.
+    */
+  def syncReplica(spark: SparkSession, primaryDir: String, replicaDir: String,
+      keyCols: Seq[String]): Int = {
+    val primaryVs = versions(primaryDir)
+    require(primaryVs.nonEmpty, s"primary at $primaryDir has no committed version")
+    val applied: Set[Long] =
+      versions(replicaDir).map(snapshot(replicaDir, _)).flatMap(_.epoch).toSet
+    var n = 0
+    primaryVs.filterNot(applied).foreach { v =>
+      if (latest(replicaDir).isEmpty) {
+        // bootstrap: the first unseen version seeds the replica wholesale
+        val seed = read(spark, primaryDir, Some(v))
+        Files.createDirectories(logDir(replicaDir))
+        val (commitRel, files, stats) = writeData(seed, replicaDir, keyCols)
+        require(publishAt(replicaDir, 0L, "overwrite", snapshot(primaryDir, v).schema,
+          files, stats, epochId = Some(v), tmpTag = commitRel.stripPrefix("data/")),
+          s"replica at $replicaDir was concurrently initialized")
+      } else if (!primaryVs.contains(v - 1) || {
+          def shape(t: StructType) = t.fields.map(f => (f.name, f.dataType)).toSeq
+          shape(snapshot(primaryDir, v).schema) !=
+            shape(latest(replicaDir).get.schema)
+        }) {
+        // the diff base was vacuumed away on the primary, or the schema
+        // evolved (merge preserves the replica's schema, so evolution
+        // cannot ride the feed): full re-seed of this version's state
+        // (still epoch-stamped, still idempotent)
+        commit(read(spark, primaryDir, Some(v)), replicaDir, "overwrite",
+          statsColumns = keyCols, epochId = Some(v))
+      } else {
+        import org.apache.spark.sql.functions.{col, when}
+        val feed = changeFeed(spark, primaryDir, v - 1, v, keyCols)
+          .withColumn("operation",
+            when(col("change_type") === "delete", "DELETE")
+              .when(col("change_type") === "insert", "INSERT")
+              .otherwise("UPDATE"))
+          .drop("change_type")
+        merge(spark, replicaDir, feed, keyCols, epochId = Some(v))
+      }
+      n += 1
+    }
+    n
   }
 
   /** Append-mode schema rule: additive only. Every existing column must

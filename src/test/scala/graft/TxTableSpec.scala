@@ -424,6 +424,48 @@ class TxTableSpec extends SparkSpecBase {
     assert(TxTable.readPruned(s, dir2, "x", 0L, 7L).count() === 8 * 32)
   }
 
+  test("syncReplica: pull-based replication converges, replays are no-ops, gaps re-seed") {
+    val primary = Files.createTempDirectory("txprim").toString
+    val replica = Files.createTempDirectory("txrepl").toString
+    def replicaState = TxTable.read(s, replica).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    def primaryState(v: Long) = TxTable.read(s, primary, Some(v)).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+    TxTable.commit((1L to 10L).map(i => (i, s"v$i")).toDF("id", "v"), primary,
+      "overwrite", statsColumns = Seq("id"))                       // v0
+    assert(TxTable.syncReplica(s, primary, replica, Seq("id")) === 1, "bootstrap")
+    assert(replicaState === primaryState(0L))
+
+    TxTable.commit(Seq((11L, "new")).toDF("id", "v"), primary, "append",
+      statsColumns = Seq("id"))                                    // v1
+    TxTable.commit((2L to 11L).map(i => (i, s"w$i")).toDF("id", "v"), primary,
+      "overwrite", statsColumns = Seq("id"))                       // v2
+    assert(TxTable.syncReplica(s, primary, replica, Seq("id")) === 2,
+      "two pending versions applied in one call")
+    assert(replicaState === primaryState(2L))
+
+    // crash-replay: nothing pending, nothing re-applied
+    assert(TxTable.syncReplica(s, primary, replica, Seq("id")) === 0)
+    assert(replicaState === primaryState(2L))
+
+    // primary vacuums its history: the next version cannot be diffed
+    // against its predecessor and must re-seed
+    TxTable.commit(Seq((1L, "back")).toDF("id", "v"), primary, "append",
+      statsColumns = Seq("id"))                                    // v3
+    TxTable.vacuum(primary, keepVersions = 1, orphanGraceMs = 0L)  // only v3 left
+    assert(TxTable.syncReplica(s, primary, replica, Seq("id")) === 1)
+    assert(replicaState === primaryState(3L))
+
+    // schema evolution rides a re-seed, not the feed
+    TxTable.commit(Seq((12L, "s", 1.5)).toDF("id", "v", "score"), primary,
+      "append", statsColumns = Seq("id"))                          // v4
+    assert(TxTable.syncReplica(s, primary, replica, Seq("id")) === 1)
+    assert(TxTable.read(s, replica).schema.fieldNames.toSeq === Seq("id", "v", "score"))
+    assert(TxTable.read(s, replica).count() ===
+      TxTable.read(s, primary, Some(4L)).count())
+  }
+
   test("merge rejects a batch with duplicate keys") {
     val dir = Files.createTempDirectory("txmergedup").toString
     TxTable.commit(Seq((1L, "a")).toDF("id", "v"), dir)
