@@ -916,6 +916,35 @@ object SparkEntry {
     Corpus.dedupClusters(ngramPairs(s, dir)) // shared materialized pair set
       .orderBy("doc_id")
 
+  /** Canonical selection per near-dup cluster — a real dedup pipeline
+    * keeps the BEST copy, not an arbitrary one: within each connected
+    * component of the verified pair graph, the longest document
+    * (whitespace tokens) wins, doc_id ascending on ties. One row per
+    * cluster: the canonical id, member count, and the tokens retired by
+    * deduping the cluster to its canonical (the dedup savings ledger).
+    * Scale: clusters come from the memoized MINHASH pair table — the
+    * open-corpus banded-LSH path, unlike `dedup_clusters`' declared-
+    * quadratic ngram graph — and the selection is ONE aggregate over
+    * the flagged docs: `max(struct(n_tokens, -doc_id))` picks the
+    * winner without a window shuffle. O(flagged docs), a vanishing
+    * corpus fraction.
+    */
+  private def qDedupCanonical(s: SparkSession, dir: String): DataFrame = {
+    val m = Corpus.dedupClusters(minhashPairs(s, dir))
+      .join(documents(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens")), Seq("doc_id"))
+    m.groupBy(col("cluster_id"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        sum(col("n_tokens")).as("tokens_total"),
+        max(struct(col("n_tokens"), (-col("doc_id")).as("neg_id"))).as("best"))
+      .select(col("cluster_id"),
+        (-col("best.neg_id")).as("canonical_id"),
+        col("n_members"),
+        (col("tokens_total") - col("best.n_tokens")).as("tokens_retired"))
+      .orderBy("cluster_id")
+  }
+
   /** End-to-end training-data manifest: quality-score every document,
     * keep those above threshold, and assign kept docs a deterministic
     * train/val split by hash bucket — the composition a real pipeline
@@ -5107,6 +5136,7 @@ object SparkEntry {
     "emb_pq_assign" -> (qEmbPqAssign _),
     "ann_pq_topk" -> (qAnnPqTopK _),
     "dedup_clusters" -> (qDedupClusters _),
+    "dedup_canonical" -> (qDedupCanonical _),
     "ann_brute_force" -> (qAnnBruteForce _),
     "ann_lsh" -> (qAnnLsh _),
     "ann_ivf_assign" -> (qAnnIvfAssign _),
@@ -7189,6 +7219,30 @@ object SparkEntry {
          |  SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.id)
          |SELECT id AS doc_id, MIN(r) AS cluster_id
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "dedup_canonical" ->
+      s"""${minhashPairCtes(numHashes = 128, bands = 16, rowsPerBand = 8)
+            .replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |jp AS (SELECT id_a, id_b FROM j WHERE jac >= 0.5),
+         |e AS (SELECT id_a AS a, id_b AS b FROM jp UNION ALL SELECT id_b, id_a FROM jp),
+         |n AS (SELECT DISTINCT a AS id FROM e),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM n
+         |  UNION
+         |  SELECT e.b, reach.r FROM reach JOIN e ON e.a = reach.id),
+         |lab AS (SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+         |m AS (SELECT lab.doc_id, lab.cluster_id, len(t.toks) AS n_tokens
+         |      FROM lab JOIN t ON t.doc_id = lab.doc_id),
+         |rk AS (SELECT *, ROW_NUMBER() OVER (
+         |         PARTITION BY cluster_id ORDER BY n_tokens DESC, doc_id) AS rn
+         |       FROM m),
+         |g AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+         |             SUM(n_tokens) AS tokens_total
+         |      FROM m GROUP BY cluster_id)
+         |SELECT g.cluster_id, rk.doc_id AS canonical_id, g.n_members,
+         |       CAST(g.tokens_total - rk.n_tokens AS BIGINT) AS tokens_retired
+         |FROM g JOIN rk ON rk.cluster_id = g.cluster_id AND rk.rn = 1
+         |ORDER BY g.cluster_id""".stripMargin,
 
     "corpus_manifest" ->
       s"""WITH $TextTokensCte,
