@@ -1701,6 +1701,21 @@ object SparkEntry {
       .orderBy("vec_id")
   }
 
+  /** Hard negatives for the standard query set: per query, the top-10
+    * corpus vectors in the [0.2, 0.3) cosine band — under the 0.3
+    * contamination/positive threshold ([[qEmbDecontaminate]]), above
+    * the uninformative bulk (the synthetic space's cross-cosines top
+    * out near 0.45, so a production-looking [0.7, 0.95) band would
+    * select nothing).
+    */
+  private def qEmbHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(s, dir)
+    Similarity.hardNegatives(
+        emb.filter(col("vec_id") % 50 =!= 0), emb.filter(col("vec_id") % 50 === 0),
+        "vec_id", "embedding", k = 10, lo = 0.2, hi = 0.3)
+      .orderBy("query_id", "rank")
+  }
+
   private def qEmbNearDup(s: SparkSession, dir: String): DataFrame =
     // threshold 0.3: the synthetic embeddings have no true near-dups
     // (max same-bucket cosine ≈ 0.45), so a production-like 0.95 would
@@ -5119,6 +5134,7 @@ object SparkEntry {
     "tx_merge_apply" -> (qTxMergeApply _),
     "tx_incremental_view" -> (qTxIncrementalView _),
     "emb_decontaminate" -> (qEmbDecontaminate _),
+    "emb_hard_negatives" -> (qEmbHardNegatives _),
     "corpus_decontaminate_fuzzy" -> (qCorpusDecontFuzzy _),
     "corpus_contamination_report" -> (qCorpusContamReport _),
     "text_bpe_train" -> (qTextBpeTrain _),
@@ -7424,6 +7440,25 @@ object SparkEntry {
          |${rrfFuseCtes("vec", "h")}
          |SELECT doc_id, in_lexical, in_vector, rrf_score, rk FROM hr WHERE rk <= 20
          |ORDER BY rk""".stripMargin,
+
+    "emb_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS ev FROM e WHERE vec_id % 50 = 0),
+         |c AS (SELECT vec_id AS neighbor_id, v AS cv FROM e WHERE vec_id % 50 <> 0),
+         |raw AS (SELECT c.neighbor_id, q.query_id,
+         |          ${dotSql("c.cv", "q.ev")} AS dp,
+         |          sqrt(${dotSql("c.cv", "c.cv")}) AS na,
+         |          sqrt(${dotSql("q.ev", "q.ev")}) AS nb
+         |        FROM c, q),
+         |${cosScoreSql("raw", "scored")},
+         |band AS (SELECT query_id, neighbor_id, score FROM scored
+         |         WHERE score >= 0.2 AND score < 0.3),
+         |rk AS (SELECT *, CAST(ROW_NUMBER() OVER (
+         |         PARTITION BY query_id ORDER BY score DESC, neighbor_id)
+         |         AS INTEGER) AS rank
+         |       FROM band)
+         |SELECT query_id, neighbor_id, score, rank FROM rk WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
 
     "emb_decontaminate" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

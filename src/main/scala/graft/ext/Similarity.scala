@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Vector similarity search over embedding columns (`array<float>`) —
@@ -890,6 +891,43 @@ object Similarity {
       .filter(col("__score") >= threshold)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_eval_matches"), max(col("__score")).as("max_score"))
+  }
+
+  /** Hard-negative mining for contrastive/retrieval training: for each
+    * query vector, the top-`k` corpus vectors whose cosine lands in
+    * [`lo`, `hi`) — similar enough to be informative negatives, below
+    * the positive/duplicate band (`hi` should sit at or under the
+    * near-dup threshold so a leaked positive never becomes a
+    * "negative"). Output: (query_id, neighbor_id, score 6-dp, rank),
+    * rank 1..k per query by score desc, id asc on ties.
+    *
+    * Scale shape: queries broadcast (the [[bruteForceTopK]] "queries
+    * are small" argument), ONE corpus scan, per-query partial top-k
+    * via the window over the band-filtered narrow frame — only banded
+    * rows shuffle. For corpus-scale query sets route through
+    * [[ivfPqTopK]] and band-filter its ADC scores instead.
+    */
+  def hardNegatives(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      lo: Double,
+      hi: Double): DataFrame = {
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("__cv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("__qv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("__cv"), col("__qv")), 6).as("score"))
+      .filter(col("score") >= lo && col("score") < hi)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
   }
 
   def embeddingNearDup(

@@ -24,6 +24,8 @@ class PlanGuardSpec extends SparkSpecBase {
     "emb_decontaminate",
     // inherits the same sweep as its semantic tier
     "corpus_contamination_report",
+    // broadcast query-set sweep, band-filtered (hard-negative mining)
+    "emb_hard_negatives",
     // 1-row × 1-row sketch-combine frames
     "sketch_set_ops",
     // recall joins the brute-force ground truth, inheriting its sweep
