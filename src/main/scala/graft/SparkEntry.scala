@@ -929,21 +929,10 @@ object SparkEntry {
     * winner without a window shuffle. O(flagged docs), a vanishing
     * corpus fraction.
     */
-  private def qDedupCanonical(s: SparkSession, dir: String): DataFrame = {
-    val m = Corpus.dedupClusters(minhashPairs(s, dir))
-      .join(documents(s, dir).select(col("doc_id"),
-        TextAnalysis.tokenCount(col("text")).as("n_tokens")), Seq("doc_id"))
-    m.groupBy(col("cluster_id"))
-      .agg(
-        count(lit(1)).as("n_members"),
-        sum(col("n_tokens")).as("tokens_total"),
-        max(struct(col("n_tokens"), (-col("doc_id")).as("neg_id"))).as("best"))
-      .select(col("cluster_id"),
-        (-col("best.neg_id")).as("canonical_id"),
-        col("n_members"),
-        (col("tokens_total") - col("best.n_tokens")).as("tokens_retired"))
+  private def qDedupCanonical(s: SparkSession, dir: String): DataFrame =
+    Corpus.dedupCanonical(minhashPairs(s, dir), documents(s, dir),
+        "doc_id", "text")
       .orderBy("cluster_id")
-  }
 
   /** End-to-end training-data manifest: quality-score every document,
     * keep those above threshold, and assign kept docs a deterministic

@@ -82,7 +82,15 @@ object GraftTableFunctions {
     "graft_tx_change_feed" -> (("(tableDir, fromVersion, toVersion, keyColsCsv)",
       (s: SparkSession, a: Seq[Any]) =>
         graft.sources.TxTable.changeFeed(s, str(a(0)), int(a(1)).toLong,
-          int(a(2)).toLong, str(a(3)).split(",").map(_.trim).toSeq))))
+          int(a(2)).toLong, str(a(3)).split(",").map(_.trim).toSeq))),
+    "graft_emb_hard_negatives" -> (("(corpusTable, queryTable, idCol, vecCol, k, lo, hi)",
+      (s: SparkSession, a: Seq[Any]) =>
+        graft.ext.Similarity.hardNegatives(s.table(str(a(0))), s.table(str(a(1))),
+          str(a(2)), str(a(3)), k = int(a(4)), lo = dbl(a(5)), hi = dbl(a(6))))),
+    "graft_dedup_canonical" -> (("(pairsTable, docsTable, idCol, textCol)",
+      (s: SparkSession, a: Seq[Any]) =>
+        graft.ext.Corpus.dedupCanonical(s.table(str(a(0))), s.table(str(a(1))),
+          str(a(2)), str(a(3))))))
 
   /** The registered TVF names (for docs/tests). */
   def names: Seq[String] = registry.keys.toSeq.sorted

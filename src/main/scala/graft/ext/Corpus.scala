@@ -696,6 +696,31 @@ object Corpus {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Canonical selection per near-dup cluster: within each connected
+    * component of `pairs` ([[dedupClusters]]), keep the LONGEST document
+    * (whitespace tokens, id ascending on ties) and report the member
+    * count plus the tokens retired by deduping the cluster to its
+    * canonical — the "keep the best copy" policy and savings ledger a
+    * real dedup run produces. The winner is picked by
+    * `max(struct(n_tokens, -id))` in ONE aggregate (no window shuffle);
+    * O(flagged docs), a vanishing corpus fraction.
+    */
+  def dedupCanonical(pairs: DataFrame, docs: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val m = dedupClusters(pairs)
+      .join(docs.select(col(idCol).as("doc_id"),
+        TextAnalysis.tokenCount(col(textCol)).as("n_tokens")), Seq("doc_id"))
+    m.groupBy(col("cluster_id"))
+      .agg(
+        count(lit(1)).as("n_members"),
+        sum(col("n_tokens")).as("tokens_total"),
+        max(struct(col("n_tokens"), (-col("doc_id")).as("neg_id"))).as("best"))
+      .select(col("cluster_id"),
+        (-col("best.neg_id")).as("canonical_id"),
+        col("n_members"),
+        (col("tokens_total") - col("best.n_tokens")).as("tokens_retired"))
+  }
+
   /** Duplicated-n-gram report — the memorization-risk audit from the
     * dedup literature: which word n-grams occur repeatedly across the
     * corpus (counting every occurrence, NOT the per-doc-distinct shingle

@@ -135,6 +135,30 @@ class SqlSurfaceSpec extends SparkSpecBase {
     assert(feed.toSeq === scalaFeed.toSeq)
   }
 
+  test("round-8 operators from SQL: hard negatives + canonical dedup") {
+    withViews {
+      val sqlHn = s.sql(
+        """SELECT * FROM graft_emb_hard_negatives(
+          |  'embs', 'embs', 'vec_id', 'embedding', 5, 0.1, 0.4)""".stripMargin)
+      val scalaHn = Similarity.hardNegatives(
+        Fixtures.embeddings(s, dir), Fixtures.embeddings(s, dir),
+        "vec_id", "embedding", k = 5, lo = 0.1, hi = 0.4)
+      assertSameRows(sqlHn, scalaHn, "graft_emb_hard_negatives")
+
+      import s.implicits._
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+        .createOrReplaceTempView("pairs")
+      Seq((1L, "a b c"), (2L, "a b"), (3L, "a"), (10L, "x y"), (11L, "x"))
+        .toDF("doc_id", "text").createOrReplaceTempView("pdocs")
+      val rows = s.sql(
+        """SELECT * FROM graft_dedup_canonical('pairs', 'pdocs', 'doc_id', 'text')
+          |ORDER BY cluster_id""".stripMargin).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(rows.toSeq === Seq((1L, 1L, 3L, 3L), (10L, 10L, 2L, 1L)),
+        "longest doc wins each cluster; retired = total - canonical tokens")
+    }
+  }
+
   test("TVF argument errors are caught with a usage message") {
     withViews {
       val e = intercept[Exception] {
