@@ -134,6 +134,33 @@ class PlanGuardSpec extends SparkSpecBase {
     // 1-row token-totals broadcast onto the union-vocabulary frame
     "corpus_js_divergence")
 
+  /** Queries whose plan INTENTIONALLY contains a GLOBAL (unpartitioned)
+    * window: every one runs over a frame already collapsed to a bounded
+    * size — a score histogram, a monthly/daily rollup, a per-entity
+    * aggregate with a documented percentile_approx swap-in — never the
+    * raw fact table. A new query that accidentally global-sorts an
+    * unbounded frame fails here, not as a one-task straggler at 100 TB.
+    */
+  private val globalWindowAllowed = Set(
+    // distinct-score histograms (ROC/AUC, MWU, KS, calibration families)
+    "corpus_quality_mw", "corpus_split_ks", "text_langid_auc",
+    // rank transform over the (sources × quality-deciles)-bounded frame
+    "corpus_spearman",
+    // per-entity RFM quintiles; rfmApprox is the documented 100 TB swap
+    "customer_rfm",
+    // Lorenz curve over the per-user aggregate (bounded by users; the
+    // gini read is the curve, not the facts)
+    "events_gini",
+    // Kaplan-Meier steps over the bounded duration-histogram frame
+    "events_survival",
+    // bounded monthly/daily rollups (time axes, not fact rows)
+    "orders_cusum", "orders_monthly_growth", "orders_runs_test",
+    "orders_seasonal_decompose",
+    // revenue-ranked suppliers (bounded by the supplier dimension)
+    "supplier_pareto",
+    // 10-row growth-curve checkpoints / vocab-rank frames
+    "text_heaps_law", "text_zipf_slope")
+
   private def walk(p: SparkPlan): Seq[SparkPlan] = {
     val kids = p match {
       case a: AdaptiveSparkPlanExec => Seq(a.inputPlan)
@@ -153,6 +180,12 @@ class PlanGuardSpec extends SparkSpecBase {
       if (!nestedLoopAllowed(name) &&
           plan.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]))
         bad += s"$name: BroadcastNestedLoopJoin"
+      if (!globalWindowAllowed(name) && plan.exists {
+          case w: org.apache.spark.sql.execution.window.WindowExec =>
+            w.partitionSpec.isEmpty
+          case _ => false
+        })
+        bad += s"$name: global (unpartitioned) window"
     }
     assert(bad.isEmpty, s"plan guard violations:\n${bad.mkString("\n")}")
   }
