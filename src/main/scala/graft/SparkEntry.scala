@@ -1058,37 +1058,10 @@ object SparkEntry {
     * merge joins are O(flagged docs), a vanishing fraction of the
     * corpus at realistic contamination rates.
     */
-  private def qCorpusContamReport(s: SparkSession, dir: String): DataFrame = {
-    def inEval(c: org.apache.spark.sql.Column) =
-      PortableHash.hash32(concat(lit("evalset"), c.cast("string"))) % 1000 < 100
-    val docs = documents(s, dir)
-    val train = docs.filter(!inEval(col("doc_id")))
-    val eval = docs.filter(inEval(col("doc_id")))
-    val exact = Corpus.decontaminate(train, eval, "text", "doc_id", n = 5)
-      .select(col("doc_id"), col("n_hit_ngrams").as("exact_hits"))
-    val fuzzy = Dedup.crossNearDupPairs(train, eval, "text", "doc_id",
-        n = 3, bands = 64, rowsPerBand = 2, threshold = 0.5,
-        mode = HashMode.Portable)
-      .groupBy(col("id_l").as("doc_id"))
-      .agg(count(lit(1)).as("fuzzy_matches"))
-    val emb = embeddings(s, dir)
-    val sem = Similarity.embeddingDecontaminate(
-        emb.filter(!inEval(col("vec_id"))), emb.filter(inEval(col("vec_id"))),
-        "vec_id", "embedding", threshold = 0.3)
-      .select(col("vec_id").as("doc_id"),
-        col("n_eval_matches").as("semantic_matches"))
-    exact.join(fuzzy, Seq("doc_id"), "full_outer")
-      .join(sem, Seq("doc_id"), "full_outer")
-      .select(col("doc_id"),
-        coalesce(col("exact_hits"), lit(0L)).as("exact_hits"),
-        coalesce(col("fuzzy_matches"), lit(0L)).as("fuzzy_matches"),
-        coalesce(col("semantic_matches"), lit(0L)).as("semantic_matches"))
-      .withColumn("n_tiers",
-        (col("exact_hits") > 0).cast("int") +
-          (col("fuzzy_matches") > 0).cast("int") +
-          (col("semantic_matches") > 0).cast("int"))
+  private def qCorpusContamReport(s: SparkSession, dir: String): DataFrame =
+    Corpus.contaminationReport(documents(s, dir), embeddings(s, dir),
+        "doc_id", "text", "vec_id", "embedding")
       .orderBy("doc_id")
-  }
 
   /** BPE tokenizer training: 8 merges learned over the corpus
     * word-frequency table — ranked (pair, frequency) merge list. The
@@ -4013,23 +3986,43 @@ object SparkEntry {
     * interpolating median.
     */
   private def qOrdersTheilsenTrend(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val monthly = orders(s, dir)
       .groupBy(date_trunc("month", col("o_orderdate")).as("mo"))
       .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double")
         .as("rev"))
       .select((year(col("mo")) * 12 + month(col("mo"))).cast("long").as("idx"),
         col("rev"))
+    // Rank-based median (exact elements, explicit two-middle average)
+    // instead of percentile(): the engines' interpolation FORMULAS
+    // differ at the ulp level (a + (b-a)·f vs (a+b)/2), and at sf0.1
+    // the intercept sits at ~1.4e9 where a double ulp is 2.4e-7 —
+    // round(·, 6) right at the noise floor (caught by the round-8
+    // full sf0.1 oracle sweep). Picking the two middle ELEMENTS and
+    // averaging with the same expression is bit-identical cross-engine.
+    def rankMedian(df: DataFrame, valueCol: String): DataFrame = {
+      val w = Window.orderBy(col(valueCol))
+      df.withColumn("__rn", row_number().over(w))
+        .crossJoin(broadcast(df.agg(count(lit(1)).as("__n"))))
+        .filter(col("__rn") === floor((col("__n") + 1) / 2) ||
+          col("__rn") === floor(col("__n") / 2) + 1)
+        // (min+max)/2, NOT avg: DuckDB's AVG accumulates in extended
+        // precision and rounds differently at the last ulp; min/max are
+        // exact selections and the explicit (a+b)/2 is the same IEEE
+        // operation in both engines
+        .agg(((min(col(valueCol)) + max(col(valueCol))) / 2).as("median"),
+          first(col("__n")).as("n"))
+    }
     val pairs = monthly.as("a").join(monthly.as("b"), col("b.idx") > col("a.idx"))
       .select(((col("b.rev") - col("a.rev")) /
         (col("b.idx") - col("a.idx")).cast("double")).as("slope"))
-    val med = pairs.agg(
-      count(lit(1)).as("n_pairs"),
-      percentile(col("slope"), lit(0.5)).as("m"))
-    monthly.crossJoin(broadcast(med))
-      .groupBy(col("n_pairs"), col("m"))
-      .agg(
-        count(lit(1)).as("n_months"),
-        percentile(col("rev") - col("m") * col("idx"), lit(0.5)).as("b0"))
+    val med = rankMedian(pairs, "slope")
+      .select(col("median").as("m"), col("n").as("n_pairs"))
+    val resid = monthly.crossJoin(broadcast(med))
+      .select(col("n_pairs"), col("m"), (col("rev") - col("m") * col("idx")).as("r"))
+    rankMedian(resid.select(col("r")), "r")
+      .select(col("median").as("b0"), col("n").as("n_months"))
+      .crossJoin(broadcast(med))
       .select(col("n_months"), col("n_pairs"),
         round(col("m"), 6).as("slope"), round(col("b0"), 6).as("intercept"))
   }
@@ -9363,12 +9356,32 @@ object SparkEntry {
         |  FROM orders GROUP BY 1),
         |pr AS (SELECT (b.rev - a.rev) / CAST(b.idx - a.idx AS DOUBLE) AS slope
         |       FROM monthly a JOIN monthly b ON b.idx > a.idx),
-        |med AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
-        |               quantile_cont(slope, 0.5) AS m FROM pr),
-        |fin AS (SELECT med.n_pairs, med.m, CAST(COUNT(*) AS BIGINT) AS n_months,
-        |               quantile_cont(monthly.rev - med.m * monthly.idx, 0.5) AS b0
-        |        FROM monthly, med GROUP BY 1, 2)
-        |SELECT n_months, n_pairs, round(m, 6) AS slope, round(b0, 6) AS intercept
+        |-- rank-based median (two middle ELEMENTS, explicit average):
+        |-- quantile_cont's interpolation formula differs from Spark's at
+        |-- the ulp level, visible under round(.,6) at 1e9 magnitudes
+        |prr AS (SELECT slope, ROW_NUMBER() OVER (ORDER BY slope) AS rn,
+        |               COUNT(*) OVER () AS n FROM pr),
+        |-- (min+max)/2, not AVG: DuckDB's AVG accumulates in extended
+        |-- precision and rounds differently at the last ulp
+        |med AS (SELECT CAST(MAX(n) AS BIGINT) AS n_pairs,
+        |               (MIN(slope) + MAX(slope)) / 2 AS m
+        |        FROM prr WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1),
+        |res AS (SELECT monthly.rev - med.m * monthly.idx AS r, med.n_pairs, med.m
+        |        FROM monthly, med),
+        |rr AS (SELECT r, n_pairs, m, ROW_NUMBER() OVER (ORDER BY r) AS rn,
+        |              COUNT(*) OVER () AS n FROM res),
+        |fin AS (SELECT CAST(MAX(n_pairs) AS BIGINT) AS n_pairs, MAX(m) AS m,
+        |               CAST(MAX(n) AS BIGINT) AS n_months,
+        |               (MIN(r) + MAX(r)) / 2 AS b0
+        |        FROM rr WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1)
+        |-- VARCHAR-routed final rounds: DuckDB's round(DOUBLE, 6)
+        |-- multiplies by 1e6 in double and mis-rounds at 1e9 magnitudes
+        |-- (ulp of 1.4e15 is 0.25); the VARCHAR cast yields the shortest
+        |-- decimal repr - the SAME digits Spark's BigDecimal.valueOf
+        |-- rounds - so both engines round identical decimal strings
+        |SELECT n_months, n_pairs,
+        |  CAST(round(CAST(CAST(m AS VARCHAR) AS DECIMAL(28,10)), 6) AS DOUBLE) AS slope,
+        |  CAST(round(CAST(CAST(b0 AS VARCHAR) AS DECIMAL(28,10)), 6) AS DOUBLE) AS intercept
         |FROM fin""".stripMargin,
 
     // lag-k autocorrelation: equi-join on day+k, exact decimal moments
@@ -9383,12 +9396,18 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 7, a.rev, b.rev
         |  FROM daily a JOIN daily b ON a.d = b.d - INTERVAL 7 DAY),
+        |wide AS (SELECT lag, x, y,
+        |           CAST(x AS DECIMAL(19,2)) AS xw, CAST(y AS DECIMAL(19,2)) AS yw
+        |         FROM pairs),
         |s AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
         |        SUM(x) AS sx, SUM(y) AS sy,
-        |        SUM(CAST(x * y AS DECIMAL(38,4))) AS sxy,
-        |        SUM(CAST(x * x AS DECIMAL(38,4))) AS sxx,
-        |        SUM(CAST(y * y AS DECIMAL(38,4))) AS syy
-        |      FROM pairs GROUP BY 1)
+        |        -- (19,2) operands route DuckDB's multiply through INT128:
+        |        -- the (18,2) x (18,2) fast path multiplies in INT64 and
+        |        -- overflows at sf0.1 daily-revenue magnitudes
+        |        SUM(CAST(xw * yw AS DECIMAL(38,4))) AS sxy,
+        |        SUM(CAST(xw * xw AS DECIMAL(38,4))) AS sxx,
+        |        SUM(CAST(yw * yw AS DECIMAL(38,4))) AS syy
+        |      FROM wide GROUP BY 1)
         |SELECT CAST(lag AS INT) AS lag, n_pairs,
         |  round((CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
         |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))

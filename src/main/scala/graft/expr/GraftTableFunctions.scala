@@ -90,7 +90,12 @@ object GraftTableFunctions {
     "graft_dedup_canonical" -> (("(pairsTable, docsTable, idCol, textCol)",
       (s: SparkSession, a: Seq[Any]) =>
         graft.ext.Corpus.dedupCanonical(s.table(str(a(0))), s.table(str(a(1))),
-          str(a(2)), str(a(3))))))
+          str(a(2)), str(a(3))))),
+    "graft_corpus_contamination" -> ((
+      "(docsTable, embTable, idCol, textCol, vecIdCol, vecCol)",
+      (s: SparkSession, a: Seq[Any]) =>
+        graft.ext.Corpus.contaminationReport(s.table(str(a(0))), s.table(str(a(1))),
+          str(a(2)), str(a(3)), str(a(4)), str(a(5))))))
 
   /** The registered TVF names (for docs/tests). */
   def names: Seq[String] = registry.keys.toSeq.sorted

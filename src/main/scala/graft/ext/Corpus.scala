@@ -696,6 +696,60 @@ object Corpus {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** The three decontamination tiers unified into ONE per-document
+    * report: exact (shared word `exactN`-grams, [[decontaminate]]),
+    * fuzzy (minhash LSH cross pairs at j >= `fuzzyThreshold`,
+    * [[Dedup.crossNearDupPairs]] with the recall-first 64x2 banding),
+    * and semantic (embedding cosine >= `cosineThreshold`,
+    * [[Similarity.embeddingDecontaminate]], aligned id spaces), all
+    * against the SAME hash-sampled eval set (`permille`/1000 of ids by
+    * the salted portable hash — [[sampleByHash]]'s convention), merged
+    * per doc with an `n_tiers` agreement count. A paraphrased leak
+    * shows up semantic-only; a verbatim leak lights all three.
+    * Each tier keeps its bounded shape (broadcast gram set / banded
+    * buckets / broadcast eval sweep); the merge is O(flagged docs).
+    */
+  def contaminationReport(
+      docs: DataFrame,
+      embeddings: DataFrame,
+      idCol: String,
+      textCol: String,
+      vecIdCol: String,
+      vecCol: String,
+      salt: String = "evalset",
+      permille: Int = 100,
+      exactN: Int = 5,
+      fuzzyThreshold: Double = 0.5,
+      cosineThreshold: Double = 0.3): DataFrame = {
+    def inEval(c: Column) =
+      PortableHash.hash32(concat(lit(salt), c.cast("string"))) % 1000 < permille
+    val train = docs.filter(!inEval(col(idCol)))
+    val eval = docs.filter(inEval(col(idCol)))
+    val exact = decontaminate(train, eval, textCol, idCol, n = exactN)
+      .select(col("doc_id"), col("n_hit_ngrams").as("exact_hits"))
+    val fuzzy = Dedup.crossNearDupPairs(train, eval, textCol, idCol,
+        n = 3, bands = 64, rowsPerBand = 2, threshold = fuzzyThreshold,
+        mode = HashMode.Portable)
+      .groupBy(col("id_l").as("doc_id"))
+      .agg(count(lit(1)).as("fuzzy_matches"))
+    val sem = Similarity.embeddingDecontaminate(
+        embeddings.filter(!inEval(col(vecIdCol))),
+        embeddings.filter(inEval(col(vecIdCol))),
+        vecIdCol, vecCol, threshold = cosineThreshold)
+      .select(col(vecIdCol).as("doc_id"),
+        col("n_eval_matches").as("semantic_matches"))
+    exact.join(fuzzy, Seq("doc_id"), "full_outer")
+      .join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("exact_hits"), lit(0L)).as("exact_hits"),
+        coalesce(col("fuzzy_matches"), lit(0L)).as("fuzzy_matches"),
+        coalesce(col("semantic_matches"), lit(0L)).as("semantic_matches"))
+      .withColumn("n_tiers",
+        (col("exact_hits") > 0).cast("int") +
+          (col("fuzzy_matches") > 0).cast("int") +
+          (col("semantic_matches") > 0).cast("int"))
+  }
+
   /** Canonical selection per near-dup cluster: within each connected
     * component of `pairs` ([[dedupClusters]]), keep the LONGEST document
     * (whitespace tokens, id ascending on ties) and report the member

@@ -159,7 +159,10 @@ class PlanGuardSpec extends SparkSpecBase {
     // revenue-ranked suppliers (bounded by the supplier dimension)
     "supplier_pareto",
     // 10-row growth-curve checkpoints / vocab-rank frames
-    "text_heaps_law", "text_zipf_slope")
+    "text_heaps_law", "text_zipf_slope",
+    // rank-based medians over the bounded |months|^2 slope frame and the
+    // |months| residual frame (the cross-engine-exact percentile swap)
+    "orders_theilsen_trend")
 
   private def walk(p: SparkPlan): Seq[SparkPlan] = {
     val kids = p match {

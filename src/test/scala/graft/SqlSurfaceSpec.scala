@@ -159,6 +159,17 @@ class SqlSurfaceSpec extends SparkSpecBase {
     }
   }
 
+  test("contamination report from SQL: graft_corpus_contamination") {
+    withViews {
+      assertSameRows(
+        s.sql("""SELECT * FROM graft_corpus_contamination(
+                |  'docs', 'embs', 'doc_id', 'text', 'vec_id', 'embedding')""".stripMargin),
+        Corpus.contaminationReport(Fixtures.documents(s, dir),
+          Fixtures.embeddings(s, dir), "doc_id", "text", "vec_id", "embedding"),
+        "graft_corpus_contamination")
+    }
+  }
+
   test("TVF argument errors are caught with a usage message") {
     withViews {
       val e = intercept[Exception] {
