@@ -91,6 +91,9 @@ object GraftTableFunctions {
       (s: SparkSession, a: Seq[Any]) =>
         graft.ext.Corpus.dedupCanonical(s.table(str(a(0))), s.table(str(a(1))),
           str(a(2)), str(a(3))))),
+    "graft_tx_history" -> (("(tableDir)",
+      (s: SparkSession, a: Seq[Any]) =>
+        graft.sources.TxTable.history(s, str(a(0))))),
     "graft_corpus_contamination" -> ((
       "(docsTable, embTable, idCol, textCol, vecIdCol, vecCol)",
       (s: SparkSession, a: Seq[Any]) =>

@@ -634,6 +634,26 @@ object TxTable {
     n
   }
 
+  /** The table's commit history as a DataFrame — the DESCRIBE HISTORY
+    * tier: one row per retained version with its operation, file count,
+    * schema width, epoch stamp (streaming/replication commits), and
+    * whether the schema changed relative to the previous retained
+    * version. Driver-side O(versions) manifest parses, no data read —
+    * the audit surface an operator checks before time travel or vacuum.
+    */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val snaps = versions(dir).map(snapshot(dir, _))
+    snaps.zip(None +: snaps.map(Some(_)))
+      .map { case (s0, prev) =>
+        (s0.version, s0.op, s0.files.size.toLong,
+          s0.schema.fields.length, s0.epoch,
+          prev.exists(p => p.schema.fields.map(f => (f.name, f.dataType)).toSeq
+            != s0.schema.fields.map(f => (f.name, f.dataType)).toSeq))
+      }
+      .toDF("version", "op", "n_files", "n_columns", "epoch", "schema_changed")
+  }
+
   /** Append-mode schema rule: additive only. Every existing column must
     * survive with its type; new columns must be nullable-representable
     * (old files surface them as null).

@@ -466,6 +466,32 @@ class TxTableSpec extends SparkSpecBase {
       TxTable.read(s, primary, Some(4L)).count())
   }
 
+  test("history: one row per version with op, files, schema-change flag, epoch") {
+    val dir = Files.createTempDirectory("txhist").toString
+    TxTable.commit(Seq((1L, "a")).toDF("id", "v"), dir)                  // v0
+    TxTable.commit(Seq((2L, "b", 1.5)).toDF("id", "v", "score"), dir,
+      "append")                                                          // v1 evolves
+    TxTable.commitStreaming(Seq((3L, "c", 2.5)).toDF("id", "v", "score"),
+      dir, epochId = 7L)                                                 // v2 stamped
+    TxTable.merge(s, dir, Seq((1L, "A", 0.0, "UPDATE"))
+      .toDF("id", "v", "score", "operation"), Seq("id"))                 // v3
+    val h = TxTable.history(s, dir).orderBy("version").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4), r.getBoolean(5)))
+    assert(h.map(x => (x._1, x._2)).toSeq ===
+      Seq((0L, "append"), (1L, "append"), (2L, "append"), (3L, "merge")))
+    assert(h(0)._3 === 2 && h(1)._3 === 3, "column widths tracked")
+    assert(h(1)._5 && !h(2)._5, "schema change flagged exactly where it happened")
+    assert(h(2)._4 === 7L, "epoch stamp surfaces")
+    // vacuum shrinks history to retained versions
+    TxTable.vacuum(dir, keepVersions = 2, orphanGraceMs = 0L)
+    assert(TxTable.history(s, dir).collect().map(_.getLong(0)).toSet === Set(2L, 3L))
+    // and it is reachable from SQL
+    assert(s.sql(s"SELECT version, op FROM graft_tx_history('$dir')")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      === Set((2L, "append"), (3L, "merge")))
+  }
+
   test("merge rejects a batch with duplicate keys") {
     val dir = Files.createTempDirectory("txmergedup").toString
     TxTable.commit(Seq((1L, "a")).toDF("id", "v"), dir)
