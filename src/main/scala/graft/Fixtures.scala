@@ -80,13 +80,35 @@ object Fixtures {
     */
   private val builtArtifacts =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String, String)]()
+  private val buildingArtifacts =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String),
+      java.util.concurrent.CountDownLatch]()
 
+  /** Concurrent first callers BLOCK on the winner's build instead of
+    * proceeding against a half-built (or — for the wipe-then-rebuild
+    * fixtures — just-deleted) artifact. If the winner's build fails,
+    * waiters retry the build themselves.
+    */
+  @scala.annotation.tailrec
   def buildOnce(name: String, spark: SparkSession, dir: String)(build: => Unit): Unit = {
     builtArtifacts.removeIf(k => k._1.sparkContext.isStopped)
     val key = (spark, dir, name)
-    if (builtArtifacts.add(key)) {
-      try build
-      catch { case e: Throwable => builtArtifacts.remove(key); throw e }
+    if (builtArtifacts.contains(key)) return
+    val myLatch = new java.util.concurrent.CountDownLatch(1)
+    val existing = buildingArtifacts.putIfAbsent(key, myLatch)
+    if (existing == null) {
+      try {
+        build
+        builtArtifacts.add(key)
+        ()
+      } finally {
+        buildingArtifacts.remove(key)
+        myLatch.countDown()
+      }
+    } else {
+      existing.await()
+      // winner finished (marked built) or failed (left unmarked): re-enter
+      buildOnce(name, spark, dir)(build)
     }
   }
 

@@ -205,8 +205,8 @@ object TxTable {
         import org.apache.spark.sql.functions.{col, input_file_name, max, min}
         val spark = df.sparkSession
         val aggs = statsColumns.flatMap(c => Seq(
-          min(col(c).cast("long")).as(s"__mn_$c"),
-          max(col(c).cast("long")).as(s"__mx_$c")))
+          min(col(c).try_cast("long")).as(s"__mn_$c"),
+          max(col(c).try_cast("long")).as(s"__mx_$c")))
         spark.read.parquet(s"$dir/$commitRel")
           .groupBy(input_file_name().as("__f"))
           .agg(aggs.head, aggs.tail: _*)
@@ -323,9 +323,18 @@ object TxTable {
       case Seq(c) =>
         data.repartitionByRange(targetFiles, col(c)).sortWithinPartitions(col(c))
       case Seq(a, b) =>
-        data.withColumn("__z", graft.ext.Layout.zOrderKey2(
-            pmod(col(a).cast("long"), lit(65536L)),
-            pmod(col(b).cast("long"), lit(65536L))))
+        // normalize each dimension onto the full 16-bit lane from its
+        // OBSERVED bounds — a raw `pmod(col, 65536)` folds any domain
+        // wider than 2^16 (k, k+65536, ... collide), silently destroying
+        // the skipping the clustering exists to create
+        import org.apache.spark.sql.functions.{max => fmax, min => fmin}
+        val bd = data.agg(
+          fmin(col(a).try_cast("long")), fmax(col(a).try_cast("long")),
+          fmin(col(b).try_cast("long")), fmax(col(b).try_cast("long"))).collect()(0)
+        def lane(c: String, lo: Int): org.apache.spark.sql.Column =
+          if (bd.isNullAt(lo) || bd.getLong(lo) == bd.getLong(lo + 1)) lit(0L)
+          else graft.ext.Layout.normalize16(col(c), bd.getLong(lo), bd.getLong(lo + 1))
+        data.withColumn("__z", graft.ext.Layout.zOrderKey2(lane(a, 0), lane(b, 2)))
           .repartitionByRange(targetFiles, col("__z"))
           .sortWithinPartitions(col("__z"))
           .drop("__z")
@@ -439,12 +448,19 @@ object TxTable {
     // the same skipping tier [[merge]] uses for its hit scan
     val oldBase =
       if (appendOnly && fromSnap.stats.values.exists(_.contains(keyCols.head))) {
-        import org.apache.spark.sql.functions.{max => fmax, min => fmin}
+        import org.apache.spark.sql.functions.{count => fcount, lit => flit,
+          max => fmax, min => fmin}
         val b = newSide.agg(
-          fmin(col(keyCols.head).cast("long")),
-          fmax(col(keyCols.head).cast("long"))).collect()(0)
+          fmin(col(keyCols.head).try_cast("long")),
+          fmax(col(keyCols.head).try_cast("long")),
+          fcount(flit(1)), fcount(col(keyCols.head).try_cast("long"))).collect()(0)
+        // pruning is sound only when every delta key casts to long (the
+        // same stats-visibility argument as merge's pre-prune): an
+        // uncastable key's base match would be lost, misclassifying an
+        // update as an insert
         val keep =
-          if (b.isNullAt(0)) Seq.empty
+          if (b.getLong(2) == 0L) Seq.empty
+          else if (b.isNullAt(0) || b.getLong(2) != b.getLong(3)) fromSnap.files
           else fromSnap.filesOverlapping(keyCols.head, b.getLong(0), b.getLong(1))
         if (keep.isEmpty)
           spark.createDataFrame(
@@ -510,10 +526,15 @@ object TxTable {
   def merge(spark: SparkSession, dir: String, changes: DataFrame,
       keyCols: Seq[String], opCol: String = "operation",
       maxRetries: Int = 10, epochId: Option[Long] = None): Long = {
-    import org.apache.spark.sql.functions.{col, input_file_name, lit, max, min}
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
     require(keyCols.nonEmpty, "merge needs at least one key column")
-    val touched = changes.select(keyCols.map(col): _*).distinct()
-    require(changes.select(keyCols.map(col): _*).count() == touched.count(),
+    // materialize the batch once: every stage below (dup check, bounds,
+    // hit scan, rewrite) and every CAS retry re-derives from it, and a
+    // nondeterministic input re-evaluated per stage could pass the dup
+    // check on one evaluation and disagree on the next
+    val ch = changes.localCheckpoint(true)
+    val touched = ch.select(keyCols.map(col): _*).distinct()
+    require(ch.select(keyCols.map(col): _*).count() == touched.count(),
       s"merge requires one change row per key (${keyCols.mkString(",")}); " +
         "run ChangeApplier.dedupToLatest first")
     var attempt = 0
@@ -524,18 +545,24 @@ object TxTable {
         s"merge at $dir lost $maxRetries publish races; giving up")
       val base = latest(dir).getOrElse(throw new IllegalArgumentException(
         s"no committed version at $dir to merge into"))
-      val upserts = changes.filter(col(opCol).isin("INSERT", "UPDATE"))
+      val upserts = ch.filter(col(opCol).isin("INSERT", "UPDATE"))
         .select(base.schema.fieldNames.map(col).toSeq: _*)
-      // 1. stats pre-prune on the first key's global touched range
+      // 1. stats pre-prune on the first key's global touched range —
+      // SOUND only when every touched key casts to long (stats are
+      // recorded over the castable values; a key whose cast is null is
+      // invisible to the ranges, so pruning would lose its DELETE/UPDATE)
       val statKey = keyCols.head
       val hasStats = base.stats.values.exists(_.contains(statKey))
       val candidates =
         if (!hasStats) base.files
         else {
           val b = touched.agg(
-            min(col(statKey).cast("long")), max(col(statKey).cast("long")))
+            min(col(statKey).try_cast("long")), max(col(statKey).try_cast("long")),
+            count(lit(1)), count(col(statKey).try_cast("long")))
             .collect()(0)
-          if (b.isNullAt(0)) Seq.empty // empty batch touches nothing
+          if (b.getLong(2) == 0L) Seq.empty // empty batch touches nothing
+          else if (b.isNullAt(0) || b.getLong(2) != b.getLong(3))
+            base.files // some key doesn't cast: pruning unsound, keep all
           else base.filesOverlapping(statKey, b.getLong(0), b.getLong(1))
         }
       // 2. exact per-file hits: key-only projection + semi join (Spark
@@ -548,8 +575,13 @@ object TxTable {
           .join(touched, keyCols, "left_semi")
           .select(col("__f")).distinct().collect()
           .map { r =>
-            val f = r.getString(0)
-            // absolute URI -> table-relative data/<uuid>/<part>
+            // absolute URI -> table-relative data/<uuid>/<part>; decode
+            // percent-encoding first so the result string-matches the
+            // manifest entries (a mismatched hit would carry the file
+            // forward AND append its rewrite — duplicating every row)
+            val raw = r.getString(0)
+            val f = try new java.net.URI(raw).getPath
+              catch { case _: Exception => raw }
             f.split('/').takeRight(3).mkString("/")
           }.toSeq.sorted
       // 3. rewrite only the hit files; untouched files carry forward
@@ -598,8 +630,20 @@ object TxTable {
     require(primaryVs.nonEmpty, s"primary at $primaryDir has no committed version")
     val applied: Set[Long] =
       versions(replicaDir).map(snapshot(replicaDir, _)).flatMap(_.epoch).toSet
+    // a vacuum may run on the primary WHILE this sync iterates: any
+    // version (or its diff base) listed above can vanish mid-loop. A
+    // missing-file failure is then expected, not exceptional — if the
+    // version itself survives, re-seed it wholesale; if it was vacuumed,
+    // skip it (the primary's latest version always survives vacuum and
+    // subsumes it)
+    def isFileMissing(e: Throwable): Boolean =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null).exists {
+        case _: java.nio.file.NoSuchFileException => true
+        case _: java.io.FileNotFoundException => true
+        case t => t.getMessage != null && t.getMessage.contains("PATH_NOT_FOUND")
+      }
     var n = 0
-    primaryVs.filterNot(applied).foreach { v =>
+    def applyVersion(v: Long): Unit = {
       if (latest(replicaDir).isEmpty) {
         // bootstrap: the first unseen version seeds the replica wholesale
         val seed = read(spark, primaryDir, Some(v))
@@ -630,6 +674,17 @@ object TxTable {
         merge(spark, replicaDir, feed, keyCols, epochId = Some(v))
       }
       n += 1
+    }
+    primaryVs.filterNot(applied).foreach { v =>
+      try applyVersion(v)
+      catch {
+        case e: Throwable if isFileMissing(e) =>
+          if (versions(primaryDir).contains(v)) {
+            commit(read(spark, primaryDir, Some(v)), replicaDir, "overwrite",
+              statsColumns = keyCols, epochId = Some(v))
+            n += 1
+          }
+      }
     }
     n
   }

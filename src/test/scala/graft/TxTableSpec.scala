@@ -492,6 +492,79 @@ class TxTableSpec extends SparkSpecBase {
       === Set((2L, "append"), (3L, "merge")))
   }
 
+  test("merge with string keys that don't cast to long: stats prune must not lose changes") {
+    val dir = Files.createTempDirectory("txmergestr").toString
+    // stats recorded on a STRING key column: only castable values ("100",
+    // "200") reach the min/max; "abc" is invisible to the ranges
+    TxTable.commit(Seq(("100", "a"), ("200", "b"), ("abc", "c"))
+      .toDF("id", "v"), dir, "overwrite", statsColumns = Seq("id"))
+    val changes = Seq(
+      ("abc", null.asInstanceOf[String], "DELETE"),
+      ("100", "A", "UPDATE")).toDF("id", "v", "operation")
+    TxTable.merge(s, dir, changes, Seq("id"))
+    val rows = TxTable.read(s, dir).collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(!rows.contains("abc"), "DELETE of an uncastable key must not be lost")
+    assert(rows("100") === "A" && rows.size === 2)
+
+    // and the change feed classifies updates on uncastable keys correctly
+    // through its append-path base prune
+    TxTable.commit(Seq(("abc", "back")).toDF("id", "v"), dir, "append",
+      statsColumns = Seq("id"))
+    val feed = TxTable.changeFeed(s, dir, 1L, 2L, Seq("id"))
+      .collect().map(r => (r.getString(0), r.getString(2)))
+    assert(feed.toSeq === Seq(("abc", "insert")),
+      "uncastable delta key must still consult the (unprunable) base")
+    TxTable.commit(Seq(("200", "B2")).toDF("id", "v"), dir, "append",
+      statsColumns = Seq("id"))
+    val feed2 = TxTable.changeFeed(s, dir, 2L, 3L, Seq("id"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(feed2.toSeq === Seq(("200", "B2", "update")))
+  }
+
+  test("clustered compaction skips on domains wider than the 16-bit lane") {
+    val dir = Files.createTempDirectory("txzwide").toString
+    // keys spread over [0, 1.3M): raw pmod-65536 interleaving would fold
+    // k, k+65536, ... onto one lane value and destroy skipping
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 2048).map { _ =>
+      (rnd.nextLong(1300000L), rnd.nextLong(1300000L), "p")
+    }
+    TxTable.commit(rows.toDF("x", "y", "v"), dir, "overwrite",
+      statsColumns = Seq("x", "y"))
+    TxTable.compact(s, dir, targetFiles = 16, clusterBy = Seq("x", "y"))
+    val snap = TxTable.latest(dir).get
+    val xF = snap.filesOverlapping("x", 0L, 162500L).size  // bottom eighth
+    val yF = snap.filesOverlapping("y", 0L, 162500L).size
+    assert(xF < 16 && yF < 16,
+      s"wide-domain z-order must keep both dims skippable: x=$xF y=$yF of 16")
+  }
+
+  test("buildOnce: concurrent first callers block on the winner's build") {
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val sawComplete = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val name = s"race-${System.nanoTime()}"
+    val winner = new Thread(() => Fixtures.buildOnce(name, s, "/tmp/x") {
+      builds.incrementAndGet(); started.countDown(); release.await(); ()
+    })
+    winner.start()
+    started.await()
+    val loser = new Thread(() => {
+      // must BLOCK until the winner finishes, then see a built artifact
+      Fixtures.buildOnce(name, s, "/tmp/x") { builds.incrementAndGet(); () }
+      sawComplete.set(true)
+    })
+    loser.start()
+    Thread.sleep(200)
+    assert(!sawComplete.get, "loser must wait while the winner builds")
+    release.countDown()
+    winner.join(); loser.join()
+    assert(sawComplete.get)
+    assert(builds.get === 1, "the build body runs exactly once")
+  }
+
   test("merge rejects a batch with duplicate keys") {
     val dir = Files.createTempDirectory("txmergedup").toString
     TxTable.commit(Seq((1L, "a")).toDF("id", "v"), dir)
