@@ -125,6 +125,29 @@ final case class JdbcSink(
       .options(options).mode(mode).save()
 }
 
+/** Transactional-table source: snapshot-isolated read of a [[TxTable]],
+  * optionally time-traveled to a pinned version — the config arm that
+  * lets a CDC pipeline read its own ACID target (or any TxTable) through
+  * the same S11 switch as parquet/jdbc.
+  */
+final case class TxTableSource(path: String, version: Option[Long] = None)
+    extends CdcSource {
+  override def load(spark: SparkSession): DataFrame =
+    TxTable.read(spark, path, version)
+}
+
+/** Transactional-table sink: each save is one atomic manifest-committed
+  * version ("append" or "overwrite") — the ACID upgrade of [[ParquetSink]].
+  */
+final case class TxTableSink(path: String, mode: String = "append",
+    statsColumns: Seq[String] = Nil)
+    extends CdcSink {
+  override def save(df: DataFrame): Unit = {
+    TxTable.commit(df, path, mode, statsColumns)
+    ()
+  }
+}
+
 object CdcSource {
   /** Config-driven selection (S11): mirrors the reference's env-driven
     * `DatabaseType` switch (reference: config.py:50-52, `DB_TYPE`).
@@ -143,6 +166,9 @@ object CdcSource {
         "csv source requires an explicit schema (inference = an extra full pass)")))
     case "orc" => OrcSource(pathOrUrl, schema)
     case "postgresql" | "mysql" | "jdbc" => JdbcSource(pathOrUrl, table)
+    // `table` doubles as the optional pinned version for time travel
+    case "txtable" => TxTableSource(pathOrUrl,
+      Option(table).filter(_.nonEmpty).map(_.toLong))
     case other => throw new IllegalArgumentException(s"unsupported db_type: $other")
   }
 }

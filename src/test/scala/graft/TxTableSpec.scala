@@ -565,6 +565,20 @@ class TxTableSpec extends SparkSpecBase {
     assert(builds.get === 1, "the build body runs exactly once")
   }
 
+  test("config-driven TxTable source/sink: the S11 switch reaches the ACID table") {
+    import graft.sources.{CdcSource, TxTableSink}
+    val dir = Files.createTempDirectory("txs11").toString
+    val sink = TxTableSink(dir, "append", statsColumns = Seq("id"))
+    sink.save(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))   // v0
+    sink.save(Seq((3L, "c")).toDF("id", "v"))              // v1
+    val latest = CdcSource.forConfig("txtable", dir).load(s)
+    assert(latest.collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
+    // `table` doubles as the pinned version for time travel
+    val v0 = CdcSource.forConfig("txtable", dir, table = "0").load(s)
+    assert(v0.collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    assert(TxTable.versions(dir) === Seq(0L, 1L))
+  }
+
   test("merge rejects a batch with duplicate keys") {
     val dir = Files.createTempDirectory("txmergedup").toString
     TxTable.commit(Seq((1L, "a")).toDF("id", "v"), dir)
