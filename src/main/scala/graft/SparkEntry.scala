@@ -4630,36 +4630,82 @@ object SparkEntry {
     * Poisson(1) — the STANDARD distributed bootstrap (true
     * with-replacement sampling needs global coordination; independent
     * Poisson counts don't, and the replicate total concentrates at N).
-    * The "randomness" is the portable hash of (key, replicate) compared
-    * against integer CDF thresholds (floor(CDF·2³²), driver literals in
-    * both engines) — no RNG, no floats until the per-replicate means,
-    * bit-identical anywhere. Cost is a deliberate B× narrow expansion
-    * of one scan; per-replicate sums are exact decimals.
+    * The "randomness" is the portable universal-hash family on the
+    * integer key — replicate b's uniform is (a_b·(key mod P) + b_b) mod P
+    * with per-replicate driver-literal constants (the minhash contract,
+    * distinct seed family), compared against floor(CDF·P) thresholds —
+    * no RNG, no md5 per replicate, bit-identical integer arithmetic
+    * below 2⁶² on both engines. The B replicate (count, weighted-sum)
+    * pairs are 2B conditional-sum aggregate expressions over ONE scan —
+    * so the shuffle carries 2B partial accumulators per partition
+    * instead of B× the fact table, and the full-population mean rides
+    * the same scan (no second pass, no join). Only the resulting single
+    * row is exploded for the percentile step. Replaces the round-8 plan
+    * (B× explode + groupBy(b): a full fact-table expansion and shuffle)
+    * and its md5-per-(row,b) successor (~1 µs/hash and stuck at scan
+    * parallelism): per-row cost is now B multiply-add-mods.
     */
   private def qOrdersBootstrapCi(s: SparkSession, dir: String): DataFrame = {
-    val rows = orders(s, dir)
+    val B = 32
+    val P = PortableHash.P
+    val ab = bootAB
+    val base = orders(s, dir)
       .select(col("o_orderkey"), col("o_totalprice").cast(DecimalType(18, 2)).as("x"))
-      .select(col("o_orderkey"), col("x"),
-        explode(typedLit((0 until 32).toList)).as("b"))
-    val hv = PortableHash.hash32(concat(col("o_orderkey").cast("string"),
-      lit("_"), col("b").cast("string")))
-    val cnt = bootThresholds.zipWithIndex.foldRight(lit(6)) {
-      case ((t, k), acc) => when(hv < t, lit(k)).otherwise(acc)
-    }
-    val perRep = rows.withColumn("c", cnt.cast("long"))
-      .groupBy(col("b"))
-      .agg(sum(col("c")).as("n"),
-        sum((col("x") * col("c").cast(DecimalType(10, 0)))
-          .cast(DecimalType(28, 2))).as("sx"))
-      .filter(col("n") > 0)
-      .select((col("sx").cast("double") / col("n").cast("double")).as("m"))
-    val full = orders(s, dir).agg(
-      round(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double") /
-        count(lit(1)).cast("double"), 6).as("mean"))
-    perRep.agg(count(lit(1)).as("n_replicates"),
+    // Two projections BELOW the aggregate: the B uniforms first, then
+    // the threshold CASE on the hash column ref (inlining would
+    // recompute the hash per CASE branch). CollapseProject keeps them
+    // apart because the hash is multiply-referenced and non-trivial.
+    val xk = col("o_orderkey") % P
+    val withH = base.select(
+      col("x") +: (0 until B).map { b =>
+        val (a, c0) = ab(b)
+        ((xk * a + c0) % P).as(s"h_$b")
+      }: _*)
+    val withC = withH.select(
+      (col("x") * 100).cast("long").as("cents") +: (0 until B).map { b =>
+        bootThresholds.zipWithIndex.foldRight(lit(6)) {
+          case ((t, k), acc) => when(col(s"h_$b") < t, lit(k)).otherwise(acc)
+        }.cast("long").as(s"c_$b")
+      }: _*)
+    // Per-row work is LONG arithmetic on exact cents (decimal
+    // accumulation measured 4× slower per row); exactness at planet
+    // scale is preserved by a two-level aggregate: per-PARTITION long
+    // sums (cents·c ≤ 3.6e8, so a partition needs > 2.5e10 rows to
+    // overflow — two orders past any real maxPartitionBytes), merged
+    // across partitions in DECIMAL(38,0). One tiny exchange of one row
+    // per partition.
+    val partAggs =
+      Seq(sum(col("cents")).as("fsxl"), count(lit(1)).as("fn")) ++
+        (0 until B).flatMap { b =>
+          Seq(sum(col(s"c_$b")).as(s"n_$b"),
+            sum(col("cents") * col(s"c_$b")).as(s"sxl_$b"))
+        }
+    val perPart = withC.groupBy(spark_partition_id().as("pid"))
+      .agg(partAggs.head, partAggs.tail: _*)
+    val dec38 = DecimalType(38, 0)
+    val mergeAggs =
+      Seq(sum(col("fsxl").cast(dec38)).as("fsxl"), sum(col("fn")).as("fn")) ++
+        (0 until B).flatMap { b =>
+          Seq(sum(col(s"n_$b")).as(s"n_$b"),
+            sum(col(s"sxl_$b").cast(dec38)).as(s"sxl_$b"))
+        }
+    val oneRow = perPart.agg(mergeAggs.head, mergeAggs.tail: _*)
+    def centsToDec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (c / lit(100).cast(DecimalType(3, 0))).cast(DecimalType(28, 2))
+    oneRow
+      .select(
+        round(centsToDec(col("fsxl")).cast("double") /
+          col("fn").cast("double"), 6).as("mean"),
+        explode(array((0 until B).map(b =>
+          struct(col(s"n_$b").as("n"),
+            centsToDec(col(s"sxl_$b")).as("sx"))): _*)).as("r"))
+      .filter(col("r.n") > 0)
+      .select(col("mean"),
+        (col("r.sx").cast("double") / col("r.n").cast("double")).as("m"))
+      .groupBy(col("mean"))
+      .agg(count(lit(1)).as("n_replicates"),
         round(percentile(col("m"), lit(0.025)), 6).as("ci_lo"),
         round(percentile(col("m"), lit(0.975)), 6).as("ci_hi"))
-      .crossJoin(broadcast(full))
       .select(col("n_replicates"), col("mean"), col("ci_lo"), col("ci_hi"))
   }
 
@@ -4712,17 +4758,26 @@ object SparkEntry {
           (col("n_replicates") + 1).cast("double"), 6).as("p_value"))
   }
 
-  /** `floor(CDF_Poisson(1)(k) · 2³²)` for k = 0..5 — the ONE integer
-    * threshold table both engines compare the portable hash against
-    * (counts above 5 collapse to 6; P(X > 5) ≈ 6·10⁻⁴ of rows).
+  /** `floor(CDF_Poisson(1)(k) · P)` for k = 0..5 (P = 2³¹−1, the
+    * universal-hash modulus) — the ONE integer threshold table both
+    * engines compare the portable uniform against (counts above 5
+    * collapse to 6; P(X > 5) ≈ 6·10⁻⁴ of rows).
     */
   private val bootThresholds: Seq[Long] = {
     val e = math.exp(-1.0)
     val fact = Seq(1.0, 1.0, 2.0, 6.0, 24.0, 120.0)
     fact.indices.map { k =>
-      ((0 to k).map(j => e / fact(j)).sum * 4294967296.0).toLong
+      ((0 to k).map(j => e / fact(j)).sum * PortableHash.P.toDouble).toLong
     }
   }
+
+  /** Per-replicate universal-hash constants for the bootstrap — a seed
+    * family disjoint from the minhash slots (seed base 0x9e37) so
+    * composing bootstrap with minhash on the same key never correlates.
+    * Inlined as literals into both the Spark plan and the oracle SQL.
+    */
+  private val bootAB: IndexedSeq[(Long, Long)] =
+    PortableHash.universalAB(32, 0x9e37L)
 
   /** XYZ demand-variability classing (the ABC/Pareto curve's partner in
     * every inventory review): per part, the coefficient of variation of
@@ -9904,18 +9959,21 @@ object SparkEntry {
         |             / (CAST(n_users AS DOUBLE) * CAST(CAST(total_events AS BIGINT) AS DOUBLE)), 6) AS gini
         |FROM ag""".stripMargin,
 
-    // Poisson bootstrap: portable-hash uniforms vs shared integer CDF
+    // Poisson bootstrap: portable universal-hash uniforms (per-replicate
+    // (a,b) literals joined in via VALUES) vs shared floor(CDF·P)
     // thresholds; precision-20 decimal operand (the ab_test lesson)
     "orders_bootstrap_ci" ->
-      s"""WITH reps AS (
-         |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(20,2)) AS x, g.b
-         |  FROM orders, (SELECT unnest(range(0, 32)) AS b) g),
-         |hv AS (SELECT *, ${PortableHash.hash32Sql(
-              "concat(CAST(o_orderkey AS VARCHAR), '_', CAST(b AS VARCHAR))")} AS h
-         |       FROM reps),
+      s"""WITH g AS (SELECT * FROM (VALUES ${bootAB.zipWithIndex
+              .map { case ((a, c), b) => s"($b, ${a}, ${c})" }
+              .mkString(", ")}) AS t(b, ha, hb)),
+         |reps AS (
+         |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(20,2)) AS x, g.b,
+         |         ((o_orderkey % ${PortableHash.P}) * g.ha + g.hb)
+         |           % ${PortableHash.P} AS h
+         |  FROM orders, g),
          |cn AS (SELECT *, CASE ${bootThresholds.zipWithIndex
               .map { case (t, k) => s"WHEN h < $t THEN $k" }.mkString(" ")}
-         |         ELSE 6 END AS c FROM hv),
+         |         ELSE 6 END AS c FROM reps),
          |pr AS (SELECT b, CAST(SUM(c) AS BIGINT) AS n,
          |         CAST(SUM(CAST(x * CAST(c AS DECIMAL(10,0)) AS DECIMAL(28,2)))
          |              AS DECIMAL(38,2)) AS sx

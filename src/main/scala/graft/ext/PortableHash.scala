@@ -52,9 +52,17 @@ object PortableHash {
     * function of the slot index; inlined as literals on both engines.
     */
   def minhashAB(numHashes: Int): IndexedSeq[(Long, Long)] =
+    universalAB(numHashes, 0L)
+
+  /** Universal-hash constants from an arbitrary seed base — distinct
+    * families for callers that must not share the minhash slots (e.g.
+    * the bootstrap's per-replicate draws). Same (a, b) domain and the
+    * same driver-literal inlining contract as [[minhashAB]].
+    */
+  def universalAB(numHashes: Int, seedBase: Long): IndexedSeq[(Long, Long)] =
     (0 until numHashes).map { i =>
-      (1L + Math.floorMod(splitmix64(2L * i), P - 1),
-        Math.floorMod(splitmix64(2L * i + 1), P))
+      (1L + Math.floorMod(splitmix64(seedBase + 2L * i), P - 1),
+        Math.floorMod(splitmix64(seedBase + 2L * i + 1), P))
     }
 
   // ------------------------------------------------------------- Spark side
