@@ -29,18 +29,18 @@ import scala.jdk.CollectionConverters._
   *     readers — only manifest-listed files are ever read).
   *  2. Read the current latest version V, compose the new full file
   *     list (append: V's files + new; overwrite: new only).
-  *  3. Publish as `v<V+1>.manifest` via hard-link-from-temp:
-  *     `Files.createLink(target, tmp)` is atomic and FAILS if the
-  *     target exists (POSIX link(2)) — the put-if-absent primitive a
-  *     rename cannot provide (POSIX rename silently replaces, so a lost
-  *     race would clobber a committed version). A loser re-reads the
-  *     new latest and retries — optimistic concurrency, appends
-  *     commute, overwrite is last-writer-wins.
+  *  3. Publish as `v<V+1>.manifest` via [[CommitArbiter.putIfAbsent]] —
+  *     the ONE storage-specific primitive in the protocol. The default
+  *     [[LocalLinkArbiter]] hard-links from a temp file (POSIX link(2)
+  *     atomically fails if the target exists — the put-if-absent a
+  *     rename cannot provide, since POSIX rename silently replaces and
+  *     a lost race would clobber a committed version); an object store
+  *     swaps in a conditional put (see [[CommitArbiter]]'s contract).
+  *     A loser re-reads the new latest and retries — optimistic
+  *     concurrency, appends commute, overwrite is last-writer-wins.
   * Readers see either the old or the new manifest, never a partial
-  * state: data files are complete before the link, and the link is the
-  * single visibility point. On an object store the link step would be
-  * swapped for the store's put-if-absent; the protocol is otherwise
-  * unchanged (this is exactly Delta's LogStore seam).
+  * state: data files are complete before the publish, and the publish
+  * is the single visibility point (Delta's LogStore seam).
   *
   * ==Schema evolution==
   * Appends may ADD nullable columns (old files read as null via the
@@ -58,20 +58,63 @@ import scala.jdk.CollectionConverters._
   */
 object TxTable {
 
+  /** A file's min/max for one column, AT THE COLUMN'S OWN TYPE.
+    * `kind` is the ordering domain: "long" (integral columns, plus
+    * date as epoch days and timestamp as epoch micros — all exact
+    * canonical longs) or "string" (UTF-8 byte order — the order Spark's
+    * own string comparison uses, so a pruned read equals a filtered
+    * read). `min`/`max` are the repr strings (decimal digits for long,
+    * the raw value for string). A query whose bound kind differs from
+    * the recorded kind never skips (sound under schema history mixing).
+    */
+  final case class ColRange(kind: String, min: String, max: String) {
+    def overlapsLong(lo: Long, hi: Long): Boolean =
+      kind != "long" || (max.toLong >= lo && min.toLong <= hi)
+    def overlapsString(lo: String, hi: String): Boolean =
+      kind != "string" || (utf8Cmp(max, lo) >= 0 && utf8Cmp(min, hi) <= 0)
+  }
+
+  /** Unsigned lexicographic UTF-8 byte comparison — Spark's UTF8String
+    * order (Java's String.compareTo diverges on supplementary planes:
+    * UTF-16 surrogates sort below U+E000..U+FFFF, UTF-8 bytes above).
+    */
+  private[graft] def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
+
   final case class Snapshot(version: Long, op: String, schema: StructType,
       files: Seq[String], epoch: Option[Long] = None,
-      stats: Map[String, Map[String, (Long, Long)]] = Map.empty) {
-    /** Files whose [min, max] for `col` overlaps [lo, hi] — files with no
-      * recorded stats are KEPT (skipping must never drop data).
+      stats: Map[String, Map[String, ColRange]] = Map.empty) {
+    /** Files whose [min, max] for `col` overlaps the LONG range [lo, hi]
+      * — files with no recorded stats (or stats of another kind) are
+      * KEPT (skipping must never drop data).
       */
     def filesOverlapping(col: String, lo: Long, hi: Long): Seq[String] =
-      files.filter { f =>
-        stats.get(f).flatMap(_.get(col)) match {
-          case Some((mn, mx)) => mx >= lo && mn <= hi
-          case None => true
-        }
-      }
+      files.filter(f => stats.get(f).flatMap(_.get(col))
+        .forall(_.overlapsLong(lo, hi)))
+
+    /** [[filesOverlapping]] for a STRING-keyed range, UTF-8 byte order. */
+    def filesOverlappingString(col: String, lo: String, hi: String): Seq[String] =
+      files.filter(f => stats.get(f).flatMap(_.get(col))
+        .forall(_.overlapsString(lo, hi)))
   }
+
+  private def b64enc(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private def b64dec(s: String): String =
+    new String(java.util.Base64.getDecoder.decode(s),
+      java.nio.charset.StandardCharsets.UTF_8)
 
   private def logDir(dir: String): Path = Paths.get(dir, "_txlog")
 
@@ -104,9 +147,15 @@ object TxTable {
     val stats = lines
       .collect { case l if l.startsWith("stats=") => l.stripPrefix("stats=") }
       .map { s =>
-        // <file>|<col>|<minLong>|<maxLong> — file paths contain no '|'
+        // typed:  <file>|<col>|<kind>|<b64min>|<b64max>
+        // legacy: <file>|<col>|<minLong>|<maxLong>
+        // (file paths and col names contain no '|'; values are base64
+        // so no repr can collide with the delimiter or a newline)
         val p = s.split('|')
-        (p(0), p(1), (p(2).toLong, p(3).toLong))
+        val range =
+          if (p.length >= 5) ColRange(p(2), b64dec(p(3)), b64dec(p(4)))
+          else ColRange("long", p(2), p(3))
+        (p(0), p(1), range)
       }
       .groupBy(_._1)
       .map { case (f, rows) => f -> rows.map(r => r._2 -> r._3).toMap }
@@ -156,7 +205,8 @@ object TxTable {
     * contract.
     */
   def commit(df: DataFrame, dir: String, mode: String = "append",
-      statsColumns: Seq[String] = Nil, epochId: Option[Long] = None): Long = {
+      statsColumns: Seq[String] = Nil, epochId: Option[Long] = None,
+      arbiter: CommitArbiter = LocalLinkArbiter): Long = {
     require(mode == "append" || mode == "overwrite",
       s"mode must be append or overwrite, got $mode")
     val (commitRel, newFiles, newStats) = writeData(df, dir, statsColumns)
@@ -175,7 +225,7 @@ object TxTable {
         case other => throw new MatchError(other) // unreachable
       }
       if (publishAt(dir, v, mode, schema, files, stats, epochId,
-          tmpTag = commitRel.stripPrefix("data/")))
+          tmpTag = commitRel.stripPrefix("data/"), arbiter = arbiter))
         committed = v
     }
     committed
@@ -187,7 +237,7 @@ object TxTable {
     * factored out so [[merge]] can compose file lists before publishing.
     */
   private def writeData(df: DataFrame, dir: String, statsColumns: Seq[String])
-      : (String, Seq[String], Map[String, Map[String, (Long, Long)]]) = {
+      : (String, Seq[String], Map[String, Map[String, ColRange]]) = {
     Files.createDirectories(logDir(dir))
     val uuid = java.util.UUID.randomUUID().toString
     val commitRel = s"data/$uuid"
@@ -199,29 +249,109 @@ object TxTable {
         .map(n => s"$commitRel/$n").toSeq.sorted
       finally it.close()
     }
-    val newStats: Map[String, Map[String, (Long, Long)]] =
+    val newStats: Map[String, Map[String, ColRange]] =
       if (statsColumns.isEmpty || newFiles.isEmpty) Map.empty
       else {
         import org.apache.spark.sql.functions.{col, input_file_name, max, min}
         val spark = df.sparkSession
-        val aggs = statsColumns.flatMap(c => Seq(
-          min(col(c).try_cast("long")).as(s"__mn_$c"),
-          max(col(c).try_cast("long")).as(s"__mx_$c")))
-        spark.read.parquet(s"$dir/$commitRel")
-          .groupBy(input_file_name().as("__f"))
-          .agg(aggs.head, aggs.tail: _*)
-          .collect()
-          .map { r =>
-            val fname = r.getString(0)
-            val rel = s"$commitRel/${fname.substring(fname.lastIndexOf('/') + 1)}"
-            rel -> statsColumns.zipWithIndex.flatMap { case (c, i) =>
-              // all-null columns in a file have no usable range
-              if (r.isNullAt(1 + 2 * i)) None
-              else Some(c -> (r.getLong(1 + 2 * i), r.getLong(2 + 2 * i)))
+        val written = spark.read.parquet(s"$dir/$commitRel")
+        // min/max at each column's own type (canonicalized): a column
+        // whose type has no sound ordering repr records NO stats (the
+        // file is then always read — skipping never drops data)
+        val typed: Seq[(String, String, DataType)] = statsColumns.flatMap { c =>
+          written.schema.fields.find(_.name == c)
+            .flatMap(f => statKind(f.dataType).map(k => (c, k, f.dataType)))
+        }
+        if (typed.isEmpty) Map.empty
+        else {
+          val aggs = typed.flatMap { case (c, _, dt) =>
+            val e = statCanonical(col(c), dt)
+            Seq(min(e).as(s"__mn_$c"), max(e).as(s"__mx_$c"))
+          }
+          written
+            .groupBy(input_file_name().as("__f"))
+            .agg(aggs.head, aggs.tail: _*)
+            .collect()
+            .map { r =>
+              val fname = r.getString(0)
+              val rel = s"$commitRel/${fname.substring(fname.lastIndexOf('/') + 1)}"
+              rel -> typed.zipWithIndex.flatMap { case ((c, k, _), i) =>
+                // all-null columns in a file have no usable range
+                if (r.isNullAt(1 + 2 * i)) None
+                else Some(c -> ColRange(k,
+                  reprOf(r, 1 + 2 * i, k), reprOf(r, 2 + 2 * i, k)))
+              }.toMap
             }.toMap
-          }.toMap
+        }
       }
     (commitRel, newFiles, newStats)
+  }
+
+  /** The stats ordering domain for a column type: integral, date
+    * (epoch days), and timestamp (epoch micros) canonicalize to "long";
+    * strings order by their own UTF-8 bytes. Anything else (double's
+    * NaN order, decimal scales, binary, nested) records no stats.
+    */
+  private def statKind(dt: DataType): Option[String] = dt match {
+    case org.apache.spark.sql.types.ByteType |
+         org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.LongType => Some("long")
+    case org.apache.spark.sql.types.DateType => Some("long")
+    case _: org.apache.spark.sql.types.TimestampType => Some("long")
+    case org.apache.spark.sql.types.StringType => Some("string")
+    case _ => None
+  }
+
+  /** Canonical ordering expression for [[statKind]]'s domains — exact,
+    * total on the column's type (unlike the historical `try_cast(long)`,
+    * which nulled out non-numeric values and forced an all-files
+    * fallback for string keys).
+    */
+  private def statCanonical(c: org.apache.spark.sql.Column, dt: DataType)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{unix_date, unix_micros}
+    dt match {
+      case org.apache.spark.sql.types.StringType => c
+      case org.apache.spark.sql.types.DateType => unix_date(c).cast("long")
+      case _: org.apache.spark.sql.types.TimestampType => unix_micros(c)
+      case _ => c.cast("long")
+    }
+  }
+
+  private def reprOf(r: org.apache.spark.sql.Row, i: Int, kind: String): String =
+    kind match {
+      case "long" => r.getLong(i).toString
+      case "string" => r.getString(i)
+    }
+
+  /** Files of `snap` that can contain any of `keys`' values of
+    * `statKey` — ONE 1-row bounds aggregate over the key frame,
+    * intersected with the manifest ranges driver-side (O(files)). Typed:
+    * the bounds are computed at the snapshot column's own type, so
+    * string keys prune exactly like integral ones (the historical
+    * `try_cast(long)` version had to keep EVERY file once any key
+    * failed the cast). Null keys match nothing in a keyed equi-join and
+    * so never constrain the file set; a key type outside [[statKind]]'s
+    * domains keeps all files (sound). Used by [[merge]]'s copy-on-write
+    * pre-prune and [[changeFeed]]'s append-path base prune.
+    */
+  private def pruneByKeyRange(snap: Snapshot, keys: DataFrame,
+      statKey: String): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, count, max, min}
+    if (!snap.stats.values.exists(_.contains(statKey))) return snap.files
+    val dtOpt = snap.schema.fields.find(_.name == statKey).map(_.dataType)
+    dtOpt.flatMap(statKind) match {
+      case None => snap.files // key type has no sound ordering repr
+      case Some(kind) =>
+        val e = statCanonical(col(statKey).cast(dtOpt.get), dtOpt.get)
+        val b = keys.agg(min(e), max(e), count(e)).collect()(0)
+        if (b.getLong(2) == 0L) Seq.empty // no non-null key touches any file
+        else if (kind == "long")
+          snap.filesOverlapping(statKey, b.getLong(0), b.getLong(1))
+        else
+          snap.filesOverlappingString(statKey, b.getString(0), b.getString(1))
+    }
   }
 
   /** Publish a manifest at EXACTLY version `v` via the hard-link
@@ -232,10 +362,13 @@ object TxTable {
     * output is only valid against the base version it read).
     */
   private def publishAt(dir: String, v: Long, op: String, schema: StructType,
-      files: Seq[String], stats: Map[String, Map[String, (Long, Long)]],
-      epochId: Option[Long], tmpTag: String): Boolean = {
+      files: Seq[String], stats: Map[String, Map[String, ColRange]],
+      epochId: Option[Long], tmpTag: String,
+      arbiter: CommitArbiter = LocalLinkArbiter): Boolean = {
     val statsLines = stats.toSeq.sortBy(_._1).flatMap { case (f, cols) =>
-      cols.toSeq.sortBy(_._1).map { case (c, (mn, mx)) => s"stats=$f|$c|$mn|$mx" }
+      cols.toSeq.sortBy(_._1).map { case (c, r) =>
+        s"stats=$f|$c|${r.kind}|${b64enc(r.min)}|${b64enc(r.max)}"
+      }
     }
     val content = (Seq(
       s"version=$v",
@@ -244,14 +377,7 @@ object TxTable {
       epochId.map(e => s"epoch=$e").toSeq ++
       files.map(f => s"file=$f") ++ statsLines)
       .mkString("", "\n", "\n")
-    val tmp = logDir(dir).resolve(s".tmp-$tmpTag-$v")
-    Files.writeString(tmp, content)
-    try {
-      Files.createLink(manifestPath(dir, v), tmp)
-      true
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException => false // lost race
-    } finally Files.deleteIfExists(tmp)
+    arbiter.putIfAbsent(manifestPath(dir, v), content, s"$tmpTag-$v")
   }
 
   /** Exactly-once streaming commit: the foreachBatch body for a TxTable
@@ -264,12 +390,13 @@ object TxTable {
     * Returns the epoch's version, new or found.
     */
   def commitStreaming(df: DataFrame, dir: String, epochId: Long,
-      mode: String = "append", statsColumns: Seq[String] = Nil): Long = {
+      mode: String = "append", statsColumns: Seq[String] = Nil,
+      arbiter: CommitArbiter = LocalLinkArbiter): Long = {
     def existing: Option[Long] =
       versions(dir).map(snapshot(dir, _))
         .collectFirst { case s if s.epoch.contains(epochId) => s.version }
     existing.getOrElse(
-      commit(df, dir, mode, statsColumns, epochId = Some(epochId)))
+      commit(df, dir, mode, statsColumns, epochId = Some(epochId), arbiter))
   }
 
   /** Read with manifest-level file skipping: only files whose recorded
@@ -284,6 +411,25 @@ object TxTable {
     val snap = version.map(snapshot(dir, _)).orElse(latest(dir))
       .getOrElse(throw new IllegalArgumentException(s"no committed version at $dir"))
     val keep = snap.filesOverlapping(column, lo, hi)
+    val base =
+      if (keep.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+      else spark.read.schema(snap.schema).parquet(keep.map(f => s"$dir/$f"): _*)
+    base.where(col(column) >= lo && col(column) <= hi)
+  }
+
+  /** [[readPruned]] for a STRING column: manifest stats are recorded in
+    * UTF-8 byte order — the same order Spark's string comparison uses —
+    * so the pruned read is exactly `read(...).where(lo <= column <= hi)`
+    * with only the overlapping files opened.
+    */
+  def readPrunedString(spark: SparkSession, dir: String, column: String,
+      lo: String, hi: String, version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val snap = version.map(snapshot(dir, _)).orElse(latest(dir))
+      .getOrElse(throw new IllegalArgumentException(s"no committed version at $dir"))
+    val keep = snap.filesOverlappingString(column, lo, hi)
     val base =
       if (keep.isEmpty)
         spark.createDataFrame(
@@ -308,17 +454,47 @@ object TxTable {
     * columns automatically.
     */
   def compact(spark: SparkSession, dir: String, targetFiles: Int,
-      clusterBy: Seq[String] = Nil): Long = {
-    import org.apache.spark.sql.functions.{col, pmod, lit}
+      clusterBy: Seq[String] = Nil, maxRetries: Int = 10,
+      arbiter: CommitArbiter = LocalLinkArbiter): Long = {
     require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
     require(clusterBy.size <= 2,
       s"clusterBy supports at most 2 columns, got ${clusterBy.size}")
-    val snap = latest(dir).getOrElse(
-      throw new IllegalArgumentException(s"no committed version at $dir"))
-    val statsCols =
-      (snap.stats.values.flatMap(_.keys).toSeq ++ clusterBy).distinct.sorted
-    val data = read(spark, dir)
-    val arranged = clusterBy match {
+    // read-modify-write: the rewrite is only equivalent to the snapshot
+    // it READ, so the publish is a compare-and-swap at exactly
+    // base.version + 1 (the merge() discipline) — a plain overwrite
+    // commit's retry loop would re-publish against ANY newer base,
+    // silently discarding a concurrent append's rows
+    var attempt = 0
+    var committed = -1L
+    while (committed < 0) {
+      attempt += 1
+      require(attempt <= maxRetries,
+        s"compact at $dir lost $maxRetries publish races; giving up")
+      val snap = latest(dir).getOrElse(
+        throw new IllegalArgumentException(s"no committed version at $dir"))
+      val arranged = compactArrange(spark, dir, snap, targetFiles, clusterBy)
+      val statsCols =
+        (snap.stats.values.flatMap(_.keys).toSeq ++ clusterBy).distinct.sorted
+      val (commitRel, newFiles, newStats) = writeData(arranged, dir, statsCols)
+      if (publishAt(dir, snap.version + 1, "overwrite", arranged.schema,
+          newFiles, newStats, epochId = None,
+          tmpTag = commitRel.stripPrefix("data/"), arbiter = arbiter))
+        committed = snap.version + 1
+      // lost race: the rewrite is stale (new rows landed); its dir is an
+      // invisible orphan (vacuum retires it) — re-derive from new latest
+    }
+    committed
+  }
+
+  /** The compaction layout for one pinned snapshot: plain repartition,
+    * range-cluster, or 2-D z-order. Factored from [[compact]] so the
+    * CAS retry loop re-derives the layout from each new base.
+    */
+  private def compactArrange(spark: SparkSession, dir: String, snap: Snapshot,
+      targetFiles: Int, clusterBy: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val data = read(spark, dir, Some(snap.version))
+    clusterBy match {
       case Nil => data.repartition(targetFiles)
       case Seq(c) =>
         data.repartitionByRange(targetFiles, col(c)).sortWithinPartitions(col(c))
@@ -340,7 +516,6 @@ object TxTable {
           .drop("__z")
       case _ => throw new MatchError(clusterBy) // unreachable
     }
-    commit(arranged, dir, "overwrite", statsCols)
   }
 
   /** Row-level change feed between two committed versions — the
@@ -448,20 +623,7 @@ object TxTable {
     // the same skipping tier [[merge]] uses for its hit scan
     val oldBase =
       if (appendOnly && fromSnap.stats.values.exists(_.contains(keyCols.head))) {
-        import org.apache.spark.sql.functions.{count => fcount, lit => flit,
-          max => fmax, min => fmin}
-        val b = newSide.agg(
-          fmin(col(keyCols.head).try_cast("long")),
-          fmax(col(keyCols.head).try_cast("long")),
-          fcount(flit(1)), fcount(col(keyCols.head).try_cast("long"))).collect()(0)
-        // pruning is sound only when every delta key casts to long (the
-        // same stats-visibility argument as merge's pre-prune): an
-        // uncastable key's base match would be lost, misclassifying an
-        // update as an insert
-        val keep =
-          if (b.getLong(2) == 0L) Seq.empty
-          else if (b.isNullAt(0) || b.getLong(2) != b.getLong(3)) fromSnap.files
-          else fromSnap.filesOverlapping(keyCols.head, b.getLong(0), b.getLong(1))
+        val keep = pruneByKeyRange(fromSnap, newSide, keyCols.head)
         if (keep.isEmpty)
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -525,7 +687,8 @@ object TxTable {
     */
   def merge(spark: SparkSession, dir: String, changes: DataFrame,
       keyCols: Seq[String], opCol: String = "operation",
-      maxRetries: Int = 10, epochId: Option[Long] = None): Long = {
+      maxRetries: Int = 10, epochId: Option[Long] = None,
+      arbiter: CommitArbiter = LocalLinkArbiter): Long = {
     import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
     require(keyCols.nonEmpty, "merge needs at least one key column")
     // materialize the batch once: every stage below (dup check, bounds,
@@ -547,24 +710,9 @@ object TxTable {
         s"no committed version at $dir to merge into"))
       val upserts = ch.filter(col(opCol).isin("INSERT", "UPDATE"))
         .select(base.schema.fieldNames.map(col).toSeq: _*)
-      // 1. stats pre-prune on the first key's global touched range —
-      // SOUND only when every touched key casts to long (stats are
-      // recorded over the castable values; a key whose cast is null is
-      // invisible to the ranges, so pruning would lose its DELETE/UPDATE)
-      val statKey = keyCols.head
-      val hasStats = base.stats.values.exists(_.contains(statKey))
-      val candidates =
-        if (!hasStats) base.files
-        else {
-          val b = touched.agg(
-            min(col(statKey).try_cast("long")), max(col(statKey).try_cast("long")),
-            count(lit(1)), count(col(statKey).try_cast("long")))
-            .collect()(0)
-          if (b.getLong(2) == 0L) Seq.empty // empty batch touches nothing
-          else if (b.isNullAt(0) || b.getLong(2) != b.getLong(3))
-            base.files // some key doesn't cast: pruning unsound, keep all
-          else base.filesOverlapping(statKey, b.getLong(0), b.getLong(1))
-        }
+      // 1. stats pre-prune on the first key's global touched range,
+      // typed at the key column's own type ([[pruneByKeyRange]])
+      val candidates = pruneByKeyRange(base, touched, keyCols.head)
       // 2. exact per-file hits: key-only projection + semi join (Spark
       // picks the build side; the touched batch is the small one)
       val hitFiles: Seq[String] =
@@ -597,7 +745,7 @@ object TxTable {
       val files = base.files.filterNot(hitSet) ++ newFiles
       val stats = (base.stats -- hitSet) ++ newStats
       if (publishAt(dir, base.version + 1, "merge", base.schema, files, stats,
-          epochId, tmpTag = commitRel.stripPrefix("data/")))
+          epochId, tmpTag = commitRel.stripPrefix("data/"), arbiter = arbiter))
         committed = base.version + 1
       // lost race: the just-written commitRel dir is orphaned (invisible);
       // vacuum retires it
@@ -776,10 +924,16 @@ object TxTable {
         .filterNot(d => live(d.getFileName.toString))
         .filter(d => Files.getLastModifiedTime(d).toMillis < cutoff)
         .foreach { d =>
-          val fit = Files.list(d)
-          try fit.iterator().asScala.foreach(Files.deleteIfExists(_))
-          finally fit.close()
-          Files.deleteIfExists(d)
+          // recursive, deepest-first: a writer that crashed mid
+          // df.write.parquet leaves a nested _temporary/ subtree, which
+          // a flat delete would trip over; and one undeletable orphan
+          // must not abort the rest of retention
+          try {
+            val walk = Files.walk(d)
+            try walk.sorted(java.util.Comparator.reverseOrder())
+              .iterator().asScala.foreach(Files.deleteIfExists(_))
+            finally walk.close()
+          } catch { case _: java.io.IOException => () }
         }
     }
   }

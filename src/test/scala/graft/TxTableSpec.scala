@@ -494,8 +494,9 @@ class TxTableSpec extends SparkSpecBase {
 
   test("merge with string keys that don't cast to long: stats prune must not lose changes") {
     val dir = Files.createTempDirectory("txmergestr").toString
-    // stats recorded on a STRING key column: only castable values ("100",
-    // "200") reach the min/max; "abc" is invisible to the ranges
+    // stats on a STRING key column now record string-kind ranges (typed
+    // stats), so pruning stays ACTIVE here — and must still never lose
+    // a change on a key ("abc") the historical long-cast couldn't see
     TxTable.commit(Seq(("100", "a"), ("200", "b"), ("abc", "c"))
       .toDF("id", "v"), dir, "overwrite", statsColumns = Seq("id"))
     val changes = Seq(
@@ -507,8 +508,8 @@ class TxTableSpec extends SparkSpecBase {
     assert(!rows.contains("abc"), "DELETE of an uncastable key must not be lost")
     assert(rows("100") === "A" && rows.size === 2)
 
-    // and the change feed classifies updates on uncastable keys correctly
-    // through its append-path base prune
+    // and the change feed classifies updates on non-numeric keys
+    // correctly through its (string-typed) append-path base prune
     TxTable.commit(Seq(("abc", "back")).toDF("id", "v"), dir, "append",
       statsColumns = Seq("id"))
     val feed = TxTable.changeFeed(s, dir, 1L, 2L, Seq("id"))
@@ -610,5 +611,127 @@ class TxTableSpec extends SparkSpecBase {
     val before = TxTable.read(s, dir, Some(0L)).orderBy("k").collect()
     assert(before.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
     assert(before(1).getString(1) === "B")
+  }
+
+  test("typed stats: string-keyed table keeps file skipping ACTIVE") {
+    val dir = Files.createTempDirectory("txstrstats").toString
+    // three lexicographically disjoint batches -> disjoint string ranges
+    TxTable.commit(Seq(("alpha", 1L), ("baker", 2L)).toDF("k", "n"), dir,
+      "overwrite", statsColumns = Seq("k"))
+    TxTable.commit(Seq(("mike", 3L), ("nancy", 4L)).toDF("k", "n"), dir,
+      "append", statsColumns = Seq("k"))
+    TxTable.commit(Seq(("xray", 5L), ("zulu", 6L)).toDF("k", "n"), dir,
+      "append", statsColumns = Seq("k"))
+    val snap = TxTable.latest(dir).get
+    assert(snap.stats.nonEmpty &&
+      snap.stats.values.forall(_.get("k").forall(_.kind == "string")))
+    val midFiles = snap.filesOverlappingString("k", "m", "p")
+    assert(midFiles.nonEmpty && midFiles.size < snap.files.size,
+      s"string skipping must be active: kept ${midFiles.size} of ${snap.files.size}")
+    val pruned = TxTable.readPrunedString(s, dir, "k", "m", "p")
+    assert(pruned.inputFiles.length === midFiles.size)
+    // pruned read == filtered full read, exactly
+    val full = TxTable.read(s, dir).where(col("k") >= "m" && col("k") <= "p")
+    assert(pruned.collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+      === full.collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq)
+    assert(pruned.collect().map(_.getString(0)).toSet === Set("mike", "nancy"))
+  }
+
+  test("typed stats: merge on a string key prunes and rewrites only hit files") {
+    val dir = Files.createTempDirectory("txstrmerge").toString
+    TxTable.commit(Seq(("alpha", "a"), ("baker", "b")).toDF("id", "v"), dir,
+      "overwrite", statsColumns = Seq("id"))
+    TxTable.commit(Seq(("xray", "x"), ("zulu", "z")).toDF("id", "v"), dir,
+      "append", statsColumns = Seq("id"))
+    val before = TxTable.latest(dir).get
+    val alphaFiles = before.filesOverlappingString("id", "alpha", "alpha").toSet
+    val carried = before.files.toSet -- alphaFiles
+    assume(alphaFiles.nonEmpty && carried.nonEmpty)
+    TxTable.merge(s, dir,
+      Seq(("alpha", "A", "UPDATE")).toDF("id", "v", "operation"), Seq("id"))
+    val after = TxTable.latest(dir).get
+    assert(carried.subsetOf(after.files.toSet),
+      "files outside the touched string range must carry forward by reference")
+    assert(alphaFiles.intersect(after.files.toSet).isEmpty,
+      "hit files must be rewritten")
+    val rows = TxTable.read(s, dir).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows === Map("alpha" -> "A", "baker" -> "b",
+      "xray" -> "x", "zulu" -> "z"))
+  }
+
+  test("typed stats: date keys canonicalize to epoch days and prune") {
+    val dir = Files.createTempDirectory("txdatestats").toString
+    val jan = Seq("2024-01-01", "2024-01-15").toDF("d")
+      .select(to_date(col("d")).as("d"))
+    val jun = Seq("2024-06-01", "2024-06-15").toDF("d")
+      .select(to_date(col("d")).as("d"))
+    TxTable.commit(jan.coalesce(1), dir, "overwrite", statsColumns = Seq("d"))
+    TxTable.commit(jun.coalesce(1), dir, "append", statsColumns = Seq("d"))
+    val snap = TxTable.latest(dir).get
+    assert(snap.stats.values.forall(_.get("d").forall(_.kind == "long")))
+    val lo = java.time.LocalDate.parse("2024-05-01").toEpochDay
+    val hi = java.time.LocalDate.parse("2024-07-01").toEpochDay
+    val kept = snap.filesOverlapping("d", lo, hi)
+    assert(kept.size === 1, s"June range must open only the June file: $kept")
+  }
+
+  test("typed stats: manifest round-trips delimiter-hostile string bounds") {
+    val dir = Files.createTempDirectory("txstrhostile").toString
+    TxTable.commit(Seq(("a|b\nc", 1L), ("z|9", 2L)).toDF("k", "n").coalesce(1),
+      dir, "overwrite", statsColumns = Seq("k"))
+    val r = TxTable.latest(dir).get.stats.values.flatMap(_.get("k")).toSeq
+    assert(r === Seq(TxTable.ColRange("string", "a|b\nc", "z|9")),
+      s"base64 must shield '|' and newlines in bounds: $r")
+  }
+
+  test("utf8Cmp orders like Spark strings, not like Java compareTo") {
+    // U+1F600 is UTF-8 F0 9F 98 80 (sorts HIGH) but UTF-16 surrogate
+    // D83D DE00 (sorts below U+FFFD under Java's compareTo)
+    val emoji = "😀"
+    assert(TxTable.utf8Cmp(emoji, "�") > 0)
+    assert(emoji.compareTo("�") < 0, "Java order differs by design")
+    assert(TxTable.utf8Cmp("abc", "abd") < 0)
+    assert(TxTable.utf8Cmp("ab", "abc") < 0)
+    assert(TxTable.utf8Cmp("abc", "abc") === 0)
+  }
+
+  test("compact: a concurrent append is never lost (CAS publish)") {
+    val dir = Files.createTempDirectory("txcompactrace").toString
+    TxTable.commit((1L to 20000L).map(i => (i, s"v$i")).toDF("id", "v"), dir,
+      "overwrite", statsColumns = Seq("id"))
+    val appender = new Thread(() => {
+      Thread.sleep(150)
+      TxTable.commit(Seq((-1L, "late")).toDF("id", "v"), dir, "append",
+        statsColumns = Seq("id"))
+      ()
+    })
+    appender.start()
+    TxTable.compact(s, dir, targetFiles = 2)
+    appender.join()
+    // whichever interleaving occurred (before the read, during the
+    // rewrite — the old lost-race window — or after the publish), the
+    // appended row must be in the final version
+    val ids = TxTable.read(s, dir).select("id").collect().map(_.getLong(0)).toSet
+    assert(ids.contains(-1L), "concurrent append lost by compaction")
+    assert(ids.size === 20001, "compaction must preserve every base row")
+  }
+
+  test("vacuum: orphan sweep handles nested _temporary subtrees") {
+    val dir = Files.createTempDirectory("txorphannest").toString
+    TxTable.commit(Seq((1L, "a")).toDF("id", "v"), dir)
+    // a writer that crashed mid df.write.parquet leaves a nested tree
+    val orphan = Paths.get(dir, "data/orphan-crashed/_temporary/0")
+    Files.createDirectories(orphan)
+    Files.writeString(orphan.resolve("task-attempt.parquet"), "junk")
+    // backdate past any grace window (mtime == cutoff millisecond is
+    // not "< cutoff", so a same-ms vacuum would skip it — flaky at 0)
+    Files.setLastModifiedTime(Paths.get(dir, "data/orphan-crashed"),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 10000L))
+    TxTable.vacuum(dir, keepVersions = 1, orphanGraceMs = 1000L)
+    assert(!Files.exists(Paths.get(dir, "data/orphan-crashed")),
+      "nested orphan must be swept recursively")
+    assert(TxTable.read(s, dir).count() === 1L, "committed data untouched")
   }
 }
