@@ -5906,32 +5906,44 @@ object SparkEntry {
     * mechanically at the emission point so every current AND future
     * oracle inherits the guard.
     */
-  private def normalizeNegZero(sql: String): String = {
+  private[graft] def normalizeNegZero(sql: String): String = {
     val out = new StringBuilder
     var i = 0
+    var inQuote = false // single-quoted SQL literal ('' toggles twice = escaped quote)
     while (i < sql.length) {
-      val isStart = sql.regionMatches(true, i, "round(", 0, 6) &&
-        (i == 0 || (!Character.isLetterOrDigit(sql(i - 1)) && sql(i - 1) != '_'))
-      if (isStart) {
-        var depth = 0
-        var k = i + 5 // the '('
-        var close = -1
-        while (k < sql.length && close < 0) {
-          sql(k) match {
-            case '(' => depth += 1
-            case ')' => depth -= 1; if (depth == 0) close = k
-            case _ => ()
-          }
-          k += 1
-        }
-        if (close < 0) { out.append(sql(i)); i += 1 }
-        else {
-          out.append('(').append(sql.substring(i, close + 1)).append(" + 0)")
-          i = close + 1
-        }
+      val c = sql(i)
+      if (inQuote) {
+        out.append(c); if (c == '\'') inQuote = false; i += 1
+      } else if (c == '\'') {
+        out.append(c); inQuote = true; i += 1
       } else {
-        out.append(sql(i))
-        i += 1
+        val isStart = sql.regionMatches(true, i, "round(", 0, 6) &&
+          (i == 0 || (!Character.isLetterOrDigit(sql(i - 1)) && sql(i - 1) != '_'))
+        if (isStart) {
+          var depth = 0
+          var k = i + 5 // the '('
+          var close = -1
+          var q = false // parens inside a string literal don't count
+          while (k < sql.length && close < 0) {
+            val ch = sql(k)
+            if (q) { if (ch == '\'') q = false }
+            else ch match {
+              case '\'' => q = true
+              case '(' => depth += 1
+              case ')' => depth -= 1; if (depth == 0) close = k
+              case _ => ()
+            }
+            k += 1
+          }
+          if (close < 0) { out.append(c); i += 1 }
+          else {
+            out.append('(').append(sql.substring(i, close + 1)).append(" + 0)")
+            i = close + 1
+          }
+        } else {
+          out.append(c)
+          i += 1
+        }
       }
     }
     out.toString

@@ -26,82 +26,113 @@ import org.apache.spark.sql.types.Decimal
   * the SAME DataFrame operator the Scala API exposes — one
   * implementation, two surfaces — so plans, scale shapes, and results
   * are identical to the Scala calls the oracle already checks.
+  *
+  * The `graft_tx_*` family includes a WRITE tier (`graft_tx_append`,
+  * `graft_tx_merge`): a SQL console can commit an append or apply a CDC
+  * merge batch into a [[graft.sources.TxTable]], not just read one.
+  * Write TVFs execute their commit when the statement resolves (see
+  * [[plan]]) and return the committed `(version, op)` row.
   */
 object GraftTableFunctions {
 
-  /** name → (argument usage string, builder). */
-  private val registry: Map[String, (String, (SparkSession, Seq[Any]) => DataFrame)] = Map(
-    "graft_dedup_exact" -> (("(table, textCol, idCol)",
+  /** One TVF: usage string, declared arity bounds, builder. */
+  private final case class Tvf(usage: String, minArgs: Int, maxArgs: Int,
+      build: (SparkSession, Seq[Any]) => DataFrame)
+
+  private def tvf(usage: String, minArgs: Int, maxArgs: Int)(
+      build: (SparkSession, Seq[Any]) => DataFrame): Tvf =
+    Tvf(usage, minArgs, maxArgs, build)
+
+  private val registry: Map[String, Tvf] = Map(
+    "graft_dedup_exact" -> tvf("(table, textCol, idCol)", 3, 3)(
       (s: SparkSession, a: Seq[Any]) =>
-        graft.ext.Dedup.exactDedup(s.table(str(a(0))), str(a(1)), str(a(2))))),
-    "graft_dedup_minhash" -> (("(table, textCol, idCol, threshold)",
+        graft.ext.Dedup.exactDedup(s.table(str(a(0))), str(a(1)), str(a(2)))),
+    "graft_dedup_minhash" -> tvf("(table, textCol, idCol, threshold)", 4, 4)(
       (s: SparkSession, a: Seq[Any]) =>
         graft.ext.Dedup.minhashLshDedup(s.table(str(a(0))), str(a(1)), str(a(2)),
-          threshold = dbl(a(3)), mode = graft.ext.HashMode.Portable))),
-    "graft_ann_topk" -> (("(corpusTable, queryTable, idCol, vecCol, k)",
+          threshold = dbl(a(3)), mode = graft.ext.HashMode.Portable)),
+    "graft_ann_topk" -> tvf("(corpusTable, queryTable, idCol, vecCol, k)", 5, 5)(
       (s: SparkSession, a: Seq[Any]) =>
         graft.ext.Similarity.bruteForceTopK(s.table(str(a(0))), s.table(str(a(1))),
-          str(a(2)), str(a(3)), str(a(2)), str(a(3)), k = int(a(4))))),
-    "graft_text_bm25" -> (("(table, idCol, textCol, termsCsv, k)",
+          str(a(2)), str(a(3)), str(a(2)), str(a(3)), k = int(a(4)))),
+    "graft_text_bm25" -> tvf("(table, idCol, textCol, termsCsv, k)", 5, 5)(
       (s: SparkSession, a: Seq[Any]) => {
         val postings = graft.ext.Search.invertedPostings(
           s.table(str(a(0))), str(a(1)), str(a(2)))
         graft.ext.Search.bm25TopK(postings, graft.ext.Search.docStats(postings),
           str(a(3)).split(",").map(_.trim).toSeq, k = int(a(4)))
-      })),
-    "graft_corpus_source_cap" -> (("(table, idCol, sourceCol, cap, salt)",
+      }),
+    "graft_corpus_source_cap" -> tvf("(table, idCol, sourceCol, cap, salt)", 5, 5)(
       (s: SparkSession, a: Seq[Any]) =>
         graft.ext.Corpus.sourceCap(s.table(str(a(0))), str(a(1)), str(a(2)),
-          cap = int(a(3)), salt = str(a(4))))),
-    "graft_corpus_temperature" -> (("(table, sourceCol, alpha)",
+          cap = int(a(3)), salt = str(a(4)))),
+    "graft_corpus_temperature" -> tvf("(table, sourceCol, alpha)", 3, 3)(
       (s: SparkSession, a: Seq[Any]) =>
         graft.ext.Corpus.temperatureWeights(s.table(str(a(0))), str(a(1)),
-          alpha = dbl(a(2))))),
-    "graft_sketch_hll" -> (("(table, keyCol, b)",
+          alpha = dbl(a(2)))),
+    "graft_sketch_hll" -> tvf("(table, keyCol, b)", 3, 3)(
       (s: SparkSession, a: Seq[Any]) =>
         graft.ext.Sketches.hllDistinct(s.table(str(a(0))), Seq.empty,
-          col(str(a(1))).cast("string"), b = int(a(2))))),
-    "graft_bpe_train" -> (("(table, textCol, numMerges)",
+          col(str(a(1))).cast("string"), b = int(a(2)))),
+    "graft_bpe_train" -> tvf("(table, textCol, numMerges)", 3, 3)(
       (s: SparkSession, a: Seq[Any]) => {
         import s.implicits._
         graft.ext.Bpe.trainInMemory(s.table(str(a(0))), str(a(1)), int(a(2)))
           .merges.toDF("merge_rank", "merge_left", "merge_right", "pair_freq")
-      })),
-    "graft_emb_dim_stats" -> (("(table, vecCol)",
+      }),
+    "graft_emb_dim_stats" -> tvf("(table, vecCol)", 2, 2)(
       (s: SparkSession, a: Seq[Any]) =>
-        graft.ext.Similarity.dimStats(s.table(str(a(0))), str(a(1))))),
-    "graft_tx_read" -> (("(tableDir [, version])",
+        graft.ext.Similarity.dimStats(s.table(str(a(0))), str(a(1)))),
+    "graft_tx_read" -> tvf("(tableDir [, version])", 1, 2)(
       (s: SparkSession, a: Seq[Any]) =>
         graft.sources.TxTable.read(s, str(a(0)),
-          if (a.length > 1) Some(int(a(1)).toLong) else None))),
-    "graft_tx_versions" -> (("(tableDir)",
+          if (a.length > 1) Some(int(a(1)).toLong) else None)),
+    "graft_tx_versions" -> tvf("(tableDir)", 1, 1)(
       (s: SparkSession, a: Seq[Any]) => {
         import s.implicits._
         graft.sources.TxTable.versions(str(a(0))).toDF("version")
-      })),
-    "graft_tx_change_feed" -> (("(tableDir, fromVersion, toVersion, keyColsCsv)",
+      }),
+    "graft_tx_change_feed" -> tvf("(tableDir, fromVersion, toVersion, keyColsCsv)", 4, 4)(
       (s: SparkSession, a: Seq[Any]) =>
         graft.sources.TxTable.changeFeed(s, str(a(0)), int(a(1)).toLong,
-          int(a(2)).toLong, str(a(3)).split(",").map(_.trim).toSeq))),
-    "graft_emb_hard_negatives" -> (("(corpusTable, queryTable, idCol, vecCol, k, lo, hi)",
+          int(a(2)).toLong, str(a(3)).split(",").map(_.trim).toSeq)),
+    "graft_emb_hard_negatives" -> tvf("(corpusTable, queryTable, idCol, vecCol, k, lo, hi)", 7, 7)(
       (s: SparkSession, a: Seq[Any]) =>
         graft.ext.Similarity.hardNegatives(s.table(str(a(0))), s.table(str(a(1))),
-          str(a(2)), str(a(3)), k = int(a(4)), lo = dbl(a(5)), hi = dbl(a(6))))),
-    "graft_dedup_canonical" -> (("(pairsTable, docsTable, idCol, textCol)",
+          str(a(2)), str(a(3)), k = int(a(4)), lo = dbl(a(5)), hi = dbl(a(6)))),
+    "graft_dedup_canonical" -> tvf("(pairsTable, docsTable, idCol, textCol)", 4, 4)(
       (s: SparkSession, a: Seq[Any]) =>
         graft.ext.Corpus.dedupCanonical(s.table(str(a(0))), s.table(str(a(1))),
-          str(a(2)), str(a(3))))),
-    "graft_tx_history" -> (("(tableDir)",
+          str(a(2)), str(a(3)))),
+    "graft_tx_history" -> tvf("(tableDir)", 1, 1)(
       (s: SparkSession, a: Seq[Any]) =>
-        graft.sources.TxTable.history(s, str(a(0))))),
-    "graft_corpus_contamination" -> ((
-      "(docsTable, embTable, idCol, textCol, vecIdCol, vecCol)",
+        graft.sources.TxTable.history(s, str(a(0)))),
+    // ---- write surface: these COMMIT when the statement resolves ----
+    "graft_tx_append" -> tvf("(tableDir, sourceTable[, statsColsCsv])", 2, 3)(
+      (s: SparkSession, a: Seq[Any]) => {
+        import s.implicits._
+        val stats = if (a.length > 2) csv(a(2)) else Nil
+        val v = graft.sources.TxTable.commit(
+          s.table(str(a(1))), str(a(0)), "append", statsColumns = stats)
+        Seq((v, "append")).toDF("version", "op")
+      }),
+    "graft_tx_merge" -> tvf("(tableDir, changesTable, keyColsCsv)", 3, 3)(
+      (s: SparkSession, a: Seq[Any]) => {
+        import s.implicits._
+        val v = graft.sources.TxTable.merge(
+          s, str(a(0)), s.table(str(a(1))), csv(a(2)))
+        Seq((v, "merge")).toDF("version", "op")
+      }),
+    "graft_corpus_contamination" -> tvf("(docsTable, embTable, idCol, textCol, vecIdCol, vecCol)", 6, 6)(
       (s: SparkSession, a: Seq[Any]) =>
         graft.ext.Corpus.contaminationReport(s.table(str(a(0))), s.table(str(a(1))),
-          str(a(2)), str(a(3)), str(a(4)), str(a(5))))))
+          str(a(2)), str(a(3)), str(a(4)), str(a(5)))))
 
   /** The registered TVF names (for docs/tests). */
   def names: Seq[String] = registry.keys.toSeq.sorted
+
+  private def csv(a: Any): Seq[String] =
+    str(a).split(',').map(_.trim).filter(_.nonEmpty).toSeq
 
   private def str(a: Any): String = {
     require(a != null, "string argument must not be NULL")
@@ -128,27 +159,38 @@ object GraftTableFunctions {
   }
 
   private[expr] def register(ext: SparkSessionExtensions): Unit =
-    registry.foreach { case (name, (usage, build)) =>
+    registry.foreach { case (name, t) =>
       ext.injectTableFunction((
         new FunctionIdentifier(name),
         new ExpressionInfo(GraftTableFunctions.getClass.getName, name),
-        (children: Seq[Expression]) => plan(name, usage, build, children)))
+        (children: Seq[Expression]) => plan(name, t, children)))
     }
 
+  /** Resolve one TVF call to its operator's logical plan.
+    *
+    * Arity is validated against the registry's DECLARED bounds before
+    * the builder runs (an index error escaping a builder is then a real
+    * bug in the delegated operator, never mislabeled as a usage error).
+    * Note the builder runs AT RESOLUTION: most operators only construct
+    * a lazy DataFrame here, but driver-side builders (`graft_bpe_train`'s
+    * trainer) and the write TVFs (`graft_tx_append`/`graft_tx_merge`)
+    * do their work when the statement resolves — re-resolving (EXPLAIN,
+    * view re-expansion) re-runs them; the write TVFs stay idempotent-safe
+    * only through TxTable's own CAS/versioning, so treat them as
+    * statements, not subqueries.
+    */
   private def plan(
       name: String,
-      usage: String,
-      build: (SparkSession, Seq[Any]) => DataFrame,
+      t: Tvf,
       children: Seq[Expression]): LogicalPlan = {
     require(children.forall(_.foldable),
-      s"$name arguments must be literals; usage: $name$usage")
+      s"$name arguments must be literals; usage: $name${t.usage}")
+    require(children.length >= t.minArgs && children.length <= t.maxArgs,
+      s"$name: expected ${if (t.minArgs == t.maxArgs) t.minArgs.toString
+        else s"${t.minArgs}..${t.maxArgs}"} arguments, got " +
+        s"${children.length}; usage: $name${t.usage}")
     val args = children.map(_.eval())
     val spark = SparkSession.active
-    try build(spark, args).queryExecution.logical
-    catch {
-      case e: IndexOutOfBoundsException =>
-        throw new IllegalArgumentException(
-          s"$name: wrong argument count; usage: $name$usage", e)
-    }
+    t.build(spark, args).queryExecution.logical
   }
 }

@@ -176,11 +176,61 @@ class SqlSurfaceSpec extends SparkSpecBase {
         s.sql("SELECT * FROM graft_dedup_minhash('docs', 'text')").collect()
       }
       assert(e.getMessage.contains("usage"), s"got: ${e.getMessage}")
+      assert(e.getMessage.contains("expected 4 arguments, got 2"),
+        s"arity must be validated against the declared bounds: ${e.getMessage}")
       val e2 = intercept[Exception] {
         s.sql("SELECT * FROM graft_ann_topk('embs', 'queries', 'vec_id', 'embedding', rand())")
           .collect()
       }
       assert(e2.getMessage.contains("literal"), s"got: ${e2.getMessage}")
     }
+  }
+
+  test("normalizeNegZero is quote-aware: literals with stray parens survive") {
+    // unbalanced ')' inside a string literal must not mis-span the wrapper
+    val in = "SELECT round(length(regexp_extract(x, '(')), 6) AS r FROM t"
+    assert(SparkEntry.normalizeNegZero(in)
+      === "SELECT (round(length(regexp_extract(x, '(')), 6) + 0) AS r FROM t")
+    // round( INSIDE a literal is not a call site
+    val lit = "SELECT 'round(' AS s, round(x, 6) AS r FROM t"
+    assert(SparkEntry.normalizeNegZero(lit)
+      === "SELECT 'round(' AS s, (round(x, 6) + 0) AS r FROM t")
+    // escaped quote ('' = one literal quote) keeps the scanner in sync
+    val esc = "SELECT round(instr(x, '''('), 6) AS r FROM t"
+    assert(SparkEntry.normalizeNegZero(esc)
+      === "SELECT (round(instr(x, '''('), 6) + 0) AS r FROM t")
+    // and every registered oracle still parses in DuckDB (the driver's
+    // compare is the system test; this guards the rewriter's output shape)
+    assert(SparkEntry.oracleSql.values.forall(q => q.count(_ == '(') == q.count(_ == ')')),
+      "rewritten oracle SQL must stay paren-balanced")
+  }
+
+  test("write surface from SQL: graft_tx_append and graft_tx_merge commit") {
+    val dir = java.nio.file.Files.createTempDirectory("txsqlwrite").toString
+    import s.implicits._
+    graft.sources.TxTable.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      dir, "overwrite", statsColumns = Seq("id"))
+    // append from a SQL view
+    Seq((3L, "c")).toDF("id", "v").createOrReplaceTempView("tx_new_rows")
+    val app = s.sql(s"SELECT * FROM graft_tx_append('$dir', 'tx_new_rows', 'id')")
+      .collect()
+    assert(app.map(r => (r.getLong(0), r.getString(1))).toSeq
+      === Seq((1L, "append")))
+    assert(s.sql(s"SELECT id FROM graft_tx_read('$dir')")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
+    // merge a CDC batch from a SQL view, re-read green through SQL
+    Seq((2L, "B", "UPDATE"), (1L, null.asInstanceOf[String], "DELETE"))
+      .toDF("id", "v", "operation").createOrReplaceTempView("tx_changes")
+    val mrg = s.sql(s"SELECT * FROM graft_tx_merge('$dir', 'tx_changes', 'id')")
+      .collect()
+    assert(mrg.map(r => (r.getLong(0), r.getString(1))).toSeq
+      === Seq((2L, "merge")))
+    assert(s.sql(s"SELECT id, v FROM graft_tx_read('$dir') ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      === Seq((2L, "B"), (3L, "c")))
+    // and the SQL history surface sees both commits
+    assert(s.sql(s"SELECT op FROM graft_tx_history('$dir') ORDER BY version")
+      .collect().map(_.getString(0)).toSeq
+      === Seq("overwrite", "append", "merge"))
   }
 }
