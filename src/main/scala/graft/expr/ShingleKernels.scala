@@ -30,17 +30,24 @@ private[expr] object Shingler {
 
   private val Ws = java.util.regex.Pattern.compile("\\s+")
 
-  /** Distinct shingle strings of `text` (order unspecified). */
-  def shingles(text: UTF8String, n: Int): java.util.LinkedHashSet[String] = {
+  /** `TextAnalysis.tokens(lower(text))`'s exact native twin: lowercase,
+    * trim ASCII spaces (Spark's `trim` strips 0x20 only), split on
+    * Java-regex `\s+` keeping trailing empties (Spark `split` limit −1);
+    * empty trimmed text → no tokens.
+    */
+  def tokens(text: UTF8String): Array[String] = {
     val lowered = text.toLowerCase.toString
-    // Spark trim(): ASCII space only
     var b = 0; var e = lowered.length
     while (b < e && lowered.charAt(b) == ' ') b += 1
     while (e > b && lowered.charAt(e - 1) == ' ') e -= 1
     val trimmed = lowered.substring(b, e)
+    if (trimmed.isEmpty) Array.empty else Ws.split(trimmed, -1)
+  }
+
+  /** Distinct shingle strings of `text` (order unspecified). */
+  def shingles(text: UTF8String, n: Int): java.util.LinkedHashSet[String] = {
     val out = new java.util.LinkedHashSet[String]()
-    val toks: Array[String] =
-      if (trimmed.isEmpty) Array.empty else Ws.split(trimmed, -1)
+    val toks = tokens(text)
     if (toks.length < n) {
       out.add(toks.mkString(" "))
       return out
@@ -172,5 +179,88 @@ case class PortableMinhashText(child: Expression, n: Int, ab: Seq[(Long, Long)])
   }
 
   override protected def withNewChildInternal(newChild: Expression): PortableMinhashText =
+    copy(child = newChild)
+}
+
+/** `string` text → word-n-gram TERM-FREQUENCY pairs
+  * `array<struct<g: string, tf: bigint>>` — the native per-document half
+  * of the cosine-pairs posting build. The Column formulation
+  * (`transform(sequence(...)) → concat_ws(slice(...))`, then
+  * `explode → groupBy(gram, doc).count()`) pays an interpreted
+  * higher-order lambda PLUS a full (gram, doc) aggregation exchange;
+  * this kernel runs tokenize → window → within-doc count as one pass of
+  * plain Java (reused StringBuilder, insertion-ordered count map), so
+  * the exploded output IS the posting list and the only remaining
+  * shuffle is the gram-key one the document-frequency window needs
+  * anyway.
+  *
+  * Semantics replicate the Column chain exactly (spec: bit-equality
+  * against the columnar twin): tokens as [[Shingler.tokens]]; fewer
+  * than `n` tokens → ONE gram of all tokens joined by ' ' (empty text →
+  * the "" gram); otherwise every n-token window WITH multiplicity.
+  */
+case class TfGrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"gram size must be >= 1, got $n")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires string, got ${t.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("g", StringType, nullable = false),
+      StructField("tf", LongType, nullable = false))),
+    containsNull = false)
+
+  override def prettyName: String = "graft_tf_grams"
+
+  def kernel(text: UTF8String): GenericArrayData = {
+    val toks = Shingler.tokens(text)
+    val counts = new java.util.LinkedHashMap[String, java.lang.Long]()
+    if (toks.length < n) {
+      counts.put(toks.mkString(" "), java.lang.Long.valueOf(1L))
+    } else {
+      val sb = new java.lang.StringBuilder(64)
+      var i = 0
+      while (i + n <= toks.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        val g = sb.toString
+        val prev = counts.get(g)
+        counts.put(g,
+          java.lang.Long.valueOf(if (prev == null) 1L else prev.longValue() + 1L))
+        i += 1
+      }
+    }
+    val out = new Array[Any](counts.size())
+    val it = counts.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val en = it.next()
+      out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](UTF8String.fromString(en.getKey), en.getValue.longValue()))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any): Any = kernel(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tfg", this, classOf[TfGrams].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TfGrams =
     copy(child = newChild)
 }

@@ -66,6 +66,14 @@ object Dedup {
       graft.expr.HashedShingles(
         org.apache.spark.sql.GraftSqlBridge.expression(text), n))
 
+  /** Native word-n-gram (gram, tf) pairs per document — see
+    * [[graft.expr.TfGrams]].
+    */
+  def tfGrams(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.expr.TfGrams(
+        org.apache.spark.sql.GraftSqlBridge.expression(text), n))
+
   /** Exact Jaccard similarity of two PRE-DISTINCT shingle arrays.
     * |A∪B| is derived as |A|+|B|−|A∩B| — valid ONLY for distinct inputs
     * (every internal caller produces distinct shingle sets), saving the
@@ -216,14 +224,15 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.5,
       maxDf: Long = 64): DataFrame = {
-    val tk = TextAnalysis.tokens(lower(col(textCol)))
-    // shingles WITH multiplicity — deliberately NOT [[shingles]], whose
-    // array_distinct would collapse the tf weights this op exists for
-    val grams = when(size(tk) < n, array(concat_ws(" ", tk)))
-      .otherwise(transform(sequence(lit(0), size(tk) - n),
-        i => concat_ws(" ", slice(tk, i + 1, lit(n)))))
-    val tf = df.select(col(idCol).as("__id"), explode(grams).as("__g"))
-      .groupBy(col("__g"), col("__id")).agg(count(lit(1)).as("__tf"))
+    // grams WITH multiplicity (tf weights are the point of this op),
+    // counted per document inside the native [[graft.expr.TfGrams]]
+    // kernel: the exploded output IS the (gram, doc, tf) posting list —
+    // no interpreted window HOF, no (gram, doc) aggregation exchange
+    // (round-9: the gram-string build dominated the board's slowest
+    // query; bit-equality with the columnar form is spec-pinned)
+    val tf = df
+      .select(col(idCol).as("__id"), explode(tfGrams(col(textCol), n)).as("__gt"))
+      .select(col("__id"), col("__gt.g").as("__g"), col("__gt.tf").as("__tf"))
     // df via a window on the gram key: reuses the groupBy's hash
     // partitioning instead of shuffling a separate df aggregate back in
     val wg = org.apache.spark.sql.expressions.Window.partitionBy(col("__g"))

@@ -227,6 +227,32 @@ class ExtOperatorsSpec extends SparkSpecBase {
     assert(bad === 0)
   }
 
+  test("TfGrams kernel: (gram, tf) multiset bit-identical to the columnar chain") {
+    val rnd = new scala.util.Random(23)
+    val words = Vector("alpha", "beta", "Gamma", "DELTA", "e", "ff", "第",
+      "x1", "2y", "a-b")
+    val edge = Seq("", " ", "  one  ", "one two", "a\tb\nc", "one one one one")
+    val texts = edge ++ Seq.tabulate(100) { _ =>
+      Seq.fill(1 + rnd.nextInt(30))(words(rnd.nextInt(words.size))).mkString(" ")
+    }
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    for (n <- Seq(1, 3, 5)) {
+      // the columnar twin the round-8 cosinePairs plan used
+      val tk = graft.ext.TextAnalysis.tokens(lower(col("text")))
+      val grams = when(size(tk) < n, array(concat_ws(" ", tk)))
+        .otherwise(transform(sequence(lit(0), size(tk) - n),
+          i => concat_ws(" ", slice(tk, i + 1, lit(n)))))
+      val ref = df.select(col("id"), explode(grams).as("g"))
+        .groupBy(col("id"), col("g")).agg(count(lit(1)).as("tf"))
+      val fast = df
+        .select(col("id"), explode(Dedup.tfGrams(col("text"), n)).as("gt"))
+        .select(col("id"), col("gt.g").as("g"), col("gt.tf").as("tf"))
+      assert(fast.exceptAll(ref).count() === 0 &&
+        ref.exceptAll(fast).count() === 0,
+        s"TfGrams multiset mismatch at n=$n")
+    }
+  }
+
   test("shingle kernels: bit-identical to the columnar chains, including edge cases") {
     val rnd = new scala.util.Random(17)
     val words = Vector("alpha", "beta", "Gamma", "DELTA", "e", "ff", "第",
