@@ -449,6 +449,20 @@ object SparkEntry {
       .agg(min(col("media_id")).as("keep_media_id"), count(lit(1)).as("n_frames"))
       .orderBy("frame_md5")
 
+  /** NEAR-duplicate frames by perceptual hash ([[Multimodal
+    * .framePhashPairs]]): dHash signatures, 4×16-bit banded LSH
+    * candidates, exact hamming verify, per-media-pair rollup — the
+    * md5-equality dedup's upgrade that also catches frames differing in
+    * a few gradient bits. The oracle recomputes the dHash from
+    * `hex(payload)` cell by cell — the whole signature pipeline is
+    * integer arithmetic, so it hash-matches end to end.
+    */
+  private def qMediaPhashPairs(s: SparkSession, dir: String): DataFrame =
+    Multimodal.framePhashPairs(
+      Multimodal.sampleFrames(
+        Multimodal.withFakePayload(documents(s, dir), "doc_id", "text"), n = 4))
+      .orderBy("id_a", "id_b")
+
   /** Scene-cut detection plumbing: per media asset, how many
     * consecutive-frame transitions change content (frame signature ≠
     * previous frame's). With the synthetic decode the signature is an
@@ -1752,6 +1766,38 @@ object SparkEntry {
     summarize(TxTable.read(s, path, Some(0L)), 0)
       .unionByName(summarize(TxTable.read(s, path, Some(1L)), 1))
       .orderBy("version")
+  }
+
+  /** STRING-keyed manifest pruning on the oracle board (round 9's typed
+    * stats made this possible — the long-cast stats disabled themselves
+    * on string keys): documents committed range-clustered by `source`
+    * with string stats recorded, then a [[graft.sources.TxTable
+    * .readPrunedString]] range read summarized per source. The oracle is
+    * the plain filtered aggregate over the parquet — the hash match IS
+    * the "skipping never drops data" proof at the value level (the spec
+    * tier proves files are actually skipped; UTF-8 order makes the
+    * manifest ranges agree with both engines' string comparisons).
+    */
+  private def qTxStringPrune(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxTable
+    val path = Fixtures.scratchDir("txstr", dir)
+    Fixtures.buildOnce("txstr", s, dir) {
+      wipeTxDir(path)
+      val d = documents(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
+      // range-cluster so files carry disjoint-ish string ranges — what
+      // turns "never drops data" into "actually skips most files"
+      TxTable.commit(
+        d.repartitionByRange(4, col("source")).sortWithinPartitions(col("source")),
+        path, "overwrite", statsColumns = Seq("source"))
+      ()
+    }
+    TxTable.readPrunedString(s, path, "source", "src12", "src17")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy("source")
   }
 
   /** Deterministic wipe of a scratch TxTable dir so buildOnce rebuilds
@@ -5167,6 +5213,7 @@ object SparkEntry {
     "text_hybrid_ivfpq" -> (qTextHybridIvfPq _),
     "text_hybrid_recall" -> (qTextHybridRecall _),
     "tx_time_travel" -> (qTxTimeTravel _),
+    "tx_string_prune" -> (qTxStringPrune _),
     "tx_change_feed" -> (qTxChangeFeed _),
     "tx_merge_apply" -> (qTxMergeApply _),
     "tx_incremental_view" -> (qTxIncrementalView _),
@@ -5222,6 +5269,7 @@ object SparkEntry {
     "top_revenue_join" -> (qTopRevenue _),
     "region_nation_revenue" -> (qRegionNationRevenue _),
     "media_frame_dedup" -> (qMediaFrameDedup _),
+    "media_phash_pairs" -> (qMediaPhashPairs _),
     "dedup_apply_minhash" -> (qDedupApplyMinhash _),
     "corpus_chunk" -> (qCorpusChunk _),
     "corpus_stratified_sample" -> (qCorpusStratifiedSample _),
@@ -7541,6 +7589,16 @@ object SparkEntry {
         |                  AS DOUBLE), 6) AS sum_price
         |FROM v GROUP BY version ORDER BY version""".stripMargin,
 
+    "tx_string_prune" ->
+      """SELECT source,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |       MIN(doc_id) AS min_doc,
+        |       MAX(doc_id) AS max_doc
+        |FROM documents
+        |WHERE source >= 'src12' AND source <= 'src17'
+        |GROUP BY source ORDER BY source""".stripMargin,
+
     "tx_change_feed" ->
       """WITH b AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
         |v1 AS (
@@ -7886,6 +7944,52 @@ object SparkEntry {
         |SELECT frame_md5, MIN(media_id) AS keep_media_id,
         |       CAST(COUNT(*) AS BIGINT) AS n_frames
         |FROM f GROUP BY frame_md5 ORDER BY frame_md5""".stripMargin,
+
+    // perceptual-hash frame pairs: the dHash is recomputed cell by cell
+    // from hex(payload) — all integer arithmetic, hash-exact twins
+    "media_phash_pairs" ->
+      """WITH f AS (
+        |  SELECT doc_id AS media_id, i AS frame_i,
+        |         substring(hex(encode(text)),
+        |           2 * CAST(i * octet_length(encode(text)) // 4 AS INTEGER) + 1, 128) AS fh
+        |  FROM documents, (SELECT unnest(range(0, 4)) AS i)),
+        |fx AS (SELECT media_id, frame_i, fh, length(fh) // 2 AS flen FROM f),
+        |cells AS (
+        |  SELECT media_id, frame_i, g.g,
+        |         CASE WHEN flen = 0 THEN 0
+        |              ELSE CAST('0x' || substr(fh,
+        |                2 * CAST(g.g * flen // 72 AS INTEGER) + 1, 2) AS INTEGER)
+        |         END AS v
+        |  FROM fx, (SELECT unnest(range(0, 72)) AS g) g),
+        |bits AS (
+        |  SELECT a.media_id, a.frame_i, (a.g // 9) * 8 + (a.g % 9) AS b
+        |  FROM cells a JOIN cells nx
+        |    ON nx.media_id = a.media_id AND nx.frame_i = a.frame_i AND nx.g = a.g + 1
+        |  WHERE a.g % 9 < 8 AND nx.v > a.v),
+        |hs AS (
+        |  SELECT fx.media_id, fx.frame_i,
+        |         COALESCE(SUM(CASE WHEN b < 32 THEN CAST(1 AS BIGINT) << b END), 0) AS lo,
+        |         COALESCE(SUM(CASE WHEN b >= 32 THEN CAST(1 AS BIGINT) << (b - 32) END), 0) AS hi
+        |  FROM fx LEFT JOIN bits
+        |    ON bits.media_id = fx.media_id AND bits.frame_i = fx.frame_i
+        |  GROUP BY fx.media_id, fx.frame_i),
+        |ch AS (SELECT media_id, frame_i, i.i,
+        |         CASE i.i WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
+        |                  WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS cv
+        |       FROM hs, (SELECT unnest(range(0, 4)) AS i) i),
+        |cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b, a.frame_i
+        |         FROM ch a JOIN ch b ON a.frame_i = b.frame_i AND a.i = b.i
+        |                            AND a.cv = b.cv AND a.media_id < b.media_id),
+        |hm AS (SELECT cand.id_a, cand.id_b, cand.frame_i,
+        |         CAST(bit_count(xor(ha.lo, hb.lo)) + bit_count(xor(ha.hi, hb.hi))
+        |              AS INTEGER) AS hamming
+        |       FROM cand
+        |       JOIN hs ha ON ha.media_id = cand.id_a AND ha.frame_i = cand.frame_i
+        |       JOIN hs hb ON hb.media_id = cand.id_b AND hb.frame_i = cand.frame_i)
+        |SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS n_close_frames,
+        |       MIN(hamming) AS min_hamming
+        |FROM hm WHERE hamming <= 6
+        |GROUP BY id_a, id_b ORDER BY id_a, id_b""".stripMargin,
 
     "ann_brute_force" -> AnnBruteForceSql,
 

@@ -114,4 +114,72 @@ object Multimodal {
       col("media_id"), col("kind"), col("width"), col("height"),
       length(col("payload")).as("byte_len"),
       md5(col("payload")).as("payload_md5"))
+
+  /** 64-bit perceptual difference-hash of a binary buffer as
+    * `struct<lo, hi>` 32-bit halves — see [[graft.expr.DHash64]].
+    */
+  def dHash(buffer: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.expr.DHash64(
+        org.apache.spark.sql.GraftSqlBridge.expression(buffer)))
+
+  /** Near-duplicate frame pairs by PERCEPTUAL hash — the upgrade over
+    * md5-equality frame dedup (which only sees bit-identical frames):
+    * per frame, a [[dHash]] signature; candidates via banded LSH on the
+    * signature; verified pairs by exact two-half hamming, aggregated per
+    * media pair. Banding is a RECALL heuristic exactly as in simhash
+    * practice (a hamming-≤-6 pair whose differing bits dirty every band
+    * is missed); all joins are equi-joins and the verify side carries
+    * only (id, frame, two longs).
+    *
+    * ==Band width at scale==
+    * `bandBits` picks the collision floor: random non-dup frames
+    * collide in a band bucket at ~n²/2^bandBits pairs per (frame, band)
+    * position, so 16-bit bands (4 per signature — better recall)
+    * SATURATE once a frame position exceeds ~2^16 frames, and candidate
+    * work turns quadratic. Measured at sf1 (200 k frames): 6.4 s vs
+    * 1.3 s at sf0.1 — the n²/2^16 floor, not the verify. A corpus-scale
+    * run sets `bandBits = 32` (2 bands — lower recall on scattered-bit
+    * pairs, collision floor 2^32), the same trade simhash deployments
+    * make; the registered query keeps 16 so the oracle twin stays
+    * engine-portable over the small fixtures.
+    */
+  def framePhashPairs(frames: DataFrame, maxHamming: Int = 6,
+      bandBits: Int = 16): DataFrame = {
+    require(bandBits == 16 || bandBits == 32,
+      s"bandBits must be 16 or 32, got $bandBits")
+    val fp = frames.select(col("media_id"), col("frame_i"),
+        dHash(col("frame_bytes")).as("__dh"))
+      .select(col("media_id"), col("frame_i"),
+        col("__dh.lo").as("__lo"), col("__dh.hi").as("__hi"))
+    val bandCols =
+      if (bandBits == 32) array(col("__lo"), col("__hi"))
+      else array(
+        col("__lo").bitwiseAND(65535L),
+        shiftright(col("__lo"), 16).bitwiseAND(65535L),
+        col("__hi").bitwiseAND(65535L),
+        shiftright(col("__hi"), 16).bitwiseAND(65535L))
+    val ch = fp.select(col("media_id"), col("frame_i"),
+      posexplode(bandCols).as(Seq("__band", "__cv")))
+    val cand = ch.as("a").join(ch.as("b"),
+        col("a.frame_i") === col("b.frame_i") &&
+          col("a.__band") === col("b.__band") &&
+          col("a.__cv") === col("b.__cv") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+        col("a.frame_i").as("frame_i"))
+      .distinct()
+    cand
+      .join(fp.select(col("media_id").as("id_a"), col("frame_i"),
+        col("__lo").as("__la"), col("__hi").as("__ha")), Seq("id_a", "frame_i"))
+      .join(fp.select(col("media_id").as("id_b"), col("frame_i"),
+        col("__lo").as("__lb"), col("__hi").as("__hb")), Seq("id_b", "frame_i"))
+      .withColumn("__hamming",
+        (bit_count(col("__la").bitwiseXOR(col("__lb"))) +
+          bit_count(col("__ha").bitwiseXOR(col("__hb")))).cast("int"))
+      .filter(col("__hamming") <= maxHamming)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_close_frames"),
+        min(col("__hamming")).as("min_hamming"))
+  }
 }

@@ -499,23 +499,52 @@ object TxTable {
       case Seq(c) =>
         data.repartitionByRange(targetFiles, col(c)).sortWithinPartitions(col(c))
       case Seq(a, b) =>
-        // normalize each dimension onto the full 16-bit lane from its
-        // OBSERVED bounds — a raw `pmod(col, 65536)` folds any domain
-        // wider than 2^16 (k, k+65536, ... collide), silently destroying
-        // the skipping the clustering exists to create
+        // normalize each NUMERIC dimension onto the full 16-bit lane
+        // from its OBSERVED bounds — a raw `pmod(col, 65536)` folds any
+        // domain wider than 2^16 (k, k+65536, ... collide), silently
+        // destroying the skipping the clustering exists to create.
+        // STRING dimensions lane on their first two UTF-8 bytes (the
+        // same order the typed manifest stats record), which clusters
+        // lexicographic prefixes — locality, not reversibility, exactly
+        // like the numeric lanes.
         import org.apache.spark.sql.functions.{max => fmax, min => fmin}
+        val isString: Map[String, Boolean] = Seq(a, b).map(c =>
+          c -> snap.schema.fields.find(_.name == c)
+            .exists(_.dataType == org.apache.spark.sql.types.StringType)).toMap
+        // the raw lane value: numeric dims as themselves, string dims as
+        // their two-byte prefix — BOTH then normalized from observed
+        // bounds (a string lane's raw span is a narrow band of the
+        // 16-bit space — e.g. all-lowercase keys span ~6k of 65536 with
+        // constant top bits, which would let the other dim dominate
+        // every interleave level)
+        def rawLane(c: String): org.apache.spark.sql.Column =
+          if (isString(c)) stringLane16(col(c)) else col(c).try_cast("long")
         val bd = data.agg(
-          fmin(col(a).try_cast("long")), fmax(col(a).try_cast("long")),
-          fmin(col(b).try_cast("long")), fmax(col(b).try_cast("long"))).collect()(0)
+          fmin(rawLane(a)), fmax(rawLane(a)),
+          fmin(rawLane(b)), fmax(rawLane(b))).collect()(0)
         def lane(c: String, lo: Int): org.apache.spark.sql.Column =
           if (bd.isNullAt(lo) || bd.getLong(lo) == bd.getLong(lo + 1)) lit(0L)
-          else graft.ext.Layout.normalize16(col(c), bd.getLong(lo), bd.getLong(lo + 1))
+          else graft.ext.Layout.normalize16(rawLane(c), bd.getLong(lo), bd.getLong(lo + 1))
         data.withColumn("__z", graft.ext.Layout.zOrderKey2(lane(a, 0), lane(b, 2)))
           .repartitionByRange(targetFiles, col("__z"))
           .sortWithinPartitions(col("__z"))
           .drop("__z")
       case _ => throw new MatchError(clusterBy) // unreachable
     }
+  }
+
+  /** 16-bit z-order lane for a STRING column: the first two UTF-8 bytes
+    * as `b0·256 + b1` (missing bytes read as 0, so shorter strings with
+    * the same prefix lane together and below their extensions — the
+    * UTF-8 byte order the typed stats use). Null → lane 0.
+    */
+  private def stringLane16(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{coalesce, conv, encode, hex, lit, rpad, substring}
+    coalesce(
+      conv(rpad(hex(substring(encode(c, "UTF-8"), 1, 2)), 4, "0"), 16, 10)
+        .cast("long"),
+      lit(0L))
   }
 
   /** Row-level change feed between two committed versions — the

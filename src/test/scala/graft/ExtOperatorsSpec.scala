@@ -227,6 +227,34 @@ class ExtOperatorsSpec extends SparkSpecBase {
     assert(bad === 0)
   }
 
+  test("perceptual dHash: identical buffers at hamming 0; band widths trade recall for floor") {
+    import graft.ext.Multimodal
+    // docs 1 and 2 share identical text (hamming-0 frames); 3 differs
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "completely different content with other bytes entirely here"))
+      .toDF("doc_id", "text")
+    val frames = Multimodal.sampleFrames(
+      Multimodal.withFakePayload(docs, "doc_id", "text"), 4)
+    def pairs(bits: Int): Map[(Long, Long), Int] =
+      Multimodal.framePhashPairs(frames, maxHamming = 6, bandBits = bits)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(3)).toMap
+    val p16 = pairs(16)
+    val p32 = pairs(32)
+    // identical payloads -> identical dHash -> hamming 0, found by BOTH
+    assert(p16.get((1L, 2L)).contains(0) && p32.get((1L, 2L)).contains(0))
+    // 32-bit bands are a candidate SUBSET of 16-bit bands (scale knob
+    // trades scattered-bit recall for a 2^32 collision floor)
+    assert(p32.keySet.subsetOf(p16.keySet))
+    // dHash struct halves are non-negative 32-bit values (the portable
+    // two-half hamming contract)
+    val dh = frames.select(Multimodal.dHash(col("frame_bytes")).as("d"))
+      .select(col("d.lo"), col("d.hi")).collect()
+    assert(dh.forall(r => r.getLong(0) >= 0L && r.getLong(0) < (1L << 32) &&
+      r.getLong(1) >= 0L && r.getLong(1) < (1L << 32)))
+  }
+
   test("TfGrams kernel: (gram, tf) multiset bit-identical to the columnar chain") {
     val rnd = new scala.util.Random(23)
     val words = Vector("alpha", "beta", "Gamma", "DELTA", "e", "ff", "第",

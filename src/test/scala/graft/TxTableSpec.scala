@@ -696,6 +696,30 @@ class TxTableSpec extends SparkSpecBase {
     assert(TxTable.utf8Cmp("abc", "abc") === 0)
   }
 
+  test("z-order compaction with a STRING dimension keeps both dims skippable") {
+    val dir = Files.createTempDirectory("txzstr").toString
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 2048).map { _ =>
+      val s = "" + ('a' + rnd.nextInt(26)).toChar + ('a' + rnd.nextInt(26)).toChar +
+        ('a' + rnd.nextInt(26)).toChar
+      (s, rnd.nextLong(100000L), "p")
+    }
+    TxTable.commit(rows.toDF("s", "x", "v"), dir, "overwrite",
+      statsColumns = Seq("s", "x"))
+    TxTable.compact(s, dir, targetFiles = 16, clusterBy = Seq("s", "x"))
+    val snap = TxTable.latest(dir).get
+    // both dimensions must skip: the string dim lanes on its UTF-8
+    // prefix (a lane-0 constant would leave every file spanning a..z)
+    val sF = snap.filesOverlappingString("s", "aaa", "dzz").size // bottom ~4/26
+    val xF = snap.filesOverlapping("x", 0L, 12500L).size         // bottom eighth
+    assert(sF < 16 && xF < 16,
+      s"string z-order must keep both dims skippable: s=$sF x=$xF of 16")
+    // and a pruned string read equals the filtered read
+    val pruned = TxTable.readPrunedString(s, dir, "s", "aaa", "dzz")
+    val full = TxTable.read(s, dir).where(col("s") >= "aaa" && col("s") <= "dzz")
+    assert(pruned.count() === full.count())
+  }
+
   test("compact: a concurrent append is never lost (CAS publish)") {
     val dir = Files.createTempDirectory("txcompactrace").toString
     TxTable.commit((1L to 20000L).map(i => (i, s"v$i")).toDF("id", "v"), dir,
