@@ -28,10 +28,13 @@ import org.apache.spark.sql.types.Decimal
   * are identical to the Scala calls the oracle already checks.
   *
   * The `graft_tx_*` family includes a WRITE tier (`graft_tx_append`,
-  * `graft_tx_merge`): a SQL console can commit an append or apply a CDC
-  * merge batch into a [[graft.sources.TxTable]], not just read one.
-  * Write TVFs execute their commit when the statement resolves (see
-  * [[plan]]) and return the committed `(version, op)` row.
+  * `graft_tx_merge`) and a MAINTENANCE tier (`graft_tx_compact`,
+  * `graft_tx_vacuum`): a SQL console can commit an append, apply a CDC
+  * merge batch, rewrite small files (optionally range/z-order
+  * clustered), or retire history on a [[graft.sources.TxTable]], not
+  * just read one. Write/maintenance TVFs execute when the statement
+  * resolves (see [[plan]]) and return the committed `(version, op)` row
+  * (vacuum: the retained-version summary).
   */
 object GraftTableFunctions {
 
@@ -122,6 +125,22 @@ object GraftTableFunctions {
         val v = graft.sources.TxTable.merge(
           s, str(a(0)), s.table(str(a(1))), csv(a(2)))
         Seq((v, "merge")).toDF("version", "op")
+      }),
+    "graft_tx_compact" -> tvf("(tableDir, targetFiles[, clusterByCsv])", 2, 3)(
+      (s: SparkSession, a: Seq[Any]) => {
+        import s.implicits._
+        val cluster = if (a.length > 2) csv(a(2)) else Nil
+        val v = graft.sources.TxTable.compact(
+          s, str(a(0)), int(a(1)), clusterBy = cluster)
+        Seq((v, "compact")).toDF("version", "op")
+      }),
+    "graft_tx_vacuum" -> tvf("(tableDir, keepVersions)", 2, 2)(
+      (s: SparkSession, a: Seq[Any]) => {
+        import s.implicits._
+        graft.sources.TxTable.vacuum(str(a(0)), int(a(1)))
+        val retained = graft.sources.TxTable.versions(str(a(0)))
+        Seq((retained.size.toLong, retained.lastOption.getOrElse(-1L)))
+          .toDF("versions_retained", "latest_version")
       }),
     "graft_corpus_contamination" -> tvf("(docsTable, embTable, idCol, textCol, vecIdCol, vecCol)", 6, 6)(
       (s: SparkSession, a: Seq[Any]) =>

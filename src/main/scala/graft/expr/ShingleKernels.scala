@@ -197,9 +197,13 @@ case class PortableMinhashText(child: Expression, n: Int, ab: Seq[(Long, Long)])
   * Semantics replicate the Column chain exactly (spec: bit-equality
   * against the columnar twin): tokens as [[Shingler.tokens]]; fewer
   * than `n` tokens → ONE gram of all tokens joined by ' ' (empty text →
-  * the "" gram); otherwise every n-token window WITH multiplicity.
+  * the "" gram) when `withShortFallback` (the dedup-shingle contract),
+  * or NO grams at all when not (the [[graft.ext.Corpus.dupNgrams]]
+  * audit contract — it wants real n-grams only); otherwise every
+  * n-token window WITH multiplicity.
   */
-case class TfGrams(child: Expression, n: Int) extends UnaryExpression {
+case class TfGrams(child: Expression, n: Int, withShortFallback: Boolean = true)
+    extends UnaryExpression {
   require(n >= 1, s"gram size must be >= 1, got $n")
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -223,7 +227,8 @@ case class TfGrams(child: Expression, n: Int) extends UnaryExpression {
     val toks = Shingler.tokens(text)
     val counts = new java.util.LinkedHashMap[String, java.lang.Long]()
     if (toks.length < n) {
-      counts.put(toks.mkString(" "), java.lang.Long.valueOf(1L))
+      if (withShortFallback)
+        counts.put(toks.mkString(" "), java.lang.Long.valueOf(1L))
     } else {
       val sb = new java.lang.StringBuilder(64)
       var i = 0

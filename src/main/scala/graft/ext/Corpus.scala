@@ -801,23 +801,19 @@ object Corpus {
       minDocs: Int,
       k: Int): DataFrame = {
     require(n > 0, s"n must be positive, got $n")
-    val tk = TextAnalysis.tokens(lower(col(textCol)))
-    // ONE scan (window-string building dominates the query — a two-scan
-    // plan that aggregated 8-byte gram hashes and re-derived only the k
-    // winning strings measured 8.9 s vs 5.2 s at sf0.1, because scan 2
-    // re-pays the explode+concat) and a two-level aggregate instead of
-    // count(DISTINCT doc): the per-(gram, doc) pre-aggregate combines a
-    // doc's repeated grams map-side (boilerplate — the case this audit
-    // exists for — has exactly those huge in-doc multiplicities), and
-    // the second aggregate counts docs as plain rows. No Expand
-    // duplication of the corpus-sized gram stream, and both shuffles
-    // shrink with every map-side combine.
-    df.select(col(idCol).as("__doc"),
-        explode(when(size(tk) < n, array().cast("array<string>"))
-          .otherwise(transform(sequence(lit(0), size(tk) - n),
-            i => concat_ws(" ", slice(tk, i + 1, lit(n)))))).as("gram"))
-      .groupBy(col("gram"), col("__doc"))
-      .agg(count(lit(1)).as("__c"))
+    // ONE scan (a two-scan plan that aggregated 8-byte gram hashes and
+    // re-derived only the k winning strings measured 8.9 s vs 5.2 s at
+    // sf0.1, because scan 2 re-pays the gram build). The per-(gram, doc)
+    // tf counting happens INSIDE the native [[graft.expr.TfGrams]]
+    // kernel (no-fallback mode: docs shorter than n contribute nothing —
+    // the audit wants real n-grams), so the exploded output is already
+    // the (gram, doc, tf) posting list: the interpreted window HOF AND
+    // the (gram, doc) aggregation exchange of the round-8 plan are both
+    // gone, leaving one map-side-combined gram-key aggregate.
+    df.select(
+        explode(Dedup.tfGrams(col(textCol), n, withShortFallback = false))
+          .as("__gt"))
+      .select(col("__gt.g").as("gram"), col("__gt.tf").as("__c"))
       .groupBy(col("gram"))
       .agg(sum(col("__c")).as("n_occurrences"),
         count(lit(1)).as("n_docs"))

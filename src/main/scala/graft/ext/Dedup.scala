@@ -67,12 +67,13 @@ object Dedup {
         org.apache.spark.sql.GraftSqlBridge.expression(text), n))
 
   /** Native word-n-gram (gram, tf) pairs per document — see
-    * [[graft.expr.TfGrams]].
+    * [[graft.expr.TfGrams]]. `withShortFallback = false` drops docs
+    * shorter than `n` tokens instead of emitting the whole-text gram.
     */
-  def tfGrams(text: Column, n: Int): Column =
+  def tfGrams(text: Column, n: Int, withShortFallback: Boolean = true): Column =
     org.apache.spark.sql.GraftSqlBridge.column(
       graft.expr.TfGrams(
-        org.apache.spark.sql.GraftSqlBridge.expression(text), n))
+        org.apache.spark.sql.GraftSqlBridge.expression(text), n, withShortFallback))
 
   /** Exact Jaccard similarity of two PRE-DISTINCT shingle arrays.
     * |A∪B| is derived as |A|+|B|−|A∩B| — valid ONLY for distinct inputs

@@ -57,7 +57,9 @@ class TxTableChangeFeedSource(
     spark: SparkSession,
     dir: String,
     keyCols: Seq[String],
-    startingVersion: Long) extends Source {
+    startingVersion: Long,
+    maxVersionsPerTrigger: Option[Long] = None,
+    metadataPath: String = "") extends Source {
 
   /** Data schema pinned at stream start (the Delta contract). */
   private val tableSchema: StructType =
@@ -68,9 +70,57 @@ class TxTableChangeFeedSource(
     StructField("change_type", StringType, nullable = false),
     StructField("_commit_version", LongType, nullable = false)))
 
+  // ---- rate limit (maxVersionsPerTrigger) ---------------------------
+  // The throttle floor is the highest version ALREADY DELIVERED by a
+  // getBatch — not the engine's committed offset, which a V1 Source
+  // never sees. It must survive restarts: after recovery Spark only
+  // replays the last UNcommitted batch, so a floor that reset to
+  // startingVersion-1 would let getOffset regress BELOW the
+  // checkpoint's committed offset, log the regressed offset, and
+  // re-deliver versions the sink already saw. The floor is therefore
+  // write-ahead persisted in the source's own checkpoint metadata dir
+  // (`metadataPath`, the FileStreamSource pattern) before getBatch
+  // returns — monotone across crashes at any point. Unthrottled
+  // streams skip all of this (the offset is just the latest version).
+
+  private def watermarkFile: java.nio.file.Path = {
+    val p = if (metadataPath.startsWith("file:"))
+      java.nio.file.Paths.get(new java.net.URI(metadataPath))
+    else java.nio.file.Paths.get(metadataPath)
+    p.resolve("graft-delivered")
+  }
+
+  private var lastDelivered: Long =
+    if (maxVersionsPerTrigger.isEmpty || metadataPath.isEmpty) startingVersion - 1
+    else {
+      val f = watermarkFile
+      if (java.nio.file.Files.exists(f))
+        math.max(java.nio.file.Files.readString(f).trim.toLong, startingVersion - 1)
+      else startingVersion - 1
+    }
+
+  private def persistDelivered(v: Long): Unit =
+    if (maxVersionsPerTrigger.isDefined && metadataPath.nonEmpty) {
+      val f = watermarkFile
+      java.nio.file.Files.createDirectories(f.getParent)
+      val tmp = f.resolveSibling(".graft-delivered-tmp")
+      java.nio.file.Files.writeString(tmp, v.toString)
+      java.nio.file.Files.move(tmp, f,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      ()
+    }
+
   override def getOffset: Option[OffsetV1] =
     TxTable.versions(dir).lastOption
-      .filter(_ >= startingVersion).map(LongOffset(_))
+      .filter(_ >= startingVersion)
+      .map { latest =>
+        val capped = maxVersionsPerTrigger match {
+          case Some(m) => math.min(latest, lastDelivered + m)
+          case None => latest
+        }
+        LongOffset(capped)
+      }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val endV = end.json.toLong
@@ -79,6 +129,10 @@ class TxTableChangeFeedSource(
     val batch =
       if (frames.isEmpty) emptyFeed
       else frames.reduce(_.unionByName(_))
+    if (endV > lastDelivered) {
+      lastDelivered = endV
+      persistDelivered(endV)
+    }
     GraftStreamingShim.asStreamingFrame(batch)
   }
 
@@ -122,7 +176,16 @@ class TxTableChangeFeedSource(
 /** `spark.readStream.format("graft.streaming.TxTableChangeFeedProvider")`
   * entry point. Options: `path` (the table dir), `keys` (comma-separated
   * key columns), `startingVersion` (default 0 — serve that version as
-  * the bootstrap snapshot, then per-version feeds).
+  * the bootstrap snapshot, then per-version feeds),
+  * `maxVersionsPerTrigger` (optional — cap the versions per micro-batch,
+  * Delta's maxFilesPerTrigger analog: a replica that fell 10,000
+  * versions behind catches up in bounded batches instead of one giant
+  * union plan; the delivered floor is write-ahead persisted in the
+  * source's checkpoint metadata dir so it never regresses across
+  * restarts). Throttle note: with `Trigger.AvailableNow` the V1 wrapper
+  * captures ONE end offset at query start, so a capped run drains one
+  * capped batch per start — use ProcessingTime + processAllAvailable
+  * (or a drain loop) for throttled catch-up.
   */
 class TxTableChangeFeedProvider extends StreamSourceProvider with DataSourceRegister {
 
@@ -155,9 +218,14 @@ class TxTableChangeFeedProvider extends StreamSourceProvider with DataSourceRegi
     val keys = parameters.getOrElse("keys", throw new IllegalArgumentException(
       "txtable-cdf needs option 'keys' (comma-separated key columns)"))
       .split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    val maxPerTrigger = parameters.get("maxVersionsPerTrigger").map(_.toLong)
+    maxPerTrigger.foreach(m => require(m >= 1,
+      s"maxVersionsPerTrigger must be >= 1, got $m"))
     new TxTableChangeFeedSource(
       sqlContext.sparkSession, tableDir(parameters), keys,
-      parameters.get("startingVersion").map(_.toLong).getOrElse(0L))
+      parameters.get("startingVersion").map(_.toLong).getOrElse(0L),
+      maxVersionsPerTrigger = maxPerTrigger,
+      metadataPath = metadataPath)
   }
 }
 
@@ -177,12 +245,15 @@ object TxReplicaStream {
       replicaDir: String,
       keyCols: Seq[String],
       checkpointDir: String,
-      trigger: Trigger = Trigger.ProcessingTime("5 seconds")): StreamingQuery =
-    spark.readStream
+      trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
+      maxVersionsPerTrigger: Option[Long] = None): StreamingQuery = {
+    val reader = spark.readStream
       .format("graft.streaming.TxTableChangeFeedProvider")
       .option("path", primaryDir)
       .option("keys", keyCols.mkString(","))
-      .load()
+    maxVersionsPerTrigger.foreach(m =>
+      reader.option("maxVersionsPerTrigger", m.toString))
+    reader.load()
       .writeStream
       .queryName("graft-tx-replica")
       .option("checkpointLocation", checkpointDir)
@@ -191,6 +262,7 @@ object TxReplicaStream {
         applyFeedBatch(batch, replicaDir, keyCols)
       }
       .start()
+  }
 
   /** Catch the replica up to the primary's current latest and stop. */
   def drain(

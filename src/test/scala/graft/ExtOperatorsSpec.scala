@@ -278,6 +278,20 @@ class ExtOperatorsSpec extends SparkSpecBase {
       assert(fast.exceptAll(ref).count() === 0 &&
         ref.exceptAll(fast).count() === 0,
         s"TfGrams multiset mismatch at n=$n")
+      // no-fallback mode (the dupNgrams audit contract): docs shorter
+      // than n contribute NOTHING instead of the whole-text gram
+      val refNf = df.select(col("id"),
+          explode(when(size(tk) < n, array().cast("array<string>"))
+            .otherwise(transform(sequence(lit(0), size(tk) - n),
+              i => concat_ws(" ", slice(tk, i + 1, lit(n)))))).as("g"))
+        .groupBy(col("id"), col("g")).agg(count(lit(1)).as("tf"))
+      val fastNf = df
+        .select(col("id"),
+          explode(Dedup.tfGrams(col("text"), n, withShortFallback = false)).as("gt"))
+        .select(col("id"), col("gt.g").as("g"), col("gt.tf").as("tf"))
+      assert(fastNf.exceptAll(refNf).count() === 0 &&
+        refNf.exceptAll(fastNf).count() === 0,
+        s"TfGrams no-fallback multiset mismatch at n=$n")
     }
   }
 

@@ -233,4 +233,29 @@ class SqlSurfaceSpec extends SparkSpecBase {
       .collect().map(_.getString(0)).toSeq
       === Seq("overwrite", "append", "merge"))
   }
+
+  test("maintenance surface from SQL: graft_tx_compact and graft_tx_vacuum") {
+    val dir = java.nio.file.Files.createTempDirectory("txsqlmaint").toString
+    import s.implicits._
+    graft.sources.TxTable.commit(
+      (1L to 20L).map(i => (i, s"v$i")).toDF("id", "v").repartition(4),
+      dir, "overwrite", statsColumns = Seq("id"))
+    graft.sources.TxTable.commit(Seq((21L, "v21")).toDF("id", "v"),
+      dir, "append", statsColumns = Seq("id"))
+    // compact to 1 file, range-clustered by id, from a SQL string
+    val cmp = s.sql(s"SELECT * FROM graft_tx_compact('$dir', 1, 'id')").collect()
+    assert(cmp.map(r => (r.getLong(0), r.getString(1))).toSeq
+      === Seq((2L, "compact")))
+    assert(graft.sources.TxTable.snapshot(dir, 2L).files.size === 1)
+    assert(s.sql(s"SELECT id FROM graft_tx_read('$dir')")
+      .collect().map(_.getLong(0)).toSet === (1L to 21L).toSet,
+      "compaction preserves logical content")
+    // vacuum down to the compacted version, from a SQL string
+    val vac = s.sql(s"SELECT * FROM graft_tx_vacuum('$dir', 1)").collect()
+    assert(vac.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
+    assert(graft.sources.TxTable.versions(dir) === Seq(2L))
+    assert(s.sql(s"SELECT id FROM graft_tx_read('$dir')")
+      .collect().map(_.getLong(0)).toSet === (1L to 21L).toSet,
+      "retention never touches the latest version's content")
+  }
 }
