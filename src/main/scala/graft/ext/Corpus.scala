@@ -529,24 +529,42 @@ object Corpus {
       preBuckets: Int = 16): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
-    Seq((cap, salt, sourceParts)).toDF("cap", "salt", "source_parts")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
-    rankCapped(hashedSourceRows(df, idCol, sourceCol, salt),
+    val kept = rankCapped(hashedSourceRows(df, idCol, sourceCol, salt),
         idCol, sourceCol, cap, preBuckets)
       .withColumn("ps", pmod(PortableHash.hash32(col(sourceCol)), lit(sourceParts)).cast("int"))
-      .repartition(sourceParts, col("ps"))
+    // the kept schema rides in params so readers never infer: an EMPTY
+    // initial build writes zero part-files under kept/, and inference
+    // over that dir would fail (UNABLE_TO_INFER_SCHEMA) even though the
+    // index is perfectly valid state for append to grow from
+    Seq((cap, salt, sourceParts, kept.schema.json))
+      .toDF("cap", "salt", "source_parts", "kept_schema")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/params")
+    kept.repartition(sourceParts, col("ps"))
       .write.partitionBy("ps").mode("overwrite").parquet(s"$path/kept")
   }
 
   private def requireCapParams(
       spark: org.apache.spark.sql.SparkSession,
-      path: String, cap: Int, salt: String, sourceParts: Int): Unit = {
+      path: String, cap: Int, salt: String, sourceParts: Int)
+      : org.apache.spark.sql.types.StructType = {
     val r = spark.read.parquet(s"$path/params").collect()(0)
     val stored = (r.getInt(0), r.getString(1), r.getInt(2))
     require(stored == ((cap, salt, sourceParts)),
       s"source-cap index at $path was built with (cap, salt, sourceParts) = " +
         s"$stored; caller passed ${(cap, salt, sourceParts)}")
+    org.apache.spark.sql.types.DataType.fromJson(r.getString(3))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
   }
+
+  /** The persisted kept set under its recorded schema — reads an
+    * empty-build index (zero part-files) as an empty frame instead of
+    * failing schema inference.
+    */
+  private def readKeptIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).parquet(s"$path/kept")
 
   /** Fold a batch into the persisted cap index. I/O is proportional to
     * the batch's source spread: the batch's distinct `ps` values (≤
@@ -564,13 +582,13 @@ object Corpus {
       sourceParts: Int = 64,
       preBuckets: Int = 16): Unit = {
     val spark = batch.sparkSession
-    requireCapParams(spark, path, cap, salt, sourceParts)
+    val keptSchema = requireCapParams(spark, path, cap, salt, sourceParts)
     val hashed = hashedSourceRows(batch, idCol, sourceCol, salt)
       .withColumn("ps", pmod(PortableHash.hash32(col(sourceCol)), lit(sourceParts)).cast("int"))
       .localCheckpoint(true) // consumed twice (ps list + union); small: one batch
     val touched = hashed.select(col("ps")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val stored = spark.read.parquet(s"$path/kept")
+    val stored = readKeptIndex(spark, path, keptSchema)
       .filter(col("ps").isin(touched.map(Integer.valueOf): _*))
     val merged = stored.select(col(idCol), col(sourceCol), col("__h"), col("ps"))
       .unionByName(hashed)
@@ -585,9 +603,14 @@ object Corpus {
   /** The served kept set: (id, source, rk). */
   def serveSourceCapIndex(
       spark: org.apache.spark.sql.SparkSession,
-      path: String, idCol: String, sourceCol: String): DataFrame =
-    spark.read.parquet(s"$path/kept")
+      path: String, idCol: String, sourceCol: String): DataFrame = {
+    val schemaJson = spark.read.parquet(s"$path/params")
+      .collect()(0).getString(3)
+    readKeptIndex(spark, path,
+        org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
       .select(col(idCol), col(sourceCol), col("rk"))
+  }
 
   /** Line-level exact deduplication — the RefinedWeb granularity below
     * [[passageDedup]]'s fixed windows: a LINE (newline-delimited) that
@@ -784,8 +807,9 @@ object Corpus {
     *
     * Scale shape: one narrow scan → explode (docs shorter than `n`
     * tokens contribute nothing — the audit wants real n-grams, not the
-    * whole-text fallback dedup shingles use) → ONE hash aggregate with
-    * map-side partial combine on the gram key → `minDocs` filter →
+    * whole-text fallback dedup shingles use) → a (gram, doc)
+    * pre-aggregate (distinct-doc counting) → a gram-key rollup, both
+    * with map-side partial combine → `minDocs` filter →
     * `TakeOrderedAndProject` top-k. Only k rows survive per partition
     * into the final ordering, so the result stays driver-safe at any
     * corpus size. Ties break lexicographically for determinism.
@@ -803,17 +827,20 @@ object Corpus {
     require(n > 0, s"n must be positive, got $n")
     // ONE scan (a two-scan plan that aggregated 8-byte gram hashes and
     // re-derived only the k winning strings measured 8.9 s vs 5.2 s at
-    // sf0.1, because scan 2 re-pays the gram build). The per-(gram, doc)
+    // sf0.1, because scan 2 re-pays the gram build). The per-(gram, row)
     // tf counting happens INSIDE the native [[graft.expr.TfGrams]]
     // kernel (no-fallback mode: docs shorter than n contribute nothing —
     // the audit wants real n-grams), so the exploded output is already
-    // the (gram, doc, tf) posting list: the interpreted window HOF AND
-    // the (gram, doc) aggregation exchange of the round-8 plan are both
-    // gone, leaving one map-side-combined gram-key aggregate.
-    df.select(
+    // a (gram, tf) posting list and the interpreted window HOF of the
+    // round-8 plan is gone. n_docs counts DISTINCT `idCol` values (two
+    // rows sharing a doc id — a doc split across rows — are one doc),
+    // so a (gram, doc) pre-aggregate collapses per-doc postings before
+    // the gram-key rollup; both levels partial-combine map-side.
+    df.select(col(idCol).as("__doc"),
         explode(Dedup.tfGrams(col(textCol), n, withShortFallback = false))
           .as("__gt"))
-      .select(col("__gt.g").as("gram"), col("__gt.tf").as("__c"))
+      .groupBy(col("__gt.g").as("gram"), col("__doc"))
+      .agg(sum(col("__gt.tf")).as("__c"))
       .groupBy(col("gram"))
       .agg(sum(col("__c")).as("n_occurrences"),
         count(lit(1)).as("n_docs"))

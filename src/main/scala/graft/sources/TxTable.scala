@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession, functions}
 import org.apache.spark.sql.types.{DataType, StructType}
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
@@ -151,7 +151,10 @@ object TxTable {
         // legacy: <file>|<col>|<minLong>|<maxLong>
         // (file paths and col names contain no '|'; values are base64
         // so no repr can collide with the delimiter or a newline)
-        val p = s.split('|')
+        // limit -1 keeps trailing empty fields: b64enc("") is "", so a
+        // string column whose only values are "" writes `...|string||`
+        // and the default split would truncate it to 3 fields
+        val p = s.split("\\|", -1)
         val range =
           if (p.length >= 5) ColRange(p(2), b64dec(p(3)), b64dec(p(4)))
           else ColRange("long", p(2), p(3))
@@ -333,18 +336,29 @@ object TxTable {
     * `try_cast(long)` version had to keep EVERY file once any key
     * failed the cast). Null keys match nothing in a keyed equi-join and
     * so never constrain the file set; a key type outside [[statKind]]'s
-    * domains keeps all files (sound). Used by [[merge]]'s copy-on-write
-    * pre-prune and [[changeFeed]]'s append-path base prune.
+    * domains, or a key frame whose column type differs from the base's
+    * (join coercion could match values the cast drops), keeps all files
+    * (sound). Used by [[merge]]'s copy-on-write pre-prune and
+    * [[changeFeed]]'s append-path base prune.
     */
   private def pruneByKeyRange(snap: Snapshot, keys: DataFrame,
       statKey: String): Seq[String] = {
     import org.apache.spark.sql.functions.{col, count, max, min}
     if (!snap.stats.values.exists(_.contains(statKey))) return snap.files
     val dtOpt = snap.schema.fields.find(_.name == statKey).map(_.dataType)
+    // Prune ONLY when the key frame's column is the base column's exact
+    // type. A mismatched batch (say STRING keys against a LONG base)
+    // equi-joins under Spark's coercion — both sides to double, where
+    // '5.0' DOES hit 5 — but cast('5.0' as long) is null, so bounds
+    // computed through the cast would miss the file and lose the
+    // DELETE/UPDATE. Keeping every file on mismatch restores the
+    // round-8 guarantee without the per-row try_cast census.
+    val keyDt = keys.schema.fields.find(_.name == statKey).map(_.dataType)
+    if (keyDt != dtOpt) return snap.files
     dtOpt.flatMap(statKind) match {
       case None => snap.files // key type has no sound ordering repr
       case Some(kind) =>
-        val e = statCanonical(col(statKey).cast(dtOpt.get), dtOpt.get)
+        val e = statCanonical(col(statKey), dtOpt.get)
         val b = keys.agg(min(e), max(e), count(e)).collect()(0)
         if (b.getLong(2) == 0L) Seq.empty // no non-null key touches any file
         else if (kind == "long")
@@ -406,18 +420,9 @@ object TxTable {
     * `read(...).where(lo <= column <= hi)` with fewer files opened.
     */
   def readPruned(spark: SparkSession, dir: String, column: String,
-      lo: Long, hi: Long, version: Option[Long] = None): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    val snap = version.map(snapshot(dir, _)).orElse(latest(dir))
-      .getOrElse(throw new IllegalArgumentException(s"no committed version at $dir"))
-    val keep = snap.filesOverlapping(column, lo, hi)
-    val base =
-      if (keep.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
-      else spark.read.schema(snap.schema).parquet(keep.map(f => s"$dir/$f"): _*)
-    base.where(col(column) >= lo && col(column) <= hi)
-  }
+      lo: Long, hi: Long, version: Option[Long] = None): DataFrame =
+    readKeptRange(spark, dir, version, column,
+      _.filesOverlapping(column, lo, hi), functions.lit(lo), functions.lit(hi))
 
   /** [[readPruned]] for a STRING column: manifest stats are recorded in
     * UTF-8 byte order — the same order Spark's string comparison uses —
@@ -425,11 +430,21 @@ object TxTable {
     * with only the overlapping files opened.
     */
   def readPrunedString(spark: SparkSession, dir: String, column: String,
-      lo: String, hi: String, version: Option[Long] = None): DataFrame = {
+      lo: String, hi: String, version: Option[Long] = None): DataFrame =
+    readKeptRange(spark, dir, version, column,
+      _.filesOverlappingString(column, lo, hi), functions.lit(lo), functions.lit(hi))
+
+  /** Shared body of the pruned reads: resolve the snapshot, keep only
+    * the overlapping files, re-apply the exact range predicate on top.
+    */
+  private def readKeptRange(spark: SparkSession, dir: String,
+      version: Option[Long], column: String,
+      keepOf: Snapshot => Seq[String],
+      lo: org.apache.spark.sql.Column, hi: org.apache.spark.sql.Column): DataFrame = {
     import org.apache.spark.sql.functions.col
     val snap = version.map(snapshot(dir, _)).orElse(latest(dir))
       .getOrElse(throw new IllegalArgumentException(s"no committed version at $dir"))
-    val keep = snap.filesOverlappingString(column, lo, hi)
+    val keep = keepOf(snap)
     val base =
       if (keep.isEmpty)
         spark.createDataFrame(
@@ -724,7 +739,32 @@ object TxTable {
     // hit scan, rewrite) and every CAS retry re-derives from it, and a
     // nondeterministic input re-evaluated per stage could pass the dup
     // check on one evaluation and disagree on the next
-    val ch = changes.localCheckpoint(true)
+    val chRaw = changes.localCheckpoint(true)
+    // key types must match the table's exactly, or widen losslessly
+    // (byte→short→int→long). Anything else — say STRING '5.0' against a
+    // LONG key — is rejected LOUDLY: under ANSI the join's implicit cast
+    // throws mid-scan on malformed values, and under a lenient cast the
+    // typed stats prune and the join could disagree on which rows match,
+    // silently dropping DELETEs. The caller casts explicitly or not at all.
+    val keySchema = latest(dir).getOrElse(throw new IllegalArgumentException(
+      s"no committed version at $dir to merge into")).schema
+    val widening = {
+      import org.apache.spark.sql.types._
+      Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+    }
+    keyCols.foreach { k =>
+      val bt = keySchema(k).dataType
+      val ct = chRaw.schema(k).dataType
+      require(bt == ct ||
+          (widening.contains(ct) && widening.contains(bt) &&
+            widening.indexOf(ct) <= widening.indexOf(bt)),
+        s"merge key '$k' is $ct in the change batch but $bt in the table " +
+          s"at $dir — cast the batch key explicitly")
+    }
+    val ch = chRaw.select(chRaw.columns.map { c =>
+      if (keyCols.contains(c)) col(c).cast(keySchema(c).dataType).as(c)
+      else col(c)
+    }.toSeq: _*)
     val touched = ch.select(keyCols.map(col): _*).distinct()
     require(ch.select(keyCols.map(col): _*).count() == touched.count(),
       s"merge requires one change row per key (${keyCols.mkString(",")}); " +
@@ -737,8 +777,12 @@ object TxTable {
         s"merge at $dir lost $maxRetries publish races; giving up")
       val base = latest(dir).getOrElse(throw new IllegalArgumentException(
         s"no committed version at $dir to merge into"))
+      // cast to the base schema: the manifest's schema is the table
+      // contract, and a batch with (say) STRING ids must not smuggle
+      // string-typed files into a LONG-keyed table — the next read
+      // would fail against the declared schema
       val upserts = ch.filter(col(opCol).isin("INSERT", "UPDATE"))
-        .select(base.schema.fieldNames.map(col).toSeq: _*)
+        .select(base.schema.fields.map(f => col(f.name).cast(f.dataType)).toSeq: _*)
       // 1. stats pre-prune on the first key's global touched range,
       // typed at the key column's own type ([[pruneByKeyRange]])
       val candidates = pruneByKeyRange(base, touched, keyCols.head)

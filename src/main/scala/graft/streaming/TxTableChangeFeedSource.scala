@@ -83,32 +83,41 @@ class TxTableChangeFeedSource(
   // returns — monotone across crashes at any point. Unthrottled
   // streams skip all of this (the offset is just the latest version).
 
-  private def watermarkFile: java.nio.file.Path = {
-    val p = if (metadataPath.startsWith("file:"))
-      java.nio.file.Paths.get(new java.net.URI(metadataPath))
-    else java.nio.file.Paths.get(metadataPath)
-    p.resolve("graft-delivered")
-  }
+  // The floor file lives in the checkpoint's own filesystem: metadataPath
+  // may be hdfs://, s3a://, or a bare local path, so all access goes
+  // through CheckpointFileManager (what FileStreamSource itself uses for
+  // its metadata log) — java.nio would silently turn an hdfs:// URI into
+  // a relative LOCAL path and the floor would not survive driver failover.
+  private lazy val checkpointFs =
+    org.apache.spark.sql.execution.streaming.checkpointing.CheckpointFileManager
+      .create(new org.apache.hadoop.fs.Path(metadataPath),
+        spark.sessionState.newHadoopConf())
+
+  private def watermarkFile: org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(metadataPath, "graft-delivered")
 
   private var lastDelivered: Long =
     if (maxVersionsPerTrigger.isEmpty || metadataPath.isEmpty) startingVersion - 1
     else {
       val f = watermarkFile
-      if (java.nio.file.Files.exists(f))
-        math.max(java.nio.file.Files.readString(f).trim.toLong, startingVersion - 1)
-      else startingVersion - 1
+      if (checkpointFs.exists(f)) {
+        val in = checkpointFs.open(f)
+        try math.max(
+          new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8).trim.toLong,
+          startingVersion - 1)
+        finally in.close()
+      } else startingVersion - 1
     }
 
   private def persistDelivered(v: Long): Unit =
     if (maxVersionsPerTrigger.isDefined && metadataPath.nonEmpty) {
-      val f = watermarkFile
-      java.nio.file.Files.createDirectories(f.getParent)
-      val tmp = f.resolveSibling(".graft-delivered-tmp")
-      java.nio.file.Files.writeString(tmp, v.toString)
-      java.nio.file.Files.move(tmp, f,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      ()
+      checkpointFs.mkdirs(new org.apache.hadoop.fs.Path(metadataPath))
+      val out = checkpointFs.createAtomic(watermarkFile, overwriteIfPossible = true)
+      try {
+        out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        out.close()
+      } catch { case e: Throwable => out.cancel(); throw e }
     }
 
   override def getOffset: Option[OffsetV1] =
@@ -276,6 +285,29 @@ object TxReplicaStream {
     q.awaitTermination()
   }
 
+  /** Incremental applied-epoch ledger, keyed by replica dir: (highest
+    * replica version already scanned, epochs seen so far). Each trigger
+    * parses only the manifests COMMITTED SINCE the last trigger —
+    * O(applied this batch), not O(replica history): a 5-second stream
+    * that has applied 100k versions must not re-read 100k manifests per
+    * trigger just to learn nothing changed. A replica dir that was wiped
+    * and rebuilt (versions regressed) resets its entry and rescans.
+    */
+  private val epochLedger =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Set[Long])]()
+
+  private def appliedEpochs(replicaDir: String): Set[Long] =
+    epochLedger.compute(replicaDir, (_, prev) => {
+      val (scanned, eps) = Option(prev).getOrElse((-1L, Set.empty[Long]))
+      val vsNow = TxTable.versions(replicaDir)
+      val (base, baseEps) =
+        if (vsNow.lastOption.getOrElse(-1L) < scanned) (-1L, Set.empty[Long])
+        else (scanned, eps)
+      val fresh = vsNow.filter(_ > base)
+      (math.max(base, fresh.lastOption.getOrElse(base)),
+        baseEps ++ fresh.flatMap(v => TxTable.snapshot(replicaDir, v).epoch))
+    })._2
+
   /** Apply one micro-batch of feed rows: strict version order, one
     * idempotent epoch-stamped replica commit per primary version. The
     * batch is persisted because it is re-filtered once per version (a
@@ -288,8 +320,7 @@ object TxReplicaStream {
     try {
       val vs = cached.select(col("_commit_version")).distinct()
         .collect().map(_.getLong(0)).sorted // O(versions per trigger)
-      val applied: Set[Long] = TxTable.versions(replicaDir)
-        .map(TxTable.snapshot(replicaDir, _)).flatMap(_.epoch).toSet
+      val applied: Set[Long] = appliedEpochs(replicaDir)
       vs.filterNot(applied).foreach { v =>
         val rows = cached.filter(col("_commit_version") === v)
           .drop("_commit_version")

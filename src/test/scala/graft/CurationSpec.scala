@@ -81,6 +81,23 @@ class CurationSpec extends SparkSpecBase {
     assert(res.passed, s"property failed: ${res.status}")
   }
 
+  test("sourceCap index: an EMPTY initial build is valid state appends grow from") {
+    // an empty base writes ZERO part-files under kept/ — the index must
+    // still read (schema rides in params, never inferred) and appends
+    // must grow it to the single-shot cap
+    val all = (1L to 20L).map(i => (i, s"s${i % 2}")).toDF("doc_id", "source")
+    val path = java.nio.file.Files.createTempDirectory("srccap_empty").toString
+    Corpus.writeSourceCapIndex(all.limit(0), "doc_id", "source",
+      cap = 3, salt = "e", path = path)
+    assert(Corpus.serveSourceCapIndex(spark, path, "doc_id", "source").isEmpty)
+    Corpus.appendToSourceCapIndex(all, "doc_id", "source",
+      cap = 3, salt = "e", path = path)
+    assertSameRows(
+      Corpus.serveSourceCapIndex(spark, path, "doc_id", "source"),
+      Corpus.sourceCap(all, "doc_id", "source", cap = 3, salt = "e"),
+      "empty-base append-vs-rebuild")
+  }
+
   test("streaming micro-batches maintain the source-cap index (foreachBatch)") {
     // the curation analog of the streaming dedup-index test: each
     // micro-batch folds into the persisted cap index; after the drain

@@ -24,6 +24,21 @@ class RoundSevenOpsSpec extends SparkSpecBase {
     assert(out.toSeq === Seq(("a b c", 3L, 2L)))
   }
 
+  test("dupNgrams: n_docs counts DISTINCT doc ids — a doc split across rows is one doc") {
+    val df = Seq(
+      (1L, "a b c d"),   // doc 1, part 1
+      (1L, "a b c e"),   // doc 1, part 2 — same gram "a b c"
+      (2L, "a b c f")
+    ).toDF("doc_id", "text")
+    val out = Corpus.dupNgrams(df, "doc_id", "text", n = 3, minDocs = 2, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // "a b c": 3 occurrences, but only 2 distinct docs (1 and 2)
+    assert(out.toSeq === Seq(("a b c", 3L, 2L)))
+    // and with minDocs = 3 the duplicate-row doc must NOT push it over
+    assert(Corpus.dupNgrams(df, "doc_id", "text", n = 3, minDocs = 3, k = 10)
+      .isEmpty)
+  }
+
   test("dupNgrams orders by occurrences desc then gram, and respects k") {
     val df = Seq(
       (1L, "x x x x"),  // "x x" occurs 3 times here

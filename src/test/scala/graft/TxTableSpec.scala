@@ -283,6 +283,48 @@ class TxTableSpec extends SparkSpecBase {
     assert(feed(1).getDouble(2) === 9.5)
   }
 
+  test("string stats: empty-string bounds round-trip; the table stays fully usable") {
+    // b64enc("") is "" → the manifest line ends `|string||`; the parser
+    // must keep the trailing empty fields (a truncating split would
+    // throw on EVERY later snapshot, bricking the table)
+    val dir = Files.createTempDirectory("txemptystat").toString
+    TxTable.commit(Seq(("", 1L), ("", 2L)).toDF("k", "x"), dir,
+      "overwrite", statsColumns = Seq("k"))
+    assert(TxTable.read(s, dir).count() === 2L)
+    TxTable.commit(Seq(("a", 3L)).toDF("k", "x"), dir,
+      "append", statsColumns = Seq("k"))
+    assert(TxTable.read(s, dir).select("x").collect().map(_.getLong(0)).toSet
+      === Set(1L, 2L, 3L))
+    // the recorded "" bound still participates in pruning correctly
+    assertSameRows(TxTable.readPrunedString(s, dir, "k", "", ""),
+      TxTable.read(s, dir).filter($"k" === ""), "empty-string pruned read")
+  }
+
+  test("merge: a mismatched-typed key batch fails LOUDLY; widening keys land exactly") {
+    // LONG-keyed base with stats; a DELETE batch whose id is STRING
+    // '5.0': the typed stats prune sees no castable keys while ANSI's
+    // join cast throws mid-scan — either way the batch cannot be
+    // trusted, so merge rejects it up front with a clear error and the
+    // table is untouched. Lossless integral widening (int → long) is
+    // fine and must hit exactly.
+    val dir = Files.createTempDirectory("txmismatch").toString
+    val base = (1L to 10L).map(i => (i, s"v$i")).toDF("id", "v").repartition(4)
+    TxTable.commit(base, dir, "overwrite", statsColumns = Seq("id"))
+    val e = intercept[IllegalArgumentException] {
+      TxTable.merge(s, dir,
+        Seq(("5.0", "x", "DELETE")).toDF("id", "v", "operation"), Seq("id"))
+    }
+    assert(e.getMessage.contains("cast the batch key explicitly"), e.getMessage)
+    assert(TxTable.read(s, dir).count() === 10L, "rejected merge must not commit")
+    // int-typed batch key widens losslessly and the DELETE lands
+    TxTable.merge(s, dir,
+      Seq((5, "x", "DELETE")).toDF("id", "v", "operation"), Seq("id"))
+    assert(TxTable.read(s, dir).select("id").collect().map(_.getLong(0)).toSet
+      === ((1L to 10L).toSet - 5L), "the widened DELETE must land")
+    assert(TxTable.latest(dir).get.schema("id").dataType
+      === org.apache.spark.sql.types.LongType)
+  }
+
   test("merge: copy-on-write rewrites only files containing touched keys") {
     val dir = Files.createTempDirectory("txmergecow").toString
     val base = (1L to 40L).map(i => (i, s"v$i", i * 10.0)).toDF("id", "v", "x")
