@@ -923,6 +923,16 @@ object SparkEntry {
         maxTokens = 4096, strataCol = col("lang"))
       .orderBy("doc_id")
 
+  /** Packing-boundary audit: per (lang, context length), how many docs
+    * straddle a sequence boundary under greedy contiguous packing — the
+    * context-length design input (what fraction of documents a
+    * non-splitting trainer must truncate or pad around at 512 / 2048 /
+    * 8192 tokens).
+    */
+  private def qCorpusPackStats(s: SparkSession, dir: String): DataFrame =
+    Corpus.packStats(documents(s, dir), "doc_id", "text",
+      ctxs = Seq(512, 2048, 8192), strataCol = col("lang"))
+
   /** Duplicate clusters from the ngram near-dup pairs: each doc labeled
     * with its cluster's min id (the keep-one-per-cluster step).
     */
@@ -3549,6 +3559,15 @@ object SparkEntry {
   private def qCorpusDupNgrams(s: SparkSession, dir: String): DataFrame =
     Corpus.dupNgrams(documents(s, dir), "doc_id", "text", n = 5, minDocs = 2, k = 20)
 
+  /** Exact repeated-substring span audit (the positional sibling of
+    * [[qCorpusDupNgrams]], the suffix-array-dedup stand-in): per
+    * document, the duplicated 5-gram windows and the longest consecutive
+    * duplicated run — verbatim-copy spans set-based shingle dedup cannot
+    * see. Top-200 docs by span length.
+    */
+  private def qCorpusDupSpans(s: SparkSession, dir: String): DataFrame =
+    Corpus.dupSpans(documents(s, dir), "doc_id", "text", n = 5, k = 200)
+
   /** Asymmetric containment near-dup pairs (quoted/embedded documents)
     * under rare-gram blocking; df cap 20 bounds the per-gram fanout.
     */
@@ -5051,6 +5070,7 @@ object SparkEntry {
     "corpus_curate" -> (qCorpusCurate _),
     "corpus_curation_funnel" -> (qCorpusCurationFunnel _),
     "corpus_dup_ngrams" -> (qCorpusDupNgrams _),
+    "corpus_dup_spans" -> (qCorpusDupSpans _),
     "corpus_norm_dedup" -> (qCorpusNormDedup _),
     "nation_trade_volume" -> (qNationTradeVolume _),
     "orders_shipping_priority" -> (qOrdersShippingPriority _),
@@ -5203,6 +5223,7 @@ object SparkEntry {
     "corpus_sample" -> (qCorpusSample _),
     "corpus_weighted_sample" -> (qCorpusWeightedSample _),
     "corpus_pack" -> (qCorpusPack _),
+    "corpus_pack_stats" -> (qCorpusPackStats _),
     "corpus_manifest" -> (qCorpusManifest _),
     "corpus_decontaminate" -> (qCorpusDecontaminate _),
     "corpus_passage_dedup" -> (qCorpusPassageDedup _),
@@ -6425,6 +6446,45 @@ object SparkEntry {
          |SELECT gram, n_occurrences, n_docs FROM a WHERE n_docs >= 2
          |ORDER BY n_occurrences DESC, gram LIMIT 20""".stripMargin,
 
+    // exact repeated-substring spans: positional 5-grams, cross-doc dup
+    // flag via dense_rank/max windows, gaps-and-islands for run lengths
+    // (a run of r duplicated windows = a shared substring of r+4 tokens)
+    "corpus_dup_spans" ->
+      s"""WITH $TextTokensCte,
+         |g AS (SELECT doc_id,
+         |        unnest(range(0, CASE WHEN len(ltoks) < 5 THEN 0 ELSE len(ltoks)-4 END)) AS pos,
+         |        unnest(CASE WHEN len(ltoks) < 5 THEN CAST([] AS VARCHAR[])
+         |               ELSE list_transform(range(1, len(ltoks)-3),
+         |                      i -> array_to_string(ltoks[i:i+4], ' ')) END) AS g
+         |      FROM t),
+         |d1 AS (SELECT doc_id, pos, g,
+         |         dense_rank() OVER (PARTITION BY g ORDER BY doc_id) AS dr
+         |       FROM g),
+         |d2 AS (SELECT doc_id, pos,
+         |         (max(dr) OVER (PARTITION BY g)) >= 2 AS dup
+         |       FROM d1),
+         |r AS (SELECT doc_id, pos, dup,
+         |        pos - SUM(CASE WHEN dup THEN 1 ELSE 0 END)
+         |          OVER (PARTITION BY doc_id ORDER BY pos
+         |                ROWS UNBOUNDED PRECEDING) AS rid
+         |      FROM d2),
+         |pr AS (SELECT doc_id, rid, CAST(COUNT(*) AS BIGINT) AS run_len
+         |       FROM r WHERE dup GROUP BY 1, 2),
+         |pd AS (SELECT doc_id,
+         |         CAST(SUM(run_len) AS BIGINT) AS n_dup_grams,
+         |         CAST(COUNT(*) AS BIGINT) AS n_dup_runs,
+         |         CAST(MAX(run_len) + 4 AS BIGINT) AS longest_dup_span_tokens
+         |       FROM pr GROUP BY 1),
+         |tot AS (SELECT doc_id,
+         |          CAST(GREATEST(len(ltoks) - 4, 0) AS BIGINT) AS n_grams
+         |        FROM t)
+         |SELECT p.doc_id, o.n_grams, p.n_dup_grams, p.n_dup_runs,
+         |       p.longest_dup_span_tokens,
+         |       round(CAST(p.n_dup_grams AS DOUBLE) / o.n_grams, 6) AS dup_frac
+         |FROM pd p JOIN tot o USING (doc_id)
+         |ORDER BY longest_dup_span_tokens DESC, doc_id
+         |LIMIT 200""".stripMargin,
+
     // normalization-gain audit: raw fingerprint = whitespace-only
     // normalization (TextAnalysis.fingerprint), normalized = punctuation
     // stripped first (TextAnalysis.normFingerprint)
@@ -7406,6 +7466,32 @@ object SparkEntry {
          |          ROWS UNBOUNDED PRECEDING) AS BIGINT) - len(toks)) // 4096 AS seq_i
          |FROM documents d JOIN t ON d.doc_id = t.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    // packing-boundary audit: per (lang, ctx), docs whose greedy-packed
+    // token span [strt, endp] straddles a multiple of ctx
+    "corpus_pack_stats" ->
+      s"""WITH $TextTokensCte,
+         |s0 AS (
+         |  SELECT d.lang AS stratum, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |         CAST(SUM(len(toks)) OVER (PARTITION BY d.lang ORDER BY d.doc_id
+         |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM documents d JOIN t ON d.doc_id = t.doc_id
+         |  WHERE len(toks) > 0),
+         |sp AS (SELECT stratum, n_tokens,
+         |         cum - n_tokens AS strt, cum - 1 AS endp FROM s0),
+         |e AS (SELECT stratum, n_tokens, strt, endp,
+         |        unnest([512, 2048, 8192]) AS ctx FROM sp),
+         |c AS (SELECT stratum, ctx, n_tokens,
+         |        CASE WHEN (strt // ctx) != (endp // ctx) THEN 1 ELSE 0 END AS crossed
+         |      FROM e)
+         |SELECT stratum, CAST(ctx AS INT) AS ctx,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |       CAST((SUM(n_tokens) + ctx - 1) // ctx AS BIGINT) AS n_seqs,
+         |       CAST(SUM(crossed) AS BIGINT) AS n_cross_docs,
+         |       round(CAST(SUM(crossed) AS DOUBLE) / COUNT(*), 6) AS cross_doc_frac,
+         |       round(CAST(SUM(crossed * n_tokens) AS DOUBLE) / SUM(n_tokens), 6) AS cross_token_frac
+         |FROM c GROUP BY stratum, ctx ORDER BY stratum, ctx""".stripMargin,
 
     // deterministic hash-order fill per stratum: take a doc while the
     // tokens before it are under the stratum budget (overshoot ≤ 1 doc)

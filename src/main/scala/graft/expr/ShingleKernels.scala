@@ -269,3 +269,59 @@ case class TfGrams(child: Expression, n: Int, withShortFallback: Boolean = true)
   override protected def withNewChildInternal(newChild: Expression): TfGrams =
     copy(child = newChild)
 }
+
+/** `string` text → ALL word n-grams IN TEXT ORDER (with multiplicity)
+  * `array<string>` — the positional sibling of [[TfGrams]] for span
+  * audits that need each gram's offset (`posexplode` over this array
+  * yields `(pos, gram)` with `pos` = 0-based token offset of the
+  * window's first token). No short-document fallback: fewer than `n`
+  * tokens → empty array (a span audit wants real n-grams only).
+  * Tokenization is [[Shingler.tokens]] (lowercase, ASCII-space trim,
+  * `\s+` split), identical to every other gram kernel here.
+  */
+case class PosGrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"gram size must be >= 1, got $n")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires string, got ${t.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "graft_pos_grams"
+
+  def kernel(text: UTF8String): GenericArrayData = {
+    val toks = Shingler.tokens(text)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - n + 1)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i + n <= toks.length) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any): Any = kernel(a.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("psg", this, classOf[PosGrams].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.kernel($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PosGrams =
+    copy(child = newChild)
+}

@@ -148,6 +148,62 @@ object Corpus {
       .drop("cum")
   }
 
+  /** Packing-boundary audit over [[packSequences]]' greedy contiguous
+    * fill: for each (stratum, context length), how many documents
+    * straddle a sequence boundary — the docs a non-splitting trainer
+    * must truncate/pad around, the direct design input for choosing a
+    * context length against a given corpus. A document with 0-based
+    * token span [start, start+len) crosses a boundary iff
+    * `start div ctx != (start+len−1) div ctx`.
+    *
+    * Plan: ONE stratum-key window cumsum over a 3-column projection
+    * (id, stratum, token count — no text leaves the scan), then an
+    * explode over the constant context-length list (|ctxs|× a
+    * 4-column frame, nothing like the corpus), then a (stratum, ctx)
+    * rollup that reuses the stratum partitioning (subset-key
+    * aggregate, no second exchange). Zero-token docs are excluded —
+    * they occupy no span.
+    *
+    * Output: (stratum, ctx INT, n_docs, total_tokens, n_seqs =
+    * ceil(total/ctx), n_cross_docs, cross_doc_frac 6-dp,
+    * cross_token_frac 6-dp = fraction of tokens in straddling docs),
+    * ordered by stratum, ctx.
+    */
+  def packStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      ctxs: Seq[Int],
+      strataCol: Column): DataFrame = {
+    require(ctxs.nonEmpty && ctxs.forall(_ > 0), "context lengths must be positive")
+    val w = Window.partitionBy(col("stratum")).orderBy(col(idCol))
+    val spans = df.select(col(idCol), strataCol.as("stratum"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("stratum"), col("n_tokens"),
+        (col("cum") - col("n_tokens")).as("strt"),
+        (col("cum") - 1).as("endp"))
+    spans
+      .select(col("stratum"), col("n_tokens"), col("strt"), col("endp"),
+        explode(typedLit(ctxs)).as("ctx"))
+      .withColumn("crossed",
+        expr("(strt div ctx) != (endp div ctx)").cast("long"))
+      .groupBy(col("stratum"), col("ctx"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("crossed")).as("n_cross_docs"),
+        sum(col("crossed") * col("n_tokens")).as("__cross_tokens"))
+      .select(col("stratum"), col("ctx"), col("n_docs"), col("total_tokens"),
+        expr("(total_tokens + ctx - 1) div ctx").as("n_seqs"),
+        col("n_cross_docs"),
+        round(col("n_cross_docs").cast("double") / col("n_docs"), 6)
+          .as("cross_doc_frac"),
+        round(col("__cross_tokens").cast("double") / col("total_tokens"), 6)
+          .as("cross_token_frac"))
+      .orderBy(col("stratum"), col("ctx"))
+  }
+
   /** Top-`k` TF-IDF terms per document — the classic keyword/topic
     * extraction pass. The idf factor is the RATIONAL form `(N+1)/(df+1)`
     * rather than its logarithm: the ranking it induces per document is
@@ -846,6 +902,77 @@ object Corpus {
         count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
       .orderBy(col("n_occurrences").desc, col("gram"))
+      .limit(k)
+  }
+
+  /** Exact repeated-SUBSTRING span audit — the per-document sibling of
+    * [[dupNgrams]] and the scalable stand-in for suffix-array substring
+    * dedup (Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better"): for each document, how many of its word n-gram
+    * windows also occur in at least one OTHER document, and the longest
+    * CONSECUTIVE run of such windows (a run of `r` duplicated n-gram
+    * windows is a shared substring of `r + n − 1` tokens). Long spans
+    * are verbatim-copy / memorization risks that set-based shingle
+    * dedup (which ignores position) cannot see.
+    *
+    * Scale shape: one scan → native positional-gram kernel
+    * ([[graft.expr.PosGrams]]) → gram-key windows (dense_rank + max,
+    * ONE exchange — distinct-doc count per gram without a self-join) →
+    * doc-key window for the gaps-and-islands run ids → (doc, run) and
+    * doc rollups that reuse the doc-key partitioning (subset-key
+    * aggregates, no further exchange) → top-k. Per-doc gram totals come
+    * from a second narrow scan of the corpus (token count only, no gram
+    * strings) joined on the doc key. Everything between the two
+    * explicit exchanges partial-combines map-side; only `k` rows
+    * survive into the final ordering.
+    *
+    * Output: (doc_id, n_grams, n_dup_grams, n_dup_runs,
+    * longest_dup_span_tokens, dup_frac DOUBLE 6-dp), docs with at least
+    * one duplicated window, ordered by longest span desc then doc_id,
+    * capped at `k`.
+    */
+  def dupSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int,
+      k: Int): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    val grams = df.select(col(idCol).as("doc_id"),
+      posexplode(Dedup.posGrams(col(textCol), n)).as(Seq("pos", "g")))
+    // distinct docs per gram: dense_rank over doc order, then the
+    // partition max — two window frames over ONE gram-key exchange
+    val byGramOrdered = Window.partitionBy(col("g")).orderBy(col("doc_id"))
+    val byGram = Window.partitionBy(col("g"))
+    val marked = grams
+      .withColumn("__dr", dense_rank().over(byGramOrdered))
+      .withColumn("__nd", max(col("__dr")).over(byGram))
+      .select(col("doc_id"), col("pos"), (col("__nd") >= 2).as("dup"))
+    // gaps-and-islands: consecutive duplicated positions share
+    // pos − running_dup_count; non-dup rows keep rid null and are
+    // dropped before the run rollup
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = marked.withColumn("rid",
+      when(col("dup"),
+        col("pos") - sum(when(col("dup"), 1L).otherwise(0L)).over(byDoc)))
+    val perRun = runs.filter(col("dup"))
+      .groupBy(col("doc_id"), col("rid"))
+      .agg(count(lit(1)).as("run_len"))
+    val perDoc = perRun.groupBy(col("doc_id"))
+      .agg(sum(col("run_len")).as("n_dup_grams"),
+        count(lit(1)).as("n_dup_runs"),
+        (max(col("run_len")) + (n - 1)).as("longest_dup_span_tokens"))
+    // per-doc window totals: token count only — no gram strings built
+    val totals = df.select(col(idCol).as("doc_id"),
+      greatest(
+        size(TextAnalysis.tokens(lower(col(textCol)))) - (n - 1),
+        lit(0)).cast("long").as("n_grams"))
+    perDoc.join(totals, Seq("doc_id"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup_grams"),
+        col("n_dup_runs"), col("longest_dup_span_tokens"),
+        round(col("n_dup_grams").cast("double") / col("n_grams"), 6)
+          .as("dup_frac"))
+      .orderBy(col("longest_dup_span_tokens").desc, col("doc_id"))
       .limit(k)
   }
 

@@ -75,6 +75,16 @@ object Dedup {
       graft.expr.TfGrams(
         org.apache.spark.sql.GraftSqlBridge.expression(text), n, withShortFallback))
 
+  /** Native word-n-grams IN TEXT ORDER with multiplicity — see
+    * [[graft.expr.PosGrams]]. `posexplode` over it yields `(pos, gram)`
+    * with 0-based token offsets; docs shorter than `n` tokens yield an
+    * empty array (span audits want real n-grams only).
+    */
+  def posGrams(text: Column, n: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.expr.PosGrams(
+        org.apache.spark.sql.GraftSqlBridge.expression(text), n))
+
   /** Exact Jaccard similarity of two PRE-DISTINCT shingle arrays.
     * |A∪B| is derived as |A|+|B|−|A∩B| — valid ONLY for distinct inputs
     * (every internal caller produces distinct shingle sets), saving the
