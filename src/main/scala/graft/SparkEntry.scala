@@ -1810,6 +1810,41 @@ object SparkEntry {
       .orderBy("source")
   }
 
+  /** Bloom point-lookups on the oracle board: orders committed
+    * range-clustered by `o_orderkey` with per-file Bloom entries on the
+    * NON-clustered `o_custkey` — the column where every file's min/max
+    * range overlaps every probe, i.e. exactly where range stats cannot
+    * skip. Three present keys and one absent key are looked up through
+    * [[graft.sources.TxTable.readPointLookupLong]] and summarized. The
+    * oracle is the plain filtered aggregate over the parquet, so the
+    * hash match IS the "bloom skipping never drops rows" proof (a false
+    * NEGATIVE would silently lose orders); the spec tier proves files
+    * are actually skipped.
+    */
+  private def qTxBloomLookup(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxTable
+    val path = Fixtures.scratchDir("txbloomq", dir)
+    Fixtures.buildOnce("txbloomq", s, dir) {
+      wipeTxDir(path)
+      val o = orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      TxTable.commit(
+        o.repartitionByRange(8, col("o_orderkey"))
+          .sortWithinPartitions(col("o_orderkey")),
+        path, "overwrite", statsColumns = Seq("o_orderkey"),
+        bloomColumns = Seq("o_custkey"))
+      ()
+    }
+    val keys = Seq(37L, 73L, 110L, 999999999L)
+    keys.map { k =>
+      TxTable.readPointLookupLong(s, path, "o_custkey", k)
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice").cast(DecimalType(18, 4))).cast("double"), 6)
+            .as("sum_price"))
+        .select(lit(k).as("lookup_key"), col("n_orders"), col("sum_price"))
+    }.reduce(_.unionByName(_)).orderBy("lookup_key")
+  }
+
   /** Deterministic wipe of a scratch TxTable dir so buildOnce rebuilds
     * from a clean version log (a previous process's table would
     * otherwise keep growing it).
@@ -5235,6 +5270,7 @@ object SparkEntry {
     "text_hybrid_recall" -> (qTextHybridRecall _),
     "tx_time_travel" -> (qTxTimeTravel _),
     "tx_string_prune" -> (qTxStringPrune _),
+    "tx_bloom_lookup" -> (qTxBloomLookup _),
     "tx_change_feed" -> (qTxChangeFeed _),
     "tx_merge_apply" -> (qTxMergeApply _),
     "tx_incremental_view" -> (qTxIncrementalView _),
@@ -7684,6 +7720,17 @@ object SparkEntry {
         |FROM documents
         |WHERE source >= 'src12' AND source <= 'src17'
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // bloom point lookups ≡ plain filtered aggregates (a bloom false
+    // NEGATIVE would drop rows and break the hash); the absent key's
+    // row is (0, NULL) on both engines via the LEFT JOIN
+    "tx_bloom_lookup" ->
+      """WITH k AS (SELECT CAST(unnest([37, 73, 110, 999999999]) AS BIGINT) AS lookup_key)
+        |SELECT k.lookup_key,
+        |       CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+        |       round(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 6) AS sum_price
+        |FROM k LEFT JOIN orders o ON o.o_custkey = k.lookup_key
+        |GROUP BY k.lookup_key ORDER BY k.lookup_key""".stripMargin,
 
     "tx_change_feed" ->
       """WITH b AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),

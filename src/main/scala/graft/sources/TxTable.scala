@@ -91,9 +91,16 @@ object TxTable {
     x.length - y.length
   }
 
+  /** One file's Bloom-filter entry for one column: the filter geometry
+    * plus the sidecar (relative to `_txlog/`) holding the bit words.
+    * Geometry rides per-entry so mixed-knob history stays readable.
+    */
+  final case class BloomRef(mBits: Int, k: Int, sidecar: String)
+
   final case class Snapshot(version: Long, op: String, schema: StructType,
       files: Seq[String], epoch: Option[Long] = None,
-      stats: Map[String, Map[String, ColRange]] = Map.empty) {
+      stats: Map[String, Map[String, ColRange]] = Map.empty,
+      blooms: Map[String, Map[String, BloomRef]] = Map.empty) {
     /** Files whose [min, max] for `col` overlaps the LONG range [lo, hi]
       * — files with no recorded stats (or stats of another kind) are
       * KEPT (skipping must never drop data).
@@ -163,13 +170,23 @@ object TxTable {
       .groupBy(_._1)
       .map { case (f, rows) => f -> rows.map(r => r._2 -> r._3).toMap }
       .toMap
+    val blooms = lines
+      .collect { case l if l.startsWith("bloom=") => l.stripPrefix("bloom=") }
+      .map { s =>
+        // <file>|<col>|<mBits>|<k>|<sidecarRel>
+        val p = s.split("\\|", -1)
+        (p(0), p(1), BloomRef(p(2).toInt, p(3).toInt, p(4)))
+      }
+      .groupBy(_._1)
+      .map { case (f, rows) => f -> rows.map(r => r._2 -> r._3).toMap }
+      .toMap
     Snapshot(version, field("op"),
       DataType.fromJson(field("schema")).asInstanceOf[StructType],
       lines.collect { case l if l.startsWith("file=") => l.stripPrefix("file=") }
         .toSeq,
       lines.collectFirst { case l if l.startsWith("epoch=") =>
         l.stripPrefix("epoch=").toLong },
-      stats)
+      stats, blooms)
   }
 
   /** Latest snapshot, or None for an empty/absent table. */
@@ -209,10 +226,13 @@ object TxTable {
     */
   def commit(df: DataFrame, dir: String, mode: String = "append",
       statsColumns: Seq[String] = Nil, epochId: Option[Long] = None,
-      arbiter: CommitArbiter = LocalLinkArbiter): Long = {
+      arbiter: CommitArbiter = LocalLinkArbiter,
+      bloomColumns: Seq[String] = Nil, bloomBits: Int = 1 << 13,
+      bloomK: Int = 5): Long = {
     require(mode == "append" || mode == "overwrite",
       s"mode must be append or overwrite, got $mode")
-    val (commitRel, newFiles, newStats) = writeData(df, dir, statsColumns)
+    val (commitRel, newFiles, newStats, newBlooms) = writeData(df, dir,
+      statsColumns, bloomColumns.map(c => c -> (bloomBits, bloomK)).toMap)
     val newSchema = df.schema
     // 2 + 3. compose against the CURRENT latest and publish; on a lost
     // race, re-read and retry (appends commute; overwrite last-wins)
@@ -220,15 +240,17 @@ object TxTable {
     while (committed < 0) {
       val base = latest(dir)
       val v = base.map(_.version + 1).getOrElse(0L)
-      val (files, schema, stats) = (mode, base) match {
-        case ("overwrite", _) | (_, None) => (newFiles, newSchema, newStats)
+      val (files, schema, stats, blooms) = (mode, base) match {
+        case ("overwrite", _) | (_, None) =>
+          (newFiles, newSchema, newStats, newBlooms)
         case ("append", Some(b)) =>
           (b.files ++ newFiles, mergedAppendSchema(b.schema, newSchema, dir),
-            b.stats ++ newStats)
+            b.stats ++ newStats, b.blooms ++ newBlooms)
         case other => throw new MatchError(other) // unreachable
       }
       if (publishAt(dir, v, mode, schema, files, stats, epochId,
-          tmpTag = commitRel.stripPrefix("data/"), arbiter = arbiter))
+          tmpTag = commitRel.stripPrefix("data/"), arbiter = arbiter,
+          blooms = blooms))
         committed = v
     }
     committed
@@ -239,8 +261,10 @@ object TxTable {
     * min/max stats for `statsColumns`). Step 1 of the commit protocol,
     * factored out so [[merge]] can compose file lists before publishing.
     */
-  private def writeData(df: DataFrame, dir: String, statsColumns: Seq[String])
-      : (String, Seq[String], Map[String, Map[String, ColRange]]) = {
+  private def writeData(df: DataFrame, dir: String, statsColumns: Seq[String],
+      bloomSpec: Map[String, (Int, Int)] = Map.empty)
+      : (String, Seq[String], Map[String, Map[String, ColRange]],
+         Map[String, Map[String, BloomRef]]) = {
     Files.createDirectories(logDir(dir))
     val uuid = java.util.UUID.randomUUID().toString
     val commitRel = s"data/$uuid"
@@ -287,7 +311,185 @@ object TxTable {
             }.toMap
         }
       }
-    (commitRel, newFiles, newStats)
+    val newBlooms = buildBlooms(df.sparkSession, dir, commitRel, uuid,
+      newFiles, bloomSpec)
+    (commitRel, newFiles, newStats, newBlooms)
+  }
+
+  /** Per-(file, column) Bloom filters for the just-written batch — the
+    * point-lookup sibling of the min/max stats: a range tells you a file
+    * COULD contain a key's neighborhood, a Bloom filter tells you it
+    * almost certainly does NOT contain the key itself, which is what
+    * skips files on a NON-clustered column where every range overlaps.
+    *
+    * Build: per column, one distributed aggregate over the batch grouped
+    * by (file, word index) — map-side `bit_or` combine bounds the
+    * shuffle by files × mBits/32 words, never by row count. The bit
+    * layout is [[graft.ext.BloomFilter]]'s portable universal-hash
+    * scheme over the canonical value STRING (long canonicals in decimal,
+    * strings raw), so the driver can re-probe it without Spark. Words
+    * land in ONE sidecar text file per commit under `_txlog/bloom/`
+    * (manifests stay O(files) small lines; the sidecar is invisible
+    * until the manifest CAS references it, so the commit protocol is
+    * unchanged). Columns outside the integral/string stat domains are
+    * skipped — date/timestamp reprs would be ambiguous at lookup time.
+    *
+    * At 100 TB: sidecars are O(files × mBits/8) bytes per commit,
+    * read lazily per lookup and parsed driver-side like the manifest
+    * itself; a table with millions of files shards the probe across the
+    * cluster (the documented growth path — the format already stores
+    * everything that scan needs).
+    */
+  private def buildBlooms(spark: SparkSession, dir: String, commitRel: String,
+      uuid: String, newFiles: Seq[String], bloomSpec: Map[String, (Int, Int)])
+      : Map[String, Map[String, BloomRef]] = {
+    import org.apache.spark.sql.functions.{col, expr, explode, array, lit,
+      input_file_name, pmod}
+    if (bloomSpec.isEmpty || newFiles.isEmpty) return Map.empty
+    val written = spark.read.parquet(s"$dir/$commitRel")
+    val eligible = bloomSpec.toSeq.sortBy(_._1).flatMap { case (c, (m, k)) =>
+      written.schema.fields.find(_.name == c)
+        .filter(f => statKind(f.dataType).isDefined &&
+          f.dataType != org.apache.spark.sql.types.DateType &&
+          !f.dataType.isInstanceOf[org.apache.spark.sql.types.TimestampType])
+        .map(f => (c, f.dataType, m, k))
+    }
+    if (eligible.isEmpty) return Map.empty
+    val sidecarRel = s"bloom/$uuid.bloom"
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    val refs = scala.collection.mutable.Map
+      .empty[String, Map[String, BloomRef]]
+    eligible.foreach { case (c, dt, mBits, k) =>
+      require(mBits > 0 && mBits % 32 == 0,
+        s"bloom mBits must be a positive multiple of 32, got $mBits")
+      require(k > 0 && k <= 16, s"bloom k must be in [1, 16], got $k")
+      val ab = graft.ext.PortableHash.minhashAB(k)
+      val P = graft.ext.PortableHash.P
+      val x = pmod(graft.ext.PortableHash.hash32(
+        statCanonical(col(c), dt).cast("string")), lit(P))
+      val words = written
+        .select(input_file_name().as("__f"), x.as("__x"))
+        .select(col("__f"), explode(array(ab.map { case (a, b) =>
+          pmod(col("__x") * lit(a) + lit(b), lit(P)) % mBits
+        }: _*)).as("__pos"))
+        .filter(col("__pos").isNotNull) // null keys contribute no bits
+        .groupBy(col("__f"), expr("__pos div 32").as("__w"))
+        .agg(expr(
+          "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(__pos % 32 AS INT)))")
+          .as("__wv"))
+        .collect()
+      val byFile = words.groupBy { r =>
+        val fname = r.getString(0)
+        s"$commitRel/${fname.substring(fname.lastIndexOf('/') + 1)}"
+      }
+      newFiles.foreach { rel =>
+        val arr = new Array[Long](mBits / 32)
+        byFile.getOrElse(rel, Array.empty).foreach { r =>
+          arr(r.getLong(1).toInt) = r.getLong(2)
+        }
+        lines += s"$rel|$c|${arr.mkString(",")}"
+        refs(rel) = refs.getOrElse(rel, Map.empty) +
+          (c -> BloomRef(mBits, k, sidecarRel))
+      }
+    }
+    val sidecarPath = logDir(dir).resolve(sidecarRel)
+    Files.createDirectories(sidecarPath.getParent)
+    Files.writeString(sidecarPath, lines.mkString("", "\n", "\n"))
+    refs.toMap
+  }
+
+  /** Driver-side twin of [[graft.ext.PortableHash.hash32]] (first 8 md5
+    * hex digits as a long) — what lets a point lookup probe manifest
+    * Bloom filters without running a Spark job.
+    */
+  private[graft] def hash32Jvm(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16)
+  }
+
+  private def bloomMightContain(words: Array[Long], mBits: Int, k: Int,
+      repr: String): Boolean = {
+    val P = graft.ext.PortableHash.P
+    val x = math.floorMod(hash32Jvm(repr), P)
+    graft.ext.PortableHash.minhashAB(k).forall { case (a, b) =>
+      val pos = (math.floorMod(x * a + b, P) % mBits).toInt
+      ((words(pos / 32) >>> (pos % 32)) & 1L) == 1L
+    }
+  }
+
+  /** Parse one bloom sidecar: (file, col) -> words. Cached per lookup
+    * call, not globally — sidecars are immutable but small, and a
+    * lookup touches only the sidecars its snapshot references.
+    */
+  private def readSidecar(dir: String, sidecarRel: String)
+      : Map[(String, String), Array[Long]] = {
+    val p = logDir(dir).resolve(sidecarRel)
+    if (!Files.isRegularFile(p)) return Map.empty
+    Files.readAllLines(p).asScala.filter(_.nonEmpty).map { l =>
+      val parts = l.split("\\|", -1)
+      (parts(0), parts(1)) -> parts(2).split(',').map(_.toLong)
+    }.toMap
+  }
+
+  /** Files of `snap` that might contain `repr` in `column` per their
+    * Bloom entries; files without an entry for the column are KEPT
+    * (skipping never drops data), as are files whose sidecar is missing
+    * or whose stored word count disagrees with the recorded geometry.
+    */
+  private[graft] def filesForPoint(dir: String, snap: Snapshot,
+      column: String, repr: String): Seq[String] = {
+    val cache = scala.collection.mutable.Map
+      .empty[String, Map[(String, String), Array[Long]]]
+    snap.files.filter { f =>
+      snap.blooms.get(f).flatMap(_.get(column)) match {
+        case None => true
+        case Some(ref) =>
+          val side = cache.getOrElseUpdate(ref.sidecar,
+            readSidecar(dir, ref.sidecar))
+          side.get((f, column)) match {
+            case Some(words) if words.length == ref.mBits / 32 =>
+              bloomMightContain(words, ref.mBits, ref.k, repr)
+            case _ => true
+          }
+      }
+    }
+  }
+
+  /** Point-lookup read over an INTEGRAL column with Bloom-filter file
+    * skipping: only files whose per-file Bloom entry might contain
+    * `value` are handed to Spark (files without entries are always
+    * read), and the exact equality predicate is applied on top — so the
+    * result is EXACTLY `read(...).where(column = value)` with fewer
+    * files opened. The complement of [[readPruned]]: ranges skip on the
+    * CLUSTERED column, Blooms skip point probes on any OTHER column,
+    * where every file's range overlaps.
+    */
+  def readPointLookupLong(spark: SparkSession, dir: String, column: String,
+      value: Long, version: Option[Long] = None): DataFrame =
+    readKeptPoint(spark, dir, version, column, value.toString,
+      functions.lit(value))
+
+  /** [[readPointLookupLong]] for a STRING column. */
+  def readPointLookupString(spark: SparkSession, dir: String, column: String,
+      value: String, version: Option[Long] = None): DataFrame =
+    readKeptPoint(spark, dir, version, column, value, functions.lit(value))
+
+  private def readKeptPoint(spark: SparkSession, dir: String,
+      version: Option[Long], column: String, repr: String,
+      value: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val snap = version.map(snapshot(dir, _)).orElse(latest(dir))
+      .getOrElse(throw new IllegalArgumentException(s"no committed version at $dir"))
+    val kept = filesForPoint(dir, snap, column, repr)
+    val base =
+      if (kept.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+      else spark.read.schema(snap.schema)
+        .parquet(kept.map(f => s"$dir/$f"): _*)
+    base.where(col(column) === value)
   }
 
   /** The stats ordering domain for a column type: integral, date
@@ -378,10 +580,16 @@ object TxTable {
   private def publishAt(dir: String, v: Long, op: String, schema: StructType,
       files: Seq[String], stats: Map[String, Map[String, ColRange]],
       epochId: Option[Long], tmpTag: String,
-      arbiter: CommitArbiter = LocalLinkArbiter): Boolean = {
+      arbiter: CommitArbiter = LocalLinkArbiter,
+      blooms: Map[String, Map[String, BloomRef]] = Map.empty): Boolean = {
     val statsLines = stats.toSeq.sortBy(_._1).flatMap { case (f, cols) =>
       cols.toSeq.sortBy(_._1).map { case (c, r) =>
         s"stats=$f|$c|${r.kind}|${b64enc(r.min)}|${b64enc(r.max)}"
+      }
+    }
+    val bloomLines = blooms.toSeq.sortBy(_._1).flatMap { case (f, cols) =>
+      cols.toSeq.sortBy(_._1).map { case (c, r) =>
+        s"bloom=$f|$c|${r.mBits}|${r.k}|${r.sidecar}"
       }
     }
     val content = (Seq(
@@ -389,7 +597,7 @@ object TxTable {
       s"op=$op",
       s"schema=${schema.json}") ++
       epochId.map(e => s"epoch=$e").toSeq ++
-      files.map(f => s"file=$f") ++ statsLines)
+      files.map(f => s"file=$f") ++ statsLines ++ bloomLines)
       .mkString("", "\n", "\n")
     arbiter.putIfAbsent(manifestPath(dir, v), content, s"$tmpTag-$v")
   }
@@ -405,13 +613,24 @@ object TxTable {
     */
   def commitStreaming(df: DataFrame, dir: String, epochId: Long,
       mode: String = "append", statsColumns: Seq[String] = Nil,
-      arbiter: CommitArbiter = LocalLinkArbiter): Long = {
+      arbiter: CommitArbiter = LocalLinkArbiter,
+      bloomColumns: Seq[String] = Nil): Long = {
     def existing: Option[Long] =
       versions(dir).map(snapshot(dir, _))
         .collectFirst { case s if s.epoch.contains(epochId) => s.version }
     existing.getOrElse(
-      commit(df, dir, mode, statsColumns, epochId = Some(epochId), arbiter))
+      commit(df, dir, mode, statsColumns, epochId = Some(epochId), arbiter,
+        bloomColumns = bloomColumns))
   }
+
+  /** A table's current Bloom geometry per column (first entry wins —
+    * geometry is a per-commit knob but in practice table-constant),
+    * used to re-establish entries for files rewritten by [[merge]] and
+    * [[compact]].
+    */
+  private def bloomSpecOf(snap: Snapshot): Map[String, (Int, Int)] =
+    snap.blooms.values.flatten.groupBy(_._1)
+      .map { case (c, es) => c -> { val r = es.head._2; (r.mBits, r.k) } }
 
   /** Read with manifest-level file skipping: only files whose recorded
     * [min, max] for `column` overlaps [lo, hi] are handed to Spark (files
@@ -490,10 +709,12 @@ object TxTable {
       val arranged = compactArrange(spark, dir, snap, targetFiles, clusterBy)
       val statsCols =
         (snap.stats.values.flatMap(_.keys).toSeq ++ clusterBy).distinct.sorted
-      val (commitRel, newFiles, newStats) = writeData(arranged, dir, statsCols)
+      val (commitRel, newFiles, newStats, newBlooms) =
+        writeData(arranged, dir, statsCols, bloomSpecOf(snap))
       if (publishAt(dir, snap.version + 1, "overwrite", arranged.schema,
           newFiles, newStats, epochId = None,
-          tmpTag = commitRel.stripPrefix("data/"), arbiter = arbiter))
+          tmpTag = commitRel.stripPrefix("data/"), arbiter = arbiter,
+          blooms = newBlooms))
         committed = snap.version + 1
       // lost race: the rewrite is stale (new rows landed); its dir is an
       // invisible orphan (vacuum retires it) — re-derive from new latest
@@ -813,12 +1034,18 @@ object TxTable {
           .join(touched, keyCols, "left_anti")
           .unionByName(upserts)
       val statsCols = base.stats.values.flatMap(_.keys).toSeq.distinct.sorted
-      val (commitRel, newFiles, newStats) = writeData(rewritten, dir, statsCols)
+      // rebuild Bloom entries for the rewritten files with the table's
+      // existing geometry, so point-lookup skipping survives CoW churn
+      val bloomSpec = bloomSpecOf(base)
+      val (commitRel, newFiles, newStats, newBlooms) =
+        writeData(rewritten, dir, statsCols, bloomSpec)
       val hitSet = hitFiles.toSet
       val files = base.files.filterNot(hitSet) ++ newFiles
       val stats = (base.stats -- hitSet) ++ newStats
+      val blooms = (base.blooms -- hitSet) ++ newBlooms
       if (publishAt(dir, base.version + 1, "merge", base.schema, files, stats,
-          epochId, tmpTag = commitRel.stripPrefix("data/"), arbiter = arbiter))
+          epochId, tmpTag = commitRel.stripPrefix("data/"), arbiter = arbiter,
+          blooms = blooms))
         committed = base.version + 1
       // lost race: the just-written commitRel dir is orphaned (invisible);
       // vacuum retires it
@@ -869,7 +1096,7 @@ object TxTable {
         // bootstrap: the first unseen version seeds the replica wholesale
         val seed = read(spark, primaryDir, Some(v))
         Files.createDirectories(logDir(replicaDir))
-        val (commitRel, files, stats) = writeData(seed, replicaDir, keyCols)
+        val (commitRel, files, stats, _) = writeData(seed, replicaDir, keyCols)
         require(publishAt(replicaDir, 0L, "overwrite", snapshot(primaryDir, v).schema,
           files, stats, epochId = Some(v), tmpTag = commitRel.stripPrefix("data/")),
           s"replica at $replicaDir was concurrently initialized")
@@ -1008,6 +1235,24 @@ object TxTable {
             finally walk.close()
           } catch { case _: java.io.IOException => () }
         }
+    }
+    // Bloom sidecars no surviving manifest references (same grace
+    // period as the data-dir sweep — a concurrent commit's sidecar is
+    // written BEFORE its manifest becomes visible)
+    val bloomRoot = logDir(dir).resolve("bloom")
+    if (Files.isDirectory(bloomRoot)) {
+      val liveSidecars = versions(dir).flatMap(v =>
+        snapshot(dir, v).blooms.values.flatMap(_.values.map(_.sidecar))).toSet
+      val cutoff = System.currentTimeMillis() - orphanGraceMs
+      val it = Files.list(bloomRoot)
+      val stale =
+        try it.iterator().asScala.filter(Files.isRegularFile(_)).toList
+        finally it.close()
+      stale
+        .filterNot(p => liveSidecars(s"bloom/${p.getFileName}"))
+        .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+        .foreach(p => try Files.deleteIfExists(p)
+          catch { case _: java.io.IOException => () })
     }
   }
 }

@@ -800,4 +800,84 @@ class TxTableSpec extends SparkSpecBase {
       "nested orphan must be swept recursively")
     assert(TxTable.read(s, dir).count() === 1L, "committed data untouched")
   }
+
+  test("bloom point lookup: skips files, result equals the filtered read") {
+    val dir = Files.createTempDirectory("txbloom").toString
+    // 4 files range-clustered by id; k scatters, so RANGE stats on k
+    // can't skip anything — exactly the gap blooms exist to fill
+    val df = (0L until 4000L).map(i => (i, i % 997L, s"p$i")).toDF("id", "k", "p")
+    TxTable.commit(df.repartitionByRange(4, col("id")).sortWithinPartitions(col("id")),
+      dir, "overwrite", statsColumns = Seq("id"),
+      bloomColumns = Seq("k"), bloomBits = 1 << 16)
+    val snap = TxTable.latest(dir).get
+    assert(snap.blooms.nonEmpty && snap.blooms.size === snap.files.size,
+      "every file carries a bloom entry for k")
+    // a value beyond the data's key space: every file should be skipped
+    val none = graft.sources.TxTable.filesForPoint(dir, snap, "k", "123456789")
+    assert(none.isEmpty, s"absent key must probe out of every file, kept $none")
+    // a present value: correct rows, and never more files than the table
+    val hit = TxTable.readPointLookupLong(s, dir, "k", 5L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(hit === (0L until 4000L).filter(_ % 997L == 5L).toSet)
+    // a column without bloom entries keeps all files (sound fallback)
+    assert(graft.sources.TxTable.filesForPoint(dir, snap, "p", "p77").size
+      === snap.files.size)
+    // string lookups probe the same canonical repr
+    val sHit = TxTable.readPointLookupString(s, dir, "p", "p77")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(sHit === Set(77L))
+  }
+
+  test("bloom entries: append carries forward, merge rebuilds rewritten files") {
+    val dir = Files.createTempDirectory("txbloomm").toString
+    TxTable.commit((0L until 1000L).map(i => (i, s"v$i")).toDF("id", "v")
+        .repartitionByRange(2, col("id")).sortWithinPartitions(col("id")),
+      dir, "overwrite", statsColumns = Seq("id"), bloomColumns = Seq("id"))
+    // append WITHOUT blooms: its files simply lack entries (always read)
+    TxTable.commit((5000L until 5100L).map(i => (i, s"v$i")).toDF("id", "v"),
+      dir, "append")
+    val s1 = TxTable.latest(dir).get
+    assert(s1.blooms.size === 2, "base bloom entries carry through the append")
+    val kept = graft.sources.TxTable.filesForPoint(dir, s1, "id", "999999")
+    assert(kept.size === s1.files.size - 2,
+      "bloomed base files skip; the bloom-less append files stay")
+    // merge rewrites one file; its rewritten output re-records blooms
+    val ch = Seq((7L, "upd", "UPDATE")).toDF("id", "v", "operation")
+    TxTable.merge(s, dir, ch, Seq("id"))
+    val s2 = TxTable.latest(dir).get
+    val rewritten = s2.files.toSet -- s1.files.toSet
+    assert(rewritten.nonEmpty &&
+      rewritten.forall(f => s2.blooms.get(f).exists(_.contains("id"))),
+      "merge must re-establish bloom entries on rewritten files")
+    assert(TxTable.readPointLookupLong(s, dir, "id", 7L)
+      .select("v").collect().map(_.getString(0)).toSeq === Seq("upd"))
+    // compact rebuilds blooms for the whole table
+    TxTable.compact(s, dir, targetFiles = 1)
+    val s3 = TxTable.latest(dir).get
+    assert(s3.files.forall(f => s3.blooms.get(f).exists(_.contains("id"))))
+    assert(TxTable.readPointLookupLong(s, dir, "id", 5007L).count() === 1L)
+  }
+
+  test("vacuum retires bloom sidecars only when no retained manifest references them") {
+    val dir = Files.createTempDirectory("txbloomv").toString
+    // string-typed bloom column: the canonical repr is the raw string
+    TxTable.commit(Seq((1L, "a")).toDF("id", "v"), dir, "overwrite",
+      bloomColumns = Seq("v"))
+    TxTable.commit(Seq((2L, "b")).toDF("id", "v"), dir, "overwrite",
+      bloomColumns = Seq("v"))
+    val bloomRoot = Paths.get(dir, "_txlog/bloom")
+    val before = Files.list(bloomRoot).count()
+    assert(before === 2L)
+    val snap = TxTable.latest(dir).get
+    assert(graft.sources.TxTable.filesForPoint(dir, snap, "v", "zz").isEmpty,
+      "absent string key must probe out of every file")
+    // backdate sidecars past the grace window, then retire version 0
+    Files.list(bloomRoot).forEach(p => Files.setLastModifiedTime(p,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 10000L)))
+    TxTable.vacuum(dir, keepVersions = 1, orphanGraceMs = 1000L)
+    assert(Files.list(bloomRoot).count() === 1L,
+      "v0's sidecar is unreferenced and expired; v1's must survive")
+    assert(TxTable.readPointLookupString(s, dir, "v", "b").count() === 1L)
+  }
 }
