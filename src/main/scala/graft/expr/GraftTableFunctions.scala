@@ -145,7 +145,26 @@ object GraftTableFunctions {
     "graft_corpus_contamination" -> tvf("(docsTable, embTable, idCol, textCol, vecIdCol, vecCol)", 6, 6)(
       (s: SparkSession, a: Seq[Any]) =>
         graft.ext.Corpus.contaminationReport(s.table(str(a(0))), s.table(str(a(1))),
-          str(a(2)), str(a(3)), str(a(4)), str(a(5)))))
+          str(a(2)), str(a(3)), str(a(4)), str(a(5)))),
+    // Bloom-pruned point lookup: the value literal's SQL type picks the
+    // probe repr (string literal -> string column; integer -> integral)
+    "graft_tx_point_lookup" -> tvf("(tableDir, column, value)", 3, 3)(
+      (s: SparkSession, a: Seq[Any]) => a(2) match {
+        case i: Int => graft.sources.TxTable.readPointLookupLong(
+          s, str(a(0)), str(a(1)), i.toLong)
+        case l: Long => graft.sources.TxTable.readPointLookupLong(
+          s, str(a(0)), str(a(1)), l)
+        case _ => graft.sources.TxTable.readPointLookupString(
+          s, str(a(0)), str(a(1)), str(a(2)))
+      }),
+    "graft_corpus_dup_spans" -> tvf("(table, idCol, textCol, n, k)", 5, 5)(
+      (s: SparkSession, a: Seq[Any]) =>
+        graft.ext.Corpus.dupSpans(s.table(str(a(0))), str(a(1)), str(a(2)),
+          n = int(a(3)), k = int(a(4)))),
+    "graft_corpus_pack_stats" -> tvf("(table, idCol, textCol, strataCol, ctxCsv)", 5, 5)(
+      (s: SparkSession, a: Seq[Any]) =>
+        graft.ext.Corpus.packStats(s.table(str(a(0))), str(a(1)), str(a(2)),
+          ctxs = csv(a(4)).map(_.toInt), strataCol = col(str(a(3))))))
 
   /** The registered TVF names (for docs/tests). */
   def names: Seq[String] = registry.keys.toSeq.sorted

@@ -170,6 +170,35 @@ class SqlSurfaceSpec extends SparkSpecBase {
     }
   }
 
+  test("round-9 operators from SQL: dup spans, pack stats, bloom point lookup") {
+    withViews {
+      val docs = Fixtures.documents(s, dir)
+      assertSameRows(
+        s.sql("SELECT * FROM graft_corpus_dup_spans('docs', 'doc_id', 'text', 5, 50)"),
+        Corpus.dupSpans(docs, "doc_id", "text", n = 5, k = 50),
+        "graft_corpus_dup_spans")
+      assertSameRows(
+        s.sql("SELECT * FROM graft_corpus_pack_stats('docs', 'doc_id', 'text', 'lang', '512,2048')"),
+        Corpus.packStats(docs, "doc_id", "text", ctxs = Seq(512, 2048),
+          strataCol = col("lang")),
+        "graft_corpus_pack_stats")
+      val txDir = java.nio.file.Files.createTempDirectory("sqlbloom").toString
+      import s.implicits._
+      graft.sources.TxTable.commit(
+        Seq((1L, "a"), (2L, "b"), (3L, "b")).toDF("id", "v"), txDir,
+        "overwrite", bloomColumns = Seq("id", "v"))
+      val byId = s.sql(
+        s"SELECT * FROM graft_tx_point_lookup('$txDir', 'id', 2) ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(byId.toSeq === Seq((2L, "b")), "integer literal probes the long repr")
+      val byV = s.sql(
+        s"SELECT * FROM graft_tx_point_lookup('$txDir', 'v', 'b') ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(byV.toSeq === Seq((2L, "b"), (3L, "b")),
+        "string literal probes the string repr")
+    }
+  }
+
   test("TVF argument errors are caught with a usage message") {
     withViews {
       val e = intercept[Exception] {
