@@ -146,16 +146,33 @@ object GraftTableFunctions {
       (s: SparkSession, a: Seq[Any]) =>
         graft.ext.Corpus.contaminationReport(s.table(str(a(0))), s.table(str(a(1))),
           str(a(2)), str(a(3)), str(a(4)), str(a(5)))),
-    // Bloom-pruned point lookup: the value literal's SQL type picks the
-    // probe repr (string literal -> string column; integer -> integral)
+    // Bloom-pruned point lookup: the probe repr is picked from the TABLE
+    // column's actual type (one manifest read), never from the literal's
+    // SQL type — dispatching on the literal would probe a STRING column's
+    // blooms with an integer repr that coercion-matched rows don't share
     "graft_tx_point_lookup" -> tvf("(tableDir, column, value)", 3, 3)(
-      (s: SparkSession, a: Seq[Any]) => a(2) match {
-        case i: Int => graft.sources.TxTable.readPointLookupLong(
-          s, str(a(0)), str(a(1)), i.toLong)
-        case l: Long => graft.sources.TxTable.readPointLookupLong(
-          s, str(a(0)), str(a(1)), l)
-        case _ => graft.sources.TxTable.readPointLookupString(
-          s, str(a(0)), str(a(1)), str(a(2)))
+      (s: SparkSession, a: Seq[Any]) => {
+        val (dir, column) = (str(a(0)), str(a(1)))
+        val schema = graft.sources.TxTable.latest(dir).getOrElse(
+          throw new IllegalArgumentException(
+            s"no committed version at $dir")).schema
+        val dt = schema.fields.find(_.name == column).getOrElse(
+          throw new IllegalArgumentException(
+            s"column '$column' not in the table at $dir")).dataType
+        import org.apache.spark.sql.types._
+        dt match {
+          case ByteType | ShortType | IntegerType | LongType =>
+            val v = a(2) match {
+              case i: Int => i.toLong
+              case l: Long => l
+              case other => str(other).toLong // parseable or loud failure
+            }
+            graft.sources.TxTable.readPointLookupLong(s, dir, column, v)
+          case StringType =>
+            graft.sources.TxTable.readPointLookupString(s, dir, column, str(a(2)))
+          case other => throw new IllegalArgumentException(
+            s"point lookup supports integral and string columns, '$column' is $other")
+        }
       }),
     "graft_corpus_dup_spans" -> tvf("(table, idCol, textCol, n, k)", 5, 5)(
       (s: SparkSession, a: Seq[Any]) =>

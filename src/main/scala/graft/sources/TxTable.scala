@@ -231,6 +231,11 @@ object TxTable {
       bloomK: Int = 5): Long = {
     require(mode == "append" || mode == "overwrite",
       s"mode must be append or overwrite, got $mode")
+    // knob validation BEFORE the batch write — a bad knob must not cost
+    // a full data write that then rots as an orphan until vacuum
+    require(bloomBits > 0 && bloomBits % 32 == 0,
+      s"bloomBits must be a positive multiple of 32, got $bloomBits")
+    require(bloomK > 0 && bloomK <= 16, s"bloomK must be in [1, 16], got $bloomK")
     val (commitRel, newFiles, newStats, newBlooms) = writeData(df, dir,
       statsColumns, bloomColumns.map(c => c -> (bloomBits, bloomK)).toMap)
     val newSchema = df.schema
@@ -344,7 +349,7 @@ object TxTable {
       uuid: String, newFiles: Seq[String], bloomSpec: Map[String, (Int, Int)])
       : Map[String, Map[String, BloomRef]] = {
     import org.apache.spark.sql.functions.{col, expr, explode, array, lit,
-      input_file_name, pmod}
+      input_file_name, pmod, struct}
     if (bloomSpec.isEmpty || newFiles.isEmpty) return Map.empty
     val written = spark.read.parquet(s"$dir/$commitRel")
     val eligible = bloomSpec.toSeq.sortBy(_._1).flatMap { case (c, (m, k)) =>
@@ -356,36 +361,43 @@ object TxTable {
     }
     if (eligible.isEmpty) return Map.empty
     val sidecarRel = s"bloom/$uuid.bloom"
+    // ONE job for every bloom column: stage each column's hash once,
+    // explode (column, pos) pairs, aggregate by (file, column, word) —
+    // the post-write read is paid once, not per column
+    val P = graft.ext.PortableHash.P
+    val staged = written.select(
+      input_file_name().as("__f") +: eligible.map { case (c, dt, _, _) =>
+        pmod(graft.ext.PortableHash.hash32(
+          statCanonical(col(c), dt).cast("string")), lit(P)).as(s"__x_$c")
+      }: _*)
+    val posStructs = eligible.flatMap { case (c, _, mBits, k) =>
+      graft.ext.PortableHash.minhashAB(k).map { case (a, b) =>
+        struct(lit(c).as("c"),
+          (pmod(col(s"__x_$c") * lit(a) + lit(b), lit(P)) % mBits).as("pos"))
+      }
+    }
+    val words = staged
+      .select(col("__f"), explode(array(posStructs: _*)).as("__cp"))
+      .filter(col("__cp.pos").isNotNull) // null keys contribute no bits
+      .groupBy(col("__f"), col("__cp.c").as("__c"),
+        expr("__cp.pos div 32").as("__w"))
+      .agg(expr(
+        "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(__cp.pos % 32 AS INT)))")
+        .as("__wv"))
+      .collect()
+    val byFileCol = words.groupBy { r =>
+      val fname = r.getString(0)
+      (s"$commitRel/${fname.substring(fname.lastIndexOf('/') + 1)}",
+        r.getString(1))
+    }
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
     val refs = scala.collection.mutable.Map
       .empty[String, Map[String, BloomRef]]
-    eligible.foreach { case (c, dt, mBits, k) =>
-      require(mBits > 0 && mBits % 32 == 0,
-        s"bloom mBits must be a positive multiple of 32, got $mBits")
-      require(k > 0 && k <= 16, s"bloom k must be in [1, 16], got $k")
-      val ab = graft.ext.PortableHash.minhashAB(k)
-      val P = graft.ext.PortableHash.P
-      val x = pmod(graft.ext.PortableHash.hash32(
-        statCanonical(col(c), dt).cast("string")), lit(P))
-      val words = written
-        .select(input_file_name().as("__f"), x.as("__x"))
-        .select(col("__f"), explode(array(ab.map { case (a, b) =>
-          pmod(col("__x") * lit(a) + lit(b), lit(P)) % mBits
-        }: _*)).as("__pos"))
-        .filter(col("__pos").isNotNull) // null keys contribute no bits
-        .groupBy(col("__f"), expr("__pos div 32").as("__w"))
-        .agg(expr(
-          "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(__pos % 32 AS INT)))")
-          .as("__wv"))
-        .collect()
-      val byFile = words.groupBy { r =>
-        val fname = r.getString(0)
-        s"$commitRel/${fname.substring(fname.lastIndexOf('/') + 1)}"
-      }
+    eligible.foreach { case (c, _, mBits, k) =>
       newFiles.foreach { rel =>
         val arr = new Array[Long](mBits / 32)
-        byFile.getOrElse(rel, Array.empty).foreach { r =>
-          arr(r.getLong(1).toInt) = r.getLong(2)
+        byFileCol.getOrElse((rel, c), Array.empty).foreach { r =>
+          arr(r.getLong(2).toInt) = r.getLong(3)
         }
         lines += s"$rel|$c|${arr.mkString(",")}"
         refs(rel) = refs.getOrElse(rel, Map.empty) +
@@ -409,15 +421,22 @@ object TxTable {
     java.lang.Long.parseLong(hex.substring(0, 8), 16)
   }
 
-  private def bloomMightContain(words: Array[Long], mBits: Int, k: Int,
-      repr: String): Boolean = {
+  /** The k bit positions `repr` probes in an (mBits, k) filter —
+    * loop-invariant across files, computed once per lookup per distinct
+    * geometry (the md5 and the hash-constant table are NOT re-derived
+    * per file).
+    */
+  private def bloomPositions(mBits: Int, k: Int, repr: String): Array[Int] = {
     val P = graft.ext.PortableHash.P
     val x = math.floorMod(hash32Jvm(repr), P)
-    graft.ext.PortableHash.minhashAB(k).forall { case (a, b) =>
-      val pos = (math.floorMod(x * a + b, P) % mBits).toInt
-      ((words(pos / 32) >>> (pos % 32)) & 1L) == 1L
-    }
+    graft.ext.PortableHash.minhashAB(k).map { case (a, b) =>
+      (math.floorMod(x * a + b, P) % mBits).toInt
+    }.toArray
   }
+
+  private def bloomMightContain(words: Array[Long], positions: Array[Int])
+      : Boolean =
+    positions.forall(pos => ((words(pos / 32) >>> (pos % 32)) & 1L) == 1L)
 
   /** Parse one bloom sidecar: (file, col) -> words. Cached per lookup
     * call, not globally — sidecars are immutable but small, and a
@@ -440,17 +459,19 @@ object TxTable {
     */
   private[graft] def filesForPoint(dir: String, snap: Snapshot,
       column: String, repr: String): Seq[String] = {
-    val cache = scala.collection.mutable.Map
+    val sideCache = scala.collection.mutable.Map
       .empty[String, Map[(String, String), Array[Long]]]
+    val posCache = scala.collection.mutable.Map.empty[(Int, Int), Array[Int]]
     snap.files.filter { f =>
       snap.blooms.get(f).flatMap(_.get(column)) match {
         case None => true
         case Some(ref) =>
-          val side = cache.getOrElseUpdate(ref.sidecar,
+          val side = sideCache.getOrElseUpdate(ref.sidecar,
             readSidecar(dir, ref.sidecar))
           side.get((f, column)) match {
             case Some(words) if words.length == ref.mBits / 32 =>
-              bloomMightContain(words, ref.mBits, ref.k, repr)
+              bloomMightContain(words, posCache.getOrElseUpdate(
+                (ref.mBits, ref.k), bloomPositions(ref.mBits, ref.k, repr)))
             case _ => true
           }
       }
@@ -469,20 +490,42 @@ object TxTable {
   def readPointLookupLong(spark: SparkSession, dir: String, column: String,
       value: Long, version: Option[Long] = None): DataFrame =
     readKeptPoint(spark, dir, version, column, value.toString,
-      functions.lit(value))
+      functions.lit(value), probeKind = "integral")
 
   /** [[readPointLookupLong]] for a STRING column. */
   def readPointLookupString(spark: SparkSession, dir: String, column: String,
       value: String, version: Option[Long] = None): DataFrame =
-    readKeptPoint(spark, dir, version, column, value, functions.lit(value))
+    readKeptPoint(spark, dir, version, column, value, functions.lit(value),
+      probeKind = "string")
+
+  /** The bloom-probe domain of a column type: integral columns and
+    * strings only (what [[buildBlooms]] records entries for). A probe
+    * whose kind differs from the column's must NOT prune — the equality
+    * predicate COERCES (e.g. `stringCol = 37` matches a stored "037",
+    * whose canonical repr "037" shares no bloom bits with "37"), so a
+    * repr-based skip would silently drop coercion matches — the same
+    * stance as [[pruneByKeyRange]]'s type guard.
+    */
+  private def bloomKind(dt: DataType): Option[String] = dt match {
+    case org.apache.spark.sql.types.ByteType |
+         org.apache.spark.sql.types.ShortType |
+         org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.LongType => Some("integral")
+    case org.apache.spark.sql.types.StringType => Some("string")
+    case _ => None
+  }
 
   private def readKeptPoint(spark: SparkSession, dir: String,
       version: Option[Long], column: String, repr: String,
-      value: org.apache.spark.sql.Column): DataFrame = {
+      value: org.apache.spark.sql.Column, probeKind: String): DataFrame = {
     import org.apache.spark.sql.functions.col
     val snap = version.map(snapshot(dir, _)).orElse(latest(dir))
       .getOrElse(throw new IllegalArgumentException(s"no committed version at $dir"))
-    val kept = filesForPoint(dir, snap, column, repr)
+    val colKind = snap.schema.fields.find(_.name == column)
+      .flatMap(f => bloomKind(f.dataType))
+    val kept =
+      if (colKind.contains(probeKind)) filesForPoint(dir, snap, column, repr)
+      else snap.files // kind mismatch: coercion could match what reprs miss
     val base =
       if (kept.isEmpty)
         spark.createDataFrame(
@@ -623,14 +666,18 @@ object TxTable {
         bloomColumns = bloomColumns))
   }
 
-  /** A table's current Bloom geometry per column (first entry wins —
-    * geometry is a per-commit knob but in practice table-constant),
-    * used to re-establish entries for files rewritten by [[merge]] and
-    * [[compact]].
+  /** A table's current Bloom geometry per column, used to re-establish
+    * entries for files rewritten by [[merge]] and [[compact]]. Geometry
+    * is a per-commit knob but in practice table-constant; when history
+    * mixes knobs the WIDEST filter wins deterministically (max mBits,
+    * then max k) — an unordered-map head would let successive rebuilds
+    * flip-flop geometry and silently degrade the false-positive rate.
     */
   private def bloomSpecOf(snap: Snapshot): Map[String, (Int, Int)] =
     snap.blooms.values.flatten.groupBy(_._1)
-      .map { case (c, es) => c -> { val r = es.head._2; (r.mBits, r.k) } }
+      .map { case (c, es) =>
+        c -> es.map(e => (e._2.mBits, e._2.k)).max
+      }
 
   /** Read with manifest-level file skipping: only files whose recorded
     * [min, max] for `column` overlaps [lo, hi] are handed to Spark (files

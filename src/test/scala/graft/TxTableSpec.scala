@@ -858,6 +858,24 @@ class TxTableSpec extends SparkSpecBase {
     assert(TxTable.readPointLookupLong(s, dir, "id", 5007L).count() === 1L)
   }
 
+  test("bloom point lookup: kind-mismatched probes never prune (coercion safety)") {
+    val dir = Files.createTempDirectory("txbloomc").toString
+    // "037" and "37" share no bloom bits, but `v = 37` COERCES and
+    // matches both — a repr-based skip would silently drop the "037" row
+    TxTable.commit(Seq((1L, "037"), (2L, "37")).toDF("id", "v"), dir,
+      "overwrite", bloomColumns = Seq("id", "v"))
+    val hits = TxTable.readPointLookupLong(s, dir, "v", 37L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(hits === Set(1L, 2L),
+      "kind mismatch must fall back to all files, keeping coercion matches")
+    val h2 = TxTable.readPointLookupString(s, dir, "id", "2")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(h2 === Set(2L))
+    // matched kinds still prune: absent long key probes out of all files
+    assert(graft.sources.TxTable.filesForPoint(
+      dir, TxTable.latest(dir).get, "id", "424242").isEmpty)
+  }
+
   test("vacuum retires bloom sidecars only when no retained manifest references them") {
     val dir = Files.createTempDirectory("txbloomv").toString
     // string-typed bloom column: the canonical repr is the raw string
