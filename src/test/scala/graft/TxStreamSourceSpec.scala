@@ -200,4 +200,79 @@ class TxStreamSourceSpec extends SparkSpecBase {
     assert(after.flatMap(_._2) === Seq(4L),
       s"restart must deliver only the new version: $after")
   }
+
+  test("streamed materialized view ≡ recompute, exactly-once across replays") {
+    // primary keyed by id, grouped by g: values chosen so every change
+    // kind moves some group aggregate
+    val primary = newDir("txview-primary")
+    TxTable.commit(
+      (1L to 10L).map(i => (i, s"g${i % 3}", java.math.BigDecimal.valueOf(i * 100L, 2)))
+        .toDF("id", "g", "amount"), primary, "overwrite", statsColumns = Seq("id"))
+    TxTable.commit(
+      Seq((11L, "g0", java.math.BigDecimal.valueOf(5000L, 2))).toDF("id", "g", "amount"),
+      primary, "append", statsColumns = Seq("id"))
+    TxTable.merge(s, primary, Seq(
+      (3L, "g0", java.math.BigDecimal.valueOf(999L, 2), "UPDATE"),   // moves 3 from g0->g0 with new amount
+      (7L, null.asInstanceOf[String], null.asInstanceOf[java.math.BigDecimal], "DELETE"))
+      .toDF("id", "g", "amount", "operation"), Seq("id"))
+
+    val viewDir = newDir("txview-view")
+    val ckpt = newDir("txview-ckpt")
+    graft.streaming.TxViewStream.drain(
+      s, primary, viewDir, Seq("id"), "g", "amount", ckpt)
+
+    def recompute = graft.apply.IncrementalAgg
+      .snapshotAgg(TxTable.read(s, primary), "g", "amount")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet
+    def viewNow = TxTable.read(s, viewDir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2))).toSet
+    assert(viewNow === recompute, "streamed view must equal the recompute")
+    // one epoch-stamped refresh per primary version
+    assert(TxTable.versions(viewDir).map(TxTable.snapshot(viewDir, _))
+      .flatMap(_.epoch) === Seq(0L, 1L, 2L))
+
+    // replay: a second drain against the same checkpoint refreshes nothing
+    val before = TxTable.versions(viewDir)
+    graft.streaming.TxViewStream.drain(
+      s, primary, viewDir, Seq("id"), "g", "amount", ckpt)
+    assert(TxTable.versions(viewDir) === before, "replay must be a no-op")
+
+    // a new primary commit flows through the SAME checkpoint and the
+    // view still matches a recompute (incl. a group emptied to zero)
+    TxTable.merge(s, primary,
+      Seq((11L, null.asInstanceOf[String], null.asInstanceOf[java.math.BigDecimal], "DELETE"))
+        .toDF("id", "g", "amount", "operation"), Seq("id"))
+    graft.streaming.TxViewStream.drain(
+      s, primary, viewDir, Seq("id"), "g", "amount", ckpt)
+    assert(viewNow === recompute, "post-delete refresh must equal the recompute")
+    assert(TxTable.versions(viewDir).size === before.size + 1)
+    // the view is itself a TxTable: refreshes are time-travelable
+    val v0 = TxTable.read(s, viewDir, Some(0L))
+      .agg(sum(col("cnt"))).collect()(0).getLong(0)
+    assert(v0 === 10L, "refresh 0 pins the v0 snapshot aggregate")
+  }
+
+  test("streamed view crash replay: already-refreshed versions are skipped by epoch") {
+    val primary = newDir("txview2-primary")
+    TxTable.commit(Seq((1L, "a", java.math.BigDecimal.valueOf(100L, 2)))
+      .toDF("id", "g", "amount"), primary, "overwrite")
+    TxTable.commit(Seq((2L, "a", java.math.BigDecimal.valueOf(200L, 2)))
+      .toDF("id", "g", "amount"), primary, "append")
+    val viewDir = newDir("txview2-view")
+    // simulate a crash that applied v0 but lost the checkpoint: the view
+    // table already carries epoch 0
+    graft.streaming.TxViewStream.applyViewBatch(
+      s.range(1).select(lit(0L).as("_commit_version")),
+      primary, viewDir, Seq("id"), "g", "amount")
+    assert(TxTable.versions(viewDir).size === 1)
+    // a fresh drain (new checkpoint = full replay) must re-apply ONLY v1
+    graft.streaming.TxViewStream.drain(
+      s, primary, viewDir, Seq("id"), "g", "amount", newDir("txview2-ckpt"))
+    val rows = TxTable.read(s, viewDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2)))
+    assert(rows.toSeq === Seq(("a", 2L,
+      new java.math.BigDecimal("3.0000"))))
+    assert(TxTable.versions(viewDir).map(TxTable.snapshot(viewDir, _))
+      .flatMap(_.epoch) === Seq(0L, 1L))
+  }
 }
