@@ -1845,6 +1845,37 @@ object SparkEntry {
     }.reduce(_.unionByName(_)).orderBy("lookup_key")
   }
 
+  /** The streamed materialized view ON THE ORACLE BOARD: a per-segment
+    * (count, sum(balance)) view of [[buildTxFeedTable]]'s two-version
+    * customer table, maintained by [[graft.streaming.TxViewStream]] —
+    * version 0 seeds the snapshot aggregate, version 1's refresh folds
+    * the change feed's retraction/assertion pairs through
+    * `IncrementalAgg.maintain` (deletes every 7th key, +100 balance on
+    * every 5th, NEWSEG inserts on every 11th). The oracle recomputes the
+    * aggregate directly over the derived v1 state, so the hash match
+    * proves the STREAMED maintenance chain (source offsets → images →
+    * decimal fold → epoch-stamped overwrite) ends at exactly the
+    * recompute.
+    */
+  private def qTxViewStream(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxTable
+    val primary = buildTxFeedTable(s, dir)
+    val viewPath = Fixtures.scratchDir("txview", dir)
+    Fixtures.buildOnce("txview", s, dir) {
+      wipeTxDir(viewPath)
+      // fresh checkpoint per rebuild: the drain replays the whole feed
+      // into the just-wiped view dir
+      val ckpt = java.nio.file.Files.createTempDirectory("txview-ckpt")
+      graft.streaming.TxViewStream.drain(s, primary, viewPath,
+        Seq("c_custkey"), "c_mktsegment", "c_acctbal", ckpt.toString)
+      ()
+    }
+    TxTable.read(s, viewPath)
+      .select(col("g_key").as("segment"), col("cnt").as("n_customers"),
+        col("total").cast("double").as("total_balance"))
+      .orderBy("segment")
+  }
+
   /** Deterministic wipe of a scratch TxTable dir so buildOnce rebuilds
     * from a clean version log (a previous process's table would
     * otherwise keep growing it).
@@ -5271,6 +5302,7 @@ object SparkEntry {
     "tx_time_travel" -> (qTxTimeTravel _),
     "tx_string_prune" -> (qTxStringPrune _),
     "tx_bloom_lookup" -> (qTxBloomLookup _),
+    "tx_view_stream" -> (qTxViewStream _),
     "tx_change_feed" -> (qTxChangeFeed _),
     "tx_merge_apply" -> (qTxMergeApply _),
     "tx_incremental_view" -> (qTxIncrementalView _),
@@ -7761,6 +7793,24 @@ object SparkEntry {
         |SELECT c_custkey, c_mktsegment, c_acctbal, change_type
         |FROM f WHERE change_type IS NOT NULL
         |ORDER BY c_custkey, change_type""".stripMargin,
+
+    // the streamed materialized view must equal the direct aggregate over
+    // the derived v1 state (same v1 CTE as tx_change_feed); decimal sums
+    // cast back to double exactly on both engines
+    "tx_view_stream" ->
+      """WITH b AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+        |v1 AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |         CASE WHEN c_custkey % 5 = 0 THEN c_acctbal + 100.0
+        |              ELSE c_acctbal END AS c_acctbal
+        |  FROM b WHERE c_custkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT -c_custkey - 1, 'NEWSEG', c_acctbal
+        |  FROM b WHERE c_custkey % 11 = 0)
+        |SELECT c_mktsegment AS segment,
+        |       CAST(COUNT(*) AS BIGINT) AS n_customers,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_balance
+        |FROM v1 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "tx_incremental_view" ->
       """WITH b AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
