@@ -1861,13 +1861,15 @@ object SparkEntry {
     import graft.sources.TxTable
     val primary = buildTxFeedTable(s, dir)
     val viewPath = Fixtures.scratchDir("txview", dir)
+    val ckptPath = Fixtures.scratchDir("txview_ckpt", dir)
     Fixtures.buildOnce("txview", s, dir) {
       wipeTxDir(viewPath)
-      // fresh checkpoint per rebuild: the drain replays the whole feed
-      // into the just-wiped view dir
-      val ckpt = java.nio.file.Files.createTempDirectory("txview-ckpt")
+      // fresh checkpoint per rebuild (bounded scratch: ONE dir per SF,
+      // wiped alongside the view — the drain replays the whole feed
+      // into the just-wiped view dir)
+      wipeRecursive(java.nio.file.Paths.get(ckptPath))
       graft.streaming.TxViewStream.drain(s, primary, viewPath,
-        Seq("c_custkey"), "c_mktsegment", "c_acctbal", ckpt.toString)
+        Seq("c_custkey"), "c_mktsegment", "c_acctbal", ckptPath)
       ()
     }
     TxTable.read(s, viewPath)
@@ -1881,17 +1883,18 @@ object SparkEntry {
     * otherwise keep growing it).
     */
   private def wipeTxDir(path: String): Unit = {
-    def wipe(p: java.nio.file.Path): Unit = {
-      if (java.nio.file.Files.isDirectory(p)) {
-        val it = java.nio.file.Files.list(p)
-        try it.iterator().forEachRemaining(wipe)
-        finally it.close()
-      }
-      java.nio.file.Files.deleteIfExists(p)
-      ()
-    }
     val root = java.nio.file.Paths.get(path)
-    Seq("data", "_txlog").foreach(d => wipe(root.resolve(d)))
+    Seq("data", "_txlog").foreach(d => wipeRecursive(root.resolve(d)))
+  }
+
+  private def wipeRecursive(p: java.nio.file.Path): Unit = {
+    if (java.nio.file.Files.isDirectory(p)) {
+      val it = java.nio.file.Files.list(p)
+      try it.iterator().forEachRemaining(wipeRecursive)
+      finally it.close()
+    }
+    java.nio.file.Files.deleteIfExists(p)
+    ()
   }
 
   /** Change-data-feed between two committed TxTable versions — the

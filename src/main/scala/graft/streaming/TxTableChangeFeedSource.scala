@@ -59,16 +59,19 @@ class TxTableChangeFeedSource(
     keyCols: Seq[String],
     startingVersion: Long,
     maxVersionsPerTrigger: Option[Long] = None,
-    metadataPath: String = "") extends Source {
+    metadataPath: String = "",
+    ticksOnly: Boolean = false) extends Source {
 
   /** Data schema pinned at stream start (the Delta contract). */
   private val tableSchema: StructType =
     TxTable.latest(dir).getOrElse(throw new IllegalArgumentException(
       s"no committed TxTable version at $dir")).schema
 
-  override val schema: StructType = StructType(tableSchema.fields ++ Seq(
-    StructField("change_type", StringType, nullable = false),
-    StructField("_commit_version", LongType, nullable = false)))
+  override val schema: StructType =
+    if (ticksOnly) TxTableChangeFeedSource.TickSchema
+    else StructType(tableSchema.fields ++ Seq(
+      StructField("change_type", StringType, nullable = false),
+      StructField("_commit_version", LongType, nullable = false)))
 
   // ---- rate limit (maxVersionsPerTrigger) ---------------------------
   // The throttle floor is the highest version ALREADY DELIVERED by a
@@ -134,15 +137,38 @@ class TxTableChangeFeedSource(
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val endV = end.json.toLong
     val firstV = start.map(_.json.toLong + 1).getOrElse(startingVersion)
-    val frames = (firstV to endV).map(feedFor)
     val batch =
-      if (frames.isEmpty) emptyFeed
-      else frames.reduce(_.unionByName(_))
+      if (ticksOnly) ticksFor(firstV, endV)
+      else {
+        val frames = (firstV to endV).map(feedFor)
+        if (frames.isEmpty) emptyFeed
+        else frames.reduce(_.unionByName(_))
+      }
     if (endV > lastDelivered) {
       lastDelivered = endV
       persistDelivered(endV)
     }
     GraftStreamingShim.asStreamingFrame(batch)
+  }
+
+  /** Ticks mode: one `_commit_version` row per version, NO feed join —
+    * for consumers (the streamed view) that re-derive each version's
+    * changes themselves and only need to know which versions arrived.
+    * The vacuum-gap contract still holds (the consumer's own
+    * `changeFeed*` call would fail later and less legibly).
+    */
+  private def ticksFor(firstV: Long, endV: Long): DataFrame = {
+    (firstV to endV).foreach { v =>
+      if (v != startingVersion && !TxTable.versions(dir).contains(v - 1))
+        throw new IllegalStateException(
+          s"TxTable change-feed stream at $dir: version ${v - 1} (the diff " +
+            s"base for $v) was vacuumed away — retention must cover the " +
+            "stream's lag; re-seed from a fresh checkpoint")
+    }
+    spark.createDataFrame(
+      java.util.Arrays.asList(
+        (firstV to endV).map(v => org.apache.spark.sql.Row(v)): _*),
+      TxTableChangeFeedSource.TickSchema)
   }
 
   /** One version's feed rows, projected onto the pinned schema. */
@@ -182,6 +208,12 @@ class TxTableChangeFeedSource(
   override def stop(): Unit = ()
 }
 
+object TxTableChangeFeedSource {
+  /** Schema of `ticksOnly` mode: version numbers, nothing else. */
+  val TickSchema: StructType = StructType(Seq(
+    StructField("_commit_version", LongType, nullable = false)))
+}
+
 /** `spark.readStream.format("graft.streaming.TxTableChangeFeedProvider")`
   * entry point. Options: `path` (the table dir), `keys` (comma-separated
   * key columns), `startingVersion` (default 0 — serve that version as
@@ -209,6 +241,8 @@ class TxTableChangeFeedProvider extends StreamSourceProvider with DataSourceRegi
       schema: Option[StructType],
       providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
+    if (parameters.get("ticksOnly").contains("true"))
+      return (shortName(), TxTableChangeFeedSource.TickSchema)
     val dir = tableDir(parameters)
     val dataSchema = TxTable.latest(dir).getOrElse(
       throw new IllegalArgumentException(
@@ -234,7 +268,40 @@ class TxTableChangeFeedProvider extends StreamSourceProvider with DataSourceRegi
       sqlContext.sparkSession, tableDir(parameters), keys,
       parameters.get("startingVersion").map(_.toLong).getOrElse(0L),
       maxVersionsPerTrigger = maxPerTrigger,
-      metadataPath = metadataPath)
+      metadataPath = metadataPath,
+      ticksOnly = parameters.get("ticksOnly").contains("true"))
+  }
+}
+
+/** Shared writeStream wiring for the feed consumers ([[TxReplicaStream]],
+  * [[TxViewStream]]): reader options, throttle plumbing, checkpoint,
+  * trigger — one place to fix, two query shapes.
+  */
+private[streaming] object TxFeedQuery {
+  def start(
+      spark: SparkSession,
+      primaryDir: String,
+      keyCols: Seq[String],
+      checkpointDir: String,
+      trigger: Trigger,
+      maxVersionsPerTrigger: Option[Long],
+      queryName: String,
+      ticksOnly: Boolean)(
+      body: DataFrame => Unit): StreamingQuery = {
+    val reader = spark.readStream
+      .format("graft.streaming.TxTableChangeFeedProvider")
+      .option("path", primaryDir)
+      .option("keys", keyCols.mkString(","))
+    if (ticksOnly) reader.option("ticksOnly", "true")
+    maxVersionsPerTrigger.foreach(m =>
+      reader.option("maxVersionsPerTrigger", m.toString))
+    reader.load()
+      .writeStream
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) => body(batch) }
+      .start()
   }
 }
 
@@ -255,23 +322,10 @@ object TxReplicaStream {
       keyCols: Seq[String],
       checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
-      maxVersionsPerTrigger: Option[Long] = None): StreamingQuery = {
-    val reader = spark.readStream
-      .format("graft.streaming.TxTableChangeFeedProvider")
-      .option("path", primaryDir)
-      .option("keys", keyCols.mkString(","))
-    maxVersionsPerTrigger.foreach(m =>
-      reader.option("maxVersionsPerTrigger", m.toString))
-    reader.load()
-      .writeStream
-      .queryName("graft-tx-replica")
-      .option("checkpointLocation", checkpointDir)
-      .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyFeedBatch(batch, replicaDir, keyCols)
-      }
-      .start()
-  }
+      maxVersionsPerTrigger: Option[Long] = None): StreamingQuery =
+    TxFeedQuery.start(spark, primaryDir, keyCols, checkpointDir, trigger,
+      maxVersionsPerTrigger, "graft-tx-replica", ticksOnly = false)(
+      batch => applyFeedBatch(batch, replicaDir, keyCols))
 
   /** Catch the replica up to the primary's current latest and stop. */
   def drain(
@@ -369,14 +423,23 @@ object TxReplicaStream {
   * of the view get snapshot isolation and time travel over REFRESHES
   * for free.
   *
-  * The streamed feed rows only TICK versions here (single post-images
-  * cannot retract an update's old value); the images pair for each
-  * version is re-derived from the manifests inside the batch — same
-  * O(changed data) cost class as the feed itself.
+  * The stream runs the source in `ticksOnly` mode — a tick row per
+  * version, no feed join (single post-images could not retract an
+  * update's old value anyway); the images pair for each version is
+  * derived from the manifests inside the batch — one O(changed data)
+  * pass per version, not two.
   *
   * At 100 TB: each refresh moves the version's churn plus the
   * O(groups) view; a quiet primary costs nothing. Vacuum retention on
   * the primary must cover the stream's lag (the source's contract).
+  * The VIEW table may be vacuumed freely (`keepVersions >= 1`): the
+  * applied ledger is the MAX epoch across retained refresh manifests,
+  * and refreshes apply in strict version order, so the latest refresh
+  * alone carries the full applied state. Two caveats, both documented
+  * contracts: the view dir has ONE writer (this query — same contract
+  * as the replica), and compacting the view then vacuuming everything
+  * below the compaction would bury the epoch stamp — re-seed from a
+  * fresh view dir and checkpoint if you do that.
   */
 object TxViewStream {
 
@@ -389,23 +452,11 @@ object TxViewStream {
       valueCol: String,
       checkpointDir: String,
       trigger: Trigger = Trigger.ProcessingTime("5 seconds"),
-      maxVersionsPerTrigger: Option[Long] = None): StreamingQuery = {
-    val reader = spark.readStream
-      .format("graft.streaming.TxTableChangeFeedProvider")
-      .option("path", primaryDir)
-      .option("keys", keyCols.mkString(","))
-    maxVersionsPerTrigger.foreach(m =>
-      reader.option("maxVersionsPerTrigger", m.toString))
-    reader.load()
-      .writeStream
-      .queryName("graft-tx-view")
-      .option("checkpointLocation", checkpointDir)
-      .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyViewBatch(batch, primaryDir, viewDir, keyCols, groupCol, valueCol)
-      }
-      .start()
-  }
+      maxVersionsPerTrigger: Option[Long] = None): StreamingQuery =
+    TxFeedQuery.start(spark, primaryDir, keyCols, checkpointDir, trigger,
+      maxVersionsPerTrigger, "graft-tx-view", ticksOnly = true)(
+      batch => applyViewBatch(batch, primaryDir, viewDir, keyCols,
+        groupCol, valueCol))
 
   /** Refresh the view through the primary's current latest and stop. */
   def drain(
@@ -421,16 +472,40 @@ object TxViewStream {
     q.awaitTermination()
   }
 
+  /** Incremental applied-refresh high-water mark, keyed by view dir:
+    * (highest view version already scanned, max applied primary epoch).
+    * Refreshes apply in STRICT primary-version order, so "applied" is
+    * exactly `v <= maxEpoch` — one long survives vacuum of the view
+    * (the latest refresh manifest is always retained and carries it),
+    * unlike a full epoch SET rebuilt from every manifest, and each
+    * trigger parses only manifests committed since the last one
+    * (the [[TxReplicaStream.appliedEpochs]] incremental-scan
+    * discipline). A view dir that was wiped and rebuilt resets.
+    */
+  private val highWater =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
+  private def maxAppliedEpoch(viewDir: String): Long =
+    highWater.compute(viewDir, (_, prev) => {
+      val (scanned, maxE) = Option(prev).getOrElse((-1L, -1L))
+      val vsNow = TxTable.versions(viewDir)
+      val (base, baseMax) =
+        if (vsNow.lastOption.getOrElse(-1L) < scanned) (-1L, -1L)
+        else (scanned, maxE)
+      val fresh = vsNow.filter(_ > base)
+      (math.max(base, fresh.lastOption.getOrElse(base)),
+        (baseMax +: fresh.flatMap(v => TxTable.snapshot(viewDir, v).epoch)).max)
+    })._2
+
   private[graft] def applyViewBatch(
       batch: DataFrame, primaryDir: String, viewDir: String,
       keyCols: Seq[String], groupCol: String, valueCol: String): Unit = {
     val spark = batch.sparkSession
-    // the batch rows only tick which versions arrived — O(versions)
+    // ticks only: the batch IS the version list — O(versions) rows
     val vs = batch.select(col("_commit_version")).distinct()
       .collect().map(_.getLong(0)).sorted
-    val applied = TxTable.versions(viewDir)
-      .flatMap(v => TxTable.snapshot(viewDir, v).epoch).toSet
-    vs.filterNot(applied).foreach { v =>
+    val applied = maxAppliedEpoch(viewDir)
+    vs.filter(_ > applied).foreach { v =>
       val refreshed =
         if (TxTable.latest(viewDir).isEmpty)
           graft.apply.IncrementalAgg.snapshotAgg(
@@ -443,9 +518,13 @@ object TxViewStream {
         }
       // localCheckpoint: the refresh reads the view's CURRENT version
       // and overwrites it — materialize before the commit swaps the
-      // files out from under the lazy plan
-      TxTable.commitStreaming(refreshed.localCheckpoint(true), viewDir,
-        epochId = v, mode = "overwrite")
+      // files out from under the lazy plan. Plain commit (not
+      // commitStreaming): the high-water filter above already proved v
+      // unapplied, and the view dir is single-writer by contract, so
+      // the O(history) epoch rescan commitStreaming pays per call buys
+      // nothing here.
+      TxTable.commit(refreshed.localCheckpoint(true), viewDir,
+        mode = "overwrite", epochId = Some(v))
       ()
     }
   }

@@ -238,13 +238,17 @@ class TxStreamSourceSpec extends SparkSpecBase {
     assert(TxTable.versions(viewDir) === before, "replay must be a no-op")
 
     // a new primary commit flows through the SAME checkpoint and the
-    // view still matches a recompute (incl. a group emptied to zero)
+    // view still matches a recompute — deleting ALL of g2 (ids 2, 5, 8)
+    // exercises maintain's cnt>0 group-removal path end to end
     TxTable.merge(s, primary,
-      Seq((11L, null.asInstanceOf[String], null.asInstanceOf[java.math.BigDecimal], "DELETE"))
+      Seq(2L, 5L, 8L).map(i =>
+        (i, null.asInstanceOf[String], null.asInstanceOf[java.math.BigDecimal], "DELETE"))
         .toDF("id", "g", "amount", "operation"), Seq("id"))
     graft.streaming.TxViewStream.drain(
       s, primary, viewDir, Seq("id"), "g", "amount", ckpt)
     assert(viewNow === recompute, "post-delete refresh must equal the recompute")
+    assert(!viewNow.exists(_._1 == "g2"),
+      "a fully-emptied group must vanish from the streamed view")
     assert(TxTable.versions(viewDir).size === before.size + 1)
     // the view is itself a TxTable: refreshes are time-travelable
     val v0 = TxTable.read(s, viewDir, Some(0L))
