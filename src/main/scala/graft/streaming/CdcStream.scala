@@ -714,6 +714,106 @@ object CdcStream {
       .start()
   }
 
+  /** One micro-batch of the change log applied to a [[graft.sources
+    * .TxTable]] TARGET — the reference's replicate loop landing in the
+    * ACID table format instead of the bucketed epoch-dir layout: each
+    * epoch is ONE copy-on-write [[graft.sources.TxTable.merge]] (only
+    * files containing touched keys rewrite; O(changed keys), never
+    * O(table)), atomically visible, time-travelable per epoch, and
+    * exactly-once via the epoch stamp (streaming epochs apply in
+    * strictly increasing order, so the [[TxEpochHighWater]] mark — which
+    * survives vacuum of the target — is the applied ledger; the target
+    * is single-writer by contract, like the replica).
+    *
+    * The first epoch seeds the table with the batch's surviving inserts
+    * (an overwrite commit); every later epoch merges the per-key-latest
+    * change set under `strategy`.
+    */
+  def applyTxBatch(
+      batch: DataFrame,
+      epoch: Long,
+      tableDir: String,
+      spec: CdcTableSpec,
+      rowSchema: StructType,
+      strategy: ConflictStrategy = ConflictStrategy.LastWriteWins): Unit = {
+    import graft.log.ChangeLog.{NewData, Operation, RecordId}
+    import graft.sources.TxTable
+    val spark = batch.sparkSession
+    if (epoch <= TxEpochHighWater.maxApplied(tableDir)) return
+    if (batch.isEmpty) return
+    val latest = ChangeApplier.dedupToLatest(batch, strategy)
+    val pkField = rowSchema.fields.find(_.name == spec.pkCol).getOrElse(
+      throw new IllegalArgumentException(
+        s"pk ${spec.pkCol} missing from the row schema"))
+    val changes = latest.select(
+      rowSchema.fields.map { f =>
+        if (f.name == spec.pkCol)
+          // DELETE rows have no new image; the log key IS the pk
+          coalesce(col(s"$NewData.${f.name}"),
+            col(RecordId).cast(pkField.dataType)).as(f.name)
+        else col(s"$NewData.${f.name}").as(f.name)
+      } :+ col(Operation).as("operation"): _*)
+    if (TxTable.latest(tableDir).isEmpty)
+      TxTable.commit(
+        changes.filter(col("operation") =!= "DELETE").drop("operation"),
+        tableDir, "overwrite", statsColumns = Seq(spec.pkCol),
+        epochId = Some(epoch))
+    else
+      TxTable.merge(spark, tableDir, changes, Seq(spec.pkCol),
+        epochId = Some(epoch))
+    ()
+  }
+
+  /** [[start]] with a [[graft.sources.TxTable]] target: the change log
+    * streams into an ACID table — atomic multi-file epoch commits,
+    * snapshot isolation for readers, per-epoch time travel, CDF over the
+    * applied history, and copy-on-write merges that rewrite O(hit files)
+    * instead of whole buckets. The bucketed [[start]] remains the
+    * format-free path.
+    */
+  def startTxTable(
+      spark: SparkSession,
+      logDir: String,
+      tableDir: String,
+      checkpointDir: String,
+      spec: CdcTableSpec,
+      rowSchema: StructType,
+      config: CdcConfig = CdcConfig(),
+      trigger: Option[Trigger] = None,
+      maxFilesPerTrigger: Int = 100,
+      strategy: ConflictStrategy = ConflictStrategy.LastWriteWins): StreamingQuery = {
+    val logSchema = graft.log.ChangeLog.schema(rowSchema)
+    spark.readStream
+      .schema(logSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(logDir)
+      .writeStream
+      .queryName(s"cdc-replicate-tx-${spec.table}")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger.getOrElse(
+        Trigger.ProcessingTime(s"${config.syncIntervalSeconds} seconds")))
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        applyTxBatch(batch, epoch, tableDir, spec, rowSchema, strategy)
+      }
+      .start()
+  }
+
+  /** [[drain]] for the TxTable target: apply everything pending, stop. */
+  def drainTxTable(
+      spark: SparkSession,
+      logDir: String,
+      tableDir: String,
+      checkpointDir: String,
+      spec: CdcTableSpec,
+      rowSchema: StructType,
+      strategy: ConflictStrategy = ConflictStrategy.LastWriteWins,
+      maxFilesPerTrigger: Int = 100): Unit = {
+    val q = startTxTable(spark, logDir, tableDir, checkpointDir, spec,
+      rowSchema, trigger = Some(Trigger.AvailableNow()),
+      maxFilesPerTrigger = maxFilesPerTrigger, strategy = strategy)
+    q.awaitTermination()
+  }
+
   /** Drain all pending changes once and stop — the reference's final
     * `replicate_changes` after the poll loop ends
     * (reference: example_usage.py:221-223). `Trigger.AvailableNow`

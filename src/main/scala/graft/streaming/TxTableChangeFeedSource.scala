@@ -273,6 +273,34 @@ class TxTableChangeFeedProvider extends StreamSourceProvider with DataSourceRegi
   }
 }
 
+/** Incremental applied-epoch high-water mark over a TxTable's version
+  * log, keyed by table dir: (highest version already scanned, max
+  * applied epoch). For consumers that apply STRICTLY INCREASING epochs
+  * ([[TxViewStream]] refreshes, [[graft.streaming.CdcStream]]'s TxTable
+  * target), "applied" is exactly `epoch <= maxApplied` — one long that
+  * survives vacuum (the latest epoch-stamped manifest is retained and
+  * carries it), unlike a full epoch SET rebuilt from every manifest.
+  * Each call parses only manifests committed since the last one (the
+  * [[TxReplicaStream.appliedEpochs]] incremental-scan discipline); a
+  * dir that was wiped and rebuilt (versions regressed) resets.
+  */
+private[streaming] object TxEpochHighWater {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
+  def maxApplied(dir: String): Long =
+    cache.compute(dir, (_, prev) => {
+      val (scanned, maxE) = Option(prev).getOrElse((-1L, -1L))
+      val vsNow = TxTable.versions(dir)
+      val (base, baseMax) =
+        if (vsNow.lastOption.getOrElse(-1L) < scanned) (-1L, -1L)
+        else (scanned, maxE)
+      val fresh = vsNow.filter(_ > base)
+      (math.max(base, fresh.lastOption.getOrElse(base)),
+        (baseMax +: fresh.flatMap(v => TxTable.snapshot(dir, v).epoch)).max)
+    })._2
+}
+
 /** Shared writeStream wiring for the feed consumers ([[TxReplicaStream]],
   * [[TxViewStream]]): reader options, throttle plumbing, checkpoint,
   * trigger — one place to fix, two query shapes.
@@ -472,31 +500,6 @@ object TxViewStream {
     q.awaitTermination()
   }
 
-  /** Incremental applied-refresh high-water mark, keyed by view dir:
-    * (highest view version already scanned, max applied primary epoch).
-    * Refreshes apply in STRICT primary-version order, so "applied" is
-    * exactly `v <= maxEpoch` — one long survives vacuum of the view
-    * (the latest refresh manifest is always retained and carries it),
-    * unlike a full epoch SET rebuilt from every manifest, and each
-    * trigger parses only manifests committed since the last one
-    * (the [[TxReplicaStream.appliedEpochs]] incremental-scan
-    * discipline). A view dir that was wiped and rebuilt resets.
-    */
-  private val highWater =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
-
-  private def maxAppliedEpoch(viewDir: String): Long =
-    highWater.compute(viewDir, (_, prev) => {
-      val (scanned, maxE) = Option(prev).getOrElse((-1L, -1L))
-      val vsNow = TxTable.versions(viewDir)
-      val (base, baseMax) =
-        if (vsNow.lastOption.getOrElse(-1L) < scanned) (-1L, -1L)
-        else (scanned, maxE)
-      val fresh = vsNow.filter(_ > base)
-      (math.max(base, fresh.lastOption.getOrElse(base)),
-        (baseMax +: fresh.flatMap(v => TxTable.snapshot(viewDir, v).epoch)).max)
-    })._2
-
   private[graft] def applyViewBatch(
       batch: DataFrame, primaryDir: String, viewDir: String,
       keyCols: Seq[String], groupCol: String, valueCol: String): Unit = {
@@ -504,7 +507,7 @@ object TxViewStream {
     // ticks only: the batch IS the version list — O(versions) rows
     val vs = batch.select(col("_commit_version")).distinct()
       .collect().map(_.getLong(0)).sorted
-    val applied = maxAppliedEpoch(viewDir)
+    val applied = TxEpochHighWater.maxApplied(viewDir)
     vs.filter(_ > applied).foreach { v =>
       val refreshed =
         if (TxTable.latest(viewDir).isEmpty)

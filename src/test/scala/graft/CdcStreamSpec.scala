@@ -509,4 +509,55 @@ class CdcStreamSpec extends SparkSpecBase {
       listener.close()
     }
   }
+
+  test("change log streamed into a TxTable target: ACID epochs, time travel, replay no-op") {
+    import graft.sources.TxTable
+    val tmp = Files.createTempDirectory("cdctx").toString
+    val logDir = s"$tmp/log"
+    val tableDir = s"$tmp/txtarget"
+    val ckpt = s"$tmp/chk"
+
+    val table = DemoWorkload.replay(
+      CdcTable(DemoWorkload.users(s, 0), DemoWorkload.UsersSpec),
+      s, inserts = 10, updates = 5, deletes = 2)
+    table.changeLog.write.mode("overwrite").parquet(logDir)
+    val rowSchema = table.snapshot.schema
+
+    CdcStream.drainTxTable(s, logDir, tableDir, ckpt,
+      DemoWorkload.UsersSpec, rowSchema)
+
+    // target ≡ source snapshot, read through the table format
+    assert(ReplicationVerifier.fullyReplicated(table.snapshot,
+      TxTable.read(s, tableDir)))
+    assert(TxTable.read(s, tableDir).count() === 8)
+    // epoch stamps present, strictly increasing
+    val epochs = TxTable.versions(tableDir)
+      .map(TxTable.snapshot(tableDir, _)).flatMap(_.epoch)
+    assert(epochs.nonEmpty && epochs === epochs.sorted)
+
+    // replay on the same checkpoint: no new version
+    val before = TxTable.versions(tableDir)
+    CdcStream.drainTxTable(s, logDir, tableDir, ckpt,
+      DemoWorkload.UsersSpec, rowSchema)
+    assert(TxTable.versions(tableDir) === before, "replay must be a no-op")
+
+    // a late batch of inserts lands as ONE CoW merge version; the prior
+    // state stays time-travelable
+    table.insert(DemoWorkload.users(s, 3, startId = 100L))
+    table.changeLog.filter(col("record_id") >= 100L)
+      .write.mode("append").parquet(logDir)
+    CdcStream.drainTxTable(s, logDir, tableDir, ckpt,
+      DemoWorkload.UsersSpec, rowSchema)
+    assert(TxTable.read(s, tableDir).count() === 11)
+    assert(ReplicationVerifier.fullyReplicated(table.snapshot,
+      TxTable.read(s, tableDir)))
+    val latestV = TxTable.versions(tableDir).last
+    assert(TxTable.read(s, tableDir, Some(latestV - 1)).count() === 8,
+      "the pre-catch-up state must remain readable by version")
+    // merge carried untouched files forward by reference (CoW, not rewrite)
+    val prevFiles = TxTable.snapshot(tableDir, latestV - 1).files.toSet
+    val nowFiles = TxTable.snapshot(tableDir, latestV).files.toSet
+    assert((prevFiles & nowFiles).nonEmpty,
+      "untouched files must carry forward by reference across the merge")
+  }
 }
