@@ -150,6 +150,32 @@ object SparkEntry {
     newTarget.orderBy("o_orderkey")
   }
 
+  /** The SAME pending batch as [[qReplicateBatch]], applied into a
+    * [[graft.sources.TxTable]] TARGET through the streaming epoch path
+    * ([[graft.streaming.CdcStream.applyTxBatch]]: per-key-latest dedup →
+    * copy-on-write merge, epoch-stamped). The oracle is
+    * `cdc_replicate_batch`'s merged-state SQL verbatim, so the hash
+    * match proves the ACID-target apply ends at exactly the same state
+    * as the format-free apply — and time travel back to the seed is one
+    * read (spec tier).
+    */
+  private def qReplicateTx(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxTable
+    val path = Fixtures.scratchDir("cdctx", dir)
+    Fixtures.buildOnce("cdctx", s, dir) {
+      wipeTxDir(path)
+      val o = orders(s, dir).select(OrdersSpec.columns.map(col): _*)
+      TxTable.commit(o, path, "overwrite",
+        statsColumns = Seq("o_orderkey"), epochId = Some(0L))
+      val batch = graft.log.ChangeLog.pendingChanges(
+        changeLog(s, dir), Some(500))
+      graft.streaming.CdcStream.applyTxBatch(
+        batch, 1L, path, OrdersSpec, o.schema)
+      ()
+    }
+    TxTable.read(s, path).orderBy("o_orderkey")
+  }
+
   private def qStatistics(s: SparkSession, dir: String): DataFrame =
     CdcMonitor.statistics(changeLog(s, dir)).orderBy("operation")
 
@@ -5250,6 +5276,7 @@ object SparkEntry {
     "cdc_conflicts" -> (qConflicts _),
     "cdc_apply_changes" -> (qApplyChanges _),
     "cdc_replicate_batch" -> (qReplicateBatch _),
+    "cdc_replicate_tx" -> (qReplicateTx _),
     "cdc_statistics" -> (qStatistics _),
     "cdc_statistics_wide" -> (qStatisticsWide _),
     "cdc_health_report" -> (qHealthReport _),
@@ -7383,6 +7410,22 @@ object SparkEntry {
          |SELECT * FROM snap ORDER BY o_orderkey""".stripMargin,
 
     "cdc_replicate_batch" ->
+      s"""WITH ${FixtureSql.LogCte},
+         |batch AS (SELECT * FROM logm_t WHERE synced = 0 ORDER BY cdc_id LIMIT 500),
+         |merged AS (
+         |  SELECT * FROM orders
+         |  WHERE o_orderkey NOT IN (SELECT record_id FROM batch)
+         |  UNION ALL
+         |  SELECT record_id AS o_orderkey, new_custkey AS o_custkey,
+         |         new_status AS o_orderstatus, new_totalprice AS o_totalprice,
+         |         new_orderdate AS o_orderdate, new_priority AS o_orderpriority
+         |  FROM batch WHERE operation <> 'DELETE')
+         |SELECT * FROM merged ORDER BY o_orderkey""".stripMargin,
+
+    // the ACID-target apply (CoW merge through the streaming epoch path)
+    // must end at exactly the state of the format-free apply — verbatim
+    // the cdc_replicate_batch oracle
+    "cdc_replicate_tx" ->
       s"""WITH ${FixtureSql.LogCte},
          |batch AS (SELECT * FROM logm_t WHERE synced = 0 ORDER BY cdc_id LIMIT 500),
          |merged AS (
