@@ -170,7 +170,7 @@ object SparkEntry {
       val batch = graft.log.ChangeLog.pendingChanges(
         changeLog(s, dir), Some(500))
       graft.streaming.CdcStream.applyTxBatch(
-        batch, 1L, path, OrdersSpec, o.schema)
+        batch, path, OrdersSpec, o.schema)
       ()
     }
     TxTable.read(s, path).orderBy("o_orderkey")

@@ -681,38 +681,29 @@ object CdcStream {
       aggView: Option[AggView] = None,
       momentsView: Option[MomentsView] = None,
       distinctView: Option[DistinctView] = None,
-      joinView: Option[JoinView] = None): StreamingQuery = {
-    val logSchema = graft.log.ChangeLog.schema(rowSchema)
-    val stream = spark.readStream
-      .schema(logSchema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(logDir)
-    stream.writeStream
-      .queryName(s"cdc-replicate-${spec.table}")
-      .option("checkpointLocation", checkpointDir)
-      .trigger(trigger.getOrElse(
-        Trigger.ProcessingTime(s"${config.syncIntervalSeconds} seconds")))
-      .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        // History FIRST: applyHistoryBatch needs the batch's events only,
-        // but reads nothing the target write touches; ordering just makes
-        // the crash window deterministic (history may be one epoch ahead
-        // of the target, never behind AND ahead at once — both replay).
-        historyDir.foreach(h =>
-          applyHistoryBatch(batch, epoch, h, spec, rowSchema, numBuckets))
-        aggView.foreach(v =>
-          applyAggBatch(batch, epoch, v.dir, v.keyCol, v.valueCol, v.keyType))
-        momentsView.foreach(v =>
-          applyMomentsBatch(batch, epoch, v.dir, v.keyCol, v.valueCol, v.keyType))
-        distinctView.foreach(v =>
-          applyDistinctBatch(batch, epoch, v.dir, v.keyCol, v.valueCol,
-            v.keyType, v.valueType))
-        joinView.foreach(v =>
-          applyJoinBatch(batch, epoch, v.dir, spec, v.viewSchema, v.dim,
-            v.fkCol, v.dimKey, v.dimCols, numBuckets))
-        applyBatch(batch, epoch, targetDir, spec, rowSchema, strategy, numBuckets)
-      }
-      .start()
-  }
+      joinView: Option[JoinView] = None): StreamingQuery =
+    startLogStream(spark, logDir, rowSchema, checkpointDir,
+      trigger.getOrElse(
+        Trigger.ProcessingTime(s"${config.syncIntervalSeconds} seconds")),
+      maxFilesPerTrigger, s"cdc-replicate-${spec.table}") { (batch, epoch) =>
+      // History FIRST: applyHistoryBatch needs the batch's events only,
+      // but reads nothing the target write touches; ordering just makes
+      // the crash window deterministic (history may be one epoch ahead
+      // of the target, never behind AND ahead at once — both replay).
+      historyDir.foreach(h =>
+        applyHistoryBatch(batch, epoch, h, spec, rowSchema, numBuckets))
+      aggView.foreach(v =>
+        applyAggBatch(batch, epoch, v.dir, v.keyCol, v.valueCol, v.keyType))
+      momentsView.foreach(v =>
+        applyMomentsBatch(batch, epoch, v.dir, v.keyCol, v.valueCol, v.keyType))
+      distinctView.foreach(v =>
+        applyDistinctBatch(batch, epoch, v.dir, v.keyCol, v.valueCol,
+          v.keyType, v.valueType))
+      joinView.foreach(v =>
+        applyJoinBatch(batch, epoch, v.dir, spec, v.viewSchema, v.dim,
+          v.fkCol, v.dimKey, v.dimCols, numBuckets))
+      applyBatch(batch, epoch, targetDir, spec, rowSchema, strategy, numBuckets)
+    }
 
   /** One micro-batch of the change log applied to a [[graft.sources
     * .TxTable]] TARGET — the reference's replicate loop landing in the
@@ -720,27 +711,40 @@ object CdcStream {
     * epoch is ONE copy-on-write [[graft.sources.TxTable.merge]] (only
     * files containing touched keys rewrite; O(changed keys), never
     * O(table)), atomically visible, time-travelable per epoch, and
-    * exactly-once via the epoch stamp (streaming epochs apply in
-    * strictly increasing order, so the [[TxEpochHighWater]] mark — which
-    * survives vacuum of the target — is the applied ledger; the target
-    * is single-writer by contract, like the replica).
+    * exactly-once via a DATA-DERIVED stamp — the batch's max cdc_id —
+    * tracked by the [[TxEpochHighWater]] mark, which survives vacuum of
+    * the target; the target is single-writer by contract, like the
+    * replica. (Checkpoint batch NUMBERS would not survive a checkpoint
+    * rebuild — see the ledger comment in the body.)
     *
-    * The first epoch seeds the table with the batch's surviving inserts
-    * (an overwrite commit); every later epoch merges the per-key-latest
+    * The first batch seeds the table with its surviving inserts (an
+    * overwrite commit); every later batch merges the per-key-latest
     * change set under `strategy`.
     */
   def applyTxBatch(
       batch: DataFrame,
-      epoch: Long,
       tableDir: String,
       spec: CdcTableSpec,
       rowSchema: StructType,
       strategy: ConflictStrategy = ConflictStrategy.LastWriteWins): Unit = {
-    import graft.log.ChangeLog.{NewData, Operation, RecordId}
+    import graft.log.ChangeLog.{CdcId, NewData, Operation, RecordId}
     import graft.sources.TxTable
     val spark = batch.sparkSession
-    if (epoch <= TxEpochHighWater.maxApplied(tableDir)) return
     if (batch.isEmpty) return
+    // The applied ledger is DATA-DERIVED — the batch's max cdc_id — not
+    // the checkpoint's batch number (`epoch` is ignored for the skip
+    // decision): a lost/rebuilt checkpoint renumbers batches from 0, and
+    // a batch-number ledger would then skip NEW changes that landed in
+    // renumbered early batches. With cdc ids, a full checkpoint rebuild
+    // replays the log from the start: fully-applied batches skip on the
+    // mark; a regrouped batch straddling the mark re-applies its older
+    // changes, and because replay proceeds in log order to the end, the
+    // per-key-latest merge converges to the same final state (the same
+    // at-least-once-then-converge argument as the bucketed target's
+    // epoch-dir overwrite).
+    val ledgerId = batch.agg(org.apache.spark.sql.functions.max(col(CdcId)))
+      .first().getLong(0)
+    if (ledgerId <= TxEpochHighWater.maxApplied(tableDir)) return
     val latest = ChangeApplier.dedupToLatest(batch, strategy)
     val pkField = rowSchema.fields.find(_.name == spec.pkCol).getOrElse(
       throw new IllegalArgumentException(
@@ -757,10 +761,10 @@ object CdcStream {
       TxTable.commit(
         changes.filter(col("operation") =!= "DELETE").drop("operation"),
         tableDir, "overwrite", statsColumns = Seq(spec.pkCol),
-        epochId = Some(epoch))
+        epochId = Some(ledgerId))
     else
       TxTable.merge(spark, tableDir, changes, Seq(spec.pkCol),
-        epochId = Some(epoch))
+        epochId = Some(ledgerId))
     ()
   }
 
@@ -781,20 +785,37 @@ object CdcStream {
       config: CdcConfig = CdcConfig(),
       trigger: Option[Trigger] = None,
       maxFilesPerTrigger: Int = 100,
-      strategy: ConflictStrategy = ConflictStrategy.LastWriteWins): StreamingQuery = {
+      strategy: ConflictStrategy = ConflictStrategy.LastWriteWins): StreamingQuery =
+    startLogStream(spark, logDir, rowSchema, checkpointDir,
+      trigger.getOrElse(
+        Trigger.ProcessingTime(s"${config.syncIntervalSeconds} seconds")),
+      maxFilesPerTrigger, s"cdc-replicate-tx-${spec.table}") {
+      (batch, _) => applyTxBatch(batch, tableDir, spec, rowSchema, strategy)
+    }
+
+  /** Shared change-log readStream/writeStream wiring for [[start]] and
+    * [[startTxTable]] — one place for the source schema, file throttle,
+    * checkpoint and trigger plumbing.
+    */
+  private def startLogStream(
+      spark: SparkSession,
+      logDir: String,
+      rowSchema: StructType,
+      checkpointDir: String,
+      trigger: Trigger,
+      maxFilesPerTrigger: Int,
+      queryName: String)(
+      body: (DataFrame, Long) => Unit): StreamingQuery = {
     val logSchema = graft.log.ChangeLog.schema(rowSchema)
     spark.readStream
       .schema(logSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(logDir)
       .writeStream
-      .queryName(s"cdc-replicate-tx-${spec.table}")
+      .queryName(queryName)
       .option("checkpointLocation", checkpointDir)
-      .trigger(trigger.getOrElse(
-        Trigger.ProcessingTime(s"${config.syncIntervalSeconds} seconds")))
-      .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        applyTxBatch(batch, epoch, tableDir, spec, rowSchema, strategy)
-      }
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, epoch: Long) => body(batch, epoch) }
       .start()
   }
 

@@ -285,20 +285,38 @@ class TxTableChangeFeedProvider extends StreamSourceProvider with DataSourceRegi
   * dir that was wiped and rebuilt (versions regressed) resets.
   */
 private[streaming] object TxEpochHighWater {
+  /** dir -> (scanned version, epoch fingerprint AT that version
+    * (-1 = none/absent), max applied epoch).
+    */
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Long)]()
 
   def maxApplied(dir: String): Long =
     cache.compute(dir, (_, prev) => {
-      val (scanned, maxE) = Option(prev).getOrElse((-1L, -1L))
+      val (scanned, fp, maxE) = Option(prev).getOrElse((-1L, -1L, -1L))
       val vsNow = TxTable.versions(dir)
-      val (base, baseMax) =
-        if (vsNow.lastOption.getOrElse(-1L) < scanned) (-1L, -1L)
-        else (scanned, maxE)
+      // Wipe detection: the version count regressing is the cheap
+      // signal, but a dir wiped and rebuilt to >= the scanned version
+      // before this consult would slip past it — so the SCANNED version
+      // also carries an epoch fingerprint: if that manifest still exists
+      // but stamps a different epoch, this is a new lineage and the
+      // cached mark is poison. (A vacuumed-away scanned version is
+      // indistinguishable from legit retention and keeps the cache —
+      // the documented single-writer contract covers it.)
+      def fpNow: Long =
+        if (scanned < 0 || !vsNow.contains(scanned)) -2L // absent
+        else TxTable.snapshot(dir, scanned).epoch.getOrElse(-1L)
+      val wiped = vsNow.lastOption.getOrElse(-1L) < scanned ||
+        (scanned >= 0 && vsNow.contains(scanned) && fpNow != fp)
+      val (base, baseMax) = if (wiped) (-1L, -1L) else (scanned, maxE)
       val fresh = vsNow.filter(_ > base)
-      (math.max(base, fresh.lastOption.getOrElse(base)),
+      val newScanned = math.max(base, fresh.lastOption.getOrElse(base))
+      val newFp =
+        if (newScanned < 0 || !vsNow.contains(newScanned)) -1L
+        else TxTable.snapshot(dir, newScanned).epoch.getOrElse(-1L)
+      (newScanned, newFp,
         (baseMax +: fresh.flatMap(v => TxTable.snapshot(dir, v).epoch)).max)
-    })._2
+    })._3
 }
 
 /** Shared writeStream wiring for the feed consumers ([[TxReplicaStream]],

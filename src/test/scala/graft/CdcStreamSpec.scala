@@ -560,4 +560,36 @@ class CdcStreamSpec extends SparkSpecBase {
     assert((prevFiles & nowFiles).nonEmpty,
       "untouched files must carry forward by reference across the merge")
   }
+
+  test("applyTxBatch merge path: updates apply and deletes key off record_id") {
+    import graft.sources.TxTable
+    val dir = Files.createTempDirectory("cdctxm").toString
+    val table = DemoWorkload.replay(
+      CdcTable(DemoWorkload.users(s, 0), DemoWorkload.UsersSpec),
+      s, inserts = 6, updates = 3, deletes = 2)
+    val rowSchema = table.snapshot.schema
+    val log = table.changeLog
+    // batch 1: the inserts (seed branch); batch 2: updates + deletes —
+    // the merge branch, incl. the DELETE rows whose pk must come from
+    // record_id (their new_data image is null)
+    CdcStream.applyTxBatch(log.filter(col("operation") === "INSERT"),
+      dir, DemoWorkload.UsersSpec, rowSchema)
+    CdcStream.applyTxBatch(log.filter(col("operation") =!= "INSERT"),
+      dir, DemoWorkload.UsersSpec, rowSchema)
+    assert(ReplicationVerifier.fullyReplicated(table.snapshot,
+      TxTable.read(s, dir)),
+      "merge path must land updates and remove deleted keys")
+    assert(TxTable.read(s, dir).count() === 4) // 6 inserts − 2 deletes
+    val deleted = log.filter(col("operation") === "DELETE")
+      .select("record_id").collect().map(_.getLong(0)).toSet
+    val remaining = TxTable.read(s, dir)
+      .select(DemoWorkload.UsersSpec.pkCol).collect().map(_.getLong(0)).toSet
+    assert((deleted & remaining).isEmpty, "deleted keys must be gone")
+    // data-derived ledger: re-applying the SAME second batch is a no-op
+    val before = TxTable.versions(dir)
+    CdcStream.applyTxBatch(log.filter(col("operation") =!= "INSERT"),
+      dir, DemoWorkload.UsersSpec, rowSchema)
+    assert(TxTable.versions(dir) === before,
+      "a replayed batch must skip on the cdc-id high-water mark")
+  }
 }
