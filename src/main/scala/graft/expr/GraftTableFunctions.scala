@@ -181,7 +181,20 @@ object GraftTableFunctions {
     "graft_corpus_pack_stats" -> tvf("(table, idCol, textCol, strataCol, ctxCsv)", 5, 5)(
       (s: SparkSession, a: Seq[Any]) =>
         graft.ext.Corpus.packStats(s.table(str(a(0))), str(a(1)), str(a(2)),
-          ctxs = csv(a(4)).map(_.toInt), strataCol = col(str(a(3))))))
+          ctxs = csv(a(4)).map(_.toInt), strataCol = col(str(a(3))))),
+    // one-shot materialized-view refresh: apply every primary version the
+    // view hasn't seen (the TxViewStream batch body without the stream),
+    // then return the refreshed view — a WRITE TVF, same caveats as
+    // graft_tx_append/_merge
+    "graft_tx_view_refresh" -> tvf("(primaryDir, viewDir, keyColsCsv, groupCol, valueCol)", 5, 5)(
+      (s: SparkSession, a: Seq[Any]) => {
+        import s.implicits._
+        val ticks = graft.sources.TxTable.versions(str(a(0)))
+          .toDF("_commit_version")
+        graft.streaming.TxViewStream.applyViewBatch(
+          ticks, str(a(0)), str(a(1)), csv(a(2)), str(a(3)), str(a(4)))
+        graft.sources.TxTable.read(s, str(a(1)))
+      }))
 
   /** The registered TVF names (for docs/tests). */
   def names: Seq[String] = registry.keys.toSeq.sorted

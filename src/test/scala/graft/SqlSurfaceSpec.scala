@@ -199,6 +199,30 @@ class SqlSurfaceSpec extends SparkSpecBase {
     }
   }
 
+  test("materialized-view refresh from SQL: graft_tx_view_refresh") {
+    import s.implicits._
+    import graft.sources.TxTable
+    val primary = java.nio.file.Files.createTempDirectory("sqlview-p").toString
+    val viewDir = java.nio.file.Files.createTempDirectory("sqlview-v").toString
+    TxTable.commit(Seq((1L, "a", java.math.BigDecimal.valueOf(100L, 2)),
+        (2L, "b", java.math.BigDecimal.valueOf(200L, 2)))
+      .toDF("id", "g", "amount"), primary)
+    TxTable.commit(Seq((3L, "a", java.math.BigDecimal.valueOf(300L, 2)))
+      .toDF("id", "g", "amount"), primary, "append")
+    val out = s.sql(
+      s"""SELECT g_key, cnt, CAST(total AS DOUBLE) AS total
+         |FROM graft_tx_view_refresh('$primary', '$viewDir', 'id', 'g', 'amount')
+         |ORDER BY g_key""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === Seq(("a", 2L, 4.0), ("b", 1L, 2.0)))
+    // a second refresh applies nothing (versions unchanged), same result
+    val again = s.sql(
+      s"SELECT COUNT(*) FROM graft_tx_view_refresh('$primary', '$viewDir', 'id', 'g', 'amount')")
+      .collect()(0).getLong(0)
+    assert(again === 2L)
+    assert(TxTable.versions(viewDir).size === 2, "refresh replay is a no-op")
+  }
+
   test("TVF argument errors are caught with a usage message") {
     withViews {
       val e = intercept[Exception] {
