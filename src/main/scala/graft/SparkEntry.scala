@@ -484,9 +484,14 @@ object SparkEntry {
     * integer arithmetic, so it hash-matches end to end.
     */
   private def qMediaPhashPairs(s: SparkSession, dir: String): DataFrame =
+    // bandBits = 32 is the corpus-scale setting: 16-bit bands saturate at
+    // ~n²/2^16 random collisions per (frame, band) — measured 6.4 s vs
+    // 1.7 s at sf1 (SCALE.md round-9 probes) — so the REGISTERED query
+    // carries the setting a real deployment should copy
     Multimodal.framePhashPairs(
       Multimodal.sampleFrames(
-        Multimodal.withFakePayload(documents(s, dir), "doc_id", "text"), n = 4))
+        Multimodal.withFakePayload(documents(s, dir), "doc_id", "text"), n = 4),
+      bandBits = 32)
       .orderBy("id_a", "id_b")
 
   /** Scene-cut detection plumbing: per media asset, how many
@@ -8203,9 +8208,8 @@ object SparkEntry {
         |    ON bits.media_id = fx.media_id AND bits.frame_i = fx.frame_i
         |  GROUP BY fx.media_id, fx.frame_i),
         |ch AS (SELECT media_id, frame_i, i.i,
-        |         CASE i.i WHEN 0 THEN lo & 65535 WHEN 1 THEN (lo >> 16) & 65535
-        |                  WHEN 2 THEN hi & 65535 ELSE (hi >> 16) & 65535 END AS cv
-        |       FROM hs, (SELECT unnest(range(0, 4)) AS i) i),
+        |         CASE i.i WHEN 0 THEN lo ELSE hi END AS cv
+        |       FROM hs, (SELECT unnest(range(0, 2)) AS i) i),
         |cand AS (SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b, a.frame_i
         |         FROM ch a JOIN ch b ON a.frame_i = b.frame_i AND a.i = b.i
         |                            AND a.cv = b.cv AND a.media_id < b.media_id),

@@ -176,7 +176,12 @@ object Corpus {
       ctxs: Seq[Int],
       strataCol: Column): DataFrame = {
     require(ctxs.nonEmpty && ctxs.forall(_ > 0), "context lengths must be positive")
+    // ROWS frame, not the orderBy default RANGE frame: the DuckDB oracle
+    // pins ROWS UNBOUNDED PRECEDING, and under RANGE two docs tying on
+    // idCol would each absorb the other's tokens into `cum`, producing
+    // overlapping spans (same stance as budgetMix's window below)
     val w = Window.partitionBy(col("stratum")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val spans = df.select(col(idCol), strataCol.as("stratum"),
         TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
       .filter(col("n_tokens") > 0)

@@ -744,7 +744,18 @@ object CdcStream {
     // epoch-dir overwrite).
     val ledgerId = batch.agg(org.apache.spark.sql.functions.max(col(CdcId)))
       .first().getLong(0)
-    if (ledgerId <= TxEpochHighWater.maxApplied(tableDir)) return
+    val mark = TxEpochHighWater.maxApplied(tableDir)
+    if (ledgerId <= mark) {
+      // sound only under the in-order-log contract ([[startTxTable]]):
+      // a replayed batch skips here; a BACKFILLED file (ids below the
+      // mark but never applied) would too — warn loudly so an operator
+      // backfilling an old log file sees the drop
+      System.err.println(
+        s"[cdc-tx] skipping batch with max cdc_id $ledgerId <= applied " +
+          s"high-water $mark at $tableDir (checkpoint replay under the " +
+          "in-order-log contract; a backfill must renumber above the mark)")
+      return
+    }
     val latest = ChangeApplier.dedupToLatest(batch, strategy)
     val pkField = rowSchema.fields.find(_.name == spec.pkCol).getOrElse(
       throw new IllegalArgumentException(
@@ -774,6 +785,18 @@ object CdcStream {
     * applied history, and copy-on-write merges that rewrite O(hit files)
     * instead of whole buckets. The bucketed [[start]] remains the
     * format-free path.
+    *
+    * ==Contract: the change log is delivered in cdc-id order==
+    * The exactly-once ledger is the applied high-water cdc_id
+    * ([[applyTxBatch]]): a batch whose max cdc_id is at or below the
+    * mark is treated as a checkpoint replay and skipped. That is sound
+    * only when log FILES arrive in cdc-id order — the writer appends
+    * monotonically-numbered changes and the file stream lists in order.
+    * A BACKFILLED log file (all ids below the mark, never applied) would
+    * be skipped as a replay; [[applyTxBatch]] logs a loud warning when
+    * it skips so the operational signal exists, but a backfill workflow
+    * must renumber its changes above the current mark (or replay the
+    * whole log into a fresh table).
     */
   def startTxTable(
       spark: SparkSession,

@@ -137,10 +137,15 @@ class TxTableChangeFeedSource(
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val endV = end.json.toLong
     val firstV = start.map(_.json.toLong + 1).getOrElse(startingVersion)
+    // one _txlog listing per batch, not per version: ticksFor/feedFor
+    // consult this set for the vacuum-gap check, and a long-retention
+    // table would otherwise pay O(versions²) directory listings per
+    // trigger
+    val committed = TxTable.versions(dir).toSet
     val batch =
-      if (ticksOnly) ticksFor(firstV, endV)
+      if (ticksOnly) ticksFor(firstV, endV, committed)
       else {
-        val frames = (firstV to endV).map(feedFor)
+        val frames = (firstV to endV).map(feedFor(_, committed))
         if (frames.isEmpty) emptyFeed
         else frames.reduce(_.unionByName(_))
       }
@@ -157,9 +162,10 @@ class TxTableChangeFeedSource(
     * The vacuum-gap contract still holds (the consumer's own
     * `changeFeed*` call would fail later and less legibly).
     */
-  private def ticksFor(firstV: Long, endV: Long): DataFrame = {
+  private def ticksFor(firstV: Long, endV: Long,
+      committed: Set[Long]): DataFrame = {
     (firstV to endV).foreach { v =>
-      if (v != startingVersion && !TxTable.versions(dir).contains(v - 1))
+      if (v != startingVersion && !committed.contains(v - 1))
         throw new IllegalStateException(
           s"TxTable change-feed stream at $dir: version ${v - 1} (the diff " +
             s"base for $v) was vacuumed away — retention must cover the " +
@@ -172,14 +178,14 @@ class TxTableChangeFeedSource(
   }
 
   /** One version's feed rows, projected onto the pinned schema. */
-  private def feedFor(v: Long): DataFrame = {
+  private def feedFor(v: Long, committed: Set[Long]): DataFrame = {
     val feed =
       if (v == startingVersion)
         // the stream's base: the full snapshot is the insert set
         TxTable.read(spark, dir, Some(v))
           .withColumn("change_type", lit("insert"))
       else {
-        if (!TxTable.versions(dir).contains(v - 1))
+        if (!committed.contains(v - 1))
           throw new IllegalStateException(
             s"TxTable change-feed stream at $dir: version ${v - 1} (the diff " +
               s"base for $v) was vacuumed away — retention must cover the " +
