@@ -1852,7 +1852,12 @@ object SparkEntry {
     * NEGATIVE would silently lose orders); the spec tier proves files
     * are actually skipped.
     */
-  private def qTxBloomLookup(s: SparkSession, dir: String): DataFrame = {
+  /** Shared range-clustered orders TxTable: stats on the clustered
+    * `o_orderkey`, Blooms on the scattered `o_custkey` — the fixture for
+    * both the explicit point-lookup API (`tx_bloom_lookup`) and the
+    * registered-source reads (`tx_provider_*`).
+    */
+  private def buildTxBloomTable(s: SparkSession, dir: String): String = {
     import graft.sources.TxTable
     val path = Fixtures.scratchDir("txbloomq", dir)
     Fixtures.buildOnce("txbloomq", s, dir) {
@@ -1866,6 +1871,12 @@ object SparkEntry {
         bloomColumns = Seq("o_custkey"))
       ()
     }
+    path
+  }
+
+  private def qTxBloomLookup(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxTable
+    val path = buildTxBloomTable(s, dir)
     val keys = Seq(37L, 73L, 110L, 999999999L)
     keys.map { k =>
       TxTable.readPointLookupLong(s, path, "o_custkey", k)
@@ -1907,6 +1918,84 @@ object SparkEntry {
       .select(col("g_key").as("segment"), col("cnt").as("n_customers"),
         col("total").cast("double").as("total_balance"))
       .orderBy("segment")
+  }
+
+  /** The REGISTERED-source read path on the oracle board
+    * (`spark.read.format("txtable")`, [[graft.sources.TxTableProvider]]):
+    * a range predicate on the clustered key flows through Spark's
+    * planner into [[graft.sources.TxFileIndex]], which consults the
+    * manifest's per-file ranges — the round-10 "efficient path is the
+    * DEFAULT path" directive. The oracle is the plain filtered aggregate
+    * over the source parquet, so the hash match proves the
+    * automatically-pruned read ≡ the full scan + filter (the
+    * `TxProviderSpec` tier proves files are actually skipped and
+    * parquet-level pushdown still happens below the skipping).
+    */
+  private def qTxProviderPrune(s: SparkSession, dir: String): DataFrame = {
+    val path = buildTxBloomTable(s, dir)
+    s.read.format("txtable").load(path)
+      .where(col("o_orderkey") >= 1000L && col("o_orderkey") <= 2999L)
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"),
+        round(sum(col("o_totalprice").cast(DecimalType(18, 4))).cast("double"), 6)
+          .as("sum_price"))
+  }
+
+  /** Bloom-pruned POINT reads through the registered source: equality on
+    * the scattered `o_custkey` (every file's range overlaps — only the
+    * Bloom sidecars can skip) via plain `where`, no special API. Present
+    * and absent keys both on the board: a Bloom false NEGATIVE would
+    * drop rows and break the hash.
+    */
+  private def qTxProviderPoint(s: SparkSession, dir: String): DataFrame = {
+    val path = buildTxBloomTable(s, dir)
+    Seq(37L, 73L, 110L, 999999999L).map { k =>
+      s.read.format("txtable").load(path)
+        .where(col("o_custkey") === k)
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice").cast(DecimalType(18, 4))).cast("double"), 6)
+            .as("sum_price"))
+        .select(lit(k).as("lookup_key"), col("n_orders"), col("sum_price"))
+    }.reduce(_.unionByName(_)).orderBy("lookup_key")
+  }
+
+  /** Catalog-named TxTable end-to-end from SQL (round-10 directive #2):
+    * CREATE TABLE ... USING txtable LOCATION, then INSERT INTO through
+    * [[graft.sources.TxTableInsertRule]] (a real manifest commit — the
+    * default resolution would land rows outside the manifest), then an
+    * aggregate over the table NAME with a pruning WHERE. The oracle
+    * recomputes from the customer parquet: seed (custkey % 3 = 0) plus
+    * the inserted slice (custkey % 3 = 1), under the same key cutoff.
+    */
+  private def qTxSqlInsert(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxTable
+    val path = Fixtures.scratchDir("txinsq", dir)
+    Fixtures.buildOnce("txinsq", s, dir) {
+      wipeTxDir(path)
+      val c = customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      TxTable.commit(
+        c.filter(col("c_custkey") % 3 === 0)
+          .repartitionByRange(4, col("c_custkey"))
+          .sortWithinPartitions(col("c_custkey")),
+        path, "overwrite", statsColumns = Seq("c_custkey"))
+      s.sql("DROP TABLE IF EXISTS graft_tx_ins_board")
+      s.sql(s"CREATE TABLE graft_tx_ins_board USING txtable LOCATION '$path'")
+      c.filter(col("c_custkey") % 3 === 1)
+        .createOrReplaceTempView("graft_tx_ins_src")
+      s.sql("""INSERT INTO graft_tx_ins_board
+              |SELECT c_custkey, c_mktsegment, c_acctbal
+              |FROM graft_tx_ins_src""".stripMargin)
+      ()
+    }
+    s.sql("""SELECT c_mktsegment AS segment,
+            |       CAST(COUNT(*) AS BIGINT) AS n_cust,
+            |       round(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 6)
+            |         AS sum_bal
+            |FROM graft_tx_ins_board
+            |WHERE c_custkey <= 6000
+            |GROUP BY c_mktsegment ORDER BY segment""".stripMargin)
   }
 
   /** Deterministic wipe of a scratch TxTable dir so buildOnce rebuilds
@@ -5338,6 +5427,9 @@ object SparkEntry {
     "tx_string_prune" -> (qTxStringPrune _),
     "tx_bloom_lookup" -> (qTxBloomLookup _),
     "tx_view_stream" -> (qTxViewStream _),
+    "tx_provider_prune" -> (qTxProviderPrune _),
+    "tx_provider_point" -> (qTxProviderPoint _),
+    "tx_sql_insert" -> (qTxSqlInsert _),
     "tx_change_feed" -> (qTxChangeFeed _),
     "tx_merge_apply" -> (qTxMergeApply _),
     "tx_incremental_view" -> (qTxIncrementalView _),
@@ -7803,6 +7895,37 @@ object SparkEntry {
         |FROM documents
         |WHERE source >= 'src12' AND source <= 'src17'
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // the registered-source reads: automatically-pruned scans ≡ plain
+    // filtered aggregates (file skipping that dropped data would break
+    // the hash)
+    "tx_provider_prune" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       MIN(o_orderkey) AS min_key,
+        |       MAX(o_orderkey) AS max_key,
+        |       (round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 6) + 0)
+        |         AS sum_price
+        |FROM orders WHERE o_orderkey BETWEEN 1000 AND 2999""".stripMargin,
+
+    "tx_provider_point" ->
+      """WITH k AS (SELECT CAST(unnest([37, 73, 110, 999999999]) AS BIGINT) AS lookup_key)
+        |SELECT k.lookup_key,
+        |       CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+        |       (round(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 6) + 0)
+        |         AS sum_price
+        |FROM k LEFT JOIN orders o ON o.o_custkey = k.lookup_key
+        |GROUP BY k.lookup_key ORDER BY k.lookup_key""".stripMargin,
+
+    // catalog-named table: seed (custkey%3=0) + SQL-inserted slice
+    // (custkey%3=1) recomputed from the source parquet
+    "tx_sql_insert" ->
+      """SELECT c_mktsegment AS segment,
+        |       CAST(COUNT(*) AS BIGINT) AS n_cust,
+        |       (round(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 6) + 0)
+        |         AS sum_bal
+        |FROM customer
+        |WHERE c_custkey % 3 IN (0, 1) AND c_custkey <= 6000
+        |GROUP BY c_mktsegment ORDER BY segment""".stripMargin,
 
     // bloom point lookups ≡ plain filtered aggregates (a bloom false
     // NEGATIVE would drop rows and break the hash); the absent key's

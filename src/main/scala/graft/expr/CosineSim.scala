@@ -158,5 +158,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // `SELECT * FROM graft_dedup_minhash('docs', 'text', 'doc_id', 0.5)`;
     // see [[GraftTableFunctions]] for the full surface + naming scheme.
     GraftTableFunctions.register(ext)
+    // INSERT INTO/OVERWRITE <txtable catalog table> → the transactional
+    // commit. POST-HOC (custom post-hoc rules run after the built-ins):
+    // the built-in conversion plans a raw directory write that loses
+    // inserted rows outside the manifest and DESTROYS the version log on
+    // overwrite; see [[graft.sources.TxTableInsertRule]].
+    ext.injectPostHocResolutionRule(s => graft.sources.TxTableInsertRule(s))
   }
 }
