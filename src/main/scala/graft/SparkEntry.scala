@@ -494,6 +494,28 @@ object SparkEntry {
       bandBits = 32)
       .orderBy("id_a", "id_b")
 
+  /** TRUE image decode on the oracle board (round-10 directive #5 —
+    * retires [[graft.ext.Multimodal.fakeDecode]] for the image arm):
+    * deterministic 27×24 grayscale PNGs are ENCODED with the JDK's real
+    * PNG codec, DECODED back through `javax.imageio`, nearest-neighbor
+    * downsampled to the 9×8 luminance grid, and hashed by the native
+    * [[graft.expr.DHash64]] kernel. Pixels are a closed-form function of
+    * (id, x, y) and PNG is lossless, so the DuckDB oracle recomputes the
+    * identical grid arithmetically — the hash match proves the codec
+    * round-trip bit-for-bit, not a byte-fake of it.
+    */
+  private def qMediaImagePhash(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeImages(
+        Multimodal.pngPayload(documents(s, dir), "doc_id"))
+      .toDF()
+      .select(col("media_id"), col("width"), col("height"),
+        Multimodal.dHash(col("grid")).as("__dh"))
+      .select(col("media_id"), col("width"), col("height"),
+        col("__dh.lo").as("phash_lo"), col("__dh.hi").as("phash_hi"),
+        (bit_count(col("__dh.lo")) + bit_count(col("__dh.hi")))
+          .as("n_grad_bits"))
+      .orderBy("media_id")
+
   /** Scene-cut detection plumbing: per media asset, how many
     * consecutive-frame transitions change content (frame signature ≠
     * previous frame's). With the synthetic decode the signature is an
@@ -2120,6 +2142,49 @@ object SparkEntry {
       ()
     }
     TxTable.read(s, path)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("c_custkey")).as("min_key"),
+        max(col("c_custkey")).as("max_key"),
+        round(sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double"), 6)
+          .as("sum_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** MERGE-ON-READ on the oracle board ([[graft.sources.TxTable.merge]]
+    * `writeMode = "mor"`, round-10 directive #4): the same keyed CDC
+    * batch shape as `tx_merge_apply` but applied as deletion vectors +
+    * new upsert files (write O(changes), no base file rewritten — the
+    * `TxMorSpec` tier asserts the write-amplification bound), then read
+    * back through the REGISTERED SOURCE (`format("txtable")`, the
+    * [[graft.sources.TxDvRelation]] fallback arm). The oracle recomputes
+    * the end state from the customer parquet, so the hash match proves
+    * DV-applied reads ≡ the rewrite semantics end-to-end.
+    */
+  private def qTxMergeMor(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxTable
+    val path = Fixtures.scratchDir("txmor", dir)
+    Fixtures.buildOnce("txmor", s, dir) {
+      wipeTxDir(path)
+      val b = customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      TxTable.commit(b.repartitionByRange(8, col("c_custkey")), path,
+        "overwrite", statsColumns = Seq("c_custkey"))
+      val deletes = b.filter(col("c_custkey") % 7 === 3)
+        .select(col("c_custkey"), lit(null).cast("string").as("c_mktsegment"),
+          lit(null).cast("double").as("c_acctbal"), lit("DELETE").as("operation"))
+      val updates = b.filter(col("c_custkey") % 7 =!= 3 && col("c_custkey") % 5 === 2)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          (col("c_acctbal") - 25.0).as("c_acctbal"), lit("UPDATE").as("operation"))
+      val inserts = b.filter(col("c_custkey") % 11 === 4)
+        .select((-col("c_custkey") - 1L).as("c_custkey"),
+          lit("MORROW").as("c_mktsegment"), lit(2.0).as("c_acctbal"),
+          lit("INSERT").as("operation"))
+      TxTable.merge(s, path, deletes.unionByName(updates).unionByName(inserts),
+        Seq("c_custkey"), writeMode = "mor")
+      ()
+    }
+    s.read.format("txtable").load(path)
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("c_custkey")).as("min_key"),
@@ -5432,6 +5497,7 @@ object SparkEntry {
     "tx_sql_insert" -> (qTxSqlInsert _),
     "tx_change_feed" -> (qTxChangeFeed _),
     "tx_merge_apply" -> (qTxMergeApply _),
+    "tx_merge_mor" -> (qTxMergeMor _),
     "tx_incremental_view" -> (qTxIncrementalView _),
     "emb_decontaminate" -> (qEmbDecontaminate _),
     "emb_hard_negatives" -> (qEmbHardNegatives _),
@@ -5486,6 +5552,7 @@ object SparkEntry {
     "region_nation_revenue" -> (qRegionNationRevenue _),
     "media_frame_dedup" -> (qMediaFrameDedup _),
     "media_phash_pairs" -> (qMediaPhashPairs _),
+    "media_image_phash" -> (qMediaImagePhash _),
     "dedup_apply_minhash" -> (qDedupApplyMinhash _),
     "corpus_chunk" -> (qCorpusChunk _),
     "corpus_stratified_sample" -> (qCorpusStratifiedSample _),
@@ -8019,6 +8086,24 @@ object SparkEntry {
         |                  AS DOUBLE), 6) AS sum_bal
         |FROM f GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
+    "tx_merge_mor" ->
+      """WITH b AS (SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+        |surv AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |         CASE WHEN c_custkey % 5 = 2 THEN c_acctbal - 25.0
+        |              ELSE c_acctbal END AS c_acctbal
+        |  FROM b WHERE c_custkey % 7 <> 3),
+        |ins AS (
+        |  SELECT -c_custkey - 1 AS c_custkey,
+        |         'MORROW' AS c_mktsegment, 2.0 AS c_acctbal
+        |  FROM b WHERE c_custkey % 11 = 4),
+        |f AS (SELECT * FROM surv UNION ALL SELECT * FROM ins)
+        |SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       MIN(c_custkey) AS min_key, MAX(c_custkey) AS max_key,
+        |       round(CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR)
+        |                  AS DOUBLE), 6) AS sum_bal
+        |FROM f GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
     "text_hybrid_ivfpq" ->
       s"""WITH $TextTokensCte,
          |$HybridLexCtes,
@@ -8301,6 +8386,32 @@ object SparkEntry {
         |SELECT frame_md5, MIN(media_id) AS keep_media_id,
         |       CAST(COUNT(*) AS BIGINT) AS n_frames
         |FROM f GROUP BY frame_md5 ORDER BY frame_md5""".stripMargin,
+
+    // TRUE ImageIO decode: the oracle recomputes the 9x8 grid from the
+    // closed-form fixture pixels (PNG is lossless; nearest-neighbor
+    // coords replayed arithmetically), so equality proves the real
+    // encode->decode->downsample->dHash chain
+    "media_image_phash" ->
+      """WITH cells AS (
+        |  SELECT doc_id AS media_id, g.g,
+        |         CAST((doc_id * 31 + ((g.g % 9) * 27 // 9) * 7
+        |               + ((g.g // 9) * 24 // 8) * 13) % 256 AS INTEGER) AS v
+        |  FROM documents, (SELECT unnest(range(0, 72)) AS g) g),
+        |bits AS (
+        |  SELECT a.media_id, (a.g // 9) * 8 + (a.g % 9) AS b
+        |  FROM cells a JOIN cells nx
+        |    ON nx.media_id = a.media_id AND nx.g = a.g + 1
+        |  WHERE a.g % 9 < 8 AND nx.v > a.v),
+        |hs AS (
+        |  SELECT d.doc_id AS media_id,
+        |         CAST(COALESCE(SUM(CASE WHEN b < 32 THEN CAST(1 AS BIGINT) << b END), 0) AS BIGINT) AS phash_lo,
+        |         CAST(COALESCE(SUM(CASE WHEN b >= 32 THEN CAST(1 AS BIGINT) << (b - 32) END), 0) AS BIGINT) AS phash_hi,
+        |         CAST(COUNT(b) AS INTEGER) AS n_grad_bits
+        |  FROM documents d LEFT JOIN bits ON bits.media_id = d.doc_id
+        |  GROUP BY d.doc_id)
+        |SELECT media_id, CAST(27 AS INTEGER) AS width, CAST(24 AS INTEGER) AS height,
+        |       phash_lo, phash_hi, n_grad_bits
+        |FROM hs ORDER BY media_id""".stripMargin,
 
     // perceptual-hash frame pairs: the dHash is recomputed cell by cell
     // from hex(payload) — all integer arithmetic, hash-exact twins

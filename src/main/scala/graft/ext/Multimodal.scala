@@ -105,6 +105,114 @@ object Multimodal {
         call_function("substring", col("payload"), col("frame_offset") + 1, lit(64)))
       .drop("frame_n", "payload")
 
+  // ===================================================================
+  // REAL image decode (JDK ImageIO) — retires the fakeDecode stub for
+  // the image arm: the JDK ships a true PNG codec, so the pipeline
+  // below runs actual pixel-grid decode end-to-end. The deterministic
+  // fixture generator keeps the DuckDB oracle in play: pixels are a
+  // closed-form function of (id, x, y), PNG is lossless, and the
+  // decode + nearest-neighbor downsample reproduce exactly the values
+  // the oracle recomputes arithmetically — so the hash match proves the
+  // REAL codec round-trip (encode → decode → 9×8 grid → dHash kernel),
+  // not a simulation of it.
+  // ===================================================================
+
+  /** One generated image: id + real PNG bytes. */
+  final case class ImageRecord(media_id: Long, png: Array[Byte])
+
+  /** Decoded grid row: true dimensions + the 9×8 luminance grid the
+    * dHash kernel consumes (72 bytes, row-major).
+    */
+  final case class ImageGrid(media_id: Long, width: Int, height: Int,
+      grid: Array[Byte])
+
+  /** The deterministic fixture pixel: gray value of (x, y) in image
+    * `id`. Closed-form so the DuckDB oracle recomputes it without any
+    * codec; bounded ids keep `id * 31` far from Long overflow.
+    */
+  def fixturePixel(id: Long, x: Int, y: Int): Int =
+    ((id * 31L + x * 7L + y * 13L) % 256L).toInt
+
+  /** Generate REAL `w`×`h` grayscale PNGs (JDK ImageIO encoder) from an
+    * id column — the fixture front door for the true-decode pipeline.
+    * Runs partition-at-a-time; output is genuine PNG bytes (magic
+    * header, zlib-compressed scanlines), not a byte fake.
+    */
+  def pngPayload(df: DataFrame, idCol: String, w: Int = 27, h: Int = 24)
+      : Dataset[ImageRecord] = {
+    implicit val enc = Encoders.product[ImageRecord]
+    df.select(col(idCol).cast("long")).as(Encoders.scalaLong).mapPartitions { it =>
+      it.map { id =>
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0, fixturePixel(id, x, y))
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        ImageRecord(id, bos.toByteArray)
+      }
+    }
+  }
+
+  /** TRUE image decode: ImageIO → luminance grid → 9×8 nearest-neighbor
+    * downsample (source pixel `(gx·w/9, gy·h/8)`, integer floor — the
+    * same closed form an oracle can replay). Gray images read their
+    * raster sample directly; color decodes through the integer
+    * luminance `(299r + 587g + 114b) / 1000` — deterministic on any
+    * JVM (no float rounding, no Graphics2D interpolation).
+    */
+  def decodeToGrid(png: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      catch { case _: java.io.IOException => null }
+    if (img == null) return None // not a decodable image: quarantine, not crash
+    val (w, h) = (img.getWidth, img.getHeight)
+    if (w == 0 || h == 0) return None
+    val gray = img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+    def lum(x: Int, y: Int): Int =
+      if (gray) img.getRaster.getSample(x, y, 0)
+      else {
+        val rgb = img.getRGB(x, y)
+        (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+          114 * (rgb & 0xff)) / 1000
+      }
+    val grid = new Array[Byte](72)
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 9) {
+        grid(gy * 9 + gx) = lum(gx * w / 9, gy * h / 8).toByte
+        gx += 1
+      }
+      gy += 1
+    }
+    Some((w, h, grid))
+  }
+
+  /** Decode a PNG Dataset to (id, true width/height, 9×8 grid) rows —
+    * undecodable payloads are dropped (the quarantine stance of the
+    * JSONL ingest), never poison the batch. Narrow mapPartitions, one
+    * codec instance per task, no shuffle.
+    */
+  def decodeImages(images: Dataset[ImageRecord]): Dataset[ImageGrid] = {
+    implicit val enc = Encoders.product[ImageGrid]
+    images.mapPartitions { it =>
+      it.flatMap { r =>
+        decodeToGrid(r.png).map { case (w, h, grid) =>
+          ImageGrid(r.media_id, w, h, grid)
+        }
+      }
+    }
+  }
+
   /** Pure-SQL metadata pass usable with a DuckDB oracle: byte length and
     * md5 of the payload — the part of the multimodal path that needs no
     * codec at all.
@@ -141,8 +249,8 @@ object Multimodal {
     * 1.3 s at sf0.1 — the n²/2^16 floor, not the verify. A corpus-scale
     * run sets `bandBits = 32` (2 bands — lower recall on scattered-bit
     * pairs, collision floor 2^32), the same trade simhash deployments
-    * make; the registered query keeps 16 so the oracle twin stays
-    * engine-portable over the small fixtures.
+    * make; since round 10 the registered query carries the corpus-scale
+    * 32 (the oracle twin replays 2×32-bit lanes just as portably).
     */
   def framePhashPairs(frames: DataFrame, maxHamming: Int = 6,
       bandBits: Int = 16): DataFrame = {

@@ -40,6 +40,64 @@ trait CommitArbiter {
   def putIfAbsent(target: Path, content: String, tmpTag: String): Boolean
 }
 
+/** The portable-API arbiter arm: put-if-absent through Hadoop's
+  * `FileContext` — write the complete content to a temp sibling, then
+  * `rename(tmp, target, Options.Rename.NONE)` (fail-if-destination-
+  * exists). This is the protocol Delta's `HDFSLogStore` commits through,
+  * and it proves [[TxTable]]'s seam against the API every distributed
+  * filesystem and object-store connector actually implements (HDFS,
+  * S3A, ABFS, GCS connectors all surface `FileContext`/`FileSystem`).
+  *
+  * ==Atomicity is the STORE's, not this class's==
+  *  - HDFS: `rename` with `Rename.NONE` is atomic at the NameNode —
+  *    exactly-one-winner holds under true concurrency, and content is
+  *    complete before the rename, so readers never see a torn manifest.
+  *  - Object stores with conditional PUT (S3 `If-None-Match`, GCS
+  *    generation-match, ABFS etag): use their conditional write — the
+  *    [[CommitArbiter]] scaladoc's native arms — rather than this class;
+  *    rename on an object store is copy+delete and NOT exclusive.
+  *  - The raw LOCAL filesystem validates-then-renames (a check-then-act
+  *    window), so [[LocalLinkArbiter]] (link(2), truly atomic) stays the
+  *    default for local deployments; this arm exists so the contract
+  *    suite (`CommitArbiterSpec`) exercises the portable protocol
+  *    end-to-end — winner, loser-never-clobbers, retry, full commits.
+  *
+  * A lost rename leaves the target untouched and cleans its own temp;
+  * the temp name carries `tmpTag` so concurrent losers never collide
+  * with each other either.
+  */
+final class HadoopFsArbiter(conf: org.apache.hadoop.conf.Configuration)
+    extends CommitArbiter {
+  override def putIfAbsent(target: Path, content: String,
+      tmpTag: String): Boolean = {
+    import org.apache.hadoop.fs.{CreateFlag, FileContext, Options, Path => HPath}
+    val dst = new HPath(target.toAbsolutePath.toUri)
+    val fc = FileContext.getFileContext(dst.toUri, conf)
+    val tmp = new HPath(dst.getParent, s".tmp-$tmpTag")
+    val out = fc.create(tmp,
+      java.util.EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE),
+      org.apache.hadoop.fs.Options.CreateOpts.createParent())
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    try {
+      fc.rename(tmp, dst, Options.Rename.NONE)
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+          _: java.nio.file.FileAlreadyExistsException => false // lost race
+      case e: java.io.IOException if fc.util.exists(dst) =>
+        // some connectors signal the occupied destination as a bare
+        // IOException; existence of the (immutable, winner-owned)
+        // target is the loss signal
+        false
+    } finally {
+      try fc.delete(tmp, false)
+      catch { case _: java.io.IOException => () } // already renamed away
+      ()
+    }
+  }
+}
+
 /** Local-filesystem arbiter: write a temp sibling, hard-link it to the
   * target (`link(2)` atomically fails if the target exists), delete the
   * temp. The temp lives in the target's own directory so the link never

@@ -97,10 +97,20 @@ object TxTable {
     */
   final case class BloomRef(mBits: Int, k: Int, sidecar: String)
 
+  /** `dvs` is the merge-on-read tier: per-file DELETION VECTORS, file →
+    * sidecar (relative to `_txlog/`) holding the file's deleted row
+    * positions. A reader drops (file, position) pairs listed in the
+    * sidecars; a file without an entry is read whole. DV'd files keep
+    * their stats/Bloom entries as sound OVER-approximations (deleted
+    * rows still widen ranges — skipping keeps extra files, never drops
+    * rows). [[compact]] folds DVs away (rewrites survivors, publishes
+    * with no dv entries).
+    */
   final case class Snapshot(version: Long, op: String, schema: StructType,
       files: Seq[String], epoch: Option[Long] = None,
       stats: Map[String, Map[String, ColRange]] = Map.empty,
-      blooms: Map[String, Map[String, BloomRef]] = Map.empty) {
+      blooms: Map[String, Map[String, BloomRef]] = Map.empty,
+      dvs: Map[String, String] = Map.empty) {
     /** Files whose [min, max] for `col` overlaps the LONG range [lo, hi]
       * — files with no recorded stats (or stats of another kind) are
       * KEPT (skipping must never drop data).
@@ -180,13 +190,21 @@ object TxTable {
       .groupBy(_._1)
       .map { case (f, rows) => f -> rows.map(r => r._2 -> r._3).toMap }
       .toMap
+    val dvs = lines
+      .collect { case l if l.startsWith("dv=") => l.stripPrefix("dv=") }
+      .map { s =>
+        // <file>|<sidecarRel> (sidecar holds the positions; the manifest
+        // stays O(files) lines however many rows are deleted)
+        val p = s.split("\\|", -1)
+        p(0) -> p(1)
+      }.toMap
     Snapshot(version, field("op"),
       DataType.fromJson(field("schema")).asInstanceOf[StructType],
       lines.collect { case l if l.startsWith("file=") => l.stripPrefix("file=") }
         .toSeq,
       lines.collectFirst { case l if l.startsWith("epoch=") =>
         l.stripPrefix("epoch=").toLong },
-      stats, blooms)
+      stats, blooms, dvs)
   }
 
   /** Latest snapshot, or None for an empty/absent table. */
@@ -205,8 +223,61 @@ object TxTable {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
     else
-      spark.read.schema(snap.schema)
-        .parquet(snap.files.map(f => s"$dir/$f"): _*)
+      dvApply(spark, dir, snap,
+        spark.read.schema(snap.schema)
+          .parquet(snap.files.map(f => s"$dir/$f"): _*))
+  }
+
+  /** Parse one deletion-vector sidecar: fileRel → sorted positions. */
+  private def readDvSidecar(dir: String, sidecarRel: String)
+      : Map[String, Array[Long]] = {
+    val p = logDir(dir).resolve(sidecarRel)
+    if (!Files.isRegularFile(p)) return Map.empty
+    Files.readAllLines(p).asScala.filter(_.nonEmpty).map { l =>
+      val parts = l.split("\\|", -1)
+      parts(0) -> parts(1).split(',').filter(_.nonEmpty).map(_.toLong)
+    }.toMap
+  }
+
+  /** All deleted (fileRel → positions) of a snapshot, resolved through
+    * its sidecars (each parsed once; entries for files the snapshot no
+    * longer lists are ignored).
+    */
+  private[graft] def dvPositions(dir: String, snap: Snapshot)
+      : Map[String, Array[Long]] = {
+    if (snap.dvs.isEmpty) return Map.empty
+    val sidecars = snap.dvs.values.toSeq.distinct
+      .map(s => s -> readDvSidecar(dir, s)).toMap
+    snap.dvs.flatMap { case (f, side) =>
+      sidecars(side).get(f).map(f -> _)
+    }
+  }
+
+  /** Apply a snapshot's deletion vectors to a frame read from (a subset
+    * of) its files: broadcast anti-join on (file-relative path, parquet
+    * row position) via the `_metadata` columns. No DVs → the frame
+    * passes through untouched (zero plan overhead on the common path).
+    *
+    * Scale: the DV frame is O(deleted-since-last-compact) rows and
+    * rides as a broadcast; the big side gains one codegen'd projection
+    * (path suffix + row_index) and one broadcast-hash anti probe per
+    * row — never a shuffle. [[compact]] restores the DV-free plan.
+    */
+  private def dvApply(spark: SparkSession, dir: String, snap: Snapshot,
+      base: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, concat_ws, slice, split}
+    val dv = dvPositions(dir, snap)
+    if (dv.isEmpty) return base
+    val pairs = dv.toSeq.flatMap { case (f, ps) => ps.map(p => (f, p)) }
+    val dvDf = spark.createDataFrame(pairs).toDF("__dv_rel", "__dv_pos")
+    // file-relative suffix data/<uuid>/<part> — the same manifest-keyed
+    // identity merge's hit scan uses
+    val withId = base
+      .withColumn("__dv_rel",
+        concat_ws("/", slice(split(col("_metadata.file_path"), "/"), -3, 3)))
+      .withColumn("__dv_pos", col("_metadata.row_index"))
+    withId.join(broadcast(dvDf), Seq("__dv_rel", "__dv_pos"), "left_anti")
+      .select(base.columns.map(col).toSeq: _*)
   }
 
   /** Commit `df` as a new version. `mode` is "append" or "overwrite".
@@ -245,17 +316,20 @@ object TxTable {
     while (committed < 0) {
       val base = latest(dir)
       val v = base.map(_.version + 1).getOrElse(0L)
-      val (files, schema, stats, blooms) = (mode, base) match {
+      val (files, schema, stats, blooms, dvs) = (mode, base) match {
         case ("overwrite", _) | (_, None) =>
-          (newFiles, newSchema, newStats, newBlooms)
+          (newFiles, newSchema, newStats, newBlooms,
+            Map.empty[String, String])
         case ("append", Some(b)) =>
+          // deletion vectors carry forward — dropping them would
+          // resurrect every row a prior merge-on-read deleted
           (b.files ++ newFiles, mergedAppendSchema(b.schema, newSchema, dir),
-            b.stats ++ newStats, b.blooms ++ newBlooms)
+            b.stats ++ newStats, b.blooms ++ newBlooms, b.dvs)
         case other => throw new MatchError(other) // unreachable
       }
       if (publishAt(dir, v, mode, schema, files, stats, epochId,
           tmpTag = commitRel.stripPrefix("data/"), arbiter = arbiter,
-          blooms = blooms))
+          blooms = blooms, dvs = dvs))
         committed = v
     }
     committed
@@ -530,8 +604,8 @@ object TxTable {
       if (kept.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
-      else spark.read.schema(snap.schema)
-        .parquet(kept.map(f => s"$dir/$f"): _*)
+      else dvApply(spark, dir, snap, spark.read.schema(snap.schema)
+        .parquet(kept.map(f => s"$dir/$f"): _*))
     base.where(col(column) === value)
   }
 
@@ -624,7 +698,8 @@ object TxTable {
       files: Seq[String], stats: Map[String, Map[String, ColRange]],
       epochId: Option[Long], tmpTag: String,
       arbiter: CommitArbiter = LocalLinkArbiter,
-      blooms: Map[String, Map[String, BloomRef]] = Map.empty): Boolean = {
+      blooms: Map[String, Map[String, BloomRef]] = Map.empty,
+      dvs: Map[String, String] = Map.empty): Boolean = {
     val statsLines = stats.toSeq.sortBy(_._1).flatMap { case (f, cols) =>
       cols.toSeq.sortBy(_._1).map { case (c, r) =>
         s"stats=$f|$c|${r.kind}|${b64enc(r.min)}|${b64enc(r.max)}"
@@ -635,12 +710,20 @@ object TxTable {
         s"bloom=$f|$c|${r.mBits}|${r.k}|${r.sidecar}"
       }
     }
+    // NOTE: dv= lines are NOT backward-ignorable — a reader that skipped
+    // them would resurrect deleted rows. This engine's readers all parse
+    // them; the manifest format carries no version negotiation because
+    // there is exactly one reader implementation (unknown-line tolerance
+    // remains for genuinely ADDITIVE fields like stats/bloom).
+    val dvLines = dvs.toSeq.sortBy(_._1).map { case (f, side) =>
+      s"dv=$f|$side"
+    }
     val content = (Seq(
       s"version=$v",
       s"op=$op",
       s"schema=${schema.json}") ++
       epochId.map(e => s"epoch=$e").toSeq ++
-      files.map(f => s"file=$f") ++ statsLines ++ bloomLines)
+      files.map(f => s"file=$f") ++ statsLines ++ bloomLines ++ dvLines)
       .mkString("", "\n", "\n")
     arbiter.putIfAbsent(manifestPath(dir, v), content, s"$tmpTag-$v")
   }
@@ -715,7 +798,8 @@ object TxTable {
       if (keep.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
-      else spark.read.schema(snap.schema).parquet(keep.map(f => s"$dir/$f"): _*)
+      else dvApply(spark, dir, snap,
+        spark.read.schema(snap.schema).parquet(keep.map(f => s"$dir/$f"): _*))
     base.where(col(column) >= lo && col(column) <= hi)
   }
 
@@ -725,9 +809,9 @@ object TxTable {
     * carry over so skipping survives compaction. Returns the new version.
     *
     * `clusterBy` additionally CLUSTERS the rewrite (the OPTIMIZE ZORDER
-    * tier): one column range-sorts, two columns interleave through
-    * [[graft.ext.Layout.zOrderKey2]] (each taken mod 2^16 — locality,
-    * not reversibility). Clustered files get tight disjoint-ish min/max
+    * tier): one column range-sorts, 2-4 columns interleave through
+    * [[graft.ext.Layout.zOrderKey]] (each normalized onto a 16-bit lane —
+    * locality, not reversibility). Clustered files get tight disjoint-ish min/max
     * ranges on the cluster columns, which is what turns manifest stats
     * from "never drops data" into "actually skips most files":
     * [[readPruned]] on a clustered column opens O(matching) files
@@ -738,8 +822,9 @@ object TxTable {
       clusterBy: Seq[String] = Nil, maxRetries: Int = 10,
       arbiter: CommitArbiter = LocalLinkArbiter): Long = {
     require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
-    require(clusterBy.size <= 2,
-      s"clusterBy supports at most 2 columns, got ${clusterBy.size}")
+    require(clusterBy.size <= 4,
+      s"clusterBy supports at most 4 columns (16 bits per dim in a 64-bit " +
+        s"Z-key; see graft.ext.Layout.zOrderKey), got ${clusterBy.size}")
     // read-modify-write: the rewrite is only equivalent to the snapshot
     // it READ, so the publish is a compare-and-swap at exactly
     // base.version + 1 (the merge() discipline) — a plain overwrite
@@ -781,7 +866,7 @@ object TxTable {
       case Nil => data.repartition(targetFiles)
       case Seq(c) =>
         data.repartitionByRange(targetFiles, col(c)).sortWithinPartitions(col(c))
-      case Seq(a, b) =>
+      case dims @ Seq(_, _, _*) =>
         // normalize each NUMERIC dimension onto the full 16-bit lane
         // from its OBSERVED bounds — a raw `pmod(col, 65536)` folds any
         // domain wider than 2^16 (k, k+65536, ... collide), silently
@@ -791,28 +876,29 @@ object TxTable {
         // lexicographic prefixes — locality, not reversibility, exactly
         // like the numeric lanes.
         import org.apache.spark.sql.functions.{max => fmax, min => fmin}
-        val isString: Map[String, Boolean] = Seq(a, b).map(c =>
+        val isString: Map[String, Boolean] = dims.map(c =>
           c -> snap.schema.fields.find(_.name == c)
             .exists(_.dataType == org.apache.spark.sql.types.StringType)).toMap
         // the raw lane value: numeric dims as themselves, string dims as
         // their two-byte prefix — BOTH then normalized from observed
         // bounds (a string lane's raw span is a narrow band of the
         // 16-bit space — e.g. all-lowercase keys span ~6k of 65536 with
-        // constant top bits, which would let the other dim dominate
+        // constant top bits, which would let the other dims dominate
         // every interleave level)
         def rawLane(c: String): org.apache.spark.sql.Column =
           if (isString(c)) stringLane16(col(c)) else col(c).try_cast("long")
         val bd = data.agg(
-          fmin(rawLane(a)), fmax(rawLane(a)),
-          fmin(rawLane(b)), fmax(rawLane(b))).collect()(0)
+          dims.flatMap(c => Seq(fmin(rawLane(c)), fmax(rawLane(c)))).head,
+          dims.flatMap(c => Seq(fmin(rawLane(c)), fmax(rawLane(c)))).tail: _*)
+          .collect()(0)
         def lane(c: String, lo: Int): org.apache.spark.sql.Column =
           if (bd.isNullAt(lo) || bd.getLong(lo) == bd.getLong(lo + 1)) lit(0L)
           else graft.ext.Layout.normalize16(rawLane(c), bd.getLong(lo), bd.getLong(lo + 1))
-        data.withColumn("__z", graft.ext.Layout.zOrderKey2(lane(a, 0), lane(b, 2)))
+        val lanes = dims.zipWithIndex.map { case (c, i) => lane(c, 2 * i) }
+        data.withColumn("__z", graft.ext.Layout.zOrderKey(lanes))
           .repartitionByRange(targetFiles, col("__z"))
           .sortWithinPartitions(col("__z"))
           .drop("__z")
-      case _ => throw new MatchError(clusterBy) // unreachable
     }
   }
 
@@ -911,7 +997,13 @@ object TxTable {
         if (own.fieldNames.contains(f.name)) col(f.name)
         else lit(null).cast(f.dataType).as(f.name)
       }.toSeq: _*)
-    val appendOnly = fromSnap.files.toSet.subsetOf(toSnap.files.toSet)
+    // pure append = every from-file survives AND the deletion-vector map
+    // is unchanged: a merge-on-read merge keeps every file (its deletes
+    // live in a NEW dv sidecar), so the file-subset test alone would
+    // misclassify it as delete-free and the fast path would drop its
+    // updates/deletes from the feed
+    val appendOnly = fromSnap.files.toSet.subsetOf(toSnap.files.toSet) &&
+      fromSnap.dvs == toSnap.dvs
     val newSide =
       if (appendOnly) {
         val added = toSnap.files.filterNot(fromSnap.files.toSet)
@@ -940,8 +1032,8 @@ object TxTable {
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             fromSnap.schema)
-        else spark.read.schema(fromSnap.schema)
-          .parquet(keep.map(f => s"$dir/$f"): _*)
+        else dvApply(spark, dir, fromSnap, spark.read.schema(fromSnap.schema)
+          .parquet(keep.map(f => s"$dir/$f"): _*))
       } else read(spark, dir, Some(fromVersion))
     val oldSide = widen(oldBase, fromSnap.schema)
     val o = oldSide.select(
@@ -988,6 +1080,21 @@ object TxTable {
     * (its manifest entry and stats, zero data movement) — at 100 TB a
     * batch touching 0.1% of keys rewrites ~0.1% of files, not the table.
     *
+    * ==Merge-on-read (`writeMode = "mor"`)==
+    * For HIGH-CHURN targets even O(hit files) rewriting amplifies: a
+    * 100-row batch scattered over 100 files rewrites 100 files under
+    * CoW. MoR instead records the touched rows as per-file DELETION
+    * VECTORS (parquet row positions via `_metadata.row_index`, one
+    * immutable sidecar per commit under `_txlog/dv/`) and lands only the
+    * upsert images as new files — write cost O(changes), the
+    * Delta/Iceberg deletion-vector answer. Every read applies the DVs
+    * (a broadcast anti-join on (file, position), [[dvApply]]); reads pay
+    * one probe per row until [[compact]] rewrites survivors and folds
+    * the DVs away, restoring the bare file-scan plan (and the maximal
+    * [[TxTableProvider]] relation). Results are IDENTICAL to the CoW
+    * merge — `tx_merge_mor` hash-checks that on the oracle board —
+    * only the write/read cost trade moves.
+    *
     * ==Serializability==
     * The read-modify-write is valid only against the base version it
     * read, so the publish is a compare-and-swap at `base + 1`
@@ -1000,9 +1107,12 @@ object TxTable {
   def merge(spark: SparkSession, dir: String, changes: DataFrame,
       keyCols: Seq[String], opCol: String = "operation",
       maxRetries: Int = 10, epochId: Option[Long] = None,
-      arbiter: CommitArbiter = LocalLinkArbiter): Long = {
+      arbiter: CommitArbiter = LocalLinkArbiter,
+      writeMode: String = "cow"): Long = {
     import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
     require(keyCols.nonEmpty, "merge needs at least one key column")
+    require(writeMode == "cow" || writeMode == "mor",
+      s"writeMode must be cow or mor, got $writeMode")
     // materialize the batch once: every stage below (dup check, bounds,
     // hit scan, rewrite) and every CAS retry re-derives from it, and a
     // nondeterministic input re-evaluated per stage could pass the dup
@@ -1054,46 +1164,105 @@ object TxTable {
       // 1. stats pre-prune on the first key's global touched range,
       // typed at the key column's own type ([[pruneByKeyRange]])
       val candidates = pruneByKeyRange(base, touched, keyCols.head)
-      // 2. exact per-file hits: key-only projection + semi join (Spark
-      // picks the build side; the touched batch is the small one)
-      val hitFiles: Seq[String] =
-        if (candidates.isEmpty) Seq.empty
-        else spark.read.schema(base.schema)
-          .parquet(candidates.map(f => s"$dir/$f"): _*)
-          .select(keyCols.map(col) :+ input_file_name().as("__f"): _*)
-          .join(touched, keyCols, "left_semi")
-          .select(col("__f")).distinct().collect()
-          .map { r =>
-            // absolute URI -> table-relative data/<uuid>/<part>; decode
-            // percent-encoding first so the result string-matches the
-            // manifest entries (a mismatched hit would carry the file
-            // forward AND append its rewrite — duplicating every row)
-            val raw = r.getString(0)
-            val f = try new java.net.URI(raw).getPath
-              catch { case _: Exception => raw }
-            f.split('/').takeRight(3).mkString("/")
-          }.toSeq.sorted
-      // 3. rewrite only the hit files; untouched files carry forward
-      val rewritten =
-        if (hitFiles.isEmpty) upserts
-        else spark.read.schema(base.schema)
-          .parquet(hitFiles.map(f => s"$dir/$f"): _*)
-          .join(touched, keyCols, "left_anti")
-          .unionByName(upserts)
       val statsCols = base.stats.values.flatMap(_.keys).toSeq.distinct.sorted
       // rebuild Bloom entries for the rewritten files with the table's
-      // existing geometry, so point-lookup skipping survives CoW churn
+      // existing geometry, so point-lookup skipping survives merge churn
       val bloomSpec = bloomSpecOf(base)
-      val (commitRel, newFiles, newStats, newBlooms) =
-        writeData(rewritten, dir, statsCols, bloomSpec)
-      val hitSet = hitFiles.toSet
-      val files = base.files.filterNot(hitSet) ++ newFiles
-      val stats = (base.stats -- hitSet) ++ newStats
-      val blooms = (base.blooms -- hitSet) ++ newBlooms
-      if (publishAt(dir, base.version + 1, "merge", base.schema, files, stats,
-          epochId, tmpTag = commitRel.stripPrefix("data/"), arbiter = arbiter,
-          blooms = blooms))
-        committed = base.version + 1
+      val published =
+        if (writeMode == "mor") {
+          // ==Merge-on-read== write O(changes), defer the rewrite:
+          // touched rows become per-file DELETION-VECTOR positions
+          // (applied by every read, folded away by [[compact]]); the
+          // upsert images land as ordinary new files. A 100-row batch
+          // scattered over 100 multi-GB files writes ~100 rows plus a
+          // sidecar — not 100 files (the CoW amplification this tier
+          // exists to avoid for high-churn streaming targets).
+          // already-dv-deleted rows may re-surface here; their positions
+          // are already in the base dv map and dedup in the union below
+          val hits: Array[(String, Long)] =
+            if (candidates.isEmpty) Array.empty
+            else spark.read.schema(base.schema)
+              .parquet(candidates.map(f => s"$dir/$f"): _*)
+              .select(keyCols.map(col) :+
+                col("_metadata.file_path").as("__fp") :+
+                col("_metadata.row_index").as("__pos"): _*)
+              .join(touched, keyCols, "left_semi")
+              .select(col("__fp"), col("__pos")).collect()
+              .map { r =>
+                val raw = r.getString(0)
+                val f = try new java.net.URI(raw).getPath
+                  catch { case _: Exception => raw }
+                (f.split('/').takeRight(3).mkString("/"), r.getLong(1))
+              }
+          val (commitRel, newFiles, newStats, newBlooms) =
+            writeData(upserts, dir, statsCols, bloomSpec)
+          // compose the FULL dv map (existing positions ∪ new hits) into
+          // ONE fresh immutable sidecar — O(deletes-since-compact) text,
+          // invisible until the manifest CAS references it
+          val mergedDv: Map[String, Array[Long]] =
+            (dvPositions(dir, base).toSeq ++
+              hits.groupBy(_._1).view.mapValues(_.map(_._2)).toSeq)
+              .groupBy(_._1)
+              .map { case (f, chunks) =>
+                f -> chunks.flatMap(_._2).distinct.sorted.toArray
+              }
+          val dvs: Map[String, String] =
+            if (mergedDv.isEmpty) Map.empty
+            else {
+              val sidecarRel = s"dv/${commitRel.stripPrefix("data/")}.dv"
+              val p = logDir(dir).resolve(sidecarRel)
+              Files.createDirectories(p.getParent)
+              Files.writeString(p, mergedDv.toSeq.sortBy(_._1)
+                .map { case (f, ps) => s"$f|${ps.mkString(",")}" }
+                .mkString("", "\n", "\n"))
+              mergedDv.keys.map(_ -> sidecarRel).toMap
+            }
+          publishAt(dir, base.version + 1, "merge", base.schema,
+            base.files ++ newFiles, base.stats ++ newStats,
+            epochId, tmpTag = commitRel.stripPrefix("data/"),
+            arbiter = arbiter, blooms = base.blooms ++ newBlooms, dvs = dvs)
+        } else {
+          // ==Copy-on-write== (the read-optimal default)
+          // 2. exact per-file hits: key-only projection + semi join (Spark
+          // picks the build side; the touched batch is the small one)
+          val hitFiles: Seq[String] =
+            if (candidates.isEmpty) Seq.empty
+            else spark.read.schema(base.schema)
+              .parquet(candidates.map(f => s"$dir/$f"): _*)
+              .select(keyCols.map(col) :+ input_file_name().as("__f"): _*)
+              .join(touched, keyCols, "left_semi")
+              .select(col("__f")).distinct().collect()
+              .map { r =>
+                // absolute URI -> table-relative data/<uuid>/<part>; decode
+                // percent-encoding first so the result string-matches the
+                // manifest entries (a mismatched hit would carry the file
+                // forward AND append its rewrite — duplicating every row)
+                val raw = r.getString(0)
+                val f = try new java.net.URI(raw).getPath
+                  catch { case _: Exception => raw }
+                f.split('/').takeRight(3).mkString("/")
+              }.toSeq.sorted
+          // 3. rewrite only the hit files; untouched files carry forward.
+          // The rewrite read is DV-APPLIED: carrying a dv-deleted row
+          // into the rewritten file would RESURRECT it (the rewritten
+          // file has no dv entry).
+          val rewritten =
+            if (hitFiles.isEmpty) upserts
+            else dvApply(spark, dir, base, spark.read.schema(base.schema)
+              .parquet(hitFiles.map(f => s"$dir/$f"): _*))
+              .join(touched, keyCols, "left_anti")
+              .unionByName(upserts)
+          val (commitRel, newFiles, newStats, newBlooms) =
+            writeData(rewritten, dir, statsCols, bloomSpec)
+          val hitSet = hitFiles.toSet
+          val files = base.files.filterNot(hitSet) ++ newFiles
+          val stats = (base.stats -- hitSet) ++ newStats
+          val blooms = (base.blooms -- hitSet) ++ newBlooms
+          publishAt(dir, base.version + 1, "merge", base.schema, files, stats,
+            epochId, tmpTag = commitRel.stripPrefix("data/"), arbiter = arbiter,
+            blooms = blooms, dvs = base.dvs -- hitSet)
+        }
+      if (published) committed = base.version + 1
       // lost race: the just-written commitRel dir is orphaned (invisible);
       // vacuum retires it
     }
@@ -1297,6 +1466,23 @@ object TxTable {
         finally it.close()
       stale
         .filterNot(p => liveSidecars(s"bloom/${p.getFileName}"))
+        .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
+        .foreach(p => try Files.deleteIfExists(p)
+          catch { case _: java.io.IOException => () })
+    }
+    // deletion-vector sidecars: same live-set + grace-window sweep (a
+    // concurrent merge's sidecar is written BEFORE its manifest CAS)
+    val dvRoot = logDir(dir).resolve("dv")
+    if (Files.isDirectory(dvRoot)) {
+      val liveDvs = versions(dir).flatMap(v =>
+        snapshot(dir, v).dvs.values).toSet
+      val cutoff = System.currentTimeMillis() - orphanGraceMs
+      val it = Files.list(dvRoot)
+      val stale =
+        try it.iterator().asScala.filter(Files.isRegularFile(_)).toList
+        finally it.close()
+      stale
+        .filterNot(p => liveDvs(s"dv/${p.getFileName}"))
         .filter(p => Files.getLastModifiedTime(p).toMillis < cutoff)
         .foreach(p => try Files.deleteIfExists(p)
           catch { case _: java.io.IOException => () })

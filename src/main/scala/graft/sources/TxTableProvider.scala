@@ -133,10 +133,17 @@ class TxTableProvider extends RelationProvider with SchemaRelationProvider
 }
 
 object TxTableProvider {
-  /** The scan relation for one pinned snapshot. */
+  /** The scan relation for one pinned snapshot. A snapshot carrying
+    * DELETION VECTORS (merge-on-read residue, [[TxTable.merge]]
+    * `writeMode = "mor"`) cannot be a bare file relation — the scan
+    * must drop (file, position) pairs — so it reads through
+    * [[TxDvRelation]] until [[TxTable.compact]] folds the DVs away and
+    * the table returns to the maximal file-scan plan.
+    */
   private[graft] def relationFor(spark: SparkSession, dir: String,
       snap: TxTable.Snapshot): BaseRelation =
-    HadoopFsRelation(
+    if (snap.dvs.nonEmpty) new TxDvRelation(spark, dir, snap)
+    else HadoopFsRelation(
       location = new TxFileIndex(spark, dir, snap),
       partitionSchema = new StructType(),
       dataSchema = snap.schema,
@@ -144,6 +151,72 @@ object TxTableProvider {
       fileFormat = new ParquetFileFormat(),
       options = Map("graft.txtable.dir" -> dir,
         "graft.txtable.version" -> snap.version.toString))(spark)
+}
+
+/** Scan relation for a deletion-vector-carrying snapshot: delegates to
+  * [[TxTable.read]] (parquet scan + broadcast DV anti-join) and lets
+  * Spark re-apply every filter above ([[org.apache.spark.sql.sources
+  * .PrunedFilteredScan]]'s default `unhandledFilters` contract), pushing
+  * the easy comparisons into the inner plan for I/O. This is the
+  * TRANSITIONAL read path — write-optimized tables pay one broadcast
+  * probe per row until `compact` folds the DVs; the `Row` boundary at
+  * the relation edge is bounded by the rows that SURVIVE the pushed
+  * filters.
+  */
+private[graft] class TxDvRelation(spark: SparkSession, dir: String,
+    private[graft] val snap: TxTable.Snapshot) extends BaseRelation
+    with org.apache.spark.sql.sources.PrunedFilteredScan
+    with org.apache.spark.sql.sources.InsertableRelation {
+
+  override def sqlContext: SQLContext = spark.sqlContext
+  override def schema: StructType = snap.schema
+
+  /** INSERT INTO a DV-carrying table: same transactional append/
+    * overwrite as the DV-free arm (Spark's own InsertableRelation
+    * conversion handles this relation directly — no post-hoc rewrite
+    * needed, since a DV table never plans the raw directory write).
+    */
+  override def insert(data: DataFrame, overwrite: Boolean): Unit =
+    new TxTableInsertableRelation(spark, dir, snap.schema)
+      .insert(data, overwrite)
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[org.apache.spark.sql.sources.Filter])
+      : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.{functions => F}
+    val base = TxTable.read(spark, dir, Some(snap.version))
+    // advisory pushdown of the common shapes — Spark re-applies every
+    // filter above this scan, so unhandled ones only cost I/O
+    val pushed = filters.foldLeft(base) { (df, f) =>
+      translate(f).map(df.where).getOrElse(df)
+    }
+    val projected =
+      if (requiredColumns.isEmpty) pushed.select() // zero-column rows
+      else pushed.select(requiredColumns.map(F.col).toSeq: _*)
+    projected.rdd
+  }
+
+  private def translate(f: org.apache.spark.sql.sources.Filter)
+      : Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.{sources => sf} // catalyst twins are imported file-level
+    f match {
+      case sf.EqualTo(a, v) => Some(col(a) === lit(v))
+      case sf.GreaterThan(a, v) => Some(col(a) > lit(v))
+      case sf.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case sf.LessThan(a, v) => Some(col(a) < lit(v))
+      case sf.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+      case sf.In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+      case sf.IsNull(a) => Some(col(a).isNull)
+      case sf.IsNotNull(a) => Some(col(a).isNotNull)
+      case sf.StringStartsWith(a, p) => Some(col(a).startsWith(p))
+      case sf.And(l, r) =>
+        for (cl <- translate(l); cr <- translate(r)) yield cl && cr
+      case sf.Or(l, r) =>
+        for (cl <- translate(l); cr <- translate(r)) yield cl || cr
+      case _ => None
+    }
+  }
 }
 
 /** Manifest-backed [[FileIndex]] for one pinned [[TxTable.Snapshot]]:

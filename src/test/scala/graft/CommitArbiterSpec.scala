@@ -89,6 +89,52 @@ class CommitArbiterSpec extends SparkSpecBase {
     assert(rows(3L) === "A" && rows(7L) === "B" && rows.size === 10)
   }
 
+  // ---- the Hadoop-FileSystem arm: the portable protocol object stores
+  // and HDFS are reached through (write temp, rename-no-overwrite).
+  // True-concurrency exclusivity belongs to the STORE (atomic on HDFS;
+  // check-then-act on the raw local FS), so these tests exercise the
+  // protocol deterministically rather than racing threads on localfs.
+
+  private def hadoopArbiter = new graft.sources.HadoopFsArbiter(
+    spark.sessionState.newHadoopConf())
+
+  test("hadoop arm: one winner, loser never clobbers, temps cleaned") {
+    val dir = Files.createTempDirectory("arbiterhdfs").toString
+    val target = Paths.get(dir, "v0.manifest")
+    val arb = hadoopArbiter
+    assert(arb.putIfAbsent(target, "winner", "a"))
+    assert(!arb.putIfAbsent(target, "loser", "b"),
+      "occupied target must report a lost race")
+    assert(Files.readString(target) === "winner",
+      "the loser's content must never clobber the winner's")
+    assert(!Files.exists(Paths.get(dir, ".tmp-a")) &&
+      !Files.exists(Paths.get(dir, ".tmp-b")), "scratch temps cleaned")
+  }
+
+  test("hadoop arm: full commits, appends, and CAS retries land intact") {
+    val dir = Files.createTempDirectory("arbiterhdfs2").toString
+    val arb = hadoopArbiter
+    TxTable.commit(Seq((1L, "a")).toDF("id", "v"), dir, arbiter = arb)
+    TxTable.commit(Seq((2L, "b")).toDF("id", "v"), dir, "append", arbiter = arb)
+    assert(TxTable.read(s, dir).collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    // a loser that re-reads and retries through the hadoop arm
+    val lossy = new CommitArbiter {
+      val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+      override def putIfAbsent(t: Path, c: String, tag: String): Boolean =
+        if (attempts.incrementAndGet() <= 1) false
+        else arb.putIfAbsent(t, c, tag)
+    }
+    val v = TxTable.commit(Seq((3L, "c")).toDF("id", "v"), dir, "append",
+      arbiter = lossy)
+    assert(v === 2L)
+    assert(TxTable.read(s, dir).count() === 3L)
+    // merge (the serializable CAS path) through the hadoop arm
+    TxTable.merge(s, dir, Seq((2L, "B", "UPDATE")).toDF("id", "v", "operation"),
+      Seq("id"), arbiter = arb)
+    assert(TxTable.read(s, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap.apply(2L) === "B")
+  }
+
   test("compact keeps its CAS discipline through the trait") {
     val dir = Files.createTempDirectory("arbitercompact").toString
     (0 until 4).foreach { i =>

@@ -1,0 +1,174 @@
+package graft
+
+import graft.sources.TxTable
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Merge-on-read deletion vectors ([[graft.sources.TxTable.merge]]
+  * `writeMode = "mor"`): write O(changes) instead of O(hit files), reads
+  * apply per-file position vectors, compact folds them away. Every test
+  * pairs the MoR result against the CoW result or a recompute — the two
+  * write modes must be value-indistinguishable.
+  */
+class TxMorSpec extends SparkSpecBase {
+
+  private lazy val s = spark
+  import s.implicits._
+
+  /** A 4-file table of (id, v) with stats on id, plus the CDC batch that
+    * updates id=5, deletes id=17, inserts id=-1.
+    */
+  private def seed(tag: String): (String, org.apache.spark.sql.DataFrame) = {
+    val dir = Files.createTempDirectory(tag).toString
+    TxTable.commit(
+      s.range(0, 40).select(col("id"), concat(lit("v"), col("id")).as("v"))
+        .repartitionByRange(4, col("id")).sortWithinPartitions(col("id")),
+      dir, "overwrite", statsColumns = Seq("id"))
+    val batch = Seq(
+      (5L, "V5", "UPDATE"), (17L, null.asInstanceOf[String], "DELETE"),
+      (-1L, "VNEW", "INSERT")).toDF("id", "v", "operation")
+    (dir, batch)
+  }
+
+  test("mor merge ≡ cow merge, row for row") {
+    val (cowDir, batch) = seed("morcow")
+    val (morDir, _) = seed("morcow2")
+    TxTable.merge(s, cowDir, batch, Seq("id"))
+    TxTable.merge(s, morDir, batch, Seq("id"), writeMode = "mor")
+    assertSameRows(TxTable.read(s, morDir), TxTable.read(s, cowDir), "mor≡cow")
+    // the merged state is the expected one
+    val m = TxTable.read(s, morDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(5L) === "V5" && m(-1L) === "VNEW" && !m.contains(17L)
+      && m.size === 40) // 40 - 1 delete + 1 insert
+  }
+
+  test("mor writes O(changes): every base file carries forward untouched") {
+    val (dir, batch) = seed("moramp")
+    val base = TxTable.latest(dir).get
+    TxTable.merge(s, dir, batch, Seq("id"), writeMode = "mor")
+    val after = TxTable.latest(dir).get
+    assert(base.files.toSet.subsetOf(after.files.toSet),
+      "no base file may be rewritten by a MoR merge")
+    val newFiles = after.files.filterNot(base.files.toSet)
+    // the new files hold exactly the 2 upsert rows
+    val newBytes = newFiles.map(f => Files.size(Paths.get(dir, f))).sum
+    val baseBytes = base.files.map(f => Files.size(Paths.get(dir, f))).sum
+    assert(newBytes < baseBytes / 2,
+      s"a 3-row batch must write a fraction of the table ($newBytes vs $baseBytes)")
+    assert(after.dvs.nonEmpty, "deleted positions recorded as DVs")
+    // positions recorded only for the two touched base files
+    assert(after.dvs.keySet.subsetOf(base.files.toSet))
+  }
+
+  test("time travel: the pre-merge version is untouched, the merge version applies DVs") {
+    val (dir, batch) = seed("mortt")
+    val v = TxTable.merge(s, dir, batch, Seq("id"), writeMode = "mor")
+    assert(TxTable.read(s, dir, Some(v - 1)).count() === 40L)
+    assert(TxTable.read(s, dir, Some(v)).where(col("id") === 17L).count() === 0L)
+    assert(TxTable.read(s, dir, Some(v)).where(col("id") === 5L)
+      .collect()(0).getString(1) === "V5")
+  }
+
+  test("stacked mor merges union their deletion vectors") {
+    val (dir, batch) = seed("morstack")
+    TxTable.merge(s, dir, batch, Seq("id"), writeMode = "mor")
+    TxTable.merge(s, dir,
+      Seq((6L, null.asInstanceOf[String], "DELETE"),
+        (5L, "V5b", "UPDATE")).toDF("id", "v", "operation"),
+      Seq("id"), writeMode = "mor")
+    val m = TxTable.read(s, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(!m.contains(17L) && !m.contains(6L), "both rounds' deletes hold")
+    assert(m(5L) === "V5b", "the second update wins (first upsert row dv'd)")
+    assert(m.size === 39)
+  }
+
+  test("change feed across a mor merge reports updates and deletes") {
+    // the mor merge keeps every file, so a file-subset-only append test
+    // would misclassify it as delete-free — the regression this pins
+    val (dir, batch) = seed("morfeed")
+    val v = TxTable.merge(s, dir, batch, Seq("id"), writeMode = "mor")
+    val feed = TxTable.changeFeed(s, dir, v - 1, v, Seq("id")).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(feed === Map(5L -> "update", 17L -> "delete", -1L -> "insert"))
+  }
+
+  test("append after a mor merge carries the DVs forward") {
+    val (dir, batch) = seed("morapp")
+    TxTable.merge(s, dir, batch, Seq("id"), writeMode = "mor")
+    TxTable.commit(Seq((100L, "v100")).toDF("id", "v"), dir, "append",
+      statsColumns = Seq("id"))
+    val rows = TxTable.read(s, dir).collect().map(_.getLong(0)).toSet
+    assert(!rows.contains(17L), "append must not resurrect dv-deleted rows")
+    assert(rows.contains(100L) && rows.contains(-1L))
+  }
+
+  test("cow merge on a dv-carrying table does not resurrect deleted rows") {
+    val (dir, batch) = seed("morthencow")
+    TxTable.merge(s, dir, batch, Seq("id"), writeMode = "mor")
+    // a CoW merge whose hit file is one of the dv'd files: the rewrite
+    // must apply the DVs, or 17 comes back from the rewritten file
+    TxTable.merge(s, dir,
+      Seq((16L, "V16", "UPDATE")).toDF("id", "v", "operation"), Seq("id"))
+    val m = TxTable.read(s, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(!m.contains(17L), "CoW rewrite must not resurrect dv-deleted rows")
+    assert(m(16L) === "V16" && m(5L) === "V5")
+    // the rewritten file's dv entry is retired with the file
+    val after = TxTable.latest(dir).get
+    after.dvs.keys.foreach(f => assert(after.files.contains(f),
+      s"dv entry for dropped file $f must not survive"))
+  }
+
+  test("pruned and point reads apply DVs") {
+    val (dir, batch) = seed("morpruned")
+    TxTable.merge(s, dir, batch, Seq("id"), writeMode = "mor")
+    assert(TxTable.readPruned(s, dir, "id", 10L, 20L).collect()
+      .map(_.getLong(0)).toSet === ((10L to 20L).toSet - 17L))
+    assert(TxTable.readPointLookupLong(s, dir, "id", 17L).count() === 0L)
+    assert(TxTable.readPointLookupLong(s, dir, "id", 5L)
+      .collect()(0).getString(1) === "V5")
+  }
+
+  test("the registered source reads DV tables correctly (fallback relation)") {
+    val (dir, batch) = seed("morprov")
+    TxTable.merge(s, dir, batch, Seq("id"), writeMode = "mor")
+    val df = s.read.format("txtable").load(dir)
+    assertSameRows(df, TxTable.read(s, dir), "provider over dv table")
+    assert(df.where(col("id") === 17L).count() === 0L)
+    assert(df.where(col("id") <= 10L).count() === 12L) // 0..10 plus -1
+    assert(df.count() === 40L)
+    // SQL over a catalog name too
+    s.sql("DROP TABLE IF EXISTS tx_mor_cat")
+    s.sql(s"CREATE TABLE tx_mor_cat USING txtable LOCATION '$dir'")
+    try {
+      assert(s.sql("SELECT count(*) AS n FROM tx_mor_cat WHERE id = 17")
+        .collect()(0).getLong(0) === 0L)
+      assert(s.sql("SELECT v FROM tx_mor_cat WHERE id = 5")
+        .collect()(0).getString(0) === "V5")
+    } finally {
+      s.sql("DROP TABLE IF EXISTS tx_mor_cat")
+      ()
+    }
+  }
+
+  test("compact folds DVs away and restores the maximal scan relation") {
+    val (dir, batch) = seed("morfold")
+    TxTable.merge(s, dir, batch, Seq("id"), writeMode = "mor")
+    val before = TxTable.read(s, dir).orderBy("id").collect().toSeq
+    TxTable.compact(s, dir, targetFiles = 2, clusterBy = Seq("id"))
+    val after = TxTable.latest(dir).get
+    assert(after.dvs.isEmpty, "compact folds deletion vectors")
+    assert(TxTable.read(s, dir).orderBy("id").collect().toSeq === before,
+      "folding is value-neutral")
+    // vacuum retires the now-unreferenced dv sidecar (grace 0)
+    TxTable.vacuum(dir, keepVersions = 1, orphanGraceMs = 0L)
+    val dvRoot = Paths.get(dir, "_txlog", "dv")
+    if (Files.isDirectory(dvRoot)) {
+      val it = Files.list(dvRoot)
+      val left = try it.iterator().hasNext finally it.close()
+      assert(!left, "expired dv sidecars swept")
+    }
+  }
+}
