@@ -86,10 +86,17 @@ object GraftTableFunctions {
     "graft_emb_dim_stats" -> tvf("(table, vecCol)", 2, 2)(
       (s: SparkSession, a: Seq[Any]) =>
         graft.ext.Similarity.dimStats(s.table(str(a(0))), str(a(1)))),
+    // routes through the REGISTERED source (round 10), not TxTable.read:
+    // the returned relation carries the manifest-consulting FileIndex, so
+    // a WHERE over the TVF prunes files exactly like a catalog table —
+    // before this, `SELECT * FROM graft_tx_read(dir) WHERE k = 5` paid a
+    // full scan while the same filter on a catalog name skipped
     "graft_tx_read" -> tvf("(tableDir [, version])", 1, 2)(
-      (s: SparkSession, a: Seq[Any]) =>
-        graft.sources.TxTable.read(s, str(a(0)),
-          if (a.length > 1) Some(int(a(1)).toLong) else None)),
+      (s: SparkSession, a: Seq[Any]) => {
+        val r = s.read.format("txtable")
+        (if (a.length > 1) r.option("versionAsOf", int(a(1)).toLong) else r)
+          .load(str(a(0)))
+      }),
     "graft_tx_versions" -> tvf("(tableDir)", 1, 1)(
       (s: SparkSession, a: Seq[Any]) => {
         import s.implicits._

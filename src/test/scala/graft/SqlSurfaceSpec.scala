@@ -116,6 +116,22 @@ class SqlSurfaceSpec extends SparkSpecBase {
       .collect().map(_.getLong(0)).toSet === Set(1L))
   }
 
+  test("graft_tx_read routes through the registered source: a WHERE prunes files") {
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("txsqlprune").toString
+    graft.sources.TxTable.commit(
+      s.range(0, 800).select(col("id").as("k"), (col("id") * 3).as("v"))
+        .repartitionByRange(8, col("k")).sortWithinPartitions(col("k")),
+      dir, "overwrite", statsColumns = Seq("k"))
+    val q = s.sql(s"SELECT k, v FROM graft_tx_read('$dir') WHERE k = 137")
+    assert(q.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === Seq((137L, 411L)))
+    val scans = fileScans(q.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "the TVF must plan a file scan, not an RDD boundary")
+    assert(scans.map(_.metrics("numFiles").value).sum <= 2L,
+      "the TVF read must consult the manifest stats (was: full scan)")
+  }
+
   test("transactional change feed from SQL: graft_tx_change_feed") {
     val dir = java.nio.file.Files.createTempDirectory("sqltxcf").toString
     import s.implicits._
