@@ -516,6 +516,21 @@ object SparkEntry {
           .as("n_grad_bits"))
       .orderBy("media_id")
 
+  /** TRUE audio decode on the oracle board (round 10 — retires
+    * [[graft.ext.Multimodal.fakeDecode]] for the audio arm): 2048-sample
+    * 16-bit PCM clips are ENCODED with the JDK's real WAVE encoder,
+    * DECODED back through `javax.sound.sampled` (a true RIFF parse), and
+    * windowed into exact integer features — energy Σs², sign-change
+    * count, peak. Samples are closed-form in (id, i) and PCM is
+    * lossless, so the oracle recomputes the identical frames
+    * arithmetically.
+    */
+  private def qMediaAudioFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeWavFrames(
+        Multimodal.wavPayload(documents(s, dir), "doc_id"))
+      .toDF()
+      .orderBy("media_id", "frame_i")
+
   /** Scene-cut detection plumbing: per media asset, how many
     * consecutive-frame transitions change content (frame signature ≠
     * previous frame's). With the synthetic decode the signature is an
@@ -5553,6 +5568,7 @@ object SparkEntry {
     "media_frame_dedup" -> (qMediaFrameDedup _),
     "media_phash_pairs" -> (qMediaPhashPairs _),
     "media_image_phash" -> (qMediaImagePhash _),
+    "media_audio_features" -> (qMediaAudioFeatures _),
     "dedup_apply_minhash" -> (qDedupApplyMinhash _),
     "corpus_chunk" -> (qCorpusChunk _),
     "corpus_stratified_sample" -> (qCorpusStratifiedSample _),
@@ -8386,6 +8402,26 @@ object SparkEntry {
         |SELECT frame_md5, MIN(media_id) AS keep_media_id,
         |       CAST(COUNT(*) AS BIGINT) AS n_frames
         |FROM f GROUP BY frame_md5 ORDER BY frame_md5""".stripMargin,
+
+    // TRUE WAV decode: closed-form PCM samples, lossless container, so
+    // the oracle replays the frame features arithmetically
+    "media_audio_features" ->
+      """WITH s AS (
+        |  SELECT d.doc_id AS media_id, idx.i,
+        |         CAST(((d.doc_id * 31 + idx.i * 17) % 65536) - 32768 AS INTEGER) AS v
+        |  FROM documents d, (SELECT unnest(range(0, 2048)) AS i) idx),
+        |w AS (
+        |  SELECT media_id, CAST(i // 256 AS INTEGER) AS frame_i, i, v,
+        |         LAG(v) OVER (PARTITION BY media_id ORDER BY i) AS pv
+        |  FROM s)
+        |SELECT media_id, frame_i,
+        |       CAST(SUM(CAST(v AS BIGINT) * v) AS BIGINT) AS energy,
+        |       CAST(COUNT(CASE WHEN i % 256 > 0
+        |                       AND CAST(pv AS BIGINT) * v < 0 THEN 1 END)
+        |            AS INTEGER) AS zero_crossings,
+        |       MAX(ABS(v)) AS peak
+        |FROM w GROUP BY media_id, frame_i
+        |ORDER BY media_id, frame_i""".stripMargin,
 
     // TRUE ImageIO decode: the oracle recomputes the 9x8 grid from the
     // closed-form fixture pixels (PNG is lossless; nearest-neighbor

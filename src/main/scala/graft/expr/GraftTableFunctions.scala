@@ -29,10 +29,10 @@ import org.apache.spark.sql.types.Decimal
   *
   * The `graft_tx_*` family includes a WRITE tier (`graft_tx_append`,
   * `graft_tx_merge`) and a MAINTENANCE tier (`graft_tx_compact`,
-  * `graft_tx_vacuum`): a SQL console can commit an append, apply a CDC
-  * merge batch, rewrite small files (optionally range/z-order
-  * clustered), or retire history on a [[graft.sources.TxTable]], not
-  * just read one. Write/maintenance TVFs execute when the statement
+  * `graft_tx_fold`, `graft_tx_vacuum`): a SQL console can commit an
+  * append, apply a CDC merge batch, rewrite small files (optionally
+  * range/z-order clustered), fold merge-on-read deletion vectors, or
+  * retire history on a [[graft.sources.TxTable]], not just read one. Write/maintenance TVFs execute when the statement
   * resolves (see [[plan]]) and return the committed `(version, op)` row
   * (vacuum: the retained-version summary).
   */
@@ -126,12 +126,14 @@ object GraftTableFunctions {
           s.table(str(a(1))), str(a(0)), "append", statsColumns = stats)
         Seq((v, "append")).toDF("version", "op")
       }),
-    "graft_tx_merge" -> tvf("(tableDir, changesTable, keyColsCsv)", 3, 3)(
+    "graft_tx_merge" -> tvf("(tableDir, changesTable, keyColsCsv[, writeMode])", 3, 4)(
       (s: SparkSession, a: Seq[Any]) => {
         import s.implicits._
+        val mode = if (a.length > 3) str(a(3)) else "cow"
         val v = graft.sources.TxTable.merge(
-          s, str(a(0)), s.table(str(a(1))), csv(a(2)))
-        Seq((v, "merge")).toDF("version", "op")
+          s, str(a(0)), s.table(str(a(1))), csv(a(2)), writeMode = mode)
+        Seq((v, if (mode == "mor") "merge-mor" else "merge"))
+          .toDF("version", "op")
       }),
     "graft_tx_compact" -> tvf("(tableDir, targetFiles[, clusterByCsv])", 2, 3)(
       (s: SparkSession, a: Seq[Any]) => {
@@ -140,6 +142,13 @@ object GraftTableFunctions {
         val v = graft.sources.TxTable.compact(
           s, str(a(0)), int(a(1)), clusterBy = cluster)
         Seq((v, "compact")).toDF("version", "op")
+      }),
+    // bounded MoR maintenance: rewrites ONLY dv-carrying files
+    "graft_tx_fold" -> tvf("(tableDir)", 1, 1)(
+      (s: SparkSession, a: Seq[Any]) => {
+        import s.implicits._
+        val v = graft.sources.TxTable.foldDvs(s, str(a(0)))
+        Seq((v, "fold")).toDF("version", "op")
       }),
     "graft_tx_vacuum" -> tvf("(tableDir, keepVersions)", 2, 2)(
       (s: SparkSession, a: Seq[Any]) => {

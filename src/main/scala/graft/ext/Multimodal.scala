@@ -10,12 +10,17 @@ import org.apache.spark.sql.functions._
   * Dataset so one task processes a whole parquet row-group batch without
   * per-row serialization churn.
   *
-  * ==STUB NOTICE==
-  * No image/audio codec libraries exist in this container, so the decode
-  * step is a clearly-marked DETERMINISTIC FAKE ([[fakeDecode]]): it derives
-  * pseudo pixel statistics from the payload bytes. The Spark-side plumbing
-  * — schema, typed Encoders, partition-batched execution, feature-vector
-  * shape — is real and is what a production codec would drop into.
+  * ==Codec status (round 10)==
+  * IMAGE and AUDIO decode are REAL: the JDK ships a PNG codec
+  * (`javax.imageio`, [[decodeToGrid]]) and a RIFF/WAVE PCM codec
+  * (`javax.sound.sampled`, [[decodeWavFrames]]) — both arms run true
+  * encode → decode round-trips, oracle-checked bit-for-bit against
+  * closed-form fixture signals. Only VIDEO decode remains a
+  * clearly-marked DETERMINISTIC FAKE ([[fakeDecode]], [[sampleFrames]]):
+  * the JDK has no demuxer, so frame extraction derives pseudo frames
+  * from payload bytes; the Spark-side plumbing — schema, typed Encoders,
+  * partition-batched execution, banded-LSH signature joins — is real and
+  * is what a production demuxer would drop into.
   */
 object Multimodal {
 
@@ -208,6 +213,113 @@ object Multimodal {
       it.flatMap { r =>
         decodeToGrid(r.png).map { case (w, h, grid) =>
           ImageGrid(r.media_id, w, h, grid)
+        }
+      }
+    }
+  }
+
+  // ===================================================================
+  // REAL audio decode (JDK javax.sound.sampled) — retires fakeDecode
+  // for the audio arm: the JDK ships a true RIFF/WAVE PCM codec. Same
+  // oracle strategy as the image arm: samples are a closed-form
+  // function of (id, i), PCM is lossless, so the real encode → decode →
+  // frame-feature chain is hash-checkable arithmetically. Only the
+  // VIDEO arm remains stubbed (no demuxer in the JDK — honest).
+  // ===================================================================
+
+  /** One generated clip: id + real 16-bit PCM mono WAV bytes. */
+  final case class AudioRecord(media_id: Long, wav: Array[Byte])
+
+  /** Per-window audio features, all exact integer arithmetic (no float
+    * DSP — engine-portable): sum of squared samples, sign-change count,
+    * peak magnitude.
+    */
+  final case class AudioFrame(media_id: Long, frame_i: Int, energy: Long,
+      zero_crossings: Int, peak: Int)
+
+  /** The deterministic fixture sample: signed 16-bit value of sample `i`
+    * in clip `id` — closed-form for the oracle.
+    */
+  def fixtureSample(id: Long, i: Int): Int =
+    (((id * 31L + i * 17L) % 65536L) - 32768L).toInt
+
+  /** Generate REAL WAV clips (RIFF header + PCM via the JDK's
+    * `AudioSystem.write` encoder) from an id column. 16-bit signed
+    * little-endian mono.
+    */
+  def wavPayload(df: DataFrame, idCol: String, nSamples: Int = 2048,
+      sampleRate: Int = 8000): Dataset[AudioRecord] = {
+    implicit val enc = Encoders.product[AudioRecord]
+    df.select(col(idCol).cast("long")).as(Encoders.scalaLong).mapPartitions { it =>
+      it.map { id =>
+        val data = new Array[Byte](nSamples * 2)
+        var i = 0
+        while (i < nSamples) {
+          val s = fixtureSample(id, i)
+          data(2 * i) = (s & 0xff).toByte
+          data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(
+          sampleRate.toFloat, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(data), fmt, nSamples.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        AudioRecord(id, bos.toByteArray)
+      }
+    }
+  }
+
+  /** TRUE WAV decode + exact frame features: `AudioSystem
+    * .getAudioInputStream` parses the RIFF container and hands back the
+    * PCM stream; windows of `window` samples yield (energy = Σ s²,
+    * zero_crossings = sign changes within the window, peak = max |s|).
+    * Non-PCM16-mono or undecodable payloads quarantine (dropped, never
+    * poison the batch). Narrow mapPartitions — linear in bytes, no
+    * shuffle.
+    */
+  def decodeWavFrames(audio: Dataset[AudioRecord], window: Int = 256)
+      : Dataset[AudioFrame] = {
+    require(window > 0, s"window must be positive, got $window")
+    implicit val enc = Encoders.product[AudioFrame]
+    audio.mapPartitions { it =>
+      it.flatMap { r =>
+        val parsed =
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(r.wav))
+            val fmt = ais.getFormat
+            if (fmt.getEncoding !=
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+                fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1)
+              None
+            else Some((ais.readAllBytes(), fmt.isBigEndian))
+          } catch {
+            case _: javax.sound.sampled.UnsupportedAudioFileException => None
+            case _: java.io.IOException => None
+          }
+        parsed.toSeq.flatMap { case (bytes, bigEndian) =>
+          val n = bytes.length / 2
+          def sample(i: Int): Int =
+            if (bigEndian) (bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xff)
+            else (bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)
+          (0 until n by window).map { start =>
+            val end = math.min(start + window, n)
+            var energy = 0L
+            var zc = 0
+            var peak = 0
+            var i = start
+            while (i < end) {
+              val s = sample(i)
+              energy += s.toLong * s
+              if (i > start && sample(i - 1).toLong * s < 0) zc += 1
+              if (math.abs(s) > peak) peak = math.abs(s)
+              i += 1
+            }
+            AudioFrame(r.media_id, start / window, energy, zc, peak)
+          }
         }
       }
     }

@@ -803,6 +803,45 @@ object TxTable {
     base.where(col(column) >= lo && col(column) <= hi)
   }
 
+  /** Fold deletion vectors WITHOUT a full compaction: rewrite ONLY the
+    * dv-carrying files minus their deleted rows; every clean file (and
+    * its stats/Bloom entries) carries forward by reference. Cost is
+    * O(dv'd-file bytes) — the bounded maintenance step a streaming
+    * merge-on-read target runs on a cadence ([[graft.streaming.CdcStream
+    * .startTxTable]] `foldEvery`), where a FULL [[compact]] would
+    * rewrite the whole table each time. Value-neutral (reads before ≡
+    * after), CAS-published at base+1 like compact. Returns the folded
+    * version, or the current version when there is nothing to fold.
+    */
+  def foldDvs(spark: SparkSession, dir: String, maxRetries: Int = 10,
+      arbiter: CommitArbiter = LocalLinkArbiter): Long = {
+    var attempt = 0
+    var committed = -1L
+    while (committed < 0) {
+      attempt += 1
+      require(attempt <= maxRetries,
+        s"foldDvs at $dir lost $maxRetries publish races; giving up")
+      val base = latest(dir).getOrElse(
+        throw new IllegalArgumentException(s"no committed version at $dir"))
+      if (base.dvs.isEmpty) return base.version
+      val dvFiles = base.files.filter(base.dvs.contains)
+      val survivors = dvApply(spark, dir, base,
+        spark.read.schema(base.schema)
+          .parquet(dvFiles.map(f => s"$dir/$f"): _*))
+      val statsCols = base.stats.values.flatMap(_.keys).toSeq.distinct.sorted
+      val (commitRel, newFiles, newStats, newBlooms) =
+        writeData(survivors, dir, statsCols, bloomSpecOf(base))
+      val dvSet = dvFiles.toSet
+      if (publishAt(dir, base.version + 1, "fold", base.schema,
+          base.files.filterNot(dvSet) ++ newFiles,
+          (base.stats -- dvSet) ++ newStats, epochId = None,
+          tmpTag = commitRel.stripPrefix("data/"), arbiter = arbiter,
+          blooms = (base.blooms -- dvSet) ++ newBlooms))
+        committed = base.version + 1
+    }
+    committed
+  }
+
   /** Rewrite the latest snapshot into `targetFiles` files — the
     * small-files compaction every append-heavy table eventually needs.
     * Data is unchanged (one read + one overwrite commit); stats columns

@@ -726,7 +726,9 @@ object CdcStream {
       tableDir: String,
       spec: CdcTableSpec,
       rowSchema: StructType,
-      strategy: ConflictStrategy = ConflictStrategy.LastWriteWins): Unit = {
+      strategy: ConflictStrategy = ConflictStrategy.LastWriteWins,
+      writeMode: String = "cow",
+      foldEvery: Int = 0): Unit = {
     import graft.log.ChangeLog.{CdcId, NewData, Operation, RecordId}
     import graft.sources.TxTable
     val spark = batch.sparkSession
@@ -773,11 +775,35 @@ object CdcStream {
         changes.filter(col("operation") =!= "DELETE").drop("operation"),
         tableDir, "overwrite", statsColumns = Seq(spec.pkCol),
         epochId = Some(ledgerId))
-    else
+    else {
       TxTable.merge(spark, tableDir, changes, Seq(spec.pkCol),
-        epochId = Some(ledgerId))
+        epochId = Some(ledgerId), writeMode = writeMode)
+      // merge-on-read maintenance cadence: after `foldEvery` MoR merges,
+      // fold the accumulated deletion vectors (TxTable.foldDvs rewrites
+      // ONLY the dv-carrying files — O(dv'd bytes), not the table). The
+      // counter is in-JVM: a restart resets it, which only DELAYS the
+      // next fold by <= foldEvery batches — folds are an optimization,
+      // never a correctness dependency (every read applies DVs anyway).
+      // The fold's CAS commit carries no epoch stamp, so the
+      // exactly-once high-water ledger is untouched.
+      if (writeMode == "mor" && foldEvery > 0) {
+        val n = morMergesSinceFold.merge(tableDir, Integer.valueOf(1),
+          (a: Integer, b: Integer) => Integer.valueOf(a.intValue + b.intValue))
+        if (n >= foldEvery) {
+          morMergesSinceFold.put(tableDir, Integer.valueOf(0))
+          TxTable.foldDvs(spark, tableDir)
+          ()
+        }
+      }
+    }
     ()
   }
+
+  /** MoR merges since the last DV fold, per target dir (in-JVM — see
+    * the cadence comment in [[applyTxBatch]]).
+    */
+  private val morMergesSinceFold =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
   /** [[start]] with a [[graft.sources.TxTable]] target: the change log
     * streams into an ACID table — atomic multi-file epoch commits,
@@ -797,6 +823,15 @@ object CdcStream {
     * it skips so the operational signal exists, but a backfill workflow
     * must renumber its changes above the current mark (or replay the
     * whole log into a fresh table).
+    *
+    * ==Write mode==
+    * `writeMode = "mor"` applies each epoch as a merge-on-read commit
+    * (deletion vectors + new files; write O(changes) — the high-churn
+    * setting), with `foldEvery` N MoR merges triggering a bounded
+    * [[graft.sources.TxTable.foldDvs]] (rewrites only the dv-carrying
+    * files). The default "cow" keeps the read-optimal copy-on-write
+    * merge. Both modes produce IDENTICAL table contents
+    * (CdcStreamSpec pins streamed-MoR ≡ streamed-CoW).
     */
   def startTxTable(
       spark: SparkSession,
@@ -808,12 +843,15 @@ object CdcStream {
       config: CdcConfig = CdcConfig(),
       trigger: Option[Trigger] = None,
       maxFilesPerTrigger: Int = 100,
-      strategy: ConflictStrategy = ConflictStrategy.LastWriteWins): StreamingQuery =
+      strategy: ConflictStrategy = ConflictStrategy.LastWriteWins,
+      writeMode: String = "cow",
+      foldEvery: Int = 0): StreamingQuery =
     startLogStream(spark, logDir, rowSchema, checkpointDir,
       trigger.getOrElse(
         Trigger.ProcessingTime(s"${config.syncIntervalSeconds} seconds")),
       maxFilesPerTrigger, s"cdc-replicate-tx-${spec.table}") {
-      (batch, _) => applyTxBatch(batch, tableDir, spec, rowSchema, strategy)
+      (batch, _) => applyTxBatch(batch, tableDir, spec, rowSchema, strategy,
+        writeMode, foldEvery)
     }
 
   /** Shared change-log readStream/writeStream wiring for [[start]] and
@@ -851,10 +889,13 @@ object CdcStream {
       spec: CdcTableSpec,
       rowSchema: StructType,
       strategy: ConflictStrategy = ConflictStrategy.LastWriteWins,
-      maxFilesPerTrigger: Int = 100): Unit = {
+      maxFilesPerTrigger: Int = 100,
+      writeMode: String = "cow",
+      foldEvery: Int = 0): Unit = {
     val q = startTxTable(spark, logDir, tableDir, checkpointDir, spec,
       rowSchema, trigger = Some(Trigger.AvailableNow()),
-      maxFilesPerTrigger = maxFilesPerTrigger, strategy = strategy)
+      maxFilesPerTrigger = maxFilesPerTrigger, strategy = strategy,
+      writeMode = writeMode, foldEvery = foldEvery)
     q.awaitTermination()
   }
 

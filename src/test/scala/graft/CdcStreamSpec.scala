@@ -561,6 +561,71 @@ class CdcStreamSpec extends SparkSpecBase {
       "untouched files must carry forward by reference across the merge")
   }
 
+  test("streamed MoR target ≡ streamed CoW target; folds on cadence, zero rewrites between folds") {
+    import graft.sources.TxTable
+    val tmp = Files.createTempDirectory("cdctxmor").toString
+    val table = DemoWorkload.replay(
+      CdcTable(DemoWorkload.users(s, 0), DemoWorkload.UsersSpec),
+      s, inserts = 10, updates = 5, deletes = 2)
+    table.changeLog.write.mode("overwrite").parquet(s"$tmp/log")
+    val rowSchema = table.snapshot.schema
+
+    // same log drained into both write modes
+    CdcStream.drainTxTable(s, s"$tmp/log", s"$tmp/cow", s"$tmp/chk_cow",
+      DemoWorkload.UsersSpec, rowSchema)
+    CdcStream.drainTxTable(s, s"$tmp/log", s"$tmp/mor", s"$tmp/chk_mor",
+      DemoWorkload.UsersSpec, rowSchema, writeMode = "mor")
+    assertSameRows(TxTable.read(s, s"$tmp/mor"), TxTable.read(s, s"$tmp/cow"),
+      "mor stream ≡ cow stream")
+    assert(ReplicationVerifier.fullyReplicated(table.snapshot,
+      TxTable.read(s, s"$tmp/mor")))
+
+    // between folds, a MoR epoch rewrites NO base files: drain a second
+    // change batch and check every pre-batch file carried forward
+    val lastLogged = table.changeLog.agg(max(col("cdc_id"))).first().getLong(0)
+    // mutate keys that EXIST in the snapshot (ids are workload-assigned)
+    val liveIds = table.snapshot.select(DemoWorkload.UsersSpec.pkCol)
+      .orderBy(DemoWorkload.UsersSpec.pkCol).collect().map(_.getLong(0))
+    table.update(col(DemoWorkload.UsersSpec.pkCol) === liveIds(0),
+      Map("username" -> lit("morx")))
+    table.delete(col(DemoWorkload.UsersSpec.pkCol) === liveIds(1))
+    val staged = table.changeLog.filter(col("cdc_id") > lastLogged)
+    assert(staged.count() === 2L, "the stage-2 mutations must hit live keys")
+    staged.write.mode("append").parquet(s"$tmp/log")
+    val beforeFiles = TxTable.latest(s"$tmp/mor").get.files.toSet
+    CdcStream.drainTxTable(s, s"$tmp/log", s"$tmp/mor", s"$tmp/chk_mor",
+      DemoWorkload.UsersSpec, rowSchema, writeMode = "mor")
+    val afterSnap = TxTable.latest(s"$tmp/mor").get
+    assert(beforeFiles.subsetOf(afterSnap.files.toSet),
+      "a MoR epoch must not rewrite base files")
+    assert(afterSnap.dvs.nonEmpty, "the epoch's deletes live as DVs")
+    assert(ReplicationVerifier.fullyReplicated(table.snapshot,
+      TxTable.read(s, s"$tmp/mor")))
+
+    // foldEvery = 1: the next epoch folds the DVs right after merging —
+    // bounded maintenance, value-neutral, and only dv'd files rewritten
+    val logged2 = table.changeLog.agg(max(col("cdc_id"))).first().getLong(0)
+    table.update(col(DemoWorkload.UsersSpec.pkCol) === liveIds(2),
+      Map("username" -> lit("mory")))
+    val staged3 = table.changeLog.filter(col("cdc_id") > logged2)
+    assert(staged3.count() === 1L, "the stage-3 mutation must hit a live key")
+    staged3.write.mode("append").parquet(s"$tmp/log")
+    CdcStream.drainTxTable(s, s"$tmp/log", s"$tmp/mor", s"$tmp/chk_mor",
+      DemoWorkload.UsersSpec, rowSchema, writeMode = "mor", foldEvery = 1)
+    val folded = TxTable.latest(s"$tmp/mor").get
+    assert(folded.dvs.isEmpty, "the cadence fold must clear the DVs")
+    assert(folded.op === "fold")
+    assert(ReplicationVerifier.fullyReplicated(table.snapshot,
+      TxTable.read(s, s"$tmp/mor")), "fold is value-neutral")
+    // the exactly-once ledger survives the fold (no epoch stamp on it):
+    // a full replay of the log is still a no-op
+    val beforeV = TxTable.versions(s"$tmp/mor")
+    CdcStream.drainTxTable(s, s"$tmp/log", s"$tmp/mor", s"$tmp/chk_mor",
+      DemoWorkload.UsersSpec, rowSchema, writeMode = "mor", foldEvery = 1)
+    assert(TxTable.versions(s"$tmp/mor") === beforeV,
+      "replay after a fold must skip on the high-water mark")
+  }
+
   test("applyTxBatch merge path: updates apply and deletes key off record_id") {
     import graft.sources.TxTable
     val dir = Files.createTempDirectory("cdctxm").toString

@@ -64,6 +64,51 @@ class ImageIoSpec extends SparkSpecBase {
     }
   }
 
+  test("wavPayload emits genuine RIFF/WAVE; decode reproduces the closed-form PCM") {
+    val recs = Multimodal.wavPayload(Seq(11L).toDF("doc_id"), "doc_id",
+      nSamples = 512).collect()
+    val wav = recs(0).wav
+    assert(new String(wav.take(4), "US-ASCII") === "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") === "WAVE")
+    // the REAL codec parses it back: format and samples exact
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    assert(ais.getFormat.getSampleSizeInBits === 16)
+    assert(ais.getFormat.getChannels === 1)
+    val bytes = ais.readAllBytes()
+    assert(bytes.length === 1024)
+    for (i <- 0 until 512) {
+      val got = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff))
+      assert(got === Multimodal.fixtureSample(11L, i), s"sample $i")
+    }
+  }
+
+  test("decodeWavFrames: exact features, quarantine for junk and non-PCM16") {
+    val frames = Multimodal.decodeWavFrames(
+      Multimodal.wavPayload(Seq(3L).toDF("doc_id"), "doc_id", nSamples = 512),
+      window = 128).collect().sortBy(_.frame_i)
+    assert(frames.length === 4)
+    // driver recompute of frame 1
+    val f1 = frames(1)
+    var energy = 0L
+    var zc = 0
+    var peak = 0
+    for (i <- 128 until 256) {
+      val s = Multimodal.fixtureSample(3L, i)
+      energy += s.toLong * s
+      if (i > 128 &&
+        Multimodal.fixtureSample(3L, i - 1).toLong * s < 0) zc += 1
+      peak = math.max(peak, math.abs(s))
+    }
+    assert((f1.energy, f1.zero_crossings, f1.peak) === ((energy, zc, peak)))
+    // junk bytes quarantine; the good record still decodes
+    val mixed = Multimodal.wavPayload(Seq(5L).toDF("doc_id"), "doc_id",
+        nSamples = 256)
+      .union(Seq(Multimodal.AudioRecord(99L, Array[Byte](9, 9, 9))).toDS())
+    assert(Multimodal.decodeWavFrames(mixed).collect()
+      .map(_.media_id).distinct.toSeq === Seq(5L))
+  }
+
   test("the dHash kernel over a decoded grid matches a driver recompute") {
     val df = Multimodal.decodeImages(
         Multimodal.pngPayload(Seq(7L, 250L, 999L).toDF("doc_id"), "doc_id"))

@@ -116,6 +116,28 @@ class SqlSurfaceSpec extends SparkSpecBase {
       .collect().map(_.getLong(0)).toSet === Set(1L))
   }
 
+  test("SQL MoR maintenance: graft_tx_merge('mor') + graft_tx_fold") {
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("txsqlmor").toString
+    graft.sources.TxTable.commit(
+      s.range(0, 100).select(col("id"), concat(lit("v"), col("id")).as("v")),
+      dir, "overwrite", statsColumns = Seq("id"))
+    Seq((7L, "V7", "UPDATE"), (9L, null.asInstanceOf[String], "DELETE"))
+      .toDF("id", "v", "operation").createOrReplaceTempView("mor_changes")
+    val m = s.sql(s"SELECT * FROM graft_tx_merge('$dir', 'mor_changes', 'id', 'mor')")
+      .collect()(0)
+    assert(m.getString(1) === "merge-mor")
+    assert(graft.sources.TxTable.latest(dir).get.dvs.nonEmpty,
+      "SQL mor merge records deletion vectors")
+    assert(s.sql(s"SELECT count(*) AS n FROM graft_tx_read('$dir') WHERE id = 9")
+      .collect()(0).getLong(0) === 0L, "TVF read applies DVs")
+    val f = s.sql(s"SELECT * FROM graft_tx_fold('$dir')").collect()(0)
+    assert(f.getString(1) === "fold")
+    assert(graft.sources.TxTable.latest(dir).get.dvs.isEmpty,
+      "SQL fold clears the DVs")
+    assert(graft.sources.TxTable.read(s, dir).count() === 99L)
+  }
+
   test("graft_tx_read routes through the registered source: a WHERE prunes files") {
     import s.implicits._
     val dir = java.nio.file.Files.createTempDirectory("txsqlprune").toString

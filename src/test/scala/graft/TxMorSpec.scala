@@ -153,6 +153,41 @@ class TxMorSpec extends SparkSpecBase {
     }
   }
 
+  test("pure-DELETE MoR batch: no upsert rows, only deletion vectors") {
+    val (dir, _) = seed("mordel")
+    val base = TxTable.latest(dir).get
+    TxTable.merge(s, dir,
+      Seq((3L, null.asInstanceOf[String], "DELETE"),
+        (21L, null.asInstanceOf[String], "DELETE")).toDF("id", "v", "operation"),
+      Seq("id"), writeMode = "mor")
+    val after = TxTable.latest(dir).get
+    assert(base.files.toSet.subsetOf(after.files.toSet))
+    assert(TxTable.read(s, dir).count() === 38L)
+    assert(TxTable.read(s, dir).where(col("id").isin(3L, 21L)).count() === 0L)
+    // foldDvs on the pure-delete state is value-neutral and clears dvs
+    TxTable.foldDvs(s, dir)
+    val folded = TxTable.latest(dir).get
+    assert(folded.dvs.isEmpty && folded.op === "fold")
+    assert(TxTable.read(s, dir).count() === 38L)
+  }
+
+  test("foldDvs rewrites ONLY the dv-carrying files; clean files by reference") {
+    val (dir, batch) = seed("morfoldonly")
+    TxTable.merge(s, dir, batch, Seq("id"), writeMode = "mor")
+    val before = TxTable.latest(dir).get
+    val dvd = before.dvs.keySet
+    val clean = before.files.toSet -- dvd
+    assert(dvd.nonEmpty && clean.nonEmpty, "fixture needs both kinds")
+    TxTable.foldDvs(s, dir)
+    val after = TxTable.latest(dir).get
+    assert(clean.subsetOf(after.files.toSet),
+      "every clean file must carry forward by reference")
+    assert((dvd & after.files.toSet).isEmpty,
+      "every dv'd file must be replaced by its folded rewrite")
+    assertSameRows(TxTable.read(s, dir),
+      TxTable.read(s, dir, Some(before.version)), "fold is value-neutral")
+  }
+
   test("compact folds DVs away and restores the maximal scan relation") {
     val (dir, batch) = seed("morfold")
     TxTable.merge(s, dir, batch, Seq("id"), writeMode = "mor")

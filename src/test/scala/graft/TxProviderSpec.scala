@@ -140,6 +140,42 @@ class TxProviderSpec extends SparkSpecBase {
       "a present key must not open files whose bloom rejects it")
   }
 
+  test("InSet (optimizer-converted large IN lists) prunes soundly") {
+    val dir = buildClustered()
+    // > spark.sql.optimizer.inSetConversionThreshold (10) values forces
+    // the In → InSet conversion, whose values are CATALYST-internal
+    // (UTF8String for strings) — the translator must handle both forms
+    val longKeys = (0 until 15).map(i => 700L + i) // clustered: 1-2 bands
+    val inSetLong = load(dir).where(col("k").isin(longKeys: _*))
+    assertSameRows(inSetLong,
+      TxTable.read(s, dir).where(col("k").isin(longKeys: _*)), "inset long")
+    assert(scannedFiles(inSetLong) < 8L, "a 15-key InSet must still skip")
+    val strKeys = (0 until 15).map(i => f"name_${300 + i}%04d")
+    val inSetStr = load(dir).where(col("nm").isin(strKeys: _*))
+    assertSameRows(inSetStr,
+      TxTable.read(s, dir).where(col("nm").isin(strKeys: _*)), "inset string")
+    assert(scannedFiles(inSetStr) < 8L,
+      "string InSet values (UTF8String) must translate and skip")
+  }
+
+  test("pruning soundness sweep: random predicates, pruned ≡ full filter") {
+    val dir = buildClustered()
+    val rnd = new scala.util.Random(1234)
+    val full = TxTable.read(s, dir)
+    for (_ <- 1 to 12) {
+      val lo = rnd.nextInt(900).toLong - 50L
+      val hi = lo + rnd.nextInt(300).toLong
+      val shape = rnd.nextInt(5) match {
+        case 0 => col("k") === lo
+        case 1 => col("k") >= lo && col("k") < hi
+        case 2 => col("k") < lo || col("k") > hi
+        case 3 => col("u") === (lo % 1000 + 1000) % 1000
+        case 4 => col("nm") >= f"name_$lo%04d" && col("k") <= hi
+      }
+      assertSameRows(load(dir).where(shape), full.where(shape), s"shape $shape")
+    }
+  }
+
   test("catalog: CREATE TABLE USING txtable, SQL reads prune, DROP") {
     val dir = buildClustered()
     s.sql("DROP TABLE IF EXISTS tx_cat")
