@@ -143,6 +143,14 @@ object GraftTableFunctions {
           s, str(a(0)), int(a(1)), clusterBy = cluster)
         Seq((v, "compact")).toDF("version", "op")
       }),
+    // incremental bin-packing: rewrites ONLY files below minBytes
+    "graft_tx_compact_small" -> tvf("(tableDir, minBytes[, targetFiles])", 2, 3)(
+      (s: SparkSession, a: Seq[Any]) => {
+        import s.implicits._
+        val v = graft.sources.TxTable.compactSmallFiles(s, str(a(0)),
+          int(a(1)).toLong, if (a.length > 2) int(a(2)) else 1)
+        Seq((v, "compact-small")).toDF("version", "op")
+      }),
     // bounded MoR maintenance: rewrites ONLY dv-carrying files
     "graft_tx_fold" -> tvf("(tableDir)", 1, 1)(
       (s: SparkSession, a: Seq[Any]) => {

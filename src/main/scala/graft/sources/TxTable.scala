@@ -106,11 +106,20 @@ object TxTable {
     * rows). [[compact]] folds DVs away (rewrites survivors, publishes
     * with no dv entries).
     */
+  /** `sizes` records each data file's byte length in the manifest
+    * (round 10): the scan planner ([[TxFileIndex]]) then builds its
+    * listing from the manifest ALONE — zero filesystem RPCs at plan
+    * time, the Delta-checkpoint refinement the provider's scaladoc
+    * promised. Files without a recorded size (pre-round-10 manifests)
+    * fall back to one `getFileStatus` each — additive, old manifests
+    * stay readable.
+    */
   final case class Snapshot(version: Long, op: String, schema: StructType,
       files: Seq[String], epoch: Option[Long] = None,
       stats: Map[String, Map[String, ColRange]] = Map.empty,
       blooms: Map[String, Map[String, BloomRef]] = Map.empty,
-      dvs: Map[String, String] = Map.empty) {
+      dvs: Map[String, String] = Map.empty,
+      sizes: Map[String, Long] = Map.empty) {
     /** Files whose [min, max] for `col` overlaps the LONG range [lo, hi]
       * — files with no recorded stats (or stats of another kind) are
       * KEPT (skipping must never drop data).
@@ -198,13 +207,19 @@ object TxTable {
         val p = s.split("\\|", -1)
         p(0) -> p(1)
       }.toMap
+    val sizes = lines
+      .collect { case l if l.startsWith("fsize=") => l.stripPrefix("fsize=") }
+      .map { s =>
+        val p = s.split("\\|", -1)
+        p(0) -> p(1).toLong
+      }.toMap
     Snapshot(version, field("op"),
       DataType.fromJson(field("schema")).asInstanceOf[StructType],
       lines.collect { case l if l.startsWith("file=") => l.stripPrefix("file=") }
         .toSeq,
       lines.collectFirst { case l if l.startsWith("epoch=") =>
         l.stripPrefix("epoch=").toLong },
-      stats, blooms, dvs)
+      stats, blooms, dvs, sizes)
   }
 
   /** Latest snapshot, or None for an empty/absent table. */
@@ -307,8 +322,8 @@ object TxTable {
     require(bloomBits > 0 && bloomBits % 32 == 0,
       s"bloomBits must be a positive multiple of 32, got $bloomBits")
     require(bloomK > 0 && bloomK <= 16, s"bloomK must be in [1, 16], got $bloomK")
-    val (commitRel, newFiles, newStats, newBlooms) = writeData(df, dir,
-      statsColumns, bloomColumns.map(c => c -> (bloomBits, bloomK)).toMap)
+    val (commitRel, newFiles, newStats, newBlooms, newSizes) = writeData(df,
+      dir, statsColumns, bloomColumns.map(c => c -> (bloomBits, bloomK)).toMap)
     val newSchema = df.schema
     // 2 + 3. compose against the CURRENT latest and publish; on a lost
     // race, re-read and retry (appends commute; overwrite last-wins)
@@ -316,20 +331,21 @@ object TxTable {
     while (committed < 0) {
       val base = latest(dir)
       val v = base.map(_.version + 1).getOrElse(0L)
-      val (files, schema, stats, blooms, dvs) = (mode, base) match {
+      val (files, schema, stats, blooms, dvs, sizes) = (mode, base) match {
         case ("overwrite", _) | (_, None) =>
           (newFiles, newSchema, newStats, newBlooms,
-            Map.empty[String, String])
+            Map.empty[String, String], newSizes)
         case ("append", Some(b)) =>
           // deletion vectors carry forward — dropping them would
           // resurrect every row a prior merge-on-read deleted
           (b.files ++ newFiles, mergedAppendSchema(b.schema, newSchema, dir),
-            b.stats ++ newStats, b.blooms ++ newBlooms, b.dvs)
+            b.stats ++ newStats, b.blooms ++ newBlooms, b.dvs,
+            b.sizes ++ newSizes)
         case other => throw new MatchError(other) // unreachable
       }
       if (publishAt(dir, v, mode, schema, files, stats, epochId,
           tmpTag = commitRel.stripPrefix("data/"), arbiter = arbiter,
-          blooms = blooms, dvs = dvs))
+          blooms = blooms, dvs = dvs, sizes = sizes))
         committed = v
     }
     committed
@@ -343,7 +359,7 @@ object TxTable {
   private def writeData(df: DataFrame, dir: String, statsColumns: Seq[String],
       bloomSpec: Map[String, (Int, Int)] = Map.empty)
       : (String, Seq[String], Map[String, Map[String, ColRange]],
-         Map[String, Map[String, BloomRef]]) = {
+         Map[String, Map[String, BloomRef]], Map[String, Long]) = {
     Files.createDirectories(logDir(dir))
     val uuid = java.util.UUID.randomUUID().toString
     val commitRel = s"data/$uuid"
@@ -392,7 +408,10 @@ object TxTable {
       }
     val newBlooms = buildBlooms(df.sparkSession, dir, commitRel, uuid,
       newFiles, bloomSpec)
-    (commitRel, newFiles, newStats, newBlooms)
+    // byte lengths into the manifest: the scan planner lists from the
+    // manifest alone (zero FS RPCs at plan time)
+    val newSizes = newFiles.map(f => f -> Files.size(Paths.get(dir, f))).toMap
+    (commitRel, newFiles, newStats, newBlooms, newSizes)
   }
 
   /** Per-(file, column) Bloom filters for the just-written batch — the
@@ -699,7 +718,8 @@ object TxTable {
       epochId: Option[Long], tmpTag: String,
       arbiter: CommitArbiter = LocalLinkArbiter,
       blooms: Map[String, Map[String, BloomRef]] = Map.empty,
-      dvs: Map[String, String] = Map.empty): Boolean = {
+      dvs: Map[String, String] = Map.empty,
+      sizes: Map[String, Long] = Map.empty): Boolean = {
     val statsLines = stats.toSeq.sortBy(_._1).flatMap { case (f, cols) =>
       cols.toSeq.sortBy(_._1).map { case (c, r) =>
         s"stats=$f|$c|${r.kind}|${b64enc(r.min)}|${b64enc(r.max)}"
@@ -718,12 +738,16 @@ object TxTable {
     val dvLines = dvs.toSeq.sortBy(_._1).map { case (f, side) =>
       s"dv=$f|$side"
     }
+    val sizeLines = sizes.toSeq.sortBy(_._1).map { case (f, n) =>
+      s"fsize=$f|$n"
+    }
     val content = (Seq(
       s"version=$v",
       s"op=$op",
       s"schema=${schema.json}") ++
       epochId.map(e => s"epoch=$e").toSeq ++
-      files.map(f => s"file=$f") ++ statsLines ++ bloomLines ++ dvLines)
+      files.map(f => s"file=$f") ++ statsLines ++ bloomLines ++ dvLines ++
+      sizeLines)
       .mkString("", "\n", "\n")
     arbiter.putIfAbsent(manifestPath(dir, v), content, s"$tmpTag-$v")
   }
@@ -829,14 +853,66 @@ object TxTable {
         spark.read.schema(base.schema)
           .parquet(dvFiles.map(f => s"$dir/$f"): _*))
       val statsCols = base.stats.values.flatMap(_.keys).toSeq.distinct.sorted
-      val (commitRel, newFiles, newStats, newBlooms) =
+      val (commitRel, newFiles, newStats, newBlooms, newSizes) =
         writeData(survivors, dir, statsCols, bloomSpecOf(base))
       val dvSet = dvFiles.toSet
       if (publishAt(dir, base.version + 1, "fold", base.schema,
           base.files.filterNot(dvSet) ++ newFiles,
           (base.stats -- dvSet) ++ newStats, epochId = None,
           tmpTag = commitRel.stripPrefix("data/"), arbiter = arbiter,
-          blooms = (base.blooms -- dvSet) ++ newBlooms))
+          blooms = (base.blooms -- dvSet) ++ newBlooms,
+          sizes = (base.sizes -- dvSet) ++ newSizes))
+        committed = base.version + 1
+    }
+    committed
+  }
+
+  /** INCREMENTAL small-file compaction: bin-pack only the files below
+    * `minBytes` into `targetFiles` rewritten files; every file already
+    * at a healthy size carries forward by reference. This is the
+    * maintenance form that scales — a streaming merge-on-read target
+    * accretes one small upsert file per epoch, and the full [[compact]]
+    * would pay an O(table) rewrite to clean up O(epochs-worth) of
+    * small files. Cost here is O(small-file bytes). Small files that
+    * carry deletion vectors fold them in the rewrite (their dv entries
+    * retire with the files); large dv'd files keep their DVs —
+    * [[foldDvs]] is the targeted cure there. Value-neutral,
+    * CAS-published at base+1. Returns the committed version (the
+    * current one when fewer than 2 files qualify — rewriting a single
+    * small file buys nothing).
+    */
+  def compactSmallFiles(spark: SparkSession, dir: String, minBytes: Long,
+      targetFiles: Int = 1, maxRetries: Int = 10,
+      arbiter: CommitArbiter = LocalLinkArbiter): Long = {
+    require(minBytes > 0 && targetFiles > 0,
+      s"minBytes and targetFiles must be positive, got $minBytes/$targetFiles")
+    var attempt = 0
+    var committed = -1L
+    while (committed < 0) {
+      attempt += 1
+      require(attempt <= maxRetries,
+        s"compactSmallFiles at $dir lost $maxRetries publish races; giving up")
+      val base = latest(dir).getOrElse(
+        throw new IllegalArgumentException(s"no committed version at $dir"))
+      def sizeOf(f: String): Long =
+        base.sizes.getOrElse(f, Files.size(Paths.get(dir, f)))
+      val small = base.files.filter(sizeOf(_) < minBytes)
+      if (small.size < 2) return base.version
+      val packed = dvApply(spark, dir, base,
+        spark.read.schema(base.schema)
+          .parquet(small.map(f => s"$dir/$f"): _*))
+        .repartition(targetFiles)
+      val statsCols = base.stats.values.flatMap(_.keys).toSeq.distinct.sorted
+      val (commitRel, newFiles, newStats, newBlooms, newSizes) =
+        writeData(packed, dir, statsCols, bloomSpecOf(base))
+      val smallSet = small.toSet
+      if (publishAt(dir, base.version + 1, "compact-small", base.schema,
+          base.files.filterNot(smallSet) ++ newFiles,
+          (base.stats -- smallSet) ++ newStats, epochId = None,
+          tmpTag = commitRel.stripPrefix("data/"), arbiter = arbiter,
+          blooms = (base.blooms -- smallSet) ++ newBlooms,
+          dvs = base.dvs -- smallSet,
+          sizes = (base.sizes -- smallSet) ++ newSizes))
         committed = base.version + 1
     }
     committed
@@ -880,12 +956,12 @@ object TxTable {
       val arranged = compactArrange(spark, dir, snap, targetFiles, clusterBy)
       val statsCols =
         (snap.stats.values.flatMap(_.keys).toSeq ++ clusterBy).distinct.sorted
-      val (commitRel, newFiles, newStats, newBlooms) =
+      val (commitRel, newFiles, newStats, newBlooms, newSizes) =
         writeData(arranged, dir, statsCols, bloomSpecOf(snap))
       if (publishAt(dir, snap.version + 1, "overwrite", arranged.schema,
           newFiles, newStats, epochId = None,
           tmpTag = commitRel.stripPrefix("data/"), arbiter = arbiter,
-          blooms = newBlooms))
+          blooms = newBlooms, sizes = newSizes))
         committed = snap.version + 1
       // lost race: the rewrite is stale (new rows landed); its dir is an
       // invisible orphan (vacuum retires it) — re-derive from new latest
@@ -1233,7 +1309,7 @@ object TxTable {
                   catch { case _: Exception => raw }
                 (f.split('/').takeRight(3).mkString("/"), r.getLong(1))
               }
-          val (commitRel, newFiles, newStats, newBlooms) =
+          val (commitRel, newFiles, newStats, newBlooms, newSizes) =
             writeData(upserts, dir, statsCols, bloomSpec)
           // compose the FULL dv map (existing positions ∪ new hits) into
           // ONE fresh immutable sidecar — O(deletes-since-compact) text,
@@ -1259,7 +1335,8 @@ object TxTable {
           publishAt(dir, base.version + 1, "merge", base.schema,
             base.files ++ newFiles, base.stats ++ newStats,
             epochId, tmpTag = commitRel.stripPrefix("data/"),
-            arbiter = arbiter, blooms = base.blooms ++ newBlooms, dvs = dvs)
+            arbiter = arbiter, blooms = base.blooms ++ newBlooms, dvs = dvs,
+            sizes = base.sizes ++ newSizes)
         } else {
           // ==Copy-on-write== (the read-optimal default)
           // 2. exact per-file hits: key-only projection + semi join (Spark
@@ -1291,7 +1368,7 @@ object TxTable {
               .parquet(hitFiles.map(f => s"$dir/$f"): _*))
               .join(touched, keyCols, "left_anti")
               .unionByName(upserts)
-          val (commitRel, newFiles, newStats, newBlooms) =
+          val (commitRel, newFiles, newStats, newBlooms, newSizes) =
             writeData(rewritten, dir, statsCols, bloomSpec)
           val hitSet = hitFiles.toSet
           val files = base.files.filterNot(hitSet) ++ newFiles
@@ -1299,7 +1376,8 @@ object TxTable {
           val blooms = (base.blooms -- hitSet) ++ newBlooms
           publishAt(dir, base.version + 1, "merge", base.schema, files, stats,
             epochId, tmpTag = commitRel.stripPrefix("data/"), arbiter = arbiter,
-            blooms = blooms, dvs = base.dvs -- hitSet)
+            blooms = blooms, dvs = base.dvs -- hitSet,
+            sizes = (base.sizes -- hitSet) ++ newSizes)
         }
       if (published) committed = base.version + 1
       // lost race: the just-written commitRel dir is orphaned (invisible);
@@ -1351,9 +1429,11 @@ object TxTable {
         // bootstrap: the first unseen version seeds the replica wholesale
         val seed = read(spark, primaryDir, Some(v))
         Files.createDirectories(logDir(replicaDir))
-        val (commitRel, files, stats, _) = writeData(seed, replicaDir, keyCols)
+        val (commitRel, files, stats, _, seedSizes) =
+          writeData(seed, replicaDir, keyCols)
         require(publishAt(replicaDir, 0L, "overwrite", snapshot(primaryDir, v).schema,
-          files, stats, epochId = Some(v), tmpTag = commitRel.stripPrefix("data/")),
+          files, stats, epochId = Some(v), tmpTag = commitRel.stripPrefix("data/"),
+          sizes = seedSizes),
           s"replica at $replicaDir was concurrently initialized")
       } else if (!primaryVs.contains(v - 1) || {
           def shape(t: StructType) = t.fields.map(f => (f.name, f.dataType)).toSeq

@@ -242,8 +242,20 @@ class TxFileIndex(spark: SparkSession, private[graft] val tableDir: String,
 
   private val statuses: Seq[(String, FileStatus)] = {
     val root = new HadoopPath(dir)
-    val fs = root.getFileSystem(hadoopConf)
-    snap.files.map(f => f -> fs.getFileStatus(new HadoopPath(root, f)))
+    lazy val fs = root.getFileSystem(hadoopConf)
+    // manifest-recorded byte lengths make the listing PURE MANIFEST —
+    // zero filesystem RPCs at plan time (Delta's checkpoint refinement);
+    // the synthesized status carries length + path, which is all
+    // FileSourceScanExec consumes for splitting and metrics. Manifests
+    // written before sizes were recorded fall back to one getFileStatus
+    // per file.
+    snap.files.map { f =>
+      val p = new HadoopPath(root, f)
+      f -> snap.sizes.get(f)
+        .map(len => new FileStatus(len, false, 1, 128L * 1024 * 1024, 0L,
+          fs.makeQualified(p)))
+        .getOrElse(fs.getFileStatus(p))
+    }
   }
 
   override def rootPaths: Seq[HadoopPath] = Seq(new HadoopPath(dir))

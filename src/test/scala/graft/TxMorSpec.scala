@@ -188,6 +188,67 @@ class TxMorSpec extends SparkSpecBase {
       TxTable.read(s, dir, Some(before.version)), "fold is value-neutral")
   }
 
+  test("compactSmallFiles bin-packs only the small files; big ones by reference") {
+    val dir = Files.createTempDirectory("smallpack").toString
+    // one big file + 6 tiny per-epoch upsert files (the MoR accretion shape)
+    TxTable.commit(
+      s.range(0, 20000).select(col("id"), concat(lit("v"), col("id")).as("v"))
+        .coalesce(1),
+      dir, "overwrite", statsColumns = Seq("id"))
+    (0 until 6).foreach { i =>
+      TxTable.commit(
+        Seq((100000L + i, s"tiny$i")).toDF("id", "v").coalesce(1),
+        dir, "append", statsColumns = Seq("id"))
+    }
+    val before = TxTable.latest(dir).get
+    assert(before.files.size === 7)
+    val bigFile = before.files.maxBy(f =>
+      java.nio.file.Files.size(Paths.get(dir, f)))
+    val rows = TxTable.read(s, dir).orderBy("id").collect().toSeq
+    TxTable.compactSmallFiles(s, dir, minBytes = 16 * 1024, targetFiles = 1)
+    val after = TxTable.latest(dir).get
+    assert(after.op === "compact-small")
+    assert(after.files.contains(bigFile),
+      "the big file must carry forward by reference")
+    assert(after.files.size === 2, "6 tiny files bin-packed into 1")
+    assert(TxTable.read(s, dir).orderBy("id").collect().toSeq === rows,
+      "bin-packing is value-neutral")
+    // stats survive for both the carried and the packed files
+    assert(after.stats.values.forall(_.contains("id")))
+    // idempotence: nothing more to pack (one small file left at most)
+    val v = TxTable.compactSmallFiles(s, dir, minBytes = 16 * 1024)
+    assert(v === after.version, "fewer than 2 small files → no-op")
+  }
+
+  test("compactSmallFiles folds the DVs of the small files it rewrites") {
+    val (dir, batch) = seed("smallpackdv")
+    TxTable.merge(s, dir, batch, Seq("id"), writeMode = "mor")
+    val rows = TxTable.read(s, dir).orderBy("id").collect().toSeq
+    // everything in the fixture is tiny → all files packed, DVs folded
+    TxTable.compactSmallFiles(s, dir, minBytes = 1024 * 1024, targetFiles = 2)
+    val after = TxTable.latest(dir).get
+    assert(after.dvs.isEmpty, "packed files' DVs are folded in the rewrite")
+    assert(TxTable.read(s, dir).orderBy("id").collect().toSeq === rows)
+  }
+
+  test("manifest-recorded sizes: plan-time listing needs no filesystem stat") {
+    val (dir, batch) = seed("sizesrec")
+    val snap = TxTable.latest(dir).get
+    assert(snap.files.forall(snap.sizes.contains),
+      "every committed file records its byte length")
+    snap.files.foreach(f => assert(
+      snap.sizes(f) === java.nio.file.Files.size(Paths.get(dir, f)),
+      s"recorded size must equal the on-disk size for $f"))
+    // merge/fold keep the size map complete
+    TxTable.merge(s, dir, batch, Seq("id"), writeMode = "mor")
+    TxTable.foldDvs(s, dir)
+    val folded = TxTable.latest(dir).get
+    assert(folded.files.forall(folded.sizes.contains))
+    // the provider plans and answers correctly from the recorded sizes
+    assertSameRows(s.read.format("txtable").load(dir), TxTable.read(s, dir),
+      "provider over size-recorded manifest")
+  }
+
   test("compact folds DVs away and restores the maximal scan relation") {
     val (dir, batch) = seed("morfold")
     TxTable.merge(s, dir, batch, Seq("id"), writeMode = "mor")
