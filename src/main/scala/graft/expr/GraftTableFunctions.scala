@@ -32,19 +32,86 @@ import org.apache.spark.sql.types.Decimal
   * `graft_tx_fold`, `graft_tx_vacuum`): a SQL console can commit an
   * append, apply a CDC merge batch, rewrite small files (optionally
   * range/z-order clustered), fold merge-on-read deletion vectors, or
-  * retire history on a [[graft.sources.TxTable]], not just read one. Write/maintenance TVFs execute when the statement
-  * resolves (see [[plan]]) and return the committed `(version, op)` row
-  * (vacuum: the retained-version summary).
+  * retire history on a [[graft.sources.TxTable]], not just read one. Write/maintenance TVFs
+  * execute at the statement's FIRST ACTION (memoized per statement —
+  * EXPLAIN and dry planning never commit; round 10 retired the
+  * execute-at-resolution behavior) and return the committed
+  * `(version, op)` row (vacuum: the retained-version summary).
   */
 object GraftTableFunctions {
 
-  /** One TVF: usage string, declared arity bounds, builder. */
+  /** One TVF: usage string, declared arity bounds, builder. `deferred`
+    * marks a WRITE/maintenance TVF with its fixed output schema: its
+    * builder then runs at first EXECUTION (memoized per statement), not
+    * at resolution — so EXPLAIN/dry planning of `graft_tx_append(...)`
+    * no longer commits (the round-9 "EXPLAIN executes" nit).
+    */
   private final case class Tvf(usage: String, minArgs: Int, maxArgs: Int,
-      build: (SparkSession, Seq[Any]) => DataFrame)
+      build: (SparkSession, Seq[Any]) => DataFrame,
+      deferred: Option[org.apache.spark.sql.types.StructType] = None)
 
   private def tvf(usage: String, minArgs: Int, maxArgs: Int)(
       build: (SparkSession, Seq[Any]) => DataFrame): Tvf =
     Tvf(usage, minArgs, maxArgs, build)
+
+  private val VersionOp = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("version",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("op",
+      org.apache.spark.sql.types.StringType, nullable = true)))
+
+  private def wtvf(usage: String, minArgs: Int, maxArgs: Int,
+      schema: org.apache.spark.sql.types.StructType = VersionOp)(
+      build: (SparkSession, Seq[Any]) => DataFrame): Tvf =
+    Tvf(usage, minArgs, maxArgs, build, deferred = Some(schema))
+
+  /** The deferred-write leaf: planning touches only `schema`; the body
+    * (the commit + its result rows) runs at the statement's FIRST action
+    * and is memoized for later actions on the same statement — EXPLAIN
+    * never commits, one statement commits at most once.
+    *
+    * V1 `TableScan.buildScan` is invoked at PHYSICAL PLANNING (the
+    * strategy builds the scan node around the RDD object), so the
+    * deferral lives one level deeper: [[DriverDeferredRDD]] runs the
+    * body on the DRIVER inside `getPartitions`, which Spark first calls
+    * at job submission — after planning, before any task.
+    */
+  private final class DeferredWriteRelation(spark: SparkSession,
+      schema0: org.apache.spark.sql.types.StructType,
+      body: SparkSession => Seq[org.apache.spark.sql.Row])
+      extends org.apache.spark.sql.sources.BaseRelation
+      with org.apache.spark.sql.sources.TableScan {
+    override def sqlContext: org.apache.spark.sql.SQLContext = spark.sqlContext
+    override def schema: org.apache.spark.sql.types.StructType = schema0
+    private lazy val result: Seq[org.apache.spark.sql.Row] = body(spark)
+    override def buildScan()
+        : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+      new DriverDeferredRDD(spark.sparkContext, () => result)
+  }
+
+  private final case class DeferredResultPartition(index: Int,
+      rows: Seq[org.apache.spark.sql.Row])
+      extends org.apache.spark.Partition
+
+  /** One-partition RDD whose rows come from a DRIVER-side thunk forced
+    * at `getPartitions` (job submission) — never at planning. The rows
+    * ride inside the partition object to the single task (status rows,
+    * tiny by construction).
+    */
+  private final class DriverDeferredRDD(
+      sc: org.apache.spark.SparkContext,
+      @transient private val thunk: () => Seq[org.apache.spark.sql.Row])
+      extends org.apache.spark.rdd.RDD[org.apache.spark.sql.Row](sc, Nil) {
+    // the thunk (and the relation it closes over) never leaves the
+    // driver: getPartitions runs driver-side and bakes the rows into the
+    // serialized partition; tasks see only those rows
+    override protected def getPartitions: Array[org.apache.spark.Partition] =
+      Array(DeferredResultPartition(0, thunk()))
+    override def compute(split: org.apache.spark.Partition,
+        context: org.apache.spark.TaskContext)
+        : Iterator[org.apache.spark.sql.Row] =
+      split.asInstanceOf[DeferredResultPartition].rows.iterator
+  }
 
   private val registry: Map[String, Tvf] = Map(
     "graft_dedup_exact" -> tvf("(table, textCol, idCol)", 3, 3)(
@@ -118,7 +185,7 @@ object GraftTableFunctions {
       (s: SparkSession, a: Seq[Any]) =>
         graft.sources.TxTable.history(s, str(a(0)))),
     // ---- write surface: these COMMIT when the statement resolves ----
-    "graft_tx_append" -> tvf("(tableDir, sourceTable[, statsColsCsv])", 2, 3)(
+    "graft_tx_append" -> wtvf("(tableDir, sourceTable[, statsColsCsv])", 2, 3)(
       (s: SparkSession, a: Seq[Any]) => {
         import s.implicits._
         val stats = if (a.length > 2) csv(a(2)) else Nil
@@ -126,7 +193,7 @@ object GraftTableFunctions {
           s.table(str(a(1))), str(a(0)), "append", statsColumns = stats)
         Seq((v, "append")).toDF("version", "op")
       }),
-    "graft_tx_merge" -> tvf("(tableDir, changesTable, keyColsCsv[, writeMode])", 3, 4)(
+    "graft_tx_merge" -> wtvf("(tableDir, changesTable, keyColsCsv[, writeMode])", 3, 4)(
       (s: SparkSession, a: Seq[Any]) => {
         import s.implicits._
         val mode = if (a.length > 3) str(a(3)) else "cow"
@@ -135,7 +202,7 @@ object GraftTableFunctions {
         Seq((v, if (mode == "mor") "merge-mor" else "merge"))
           .toDF("version", "op")
       }),
-    "graft_tx_compact" -> tvf("(tableDir, targetFiles[, clusterByCsv])", 2, 3)(
+    "graft_tx_compact" -> wtvf("(tableDir, targetFiles[, clusterByCsv])", 2, 3)(
       (s: SparkSession, a: Seq[Any]) => {
         import s.implicits._
         val cluster = if (a.length > 2) csv(a(2)) else Nil
@@ -144,7 +211,7 @@ object GraftTableFunctions {
         Seq((v, "compact")).toDF("version", "op")
       }),
     // incremental bin-packing: rewrites ONLY files below minBytes
-    "graft_tx_compact_small" -> tvf("(tableDir, minBytes[, targetFiles])", 2, 3)(
+    "graft_tx_compact_small" -> wtvf("(tableDir, minBytes[, targetFiles])", 2, 3)(
       (s: SparkSession, a: Seq[Any]) => {
         import s.implicits._
         val v = graft.sources.TxTable.compactSmallFiles(s, str(a(0)),
@@ -152,13 +219,18 @@ object GraftTableFunctions {
         Seq((v, "compact-small")).toDF("version", "op")
       }),
     // bounded MoR maintenance: rewrites ONLY dv-carrying files
-    "graft_tx_fold" -> tvf("(tableDir)", 1, 1)(
+    "graft_tx_fold" -> wtvf("(tableDir)", 1, 1)(
       (s: SparkSession, a: Seq[Any]) => {
         import s.implicits._
         val v = graft.sources.TxTable.foldDvs(s, str(a(0)))
         Seq((v, "fold")).toDF("version", "op")
       }),
-    "graft_tx_vacuum" -> tvf("(tableDir, keepVersions)", 2, 2)(
+    "graft_tx_vacuum" -> wtvf("(tableDir, keepVersions)", 2, 2,
+      schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("versions_retained",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("latest_version",
+          org.apache.spark.sql.types.LongType, nullable = false))))(
       (s: SparkSession, a: Seq[Any]) => {
         import s.implicits._
         graft.sources.TxTable.vacuum(str(a(0)), int(a(1)))
@@ -283,6 +355,13 @@ object GraftTableFunctions {
         s"${children.length}; usage: $name${t.usage}")
     val args = children.map(_.eval())
     val spark = SparkSession.active
-    t.build(spark, args).queryExecution.logical
+    t.deferred match {
+      case Some(schema) =>
+        org.apache.spark.sql.execution.datasources.LogicalRelation(
+          new DeferredWriteRelation(spark, schema,
+            s => t.build(s, args).collect().toIndexedSeq),
+          isStreaming = false)
+      case None => t.build(spark, args).queryExecution.logical
+    }
   }
 }

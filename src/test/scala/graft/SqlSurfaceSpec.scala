@@ -116,6 +116,27 @@ class SqlSurfaceSpec extends SparkSpecBase {
       .collect().map(_.getLong(0)).toSet === Set(1L))
   }
 
+  test("EXPLAIN of a write TVF plans without committing; first action commits once") {
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("txsqlexplain").toString
+    graft.sources.TxTable.commit(Seq((1L, "a")).toDF("id", "v"), dir)
+    Seq((2L, "b")).toDF("id", "v").createOrReplaceTempView("explain_src")
+    // EXPLAIN resolves + plans the statement — must not commit
+    s.sql(s"EXPLAIN SELECT * FROM graft_tx_append('$dir', 'explain_src')")
+      .collect()
+    assert(graft.sources.TxTable.versions(dir) === Seq(0L),
+      "EXPLAIN of graft_tx_append must not commit (round-9 nit)")
+    // one statement, two actions: exactly ONE commit (memoized body)
+    val stmt = s.sql(s"SELECT * FROM graft_tx_append('$dir', 'explain_src')")
+    assert(stmt.count() === 1L)
+    val rows = stmt.collect()
+    assert(rows.length === 1 && rows(0).getLong(0) === 1L
+      && rows(0).getString(1) === "append")
+    assert(graft.sources.TxTable.versions(dir) === Seq(0L, 1L),
+      "two actions on one statement must commit exactly once")
+    assert(graft.sources.TxTable.read(s, dir).count() === 2L)
+  }
+
   test("SQL MoR maintenance: graft_tx_merge('mor') + graft_tx_fold") {
     import s.implicits._
     val dir = java.nio.file.Files.createTempDirectory("txsqlmor").toString
