@@ -138,7 +138,10 @@ object Corpus {
       textCol: String,
       maxTokens: Int,
       strataCol: Column): DataFrame = {
+    // ROWS frame (the packStats stance): the orderBy default RANGE frame
+    // would fold tied ids' tokens into each other's cum
     val w = Window.partitionBy(col("stratum")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.select(col(idCol), strataCol.as("stratum"),
         TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
       .withColumn("cum", sum(col("n_tokens")).over(w))

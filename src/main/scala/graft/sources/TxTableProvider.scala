@@ -89,19 +89,27 @@ class TxTableProvider extends RelationProvider with SchemaRelationProvider
     TxTableProvider.relationFor(sqlContext.sparkSession, dir, snap)
   }
 
-  /** `CREATE TABLE t (cols...) USING txtable` hands the declared schema
-    * here — it must agree with the manifest's (the table format owns its
-    * schema; a divergent declaration would mis-read every file).
+  /** `CREATE TABLE t (cols...) USING txtable` (and every later catalog
+    * resolution, which replays the STORED schema through this arm) hands
+    * the declared schema here. The manifest is authoritative: the
+    * declaration must match the manifest's LEADING fields — an exact
+    * match, or a strict prefix after ADDITIVE evolution (appends may add
+    * trailing nullable columns, [[TxTable.commit]], and the catalog's
+    * stored schema then lags until the entry is re-created; reads expose
+    * the full manifest schema either way, the Delta stance of treating
+    * catalog metadata as a hint). A type change or a declared column the
+    * manifest lacks is a real incompatibility and fails loudly.
     */
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String], schema: StructType): BaseRelation = {
     val rel = createRelation(sqlContext, parameters)
     val own = rel.schema.fields.map(f => (f.name, f.dataType)).toSeq
     val declared = schema.fields.map(f => (f.name, f.dataType)).toSeq
-    require(own == declared,
+    require(declared == own.take(declared.length),
       s"declared schema $declared does not match the TxTable manifest " +
-        s"schema $own at ${dirOf(parameters)} — omit the column list " +
-        "(the manifest is authoritative)")
+        s"schema $own at ${dirOf(parameters)} — the manifest is " +
+        "authoritative; omit the column list, or DROP and re-CREATE the " +
+        "catalog entry if the table's schema evolved incompatibly")
     rel
   }
 

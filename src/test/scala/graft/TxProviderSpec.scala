@@ -254,6 +254,29 @@ class TxProviderSpec extends SparkSpecBase {
     }
   }
 
+  test("catalog survives additive evolution: stale stored schema reads the full manifest") {
+    val dir = Files.createTempDirectory("txprovevo").toString
+    TxTable.commit(Seq((1L, "a")).toDF("id", "v"), dir)
+    s.sql("DROP TABLE IF EXISTS tx_evo_spec")
+    s.sql(s"CREATE TABLE tx_evo_spec USING txtable LOCATION '$dir'")
+    try {
+      assert(s.table("tx_evo_spec").count() === 1L)
+      // additive append evolves the manifest; the catalog's stored
+      // schema now lags (a strict prefix)
+      TxTable.commit(Seq((2L, "b", 7.5)).toDF("id", "v", "score"), dir, "append")
+      s.sql("REFRESH TABLE tx_evo_spec")
+      val t = s.table("tx_evo_spec")
+      assert(t.columns.toSeq === Seq("id", "v", "score"),
+        "the read must expose the FULL manifest schema, not the stale one")
+      assert(t.count() === 2L)
+      assert(t.where(col("id") === 1L).collect()(0).isNullAt(2),
+        "pre-evolution rows read the added column as null")
+    } finally {
+      s.sql("DROP TABLE IF EXISTS tx_evo_spec")
+      ()
+    }
+  }
+
   test("declared CREATE TABLE schema must match the manifest") {
     val dir = Files.createTempDirectory("txprovschema").toString
     TxTable.commit(Seq((1L, "a")).toDF("id", "v"), dir)
