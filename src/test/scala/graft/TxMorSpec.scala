@@ -188,6 +188,38 @@ class TxMorSpec extends SparkSpecBase {
       TxTable.read(s, dir, Some(before.version)), "fold is value-neutral")
   }
 
+  test("concurrent MoR merges serialize via CAS; both land, DVs union") {
+    val dir = Files.createTempDirectory("morrace").toString
+    TxTable.commit(
+      s.range(0, 40).select(col("id"), concat(lit("v"), col("id")).as("v"))
+        .repartitionByRange(4, col("id")).sortWithinPartitions(col("id")),
+      dir, "overwrite", statsColumns = Seq("id"))
+    val batches = Seq(
+      Seq((5L, "A", "UPDATE"), (11L, null.asInstanceOf[String], "DELETE")),
+      Seq((25L, "B", "UPDATE"), (31L, null.asInstanceOf[String], "DELETE")))
+      .map(_.toDF("id", "v", "operation"))
+    val threads = batches.map { b =>
+      new Thread(() => {
+        TxTable.merge(s, dir, b, Seq("id"), writeMode = "mor")
+        ()
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(TxTable.versions(dir) === Seq(0L, 1L, 2L),
+      "both racers must land their own version")
+    val m = TxTable.read(s, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(5L) === "A" && m(25L) === "B"
+      && !m.contains(11L) && !m.contains(31L) && m.size === 38,
+      "the loser's CAS retry must re-derive against the winner's base " +
+        "(both updates and both deletes land)")
+    // a fold racing nothing afterwards is value-neutral
+    TxTable.foldDvs(s, dir)
+    assert(TxTable.read(s, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap === m)
+  }
+
   test("compactSmallFiles bin-packs only the small files; big ones by reference") {
     val dir = Files.createTempDirectory("smallpack").toString
     // one big file + 6 tiny per-epoch upsert files (the MoR accretion shape)
