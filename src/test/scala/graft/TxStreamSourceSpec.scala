@@ -42,6 +42,21 @@ class TxStreamSourceSpec extends SparkSpecBase {
     TxTable.read(s, dir).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
 
+  test("the CDF source resolves by SHORTNAME (round-10 service registration)") {
+    val dir = buildPrimary()
+    val q = s.readStream
+      .format("txtable-cdf") // via META-INF/services, not the class name
+      .option("path", dir).option("keys", "id")
+      .load()
+      .writeStream.format("memory").queryName("txsrc_short")
+      .option("checkpointLocation", newDir("txsrc-short-ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(s.table("txsrc_short").count() > 0,
+      "shortname-resolved source must deliver the feed")
+  }
+
   test("raw stream: bootstrap inserts, per-version change rows, version stamps") {
     val dir = buildPrimary()
     val rows = s.readStream
