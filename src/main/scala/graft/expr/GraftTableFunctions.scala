@@ -164,6 +164,18 @@ object GraftTableFunctions {
         (if (a.length > 1) r.option("versionAsOf", int(a(1)).toLong) else r)
           .load(str(a(0)))
       }),
+    // metadata-only COUNT(*): the manifest answer when complete
+    "graft_tx_count" -> tvf("(tableDir [, version])", 1, 2)(
+      (s: SparkSession, a: Seq[Any]) => {
+        import s.implicits._
+        val dir = str(a(0))
+        val v = if (a.length > 1) Some(int(a(1)).toLong) else None
+        graft.sources.TxTable.manifestRowCount(dir, v) match {
+          case Some(n) => Seq((n, "manifest")).toDF("n_rows", "count_source")
+          case None => Seq((graft.sources.TxTable.read(s, dir, v).count(),
+            "scan")).toDF("n_rows", "count_source")
+        }
+      }),
     "graft_tx_versions" -> tvf("(tableDir)", 1, 1)(
       (s: SparkSession, a: Seq[Any]) => {
         import s.implicits._

@@ -119,7 +119,8 @@ object TxTable {
       stats: Map[String, Map[String, ColRange]] = Map.empty,
       blooms: Map[String, Map[String, BloomRef]] = Map.empty,
       dvs: Map[String, String] = Map.empty,
-      sizes: Map[String, Long] = Map.empty) {
+      sizes: Map[String, Long] = Map.empty,
+      rows: Map[String, Long] = Map.empty) {
     /** Files whose [min, max] for `col` overlaps the LONG range [lo, hi]
       * — files with no recorded stats (or stats of another kind) are
       * KEPT (skipping must never drop data).
@@ -213,13 +214,19 @@ object TxTable {
         val p = s.split("\\|", -1)
         p(0) -> p(1).toLong
       }.toMap
+    val rowCounts = lines
+      .collect { case l if l.startsWith("nrows=") => l.stripPrefix("nrows=") }
+      .map { s =>
+        val p = s.split("\\|", -1)
+        p(0) -> p(1).toLong
+      }.toMap
     Snapshot(version, field("op"),
       DataType.fromJson(field("schema")).asInstanceOf[StructType],
       lines.collect { case l if l.startsWith("file=") => l.stripPrefix("file=") }
         .toSeq,
       lines.collectFirst { case l if l.startsWith("epoch=") =>
         l.stripPrefix("epoch=").toLong },
-      stats, blooms, dvs, sizes)
+      stats, blooms, dvs, sizes, rowCounts)
   }
 
   /** Latest snapshot, or None for an empty/absent table. */
@@ -322,8 +329,9 @@ object TxTable {
     require(bloomBits > 0 && bloomBits % 32 == 0,
       s"bloomBits must be a positive multiple of 32, got $bloomBits")
     require(bloomK > 0 && bloomK <= 16, s"bloomK must be in [1, 16], got $bloomK")
-    val (commitRel, newFiles, newStats, newBlooms, newSizes) = writeData(df,
-      dir, statsColumns, bloomColumns.map(c => c -> (bloomBits, bloomK)).toMap)
+    val (commitRel, newFiles, newStats, newBlooms, newSizes, newRows) =
+      writeData(df, dir, statsColumns,
+        bloomColumns.map(c => c -> (bloomBits, bloomK)).toMap)
     val newSchema = df.schema
     // 2 + 3. compose against the CURRENT latest and publish; on a lost
     // race, re-read and retry (appends commute; overwrite last-wins)
@@ -331,21 +339,22 @@ object TxTable {
     while (committed < 0) {
       val base = latest(dir)
       val v = base.map(_.version + 1).getOrElse(0L)
-      val (files, schema, stats, blooms, dvs, sizes) = (mode, base) match {
-        case ("overwrite", _) | (_, None) =>
-          (newFiles, newSchema, newStats, newBlooms,
-            Map.empty[String, String], newSizes)
-        case ("append", Some(b)) =>
-          // deletion vectors carry forward — dropping them would
-          // resurrect every row a prior merge-on-read deleted
-          (b.files ++ newFiles, mergedAppendSchema(b.schema, newSchema, dir),
-            b.stats ++ newStats, b.blooms ++ newBlooms, b.dvs,
-            b.sizes ++ newSizes)
-        case other => throw new MatchError(other) // unreachable
-      }
+      val (files, schema, stats, blooms, dvs, sizes, rows) =
+        (mode, base) match {
+          case ("overwrite", _) | (_, None) =>
+            (newFiles, newSchema, newStats, newBlooms,
+              Map.empty[String, String], newSizes, newRows)
+          case ("append", Some(b)) =>
+            // deletion vectors carry forward — dropping them would
+            // resurrect every row a prior merge-on-read deleted
+            (b.files ++ newFiles, mergedAppendSchema(b.schema, newSchema, dir),
+              b.stats ++ newStats, b.blooms ++ newBlooms, b.dvs,
+              b.sizes ++ newSizes, b.rows ++ newRows)
+          case other => throw new MatchError(other) // unreachable
+        }
       if (publishAt(dir, v, mode, schema, files, stats, epochId,
           tmpTag = commitRel.stripPrefix("data/"), arbiter = arbiter,
-          blooms = blooms, dvs = dvs, sizes = sizes))
+          blooms = blooms, dvs = dvs, sizes = sizes, rows = rows))
         committed = v
     }
     committed
@@ -359,7 +368,8 @@ object TxTable {
   private def writeData(df: DataFrame, dir: String, statsColumns: Seq[String],
       bloomSpec: Map[String, (Int, Int)] = Map.empty)
       : (String, Seq[String], Map[String, Map[String, ColRange]],
-         Map[String, Map[String, BloomRef]], Map[String, Long]) = {
+         Map[String, Map[String, BloomRef]], Map[String, Long],
+         Map[String, Long]) = {
     Files.createDirectories(logDir(dir))
     val uuid = java.util.UUID.randomUUID().toString
     val commitRel = s"data/$uuid"
@@ -411,7 +421,17 @@ object TxTable {
     // byte lengths into the manifest: the scan planner lists from the
     // manifest alone (zero FS RPCs at plan time)
     val newSizes = newFiles.map(f => f -> Files.size(Paths.get(dir, f))).toMap
-    (commitRel, newFiles, newStats, newBlooms, newSizes)
+    // per-file row counts from the parquet FOOTERS (metadata pages only,
+    // no data read; O(new files) driver I/O like the size stat) — lets
+    // [[countRows]] answer COUNT(*) from the manifest alone
+    val hconf = df.sparkSession.sessionState.newHadoopConf()
+    val newRows = newFiles.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(s"$dir/$f"), hconf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try f -> r.getRecordCount finally r.close()
+    }.toMap
+    (commitRel, newFiles, newStats, newBlooms, newSizes, newRows)
   }
 
   /** Per-(file, column) Bloom filters for the just-written batch — the
@@ -719,7 +739,8 @@ object TxTable {
       arbiter: CommitArbiter = LocalLinkArbiter,
       blooms: Map[String, Map[String, BloomRef]] = Map.empty,
       dvs: Map[String, String] = Map.empty,
-      sizes: Map[String, Long] = Map.empty): Boolean = {
+      sizes: Map[String, Long] = Map.empty,
+      rows: Map[String, Long] = Map.empty): Boolean = {
     val statsLines = stats.toSeq.sortBy(_._1).flatMap { case (f, cols) =>
       cols.toSeq.sortBy(_._1).map { case (c, r) =>
         s"stats=$f|$c|${r.kind}|${b64enc(r.min)}|${b64enc(r.max)}"
@@ -741,13 +762,16 @@ object TxTable {
     val sizeLines = sizes.toSeq.sortBy(_._1).map { case (f, n) =>
       s"fsize=$f|$n"
     }
+    val rowLines = rows.toSeq.sortBy(_._1).map { case (f, n) =>
+      s"nrows=$f|$n"
+    }
     val content = (Seq(
       s"version=$v",
       s"op=$op",
       s"schema=${schema.json}") ++
       epochId.map(e => s"epoch=$e").toSeq ++
       files.map(f => s"file=$f") ++ statsLines ++ bloomLines ++ dvLines ++
-      sizeLines)
+      sizeLines ++ rowLines)
       .mkString("", "\n", "\n")
     arbiter.putIfAbsent(manifestPath(dir, v), content, s"$tmpTag-$v")
   }
@@ -827,6 +851,32 @@ object TxTable {
     base.where(col(column) >= lo && col(column) <= hi)
   }
 
+  /** COUNT(*) from the MANIFEST alone when possible: Σ per-file `nrows`
+    * minus the deletion-vector positions — zero file opens, zero Spark
+    * jobs, O(manifest + dv sidecars) driver text (the metadata-only
+    * count Delta/Iceberg answer from their logs). Returns None when any
+    * listed file lacks a recorded count (pre-round-10 manifests) — the
+    * caller falls back to a real scan ([[countRows]]).
+    */
+  def manifestRowCount(dir: String, version: Option[Long] = None): Option[Long] = {
+    val snap = version.map(snapshot(dir, _)).orElse(latest(dir))
+      .getOrElse(throw new IllegalArgumentException(s"no committed version at $dir"))
+    if (!snap.files.forall(snap.rows.contains)) None
+    else {
+      val live = snap.files.map(snap.rows).sum
+      val deleted = dvPositions(dir, snap).values.map(_.length.toLong).sum
+      Some(live - deleted)
+    }
+  }
+
+  /** Exact row count: the manifest answer when complete, otherwise one
+    * real `count()` over the snapshot.
+    */
+  def countRows(spark: SparkSession, dir: String,
+      version: Option[Long] = None): Long =
+    manifestRowCount(dir, version)
+      .getOrElse(read(spark, dir, version).count())
+
   /** Fold deletion vectors WITHOUT a full compaction: rewrite ONLY the
     * dv-carrying files minus their deleted rows; every clean file (and
     * its stats/Bloom entries) carries forward by reference. Cost is
@@ -853,7 +903,7 @@ object TxTable {
         spark.read.schema(base.schema)
           .parquet(dvFiles.map(f => s"$dir/$f"): _*))
       val statsCols = base.stats.values.flatMap(_.keys).toSeq.distinct.sorted
-      val (commitRel, newFiles, newStats, newBlooms, newSizes) =
+      val (commitRel, newFiles, newStats, newBlooms, newSizes, newRows) =
         writeData(survivors, dir, statsCols, bloomSpecOf(base))
       val dvSet = dvFiles.toSet
       if (publishAt(dir, base.version + 1, "fold", base.schema,
@@ -861,7 +911,8 @@ object TxTable {
           (base.stats -- dvSet) ++ newStats, epochId = None,
           tmpTag = commitRel.stripPrefix("data/"), arbiter = arbiter,
           blooms = (base.blooms -- dvSet) ++ newBlooms,
-          sizes = (base.sizes -- dvSet) ++ newSizes))
+          sizes = (base.sizes -- dvSet) ++ newSizes,
+          rows = (base.rows -- dvSet) ++ newRows))
         committed = base.version + 1
     }
     committed
@@ -903,7 +954,7 @@ object TxTable {
           .parquet(small.map(f => s"$dir/$f"): _*))
         .repartition(targetFiles)
       val statsCols = base.stats.values.flatMap(_.keys).toSeq.distinct.sorted
-      val (commitRel, newFiles, newStats, newBlooms, newSizes) =
+      val (commitRel, newFiles, newStats, newBlooms, newSizes, newRows) =
         writeData(packed, dir, statsCols, bloomSpecOf(base))
       val smallSet = small.toSet
       if (publishAt(dir, base.version + 1, "compact-small", base.schema,
@@ -912,7 +963,8 @@ object TxTable {
           tmpTag = commitRel.stripPrefix("data/"), arbiter = arbiter,
           blooms = (base.blooms -- smallSet) ++ newBlooms,
           dvs = base.dvs -- smallSet,
-          sizes = (base.sizes -- smallSet) ++ newSizes))
+          sizes = (base.sizes -- smallSet) ++ newSizes,
+          rows = (base.rows -- smallSet) ++ newRows))
         committed = base.version + 1
     }
     committed
@@ -956,12 +1008,12 @@ object TxTable {
       val arranged = compactArrange(spark, dir, snap, targetFiles, clusterBy)
       val statsCols =
         (snap.stats.values.flatMap(_.keys).toSeq ++ clusterBy).distinct.sorted
-      val (commitRel, newFiles, newStats, newBlooms, newSizes) =
+      val (commitRel, newFiles, newStats, newBlooms, newSizes, newRows) =
         writeData(arranged, dir, statsCols, bloomSpecOf(snap))
       if (publishAt(dir, snap.version + 1, "overwrite", arranged.schema,
           newFiles, newStats, epochId = None,
           tmpTag = commitRel.stripPrefix("data/"), arbiter = arbiter,
-          blooms = newBlooms, sizes = newSizes))
+          blooms = newBlooms, sizes = newSizes, rows = newRows))
         committed = snap.version + 1
       // lost race: the rewrite is stale (new rows landed); its dir is an
       // invisible orphan (vacuum retires it) — re-derive from new latest
@@ -1309,7 +1361,7 @@ object TxTable {
                   catch { case _: Exception => raw }
                 (f.split('/').takeRight(3).mkString("/"), r.getLong(1))
               }
-          val (commitRel, newFiles, newStats, newBlooms, newSizes) =
+          val (commitRel, newFiles, newStats, newBlooms, newSizes, newRows) =
             writeData(upserts, dir, statsCols, bloomSpec)
           // compose the FULL dv map (existing positions ∪ new hits) into
           // ONE fresh immutable sidecar — O(deletes-since-compact) text,
@@ -1336,7 +1388,7 @@ object TxTable {
             base.files ++ newFiles, base.stats ++ newStats,
             epochId, tmpTag = commitRel.stripPrefix("data/"),
             arbiter = arbiter, blooms = base.blooms ++ newBlooms, dvs = dvs,
-            sizes = base.sizes ++ newSizes)
+            sizes = base.sizes ++ newSizes, rows = base.rows ++ newRows)
         } else {
           // ==Copy-on-write== (the read-optimal default)
           // 2. exact per-file hits: key-only projection + semi join (Spark
@@ -1368,7 +1420,7 @@ object TxTable {
               .parquet(hitFiles.map(f => s"$dir/$f"): _*))
               .join(touched, keyCols, "left_anti")
               .unionByName(upserts)
-          val (commitRel, newFiles, newStats, newBlooms, newSizes) =
+          val (commitRel, newFiles, newStats, newBlooms, newSizes, newRows) =
             writeData(rewritten, dir, statsCols, bloomSpec)
           val hitSet = hitFiles.toSet
           val files = base.files.filterNot(hitSet) ++ newFiles
@@ -1377,7 +1429,8 @@ object TxTable {
           publishAt(dir, base.version + 1, "merge", base.schema, files, stats,
             epochId, tmpTag = commitRel.stripPrefix("data/"), arbiter = arbiter,
             blooms = blooms, dvs = base.dvs -- hitSet,
-            sizes = (base.sizes -- hitSet) ++ newSizes)
+            sizes = (base.sizes -- hitSet) ++ newSizes,
+            rows = (base.rows -- hitSet) ++ newRows)
         }
       if (published) committed = base.version + 1
       // lost race: the just-written commitRel dir is orphaned (invisible);
@@ -1429,11 +1482,11 @@ object TxTable {
         // bootstrap: the first unseen version seeds the replica wholesale
         val seed = read(spark, primaryDir, Some(v))
         Files.createDirectories(logDir(replicaDir))
-        val (commitRel, files, stats, _, seedSizes) =
+        val (commitRel, files, stats, _, seedSizes, seedRows) =
           writeData(seed, replicaDir, keyCols)
         require(publishAt(replicaDir, 0L, "overwrite", snapshot(primaryDir, v).schema,
           files, stats, epochId = Some(v), tmpTag = commitRel.stripPrefix("data/"),
-          sizes = seedSizes),
+          sizes = seedSizes, rows = seedRows),
           s"replica at $replicaDir was concurrently initialized")
       } else if (!primaryVs.contains(v - 1) || {
           def shape(t: StructType) = t.fields.map(f => (f.name, f.dataType)).toSeq
@@ -1487,9 +1540,13 @@ object TxTable {
         (s0.version, s0.op, s0.files.size.toLong,
           s0.schema.fields.length, s0.epoch,
           prev.exists(p => p.schema.fields.map(f => (f.name, f.dataType)).toSeq
-            != s0.schema.fields.map(f => (f.name, f.dataType)).toSeq))
+            != s0.schema.fields.map(f => (f.name, f.dataType)).toSeq),
+          // manifest-answered live row count (null when a version's
+          // counts are incomplete — pre-round-10 manifests)
+          manifestRowCount(dir, Some(s0.version)))
       }
-      .toDF("version", "op", "n_files", "n_columns", "epoch", "schema_changed")
+      .toDF("version", "op", "n_files", "n_columns", "epoch",
+        "schema_changed", "n_rows")
   }
 
   /** Append-mode schema rule: additive only. Every existing column must

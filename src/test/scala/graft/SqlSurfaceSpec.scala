@@ -116,6 +116,21 @@ class SqlSurfaceSpec extends SparkSpecBase {
       .collect().map(_.getLong(0)).toSet === Set(1L))
   }
 
+  test("graft_tx_count answers from the manifest, dv-aware, with version pinning") {
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("txsqlcount").toString
+    graft.sources.TxTable.commit(
+      s.range(0, 50).select(col("id"), lit("x").as("v")), dir)
+    graft.sources.TxTable.merge(s, dir,
+      Seq((7L, null.asInstanceOf[String], "DELETE")).toDF("id", "v", "operation"),
+      Seq("id"), writeMode = "mor")
+    val r = s.sql(s"SELECT * FROM graft_tx_count('$dir')").collect()(0)
+    assert(r.getLong(0) === 49L && r.getString(1) === "manifest",
+      "metadata-only count must subtract dv positions")
+    val r0 = s.sql(s"SELECT * FROM graft_tx_count('$dir', 0)").collect()(0)
+    assert(r0.getLong(0) === 50L && r0.getString(1) === "manifest")
+  }
+
   test("EXPLAIN of a write TVF plans without committing; first action commits once") {
     import s.implicits._
     val dir = java.nio.file.Files.createTempDirectory("txsqlexplain").toString

@@ -263,6 +263,45 @@ class TxMorSpec extends SparkSpecBase {
     assert(TxTable.read(s, dir).orderBy("id").collect().toSeq === rows)
   }
 
+  test("metadata-only COUNT(*): manifest answer ≡ scan across every op") {
+    val (dir, batch) = seed("nrowscnt")
+    def check(hint: String): Unit = {
+      val manifest = TxTable.manifestRowCount(dir)
+      assert(manifest.isDefined, s"$hint: counts must be complete")
+      assert(manifest.get === TxTable.read(s, dir).count(), hint)
+      assert(TxTable.countRows(s, dir) === manifest.get, hint)
+    }
+    check("after commit")
+    TxTable.commit(Seq((900L, "x")).toDF("id", "v"), dir, "append")
+    check("after append")
+    TxTable.merge(s, dir, batch, Seq("id"), writeMode = "mor")
+    check("after mor merge (nrows minus dv positions)")
+    TxTable.merge(s, dir,
+      Seq((30L, "Y", "UPDATE")).toDF("id", "v", "operation"), Seq("id"))
+    check("after cow merge")
+    TxTable.foldDvs(s, dir)
+    check("after fold")
+    TxTable.compactSmallFiles(s, dir, minBytes = 1 << 20, targetFiles = 2)
+    check("after small-file pack")
+    TxTable.compact(s, dir, targetFiles = 1)
+    check("after compact")
+    // time travel: counts answer per pinned version
+    val vs = TxTable.versions(dir)
+    vs.foreach(v => assert(
+      TxTable.countRows(s, dir, Some(v)) === TxTable.read(s, dir, Some(v)).count(),
+      s"version $v"))
+    // a pre-nrows manifest (counts stripped) falls back to the scan
+    val latestV = vs.last
+    val mp = Paths.get(dir, "_txlog", s"v$latestV.manifest")
+    val stripped = Files.readAllLines(mp).toArray.map(_.toString)
+      .filterNot(_.startsWith("nrows=")).mkString("\n") + "\n"
+    Files.writeString(mp, stripped)
+    assert(TxTable.manifestRowCount(dir).isEmpty,
+      "incomplete counts must refuse the manifest answer")
+    assert(TxTable.countRows(s, dir) === TxTable.read(s, dir).count(),
+      "fallback is the real scan")
+  }
+
   test("manifest-recorded sizes: plan-time listing needs no filesystem stat") {
     val (dir, batch) = seed("sizesrec")
     val snap = TxTable.latest(dir).get

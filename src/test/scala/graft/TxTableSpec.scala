@@ -525,6 +525,11 @@ class TxTableSpec extends SparkSpecBase {
     assert(h(0)._3 === 2 && h(1)._3 === 3, "column widths tracked")
     assert(h(1)._5 && !h(2)._5, "schema change flagged exactly where it happened")
     assert(h(2)._4 === 7L, "epoch stamp surfaces")
+    // manifest-answered live row counts per version (round 10)
+    val counts = TxTable.history(s, dir).orderBy("version").collect()
+      .map(r => r.getLong(6))
+    assert(counts.toSeq === Seq(1L, 2L, 3L, 3L),
+      "n_rows tracks each version's live rows from the manifest")
     // vacuum shrinks history to retained versions
     TxTable.vacuum(dir, keepVersions = 2, orphanGraceMs = 0L)
     assert(TxTable.history(s, dir).collect().map(_.getLong(0)).toSet === Set(2L, 3L))
