@@ -15,7 +15,9 @@ object Bench {
     "emb_cov" -> Set("emb_covariance", "emb_top_component", "emb_pca_variance"),
     "hybrid_runs" -> Set("text_hybrid_search", "text_hybrid_ivfpq",
       "text_hybrid_recall"),
-    "tx_table" -> Set("tx_time_travel"))
+    "tx_table" -> Set("tx_time_travel", "tx_change_feed", "tx_merge_apply",
+      "tx_bloom_lookup", "tx_provider_prune", "tx_provider_point",
+      "tx_merge_mor", "tx_sql_insert"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1486,6 +1486,12 @@ object SparkEntry {
       qTxTimeTravel(s, dir).count()
       qTxChangeFeed(s, dir).count()
       qTxMergeApply(s, dir).count()
+      // round-10 fixtures: the shared bloom/provider table, the MoR
+      // table, and the SQL-insert catalog table — built once here so
+      // the timed queries measure the READ, not the one-time build
+      qTxBloomLookup(s, dir).count()
+      qTxMergeMor(s, dir).count()
+      qTxSqlInsert(s, dir).count()
       ()
     }))
 
