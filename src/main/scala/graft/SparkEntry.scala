@@ -516,6 +516,26 @@ object SparkEntry {
           .as("n_grad_bits"))
       .orderBy("media_id")
 
+  /** Image dedup by PERCEPTUAL SIGNATURE over the real decoded pixels:
+    * the production "collapse visually identical images" operator —
+    * decode (true PNG codec) → 9×8 grid → dHash → one groupBy on the
+    * 64-bit signature, keep the lowest id per class. Linear at any
+    * corpus size (the signature groupBy is a map-side-combined
+    * aggregate; no pair enumeration — this fixture's pixel classes
+    * cycle with id mod 256, so a pairs formulation would be quadratic
+    * at sf1 while the class rollup stays O(classes)). The oracle
+    * recomputes signatures arithmetically from the closed-form pixels.
+    */
+  private def qMediaImageDedup(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeImages(
+        Multimodal.pngPayload(documents(s, dir), "doc_id"))
+      .toDF()
+      .select(col("media_id"), Multimodal.dHash(col("grid")).as("__dh"))
+      .groupBy(col("__dh.lo").as("phash_lo"), col("__dh.hi").as("phash_hi"))
+      .agg(min(col("media_id")).as("keep_media_id"),
+        count(lit(1)).as("n_images"))
+      .orderBy("phash_lo", "phash_hi")
+
   /** TRUE audio decode on the oracle board (round 10 — retires
     * [[graft.ext.Multimodal.fakeDecode]] for the audio arm): 2048-sample
     * 16-bit PCM clips are ENCODED with the JDK's real WAVE encoder,
@@ -5574,6 +5594,7 @@ object SparkEntry {
     "media_frame_dedup" -> (qMediaFrameDedup _),
     "media_phash_pairs" -> (qMediaPhashPairs _),
     "media_image_phash" -> (qMediaImagePhash _),
+    "media_image_dedup" -> (qMediaImageDedup _),
     "media_audio_features" -> (qMediaAudioFeatures _),
     "dedup_apply_minhash" -> (qDedupApplyMinhash _),
     "corpus_chunk" -> (qCorpusChunk _),
@@ -8408,6 +8429,30 @@ object SparkEntry {
         |SELECT frame_md5, MIN(media_id) AS keep_media_id,
         |       CAST(COUNT(*) AS BIGINT) AS n_frames
         |FROM f GROUP BY frame_md5 ORDER BY frame_md5""".stripMargin,
+
+    // image dedup by signature: same closed-form grid recompute as
+    // media_image_phash, rolled up per 64-bit signature
+    "media_image_dedup" ->
+      """WITH cells AS (
+        |  SELECT doc_id AS media_id, g.g,
+        |         CAST((doc_id * 31 + ((g.g % 9) * 27 // 9) * 7
+        |               + ((g.g // 9) * 24 // 8) * 13) % 256 AS INTEGER) AS v
+        |  FROM documents, (SELECT unnest(range(0, 72)) AS g) g),
+        |bits AS (
+        |  SELECT a.media_id, (a.g // 9) * 8 + (a.g % 9) AS b
+        |  FROM cells a JOIN cells nx
+        |    ON nx.media_id = a.media_id AND nx.g = a.g + 1
+        |  WHERE a.g % 9 < 8 AND nx.v > a.v),
+        |hs AS (
+        |  SELECT d.doc_id AS media_id,
+        |         CAST(COALESCE(SUM(CASE WHEN b < 32 THEN CAST(1 AS BIGINT) << b END), 0) AS BIGINT) AS phash_lo,
+        |         CAST(COALESCE(SUM(CASE WHEN b >= 32 THEN CAST(1 AS BIGINT) << (b - 32) END), 0) AS BIGINT) AS phash_hi
+        |  FROM documents d LEFT JOIN bits ON bits.media_id = d.doc_id
+        |  GROUP BY d.doc_id)
+        |SELECT phash_lo, phash_hi, MIN(media_id) AS keep_media_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_images
+        |FROM hs GROUP BY phash_lo, phash_hi
+        |ORDER BY phash_lo, phash_hi""".stripMargin,
 
     // TRUE WAV decode: closed-form PCM samples, lossless container, so
     // the oracle replays the frame features arithmetically
