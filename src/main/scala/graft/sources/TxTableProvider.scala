@@ -171,7 +171,8 @@ object TxTableProvider {
   * the relation edge is bounded by the rows that SURVIVE the pushed
   * filters.
   */
-private[graft] class TxDvRelation(spark: SparkSession, dir: String,
+private[graft] class TxDvRelation(spark: SparkSession,
+    private[graft] val tableDir: String,
     private[graft] val snap: TxTable.Snapshot) extends BaseRelation
     with org.apache.spark.sql.sources.PrunedFilteredScan
     with org.apache.spark.sql.sources.InsertableRelation {
@@ -185,14 +186,14 @@ private[graft] class TxDvRelation(spark: SparkSession, dir: String,
     * needed, since a DV table never plans the raw directory write).
     */
   override def insert(data: DataFrame, overwrite: Boolean): Unit =
-    new TxTableInsertableRelation(spark, dir, snap.schema)
+    new TxTableInsertableRelation(spark, tableDir, snap.schema)
       .insert(data, overwrite)
 
   override def buildScan(requiredColumns: Array[String],
       filters: Array[org.apache.spark.sql.sources.Filter])
       : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
     import org.apache.spark.sql.{functions => F}
-    val base = TxTable.read(spark, dir, Some(snap.version))
+    val base = TxTable.read(spark, tableDir, Some(snap.version))
     // advisory pushdown of the common shapes — Spark re-applies every
     // filter above this scan, so unhandled ones only cost I/O
     val pushed = filters.foldLeft(base) { (df, f) =>

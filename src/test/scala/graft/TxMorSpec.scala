@@ -320,6 +320,31 @@ class TxMorSpec extends SparkSpecBase {
       "provider over size-recorded manifest")
   }
 
+  test("INSERT INTO a DV-carrying catalog table refreshes the cached relation") {
+    val (dir, batch) = seed("mordvins")
+    TxTable.merge(s, dir, batch, Seq("id"), writeMode = "mor")
+    s.sql("DROP TABLE IF EXISTS tx_dvins")
+    s.sql(s"CREATE TABLE tx_dvins USING txtable LOCATION '$dir'")
+    try {
+      assert(s.table("tx_dvins").count() === 40L) // caches the DV relation
+      s.sql("INSERT INTO tx_dvins VALUES (500, 'new')")
+      // the insert lands as a real version AND the NAME sees it — the
+      // built-in InsertableRelation path never refreshed the catalog
+      // cache, serving the pre-insert snapshot (the regression this pins)
+      assert(TxTable.read(s, dir).count() === 41L, "committed")
+      assert(s.table("tx_dvins").count() === 41L,
+        "the catalog name must see the insert without a manual REFRESH")
+      assert(s.sql("SELECT v FROM tx_dvins WHERE id = 500")
+        .collect()(0).getString(0) === "new")
+      // DVs still applied through the refreshed relation
+      assert(s.sql("SELECT count(*) AS n FROM tx_dvins WHERE id = 17")
+        .collect()(0).getLong(0) === 0L)
+    } finally {
+      s.sql("DROP TABLE IF EXISTS tx_dvins")
+      ()
+    }
+  }
+
   test("compact folds DVs away and restores the maximal scan relation") {
     val (dir, batch) = seed("morfold")
     TxTable.merge(s, dir, batch, Seq("id"), writeMode = "mor")
