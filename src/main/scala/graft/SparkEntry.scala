@@ -2034,6 +2034,14 @@ object SparkEntry {
   private def qTxSqlInsert(s: SparkSession, dir: String): DataFrame = {
     import graft.sources.TxTable
     val path = Fixtures.scratchDir("txinsq", dir)
+    // catalog + view names carry a sanitized SF tag: the names are
+    // SESSION-GLOBAL, so without the tag a session that ran two SF dirs
+    // would leave the second build pointing the shared name at the other
+    // path while the first SF's buildOnce no-ops — a silent wrong-table
+    // read (round-11 advice fix)
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val board = s"graft_tx_ins_board_$tag"
+    val srcView = s"graft_tx_ins_src_$tag"
     Fixtures.buildOnce("txinsq", s, dir) {
       wipeTxDir(path)
       val c = customer(s, dir)
@@ -2043,20 +2051,20 @@ object SparkEntry {
           .repartitionByRange(4, col("c_custkey"))
           .sortWithinPartitions(col("c_custkey")),
         path, "overwrite", statsColumns = Seq("c_custkey"))
-      s.sql("DROP TABLE IF EXISTS graft_tx_ins_board")
-      s.sql(s"CREATE TABLE graft_tx_ins_board USING txtable LOCATION '$path'")
+      s.sql(s"DROP TABLE IF EXISTS $board")
+      s.sql(s"CREATE TABLE $board USING txtable LOCATION '$path'")
       c.filter(col("c_custkey") % 3 === 1)
-        .createOrReplaceTempView("graft_tx_ins_src")
-      s.sql("""INSERT INTO graft_tx_ins_board
+        .createOrReplaceTempView(srcView)
+      s.sql(s"""INSERT INTO $board
               |SELECT c_custkey, c_mktsegment, c_acctbal
-              |FROM graft_tx_ins_src""".stripMargin)
+              |FROM $srcView""".stripMargin)
       ()
     }
-    s.sql("""SELECT c_mktsegment AS segment,
+    s.sql(s"""SELECT c_mktsegment AS segment,
             |       CAST(COUNT(*) AS BIGINT) AS n_cust,
             |       round(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 6)
             |         AS sum_bal
-            |FROM graft_tx_ins_board
+            |FROM $board
             |WHERE c_custkey <= 6000
             |GROUP BY c_mktsegment ORDER BY segment""".stripMargin)
   }

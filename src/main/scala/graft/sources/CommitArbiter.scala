@@ -77,8 +77,18 @@ final class HadoopFsArbiter(conf: org.apache.hadoop.conf.Configuration)
     val out = fc.create(tmp,
       java.util.EnumSet.of(CreateFlag.CREATE, CreateFlag.OVERWRITE),
       org.apache.hadoop.fs.Options.CreateOpts.createParent())
-    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    // a write/close failure (disk full, transient I/O) must not orphan
+    // the temp: vacuum never sweeps _txlog temps, so sweep it here
+    // before rethrowing — the rename phase below has its own finally
+    try {
+      try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    } catch {
+      case e: Throwable =>
+        try fc.delete(tmp, false)
+        catch { case _: java.io.IOException => () }
+        throw e
+    }
     try {
       fc.rename(tmp, dst, Options.Rename.NONE)
       true

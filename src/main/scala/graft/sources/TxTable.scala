@@ -120,7 +120,8 @@ object TxTable {
       blooms: Map[String, Map[String, BloomRef]] = Map.empty,
       dvs: Map[String, String] = Map.empty,
       sizes: Map[String, Long] = Map.empty,
-      rows: Map[String, Long] = Map.empty) {
+      rows: Map[String, Long] = Map.empty,
+      commitTs: Long = 0L) {
     /** Files whose [min, max] for `col` overlaps the LONG range [lo, hi]
       * — files with no recorded stats (or stats of another kind) are
       * KEPT (skipping must never drop data).
@@ -226,7 +227,11 @@ object TxTable {
         .toSeq,
       lines.collectFirst { case l if l.startsWith("epoch=") =>
         l.stripPrefix("epoch=").toLong },
-      stats, blooms, dvs, sizes, rowCounts)
+      stats, blooms, dvs, sizes, rowCounts,
+      // commit wall-clock (epoch millis, round 11): 0 on older manifests
+      // — readers must treat 0 as "unknown", not 1970
+      lines.collectFirst { case l if l.startsWith("ts=") =>
+        l.stripPrefix("ts=").toLong }.getOrElse(0L))
   }
 
   /** Latest snapshot, or None for an empty/absent table. */
@@ -248,6 +253,26 @@ object TxTable {
       dvApply(spark, dir, snap,
         spark.read.schema(snap.schema)
           .parquet(snap.files.map(f => s"$dir/$f"): _*))
+  }
+
+  /** Read a SUBSET of a snapshot's files (file-relative manifest paths)
+    * with the snapshot's deletion vectors applied — the pruned read path
+    * [[TxDvRelation]] composes with [[TxPrune]] file skipping, so a
+    * DV-carrying table keeps manifest-stat/Bloom skipping instead of
+    * degrading to an O(table) scan between a MoR merge and the next
+    * fold. Value-identical to [[read]] when `kept` covers every file
+    * (DVs for pruned-away files simply find nothing to anti-join).
+    */
+  private[graft] def readSubset(spark: SparkSession, dir: String,
+      snap: Snapshot, kept: Set[String]): DataFrame = {
+    val files = snap.files.filter(kept)
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+    else
+      dvApply(spark, dir, snap,
+        spark.read.schema(snap.schema)
+          .parquet(files.map(f => s"$dir/$f"): _*))
   }
 
   /** Parse one deletion-vector sidecar: fileRel → sorted positions. */
@@ -768,7 +793,11 @@ object TxTable {
     val content = (Seq(
       s"version=$v",
       s"op=$op",
-      s"schema=${schema.json}") ++
+      s"schema=${schema.json}",
+      // commit wall-clock: gives the scan planner a real mtime for
+      // manifest-synthesized file statuses (ADDITIVE — old readers would
+      // ignore an unknown line, old manifests parse to commitTs=0)
+      s"ts=${System.currentTimeMillis()}") ++
       epochId.map(e => s"epoch=$e").toSeq ++
       files.map(f => s"file=$f") ++ statsLines ++ bloomLines ++ dvLines ++
       sizeLines ++ rowLines)

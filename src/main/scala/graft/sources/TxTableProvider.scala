@@ -161,15 +161,20 @@ object TxTableProvider {
         "graft.txtable.version" -> snap.version.toString))(spark)
 }
 
-/** Scan relation for a deletion-vector-carrying snapshot: delegates to
-  * [[TxTable.read]] (parquet scan + broadcast DV anti-join) and lets
-  * Spark re-apply every filter above ([[org.apache.spark.sql.sources
-  * .PrunedFilteredScan]]'s default `unhandledFilters` contract), pushing
-  * the easy comparisons into the inner plan for I/O. This is the
+/** Scan relation for a deletion-vector-carrying snapshot: prunes the
+  * snapshot's file set through [[TxPrune]] (the SAME manifest-stat +
+  * Bloom consultation the DV-free [[TxFileIndex]] path runs) and reads
+  * only the admitted files via [[TxTable.readSubset]] — parquet scan +
+  * broadcast DV anti-join over the kept subset, mirroring the Delta
+  * `TahoeLogFileIndex`+DV composition. Spark re-applies every filter
+  * above ([[org.apache.spark.sql.sources.PrunedFilteredScan]]'s default
+  * `unhandledFilters` contract); the easy comparisons are additionally
+  * pushed into the inner plan for row-group I/O. This is the
   * TRANSITIONAL read path — write-optimized tables pay one broadcast
-  * probe per row until `compact` folds the DVs; the `Row` boundary at
-  * the relation edge is bounded by the rows that SURVIVE the pushed
-  * filters.
+  * probe per row until `compact`/`foldDvs` folds the DVs; the `Row`
+  * boundary at the relation edge is bounded by the rows that SURVIVE
+  * the pushed filters, and the rows that even reach it by the files
+  * that survive pruning.
   */
 private[graft] class TxDvRelation(spark: SparkSession,
     private[graft] val tableDir: String,
@@ -193,7 +198,7 @@ private[graft] class TxDvRelation(spark: SparkSession,
       filters: Array[org.apache.spark.sql.sources.Filter])
       : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
     import org.apache.spark.sql.{functions => F}
-    val base = TxTable.read(spark, tableDir, Some(snap.version))
+    val base = TxTable.readSubset(spark, tableDir, snap, keptFiles(filters))
     // advisory pushdown of the common shapes — Spark re-applies every
     // filter above this scan, so unhandled ones only cost I/O
     val pushed = filters.foldLeft(base) { (df, f) =>
@@ -203,6 +208,65 @@ private[graft] class TxDvRelation(spark: SparkSession,
       if (requiredColumns.isEmpty) pushed.select() // zero-column rows
       else pushed.select(requiredColumns.map(F.col).toSeq: _*)
     projected.rdd
+  }
+
+  /** Manifest files admitted by the scan's pushed-down filters: each
+    * source filter is re-expressed as the Catalyst shape [[TxPrune]]
+    * consults (untranslatable filters prune nothing — soundness is
+    * TxPrune's contract, and every admitted row still re-checks the
+    * full predicate above). Package-private so `TxProviderSpec` can
+    * assert the DV path actually skips files.
+    */
+  private[graft] def keptFiles(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Set[String] =
+    TxPrune.keptFiles(tableDir, snap,
+      filters.flatMap(toCatalyst(_)).toIndexedSeq)
+
+  /** sources.Filter → Catalyst, typed against the snapshot schema.
+    * Inside a conjunction a half-translated AND may keep its translated
+    * side (files matching the whole AND are a subset of files matching
+    * either side); an OR needs both. `Literal.create` converts external
+    * values (java.sql.Date, BigDecimal, ...) to the Catalyst internal
+    * domain TxPrune's stats are recorded in; a value whose runtime type
+    * cannot convert to the column's type yields None (no prune).
+    */
+  private def toCatalyst(f: org.apache.spark.sql.sources.Filter)
+      : Option[Expression] = {
+    import org.apache.spark.sql.{sources => sf}
+    def attr(n: String): Option[AttributeReference] =
+      snap.schema.fields.find(_.name == n)
+        .map(fd => AttributeReference(fd.name, fd.dataType, fd.nullable)())
+    def lit(n: String, v: Any): Option[Literal] =
+      snap.schema.fields.find(_.name == n).flatMap(fd =>
+        scala.util.Try(Literal.create(v, fd.dataType)).toOption)
+    f match {
+      case sf.EqualTo(a, v) =>
+        for (ar <- attr(a); l <- lit(a, v)) yield EqualTo(ar, l)
+      case sf.EqualNullSafe(a, v) if v != null =>
+        for (ar <- attr(a); l <- lit(a, v)) yield EqualNullSafe(ar, l)
+      case sf.GreaterThan(a, v) =>
+        for (ar <- attr(a); l <- lit(a, v)) yield GreaterThan(ar, l)
+      case sf.GreaterThanOrEqual(a, v) =>
+        for (ar <- attr(a); l <- lit(a, v)) yield GreaterThanOrEqual(ar, l)
+      case sf.LessThan(a, v) =>
+        for (ar <- attr(a); l <- lit(a, v)) yield LessThan(ar, l)
+      case sf.LessThanOrEqual(a, v) =>
+        for (ar <- attr(a); l <- lit(a, v)) yield LessThanOrEqual(ar, l)
+      case sf.In(a, vs) =>
+        val ls = vs.toIndexedSeq.map(lit(a, _))
+        for (ar <- attr(a) if ls.forall(_.isDefined))
+          yield In(ar, ls.flatten)
+      case sf.StringStartsWith(a, p) =>
+        for (ar <- attr(a); l <- lit(a, p)) yield StartsWith(ar, l)
+      case sf.And(l, r) => (toCatalyst(l), toCatalyst(r)) match {
+        case (Some(cl), Some(cr)) => Some(And(cl, cr))
+        case (some @ Some(_), None) => some
+        case (None, some) => some
+      }
+      case sf.Or(l, r) =>
+        for (cl <- toCatalyst(l); cr <- toCatalyst(r)) yield Or(cl, cr)
+      case _ => None
+    }
   }
 
   private def translate(f: org.apache.spark.sql.sources.Filter)
@@ -261,8 +325,15 @@ class TxFileIndex(spark: SparkSession, private[graft] val tableDir: String,
     snap.files.map { f =>
       val p = new HadoopPath(root, f)
       f -> snap.sizes.get(f)
-        .map(len => new FileStatus(len, false, 1, 128L * 1024 * 1024, 0L,
-          fs.makeQualified(p)))
+        // mtime = the SNAPSHOT's commit wall-clock (round 11): a
+        // size-recorded manifest never touches the filesystem, so the
+        // synthesized status carries the manifest's `ts=` — what
+        // `_metadata.file_modification_time` then surfaces. Semantics:
+        // "when did the version I'm reading commit" (an upper bound for
+        // carried-forward files), not per-file write time. Pre-ts
+        // manifests synthesize 0 (unknown), matching their parse.
+        .map(len => new FileStatus(len, false, 1, 128L * 1024 * 1024,
+          snap.commitTs, fs.makeQualified(p)))
         .getOrElse(fs.getFileStatus(p))
     }
   }

@@ -787,10 +787,19 @@ object CdcStream {
       // The fold's CAS commit carries no epoch stamp, so the
       // exactly-once high-water ledger is untouched.
       if (writeMode == "mor" && foldEvery > 0) {
-        val n = morMergesSinceFold.merge(tableDir, Integer.valueOf(1),
-          (a: Integer, b: Integer) => Integer.valueOf(a.intValue + b.intValue))
-        if (n >= foldEvery) {
-          morMergesSinceFold.put(tableDir, Integer.valueOf(0))
+        // increment-and-reset ATOMICALLY (compute holds the bin lock):
+        // exactly one caller observes the threshold crossing per cadence
+        // window, so two appliers on the same dir can neither double-fold
+        // nor lose counts to an interleaved put; returning null on the
+        // crossing also evicts the entry, bounding the map to dirs
+        // currently mid-window
+        var crossed = false
+        morMergesSinceFold.compute(tableDir, (_, v: Integer) => {
+          val n = (if (v == null) 0 else v.intValue) + 1
+          if (n >= foldEvery) { crossed = true; null }
+          else Integer.valueOf(n)
+        })
+        if (crossed) {
           TxTable.foldDvs(spark, tableDir)
           ()
         }

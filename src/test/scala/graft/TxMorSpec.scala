@@ -345,6 +345,31 @@ class TxMorSpec extends SparkSpecBase {
     }
   }
 
+  test("DV-carrying provider read keeps manifest file skipping (round-11 fix)") {
+    import org.apache.spark.sql.{sources => f}
+    val (dir, batch) = seed("mordvprune")
+    TxTable.merge(s, dir, batch, Seq("id"), writeMode = "mor")
+    val snap = TxTable.latest(dir).get
+    assert(snap.dvs.nonEmpty, "fixture must exercise the DV relation")
+    val rel = new graft.sources.TxDvRelation(s, dir, snap)
+    // no filters → every file kept (pruning must never drop data)
+    assert(rel.keptFiles(Array.empty) === snap.files.toSet)
+    // a range predicate admits a strict subset: the pre-fix path read
+    // ALL snapshot files for every filtered query between a MoR merge
+    // and the next fold — the O(table) degradation this pins against
+    val kept = rel.keptFiles(Array(f.LessThan("id", 10L)))
+    assert(kept.size < snap.files.size,
+      s"id<10 must skip files ($kept of ${snap.files})")
+    // untranslatable filters prune nothing (sound)
+    assert(rel.keptFiles(Array(f.StringContains("v", "5"))) === snap.files.toSet)
+    // and the query through the registered source stays value-correct:
+    // 0..9 minus nothing, plus the upsert image of 5 and the insert -1
+    val got = s.read.format("txtable").load(dir).where(col("id") < 10L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.keySet === ((0L to 9L).toSet + -1L))
+    assert(got(5L) === "V5" && got(-1L) === "VNEW")
+  }
+
   test("compact folds DVs away and restores the maximal scan relation") {
     val (dir, batch) = seed("morfold")
     TxTable.merge(s, dir, batch, Seq("id"), writeMode = "mor")
