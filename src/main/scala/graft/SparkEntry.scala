@@ -2394,7 +2394,11 @@ object SparkEntry {
 
   /** Market-basket brand affinity: support/confidence/lift over the
     * distinct brands co-occurring in an order
-    * ([[graft.ext.MarketBasket.pairLift]] on lineitem ⋈ part).
+    * ([[graft.ext.MarketBasket.pairLift]] on lineitem ⋈ part). The
+    * mega-basket guard is ENGAGED (round-11): an order carrying more
+    * than 100 distinct brands is a data-quality bug whose size² pair
+    * fanout would dominate the stage at scale — fail fast naming it
+    * rather than letting one hot key go quadratic.
     */
   private def qOrdersBasketLift(s: SparkSession, dir: String): DataFrame = {
     val items = lineitem(s, dir)
@@ -2402,7 +2406,7 @@ object SparkEntry {
         col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey"), col("p_brand"))
     graft.ext.MarketBasket.pairLift(items, "l_orderkey", "p_brand",
-        minPairCount = 20L)
+        minPairCount = 20L, maxBasketSize = Some(100L))
       .orderBy("item_a", "item_b")
   }
 
@@ -3014,8 +3018,17 @@ object SparkEntry {
     * clustering coefficient.
     */
   private def qPartTriangles(s: SparkSession, dir: String): DataFrame = {
+    // the edge derivation is the same size²-per-order self-join as
+    // pairLift — route it through the same fail-fast guard (round-11):
+    // materialize the distinct once (the guard's collect is a separate
+    // action), abort on a >100-distinct-part order instead of letting
+    // it go quadratic in the join
     val items = lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+      .repartition(s.sparkContext.defaultParallelism)
+      .localCheckpoint(true)
+    graft.ext.MarketBasket.guardFanout(items, "ok", cap = 100L,
+      what = "partTriangles edge derivation")
     val pairs = items
       .join(items.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
       .filter(col("pk") < col("pk2"))
@@ -5261,22 +5274,49 @@ object SparkEntry {
     * quality score — "does the quality heuristic just measure length?"
     * asked monotonically (Pearson would answer only linearly). No
     * per-doc rank window: AVERAGE ranks come from the two DISTINCT-value
-    * histograms' cumulatives (bounded axes) and join back by value;
-    * ranks are exact halves, so the Pearson-on-ranks moments are exact
-    * decimals end to end.
+    * histograms' cumulatives and join back by value; ranks are exact
+    * halves, so the Pearson-on-ranks moments are exact decimals end to
+    * end.
+    *
+    * The histogram cumulative itself is TWO-PHASE (round-11, the
+    * [[graft.ext.Corpus.sourceCap]] pattern): distinct values range-
+    * partition into ordered buckets, each bucket cumulates its own rows
+    * (window PARTITIONED by bucket — no single-task global sort even
+    * when the value axis grows with the corpus), and per-bucket totals
+    * turn into prefix offsets via a bounded explode/regroup (≤ nB²
+    * rows), never a global window or a nested-loop join. Value-exact:
+    * bucket ranges are order-compatible, so offset + within-bucket
+    * cumulative ≡ the global cumulative, whatever boundaries the range
+    * sampler picks.
     */
   private def qCorpusSpearman(s: SparkSession, dir: String): DataFrame = {
     val base = documents(s, dir).select(col("doc_id"),
       size(TextAnalysis.tokens(col("text"))).cast("long").as("x"),
       round(TextAnalysis.qualityScore(col("text")), 6).as("y"))
+    val nB = 32
     def avgRanks(valCol: String): DataFrame = {
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      base.groupBy(col(valCol).as("v")).agg(count(lit(1)).as("c"))
-        .withColumn("cum_below", sum(col("c")).over(w) - col("c"))
+      import org.apache.spark.sql.expressions.Window
+      val hist = base.groupBy(col(valCol).as("v")).agg(count(lit(1)).as("c"))
+        .repartitionByRange(nB, col("v"))
+        .withColumn("__b", spark_partition_id())
+        .localCheckpoint(true) // feeds the cumulative AND the offsets
+      val wIn = Window.partitionBy(col("__b")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // bucket b's offset = Σ totals of buckets < b: each bucket's total
+      // fans out to the buckets ABOVE it (sequence is ascending only —
+      // the top bucket contributes nowhere) and regroups, all on a
+      // ≤ nB-row frame
+      val offsets = hist.groupBy(col("__b")).agg(sum(col("c")).as("bt"))
+        .filter(col("__b") < nB - 1)
+        .select(explode(sequence(col("__b") + 1, lit(nB - 1))).as("__b"),
+          col("bt"))
+        .groupBy(col("__b")).agg(sum(col("bt")).as("off"))
+      hist
+        .withColumn("cum_in", sum(col("c")).over(wIn))
+        .join(broadcast(offsets), Seq("__b"), "left_outer")
         .select(col("v").as(s"${valCol}_v"),
-          (col("cum_below").cast("double") +
+          ((coalesce(col("off"), lit(0L)) + col("cum_in") - col("c"))
+            .cast("double") +
             (col("c") + 1).cast("double") / 2.0)
             .cast(DecimalType(28, 1)).as(s"r$valCol"))
     }

@@ -59,19 +59,7 @@ object MarketBasket {
         d0.repartition(items.sparkSession.sparkContext.defaultParallelism)
           .localCheckpoint(true)
       else d0
-    maxBasketSize.foreach { cap =>
-      val hot = d.groupBy(col("__bk")).count()
-        .filter(col("count") > cap)
-        .orderBy(col("count").desc).limit(5)
-        .collect()
-      if (hot.nonEmpty) {
-        val desc = hot.map(r => s"(basket=${r.get(0)}: ${r.getLong(1)} distinct items)")
-          .mkString(", ")
-        throw new IllegalStateException(
-          s"pairLift: baskets exceed maxBasketSize=$cap — $desc. " +
-            "Filter or sample mega-baskets upstream; pair fanout is size² per basket.")
-      }
-    }
+    maxBasketSize.foreach(cap => guardFanout(d, "__bk", cap, "pairLift"))
     val totals = d.agg(countDistinct(col("__bk")).as("__n"))
     val itemCounts = d.groupBy(col("__it")).agg(count(lit(1)).as("__ni"))
 
@@ -91,5 +79,31 @@ object MarketBasket {
         round(col("n_ab").cast("double") / col("n_a"), 6).as("confidence"),
         round((col("__n") * col("n_ab")).cast("double") /
           (col("n_a") * col("n_b")), 6).as("lift"))
+  }
+
+  /** Shared mega-basket fail-fast: abort when any basket's DISTINCT
+    * item count exceeds `cap`, naming the top offenders. Every consumer
+    * that self-joins on a basket key (pair lift, co-purchase edge
+    * derivation, triangle census) has the same size²-per-basket fanout,
+    * so they guard through the same check — silently letting one hot
+    * basket go quadratic is the 100 TB failure mode, and a 10⁶-item
+    * basket is a data-quality bug, not a workload. `d` should be
+    * materialized (localCheckpoint) by the caller when it also feeds the
+    * main plan — the guard's collect is a separate action and would
+    * otherwise recompute the distinct shuffle.
+    */
+  def guardFanout(d: DataFrame, basketCol: String, cap: Long,
+      what: String): Unit = {
+    val hot = d.groupBy(col(basketCol)).count()
+      .filter(col("count") > cap)
+      .orderBy(col("count").desc).limit(5)
+      .collect()
+    if (hot.nonEmpty) {
+      val desc = hot.map(r => s"(basket=${r.get(0)}: ${r.getLong(1)} distinct items)")
+        .mkString(", ")
+      throw new IllegalStateException(
+        s"$what: baskets exceed maxBasketSize=$cap — $desc. " +
+          "Filter or sample mega-baskets upstream; pair fanout is size² per basket.")
+    }
   }
 }

@@ -151,4 +151,18 @@ class GraphBasketSpec extends SparkSpecBase {
       .collect().map(_.toSeq).toSet
     assert(guarded == want)
   }
+
+  test("guardFanout (shared): fires for the triangle-edge shape, silent under the cap") {
+    // the qPartTriangles edge derivation guards through the same helper:
+    // a planted 6-distinct-part order must abort a cap-5 run by name
+    val edges = (Seq((1L, 10L), (1L, 11L)) ++
+      (1 to 6).map(i => (99L, 100L + i))).toDF("ok", "pk").distinct()
+    val e = intercept[IllegalStateException] {
+      MarketBasket.guardFanout(edges, "ok", cap = 5L, what = "triangle edges")
+    }
+    assert(e.getMessage.contains("triangle edges")
+      && e.getMessage.contains("basket=99")
+      && e.getMessage.contains("6 distinct items"), e.getMessage)
+    MarketBasket.guardFanout(edges, "ok", cap = 6L, what = "triangle edges")
+  }
 }

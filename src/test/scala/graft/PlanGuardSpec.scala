@@ -144,8 +144,8 @@ class PlanGuardSpec extends SparkSpecBase {
   private val globalWindowAllowed = Set(
     // distinct-score histograms (ROC/AUC, MWU, KS, calibration families)
     "corpus_quality_mw", "corpus_split_ks", "text_langid_auc",
-    // rank transform over the (sources × quality-deciles)-bounded frame
-    "corpus_spearman",
+    // corpus_spearman moved OFF this list in round 11: its histogram
+    // cumulative is now the bucketed two-phase pattern (no global window)
     // per-entity RFM quintiles; rfmApprox is the documented 100 TB swap
     "customer_rfm",
     // Lorenz curve over the per-user aggregate (bounded by users; the
