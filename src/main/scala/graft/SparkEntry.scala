@@ -2005,6 +2005,34 @@ object SparkEntry {
           .as("sum_price"))
   }
 
+  /** IN-list pruning through the registered source (round-11 directive):
+    * one probe on the range-CLUSTERED key (each IN element admits only
+    * the file whose range covers it — [[graft.sources.TxPrune]] unions
+    * the per-element keeps) and one on the scattered Bloom column
+    * (every file's range overlaps every element; only the per-element
+    * Bloom probes skip). Both lists carry an absent far key, so a union
+    * that wrongly intersected per-element keeps (admitting nothing) or
+    * a Bloom false NEGATIVE would break the hash against the plain
+    * filtered oracle. `TxProviderSpec` proves the files are actually
+    * skipped for both shapes.
+    */
+  private def qTxProviderIn(s: SparkSession, dir: String): DataFrame = {
+    val path = buildTxBloomTable(s, dir)
+    val t = s.read.format("txtable").load(path)
+    def probe(df: DataFrame, label: String): DataFrame = df
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("o_orderkey")).as("min_key"),
+        max(col("o_orderkey")).as("max_key"),
+        round(sum(col("o_totalprice").cast(DecimalType(18, 4))).cast("double"), 6)
+          .as("sum_price"))
+      .select(lit(label).as("probe"), col("n_orders"), col("min_key"),
+        col("max_key"), col("sum_price"))
+    probe(t.where(col("o_orderkey").isin(1L, 999L, 3333L, 999999999L)), "key_in")
+      .unionByName(
+        probe(t.where(col("o_custkey").isin(37L, 999999999L)), "cust_in"))
+      .orderBy("probe")
+  }
+
   /** Bloom-pruned POINT reads through the registered source: equality on
     * the scattered `o_custkey` (every file's range overlaps — only the
     * Bloom sidecars can skip) via plain `where`, no special API. Present
@@ -2067,6 +2095,51 @@ object SparkEntry {
             |FROM $board
             |WHERE c_custkey <= 6000
             |GROUP BY c_mktsegment ORDER BY segment""".stripMargin)
+  }
+
+  /** Threshold-triggered DV auto-compaction on the oracle board
+    * (round-11 directive #5, the `graft_tx_fold(dir, fraction)` policy
+    * TVF): four explicit files by `c_custkey % 4`, then a MoR delete
+    * batch that guts half of bucket 0 (`%8 = 0`, ~50% of its file) and
+    * removes ONE row of bucket 1 (`c_custkey = 5`) — after
+    * `graft_tx_fold(dir, 0.1)`, the hot file is rewritten DV-free while
+    * the cold file keeps its O(1) DV. Output: per-phase row count /
+    * exact balance sum / DV'd-file count (0 → 2 → 1 is the policy
+    * pinned as data; the value columns prove both the MoR deletes and
+    * the partial fold are value-exact against the parquet recompute).
+    */
+  private def qTxFoldPolicy(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.TxTable
+    val path = Fixtures.scratchDir("txfoldq", dir)
+    Fixtures.buildOnce("txfoldq", s, dir) {
+      wipeTxDir(path)
+      val c = customer(s, dir).select(col("c_custkey"), col("c_acctbal"))
+      TxTable.commit(c.filter(col("c_custkey") % 4 === 0).repartition(1),
+        path, "overwrite", statsColumns = Seq("c_custkey"))
+      (1 to 3).foreach { i =>
+        TxTable.commit(c.filter(col("c_custkey") % 4 === i).repartition(1),
+          path, "append", statsColumns = Seq("c_custkey"))
+        ()
+      }
+      val dels = c
+        .filter((col("c_custkey") % 8 === 0) || (col("c_custkey") === 5))
+        .select(col("c_custkey"), col("c_acctbal"),
+          lit("DELETE").as("operation"))
+      TxTable.merge(s, path, dels, Seq("c_custkey"), writeMode = "mor")
+      s.sql(s"SELECT * FROM graft_tx_fold('$path', 0.1)").collect()
+      ()
+    }
+    def phase(v: Long, name: String): DataFrame =
+      TxTable.read(s, path, Some(v))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("c_acctbal").cast(DecimalType(18, 4))).cast("double"), 6)
+            .as("sum_bal"))
+        .select(lit(name).as("phase"), col("n_rows"), col("sum_bal"),
+          lit(TxTable.snapshot(path, v).dvs.size.toLong).as("n_dv_files"))
+    phase(3L, "1_seed")
+      .unionByName(phase(4L, "2_mor"))
+      .unionByName(phase(5L, "3_fold"))
+      .orderBy("phase")
   }
 
   /** Deterministic wipe of a scratch TxTable dir so buildOnce rebuilds
@@ -5582,6 +5655,8 @@ object SparkEntry {
     "tx_bloom_lookup" -> (qTxBloomLookup _),
     "tx_view_stream" -> (qTxViewStream _),
     "tx_provider_prune" -> (qTxProviderPrune _),
+    "tx_provider_in" -> (qTxProviderIn _),
+    "tx_fold_policy" -> (qTxFoldPolicy _),
     "tx_provider_point" -> (qTxProviderPoint _),
     "tx_sql_insert" -> (qTxSqlInsert _),
     "tx_change_feed" -> (qTxChangeFeed _),
@@ -8064,6 +8139,45 @@ object SparkEntry {
         |       (round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 6) + 0)
         |         AS sum_price
         |FROM orders WHERE o_orderkey BETWEEN 1000 AND 2999""".stripMargin,
+
+    // per-phase recompute of the fold-policy table: the n_dv_files
+    // column is the POLICY pinned as literals (seed 0, post-MoR 2,
+    // post-threshold-fold 1 — the cold file keeps its DV)
+    "tx_fold_policy" ->
+      """WITH live AS (
+        |  SELECT c_custkey, c_acctbal FROM customer
+        |  WHERE NOT (c_custkey % 8 = 0 OR c_custkey = 5)),
+        |p AS (
+        |  SELECT '1_seed' AS phase, CAST(0 AS BIGINT) AS n_dv_files,
+        |         CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |         (round(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 6) + 0)
+        |           AS sum_bal
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT '2_mor', 2, CAST(COUNT(*) AS BIGINT),
+        |         (round(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 6) + 0)
+        |  FROM live
+        |  UNION ALL
+        |  SELECT '3_fold', 1, CAST(COUNT(*) AS BIGINT),
+        |         (round(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 6) + 0)
+        |  FROM live)
+        |SELECT phase, n_rows, sum_bal, n_dv_files
+        |FROM p ORDER BY phase""".stripMargin,
+
+    "tx_provider_in" ->
+      """WITH p AS (
+        |  SELECT 'key_in' AS probe, o_orderkey, o_totalprice FROM orders
+        |  WHERE o_orderkey IN (1, 999, 3333, 999999999)
+        |  UNION ALL
+        |  SELECT 'cust_in' AS probe, o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey IN (37, 999999999))
+        |SELECT probe,
+        |       CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |       MIN(o_orderkey) AS min_key,
+        |       MAX(o_orderkey) AS max_key,
+        |       (round(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 6) + 0)
+        |         AS sum_price
+        |FROM p GROUP BY probe ORDER BY probe""".stripMargin,
 
     "tx_provider_point" ->
       """WITH k AS (SELECT CAST(unnest([37, 73, 110, 999999999]) AS BIGINT) AS lookup_key)

@@ -230,11 +230,17 @@ object GraftTableFunctions {
           int(a(1)).toLong, if (a.length > 2) int(a(2)) else 1)
         Seq((v, "compact-small")).toDF("version", "op")
       }),
-    // bounded MoR maintenance: rewrites ONLY dv-carrying files
-    "graft_tx_fold" -> wtvf("(tableDir)", 1, 1)(
+    // bounded MoR maintenance: rewrites ONLY dv-carrying files; with the
+    // optional threshold, only those whose deleted fraction crosses it
+    // (the auto-compaction POLICY arm — lightly-deleted files keep
+    // their O(1) DVs instead of paying an O(file) rewrite)
+    "graft_tx_fold" -> wtvf("(tableDir[, minDeletedFraction])", 1, 2)(
       (s: SparkSession, a: Seq[Any]) => {
         import s.implicits._
-        val v = graft.sources.TxTable.foldDvs(s, str(a(0)))
+        val v =
+          if (a.length > 1)
+            graft.sources.TxTable.foldDvsIf(s, str(a(0)), dbl(a(1)))
+          else graft.sources.TxTable.foldDvs(s, str(a(0)))
         Seq((v, "fold")).toDF("version", "op")
       }),
     "graft_tx_vacuum" -> wtvf("(tableDir, keepVersions)", 2, 2,

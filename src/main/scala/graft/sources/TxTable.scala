@@ -947,6 +947,64 @@ object TxTable {
     committed
   }
 
+  /** THRESHOLD-triggered DV fold (round-11): rewrite only the files
+    * whose deleted fraction (DV positions / manifest row count) exceeds
+    * `minDeletedFraction`; lightly-deleted files keep their DVs and
+    * carry forward by reference. This is the auto-compaction POLICY arm
+    * of [[foldDvs]]: a long-running merge-on-read table accretes DV
+    * sidecars unevenly — hot files (a reloaded partition, a churned key
+    * range) cross the threshold and fold, cold files (one late delete
+    * in a 10 GB file) don't pay an O(file) rewrite for an O(1) DV. A
+    * file without a recorded row count cannot be evaluated and folds
+    * conservatively (policy must converge, and folding is always
+    * value-neutral). Cost is O(crossing-file bytes); CAS-published at
+    * base+1 with op "fold". Returns the committed version, or the
+    * current one when no file crosses.
+    */
+  def foldDvsIf(spark: SparkSession, dir: String, minDeletedFraction: Double,
+      maxRetries: Int = 10, arbiter: CommitArbiter = LocalLinkArbiter): Long = {
+    require(minDeletedFraction >= 0.0 && minDeletedFraction < 1.0,
+      s"minDeletedFraction must be in [0, 1), got $minDeletedFraction")
+    var attempt = 0
+    var committed = -1L
+    while (committed < 0) {
+      attempt += 1
+      require(attempt <= maxRetries,
+        s"foldDvsIf at $dir lost $maxRetries publish races; giving up")
+      val base = latest(dir).getOrElse(
+        throw new IllegalArgumentException(s"no committed version at $dir"))
+      if (base.dvs.isEmpty) return base.version
+      val dvPos = dvPositions(dir, base)
+      val hot = base.files.filter { f =>
+        base.dvs.contains(f) && {
+          val del = dvPos.get(f).map(_.length.toLong).getOrElse(0L)
+          base.rows.get(f) match {
+            case Some(n) if n > 0 => del.toDouble / n > minDeletedFraction
+            case _ => true // unknown denominator: fold conservatively
+          }
+        }
+      }
+      if (hot.isEmpty) return base.version
+      val survivors = dvApply(spark, dir, base,
+        spark.read.schema(base.schema)
+          .parquet(hot.map(f => s"$dir/$f"): _*))
+      val statsCols = base.stats.values.flatMap(_.keys).toSeq.distinct.sorted
+      val (commitRel, newFiles, newStats, newBlooms, newSizes, newRows) =
+        writeData(survivors, dir, statsCols, bloomSpecOf(base))
+      val hotSet = hot.toSet
+      if (publishAt(dir, base.version + 1, "fold", base.schema,
+          base.files.filterNot(hotSet) ++ newFiles,
+          (base.stats -- hotSet) ++ newStats, epochId = None,
+          tmpTag = commitRel.stripPrefix("data/"), arbiter = arbiter,
+          blooms = (base.blooms -- hotSet) ++ newBlooms,
+          dvs = base.dvs -- hotSet, // cold files KEEP their DVs
+          sizes = (base.sizes -- hotSet) ++ newSizes,
+          rows = (base.rows -- hotSet) ++ newRows))
+        committed = base.version + 1
+    }
+    committed
+  }
+
   /** INCREMENTAL small-file compaction: bin-pack only the files below
     * `minBytes` into `targetFiles` rewritten files; every file already
     * at a healthy size carries forward by reference. This is the

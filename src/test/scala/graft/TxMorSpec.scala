@@ -370,6 +370,46 @@ class TxMorSpec extends SparkSpecBase {
     assert(got(5L) === "V5" && got(-1L) === "VNEW")
   }
 
+  test("foldDvsIf: only files crossing the deleted-fraction threshold fold; " +
+      "fraction 0 restores the DV-free relation") {
+    val dir = Files.createTempDirectory("morfoldif").toString
+    val all = s.range(0, 40).select(col("id"), concat(lit("v"), col("id")).as("v"))
+    // four EXPLICIT 10-row files — deterministic per-file fractions
+    TxTable.commit(all.filter(col("id") < 10).repartition(1), dir,
+      "overwrite", statsColumns = Seq("id"))
+    Seq((10, 20), (20, 30), (30, 40)).foreach { case (lo, hi) =>
+      TxTable.commit(all.filter(col("id") >= lo && col("id") < hi).repartition(1),
+        dir, "append", statsColumns = Seq("id"))
+      ()
+    }
+    // 5/10 deleted in file 2 (crosses 0.2), 1/10 in file 4 (doesn't)
+    val dels = Seq(10L, 12L, 14L, 16L, 18L, 35L)
+      .map(k => (k, null.asInstanceOf[String], "DELETE"))
+      .toDF("id", "v", "operation")
+    TxTable.merge(s, dir, dels, Seq("id"), writeMode = "mor")
+    val before = TxTable.latest(dir).get
+    assert(before.dvs.size === 2, "both touched files carry DVs")
+    val v = TxTable.foldDvsIf(s, dir, 0.2)
+    val after = TxTable.latest(dir).get
+    assert(after.version === v && after.op === "fold")
+    assert(after.dvs.size === 1, "only the heavily-deleted file folds")
+    assertSameRows(TxTable.read(s, dir),
+      TxTable.read(s, dir, Some(before.version)), "partial fold is value-neutral")
+    // nothing else crosses: the policy is a no-op at the same threshold
+    assert(TxTable.foldDvsIf(s, dir, 0.2) === after.version)
+    // fraction 0 folds the remainder; the provider returns to the
+    // maximal DV-free HadoopFsRelation plan (what MoR maintenance is FOR)
+    TxTable.foldDvsIf(s, dir, 0.0)
+    assert(TxTable.latest(dir).get.dvs.isEmpty)
+    val df = s.read.format("txtable").load(dir)
+    assert(df.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation
+        if l.relation.isInstanceOf[
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation] => l
+    }.nonEmpty, "DV-free table must read through the file-scan relation")
+    assert(df.count() === 34L)
+  }
+
   test("compact folds DVs away and restores the maximal scan relation") {
     val (dir, batch) = seed("morfold")
     TxTable.merge(s, dir, batch, Seq("id"), writeMode = "mor")
