@@ -192,6 +192,85 @@ object Bench {
             Left(e.getClass.getSimpleName)
         })
       }
+    // Streaming latency tier (round 11): the reference's heart is the
+    // continuous sync loop (reference: example_usage.py:192-218) — the
+    // batch numbers above never time ingest → merge → visible-in-target
+    // per TRIGGER. Slice the shared change log into one file per
+    // micro-batch (maxFilesPerTrigger=1), drain through the real
+    // CdcStream → TxTable path in both write modes, and report per-batch
+    // latency (p50/p99 of each trigger's triggerExecution from the
+    // listener's progress events) plus sustained changes/s over the
+    // whole drain. Skipped on focused runs (SPARK_GRAFT_ONLY) and under
+    // SPARK_GRAFT_NO_STREAMING=1.
+    var streamingJson = ""
+    if (only.isEmpty && !sys.env.contains("SPARK_GRAFT_NO_STREAMING"))
+      prep("streaming_latency") {
+        import org.apache.spark.sql.functions.{col, lit, pmod}
+        import org.apache.spark.sql.types.StructType
+        val tmp = java.nio.file.Files.createTempDirectory("graft_stream_bench")
+          .toString
+        val log = Fixtures.changeLog(spark, sfDir)
+        val rowSchema = log.schema.apply(graft.log.ChangeLog.NewData)
+          .dataType.asInstanceOf[StructType]
+        val nBatches = 16
+        val logDir = s"$tmp/log"
+        (0 until nBatches).foreach { i =>
+          log.filter(pmod(col(graft.log.ChangeLog.CdcId), lit(nBatches)) === i)
+            .repartition(1).write.mode("append").parquet(logDir)
+          ()
+        }
+        def percentile(xs: Seq[Long], p: Double): Long =
+          if (xs.isEmpty) -1L
+          else xs.sorted.apply(math.min(xs.size - 1,
+            math.ceil(p * xs.size).toInt - 1).max(0))
+        val modes = Seq("cow", "mor").map { mode =>
+          val batches =
+            scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+          val listener =
+            new org.apache.spark.sql.streaming.StreamingQueryListener {
+              override def onQueryStarted(e: org.apache.spark.sql.streaming
+                .StreamingQueryListener.QueryStartedEvent): Unit = ()
+              override def onQueryProgress(e: org.apache.spark.sql.streaming
+                .StreamingQueryListener.QueryProgressEvent): Unit = {
+                val p = e.progress
+                if (p.numInputRows > 0) {
+                  batches.synchronized {
+                    batches += ((p.durationMs.get("triggerExecution").toLong,
+                      p.numInputRows))
+                    ()
+                  }
+                }
+              }
+              override def onQueryTerminated(e: org.apache.spark.sql.streaming
+                .StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+            }
+          spark.streams.addListener(listener)
+          val wall0 = System.nanoTime()
+          graft.streaming.CdcStream.drainTxTable(spark, logDir,
+            s"$tmp/table_$mode", s"$tmp/chk_$mode", Fixtures.OrdersSpec,
+            rowSchema, maxFilesPerTrigger = 1, writeMode = mode,
+            foldEvery = if (mode == "mor") 8 else 0)
+          val wallSec = (System.nanoTime() - wall0) / 1e9
+          // progress events are async — give the bus a beat to flush
+          val settle = System.nanoTime() + 5_000_000_000L
+          while (batches.synchronized(batches.size) < nBatches &&
+              System.nanoTime() < settle) Thread.sleep(100)
+          spark.streams.removeListener(listener)
+          val snap = batches.synchronized(batches.toList)
+          val durs = snap.map(_._1)
+          val rows = snap.map(_._2).sum
+          mode -> (s"""{"n_batches":${snap.size},"rows":$rows,""" +
+            s""""p50_ms":${percentile(durs, 0.5)},""" +
+            s""""p99_ms":${percentile(durs, 0.99)},""" +
+            s""""mean_ms":${if (durs.isEmpty) -1
+              else durs.sum / durs.size},""" +
+            s""""wall_sec":${math.rint(wallSec * 1000) / 1000},""" +
+            s""""changes_per_sec":${math.rint(rows / wallSec)}}""")
+        }
+        streamingJson = modes
+          .map { case (m, j) => "\"" + m + "\":" + j }
+          .mkString(",\"streaming\":{", ",", "}")
+      }
     // 3-dp timings keep the JSON compact (the round-4 driver capture
     // truncated the tail of a 67-query line at full precision).
     def fmt(sec: Double): String = (math.rint(sec * 1000) / 1000).toString
@@ -207,7 +286,7 @@ object Bench {
     val total = results.collect { case (_, Right(s)) => s }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val totalLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"artifacts":$aJson,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"artifacts":$aJson$streamingJson,"failed":$failedJson,"sf":"$sfDir"}"""
     // The driver captures a bounded TAIL of stdout: at 112+ queries the
     // single line outgrew it and 36 timings vanished from BENCH_r05.json.
     // Emit redundantly — (a) the full JSON to a file inside the repo

@@ -1035,7 +1035,13 @@ object TxTable {
       def sizeOf(f: String): Long =
         base.sizes.getOrElse(f, Files.size(Paths.get(dir, f)))
       val small = base.files.filter(sizeOf(_) < minBytes)
-      if (small.size < 2) return base.version
+      // <= targetFiles (not just < 2): packing k files into k buckets is
+      // version churn, not progress — and since the packed OUTPUT may
+      // itself still be under minBytes, a k→k "pack" would make repeated
+      // maintenance calls commit forever (round-11 storm-spec finding:
+      // that churn starved every concurrent writer's CAS window)
+      if (small.size <= math.max(targetFiles, 1) || small.size < 2)
+        return base.version
       val packed = dvApply(spark, dir, base,
         spark.read.schema(base.schema)
           .parquet(small.map(f => s"$dir/$f"): _*))

@@ -14,7 +14,10 @@ outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 con = duckdb.connect()
 for f in glob.glob(f"{sfdir}/*.parquet"):
     name = os.path.basename(f)[:-8]
-    con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{f}'")
+    # a table may be a single parquet file (driver testdata) or a
+    # spark-written directory of part files (the regenerated sf1 dirs)
+    src = f"{f}/*.parquet" if os.path.isdir(f) else f
+    con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fails = []
