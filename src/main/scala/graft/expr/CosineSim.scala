@@ -164,5 +164,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // inserted rows outside the manifest and DESTROYS the version log on
     // overwrite; see [[graft.sources.TxTableInsertRule]].
     ext.injectPostHocResolutionRule(s => graft.sources.TxTableInsertRule(s))
+    // deletion-vector read expansion: marked txtable relations become
+    // (clean pruned scan ⟕̸ broadcast DV anti-join); see
+    // [[graft.sources.TxDvScanRule]].
+    ext.injectPostHocResolutionRule(s => graft.sources.TxDvScanRule(s))
   }
 }

@@ -312,9 +312,25 @@ object TxTable {
     */
   private def dvApply(spark: SparkSession, dir: String, snap: Snapshot,
       base: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    dvJoined(spark, dir, snap, base) match {
+      case None => base
+      case Some(joined) => joined.select(base.columns.map(col).toSeq: _*)
+    }
+  }
+
+  /** The raw DV anti-join over `base` WITHOUT the final projection —
+    * output = base's columns plus the `__dv_rel`/`__dv_pos` identity
+    * columns. None when the snapshot carries no DVs. [[TxDvScanRule]]
+    * consumes this form (it projects back to the relation's own output
+    * attributes, which may include `_metadata`); [[dvApply]] wraps it
+    * for the plain read paths.
+    */
+  private[graft] def dvJoined(spark: SparkSession, dir: String,
+      snap: Snapshot, base: DataFrame): Option[DataFrame] = {
     import org.apache.spark.sql.functions.{broadcast, col, concat_ws, slice, split}
     val dv = dvPositions(dir, snap)
-    if (dv.isEmpty) return base
+    if (dv.isEmpty) return None
     val pairs = dv.toSeq.flatMap { case (f, ps) => ps.map(p => (f, p)) }
     val dvDf = spark.createDataFrame(pairs).toDF("__dv_rel", "__dv_pos")
     // file-relative suffix data/<uuid>/<part> — the same manifest-keyed
@@ -323,8 +339,7 @@ object TxTable {
       .withColumn("__dv_rel",
         concat_ws("/", slice(split(col("_metadata.file_path"), "/"), -3, 3)))
       .withColumn("__dv_pos", col("_metadata.row_index"))
-    withId.join(broadcast(dvDf), Seq("__dv_rel", "__dv_pos"), "left_anti")
-      .select(base.columns.map(col).toSeq: _*)
+    Some(withId.join(broadcast(dvDf), Seq("__dv_rel", "__dv_pos"), "left_anti"))
   }
 
   /** Commit `df` as a new version. `mode` is "append" or "overwrite".

@@ -49,16 +49,10 @@ case class TxTableInsertRule(spark: SparkSession) extends Rule[LogicalPlan] {
             cmd.query, overwrite)
         case _ => plan
       }
-    // a DV-CARRYING catalog table inserts through Spark's own
-    // InsertableRelation conversion (TxDvRelation implements it), which
-    // never refreshes the catalog's cached relation — the next SELECT by
-    // NAME would serve the pre-insert snapshot. Re-point the command at
-    // an adapter that carries the identifier to refresh.
-    case cmd @ InsertIntoDataSourceCommand(
-        LogicalRelation(dv: TxDvRelation, _, Some(ct), _, _), _, _) =>
-      cmd.copy(logicalRelation = LogicalRelation(
-        new TxTableInsertableRelation(spark, dv.tableDir, dv.snap.schema,
-          refreshAfter = Some(ct.identifier)), isStreaming = false))
+    // (round 11: DV-carrying snapshots now plan as marked
+    // HadoopFsRelations too — their inserts arrive as the SAME
+    // InsertIntoHadoopFsRelationCommand and route through the arm
+    // above, so the former TxDvRelation special case is gone.)
     case _ => plan.mapChildren(apply)
   }
 }

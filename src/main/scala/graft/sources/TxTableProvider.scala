@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.{FileStatus, Path => HadoopPath}
 import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal, Or, StartsWith}
-import org.apache.spark.sql.execution.datasources.{FileIndex, FileStatusWithMetadata, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.{FileIndex, FileStatusWithMetadata, HadoopFsRelation, PartitionDirectory, PartitionedFile}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, SchemaRelationProvider}
 import org.apache.spark.sql.types._
@@ -141,155 +141,58 @@ class TxTableProvider extends RelationProvider with SchemaRelationProvider
 }
 
 object TxTableProvider {
+
   /** The scan relation for one pinned snapshot. A snapshot carrying
-    * DELETION VECTORS (merge-on-read residue, [[TxTable.merge]]
-    * `writeMode = "mor"`) cannot be a bare file relation — the scan
-    * must drop (file, position) pairs — so it reads through
-    * [[TxDvRelation]] until [[TxTable.compact]] folds the DVs away and
-    * the table returns to the maximal file-scan plan.
+    * deletion vectors plans with [[DvGuardParquetFileFormat]] — the
+    * format IS the DV marker: [[TxDvScanRule]] expands every
+    * guard-formatted relation into (clean file scan ⟕̸ broadcast DV
+    * anti-join) during post-hoc resolution, so a MoR table reads
+    * through the SAME vectorized, whole-stage-codegen'd,
+    * TxFileIndex-pruned parquet path as a clean one — the Delta
+    * `TahoeLogFileIndex`+DV composition. The marker must live in the
+    * FILE FORMAT (not the options map): the catalog's relation cache
+    * rebuilds resolved relations with the CatalogTable's own storage
+    * options, preserving only location + format. And a session that
+    * never registered the rule fails LOUDLY through the guard instead
+    * of silently resurrecting deleted rows.
     */
   private[graft] def relationFor(spark: SparkSession, dir: String,
       snap: TxTable.Snapshot): BaseRelation =
-    if (snap.dvs.nonEmpty) new TxDvRelation(spark, dir, snap)
-    else HadoopFsRelation(
+    HadoopFsRelation(
       location = new TxFileIndex(spark, dir, snap),
       partitionSchema = new StructType(),
       dataSchema = snap.schema,
       bucketSpec = None,
-      fileFormat = new ParquetFileFormat(),
+      fileFormat =
+        if (snap.dvs.nonEmpty) new DvGuardParquetFileFormat()
+        else new ParquetFileFormat(),
       options = Map("graft.txtable.dir" -> dir,
         "graft.txtable.version" -> snap.version.toString))(spark)
 }
 
-/** Scan relation for a deletion-vector-carrying snapshot: prunes the
-  * snapshot's file set through [[TxPrune]] (the SAME manifest-stat +
-  * Bloom consultation the DV-free [[TxFileIndex]] path runs) and reads
-  * only the admitted files via [[TxTable.readSubset]] — parquet scan +
-  * broadcast DV anti-join over the kept subset, mirroring the Delta
-  * `TahoeLogFileIndex`+DV composition. Spark re-applies every filter
-  * above ([[org.apache.spark.sql.sources.PrunedFilteredScan]]'s default
-  * `unhandledFilters` contract); the easy comparisons are additionally
-  * pushed into the inner plan for row-group I/O. This is the
-  * TRANSITIONAL read path — write-optimized tables pay one broadcast
-  * probe per row until `compact`/`foldDvs` folds the DVs; the `Row`
-  * boundary at the relation edge is bounded by the rows that SURVIVE
-  * the pushed filters, and the rows that even reach it by the files
-  * that survive pruning.
+/** Parquet format that refuses to build readers: the correctness fuse
+  * for deletion-vector-carrying snapshots. [[TxDvScanRule]] swaps it for
+  * the real [[ParquetFileFormat]] when it expands the DV anti-join; a
+  * scan that still carries this format at execution time means the
+  * session never registered `graft.expr.GraftExtensions`, and reading
+  * WITHOUT the anti-join would resurrect every deleted row — fail the
+  * query, never the data.
   */
-private[graft] class TxDvRelation(spark: SparkSession,
-    private[graft] val tableDir: String,
-    private[graft] val snap: TxTable.Snapshot) extends BaseRelation
-    with org.apache.spark.sql.sources.PrunedFilteredScan
-    with org.apache.spark.sql.sources.InsertableRelation {
-
-  override def sqlContext: SQLContext = spark.sqlContext
-  override def schema: StructType = snap.schema
-
-  /** INSERT INTO a DV-carrying table: same transactional append/
-    * overwrite as the DV-free arm (Spark's own InsertableRelation
-    * conversion handles this relation directly — no post-hoc rewrite
-    * needed, since a DV table never plans the raw directory write).
-    */
-  override def insert(data: DataFrame, overwrite: Boolean): Unit =
-    new TxTableInsertableRelation(spark, tableDir, snap.schema)
-      .insert(data, overwrite)
-
-  override def buildScan(requiredColumns: Array[String],
-      filters: Array[org.apache.spark.sql.sources.Filter])
-      : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
-    import org.apache.spark.sql.{functions => F}
-    val base = TxTable.readSubset(spark, tableDir, snap, keptFiles(filters))
-    // advisory pushdown of the common shapes — Spark re-applies every
-    // filter above this scan, so unhandled ones only cost I/O
-    val pushed = filters.foldLeft(base) { (df, f) =>
-      translate(f).map(df.where).getOrElse(df)
-    }
-    val projected =
-      if (requiredColumns.isEmpty) pushed.select() // zero-column rows
-      else pushed.select(requiredColumns.map(F.col).toSeq: _*)
-    projected.rdd
-  }
-
-  /** Manifest files admitted by the scan's pushed-down filters: each
-    * source filter is re-expressed as the Catalyst shape [[TxPrune]]
-    * consults (untranslatable filters prune nothing — soundness is
-    * TxPrune's contract, and every admitted row still re-checks the
-    * full predicate above). Package-private so `TxProviderSpec` can
-    * assert the DV path actually skips files.
-    */
-  private[graft] def keptFiles(
-      filters: Array[org.apache.spark.sql.sources.Filter]): Set[String] =
-    TxPrune.keptFiles(tableDir, snap,
-      filters.flatMap(toCatalyst(_)).toIndexedSeq)
-
-  /** sources.Filter → Catalyst, typed against the snapshot schema.
-    * Inside a conjunction a half-translated AND may keep its translated
-    * side (files matching the whole AND are a subset of files matching
-    * either side); an OR needs both. `Literal.create` converts external
-    * values (java.sql.Date, BigDecimal, ...) to the Catalyst internal
-    * domain TxPrune's stats are recorded in; a value whose runtime type
-    * cannot convert to the column's type yields None (no prune).
-    */
-  private def toCatalyst(f: org.apache.spark.sql.sources.Filter)
-      : Option[Expression] = {
-    import org.apache.spark.sql.{sources => sf}
-    def attr(n: String): Option[AttributeReference] =
-      snap.schema.fields.find(_.name == n)
-        .map(fd => AttributeReference(fd.name, fd.dataType, fd.nullable)())
-    def lit(n: String, v: Any): Option[Literal] =
-      snap.schema.fields.find(_.name == n).flatMap(fd =>
-        scala.util.Try(Literal.create(v, fd.dataType)).toOption)
-    f match {
-      case sf.EqualTo(a, v) =>
-        for (ar <- attr(a); l <- lit(a, v)) yield EqualTo(ar, l)
-      case sf.EqualNullSafe(a, v) if v != null =>
-        for (ar <- attr(a); l <- lit(a, v)) yield EqualNullSafe(ar, l)
-      case sf.GreaterThan(a, v) =>
-        for (ar <- attr(a); l <- lit(a, v)) yield GreaterThan(ar, l)
-      case sf.GreaterThanOrEqual(a, v) =>
-        for (ar <- attr(a); l <- lit(a, v)) yield GreaterThanOrEqual(ar, l)
-      case sf.LessThan(a, v) =>
-        for (ar <- attr(a); l <- lit(a, v)) yield LessThan(ar, l)
-      case sf.LessThanOrEqual(a, v) =>
-        for (ar <- attr(a); l <- lit(a, v)) yield LessThanOrEqual(ar, l)
-      case sf.In(a, vs) =>
-        val ls = vs.toIndexedSeq.map(lit(a, _))
-        for (ar <- attr(a) if ls.forall(_.isDefined))
-          yield In(ar, ls.flatten)
-      case sf.StringStartsWith(a, p) =>
-        for (ar <- attr(a); l <- lit(a, p)) yield StartsWith(ar, l)
-      case sf.And(l, r) => (toCatalyst(l), toCatalyst(r)) match {
-        case (Some(cl), Some(cr)) => Some(And(cl, cr))
-        case (some @ Some(_), None) => some
-        case (None, some) => some
-      }
-      case sf.Or(l, r) =>
-        for (cl <- toCatalyst(l); cr <- toCatalyst(r)) yield Or(cl, cr)
-      case _ => None
-    }
-  }
-
-  private def translate(f: org.apache.spark.sql.sources.Filter)
-      : Option[org.apache.spark.sql.Column] = {
-    import org.apache.spark.sql.functions.{col, lit}
-    import org.apache.spark.sql.{sources => sf} // catalyst twins are imported file-level
-    f match {
-      case sf.EqualTo(a, v) => Some(col(a) === lit(v))
-      case sf.GreaterThan(a, v) => Some(col(a) > lit(v))
-      case sf.GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
-      case sf.LessThan(a, v) => Some(col(a) < lit(v))
-      case sf.LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
-      case sf.In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
-      case sf.IsNull(a) => Some(col(a).isNull)
-      case sf.IsNotNull(a) => Some(col(a).isNotNull)
-      case sf.StringStartsWith(a, p) => Some(col(a).startsWith(p))
-      case sf.And(l, r) =>
-        for (cl <- translate(l); cr <- translate(r)) yield cl && cr
-      case sf.Or(l, r) =>
-        for (cl <- translate(l); cr <- translate(r)) yield cl || cr
-      case _ => None
-    }
-  }
+private[graft] class DvGuardParquetFileFormat extends ParquetFileFormat {
+  override def buildReaderWithPartitionValues(
+      sparkSession: SparkSession,
+      dataSchema: StructType,
+      partitionSchema: StructType,
+      requiredSchema: StructType,
+      filters: Seq[org.apache.spark.sql.sources.Filter],
+      options: Map[String, String],
+      hadoopConf: org.apache.hadoop.conf.Configuration)
+      : PartitionedFile => Iterator[InternalRow] =
+    throw new IllegalStateException(
+      "this txtable snapshot carries deletion vectors; reading it " +
+        "requires the TxDvScanRule rewrite — register " +
+        "spark.sql.extensions=graft.expr.GraftExtensions (or fold the " +
+        "DVs away with TxTable.compact/foldDvs)")
 }
 
 /** Manifest-backed [[FileIndex]] for one pinned [[TxTable.Snapshot]]:

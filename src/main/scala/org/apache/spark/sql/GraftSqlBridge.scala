@@ -20,4 +20,13 @@ object GraftSqlBridge {
     */
   def expression(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter.apply(c.node)
+
+  /** Wrap a resolved logical plan as a DataFrame (`Dataset.ofRows` is
+    * `private[sql]`) — used by rewrite rules that compose a sub-plan
+    * with DataFrame operators (the DV anti-join expansion).
+    */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

