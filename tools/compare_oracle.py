@@ -10,6 +10,9 @@ import duckdb, glob, json, math, os, sys
 
 sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+# optional third arg: write a driver-shaped per-query JSON artifact
+json_out = sys.argv[3] if len(sys.argv) > 3 else None
+records = {}
 
 con = duckdb.connect()
 for f in glob.glob(f"{sfdir}/*.parquet"):
@@ -23,16 +26,22 @@ oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 fails = []
 for name, sql in sorted(oracle.items()):
     spark_dir = f"{outdir}/{name}"
+    records[name] = {"rows_match": False, "schema_match": False,
+                     "hash_match": False, "spark_rows": None,
+                     "oracle_rows": None, "err": None}
     if not os.path.isdir(spark_dir):
-        print(f"{name}: MISSING spark output"); fails.append(name); continue
+        print(f"{name}: MISSING spark output"); fails.append(name)
+        records[name]["err"] = "missing spark output"; continue
     try:
         sdf = con.sql(f"SELECT * FROM '{spark_dir}/*.parquet'").df()
     except Exception as e:
-        print(f"{name}: spark read error {e}"); fails.append(name); continue
+        print(f"{name}: spark read error {e}"); fails.append(name)
+        records[name]["err"] = f"spark read error {e}"; continue
     try:
         odf = con.sql(sql).df()
     except Exception as e:
-        print(f"{name}: ORACLE SQL ERROR {e}"); fails.append(name); continue
+        print(f"{name}: ORACLE SQL ERROR {e}"); fails.append(name)
+        records[name]["err"] = f"oracle sql error {e}"; continue
     # sort columns by name
     sdf = sdf[sorted(sdf.columns)]
     odf = odf[sorted(odf.columns)]
@@ -64,6 +73,16 @@ for name, sql in sorted(oracle.items()):
                     break
             if not ok: break
     print(f"{name}: {'OK rows=' + str(len(sdf)) if ok else 'FAIL'}")
+    records[name].update({
+        "spark_rows": int(len(sdf)), "oracle_rows": int(len(odf)),
+        "rows_match": len(sdf) == len(odf),
+        "schema_match": list(sdf.columns) == list(odf.columns)
+            and [str(t) for t in sdf.dtypes] == [str(t) for t in odf.dtypes],
+        "hash_match": bool(ok)})
     if not ok: fails.append(name)
 print()
 print(f"=== {len(oracle) - len(fails)}/{len(oracle)} oracle queries match; failures: {fails}")
+if json_out:
+    with open(json_out, "w") as f:
+        json.dump(records, f, indent=1, sort_keys=True)
+    print(f"wrote {json_out}")
