@@ -3092,17 +3092,16 @@ object SparkEntry {
     */
   private def qPartTriangles(s: SparkSession, dir: String): DataFrame = {
     // the edge derivation is the same size²-per-order self-join as
-    // pairLift — route it through the same fail-fast guard (round-11):
-    // materialize the distinct once (the guard's collect is a separate
-    // action), abort on a >100-distinct-part order instead of letting
-    // it go quadratic in the join
+    // pairLift — guarded IN-PLAN (round-11): over-cap orders ride back
+    // as an (empty-by-contract) broadcast and raise mid-stage, so a
+    // >100-distinct-part order fails the job fast instead of going
+    // quadratic, at zero extra actions (the eager checkpoint+collect
+    // form measured +2 s at sf0.1; this one is plan-only)
     val items = lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-      .repartition(s.sparkContext.defaultParallelism)
-      .localCheckpoint(true)
-    graft.ext.MarketBasket.guardFanout(items, "ok", cap = 100L,
-      what = "partTriangles edge derivation")
-    val pairs = items
+    val guarded = graft.ext.MarketBasket.guardFanoutInline(items, "ok",
+      cap = 100L, what = "partTriangles edge derivation")
+    val pairs = guarded
       .join(items.select(col("ok"), col("pk").as("pk2")), Seq("ok"))
       .filter(col("pk") < col("pk2"))
     Graph.triangleStats(pairs, "pk", "pk2")

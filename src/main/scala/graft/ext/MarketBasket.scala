@@ -92,6 +92,33 @@ object MarketBasket {
     * main plan — the guard's collect is a separate action and would
     * otherwise recompute the distinct shuffle.
     */
+  /** In-plan form of [[guardFanout]]: NO extra action. Per-basket
+    * distinct counts reduce to only the OVER-CAP baskets (empty by
+    * contract — broadcasting all counts would itself be O(baskets)),
+    * which ride back as a broadcast left-outer probe; the first row of
+    * an offending basket raises mid-stage, failing the SAME job that
+    * would otherwise go quadratic. Use when the frame has one consumer
+    * chain (no checkpoint to amortize a separate guard action over);
+    * rows/columns pass through unchanged when every basket is legal.
+    */
+  def guardFanoutInline(d: DataFrame, basketCol: String, cap: Long,
+      what: String): DataFrame = {
+    val hot = d.groupBy(col(basketCol)).agg(count(lit(1)).as("__gn"))
+      .filter(col("__gn") > cap)
+    d.join(broadcast(hot), Seq(basketCol), "left_outer")
+      .select(d.columns.map { c =>
+        if (c == basketCol)
+          when(col("__gn").isNotNull,
+            raise_error(concat(
+              lit(s"$what: basket "), col(basketCol).cast("string"),
+              lit(s" exceeds maxBasketSize=$cap ("),
+              col("__gn").cast("string"),
+              lit(" distinct items); pair fanout is size² per basket"))))
+            .otherwise(col(c)).as(c)
+        else col(c)
+      }.toSeq: _*)
+  }
+
   def guardFanout(d: DataFrame, basketCol: String, cap: Long,
       what: String): Unit = {
     val hot = d.groupBy(col(basketCol)).count()

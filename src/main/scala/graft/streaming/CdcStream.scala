@@ -728,7 +728,8 @@ object CdcStream {
       rowSchema: StructType,
       strategy: ConflictStrategy = ConflictStrategy.LastWriteWins,
       writeMode: String = "cow",
-      foldEvery: Int = 0): Unit = {
+      foldEvery: Int = 0,
+      foldMinDeletedFraction: Double = 0.0): Unit = {
     import graft.log.ChangeLog.{CdcId, NewData, Operation, RecordId}
     import graft.sources.TxTable
     val spark = batch.sparkSession
@@ -800,7 +801,12 @@ object CdcStream {
           else Integer.valueOf(n)
         })
         if (crossed) {
-          TxTable.foldDvs(spark, tableDir)
+          // the POLICY arm when a threshold is configured: only files
+          // whose deleted fraction crossed it rewrite (foldDvsIf) —
+          // cold files keep their O(1) DVs; 0.0 keeps the full fold
+          if (foldMinDeletedFraction > 0.0)
+            TxTable.foldDvsIf(spark, tableDir, foldMinDeletedFraction)
+          else TxTable.foldDvs(spark, tableDir)
           ()
         }
       }
@@ -854,13 +860,14 @@ object CdcStream {
       maxFilesPerTrigger: Int = 100,
       strategy: ConflictStrategy = ConflictStrategy.LastWriteWins,
       writeMode: String = "cow",
-      foldEvery: Int = 0): StreamingQuery =
+      foldEvery: Int = 0,
+      foldMinDeletedFraction: Double = 0.0): StreamingQuery =
     startLogStream(spark, logDir, rowSchema, checkpointDir,
       trigger.getOrElse(
         Trigger.ProcessingTime(s"${config.syncIntervalSeconds} seconds")),
       maxFilesPerTrigger, s"cdc-replicate-tx-${spec.table}") {
       (batch, _) => applyTxBatch(batch, tableDir, spec, rowSchema, strategy,
-        writeMode, foldEvery)
+        writeMode, foldEvery, foldMinDeletedFraction)
     }
 
   /** Shared change-log readStream/writeStream wiring for [[start]] and
@@ -900,11 +907,13 @@ object CdcStream {
       strategy: ConflictStrategy = ConflictStrategy.LastWriteWins,
       maxFilesPerTrigger: Int = 100,
       writeMode: String = "cow",
-      foldEvery: Int = 0): Unit = {
+      foldEvery: Int = 0,
+      foldMinDeletedFraction: Double = 0.0): Unit = {
     val q = startTxTable(spark, logDir, tableDir, checkpointDir, spec,
       rowSchema, trigger = Some(Trigger.AvailableNow()),
       maxFilesPerTrigger = maxFilesPerTrigger, strategy = strategy,
-      writeMode = writeMode, foldEvery = foldEvery)
+      writeMode = writeMode, foldEvery = foldEvery,
+      foldMinDeletedFraction = foldMinDeletedFraction)
     q.awaitTermination()
   }
 

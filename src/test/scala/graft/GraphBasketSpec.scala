@@ -165,4 +165,20 @@ class GraphBasketSpec extends SparkSpecBase {
       && e.getMessage.contains("6 distinct items"), e.getMessage)
     MarketBasket.guardFanout(edges, "ok", cap = 6L, what = "triangle edges")
   }
+
+  test("guardFanoutInline: raises mid-job on a planted mega-basket; pass-through otherwise") {
+    val edges = (Seq((1L, 10L), (1L, 11L)) ++
+      (1 to 6).map(i => (99L, 100L + i))).toDF("ok", "pk").distinct()
+    // under the cap: rows and values pass through unchanged
+    val ok = MarketBasket.guardFanoutInline(edges, "ok", cap = 6L, "inline")
+    assert(ok.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    // over the cap: the SAME job raises, naming the basket — no
+    // separate guard action to forget
+    val bad = MarketBasket.guardFanoutInline(edges, "ok", cap = 5L, "inline")
+    val e = intercept[Throwable] { bad.collect() }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + msgs(t.getCause)
+    assert(msgs(e).contains("exceeds maxBasketSize=5"), msgs(e).take(500))
+  }
 }
