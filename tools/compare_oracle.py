@@ -23,6 +23,11 @@ for f in glob.glob(f"{sfdir}/*.parquet"):
     con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{src}'")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+# optional comma-separated filter (same contract as SPARK_GRAFT_ONLY)
+_only = os.environ.get("GRAFT_ONLY")
+if _only:
+    keep = set(_only.split(","))
+    oracle = {k: v for k, v in oracle.items() if k in keep}
 fails = []
 for name, sql in sorted(oracle.items()):
     spark_dir = f"{outdir}/{name}"
