@@ -199,7 +199,14 @@ object Fixtures {
     val inserts = orders
       .filter(col("o_orderkey") % 101 === 0)
       .select(
-        (col("o_orderkey") + 50000000L).as("o_orderkey"),
+        // NEGATIVE synthetic keys: every generated key space (driver
+        // testdata AND GenSf1's +i·10M replica offsets) is non-negative,
+        // so -k-1 can never collide at any SF. The old `+ 50000000`
+        // landed INSIDE GenSf1's replica-5 block at sf1, making the
+        // capture fixture ambiguous (duplicate keys) — the round-11 sf1
+        // ORACLE sweep caught 17 cdc queries diverging on exactly that
+        // (the round-8 tx_merge_apply lesson, finally applied here too)
+        (-col("o_orderkey") - 1L).as("o_orderkey"),
         col("o_custkey"),
         lit("N").as("o_orderstatus"),
         col("o_totalprice"),
@@ -295,7 +302,7 @@ object FixtureSql {
       |         o_orderdate, o_orderpriority
       |  FROM orders WHERE o_orderkey % 97 <> 0
       |  UNION ALL
-      |  SELECT o_orderkey + 50000000, o_custkey, 'N', o_totalprice, o_orderdate, 'NEW'
+      |  SELECT -o_orderkey - 1, o_custkey, 'N', o_totalprice, o_orderdate, 'NEW'
       |  FROM orders WHERE o_orderkey % 101 = 0
       |)""".stripMargin
 

@@ -16,8 +16,17 @@ import json, os, subprocess, sys, tempfile
 sfdir, outdir, json_out = sys.argv[1], sys.argv[2], sys.argv[3]
 timeout = int(sys.argv[4]) if len(sys.argv) > 4 else 1200
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
-records, done = {}, 0
+# resume: entries already recorded in json_out (from a prior partial
+# run) are kept as-is and skipped
+records = {}
+if os.path.exists(json_out):
+    records = json.load(open(json_out))
+    print(f"resuming past {len(records)} recorded queries", flush=True)
+done = 0
 for name in sorted(oracle):
+    if name in records:
+        done += 1
+        continue
     tmp = tempfile.mktemp(suffix=".json")
     env = dict(os.environ, GRAFT_ONLY=name)
     try:
@@ -42,6 +51,8 @@ for name in sorted(oracle):
         if os.path.exists(tmp):
             os.unlink(tmp)
     done += 1
+    with open(json_out, "w") as f:
+        json.dump(records, f, indent=1, sort_keys=True)
     st = records[name]
     tag = ("OK" if st["hash_match"] else
            ("TIMEOUT" if st["err"] and "timeout" in st["err"] else "FAIL"))
