@@ -2732,7 +2732,11 @@ object SparkEntry {
       .select(col("l_orderkey"), col("l_linenumber"),
         round(col("up"), 6).as("unit_price"),
         col("band_id"), round(col("lo"), 6).as("lo"), round(col("hi"), 6).as("hi"))
-      .orderBy("l_orderkey", "l_linenumber", "band_id")
+      // unit_price tiebreak: the testdata does NOT key lineitem by
+      // (orderkey, linenumber) — at sf1 ~24% of pairs repeat with
+      // different prices, so without it the sort is non-total and the
+      // positional oracle compare order-diverges (round-11 sf1 sweep)
+      .orderBy("l_orderkey", "l_linenumber", "band_id", "unit_price")
   }
 
   private def qTopRevenue(s: SparkSession, dir: String): DataFrame = {
@@ -3588,15 +3592,17 @@ object SparkEntry {
     val centDf = embCentroids(s, dir).select(col("vec_id").as("centroid_id"),
       col("embedding").cast("array<double>").as("__cv"))
     val cents = Similarity.collectCentroids(embCentroids(s, dir), "vec_id", "embedding")
-    Similarity.ivfAssign(embeddings(s, dir), cents, "embedding")
+    // RAW-score assignment: the argmax over unrounded cosines is
+    // engine-portable bit-for-bit; the 6-dp-ranked default flipped one
+    // member at sf1 on a round-boundary (round-11 sweep)
+    Similarity.ivfAssignRaw(embeddings(s, dir), cents, "embedding")
       .join(broadcast(centDf), Seq("centroid_id"))
       .withColumn("__score",
         round(Similarity.cosine(col("embedding").cast("array<double>"), col("__cv")), 6))
       .groupBy(col("centroid_id"))
       .agg(
         count(lit(1)).as("n_members"),
-        round(sum(col("__score").cast(DecimalType(28, 10))).cast("double") /
-          count(lit(1)), 6).as("mean_score"),
+        meanOfSixDp(col("__score")).as("mean_score"),
         min(col("__score")).as("min_score"))
       .orderBy("centroid_id")
   }
@@ -4160,7 +4166,11 @@ object SparkEntry {
     */
   private def qEmbCentroidStats(s: SparkSession, dir: String): DataFrame = {
     val cents = Similarity.collectCentroids(embCentroids(s, dir), "vec_id", "embedding")
-    val assigned = Similarity.ivfAssign(embeddings(s, dir), cents, "embedding")
+    // raw-score argmax + exact decimal mean (round-11): both the
+    // assignment and the aggregation are engine-portable bit-for-bit —
+    // the 6-dp-ranked argmax and the plain double avg each diverged in
+    // the 6th decimal at sf1 (round-boundary flip / accumulation order)
+    val assigned = Similarity.ivfAssignRaw(embeddings(s, dir), cents, "embedding")
     val centLit = map(cents.flatMap { case (cid, v) =>
       Seq(lit(cid), array(v.map(lit): _*))
     }: _*)
@@ -4170,10 +4180,30 @@ object SparkEntry {
           element_at(centLit, col("centroid_id"))), 6))
       .groupBy("centroid_id")
       .agg(count(lit(1)).as("n_members"),
-        round(avg(col("__score")), 6).as("mean_cos"),
+        meanOfSixDp(col("__score")).as("mean_cos"),
         max(col("__score")).as("max_cos"),
         min(col("__score")).as("min_cos"))
       .orderBy("centroid_id")
+  }
+
+  /** HALF_UP 6-dp mean of a 6-dp score column in INTEGER arithmetic —
+    * the engine-portable form. A decimal sum of 6-dp scores divided by
+    * a small count lands EXACTLY on 7th-digit boundaries all the time
+    * (the round-11 sf1 catch: 20.710420/40 = 0.5177605, which Spark's
+    * repr-HALF_UP rounds up and DuckDB's numeric round rounds down).
+    * Integer micro-units sidestep the boundary: HALF_UP(q) =
+    * sign · ⌊(2|Σu| + n) / 2n⌋ — all operands exact in doubles far
+    * below 2^53, and the quotient is ≥ 1/(2n) from any integer except
+    * when exactly divisible, so the floor is fp-safe. The oracle twin
+    * spells the identical formula.
+    */
+  private def meanOfSixDp(score: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val u = sum(round(score * lit(1000000L), 0).cast("long"))
+    val n = count(lit(1))
+    (signum(u) *
+      floor((lit(2L) * abs(u) + n).cast("double") /
+        (lit(2L) * n).cast("double")) / lit(1000000.0))
+      .cast("double")
   }
 
   /** Per-language duplication report: doc count, distinct-fingerprint
@@ -4623,9 +4653,14 @@ object SparkEntry {
       .select(
         date_format(col("mo"), "yyyy-MM").as("month"),
         col("rev").cast("double").as("revenue"),
-        round(col("swx").cast("double") / col("sw").cast("double"), 6).as("ewma"),
-        round(col("rev").cast("double") -
-          col("swx").cast("double") / col("sw").cast("double"), 6).as("err"))
+        // UNROUNDED exits (round-11): every input double is the
+        // correctly-rounded image of the same exact decimal on both
+        // engines, so the ewma/err chains are bit-identical — while
+        // round(x, 6) at sf1's ~3e9 magnitudes sits BELOW ulp and the
+        // two engines' rounding algorithms disagree on last-digit cases
+        (col("swx").cast("double") / col("sw").cast("double")).as("ewma"),
+        (col("rev").cast("double") -
+          col("swx").cast("double") / col("sw").cast("double")).as("err"))
       .orderBy("month")
   }
 
@@ -7232,12 +7267,23 @@ object SparkEntry {
          |         sqrt(${dotSql("e.v", "e.v")}) AS na,
          |         sqrt(${dotSql("c.cv", "c.cv")}) AS nb
          |  FROM e, c),
-         |${cosScoreSql("rawc", "sc")},
-         |a1 AS (SELECT vec_id, cid, score FROM
-         |        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn FROM sc)
+         |-- RAW-score argmax (round-11): ranking on the unrounded cosine
+         |-- matches ivfAssignRaw bit-for-bit; score rounds only at output
+         |a1 AS (SELECT vec_id, cid, round(rawscore, 6) AS score FROM
+         |        (SELECT *, CASE WHEN na*nb = 0 THEN 0.0 ELSE dp/(na*nb) END AS rawscore,
+         |                row_number() OVER (PARTITION BY vec_id
+         |                  ORDER BY (CASE WHEN na*nb = 0 THEN 0.0 ELSE dp/(na*nb) END) DESC, cid) AS rn
+         |         FROM rawc)
          |       WHERE rn = 1)
+         |-- integer-unit HALF_UP mean (see meanOfSixDp's scaladoc): a
+         |-- 6-dp-score mean lands on exact 7th-digit boundaries, where
+         |-- the engines' double rounds disagree
          |SELECT cid AS centroid_id, CAST(COUNT(*) AS BIGINT) AS n_members,
-         |       round(avg(score), 6) AS mean_cos,
+         |       CAST((CASE WHEN SUM(CAST(round(score*1000000, 0) AS BIGINT)) < 0 THEN -1
+         |                  WHEN SUM(CAST(round(score*1000000, 0) AS BIGINT)) > 0 THEN 1
+         |                  ELSE 0 END)
+         |            * floor((2*abs(SUM(CAST(round(score*1000000, 0) AS BIGINT))) + COUNT(*))
+         |                    / (2.0*COUNT(*))) / 1000000.0 AS DOUBLE) AS mean_cos,
          |       max(score) AS max_cos, min(score) AS min_cos
          |FROM a1 GROUP BY cid ORDER BY centroid_id""".stripMargin,
 
@@ -8814,12 +8860,21 @@ object SparkEntry {
          |         sqrt(${dotSql("e.v", "e.v")}) AS na,
          |         sqrt(${dotSql("c.cv", "c.cv")}) AS nb
          |  FROM e, c),
-         |${cosScoreSql("rawc", "sc")},
-         |a1 AS (SELECT vec_id, cid, score FROM
-         |        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn FROM sc)
+         |-- RAW-score argmax (round-11): ranking on the unrounded cosine
+         |-- matches ivfAssignRaw bit-for-bit; score rounds only at output
+         |a1 AS (SELECT vec_id, cid, round(rawscore, 6) AS score FROM
+         |        (SELECT *, CASE WHEN na*nb = 0 THEN 0.0 ELSE dp/(na*nb) END AS rawscore,
+         |                row_number() OVER (PARTITION BY vec_id
+         |                  ORDER BY (CASE WHEN na*nb = 0 THEN 0.0 ELSE dp/(na*nb) END) DESC, cid) AS rn
+         |         FROM rawc)
          |       WHERE rn = 1)
+         |-- integer-unit HALF_UP mean (see meanOfSixDp's scaladoc)
          |SELECT cid AS centroid_id, CAST(COUNT(*) AS BIGINT) AS n_members,
-         |       round(CAST(SUM(CAST(score AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*), 6) AS mean_score,
+         |       CAST((CASE WHEN SUM(CAST(round(score*1000000, 0) AS BIGINT)) < 0 THEN -1
+         |                  WHEN SUM(CAST(round(score*1000000, 0) AS BIGINT)) > 0 THEN 1
+         |                  ELSE 0 END)
+         |            * floor((2*abs(SUM(CAST(round(score*1000000, 0) AS BIGINT))) + COUNT(*))
+         |                    / (2.0*COUNT(*))) / 1000000.0 AS DOUBLE) AS mean_score,
          |       min(score) AS min_score
          |FROM a1 GROUP BY cid ORDER BY centroid_id""".stripMargin,
 
@@ -9259,7 +9314,7 @@ object SparkEntry {
         |SELECT l_orderkey, l_linenumber, round(up, 6) AS unit_price,
         |       band_id, round(lo, 6) AS lo, round(hi, 6) AS hi
         |FROM pts JOIN iv ON up >= lo AND up <= hi
-        |ORDER BY l_orderkey, l_linenumber, band_id""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, band_id, unit_price""".stripMargin,
 
     "top_revenue_join" ->
       """SELECT o_orderkey,
@@ -9327,18 +9382,25 @@ object SparkEntry {
 
     // full Q1: exact decimal sums; each avg is ONE double division of an
     // exact sum, rounded once (mirrors the engine aggregate exactly)
+    // every decimal→double exit is VARCHAR-routed: DuckDB's direct
+    // DECIMAL→DOUBLE cast converts the int128 unscaled value to double
+    // FIRST and divides by 10^scale after — two roundings, lossy once
+    // the unscaled value tops 2^53 (sum_charge at sf1: 5.1e10 at scale
+    // 6 = 5.1e16 units — the round-11 sf1 sweep caught the last-ulp
+    // drift). VARCHAR→DOUBLE parses the exact decimal digits and is
+    // correctly rounded, matching Spark's BigDecimal.doubleValue.
     "lineitem_q1_full" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-        |           * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |           * CAST(1.0 - l_discount AS DECIMAL(4,2))) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
         |           * CAST(1.0 - l_discount AS DECIMAL(4,2))
-        |           * CAST(1.0 + l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
-        |  round(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
-        |  round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
-        |  round(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+        |           * CAST(1.0 + l_tax AS DECIMAL(4,2))) AS VARCHAR) AS DOUBLE) AS sum_charge,
+        |  round(CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+        |  round(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+        |  round(CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
         |  CAST(COUNT(*) AS BIGINT) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
@@ -10474,11 +10536,19 @@ object SparkEntry {
          |              CAST(CAST(m.rev AS DECIMAL(20,2)) * w.w AS DECIMAL(38,12)) AS wx, w.w
          |            FROM monthly m, w),
          |e AS (SELECT tgt, SUM(wx) AS swx, SUM(w) AS sw FROM contrib GROUP BY 1)
+         |-- swx exits through VARCHAR: at sf1 its unscaled value
+         |-- (~1.7e10 at scale 12 = 1.7e22 units) is far past 2^53, where
+         |-- DuckDB's direct DECIMAL→DOUBLE (int128→double, THEN divide
+         |-- by 10^scale) double-rounds; the string parse is correctly
+         |-- rounded like Spark's BigDecimal.doubleValue (round-11 sweep)
+         |-- unrounded exits: the input doubles are identical on both
+         |-- engines (VARCHAR-routed swx), so the chains are bit-identical
+         |-- — round(x,6) at ~3e9 sits below ulp and diverges instead
          |SELECT strftime(m.mo, '%Y-%m') AS month,
          |       CAST(m.rev AS DOUBLE) AS revenue,
-         |       round(CAST(e.swx AS DOUBLE) / CAST(e.sw AS DOUBLE), 6) AS ewma,
-         |       round(CAST(m.rev AS DOUBLE)
-         |             - CAST(e.swx AS DOUBLE) / CAST(e.sw AS DOUBLE), 6) AS err
+         |       CAST(CAST(e.swx AS VARCHAR) AS DOUBLE) / CAST(e.sw AS DOUBLE) AS ewma,
+         |       CAST(m.rev AS DOUBLE)
+         |             - CAST(CAST(e.swx AS VARCHAR) AS DOUBLE) / CAST(e.sw AS DOUBLE) AS err
          |FROM monthly m JOIN e ON e.tgt = m.idx ORDER BY month""".stripMargin,
 
     // Wilson 95% CI per funnel transition over the sequential-min

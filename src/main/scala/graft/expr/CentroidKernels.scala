@@ -20,7 +20,8 @@ import org.apache.spark.sql.types._
   * mismatch or null element yields NULL (all centroids share the
   * codebook dim, so per-centroid nulls cannot differ).
   */
-case class NearestCentroid(child: Expression, cents: Seq[(Long, Seq[Double])])
+case class NearestCentroid(child: Expression, cents: Seq[(Long, Seq[Double])],
+    rawScore: Boolean = false)
     extends UnaryExpression {
   require(cents.nonEmpty, "centroid set must be non-empty")
 
@@ -64,9 +65,16 @@ case class NearestCentroid(child: Expression, cents: Seq[(Long, Seq[Double])])
       }
       val d = math.sqrt(na) * math.sqrt(nb)
       val raw = if (d == 0.0) 0.0 else dot / d
-      // Spark round(x, 6): BigDecimal.valueOf (Double.toString), HALF_UP
-      val s = java.math.BigDecimal.valueOf(raw)
-        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      // rawScore: rank by the UNROUNDED cosine — bit-identical across
+      // engines (same sequential IEEE ops), so the argmax carries no
+      // round-boundary hazard (round-11 sf1 finding: a 7th-digit '5'
+      // boundary rounded differently by the two engines and flipped an
+      // assignment). Default keeps the historical 6-dp ranking.
+      val s =
+        if (rawScore) raw
+        else // Spark round(x, 6): BigDecimal.valueOf (Double.toString), HALF_UP
+          java.math.BigDecimal.valueOf(raw)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
       if (s > bestS || (s == bestS && ids(c) < bestC)) { bestS = s; bestC = ids(c) }
       c += 1
     }

@@ -169,15 +169,17 @@ object Similarity {
     * on the smaller centroid id; scores are rounded to 6 dp first so the
     * argmax is stable under float noise.
     */
-  def nearestCentroid(vec: Column, cents: Seq[(Long, Seq[Double])]): Column = {
+  def nearestCentroid(vec: Column, cents: Seq[(Long, Seq[Double])],
+      rawScore: Boolean = false): Column = {
     require(cents.nonEmpty, "centroid set must be non-empty")
     // native fused argmax ([[graft.expr.NearestCentroid]]) — one
     // primitive loop per row; bit-identical to [[nearestCentroidColumnar]]
-    // (the definition the oracle SQL mirrors), cross-checked in tests
+    // (the definition the oracle SQL mirrors), cross-checked in tests.
+    // rawScore ranks by the unrounded cosine (see the kernel's note).
     org.apache.spark.sql.GraftSqlBridge.column(
       graft.expr.NearestCentroid(
         org.apache.spark.sql.GraftSqlBridge.expression(vec.cast("array<double>")),
-        cents))
+        cents, rawScore))
   }
 
   /** Pure-built-ins twin of [[nearestCentroid]] — interpreted `aggregate`
@@ -231,6 +233,19 @@ object Similarity {
       cents: Seq[(Long, Seq[Double])],
       corpusVec: String): DataFrame =
     corpus.withColumn("centroid_id", nearestCentroid(col(corpusVec), cents))
+
+  /** [[ivfAssign]] ranking by the UNROUNDED cosine: the assignment is
+    * then a pure function of bit-identical IEEE doubles on any engine —
+    * no round-boundary hazard in the argmax (the 6-dp-ranked default
+    * can flip a member when two engines round a 7th-digit '5'
+    * differently; caught by the round-11 sf1 oracle sweep).
+    */
+  def ivfAssignRaw(
+      corpus: DataFrame,
+      cents: Seq[(Long, Seq[Double])],
+      corpusVec: String): DataFrame =
+    corpus.withColumn("centroid_id",
+      nearestCentroid(col(corpusVec), cents, rawScore = true))
 
   /** Collect a (small) centroid table to the driver — structurally the
     * same bound a broadcast implies; IVF coarse codebooks are 2^8..2^16
