@@ -75,4 +75,52 @@ object CdcMonitor {
       "health" -> r.getAs[String]("health"),
       "timestamp" -> java.time.Instant.now().toString)
   }
+
+  /** Human-formatted health report — the renderer twin of the reference's
+    * `print_report` (cdc_system.py:378-393): banner, table name, upper-cased
+    * status, totals, and a `  {op}: {total} total, {pending} pending` line
+    * per operation present in the log. Operations render in the enum's
+    * declaration order (INSERT, UPDATE, DELETE — cdc_system.py:25-29);
+    * absent operations are omitted, matching the reference's dict of
+    * present-only keys. Driver-side cost is one [[statistics]] collect
+    * (≤ 3 rows, the operation domain) — log data itself never leaves the
+    * executors. `now` is injectable so tests can pin the timestamp.
+    */
+  def formatReport(
+      log: DataFrame,
+      table: String,
+      config: CdcConfig = CdcConfig(),
+      now: () => String = () => java.time.Instant.now().toString): String = {
+    val ops = statistics(log).collect()
+      .map(r => r.getAs[String](Operation) ->
+        (r.getAs[Long]("total"), r.getAs[Long]("pending")))
+      .toMap
+    val total = ops.values.map(_._1).sum
+    val pending = ops.values.map(_._2).sum
+    val status =
+      if (pending < config.healthPendingThreshold) "HEALTHY" else "WARNING"
+    val bar = "=" * 60
+    val opLines = Seq("INSERT", "UPDATE", "DELETE").flatMap(op =>
+      ops.get(op).map { case (t, p) => s"  $op: $t total, $p pending" })
+    (Seq(
+      bar,
+      s"CDC HEALTH REPORT - ${now()}",
+      bar,
+      s"Table: $table",
+      s"Status: $status",
+      "",
+      s"Total Changes: $total",
+      s"Pending: $pending",
+      s"Synced: ${total - pending}",
+      "",
+      "By Operation:") ++ opLines :+ bar).mkString("\n")
+  }
+
+  /** Print [[formatReport]] — the side-effecting form matching the
+    * reference's API shape (cdc_system.py:378).
+    */
+  def printReport(log: DataFrame, table: String, config: CdcConfig = CdcConfig()): Unit =
+    // scalastyle:off println
+    println("\n" + formatReport(log, table, config) + "\n")
+    // scalastyle:on println
 }

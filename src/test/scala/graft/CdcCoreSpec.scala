@@ -117,6 +117,37 @@ class CdcCoreSpec extends SparkSpecBase {
     assert(r("health") === "healthy")
   }
 
+  // --- print_report rendering (reference: cdc_system.py:378-393)
+  test("formatReport renders the reference's report layout") {
+    val t = freshTable()
+    t.insert(Seq((1L, "a", 1L), (2L, "b", 2L)).toDF("id", "name", "value"))
+    t.update(col("id") === 1, Map("value" -> lit(10L)))
+    val rendered = CdcMonitor.formatReport(
+      t.changeLog, "test_table", CdcConfig(), now = () => "2026-01-01T00:00:00Z")
+    val lines = rendered.split("\n").toSeq
+    assert(lines.head === "=" * 60)
+    assert(lines(1) === "CDC HEALTH REPORT - 2026-01-01T00:00:00Z")
+    assert(lines.contains("Table: test_table"))
+    assert(lines.contains("Status: HEALTHY"))
+    assert(lines.contains("Total Changes: 3"))
+    assert(lines.contains("Pending: 3"))
+    assert(lines.contains("Synced: 0"))
+    // present ops in enum order, absent DELETE omitted
+    val opIdx = lines.indexOf("By Operation:")
+    assert(lines(opIdx + 1) === "  INSERT: 2 total, 2 pending")
+    assert(lines(opIdx + 2) === "  UPDATE: 1 total, 1 pending")
+    assert(!rendered.contains("DELETE"))
+    assert(lines.last === "=" * 60)
+  }
+
+  test("formatReport flips to WARNING past the pending threshold") {
+    val t = freshTable()
+    t.insert((1L to 5L).map(i => (i, s"n$i", i)).toDF("id", "name", "value"))
+    val rendered = CdcMonitor.formatReport(
+      t.changeLog, "test_table", CdcConfig(healthPendingThreshold = 5))
+    assert(rendered.contains("Status: WARNING"))
+  }
+
   // --- test_full_cdc_workflow (reference: test_cdc_system.py:244-318)
   test("full workflow: orders inserts + update replicate correctly") {
     val ordersSpec = CdcTableSpec("orders", Seq("id", "customer", "amount", "status"), "id")

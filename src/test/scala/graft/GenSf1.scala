@@ -30,12 +30,15 @@ import org.apache.spark.sql.functions._
   *    outgrow dims in any real warehouse.
   */
 object GenSf1 {
-  private val Reps = 10
   private val Off = 10000000L
 
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val dst = if (args.length > 1) args(1) else "/tmp/graft_sf1"
+    // optional 3rd arg: replication factor (10 = sf1-equivalent, the
+    // default; 100 = the sf10 probe tier). Key offsets stay i·10M —
+    // max source key ≈ 6e5, so even 100 replicas stay disjoint.
+    val Reps = if (args.length > 2) args(2).toInt else 10
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
