@@ -201,9 +201,11 @@ object Bench {
     // latency (p50/p99 of each trigger's triggerExecution from the
     // listener's progress events) plus sustained changes/s over the
     // whole drain. Skipped on focused runs (SPARK_GRAFT_ONLY) and under
-    // SPARK_GRAFT_NO_STREAMING=1.
+    // SPARK_GRAFT_NO_STREAMING=1; SPARK_GRAFT_STREAMING=1 forces it on
+    // a focused run (scale probes that want ONLY the streaming tier).
     var streamingJson = ""
-    if (only.isEmpty && !sys.env.contains("SPARK_GRAFT_NO_STREAMING"))
+    if ((only.isEmpty || sys.env.contains("SPARK_GRAFT_STREAMING")) &&
+        !sys.env.contains("SPARK_GRAFT_NO_STREAMING"))
       prep("streaming_latency") {
         import org.apache.spark.sql.functions.{col, lit, pmod}
         import org.apache.spark.sql.types.StructType

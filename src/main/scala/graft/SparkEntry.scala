@@ -1360,7 +1360,7 @@ object SparkEntry {
     * subspaces of 16 dims each.
     */
   private def qEmbPqAssign(s: SparkSession, dir: String): DataFrame = {
-    val cents = Similarity.collectCentroids(embCentroids(s, dir), "vec_id", "embedding")
+    val cents = Similarity.collectCentroids(embCodebook(s, dir), "vec_id", "embedding")
     Similarity.pqAssign(embeddings(s, dir), "vec_id", "embedding", cents, m = 4)
       .orderBy("vec_id", "sub_i")
   }
@@ -1370,7 +1370,7 @@ object SparkEntry {
     * tables, rank 1 = nearest.
     */
   private def qAnnPqTopK(s: SparkSession, dir: String): DataFrame = {
-    val cents = Similarity.collectCentroids(embCentroids(s, dir), "vec_id", "embedding")
+    val cents = Similarity.collectCentroids(embCodebook(s, dir), "vec_id", "embedding")
     val codes = Similarity.pqCodes(embeddings(s, dir), "vec_id", "embedding", cents, m = 4)
     Similarity.pqTopK(codes, embQueries(s, dir), "vec_id", "codes",
         "vec_id", "embedding", cents, m = 4, k = 10)
@@ -1381,7 +1381,7 @@ object SparkEntry {
     * (partitioned by coarse list), then ADC-search it probing 3 lists.
     */
   private def qAnnIvfPqTopK(s: SparkSession, dir: String): DataFrame = {
-    val cents = Similarity.collectCentroids(embCentroids(s, dir), "vec_id", "embedding")
+    val cents = Similarity.collectCentroids(embCodebook(s, dir), "vec_id", "embedding")
     val idxPath = Fixtures.scratchDir("ivfpq", dir)
     // one-time artifact (memoized): the query times the ADC serving path
     Fixtures.buildOnce("ivfpq", s, dir) {
@@ -1425,7 +1425,7 @@ object SparkEntry {
     * codebook.
     */
   private def qAnnIvfPqAppend(s: SparkSession, dir: String): DataFrame = {
-    val cents = Similarity.collectCentroids(embCentroids(s, dir), "vec_id", "embedding")
+    val cents = Similarity.collectCentroids(embCodebook(s, dir), "vec_id", "embedding")
     val idxPath = Fixtures.scratchDir("ivfpq_app", dir)
     Fixtures.buildOnce("ivfpq_app", s, dir) {
       Similarity.writeIvfPqIndex(
@@ -1461,7 +1461,7 @@ object SparkEntry {
       Dedup.appendToSignatureIndex(docs.filter(col("doc_id") % 5 === 1),
         "text", "doc_id", p)
     }
-    val cents = Similarity.collectCentroids(embCentroids(s, dir), "vec_id", "embedding")
+    val cents = Similarity.collectCentroids(embCodebook(s, dir), "vec_id", "embedding")
     Fixtures.buildOnce("ivfpq", s, dir) {
       Similarity.writeIvfPqIndex(embeddings(s, dir), "vec_id", "embedding",
         cents, m = 4, Fixtures.scratchDir("ivfpq", dir))
@@ -1534,8 +1534,31 @@ object SparkEntry {
   private def embQueries(s: SparkSession, dir: String): DataFrame =
     embeddings(s, dir).filter(col("vec_id") % 50 === 0)
 
+  /** Coarse-centroid BLOCKING structure (SQL twin: `c` in [[EmbBase]]) —
+    * for the operators whose quadratic is bounded at N²/k by the cluster
+    * partition (semantic dedup, kNN graph, outlier audit, list
+    * assignment). Their published cost model requires k ∝ N (fixed-size
+    * lists), so this fixture scales with the corpus; assignment goes
+    * through the compact [[graft.expr.NearestCentroid]] kernel, which
+    * carries the table as ONE literal and tolerates large k.
+    */
   private def embCentroids(s: SparkSession, dir: String): DataFrame =
     embeddings(s, dir).filter(col("vec_id") % 61 === 0)
+
+  /** Bounded serving CODEBOOK (SQL twin: `cb` in [[EmbBase]]) — for the
+    * plan-space consumers: Lloyd training, PQ encode/ADC tables (O(m·k)
+    * expression nodes), per-query probe selection (queries×k explode).
+    * The `vec_id < 10M` cap pins it to the replica-0 id block (GenSf1
+    * offsets replicas by i·10M): a no-op at every driver SF (max vec_id
+    * 4,999) but load-bearing at the replicated probe tiers — the uncapped
+    * `% 61` grew k to ≈8,200 at the sf10 tier and the ADC expression tree
+    * blew the task binary past the heap. With the cap the SAME
+    * 82-centroid codebook serves sf0.1/sf1/sf10, so cross-tier runs
+    * measure pure corpus scaling. Documented design envelope: k ≲ 1e3
+    * (beyond that, move the distance table from plan-space to data-space).
+    */
+  private def embCodebook(s: SparkSession, dir: String): DataFrame =
+    embeddings(s, dir).filter(col("vec_id") % 61 === 0 && col("vec_id") < 10000000L)
 
   private def qAnnBruteForce(s: SparkSession, dir: String): DataFrame =
     Similarity.bruteForceTopK(embeddings(s, dir), embQueries(s, dir),
@@ -1555,7 +1578,7 @@ object SparkEntry {
 
   private def qAnnIvfTopK(s: SparkSession, dir: String): DataFrame = {
     // collect the codebook once, share across assign + search
-    val cents = Similarity.collectCentroids(embCentroids(s, dir), "vec_id", "embedding")
+    val cents = Similarity.collectCentroids(embCodebook(s, dir), "vec_id", "embedding")
     val assigned = Similarity.ivfAssign(embeddings(s, dir), cents, "embedding")
     Similarity.ivfTopK(assigned, cents, embQueries(s, dir),
         "vec_id", "embedding", "vec_id", "embedding", k = 10, nprobe = 3)
@@ -1592,7 +1615,7 @@ object SparkEntry {
   private def qAnnRecallSweep(s: SparkSession, dir: String): DataFrame = {
     val bf = qAnnBruteForce(s, dir).select(col("query_id"), col("neighbor_id"))
       .localCheckpoint(true)
-    val cents = Similarity.collectCentroids(embCentroids(s, dir), "vec_id", "embedding")
+    val cents = Similarity.collectCentroids(embCodebook(s, dir), "vec_id", "embedding")
     val assigned = Similarity.ivfAssign(embeddings(s, dir), cents, "embedding")
       .localCheckpoint(true)
     Seq(1, 2, 4).map { np =>
@@ -1737,7 +1760,7 @@ object SparkEntry {
     * (centroid, dim) scalars so the oracle hash-compares scalar columns.
     */
   private def qAnnIvfTrain(s: SparkSession, dir: String): DataFrame = {
-    val cents = Similarity.collectCentroids(embCentroids(s, dir), "vec_id", "embedding")
+    val cents = Similarity.collectCentroids(embCodebook(s, dir), "vec_id", "embedding")
     Similarity.ivfTrainStep(embeddings(s, dir), cents, "embedding", dim = 64)
       .select(col("centroid_id"), col("n_members"),
         posexplode(col("mean")).as(Seq("dim_i", "mean_val")))
@@ -1751,7 +1774,7 @@ object SparkEntry {
     * k×dim codebook reaches the driver between steps.
     */
   private def qAnnIvfTrain3(s: SparkSession, dir: String): DataFrame = {
-    var cents = Similarity.collectCentroids(embCentroids(s, dir), "vec_id", "embedding")
+    var cents = Similarity.collectCentroids(embCodebook(s, dir), "vec_id", "embedding")
     for (_ <- 0 until 2) {
       val means = Similarity.ivfTrainStep(embeddings(s, dir), cents, "embedding", dim = 64)
         .filter(col("centroid_id").isNotNull)
@@ -2383,7 +2406,7 @@ object SparkEntry {
     */
   private def qTextHybridIvfPq(s: SparkSession, dir: String): DataFrame =
     Fixtures.cached("hybridFusedIvfPq", s, dir) {
-      val cents = Similarity.collectCentroids(embCentroids(s, dir), "vec_id", "embedding")
+      val cents = Similarity.collectCentroids(embCodebook(s, dir), "vec_id", "embedding")
       val idxPath = Fixtures.scratchDir("ivfpq", dir)
       Fixtures.buildOnce("ivfpq", s, dir) {
         Similarity.writeIvfPqIndex(embeddings(s, dir), "vec_id", "embedding",
@@ -3589,9 +3612,9 @@ object SparkEntry {
     * and the whole thing collapses into an O(|centroids|) aggregate.
     */
   private def qEmbClusterQuality(s: SparkSession, dir: String): DataFrame = {
-    val centDf = embCentroids(s, dir).select(col("vec_id").as("centroid_id"),
+    val centDf = embCodebook(s, dir).select(col("vec_id").as("centroid_id"),
       col("embedding").cast("array<double>").as("__cv"))
-    val cents = Similarity.collectCentroids(embCentroids(s, dir), "vec_id", "embedding")
+    val cents = Similarity.collectCentroids(embCodebook(s, dir), "vec_id", "embedding")
     // RAW-score assignment: the argmax over unrounded cosines is
     // engine-portable bit-for-bit; the 6-dp-ranked default flipped one
     // member at sf1 on a round-boundary (round-11 sweep)
@@ -4165,7 +4188,7 @@ object SparkEntry {
     * centroid id.
     */
   private def qEmbCentroidStats(s: SparkSession, dir: String): DataFrame = {
-    val cents = Similarity.collectCentroids(embCentroids(s, dir), "vec_id", "embedding")
+    val cents = Similarity.collectCentroids(embCodebook(s, dir), "vec_id", "embedding")
     // raw-score argmax + exact decimal mean (round-11): both the
     // assignment and the aggregation are engine-portable bit-for-bit —
     // the 6-dp-ranked argmax and the plain double avg each diverged in
@@ -5811,10 +5834,19 @@ object SparkEntry {
        |          FROM r$k),
        |z$k AS (SELECT i, round(CAST(raw AS DOUBLE) / nrm$k.nn, 6) AS z FROM r$k, nrm$k)""".stripMargin
 
+  /** Shared embedding CTEs. Two centroid tables, mirroring the two Spark
+    * fixtures: `c` (uncapped `% 61`) is the BLOCKING structure whose size
+    * must grow with the corpus (semantic dedup / kNN graph bound pair work
+    * at N²/k, so k ∝ N), `cb` (replica-0-capped) is the bounded serving
+    * CODEBOOK that rides query plans as a literal (training, PQ/ADC,
+    * probe selection, centroid audits) — see [[embCentroids]] /
+    * [[embCodebook]]. Identical at every driver SF (max vec_id 4,999).
+    */
   private val EmbBase: String =
     """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
-      |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 61 = 0)""".stripMargin
+      |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 61 = 0),
+      |cb AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 61 = 0 AND vec_id < 10000000)""".stripMargin
 
   /** `pl` CTE: hyperplane table mirroring [[Similarity.hyperplanes]] —
     * the same multiply-mod + xor-shift mixing recipe, seed 42, evaluated
@@ -5897,7 +5929,7 @@ object SparkEntry {
   private val EmbBaseQ100: String =
     """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id = 100),
-      |c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 61 = 0)""".stripMargin
+      |cb AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 61 = 0 AND vec_id < 10000000)""".stripMargin
 
   /** IVF+PQ ADC serving chain (CTEs through `rr(query_id, neighbor_id,
     * adc_dist2, rn)`), assuming an [[EmbBase]]-shaped `e`/`q`/`c` —
@@ -5910,47 +5942,47 @@ object SparkEntry {
     */
   private val IvfPqServeCtes: String =
     s"""pqrawc AS (
-       |  SELECT e.vec_id, c.cid,
-       |         ${dotSql("e.v", "c.cv")} AS dp,
+       |  SELECT e.vec_id, cb.cid,
+       |         ${dotSql("e.v", "cb.cv")} AS dp,
        |         sqrt(${dotSql("e.v", "e.v")}) AS na,
-       |         sqrt(${dotSql("c.cv", "c.cv")}) AS nb
-       |  FROM e, c),
+       |         sqrt(${dotSql("cb.cv", "cb.cv")}) AS nb
+       |  FROM e, cb),
        |${cosScoreSql("pqrawc", "pqcs")},
        |a1 AS (SELECT vec_id, cid FROM
        |        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn FROM pqcs)
        |       WHERE rn = 1),
        |praw AS (
-       |  SELECT q.query_id, c.cid,
-       |         ${dotSql("q.qv", "c.cv")} AS dp,
+       |  SELECT q.query_id, cb.cid,
+       |         ${dotSql("q.qv", "cb.cv")} AS dp,
        |         sqrt(${dotSql("q.qv", "q.qv")}) AS na,
-       |         sqrt(${dotSql("c.cv", "c.cv")}) AS nb
-       |  FROM q, c),
+       |         sqrt(${dotSql("cb.cv", "cb.cv")}) AS nb
+       |  FROM q, cb),
        |${cosScoreSql("praw", "ps")},
        |probes AS (SELECT query_id, cid FROM
        |            (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cid) AS rn FROM ps)
        |           WHERE rn <= 3),
        |sp AS (SELECT unnest(range(0, 4)) AS i),
        |pqd AS (
-       |  SELECT e.vec_id, sp.i AS sub_i, c.cid,
+       |  SELECT e.vec_id, sp.i AS sub_i, cb.cid,
        |    list_reduce(list_prepend(0.0, list_transform(range(1, 17),
-       |      k -> (e.v[CAST(sp.i*16+k AS INT)] - c.cv[CAST(sp.i*16+k AS INT)])
-       |           * (e.v[CAST(sp.i*16+k AS INT)] - c.cv[CAST(sp.i*16+k AS INT)]))),
+       |      k -> (e.v[CAST(sp.i*16+k AS INT)] - cb.cv[CAST(sp.i*16+k AS INT)])
+       |           * (e.v[CAST(sp.i*16+k AS INT)] - cb.cv[CAST(sp.i*16+k AS INT)]))),
        |      (acc, x) -> acc + x) AS dist2
-       |  FROM e, c, sp),
+       |  FROM e, cb, sp),
        |pqrk AS (SELECT *, row_number() OVER (PARTITION BY vec_id, sub_i
        |                                   ORDER BY dist2, cid) AS rn FROM pqd),
        |pqc AS (SELECT vec_id, sub_i, cid AS code FROM pqrk WHERE rn = 1),
        |qd AS (
        |  SELECT q.query_id, pqc.vec_id, pqc.sub_i,
        |    list_reduce(list_prepend(0.0, list_transform(range(1, 17),
-       |      k -> (q.qv[CAST(pqc.sub_i*16+k AS INT)] - c.cv[CAST(pqc.sub_i*16+k AS INT)])
-       |           * (q.qv[CAST(pqc.sub_i*16+k AS INT)] - c.cv[CAST(pqc.sub_i*16+k AS INT)]))),
+       |      k -> (q.qv[CAST(pqc.sub_i*16+k AS INT)] - cb.cv[CAST(pqc.sub_i*16+k AS INT)])
+       |           * (q.qv[CAST(pqc.sub_i*16+k AS INT)] - cb.cv[CAST(pqc.sub_i*16+k AS INT)]))),
        |      (acc, x) -> acc + x) AS dsub
        |  FROM pqc
        |  JOIN a1 ON a1.vec_id = pqc.vec_id
        |  JOIN probes pb ON pb.cid = a1.cid
        |  JOIN q ON q.query_id = pb.query_id
-       |  JOIN c ON c.cid = pqc.code
+       |  JOIN cb ON cb.cid = pqc.code
        |  WHERE pqc.vec_id <> q.query_id),
        |adc AS (
        |  SELECT query_id, vec_id AS neighbor_id,
@@ -6030,21 +6062,21 @@ object SparkEntry {
   private def annIvfTopkSql(nprobe: Int): String =
     s"""WITH $EmbBase,
        |rawc AS (
-       |  SELECT e.vec_id, c.cid,
-       |         ${dotSql("e.v", "c.cv")} AS dp,
+       |  SELECT e.vec_id, cb.cid,
+       |         ${dotSql("e.v", "cb.cv")} AS dp,
        |         sqrt(${dotSql("e.v", "e.v")}) AS na,
-       |         sqrt(${dotSql("c.cv", "c.cv")}) AS nb
-       |  FROM e, c),
+       |         sqrt(${dotSql("cb.cv", "cb.cv")}) AS nb
+       |  FROM e, cb),
        |${cosScoreSql("rawc", "sc")},
        |a1 AS (SELECT vec_id, cid FROM
        |        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn FROM sc)
        |       WHERE rn = 1),
        |praw AS (
-       |  SELECT q.query_id, c.cid,
-       |         ${dotSql("q.qv", "c.cv")} AS dp,
+       |  SELECT q.query_id, cb.cid,
+       |         ${dotSql("q.qv", "cb.cv")} AS dp,
        |         sqrt(${dotSql("q.qv", "q.qv")}) AS na,
-       |         sqrt(${dotSql("c.cv", "c.cv")}) AS nb
-       |  FROM q, c),
+       |         sqrt(${dotSql("cb.cv", "cb.cv")}) AS nb
+       |  FROM q, cb),
        |${cosScoreSql("praw", "ps")},
        |probes AS (SELECT query_id, cid FROM
        |            (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cid) AS rn FROM ps)
@@ -7275,11 +7307,11 @@ object SparkEntry {
     "emb_centroid_stats" ->
       s"""WITH $EmbBase,
          |rawc AS (
-         |  SELECT e.vec_id, c.cid,
-         |         ${dotSql("e.v", "c.cv")} AS dp,
+         |  SELECT e.vec_id, cb.cid,
+         |         ${dotSql("e.v", "cb.cv")} AS dp,
          |         sqrt(${dotSql("e.v", "e.v")}) AS na,
-         |         sqrt(${dotSql("c.cv", "c.cv")}) AS nb
-         |  FROM e, c),
+         |         sqrt(${dotSql("cb.cv", "cb.cv")}) AS nb
+         |  FROM e, cb),
          |-- RAW-score argmax (round-11): ranking on the unrounded cosine
          |-- matches ivfAssignRaw bit-for-bit; score rounds only at output
          |a1 AS (SELECT vec_id, cid, round(rawscore, 6) AS score FROM
@@ -8505,12 +8537,12 @@ object SparkEntry {
       s"""WITH $EmbBase,
          |sp AS (SELECT unnest(range(0, 4)) AS i),
          |d AS (
-         |  SELECT e.vec_id, sp.i AS sub_i, c.cid,
+         |  SELECT e.vec_id, sp.i AS sub_i, cb.cid,
          |    list_reduce(list_prepend(0.0, list_transform(range(1, 17),
-         |      k -> (e.v[CAST(sp.i*16+k AS INT)] - c.cv[CAST(sp.i*16+k AS INT)])
-         |           * (e.v[CAST(sp.i*16+k AS INT)] - c.cv[CAST(sp.i*16+k AS INT)]))),
+         |      k -> (e.v[CAST(sp.i*16+k AS INT)] - cb.cv[CAST(sp.i*16+k AS INT)])
+         |           * (e.v[CAST(sp.i*16+k AS INT)] - cb.cv[CAST(sp.i*16+k AS INT)]))),
          |      (acc, x) -> acc + x) AS dist2
-         |  FROM e, c, sp),
+         |  FROM e, cb, sp),
          |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id, sub_i
          |                                   ORDER BY dist2, cid) AS rn FROM d)
          |SELECT vec_id, CAST(sub_i AS INT) AS sub_i, cid AS code, round(dist2, 6) AS dist2
@@ -8520,22 +8552,22 @@ object SparkEntry {
       s"""WITH $EmbBase,
          |sp AS (SELECT unnest(range(0, 4)) AS i),
          |d AS (
-         |  SELECT e.vec_id, sp.i AS sub_i, c.cid,
+         |  SELECT e.vec_id, sp.i AS sub_i, cb.cid,
          |    list_reduce(list_prepend(0.0, list_transform(range(1, 17),
-         |      k -> (e.v[CAST(sp.i*16+k AS INT)] - c.cv[CAST(sp.i*16+k AS INT)])
-         |           * (e.v[CAST(sp.i*16+k AS INT)] - c.cv[CAST(sp.i*16+k AS INT)]))),
+         |      k -> (e.v[CAST(sp.i*16+k AS INT)] - cb.cv[CAST(sp.i*16+k AS INT)])
+         |           * (e.v[CAST(sp.i*16+k AS INT)] - cb.cv[CAST(sp.i*16+k AS INT)]))),
          |      (acc, x) -> acc + x) AS dist2
-         |  FROM e, c, sp),
+         |  FROM e, cb, sp),
          |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id, sub_i
          |                                   ORDER BY dist2, cid) AS rn FROM d),
          |pqc AS (SELECT vec_id, sub_i, cid AS code FROM r WHERE rn = 1),
          |qd AS (
          |  SELECT q.query_id, pqc.vec_id, pqc.sub_i,
          |    list_reduce(list_prepend(0.0, list_transform(range(1, 17),
-         |      k -> (q.qv[CAST(pqc.sub_i*16+k AS INT)] - c.cv[CAST(pqc.sub_i*16+k AS INT)])
-         |           * (q.qv[CAST(pqc.sub_i*16+k AS INT)] - c.cv[CAST(pqc.sub_i*16+k AS INT)]))),
+         |      k -> (q.qv[CAST(pqc.sub_i*16+k AS INT)] - cb.cv[CAST(pqc.sub_i*16+k AS INT)])
+         |           * (q.qv[CAST(pqc.sub_i*16+k AS INT)] - cb.cv[CAST(pqc.sub_i*16+k AS INT)]))),
          |      (acc, x) -> acc + x) AS dsub
-         |  FROM pqc JOIN c ON c.cid = pqc.code CROSS JOIN q
+         |  FROM pqc JOIN cb ON cb.cid = pqc.code CROSS JOIN q
          |  WHERE pqc.vec_id <> q.query_id),
          |adc AS (
          |  SELECT query_id, vec_id AS neighbor_id,
@@ -8868,11 +8900,11 @@ object SparkEntry {
     "emb_cluster_quality" ->
       s"""WITH $EmbBase,
          |rawc AS (
-         |  SELECT e.vec_id, c.cid,
-         |         ${dotSql("e.v", "c.cv")} AS dp,
+         |  SELECT e.vec_id, cb.cid,
+         |         ${dotSql("e.v", "cb.cv")} AS dp,
          |         sqrt(${dotSql("e.v", "e.v")}) AS na,
-         |         sqrt(${dotSql("c.cv", "c.cv")}) AS nb
-         |  FROM e, c),
+         |         sqrt(${dotSql("cb.cv", "cb.cv")}) AS nb
+         |  FROM e, cb),
          |-- RAW-score argmax (round-11): ranking on the unrounded cosine
          |-- matches ivfAssignRaw bit-for-bit; score rounds only at output
          |a1 AS (SELECT vec_id, cid, round(rawscore, 6) AS score FROM
@@ -8905,11 +8937,11 @@ object SparkEntry {
     "ann_ivf_train" ->
       s"""WITH $EmbBase,
          |rawc AS (
-         |  SELECT e.vec_id, c.cid,
-         |         ${dotSql("e.v", "c.cv")} AS dp,
+         |  SELECT e.vec_id, cb.cid,
+         |         ${dotSql("e.v", "cb.cv")} AS dp,
          |         sqrt(${dotSql("e.v", "e.v")}) AS na,
-         |         sqrt(${dotSql("c.cv", "c.cv")}) AS nb
-         |  FROM e, c),
+         |         sqrt(${dotSql("cb.cv", "cb.cv")}) AS nb
+         |  FROM e, cb),
          |${cosScoreSql("rawc", "sc")},
          |a1 AS (SELECT vec_id, cid FROM
          |        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn FROM sc)
@@ -8927,7 +8959,7 @@ object SparkEntry {
     // cannot accumulate). The final projection is step 3's means.
     "ann_ivf_train3" ->
       s"""WITH $EmbBase,
-         |${lloydStepSql(1, "c", "c1")},
+         |${lloydStepSql(1, "cb", "c1")},
          |${lloydStepSql(2, "c1", "c2")},
          |${lloydStepSql(3, "c2", "c3")}
          |SELECT cid AS centroid_id, n_members, dim_i, mean_val
