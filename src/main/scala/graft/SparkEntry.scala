@@ -1393,6 +1393,27 @@ object SparkEntry {
       .orderBy("query_id", "rnk")
   }
 
+  /** The same ADC serving over the same on-disk index through the
+    * DATA-SPACE path ([[Similarity.ivfPqTopKDataSpace]]) — the codebook
+    * stays a DataFrame, so k is bounded by broadcast size instead of
+    * plan size (the k ≳ 1e3 regime the sf10 probe tier showed the
+    * literal form cannot enter). Shares `ann_ivfpq_topk`'s oracle: a
+    * green row is the literal ≡ data-space equivalence proof.
+    */
+  private def qAnnIvfPqTopKDs(s: SparkSession, dir: String): DataFrame = {
+    val cb = embCodebook(s, dir)
+    val cents = Similarity.collectCentroids(cb, "vec_id", "embedding")
+    val idxPath = Fixtures.scratchDir("ivfpq", dir)
+    Fixtures.buildOnce("ivfpq", s, dir) {
+      Similarity.writeIvfPqIndex(embeddings(s, dir), "vec_id", "embedding",
+        cents, m = 4, idxPath)
+    }
+    Similarity.ivfPqTopKDataSpace(Similarity.readIvfIndex(s, idxPath),
+        embQueries(s, dir), "vec_id", "embedding",
+        cb, "vec_id", "embedding", m = 4, k = 10, nprobe = 3)
+      .orderBy("query_id", "rnk")
+  }
+
   /** Day-over-day signature-index growth, then the probe: day 1's corpus
     * (`doc_id % 5 ∈ {2,3,4}`) is indexed, day 2's batch (`% 5 = 1`) is
     * APPENDED — writing only its folded-bucket partitions — and day 3's
@@ -5746,6 +5767,7 @@ object SparkEntry {
     "ann_ivf_topk" -> (qAnnIvfTopK _),
     "ann_ivf_train" -> (qAnnIvfTrain _),
     "ann_ivfpq_topk" -> (qAnnIvfPqTopK _),
+    "ann_ivfpq_topk_ds" -> (qAnnIvfPqTopKDs _),
     "ann_ivfpq_append" -> (qAnnIvfPqAppend _),
     "ann_ivf_train3" -> (qAnnIvfTrain3 _),
     "emb_near_dup" -> (qEmbNearDup _),
@@ -6465,7 +6487,11 @@ object SparkEntry {
       // the correctness claim itself: growing an index by appending a
       // batch is indistinguishable, to every probe, from rebuilding it.
       "dedup_incremental_append" -> oracleSqlBase("dedup_incremental"),
-      "ann_ivfpq_append" -> oracleSqlBase("ann_ivfpq_topk")))
+      "ann_ivfpq_append" -> oracleSqlBase("ann_ivfpq_topk"),
+      // Identical twin on purpose: the data-space serving path must be
+      // row-for-row indistinguishable from the literal-codebook path
+      // over the same index — a green row IS the equivalence proof.
+      "ann_ivfpq_topk_ds" -> oracleSqlBase("ann_ivfpq_topk")))
       .map { case (k, sql) => k -> normalizeNegZero(sql) }
 
   /** Wrap every `round(...)` in the oracle SQL as `(round(...) + 0)` —

@@ -827,6 +827,100 @@ object Similarity {
         abs(col("score")).as("adc_dist2"), col("rnk"))
   }
 
+  /** DATA-SPACE twin of [[ivfPqTopK]] — the k ≳ 1e3 serving path. The
+    * literal-codebook form carries the codebook in PLAN space: the ADC
+    * distance table is O(m·k) expression nodes and probe selection
+    * explodes a typedLit of all k centroids, so a codebook past ~1e3
+    * entries blows up the serialized task binary (measured at the sf10
+    * probe tier, k ≈ 8,200). Here the codebook stays a DataFrame:
+    *
+    *  1. Probe selection: queries × broadcast(codebook) — an intentional
+    *     bounded cross product (every query scores every centroid, the
+    *     same q×k work the literal path does via typedLit explode), as
+    *     ROWS instead of plan nodes.
+    *  2. Per-(query, subspace, codeword) ADC distances as a RELATION
+    *     (`q·m·k` rows) built from the same slice/zip_with/fold chain as
+    *     the literal distance table — bit-identical doubles.
+    *  3. Candidate codes explode to (sub_i, code) and equi-join that
+    *     relation; the per-candidate sum folds in ascending-subspace
+    *     order from 0.0, reproducing [[graft.expr.PqAdcScore]]'s
+    *     accumulation exactly.
+    *
+    * Output is row-for-row identical to [[ivfPqTopK]] over the same
+    * index (spec-asserted, and the board query shares the literal path's
+    * oracle). Partition pruning degrades gracefully: ≤ 1024 distinct
+    * probed lists use the static `IN` prune (file-level pruning on the
+    * `centroid_id=` layout); beyond that a semi-join prunes after
+    * listing — the price of a codebook too large to inline anywhere.
+    */
+  def ivfPqTopKDataSpace(
+      index: DataFrame,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      cents: DataFrame,
+      centroidId: String,
+      centroidVec: String,
+      m: Int,
+      k: Int,
+      nprobe: Int): DataFrame = {
+    val cb = cents.select(col(centroidId).cast("long").as("__code"),
+      col(centroidVec).cast("array<double>").as("__cv"))
+    // subspace width needs the dim as a plan-time Int: one single-value
+    // driver action (bounded — one int), not a vector collect
+    val dim = cb.select(size(col("__cv"))).head().getInt(0)
+    require(m > 0 && dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val q = queries.select(col(queryId).as("query_id"),
+      col(queryVec).cast("array<double>").as("__qv"))
+    // intentional bounded cross product: build side = the codebook
+    // (small RELATIVE to the corpus; far past any plan-literal bound),
+    // stream side keeps the query set's parallelism — the same shape
+    // bruteForceTopK/pqTopK use for their broadcast sweeps
+    val qxc = q.crossJoin(broadcast(cb))
+    // 1. probe-list selection — same cosine + bounded top-k as the
+    // literal path, with the centroid vector read from the column
+    val qc = qxc.select(col("query_id"),
+      col("__code").as("centroid_id"),
+      round(cosine(col("__qv"), col("__cv")), 6).as("__cdist"))
+    val probes = TopK.perGroup(qc, Seq("query_id"), col("__cdist"),
+        col("centroid_id"), nprobe, idAlias = "centroid_id", scoreAlias = "__cdist")
+      .select(col("query_id"), col("centroid_id"))
+      .localCheckpoint(true)
+    // 2. ADC distance RELATION: per (query, sub_i, codeword), the same
+    // slice/zip_with/sequential-fold chain the literal dtab uses
+    val dsubArr = array((0 until m).map { i =>
+      aggregate(
+        zip_with(slice(col("__qv"), i * sub + 1, sub),
+          slice(col("__cv"), i * sub + 1, sub),
+          (x, cc) => (x - cc) * (x - cc)),
+        lit(0.0), (a, e) => a + e)
+    }: _*)
+    val dsubs = qxc.select(col("query_id"), col("__code"),
+      posexplode(dsubArr).as(Seq("sub_i", "__dsub")))
+    // 3. pruned code scan → per-code distance join → ordered fold
+    val probedIds = probes.select(col("centroid_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val base = index.select(col("id").as("neighbor_id"),
+      col("codes").as("__codes"), col("centroid_id"))
+    val pruned =
+      if (probedIds.length <= 1024) base.filter(col("centroid_id").isin(probedIds: _*))
+      else base.join(probes.select("centroid_id").distinct(), Seq("centroid_id"), "left_semi")
+    val percode = pruned.join(probes, Seq("centroid_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        posexplode(col("__codes")).as(Seq("sub_i", "__code")))
+    val scored = percode.join(dsubs, Seq("query_id", "sub_i", "__code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sort_array(collect_list(struct(col("sub_i"), col("__dsub")))).as("__ds"))
+      // ascending-sub_i fold from 0.0 = PqAdcScore's accumulation order
+      .withColumn("score", round(-aggregate(col("__ds"), lit(0.0),
+        (a, e) => a + e.getField("__dsub")), 6))
+    TopK.perGroup(scored, Seq("query_id"), col("score"), col("neighbor_id"), k)
+      .select(col("query_id"), col("neighbor_id"),
+        abs(col("score")).as("adc_dist2"), col("rnk"))
+  }
+
   /** Symmetric int8 quantization of an embedding column — the 4× memory/
     * bandwidth compression that makes a 100 TB float corpus a 25 TB ANN
     * index (the standard first rung before product quantization). Per

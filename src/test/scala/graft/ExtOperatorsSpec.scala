@@ -752,6 +752,23 @@ class ExtOperatorsSpec extends SparkSpecBase {
     assertSameRows(got, direct, "on-disk index vs in-memory codes")
   }
 
+  test("IVF+PQ data-space serving is row-identical to the literal-codebook path") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivfpqds").toString
+    val emb = Fixtures.embeddings(s, "/root/testdata/sf0.001")
+    val cbDf = emb.filter(col("vec_id") % 61 === 0)
+    val cents = Similarity.collectCentroids(cbDf, "vec_id", "embedding")
+    Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", cents, m = 4, s"$tmp/idx")
+    val q = emb.filter(col("vec_id") % 50 === 0)
+    val literal = Similarity.ivfPqTopK(Similarity.readIvfIndex(s, s"$tmp/idx"), q,
+      "vec_id", "embedding", cents, m = 4, k = 5, nprobe = 2)
+    val dataSpace = Similarity.ivfPqTopKDataSpace(
+      Similarity.readIvfIndex(s, s"$tmp/idx"), q, "vec_id", "embedding",
+      cbDf, "vec_id", "embedding", m = 4, k = 5, nprobe = 2)
+    // exact equality, scores included: the data-space fold reproduces
+    // PqAdcScore's ascending-subspace accumulation bit-for-bit
+    assertSameRows(literal, dataSpace, "literal vs data-space ADC serving")
+  }
+
   /** Per-partition-dir part-file inventory of a partitioned parquet root. */
   private def partFiles(root: String): Map[String, Set[String]] = {
     val it = java.nio.file.Files.list(java.nio.file.Paths.get(root))

@@ -19,6 +19,12 @@ class PlanGuardSpec extends SparkSpecBase {
     */
   private val nestedLoopAllowed = Set(
     "ann_brute_force", "ann_pq_topk", "ann_lsh",
+    // data-space serving: queries × broadcast(codebook) is an
+    // intentional bounded cross product (every query scores every
+    // centroid — the same q×k work the literal path does via typedLit
+    // explode, moved from plan nodes to rows); broadcast side is the
+    // codebook, never corpus-sized
+    "ann_ivfpq_topk_ds",
     // broadcast eval-set sweep — the "queries are small" brute-force
     // argument applied to decontamination
     "emb_decontaminate",
