@@ -5954,7 +5954,7 @@ object SparkEntry {
       |cb AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id % 61 = 0 AND vec_id < 10000000)""".stripMargin
 
   /** IVF+PQ ADC serving chain (CTEs through `rr(query_id, neighbor_id,
-    * adc_dist2, rn)`), assuming an [[EmbBase]]-shaped `e`/`q`/`c` —
+    * adc_dist2, rn)`), assuming an [[EmbBase]]-shaped `e`/`q`/`cb` —
     * mirrors [[Similarity.ivfPqTopK]] over the [[Similarity
     * .writeIvfPqIndex]] artifact (m = 4 subspaces of 16 dims, codebook =
     * the coarse centroids, nprobe = 3). Shared by the `ann_ivfpq_topk` /

@@ -913,9 +913,22 @@ object Similarity {
     val scored = percode.join(dsubs, Seq("query_id", "sub_i", "__code"))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(sort_array(collect_list(struct(col("sub_i"), col("__dsub")))).as("__ds"))
-      // ascending-sub_i fold from 0.0 = PqAdcScore's accumulation order
-      .withColumn("score", round(-aggregate(col("__ds"), lit(0.0),
-        (a, e) => a + e.getField("__dsub")), 6))
+      // ascending-sub_i fold from 0.0 = PqAdcScore's accumulation order.
+      // The m-count guard is load-bearing: a stored code absent from
+      // `cents` would simply find no dsubs row in the inner join above,
+      // and the fold would sum FEWER than m subspaces — a silently wrong
+      // ranking (the literal path fails loudly via the codebook lookup;
+      // the append flow via requireIvfPqParams). raise_error sits in the
+      // taken branch of the If, so it cannot be pruned and fires only on
+      // an actual mismatch.
+      .withColumn("score", when(size(col("__ds")) === m,
+        round(-aggregate(col("__ds"), lit(0.0),
+          (a, e) => a + e.getField("__dsub")), 6))
+        .otherwise(raise_error(concat(
+          lit("ivfPqTopKDataSpace: candidate "), col("neighbor_id").cast("string"),
+          lit(s" scored on "), size(col("__ds")).cast("string"),
+          lit(s" of $m subspaces — a stored code is absent from the passed" +
+            " codebook (index built with a different cents set)")))))
     TopK.perGroup(scored, Seq("query_id"), col("score"), col("neighbor_id"), k)
       .select(col("query_id"), col("neighbor_id"),
         abs(col("score")).as("adc_dist2"), col("rnk"))

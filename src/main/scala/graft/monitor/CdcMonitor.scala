@@ -95,10 +95,13 @@ object CdcMonitor {
       .map(r => r.getAs[String](Operation) ->
         (r.getAs[Long]("total"), r.getAs[Long]("pending")))
       .toMap
-    val total = ops.values.map(_._1).sum
-    val pending = ops.values.map(_._2).sum
-    val status =
-      if (pending < config.healthPendingThreshold) "HEALTHY" else "WARNING"
+    // totals + classification come from healthReport — ONE definition of
+    // the health rule (the reference layers print_report over
+    // get_health_report the same way, cdc_system.py:380)
+    val hr = healthReport(log, config).collect().head
+    val total = hr.getAs[Long]("total_changes")
+    val pending = hr.getAs[Long]("pending_changes")
+    val status = hr.getAs[String]("health").toUpperCase
     val bar = "=" * 60
     val opLines = Seq("INSERT", "UPDATE", "DELETE").flatMap(op =>
       ops.get(op).map { case (t, p) => s"  $op: $t total, $p pending" })

@@ -769,6 +769,28 @@ class ExtOperatorsSpec extends SparkSpecBase {
     assertSameRows(literal, dataSpace, "literal vs data-space ADC serving")
   }
 
+  test("data-space serving fails loudly on a codebook/index mismatch") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivfpqmm").toString
+    val emb = Fixtures.embeddings(s, "/root/testdata/sf0.001")
+    val cbDf = emb.filter(col("vec_id") % 61 === 0)
+    val cents = Similarity.collectCentroids(cbDf, "vec_id", "embedding")
+    Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", cents, m = 4, s"$tmp/idx")
+    val q = emb.filter(col("vec_id") % 50 === 0)
+    // a strict SUBSET codebook: stored codes outside it find no distance
+    // row — the guard must raise, never return a fewer-subspace ranking
+    val subset = cbDf.filter(col("vec_id") =!= cents.last._1)
+    val ex = intercept[Exception] {
+      Similarity.ivfPqTopKDataSpace(
+        Similarity.readIvfIndex(s, s"$tmp/idx"), q, "vec_id", "embedding",
+        subset, "vec_id", "embedding", m = 4, k = 5, nprobe = 2).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("absent from the passed codebook")),
+      s"expected the mismatch guard, got: $ex")
+  }
+
   /** Per-partition-dir part-file inventory of a partitioned parquet root. */
   private def partFiles(root: String): Map[String, Set[String]] = {
     val it = java.nio.file.Files.list(java.nio.file.Paths.get(root))
