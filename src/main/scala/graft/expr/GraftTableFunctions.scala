@@ -125,6 +125,18 @@ object GraftTableFunctions {
       (s: SparkSession, a: Seq[Any]) =>
         graft.ext.Similarity.bruteForceTopK(s.table(str(a(0))), s.table(str(a(1))),
           str(a(2)), str(a(3)), str(a(2)), str(a(3)), k = int(a(4)))),
+    // self-contained index serving: the codebook and m come from the
+    // index's own _codebook/_params sidecars, routed through the
+    // data-space path — a SQL user serves a path without ever holding
+    // the training-time centroid set (and without any k ceiling)
+    "graft_ann_ivfpq" -> tvf("(indexPath, queryTable, idCol, vecCol, k, nprobe)", 6, 6)(
+      (s: SparkSession, a: Seq[Any]) =>
+        graft.ext.Similarity.ivfPqTopKDataSpace(
+          graft.ext.Similarity.readIvfIndex(s, str(a(0))), s.table(str(a(1))),
+          str(a(2)), str(a(3)),
+          graft.ext.Similarity.readIvfPqCodebook(s, str(a(0))), "cid", "cv",
+          m = graft.ext.Similarity.readIvfPqM(s, str(a(0))),
+          k = int(a(4)), nprobe = int(a(5)))),
     "graft_text_bm25" -> tvf("(table, idCol, textCol, termsCsv, k)", 5, 5)(
       (s: SparkSession, a: Seq[Any]) => {
         val postings = graft.ext.Search.invertedPostings(

@@ -644,7 +644,36 @@ object Similarity {
         codebookFingerprint(cents)))
       .toDF("m", "k", "dim", "codebook_fp")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/_params")
+    // the codebook VECTORS ride with the index (FAISS-style
+    // self-containment): a consumer serves the index without re-deriving
+    // the training-time centroid set — see [[readIvfPqCodebook]]. The
+    // `_` prefix hides the dir from partition discovery like `_params`;
+    // appends never rewrite it (they are fingerprint-checked against it).
+    cents.toDF("cid", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_codebook")
   }
+
+  /** The codebook persisted with a [[writeIvfPqIndex]] index —
+    * `(cid: long, cv: array<double>)`, exactly the `cents` the index was
+    * built with. With [[ivfPqTopKDataSpace]] this makes the on-disk
+    * index SELF-CONTAINED: serve it from a path alone (the SQL
+    * `graft_ann_ivfpq` TVF is this composition). Fails loudly on a
+    * pre-round-11 index that predates codebook persistence.
+    */
+  def readIvfPqCodebook(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    try spark.read.parquet(s"$path/_codebook")
+    catch {
+      case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalStateException(
+          s"IVF+PQ index at $path carries no _codebook (written before " +
+            "codebook persistence); rebuild with writeIvfPqIndex or pass " +
+            "the centroids explicitly", e)
+    }
+
+  /** The `m` recorded in a [[writeIvfPqIndex]] index's `_params`. */
+  def readIvfPqM(spark: org.apache.spark.sql.SparkSession, path: String): Int =
+    spark.read.parquet(s"$path/_params").select("m").head().getInt(0)
 
   /** Grow an existing [[writeIvfPqIndex]] index with a new vector batch —
     * the daily-ingest operation: encode against the index's ORIGINAL

@@ -45,6 +45,26 @@ class SqlSurfaceSpec extends SparkSpecBase {
     }
   }
 
+  test("ANN family from SQL: self-contained IVF+PQ index serving via graft_ann_ivfpq") {
+    withViews {
+      val tmp = java.nio.file.Files.createTempDirectory("sqlivfpq").toString
+      val emb = Fixtures.embeddings(s, dir)
+      val cents = Similarity.collectCentroids(
+        emb.filter(col("vec_id") % 61 === 0), "vec_id", "embedding")
+      Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", cents, m = 4, s"$tmp/idx")
+      // the TVF holds NO centroid set — codebook + m come off the index's
+      // own sidecars; equality against the literal-codebook Scala path is
+      // the self-containment proof
+      assertSameRows(
+        s.sql(s"SELECT * FROM graft_ann_ivfpq('$tmp/idx', 'queries', " +
+          "'vec_id', 'embedding', 5, 2)"),
+        Similarity.ivfPqTopK(Similarity.readIvfIndex(s, s"$tmp/idx"),
+          emb.filter(col("vec_id") % 50 === 0),
+          "vec_id", "embedding", cents, m = 4, k = 5, nprobe = 2),
+        "graft_ann_ivfpq")
+    }
+  }
+
   test("retrieval family from SQL: BM25 TVF matches the Scala chain") {
     withViews {
       val postings = Search.invertedPostings(Fixtures.documents(s, dir), "doc_id", "text")
