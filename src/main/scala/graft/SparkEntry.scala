@@ -1572,9 +1572,9 @@ object SparkEntry {
     * The `vec_id < 10M` cap pins it to the replica-0 id block (GenSf1
     * offsets replicas by i·10M): a no-op at every driver SF (max vec_id
     * 4,999) but load-bearing at the replicated probe tiers — the uncapped
-    * `% 61` grew k to ≈8,200 at the sf10 tier and the ADC expression tree
+    * `% 61` grew k to 3,280 at the sf10 tier and the ADC expression tree
     * blew the task binary past the heap. With the cap the SAME
-    * 82-centroid codebook serves sf0.1/sf1/sf10, so cross-tier runs
+    * 33-centroid codebook serves sf0.1/sf1/sf10, so cross-tier runs
     * measure pure corpus scaling. Documented design envelope: k ≲ 1e3
     * (beyond that, move the distance table from plan-space to data-space).
     */

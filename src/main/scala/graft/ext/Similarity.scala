@@ -861,7 +861,7 @@ object Similarity {
     * distance table is O(m·k) expression nodes and probe selection
     * explodes a typedLit of all k centroids, so a codebook past ~1e3
     * entries blows up the serialized task binary (measured at the sf10
-    * probe tier, k ≈ 8,200). Here the codebook stays a DataFrame:
+    * probe tier, k = 3,280). Here the codebook stays a DataFrame:
     *
     *  1. Probe selection: queries × broadcast(codebook) — an intentional
     *     bounded cross product (every query scores every centroid, the
