@@ -658,18 +658,42 @@ object Similarity {
     * built with. With [[ivfPqTopKDataSpace]] this makes the on-disk
     * index SELF-CONTAINED: serve it from a path alone (the SQL
     * `graft_ann_ivfpq` TVF is this composition). Fails loudly on a
-    * pre-round-11 index that predates codebook persistence.
+    * pre-round-11 index that predates codebook persistence, AND on a
+    * sidecar whose recomputed fingerprint disagrees with the
+    * `codebook_fp` sealed into `_params` at write time — a partially
+    * copied or hand-edited index must not serve with a stale codebook
+    * (which would surface only as the downstream subspace-mismatch
+    * error, or worse, as silently shifted rankings when the stale
+    * codebook happens to share code ids). The verification collect is
+    * bounded by the codebook size k — the same O(k) class as every
+    * other codebook action in this file.
     */
   def readIvfPqCodebook(
-      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
-    try spark.read.parquet(s"$path/_codebook")
-    catch {
-      case e: org.apache.spark.sql.AnalysisException =>
-        throw new IllegalStateException(
-          s"IVF+PQ index at $path carries no _codebook (written before " +
-            "codebook persistence); rebuild with writeIvfPqIndex or pass " +
-            "the centroids explicitly", e)
-    }
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    val cb =
+      try spark.read.parquet(s"$path/_codebook")
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalStateException(
+            s"IVF+PQ index at $path carries no _codebook (written before " +
+              "codebook persistence); rebuild with writeIvfPqIndex or pass " +
+              "the centroids explicitly", e)
+      }
+    val cents: Seq[(Long, Seq[Double])] = cb
+      .select(col("cid").cast("long"), col("cv").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .toSeq
+    val storedFp = spark.read.parquet(s"$path/_params")
+      .select("codebook_fp").head().getLong(0)
+    val sidecarFp = codebookFingerprint(cents)
+    require(sidecarFp == storedFp,
+      s"IVF+PQ index at $path: _codebook sidecar fingerprint $sidecarFp " +
+        s"does not match the codebook_fp $storedFp sealed in _params — " +
+        "the sidecar was replaced or edited after the index was built; " +
+        "serving it would score codes against the wrong centroids")
+    cb
+  }
 
   /** The `m` recorded in a [[writeIvfPqIndex]] index's `_params`. */
   def readIvfPqM(spark: org.apache.spark.sql.SparkSession, path: String): Int =
@@ -939,23 +963,31 @@ object Similarity {
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         posexplode(col("__codes")).as(Seq("sub_i", "__code")))
-    val scored = percode.join(dsubs, Seq("query_id", "sub_i", "__code"))
+    // LEFT join, not inner: an inner join would silently DROP a candidate
+    // whose stored codes miss the passed codebook in ALL m subspaces (zero
+    // surviving rows → no group → absent from the ranking with no error,
+    // contradicting the fail-loudly contract). Left-joined, every percode
+    // row survives with a null __dsub on a miss, so the guard below sees
+    // partial AND total mismatches alike.
+    val scored = percode.join(dsubs, Seq("query_id", "sub_i", "__code"), "left")
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(sort_array(collect_list(struct(col("sub_i"), col("__dsub")))).as("__ds"))
       // ascending-sub_i fold from 0.0 = PqAdcScore's accumulation order.
-      // The m-count guard is load-bearing: a stored code absent from
-      // `cents` would simply find no dsubs row in the inner join above,
-      // and the fold would sum FEWER than m subspaces — a silently wrong
-      // ranking (the literal path fails loudly via the codebook lookup;
-      // the append flow via requireIvfPqParams). raise_error sits in the
-      // taken branch of the If, so it cannot be pruned and fires only on
-      // an actual mismatch.
-      .withColumn("score", when(size(col("__ds")) === m,
+      // The matched-count guard is load-bearing: a stored code absent from
+      // `cents` rides through the left join as a null __dsub, and a fold
+      // over it would produce a null (= silently wrong) score — the
+      // literal path fails loudly via the codebook lookup; the append
+      // flow via requireIvfPqParams. raise_error sits in the taken branch
+      // of the If, so it cannot be pruned and fires only on an actual
+      // mismatch.
+      .withColumn("__matched",
+        size(filter(col("__ds"), s => s.getField("__dsub").isNotNull)))
+      .withColumn("score", when(col("__matched") === m,
         round(-aggregate(col("__ds"), lit(0.0),
           (a, e) => a + e.getField("__dsub")), 6))
         .otherwise(raise_error(concat(
           lit("ivfPqTopKDataSpace: candidate "), col("neighbor_id").cast("string"),
-          lit(s" scored on "), size(col("__ds")).cast("string"),
+          lit(s" scored on "), col("__matched").cast("string"),
           lit(s" of $m subspaces — a stored code is absent from the passed" +
             " codebook (index built with a different cents set)")))))
     TopK.perGroup(scored, Seq("query_id"), col("score"), col("neighbor_id"), k)

@@ -36,13 +36,18 @@ object CdcMonitor {
     *
     * Single row out; computed as a second aggregate over [[statistics]]
     * output (tiny) rather than a rollup so both views share one scan.
+    *
+    * The sums coalesce to 0 on an empty log: SQL `SUM` over zero rows is
+    * NULL, `NULL < threshold` is NULL, and the classification would fall
+    * through to 'warning' — the reference's `0 < 1000` comparison on an
+    * empty table reports healthy (cdc_system.py:372-373), so must we.
     */
   def healthReport(log: DataFrame, config: CdcConfig = CdcConfig()): DataFrame =
     statistics(log)
       .agg(
-        sum("total").as("total_changes"),
-        sum("pending").as("pending_changes"),
-        sum("synced").as("synced_changes"))
+        coalesce(sum("total"), lit(0L)).as("total_changes"),
+        coalesce(sum("pending"), lit(0L)).as("pending_changes"),
+        coalesce(sum("synced"), lit(0L)).as("synced_changes"))
       .withColumn("health",
         when(col("pending_changes") < config.healthPendingThreshold, lit("healthy"))
           .otherwise(lit("warning")))

@@ -117,6 +117,18 @@ class CdcCoreSpec extends SparkSpecBase {
     assert(r("health") === "healthy")
   }
 
+  // empty-log classification: SUM over zero rows is SQL NULL, and an
+  // unguarded NULL < threshold would fall through to 'warning' — the
+  // reference's 0 < 1000 on an empty table is healthy (cdc_system.py:372)
+  test("health report on an empty change log is healthy with zero totals") {
+    val t = freshTable()
+    val r = CdcMonitor.healthReportRow(t.changeLog, CdcConfig())
+    assert(r("total_changes") === 0L)
+    assert(r("pending_changes") === 0L)
+    assert(r("synced_changes") === 0L)
+    assert(r("health") === "healthy")
+  }
+
   // --- print_report rendering (reference: cdc_system.py:378-393)
   test("formatReport renders the reference's report layout") {
     val t = freshTable()

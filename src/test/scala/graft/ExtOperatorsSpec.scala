@@ -791,6 +791,64 @@ class ExtOperatorsSpec extends SparkSpecBase {
       s"expected the mismatch guard, got: $ex")
   }
 
+  test("data-space serving fails loudly when a candidate misses the codebook " +
+      "in ALL m subspaces (not silently dropped)") {
+    // hand-built index: candidate 42's stored codes reference cid 99,
+    // absent from the codebook in every subspace — an inner dsubs join
+    // would produce ZERO rows for it, dropping it from the ranking with
+    // no error; the left-join + matched-count guard must raise instead
+    val cb = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0, 0.0))).toDF("cid", "cv")
+    val q = Seq((100L, Seq(1.0, 0.1, 0.0, 0.0))).toDF("query_id", "qv")
+    val index = Seq(
+      (7L, Seq(1L, 2L, 1L, 2L), 1L),   // fully matched — scores fine alone
+      (42L, Seq(99L, 99L, 99L, 99L), 1L)) // fully UNmatched — must raise
+      .toDF("id", "codes", "centroid_id")
+    val ex = intercept[Exception] {
+      Similarity.ivfPqTopKDataSpace(index, q, "query_id", "qv",
+        cb, "cid", "cv", m = 4, k = 5, nprobe = 2).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(m =>
+      m.contains("scored on 0 of 4 subspaces") &&
+        m.contains("absent from the passed codebook")),
+      s"expected the all-subspace mismatch guard, got: $ex")
+    // and without the poisoned candidate the same plan serves normally
+    val ok = Similarity.ivfPqTopKDataSpace(
+      index.filter(col("id") =!= 42L), q, "query_id", "qv",
+      cb, "cid", "cv", m = 4, k = 5, nprobe = 2).collect()
+    assert(ok.length === 1 && ok.head.getAs[Long]("neighbor_id") === 7L)
+  }
+
+  test("readIvfPqCodebook rejects a _codebook sidecar that disagrees with " +
+      "the codebook_fp sealed in _params") {
+    val tmp = java.nio.file.Files.createTempDirectory("ivfpqfp").toString
+    val emb = Fixtures.embeddings(s, "/root/testdata/sf0.001")
+    val cbDf = emb.filter(col("vec_id") % 61 === 0)
+    val cents = Similarity.collectCentroids(cbDf, "vec_id", "embedding")
+    Similarity.writeIvfPqIndex(emb, "vec_id", "embedding", cents, m = 4, s"$tmp/idx")
+    // untampered sidecar verifies clean
+    assert(Similarity.readIvfPqCodebook(s, s"$tmp/idx").count() === cents.size.toLong)
+    // tamper: perturb one centroid component and rewrite the sidecar
+    // (collect first — overwriting a parquet path being lazily read from
+    // would truncate it before the scan)
+    val rows = s.read.parquet(s"$tmp/idx/_codebook")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val tampered = rows.toSeq.map { case (cid, cv) =>
+      if (cid == rows.head._1) (cid, cv.updated(0, cv.head + 0.25)) else (cid, cv)
+    }
+    tampered.toDF("cid", "cv")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/idx/_codebook")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.readIvfPqCodebook(s, s"$tmp/idx")
+    }
+    assert(ex.getMessage.contains("sealed in _params"),
+      s"expected the fingerprint guard, got: $ex")
+  }
+
   /** Per-partition-dir part-file inventory of a partitioned parquet root. */
   private def partFiles(root: String): Map[String, Set[String]] = {
     val it = java.nio.file.Files.list(java.nio.file.Paths.get(root))
