@@ -323,11 +323,14 @@ object SparkEntry {
     */
   private def ngramPairs(s: SparkSession, dir: String): DataFrame =
     Fixtures.cached("ngramPairs", s, dir) {
-      // saltFanout 16: 5 langs × ~2 length bands × 16 salts = enough cells
-      // for any realistic executor count while halving the replicated-side
-      // shuffle vs the operator's conservative default of 32.
+      // maxBlockRows now caps PREFIX-POSTING length (docs per rarest-band
+      // shingle), not block-cell rows: at 100k a single posting would
+      // mean ~10^10 candidate pairs from one shingle — a clone cluster
+      // the pipeline should be routing to minhashLshDedup anyway, so
+      // fail fast there. Measured posting maxima stay orders below the
+      // cap at every generated SF (sf10 artifact: ~30 s, no trip).
       Dedup.ngramJaccardDedup(documents(s, dir), "text", "doc_id",
-        col("lang"), n = 3, threshold = 0.2, saltFanout = 16,
+        col("lang"), n = 3, threshold = 0.2,
         maxBlockRows = Some(100000L))
     }
 
@@ -6195,9 +6198,9 @@ object SparkEntry {
 
   /** Same-language ngram-jaccard pair CTEs over `t` ([[TextTokensCte]]):
     * `j` = same-lang pairs with their 6-dp jaccard — mirrors
-    * [[Dedup.ngramJaccardDedup]] (whose internal length-banding is
-    * output-invariant, so the oracle needs no band condition). Shared by
-    * the pair query and the cluster query.
+    * [[Dedup.ngramJaccardDedup]] (whose prefix-filtered inverted index
+    * is output-invariant, so the oracle needs no prefix condition).
+    * Shared by the pair query and the cluster query.
     *
     * Expressed as an inverted-index join rather than a doc×doc cross
     * pair: unnest each doc's distinct shingles, equi-join on the shingle,

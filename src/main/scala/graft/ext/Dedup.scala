@@ -138,25 +138,42 @@ object Dedup {
     when(union === 0, lit(0.0)).otherwise(inter / union)
   }
 
-  /** All pairs within the same block with n-gram Jaccard >= `threshold`.
+  /** All pairs within the same block with n-gram Jaccard >= `threshold`
+    * — EXACT output (equal to the naive within-block all-pairs), from
+    * PREFIX-FILTERED inverted-index candidate generation (the AllPairs/
+    * PPJoin principle, Bayardo et al. WWW'07; Xiao et al. WWW'08).
     *
-    * `blockCol` bounds the quadratic comparison (same-language, same
-    * source bucket, length band, ...). Output: (id_a, id_b, jac) with
-    * id_a < id_b.
+    * `blockCol` scopes comparability (same-language, same source
+    * bucket, ...). Output: (id_a, id_b, jac) with id_a < id_b.
     *
-    * NOTE: when `maxBlockRows` is set, building the returned DataFrame
-    * RUNS Spark jobs eagerly (the shingled base is checkpointed and the
-    * guard counts block cells) — plan-only inspection of the result is
-    * not free in that mode.
+    * Candidate generation: each doc's sorted-distinct hashed shingles
+    * are ranked by ascending within-block document frequency (ties by
+    * shingle value — a total order shared by every doc in the block);
+    * only the first `|d| - ceil(tPre·|d|) + 1` shingles (the PREFIX,
+    * tPre = threshold minus the 6-dp rounding half-step) enter the
+    * inverted index. A pair with round(jac,6) >= threshold has
+    * intersection >= ceil(tPre·|d|) on both sides, and by the prefix-
+    * filtering lemma must share at least one PREFIX shingle — so the
+    * equi-join of prefix postings on (block, shingle) is a superset of
+    * the qualifying pairs and the output is exact. Rarest-first ordering
+    * is what makes it scale: globally common shingles (the df² fanout
+    * killers) rank LAST inside every doc and fall out of the prefix, so
+    * posting lists in the index stay short; candidate work is
+    * Σ_s dfP(s)² over PREFIX document frequencies, not block².
+    * Parallelism comes from the shingle-key join itself (the shuffle
+    * distributes by (block, shingle) — millions of keys, not 5 language
+    * blocks), so no salting is needed; `saltFanout` is retained for
+    * source compatibility and ignored.
     *
-    * The self-join is SALTED: joining on the block key alone caps
-    * parallelism at the number of distinct blocks (5 language blocks =
-    * 5 tasks doing O(block²) work each, regardless of cluster size). One
-    * side keeps a hash-salt per row, the other replicates each row across
-    * all `saltFanout` salts — each unordered pair still matches exactly
-    * once (at the left row's salt), but the quadratic verify work spreads
-    * over blocks × saltFanout tasks. Replication cost is saltFanout ×
-    * |block side|, which is linear, not quadratic.
+    * Verification re-fetches the two sorted long arrays by id and runs
+    * the native threshold-bounded two-pointer kernel
+    * ([[jaccardSortedAtLeast]]); a size-ratio prefilter prunes
+    * candidates that cannot reach the threshold before any array moves.
+    *
+    * NOTE: building the returned DataFrame RUNS Spark jobs eagerly (the
+    * shingled base is checkpointed; with `maxBlockRows` set the guard
+    * additionally counts posting lists) — plan-only inspection of the
+    * result is not free.
     */
   /** Sorted-neighborhood near-dup pairs (SNM — Hernández/Stolfo's
     * merge/purge): sort each block by a normalized key and compare only
@@ -275,99 +292,110 @@ object Dedup {
       threshold: Double = 0.8,
       saltFanout: Int = 32,
       maxBlockRows: Option[Long] = None): DataFrame = {
+    val _ = saltFanout // ignored — see scaladoc (inverted index needs no salt)
     val parallelism = df.sparkSession.sparkContext.defaultParallelism
     val tPre = threshold - 5e-7 // 6-dp rounding half-step, see prefilter note
-    // Geometric length band over the shingle-set size. Any pair that can
-    // pass the size-ratio prefilter has size ratio >= tPre, i.e. log-size
-    // gap <= log(1/tPre) < log(R), so its band numbers differ by AT MOST
-    // one — matching same-band plus adjacent-band pairs preserves the
-    // output EXACTLY while subdividing the user block: a hot block (one
-    // language at 100 TB) becomes (block × band) cells whose members are
-    // within a bounded size ratio, instead of one quadratic cell. The
-    // 1.0011 factor keeps float rounding at the band boundary from ever
-    // violating the gap<=1 guarantee (margin >> one ulp of log).
-    val logR = math.log(math.max(1.0011, 1.0011 / math.max(tPre, 1e-6)))
-    // Shingles are hashed to 64-bit longs and SORTED at build time: the
-    // quadratic verify then runs the native two-pointer intersect kernel
-    // over primitive-long arrays ([[jaccardSorted]]). Set counts are
-    // preserved absent an xxhash64 collision inside one block's shingle
-    // universe (P ≈ u²/2⁶⁵ — for u = 10⁶ distinct shingles, ~3e-8), so
-    // jaccard values are unchanged; array_distinct guards within-doc
-    // effects.
-    val base0 = df.select(
-      col(idCol).as("id"),
-      blockCol.as("blk"),
-      hashedShingles(col(textCol), n).as("sh"))
-      .withColumn("band", floor(log(size(col("sh")).cast("double")) / logR).cast("int"))
-    // With the guard on, the shingled base is consumed three times (guard
-    // count + both join sides): materialize so the shingle/sort work runs
-    // once. localCheckpoint (not persist): checkpoint blocks are released
-    // when the plan is GC'd, whereas a CacheManager persist with no
-    // unpersist() would accumulate per invocation in a long-lived
-    // session. O(corpus) storage — the quantity that must NOT be
-    // materialized is the pair set, and never is.
-    val base =
-      if (maxBlockRows.isDefined)
-        base0.repartition(parallelism).localCheckpoint(true)
-      else base0
+    // Shingles hashed to 64-bit longs, SORTED DISTINCT at build time
+    // ([[graft.expr.HashedShingles]]): the verify runs the native
+    // two-pointer intersect kernel over primitive-long arrays. Jaccard
+    // values are unchanged absent an xxhash64 collision inside one
+    // block's shingle universe (P ≈ u²/2⁶⁵ — for u = 10⁶ distinct
+    // shingles, ~3e-8).
+    //
+    // Consumed three times (posting build + both verify re-fetches):
+    // localCheckpoint runs the shingle kernel once. Checkpoint, not
+    // persist: checkpoint blocks are released when the plan is GC'd,
+    // whereas a CacheManager persist with no unpersist() would accumulate
+    // per invocation in a long-lived session. O(corpus) storage — the
+    // quantity that must NOT be materialized is the pair set, and never is.
+    val base = df.select(
+        col(idCol).as("id"),
+        blockCol.as("blk"),
+        hashedShingles(col(textCol), n).as("sh"))
+      .withColumn("nsh", size(col("sh")))
+      // null/empty shingle sets can never reach a positive threshold
+      // (null text → null jaccard; empty → jac 0, both filtered): drop
+      // them before they enter the df statistics
+      .filter(col("nsh") > 0)
+      .repartition(parallelism)
+      .localCheckpoint(true)
 
-    // Hot-block guard: pair work per (block × band) cell is O(rows²) by
-    // the exact-verify semantics; silently letting one hot cell go
+    // (blk, s, id, nsh) postings, each annotated with the shingle's
+    // within-block document frequency — a windowed count on the (blk, s)
+    // key (reuses the hash partitioning the join below wants) rather
+    // than a separate df aggregate shuffled back in.
+    val posts = base.select(col("id"), col("blk"), col("nsh"),
+      explode(col("sh")).as("s"))
+    val wdf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("blk"), col("s"))
+    val wdoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("blk"), col("id"))
+      .orderBy(col("__df"), col("s"))
+    // Prefix length |d| - α + 1 with α = ceil(tPre·|d|): a qualifying
+    // pair has jac >= tPre, so |A∩B| >= tPre·|A∪B| >= tPre·|A|, and an
+    // integer >= tPre·|A| is >= α — the prefix lemma then guarantees a
+    // shared prefix shingle (take the α-th-from-last intersection
+    // element in the shared (df, s) order: at least α-1 intersection
+    // elements follow it in BOTH docs, so it sits within both prefixes).
+    // The 1e-9 nudge keeps double rounding of tPre·|d| from ever
+    // inflating α past the true real value (missing a boundary pair);
+    // it can only lengthen a prefix by one — correctness-neutral.
+    val prefix = posts
+      .withColumn("__df", count(lit(1)).over(wdf))
+      .withColumn("__rk", row_number().over(wdoc))
+      .filter(col("__rk") <=
+        col("nsh") - ceil(lit(tPre) * col("nsh") - lit(1e-9)) + 1)
+      .select(col("blk"), col("s"), col("id"), col("nsh"))
+
+    // Hot-posting guard: candidate fanout per prefix posting is
+    // O(list²); silently letting one ultra-hot posting (a boilerplate
+    // shingle ranking rare inside millions of near-identical docs) go
     // quadratic is the 100 TB failure mode. When a cap is set, fail fast
-    // with the offending cells instead.
+    // naming the offending keys instead. (Such a posting means the TRUE
+    // pair OUTPUT is itself near-quadratic in that clone cluster — no
+    // exact algorithm avoids that work; the guard makes it a named,
+    // bounded decision.)
     maxBlockRows.foreach { cap =>
-      val hot = base.groupBy(col("blk"), col("band")).count()
+      val hot = prefix.groupBy(col("blk"), col("s")).count()
         .filter(col("count") > cap)
         .orderBy(col("count").desc).limit(5)
         .collect()
       if (hot.nonEmpty) {
-        val desc = hot.map(r => s"(blk=${r.get(0)}, band=${r.get(1)}: ${r.getLong(2)} rows)")
+        val desc = hot.map(r =>
+          s"(blk=${r.get(0)}, shingle=${r.get(1)}: ${r.getLong(2)} docs)")
           .mkString(", ")
         throw new IllegalStateException(
-          s"ngramJaccardDedup: block cells exceed maxBlockRows=$cap — $desc. " +
+          s"ngramJaccardDedup: prefix-posting lists exceed maxBlockRows=$cap — $desc. " +
             "Compose a finer block key or use minhashLshDedup for this corpus.")
       }
     }
 
-    val a = base.select(col("id").as("id_a"), col("blk"), col("band"), col("sh").as("sh_a"))
-      .withColumn("__salt", pmod(xxhash64(col("id_a")), lit(saltFanout)))
-    // The b side is replicated twice over: across all salts (see below)
-    // and into its band and the band below — a pair spanning adjacent
-    // bands is found exactly once, with the lower-band doc on the a side.
-    val b0 = base.select(col("id").as("id_b"), col("blk"), col("band"), col("sh").as("sh_b"))
-    // Explicit repartition on the replicated side: when the planner
-    // broadcasts the other side, the O(cell²) verify work runs in the
-    // probe side's partitions — which for a compact parquet scan can be a
-    // single task. An explicit partition count survives AQE coalescing.
-    val b = b0
-      .select(col("id_b"), col("blk"), col("sh_b"),
-        explode(array(
-          struct(col("band").as("band"), lit(false).as("rep")),
-          struct((col("band") - 1).as("band"), lit(true).as("rep")))).as("bv"))
-      .select(col("id_b"), col("blk"), col("sh_b"),
-        col("bv.band").as("band"), col("bv.rep").as("rep"))
-      .withColumn("__salt", explode(sequence(lit(0L), lit((saltFanout - 1).toLong))))
-      .repartition(parallelism, col("blk"), col("band"), col("__salt"))
-    a.join(b, Seq("blk", "band", "__salt"))
-      // same-band pairs appear in both orientations → keep id_a < id_b;
-      // adjacent-band pairs appear once (via the replica) → keep always.
-      .filter((!col("rep") && col("id_a") < col("id_b")) ||
-        (col("rep") && col("id_a") =!= col("id_b")))
-      // size-ratio prefilter: jaccard <= min(|A|,|B|)/max(|A|,|B|), so
-      // pairs failing the ratio can never reach the threshold — pruned
-      // before the (expensive) intersection, without changing the result.
-      // The bound is loosened by the 6-dp rounding half-step (5e-7): the
-      // final filter accepts round(jac,6) >= t, i.e. jac >= t - 5e-7, so
-      // the prefilter must not cut pairs inside that half-step.
-      .filter(least(size(col("sh_a")), size(col("sh_b"))).cast("double")
-        >= greatest(size(col("sh_a")), size(col("sh_b"))) * tPre)
+    // Candidates: prefix postings self-joined on the (block, shingle)
+    // key — the shuffle distributes by shingle (huge key space), so
+    // parallelism needs no salting. The size-ratio prefilter runs
+    // BEFORE the distinct and the array fetches: jaccard <=
+    // min(|A|,|B|)/max(|A|,|B|), so pairs failing the ratio can never
+    // reach the threshold (bound loosened by the 6-dp half-step: the
+    // final filter accepts round(jac,6) >= t, i.e. jac >= t - 5e-7, so
+    // the prefilter must not cut pairs inside that half-step).
+    val cand = prefix
+      .select(col("blk"), col("s"), col("id").as("id_a"), col("nsh").as("na"))
+      .join(prefix
+          .select(col("blk"), col("s"), col("id").as("id_b"), col("nsh").as("nb")),
+        Seq("blk", "s"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(least(col("na"), col("nb")).cast("double")
+        >= greatest(col("na"), col("nb")) * tPre)
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+
+    cand
+      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jac",
         round(jaccardSortedAtLeast(col("sh_a"), col("sh_b"), threshold), 6))
       .filter(col("jac") >= threshold)
-      .select(
-        least(col("id_a"), col("id_b")).as("id_a"),
-        greatest(col("id_a"), col("id_b")).as("id_b"),
-        col("jac"))
+      .select(col("id_a"), col("id_b"), col("jac"))
   }
 
   /** Blocked fuzzy (edit-distance) duplicate pairs: all pairs within a

@@ -348,10 +348,11 @@ class ExtOperatorsSpec extends SparkSpecBase {
     }
   }
 
-  test("ngram banding + salting preserve the exact all-pairs output on random docs") {
-    // Adversarial check of the length-band blocking: the operator's
-    // output must equal a naive all-pairs jaccard over raw string
-    // shingles, for random docs whose lengths span several bands.
+  test("ngram prefix-filtered inverted index preserves the exact all-pairs output on random docs") {
+    // Adversarial check of the prefix-filter candidate generation: the
+    // operator's output must equal a naive all-pairs jaccard over raw
+    // string shingles, for random docs spanning many sizes (prefix
+    // lengths) with a tiny shared vocabulary (hot postings).
     val rnd = new scala.util.Random(11)
     val words = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg")
     val docs = Seq.tabulate(60) { i =>
@@ -445,7 +446,10 @@ class ExtOperatorsSpec extends SparkSpecBase {
     assert(got.size < rvecs.size, "degenerate fixture: nothing dropped")
   }
 
-  test("ngramJaccardDedup hot-block guard trips on an over-cap block") {
+  test("ngramJaccardDedup hot-posting guard trips on an over-cap posting list") {
+    // 50 docs all sharing the shingles "the quick brown"/"quick brown fox";
+    // at threshold 0.2 the prefix is the whole doc, so those postings hold
+    // all 50 docs — over the cap of 10
     val many = (1L to 50L).map(i => (i, s"doc $i the quick brown fox", "en"))
       .toDF("doc_id", "text", "lang")
     val e = intercept[IllegalStateException] {
