@@ -20,14 +20,21 @@ object Segmentation {
     * three digits (111 = best, 555 = most lapsed).
     *
     * Scale shape: the heavy input collapses to ONE map-side-combined
-    * aggregate keyed by entity before anything else; the three `ntile`
-    * windows then rank the per-entity frame, which is 3–4 orders of
-    * magnitude smaller than the fact table (1.5 M customers for a 1.5 B
-    * orders TPC-H). A global `ntile` still funnels that frame through one
-    * task; beyond ~100 M entities swap the exact quintile for bucketing
-    * against `percentile_approx` cut points — same output contract, fully
-    * parallel — which is why the quintile assignment is isolated here
-    * rather than fused into the aggregate.
+    * aggregate keyed by entity before anything else; the per-entity
+    * frame is 3–4 orders of magnitude smaller than the fact table
+    * (1.5 M customers for a 1.5 B orders TPC-H). Each dimension is then
+    * ranked by [[distributedNtile5]] — range-partition on the dimension,
+    * per-partition row_number, driver-composed partition offsets — which
+    * reproduces `ntile(5)` BIT-EXACTLY (same bucket-size formula over
+    * the same strict total order) with no single-task global window at
+    * ANY entity cardinality. The exact-quintile output contract is
+    * therefore preserved unconditionally; [[rfmApprox]] remains the
+    * cheaper cut-point variant for callers that accept boundary drift.
+    *
+    * NOTE: building the returned DataFrame RUNS Spark jobs eagerly (the
+    * per-entity frame is checkpointed and each dimension's partition
+    * sizes are collected — bounded by the partition count, never by
+    * entities).
     */
   def rfm(
       tx: DataFrame,
@@ -35,6 +42,9 @@ object Segmentation {
       dateCol: String,
       amountCol: String): DataFrame = {
     val maxDate = tx.agg(max(col(dateCol)).as("__max_date"))
+    // consumed four times (three rank passes + the output spine):
+    // localCheckpoint runs the fact-table aggregate once; O(entities)
+    // storage, released with the plan.
     val perCust = tx
       .groupBy(col(custCol))
       .agg(
@@ -46,16 +56,83 @@ object Segmentation {
         col(custCol),
         datediff(col("__max_date"), col("__last")).cast("long").as("r_days"),
         col("frequency"), col("monetary"))
+      .repartition(tx.sparkSession.sparkContext.defaultParallelism)
+      .localCheckpoint(true)
     val k = col(custCol)
+    // explicit null orderings = the Window.orderBy defaults the previous
+    // global-ntile formulation used (asc → nulls first, desc → nulls last),
+    // so the total order — and with it every score — is unchanged
+    val rs = distributedNtile5(perCust, custCol,
+      Seq(col("r_days").asc_nulls_first, k.asc_nulls_first), "r_score")
+    val fs = distributedNtile5(perCust, custCol,
+      Seq(col("frequency").desc_nulls_last, k.asc_nulls_first), "f_score")
+    val ms = distributedNtile5(perCust, custCol,
+      Seq(col("monetary").desc_nulls_last, k.asc_nulls_first), "m_score")
     perCust
-      .withColumn("r_score",
-        ntile(5).over(Window.orderBy(col("r_days"), k)).cast("int"))
-      .withColumn("f_score",
-        ntile(5).over(Window.orderBy(col("frequency").desc, k)).cast("int"))
-      .withColumn("m_score",
-        ntile(5).over(Window.orderBy(col("monetary").desc, k)).cast("int"))
+      .join(rs, Seq(custCol))
+      .join(fs, Seq(custCol))
+      .join(ms, Seq(custCol))
       .withColumn("rfm_code",
         (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).cast("int"))
+  }
+
+  /** Exact `ntile(5)` over the strict total order `ord`, computed
+    * WITHOUT a global window: range-repartition on the order (so
+    * partition i's tuples all precede partition i+1's), per-partition
+    * `row_number` (parallel — each window partition is one task's
+    * data), then global rank = partition offset + local row number with
+    * the offsets composed driver-side from the per-partition counts (a
+    * bounded collect: ≤ one row per partition, never per entity). The
+    * bucket assignment applies ntile's own size formula — the first
+    * `n mod 5` buckets get `ceil(n/5)` rows, the rest `floor(n/5)` — so
+    * the result is bit-identical to `ntile(5).over(Window.orderBy(ord))`
+    * while every stage scales with the cluster, not with one task.
+    *
+    * `ord` must be a STRICT total order (include a unique tie-break
+    * key): ties across a range-partition boundary would otherwise make
+    * ranks partitioning-dependent.
+    *
+    * Returns (keyCol, scoreName) — one row per input row.
+    */
+  private def distributedNtile5(
+      df: DataFrame,
+      keyCol: String,
+      ord: Seq[Column],
+      scoreName: String): DataFrame = {
+    val spark = df.sparkSession
+    val parts = math.max(1, spark.sparkContext.defaultParallelism)
+    // checkpoint so the two consumers (size collect, ranked output) see
+    // ONE materialized partitioning — the range boundaries are sampled,
+    // and re-deriving them per consumer would recompute the sampling job
+    val rp = df.repartitionByRange(parts, ord: _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    // bounded collect: one (pid, count) row per partition (≤ `parts`)
+    val sizes = rp.groupBy(col("__pid")).agg(count(lit(1)).as("__c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var acc = 0L
+    val offsets = sizes.map { case (pid, c) => val o = acc; acc += c; (pid, o) }
+    val n = acc
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("__pid", "__off")
+    val w = Window.partitionBy(col("__pid")).orderBy(ord: _*)
+    val ranked = rp
+      .withColumn("__rn", row_number().over(w))
+      .join(broadcast(offDf), Seq("__pid"))
+      .withColumn("__rank", col("__off") + col("__rn"))
+    // ntile bucket of rank r over n rows, 5 buckets: base = n/5 rows per
+    // bucket, the first rem = n%5 buckets hold one extra. Integer ceil
+    // via floor((x + d - 1)/d); double division is exact for n < 2^52.
+    val base = n / 5
+    val rem = n % 5
+    val cut = rem * (base + 1)
+    val score =
+      if (base == 0) col("__rank") // n < 5: every row is its own bucket
+      else when(col("__rank") <= lit(cut),
+        floor((col("__rank") + lit(base)) / lit(base + 1)))
+        .otherwise(lit(rem) +
+          floor((col("__rank") - lit(cut) + lit(base) - 1) / lit(base)))
+    ranked.select(col(keyCol), score.cast("int").as(scoreName))
   }
 
   /** The 100 TB swap-in for [[rfm]]'s exact quintiles: bucket each

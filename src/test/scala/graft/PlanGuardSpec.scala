@@ -152,8 +152,9 @@ class PlanGuardSpec extends SparkSpecBase {
     "corpus_quality_mw", "corpus_split_ks", "text_langid_auc",
     // corpus_spearman moved OFF this list in round 11: its histogram
     // cumulative is now the bucketed two-phase pattern (no global window)
-    // per-entity RFM quintiles; rfmApprox is the documented 100 TB swap
-    "customer_rfm",
+    // customer_rfm left this list in round 12: its quintiles are now the
+    // distributed exact-ntile path (range partition + per-partition
+    // row_number + driver offsets) — no global window at any SF
     // Lorenz curve over the per-user aggregate (bounded by users; the
     // gini read is the curve, not the facts)
     "events_gini",

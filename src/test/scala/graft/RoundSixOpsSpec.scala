@@ -144,6 +144,54 @@ class RoundSixOpsSpec extends SparkSpecBase {
       assert(r >= 1 && r <= 5 && f >= 1 && f <= 5 && m >= 1 && m <= 5) }
   }
 
+  test("rfm distributed quintiles are bit-identical to global ntile(5), windowless-global plan") {
+    // adversarial sizes for the ntile bucket formula: n % 5 ∈ {0,..,4},
+    // n < 5, and ties on every dimension (broken by the entity key)
+    for (nEnt <- Seq(3, 5, 40, 41, 42, 43, 44)) {
+      val rnd = new scala.util.Random(nEnt)
+      val tx = (0 until nEnt).flatMap { c =>
+        val nOrders = rnd.nextInt(4) + 1
+        (0 until nOrders).map(_ =>
+          (c.toLong,
+            java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1)
+              .plusDays(rnd.nextInt(7))), // heavy date ties
+            (rnd.nextInt(5) + 1) * 10.0)) // heavy amount ties
+      }.toDF("cust", "d", "amt")
+      val got = Segmentation.rfm(tx, "cust", "d", "amt")
+      // reference: the literal global-window formulation
+      val perCust = tx.groupBy(col("cust"))
+        .agg(max(col("d")).as("last"), count(lit(1)).as("frequency"),
+          sum(col("amt").cast("decimal(18,2)")).cast("double").as("monetary"))
+        .crossJoin(broadcast(tx.agg(max(col("d")).as("maxd"))))
+        .select(col("cust"),
+          datediff(col("maxd"), col("last")).cast("long").as("r_days"),
+          col("frequency"), col("monetary"))
+      val w = org.apache.spark.sql.expressions.Window
+      val expect = perCust
+        .withColumn("r_score", ntile(5).over(w.orderBy(col("r_days"), col("cust"))).cast("int"))
+        .withColumn("f_score", ntile(5).over(w.orderBy(col("frequency").desc, col("cust"))).cast("int"))
+        .withColumn("m_score", ntile(5).over(w.orderBy(col("monetary").desc, col("cust"))).cast("int"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getInt(4), r.getInt(5), r.getInt(6)))).toMap
+      val gm = got.collect().map(r => r.getAs[Long]("cust") ->
+        ((r.getAs[Int]("r_score"), r.getAs[Int]("f_score"), r.getAs[Int]("m_score")))).toMap
+      assert(gm === expect, s"nEnt=$nEnt: distributed quintiles diverge from ntile(5)")
+    }
+    // plan shape: every Window in the executed plan is partitioned (the
+    // per-pid rank windows) — no single-task global window survives
+    val tx = (0 until 50).map(c => (c.toLong,
+      java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(c % 9)),
+      c * 1.5)).toDF("cust", "d", "amt")
+    val plan = Segmentation.rfm(tx, "cust", "d", "amt")
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Window [") || !plan.contains("windowspecdefinition()"),
+      "unexpected unpartitioned window")
+    val globalWindows = plan.linesIterator.filter(l =>
+      l.contains("Window") && !l.contains("__pid")).toSeq
+    assert(globalWindows.isEmpty,
+      s"rfm must not plan a window outside the per-pid rank:\n${globalWindows.mkString("\n")}")
+  }
+
   // ------------------------------------------------------------------ PMI
 
   test("pmi: hand-computed score, minCount prunes") {
