@@ -1178,27 +1178,46 @@ object SparkEntry {
         "doc_id", "text", "vec_id", "embedding")
       .orderBy("doc_id")
 
+  /** Word-table cap for the registered BPE queries: the driver-side
+    * collect in [[Bpe.trainInMemory]] is bounded at `BpeMaxWords` rows
+    * AT ANY SF (top words by freq DESC, word — a strict total order both
+    * engines realize identically), and the oracle twins replay the same
+    * cap, so the trajectory stays hash-comparable whether or not the cap
+    * binds. The generated corpora's vocabulary is ~31 words per 6 k docs
+    * tier (3,100 at sf10) — orders below the cap — so board results are
+    * unchanged; what the cap buys is the PROOF that the query cannot OOM
+    * the driver at 100 TB.
+    */
+  private val BpeMaxWords = 65536
+
   /** BPE tokenizer training: 8 merges learned over the corpus
     * word-frequency table — ranked (pair, frequency) merge list. The
     * corpus is touched ONCE (the word-freq aggregate); the greedy loop
     * runs on the collected vocab table ([[Bpe.trainInMemory]], exact —
     * spec-asserted identical to the distributed [[Bpe.train]] loop,
-    * which remains the unbounded-vocab fallback).
+    * which remains the unbounded-vocab fallback), collected under the
+    * [[BpeMaxWords]] bound the oracle replays.
     */
   private def qTextBpeTrain(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Bpe.trainInMemory(documents(s, dir), "text", numMerges = 8)
+    Bpe.trainInMemory(documents(s, dir), "text", numMerges = 8,
+        maxWords = Some(BpeMaxWords))
       .merges.toDF("merge_rank", "merge_left", "merge_right", "pair_freq")
       .orderBy("merge_rank")
   }
 
   /** Per-document BPE token counts under the 8-merge tokenizer of
     * [[qTextBpeTrain]] — the sequence-length accounting a packing/budget
-    * pipeline runs after tokenizer training.
+    * pipeline runs after tokenizer training. Same [[BpeMaxWords]]-capped
+    * vocabulary as the trainer; the oracle's word join replays the cap,
+    * so out-of-vocabulary words (none at generated SFs) drop from the
+    * counts identically in both engines.
     */
   private def qTextBpeEncode(s: SparkSession, dir: String): DataFrame = {
     val docs = documents(s, dir)
-    Bpe.encode(docs, "doc_id", "text", Bpe.trainInMemory(docs, "text", numMerges = 8))
+    Bpe.encode(docs, "doc_id", "text",
+      Bpe.trainInMemory(docs, "text", numMerges = 8,
+        maxWords = Some(BpeMaxWords)))
       .orderBy("doc_id")
   }
 
@@ -6380,7 +6399,7 @@ object SparkEntry {
     * Returns the chain up to `v<numMerges>`; callers append the final
     * SELECT.
     */
-  private def bpeCtes(numMerges: Int): String = {
+  private def bpeCtes(numMerges: Int, maxWords: Int): String = {
     val iters = (1 to numMerges).map { i =>
       s"""px$i AS (SELECT freq, syms, unnest(range(1, len(syms))) AS ix FROM v${i - 1}),
          |p$i AS (SELECT syms[CAST(ix AS INT)] AS l, syms[CAST(ix+1 AS INT)] AS r,
@@ -6394,9 +6413,13 @@ object SparkEntry {
          |                 ELSE list_concat(acc, x) END) AS syms
          |        FROM v${i - 1} v, m$i m)""".stripMargin
     }.mkString(",\n")
+    // the wf cap replays trainInMemory's maxWords bound: top words by
+    // (freq DESC, word) — a strict total order, so the capped set is
+    // identical in both engines whether or not the cap binds
     s"""WITH $TextTokensCte,
        |wf AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
-       |       FROM (SELECT unnest(ltoks) AS word FROM t) GROUP BY 1),
+       |       FROM (SELECT unnest(ltoks) AS word FROM t) GROUP BY 1
+       |       ORDER BY freq DESC, word LIMIT $maxWords),
        |v0 AS (SELECT word, freq,
        |         list_transform(range(1, len(word)+1),
        |           i -> substr(word, CAST(i AS INT), 1)) AS syms
@@ -6410,14 +6433,14 @@ object SparkEntry {
         s"SELECT CAST(1 AS INT) AS merge_rank, l AS merge_left, r AS merge_right, f AS pair_freq FROM m1"
       else s"UNION ALL SELECT $i, l, r, f FROM m$i"
     }.mkString("\n|  ")
-    s"""${bpeCtes(numMerges)}
+    s"""${bpeCtes(numMerges, BpeMaxWords)}
        |SELECT * FROM (
        |  $rows)
        |ORDER BY merge_rank""".stripMargin
   }
 
   private def bpeEncodeOracleSql(numMerges: Int): String =
-    s"""${bpeCtes(numMerges)},
+    s"""${bpeCtes(numMerges, BpeMaxWords)},
        |cnt AS (SELECT w.doc_id, CAST(count(*) AS BIGINT) AS nw,
        |          CAST(sum(len(vk.syms)) AS BIGINT) AS nb
        |        FROM (SELECT doc_id, unnest(ltoks) AS word FROM t) w

@@ -160,8 +160,10 @@ object Bpe {
     * argument as the IVF centroid collect. `maxWords` keeps the top
     * words by (freq DESC, word) so the cap is deterministic. With a
     * floor/cap the trained merges can differ from the uncapped run
-    * (rare-word pairs stop counting); registered queries use no cap, so
-    * their oracle twins replay the identical uncapped trajectory.
+    * (rare-word pairs stop counting); the registered queries train under
+    * an explicit `maxWords` bound whose oracle twins replay the IDENTICAL
+    * cap (same freq-desc/word order, same limit), so the trajectory is
+    * hash-comparable at any SF while the collect stays provably bounded.
     */
   def trainInMemory(df: DataFrame, textCol: String, numMerges: Int,
       minFreq: Long = 1L, maxWords: Option[Int] = None): Trained = {
