@@ -227,7 +227,7 @@ object Bench {
             math.ceil(p * xs.size).toInt - 1).max(0))
         val modes = Seq("cow", "mor").map { mode =>
           val batches =
-            scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+            scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
           val listener =
             new org.apache.spark.sql.streaming.StreamingQueryListener {
               override def onQueryStarted(e: org.apache.spark.sql.streaming
@@ -237,7 +237,8 @@ object Bench {
                 val p = e.progress
                 if (p.numInputRows > 0) {
                   batches.synchronized {
-                    batches += ((p.durationMs.get("triggerExecution").toLong,
+                    batches += ((p.batchId,
+                      p.durationMs.get("triggerExecution").toLong,
                       p.numInputRows))
                     ()
                   }
@@ -258,12 +259,22 @@ object Bench {
           while (batches.synchronized(batches.size) < nBatches &&
               System.nanoTime() < settle) Thread.sleep(100)
           spark.streams.removeListener(listener)
-          val snap = batches.synchronized(batches.toList)
-          val durs = snap.map(_._1)
-          val rows = snap.map(_._2).sum
+          val snap = batches.synchronized(batches.toList).sortBy(_._1)
+          val durs = snap.map(_._2)
+          val rows = snap.map(_._3).sum
+          // cold/warm split: trigger 0 pays JVM/plan/source warm-up that
+          // a long-running sync loop pays once per process, not per
+          // batch — report it separately so the steady-state percentiles
+          // describe the sustained regime (round-11: sf0.1 COW p99 was
+          // 6.4× p50 purely from the cold trigger)
+          val cold = durs.headOption.getOrElse(-1L)
+          val warm = if (durs.size > 1) durs.tail else Seq.empty[Long]
           mode -> (s"""{"n_batches":${snap.size},"rows":$rows,""" +
             s""""p50_ms":${percentile(durs, 0.5)},""" +
             s""""p99_ms":${percentile(durs, 0.99)},""" +
+            s""""cold_ms":$cold,""" +
+            s""""warm_p50_ms":${percentile(warm, 0.5)},""" +
+            s""""warm_p99_ms":${percentile(warm, 0.99)},""" +
             s""""mean_ms":${if (durs.isEmpty) -1
               else durs.sum / durs.size},""" +
             s""""wall_sec":${math.rint(wallSec * 1000) / 1000},""" +
