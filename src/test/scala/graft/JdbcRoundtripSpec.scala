@@ -54,4 +54,77 @@ class JdbcRoundtripSpec extends SparkSpecBase {
     assert(filtered.count() == 10)
     assert(filtered.agg(sum(col("V"))).as[Double].head() == (91 to 100).map(_ * 2.0).sum)
   }
+
+  // ------------------------------------------------------- dialect matrix
+  //
+  // The reference declares postgresql/mysql backends without implementing
+  // them (config.py:14-16). No live server exists in this sandbox, so the
+  // write-path TYPE MAPPING — the part that actually differs per backend —
+  // is pinned against Spark's production dialect registry: these are the
+  // exact DDL fragments JdbcUtils emits in CREATE TABLE when JdbcSink
+  // writes to each url scheme. A Spark upgrade that shifts a mapping
+  // (e.g. TIMESTAMP vs TIMESTAMP WITH TIME ZONE — data corruption for a
+  // tz-naive reader) fails here, not in production.
+
+  private def jdbcDdl(url: String,
+      t: org.apache.spark.sql.types.DataType): Option[String] =
+    org.apache.spark.sql.jdbc.JdbcDialects.get(url)
+      .getJDBCType(t).map(_.databaseTypeDefinition)
+
+  test("dialect matrix: PG/MySQL write-path DDL preserves DECIMAL scale and " +
+      "distinguishes tz-aware vs tz-naive timestamps") {
+    import org.apache.spark.sql.types._
+    val pgUrl = "jdbc:postgresql://host/db"
+    val myUrl = "jdbc:mysql://host/db"
+    assert(org.apache.spark.sql.jdbc.JdbcDialects.get(pgUrl).getClass.getName
+      .contains("PostgresDialect"))
+    assert(org.apache.spark.sql.jdbc.JdbcDialects.get(myUrl).getClass.getName
+      .contains("MySQLDialect"))
+    // DECIMAL precision/scale must ride into the DDL verbatim — a default
+    // NUMERIC would round monetary sums server-side
+    assert(jdbcDdl(pgUrl, DecimalType(18, 2)).contains("NUMERIC(18,2)"))
+    assert(jdbcDdl(myUrl, DecimalType(18, 2)).contains("DECIMAL(18,2)"))
+    assert(jdbcDdl(pgUrl, DecimalType(38, 9)).contains("NUMERIC(38,9)"))
+    assert(jdbcDdl(myUrl, DecimalType(38, 9)).contains("DECIMAL(38,9)"))
+    // session-tz-relative TimestampType must become a tz-aware column on
+    // PG (plain TIMESTAMP there is tz-naive — silent corruption for any
+    // non-UTC reader); MySQL's TIMESTAMP is UTC-normalized by definition
+    // and its tz-naive twin is DATETIME
+    assert(jdbcDdl(pgUrl, TimestampType).contains("TIMESTAMP WITH TIME ZONE"))
+    assert(jdbcDdl(myUrl, TimestampType).contains("TIMESTAMP"))
+    assert(jdbcDdl(myUrl, TimestampNTZType).contains("DATETIME"))
+    // the lossy trap this matrix exists to surface: Derby caps DECIMAL
+    // precision at 31, and Spark's Derby dialect SILENTLY remaps
+    // DECIMAL(38,9) to DECIMAL(31,2) — seven fractional digits gone. A
+    // CDC pipeline shipping high-scale decimals to Derby must know this
+    // is the dialect's behavior (and PG/MySQL above keep full fidelity).
+    assert(jdbcDdl("jdbc:derby:memory:x", DecimalType(38, 9))
+      .contains("DECIMAL(31,2)"))
+  }
+
+  test("Derby roundtrip: DECIMAL(18,2) boundary values and microsecond " +
+      "timestamps survive bit-exactly; NULLs stay NULL") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (1L, BigDecimal("9999999999999999.99"), java.sql.Timestamp.valueOf("2026-02-28 23:59:59.999999")),
+      (2L, BigDecimal("-0.01"), java.sql.Timestamp.valueOf("1969-12-31 23:59:59.000001")),
+      (3L, null.asInstanceOf[BigDecimal], null.asInstanceOf[java.sql.Timestamp]))
+      .toDF("id", "amt", "ts")
+      .select(col("id"), col("amt").cast("decimal(18,2)"), col("ts"))
+    JdbcSink(url, "typefidelity", mode = "overwrite", options = driverOpt).save(rows)
+    val back = JdbcSource(url, "typefidelity", options = driverOpt).load(spark)
+      .select(col("ID").as("id"), col("AMT").as("amt"), col("TS").as("ts"))
+    // scale survives in the read-back schema, not just the values
+    assert(back.schema("amt").dataType ===
+      org.apache.spark.sql.types.DecimalType(18, 2))
+    assertSameRows(back, rows, "jdbc decimal/timestamp fidelity")
+    // NULLs round-trip as SQL NULL (not zero / epoch), and an isNull
+    // predicate pushes into the scan
+    val nulls = JdbcSource(url, "typefidelity", options = driverOpt).load(spark)
+      .filter(col("AMT").isNull)
+    val planText = nulls.queryExecution.executedPlan.toString
+    assert(planText.contains("IsNull"), s"expected pushed IsNull:\n$planText")
+    assert(nulls.select("ID").as[Long].collect().toSeq === Seq(3L))
+  }
 }
