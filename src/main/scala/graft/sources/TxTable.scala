@@ -1703,11 +1703,25 @@ object TxTable {
     doomed.foreach { f =>
       val p = Paths.get(dir, f)
       Files.deleteIfExists(p)
-      // drop the commit dir once empty
+      // the committer's hidden checksum sibling dies with its file — a
+      // .part-*.crc kept alive by nothing is retention litter that also
+      // blocks the dir removal below
+      Files.deleteIfExists(p.resolveSibling(s".${p.getFileName}.crc"))
+      // drop the commit dir once only job-marker litter remains
+      // (_SUCCESS + its .crc carry no data and reference nothing; a dir
+      // holding ONLY those is as dead as an empty one — without this,
+      // every expired commit dir survives vacuum forever as crumbs)
       val parent = p.getParent
       val it = Files.list(parent)
-      val empty = try !it.iterator().hasNext finally it.close()
-      if (empty) Files.deleteIfExists(parent)
+      val leftovers = try it.iterator().asScala.toList finally it.close()
+      val ancillary = leftovers.forall { q =>
+        val n = q.getFileName.toString
+        n == "_SUCCESS" || n == "._SUCCESS.crc"
+      }
+      if (ancillary) {
+        leftovers.foreach(Files.deleteIfExists(_))
+        Files.deleteIfExists(parent)
+      }
     }
     expired.foreach(v => Files.deleteIfExists(manifestPath(dir, v)))
     // orphan sweep: data/<uuid> dirs no surviving manifest references

@@ -881,6 +881,84 @@ class TxTableSpec extends SparkSpecBase {
       dir, TxTable.latest(dir).get, "id", "424242").isEmpty)
   }
 
+  test("fold → vacuum cycle leaves no unreferenced file on disk (full directory census)") {
+    val dir = Files.createTempDirectory("txcensus").toString
+    TxTable.commit(
+      s.range(0, 40).select(col("id"), concat(lit("v"), col("id")).as("v"))
+        .repartitionByRange(4, col("id")).sortWithinPartitions(col("id")),
+      dir, "overwrite", statsColumns = Seq("id"), bloomColumns = Seq("v"))
+    // two stacked MoR merges: DV sidecars accumulate across versions
+    TxTable.merge(s, dir,
+      Seq((5L, "V5", "UPDATE"), (17L, null.asInstanceOf[String], "DELETE"))
+        .toDF("id", "v", "operation"), Seq("id"), writeMode = "mor")
+    TxTable.merge(s, dir,
+      Seq((23L, null.asInstanceOf[String], "DELETE"), (31L, "V31", "UPDATE"))
+        .toDF("id", "v", "operation"), Seq("id"), writeMode = "mor")
+    assert(TxTable.latest(dir).get.dvs.nonEmpty, "fixture must carry DVs")
+    val dvRoot = Paths.get(dir, "_txlog/dv")
+    val dvBefore = Files.list(dvRoot).count()
+    assert(dvBefore > 0)
+    // fold rewrites the DV'd files: the new head references NO sidecar,
+    // but history still does — vacuum, not fold, owns their deletion
+    TxTable.foldDvs(s, dir)
+    assert(TxTable.latest(dir).get.dvs.isEmpty, "fold must clear the DV tier")
+    assert(Files.list(dvRoot).count() === dvBefore,
+      "superseded sidecars stay until their referencing versions expire")
+    // expire history: backdate every file past the grace window, keep 1
+    import scala.jdk.CollectionConverters._
+    val allWalk = Files.walk(Paths.get(dir))
+    try allWalk.iterator().asScala.filter(Files.isRegularFile(_)).foreach(p =>
+      Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 10000L)))
+    finally allWalk.close()
+    TxTable.vacuum(dir, keepVersions = 1, orphanGraceMs = 1000L)
+    // census: every regular file still on disk must be accounted for by
+    // the retained manifest — data files, live sidecars, the manifest
+    // itself, or parquet's _SUCCESS job marker inside a referenced
+    // commit dir. Anything else is a retention leak.
+    val retained = TxTable.versions(dir)
+    assert(retained.size === 1)
+    val snaps = retained.map(v => TxTable.snapshot(dir, v))
+    val refData = snaps.flatMap(_.files).toSet
+    val refSidecars = snaps.flatMap(sn => sn.dvs.values ++
+      sn.blooms.values.flatMap(_.values.map(_.sidecar))).toSet
+    val refManifests = retained.map(v => s"_txlog/v$v.manifest").toSet
+    val refDataDirs = refData.map(f => f.split('/').take(2).mkString("/"))
+    val walk2 = Files.walk(Paths.get(dir))
+    val leftover =
+      try walk2.iterator().asScala.filter(Files.isRegularFile(_))
+        .map(p => Paths.get(dir).relativize(p).toString).toList
+      finally walk2.close()
+    // a referenced data file legitimately keeps its committer crumbs
+    // (hidden .crc sibling; _SUCCESS + its crc in its commit dir) — but
+    // ONLY inside a commit dir some retained manifest still points at
+    def crcOwner(rel: String): String = {
+      val slash = rel.lastIndexOf('/')
+      val name = rel.substring(slash + 1)
+      rel.substring(0, slash + 1) +
+        name.stripPrefix(".").stripSuffix(".crc")
+    }
+    val unreferenced = leftover.filterNot { rel =>
+      val inRefDir = refDataDirs(rel.split('/').take(2).mkString("/"))
+      refData(rel) ||
+        refManifests(rel) ||
+        (rel.startsWith("_txlog/") && refSidecars(rel.stripPrefix("_txlog/"))) ||
+        (rel.endsWith("_SUCCESS") && inRefDir) ||
+        (rel.endsWith(".crc") && inRefDir &&
+          (refData(crcOwner(rel)) || crcOwner(rel).endsWith("_SUCCESS")))
+    }
+    assert(unreferenced.isEmpty,
+      s"files survived vacuum with no retained reference:\n  ${unreferenced.mkString("\n  ")}")
+    // all DV sidecars were superseded by the fold, so the sweep must
+    // have taken every one of them
+    assert(!Files.isDirectory(dvRoot) || Files.list(dvRoot).count() === 0L,
+      "folded-away DV sidecars must not outlive their versions")
+    // and the surviving table is still the right table
+    assert(TxTable.read(s, dir).count() === 38L) // 40 - 2 deletes
+    assert(TxTable.read(s, dir).where(col("id") === 5L)
+      .collect()(0).getString(1) === "V5")
+  }
+
   test("vacuum retires bloom sidecars only when no retained manifest references them") {
     val dir = Files.createTempDirectory("txbloomv").toString
     // string-typed bloom column: the canonical repr is the raw string
