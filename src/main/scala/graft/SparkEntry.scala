@@ -256,7 +256,10 @@ object SparkEntry {
       orders(s, dir).select(OrdersSpec.columns.map(col): _*), combined, OrdersSpec)
     // integer-floor mean: dwell magnitudes sit at 2^40 (the packed-id
     // envelope), where a double's ulp exceeds 6-dp rounding — exact
-    // BIGINT division is the cross-engine-stable formulation
+    // integer division is the cross-engine-stable formulation. The total
+    // rides a DECIMAL(38,0) accumulator (BIGINT overflows past ~4 M open
+    // intervals at this horizon — found by the sf10 sweep); the mean is
+    // back under 2^41 so `div`'s BIGINT result is exact.
     graft.log.History.dwell(hist, Seq("o_orderstatus"), horizon = 1L << 41)
       .select(col("o_orderstatus").as("status"), col("n_versions"),
         col("total_dwell"),
@@ -7784,7 +7787,7 @@ object SparkEntry {
          |v AS (SELECT *, lead(cdc_id) OVER (PARTITION BY record_id ORDER BY cdc_id) AS valid_to
          |      FROM ev)
          |SELECT st AS status, CAST(COUNT(*) AS BIGINT) AS n_versions,
-         |       CAST(SUM(COALESCE(valid_to, 2199023255552) - cdc_id) AS BIGINT) AS total_dwell,
+         |       CAST(SUM(COALESCE(valid_to, 2199023255552) - cdc_id) AS DECIMAL(38,0)) AS total_dwell,
          |       CAST(SUM(COALESCE(valid_to, 2199023255552) - cdc_id)
          |            // COUNT(*) AS BIGINT) AS avg_dwell
          |FROM v WHERE NOT del

@@ -231,7 +231,14 @@ object History {
     history.groupBy(cols.map(col): _*)
       .agg(
         count(lit(1)).as("n_versions"),
-        sum(coalesce(col("valid_to"), lit(horizon)) - col("valid_from"))
+        // DECIMAL(38,0) accumulator, not BIGINT: each open interval dwells
+        // ~horizon (2^41 for the packed-id envelope), so a long sum
+        // overflows past ~2^22 open rows — the sf10 sweep hit exactly
+        // this (15 M orders × 2^41 ≈ 2^64.8). Per-row differences still
+        // fit a long; only the accumulator needs the headroom. Exact
+        // integer arithmetic either way — oracle twins cast identically.
+        sum((coalesce(col("valid_to"), lit(horizon)) - col("valid_from"))
+          .cast("decimal(38,0)"))
           .as("total_dwell"))
 
   /** Temporal ALIGN join: intersect two version histories of the same key

@@ -114,6 +114,27 @@ class HistoryLayoutSpec extends SparkSpecBase {
     assert(pr.count() < hist.count(), "price track must coalesce batch-2 churn")
   }
 
+  test("dwell: total survives sums past Long.MaxValue (decimal accumulator)") {
+    // three open intervals at a horizon of ~2^62: a BIGINT sum of the
+    // dwells (3 × (2^62 - small)) overflows a long — the sf10 regression
+    // class (15 M open orders × 2^41 horizon)
+    val horizon = Long.MaxValue / 2
+    val hist = Seq(
+      ("A", 0L, Option.empty[Long]),
+      ("A", 1L, Option.empty[Long]),
+      ("A", 2L, Option.empty[Long]),
+      ("B", 3L, Some(10L)))
+      .toDF("st", "valid_from", "valid_to")
+    val out = History.dwell(hist, Seq("st"), horizon)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDecimal(2)))).toMap
+    val expectA = BigDecimal(horizon) * 3 - 3 // (h-0)+(h-1)+(h-2)
+    assert(out("A")._1 === 3L)
+    assert(BigDecimal(out("A")._2) === expectA,
+      s"exact decimal total expected, got ${out("A")._2}")
+    assert(BigDecimal(out("B")._2) === BigDecimal(7))
+  }
+
   test("versionAt: boundary semantics against the scd2 fixture") {
     val base = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("id", "v")
     val log = mkLog(Seq(
