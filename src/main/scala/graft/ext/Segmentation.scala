@@ -22,25 +22,31 @@ object Segmentation {
     * Scale shape: the heavy input collapses to ONE map-side-combined
     * aggregate keyed by entity before anything else; the per-entity
     * frame is 3–4 orders of magnitude smaller than the fact table
-    * (1.5 M customers for a 1.5 B orders TPC-H). Each dimension is then
-    * ranked by [[distributedNtile5]] — range-partition on the dimension,
+    * (1.5 M customers for a 1.5 B orders TPC-H). The quintile engine is
+    * then picked by the (checkpointed, so cheaply countable) entity
+    * count: under `distributedFrom` entities the three classic global
+    * `ntile(5)` windows run — one small task each, the cheapest plan at
+    * that size; at or above it each dimension is ranked by
+    * [[distributedNtile5]] — range-partition on the dimension,
     * per-partition row_number, driver-composed partition offsets — which
     * reproduces `ntile(5)` BIT-EXACTLY (same bucket-size formula over
-    * the same strict total order) with no single-task global window at
-    * ANY entity cardinality. The exact-quintile output contract is
-    * therefore preserved unconditionally; [[rfmApprox]] remains the
-    * cheaper cut-point variant for callers that accept boundary drift.
+    * the same strict total order, spec-pinned), so the threshold is pure
+    * performance tuning: the exact-quintile output contract holds at
+    * every cardinality and no single-task window survives where the
+    * frame is big enough to matter. [[rfmApprox]] remains the cheaper
+    * cut-point variant for callers that accept boundary drift.
     *
     * NOTE: building the returned DataFrame RUNS Spark jobs eagerly (the
-    * per-entity frame is checkpointed and each dimension's partition
-    * sizes are collected — bounded by the partition count, never by
-    * entities).
+    * per-entity frame is checkpointed and counted; the distributed path
+    * additionally collects per-partition sizes — bounded by the
+    * partition count, never by entities).
     */
   def rfm(
       tx: DataFrame,
       custCol: String,
       dateCol: String,
-      amountCol: String): DataFrame = {
+      amountCol: String,
+      distributedFrom: Long = 500000L): DataFrame = {
     val maxDate = tx.agg(max(col(dateCol)).as("__max_date"))
     // consumed four times (three rank passes + the output spine):
     // localCheckpoint runs the fact-table aggregate once; O(entities)
@@ -59,21 +65,34 @@ object Segmentation {
       .repartition(tx.sparkSession.sparkContext.defaultParallelism)
       .localCheckpoint(true)
     val k = col(custCol)
-    // explicit null orderings = the Window.orderBy defaults the previous
-    // global-ntile formulation used (asc → nulls first, desc → nulls last),
-    // so the total order — and with it every score — is unchanged
-    val rs = distributedNtile5(perCust, custCol,
-      Seq(col("r_days").asc_nulls_first, k.asc_nulls_first), "r_score")
-    val fs = distributedNtile5(perCust, custCol,
-      Seq(col("frequency").desc_nulls_last, k.asc_nulls_first), "f_score")
-    val ms = distributedNtile5(perCust, custCol,
-      Seq(col("monetary").desc_nulls_last, k.asc_nulls_first), "m_score")
-    perCust
-      .join(rs, Seq(custCol))
-      .join(fs, Seq(custCol))
-      .join(ms, Seq(custCol))
-      .withColumn("rfm_code",
-        (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).cast("int"))
+    if (perCust.count() < distributedFrom) {
+      // small frame: the classic single-task windows win on fixed cost
+      perCust
+        .withColumn("r_score",
+          ntile(5).over(Window.orderBy(col("r_days"), k)).cast("int"))
+        .withColumn("f_score",
+          ntile(5).over(Window.orderBy(col("frequency").desc, k)).cast("int"))
+        .withColumn("m_score",
+          ntile(5).over(Window.orderBy(col("monetary").desc, k)).cast("int"))
+        .withColumn("rfm_code",
+          (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).cast("int"))
+    } else {
+      // explicit null orderings = the Window.orderBy defaults the global
+      // formulation uses (asc → nulls first, desc → nulls last), so the
+      // total order — and with it every score — is identical across paths
+      val rs = distributedNtile5(perCust, custCol,
+        Seq(col("r_days").asc_nulls_first, k.asc_nulls_first), "r_score")
+      val fs = distributedNtile5(perCust, custCol,
+        Seq(col("frequency").desc_nulls_last, k.asc_nulls_first), "f_score")
+      val ms = distributedNtile5(perCust, custCol,
+        Seq(col("monetary").desc_nulls_last, k.asc_nulls_first), "m_score")
+      perCust
+        .join(rs, Seq(custCol))
+        .join(fs, Seq(custCol))
+        .join(ms, Seq(custCol))
+        .withColumn("rfm_code",
+          (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).cast("int"))
+    }
   }
 
   /** Exact `ntile(5)` over the strict total order `ord`, computed

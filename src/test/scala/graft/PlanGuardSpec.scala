@@ -152,9 +152,12 @@ class PlanGuardSpec extends SparkSpecBase {
     "corpus_quality_mw", "corpus_split_ks", "text_langid_auc",
     // corpus_spearman moved OFF this list in round 11: its histogram
     // cumulative is now the bucketed two-phase pattern (no global window)
-    // customer_rfm left this list in round 12: its quintiles are now the
-    // distributed exact-ntile path (range partition + per-partition
-    // row_number + driver offsets) — no global window at any SF
+    // per-entity RFM quintiles: the global ntile windows run ONLY under
+    // the 500 k-entity threshold (bounded by construction); beyond it
+    // the distributed exact-ntile path engages — spec-pinned
+    // bit-identical (range partition + per-pid row_number + offsets),
+    // so no unbounded frame ever crosses a single-task window
+    "customer_rfm",
     // Lorenz curve over the per-user aggregate (bounded by users; the
     // gini read is the curve, not the facts)
     "events_gini",

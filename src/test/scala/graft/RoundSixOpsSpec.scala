@@ -157,7 +157,10 @@ class RoundSixOpsSpec extends SparkSpecBase {
               .plusDays(rnd.nextInt(7))), // heavy date ties
             (rnd.nextInt(5) + 1) * 10.0)) // heavy amount ties
       }.toDF("cust", "d", "amt")
-      val got = Segmentation.rfm(tx, "cust", "d", "amt")
+      // distributedFrom = 0 forces the distributed rank engine — the
+      // production default would route these tiny frames to the global
+      // window whose equivalence is exactly what this test certifies
+      val got = Segmentation.rfm(tx, "cust", "d", "amt", distributedFrom = 0L)
       // reference: the literal global-window formulation
       val perCust = tx.groupBy(col("cust"))
         .agg(max(col("d")).as("last"), count(lit(1)).as("frequency"),
@@ -177,12 +180,12 @@ class RoundSixOpsSpec extends SparkSpecBase {
         ((r.getAs[Int]("r_score"), r.getAs[Int]("f_score"), r.getAs[Int]("m_score")))).toMap
       assert(gm === expect, s"nEnt=$nEnt: distributed quintiles diverge from ntile(5)")
     }
-    // plan shape: every Window in the executed plan is partitioned (the
-    // per-pid rank windows) — no single-task global window survives
+    // plan shape: on the distributed path every Window is partitioned
+    // (the per-pid rank windows) — no single-task global window survives
     val tx = (0 until 50).map(c => (c.toLong,
       java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(c % 9)),
       c * 1.5)).toDF("cust", "d", "amt")
-    val plan = Segmentation.rfm(tx, "cust", "d", "amt")
+    val plan = Segmentation.rfm(tx, "cust", "d", "amt", distributedFrom = 0L)
       .queryExecution.executedPlan.toString()
     assert(!plan.contains("Window [") || !plan.contains("windowspecdefinition()"),
       "unexpected unpartitioned window")
