@@ -15,6 +15,16 @@ json_out = sys.argv[3] if len(sys.argv) > 3 else None
 records = {}
 
 con = duckdb.connect()
+# Parallel sweeps at sf10: DuckDB's default memory budget is ~80% of
+# PHYSICAL RAM *per process*, so 8 workers replaying the exact-ANN
+# ground-truth CTE chains get OOM-killed by the kernel instead of
+# spilling. Cap each worker explicitly (spill beats SIGKILL).
+_mem = os.environ.get("GRAFT_DUCKDB_MEM")
+if _mem:
+    con.sql(f"SET memory_limit='{_mem}'")
+_thr = os.environ.get("GRAFT_DUCKDB_THREADS")
+if _thr:
+    con.sql(f"SET threads={int(_thr)}")
 for f in glob.glob(f"{sfdir}/*.parquet"):
     name = os.path.basename(f)[:-8]
     # a table may be a single parquet file (driver testdata) or a
