@@ -3098,8 +3098,13 @@ object SparkEntry {
     li.join(perPart, col("l_partkey") === col("pk"))
       .filter(col("l_quantity") * 5.0 * col("cnt") < col("sum_qty"))
       .agg(
+        // 2-dp, not the usual 6: avg_yearly grows with SF (~1.6e9 at
+        // sf10) and a 6-dp grain is ~2 ULP there — Spark's BigDecimal
+        // round and DuckDB's scaled-multiply round disagree in the last
+        // digit. Cent precision keeps the grain 4 orders above ULP at
+        // any plausible SF.
         round(sum(col("l_extendedprice").cast(DecimalType(18, 4)))
-          .cast("double") / 7.0, 6).as("avg_yearly"),
+          .cast("double") / 7.0, 2).as("avg_yearly"),
         count(lit(1)).as("n_items"))
   }
 
@@ -5986,6 +5991,16 @@ object SparkEntry {
     * `ann_ivfpq_append` oracles and the hybrid scale-path twins; CTE
     * names are prefixed so the chain composes with the BM25 lexical
     * CTEs without collision.
+    *
+    * Scale shape (round 12): the ADC distance is computed as a
+    * per-(query, sub, code) TABLE (`qtab`, queries×m×k rows) that
+    * candidates equi-join by code — the same trick the engine's
+    * `PqAdcScore` uses. The earlier form recomputed the 16-element
+    * lambda per (query, candidate, sub) row while carrying both float
+    * vectors through the join; at sf10 that is ~3e8 wide rows and
+    * DuckDB spilled >50 GB replaying it. Identical algebra (dsub
+    * depends only on the query, the subspace, and the code), so
+    * results are bit-identical.
     */
   private val IvfPqServeCtes: String =
     s"""pqrawc AS (
@@ -6019,18 +6034,21 @@ object SparkEntry {
        |pqrk AS (SELECT *, row_number() OVER (PARTITION BY vec_id, sub_i
        |                                   ORDER BY dist2, cid) AS rn FROM pqd),
        |pqc AS (SELECT vec_id, sub_i, cid AS code FROM pqrk WHERE rn = 1),
-       |qd AS (
-       |  SELECT q.query_id, pqc.vec_id, pqc.sub_i,
+       |qtab AS (
+       |  SELECT q.query_id, sp.i AS sub_i, cb.cid AS code,
        |    list_reduce(list_prepend(0.0, list_transform(range(1, 17),
-       |      k -> (q.qv[CAST(pqc.sub_i*16+k AS INT)] - cb.cv[CAST(pqc.sub_i*16+k AS INT)])
-       |           * (q.qv[CAST(pqc.sub_i*16+k AS INT)] - cb.cv[CAST(pqc.sub_i*16+k AS INT)]))),
+       |      k -> (q.qv[CAST(sp.i*16+k AS INT)] - cb.cv[CAST(sp.i*16+k AS INT)])
+       |           * (q.qv[CAST(sp.i*16+k AS INT)] - cb.cv[CAST(sp.i*16+k AS INT)]))),
        |      (acc, x) -> acc + x) AS dsub
+       |  FROM q, cb, sp),
+       |qd AS (
+       |  SELECT pb.query_id, pqc.vec_id, pqc.sub_i, qtab.dsub
        |  FROM pqc
        |  JOIN a1 ON a1.vec_id = pqc.vec_id
        |  JOIN probes pb ON pb.cid = a1.cid
-       |  JOIN q ON q.query_id = pb.query_id
-       |  JOIN cb ON cb.cid = pqc.code
-       |  WHERE pqc.vec_id <> q.query_id),
+       |  JOIN qtab ON qtab.query_id = pb.query_id
+       |           AND qtab.sub_i = pqc.sub_i AND qtab.code = pqc.code
+       |  WHERE pqc.vec_id <> pb.query_id),
        |adc AS (
        |  SELECT query_id, vec_id AS neighbor_id,
        |    round(list_reduce(list_prepend(0.0, list(dsub ORDER BY sub_i)),
@@ -8616,14 +8634,18 @@ object SparkEntry {
          |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id, sub_i
          |                                   ORDER BY dist2, cid) AS rn FROM d),
          |pqc AS (SELECT vec_id, sub_i, cid AS code FROM r WHERE rn = 1),
-         |qd AS (
-         |  SELECT q.query_id, pqc.vec_id, pqc.sub_i,
+         |qtab AS (
+         |  SELECT q.query_id, sp.i AS sub_i, cb.cid AS code,
          |    list_reduce(list_prepend(0.0, list_transform(range(1, 17),
-         |      k -> (q.qv[CAST(pqc.sub_i*16+k AS INT)] - cb.cv[CAST(pqc.sub_i*16+k AS INT)])
-         |           * (q.qv[CAST(pqc.sub_i*16+k AS INT)] - cb.cv[CAST(pqc.sub_i*16+k AS INT)]))),
+         |      k -> (q.qv[CAST(sp.i*16+k AS INT)] - cb.cv[CAST(sp.i*16+k AS INT)])
+         |           * (q.qv[CAST(sp.i*16+k AS INT)] - cb.cv[CAST(sp.i*16+k AS INT)]))),
          |      (acc, x) -> acc + x) AS dsub
-         |  FROM pqc JOIN cb ON cb.cid = pqc.code CROSS JOIN q
-         |  WHERE pqc.vec_id <> q.query_id),
+         |  FROM q, cb, sp),
+         |qd AS (
+         |  SELECT qtab.query_id, pqc.vec_id, pqc.sub_i, qtab.dsub
+         |  FROM pqc
+         |  JOIN qtab ON qtab.sub_i = pqc.sub_i AND qtab.code = pqc.code
+         |  WHERE pqc.vec_id <> qtab.query_id),
          |adc AS (
          |  SELECT query_id, vec_id AS neighbor_id,
          |    round(list_reduce(list_prepend(0.0, list(dsub ORDER BY sub_i)),
@@ -9550,7 +9572,7 @@ object SparkEntry {
         |pp AS (
         |  SELECT l_partkey AS pk, SUM(l_quantity) AS sum_qty, COUNT(*) AS cnt
         |  FROM li GROUP BY 1)
-        |SELECT round(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0, 6) AS avg_yearly,
+        |SELECT round(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0, 2) AS avg_yearly,
         |       CAST(COUNT(*) AS BIGINT) AS n_items
         |FROM li l JOIN pp ON l.l_partkey = pp.pk
         |WHERE l.l_quantity * 5.0 * pp.cnt < pp.sum_qty""".stripMargin,

@@ -25,6 +25,11 @@ if _mem:
 _thr = os.environ.get("GRAFT_DUCKDB_THREADS")
 if _thr:
     con.sql(f"SET threads={int(_thr)}")
+if _mem or _thr:
+    # spill location defaults to a RELATIVE ".tmp" — parallel workers
+    # sharing a cwd clobber each other's spill files (observed as
+    # "Could not read enough bytes from file .tmp/duckdb_temp_storage")
+    con.sql(f"SET temp_directory='/tmp/duckspill_{os.getpid()}'")
 for f in glob.glob(f"{sfdir}/*.parquet"):
     name = os.path.basename(f)[:-8]
     # a table may be a single parquet file (driver testdata) or a
