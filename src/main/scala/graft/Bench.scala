@@ -17,7 +17,7 @@ object Bench {
       "text_hybrid_recall"),
     "tx_table" -> Set("tx_time_travel", "tx_change_feed", "tx_merge_apply",
       "tx_bloom_lookup", "tx_provider_prune", "tx_provider_point",
-      "tx_merge_mor", "tx_sql_insert"))
+      "tx_merge_mor", "tx_sql_insert", "tx_fold_policy"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -169,10 +169,25 @@ object Bench {
         // run-context noise with UNCHANGED plans. Median-of-3 ends the
         // one-diagnosis-per-round tax; the reported total is a sum of
         // medians, so the extra reps cost wall-clock only.
+        // Round 13: the rep policy is PER-TIER. Median-of-3 exists to
+        // discard sub-second host/codegen noise, which is irrelevant
+        // once the query's wall time is seconds-scale — and at sf10 the
+        // blanket policy priced the whole-surface bench out entirely
+        // (BENCH_sf10_r12's "note"). Above sf1 every query is
+        // single-shot; at/below sf1 the flagged noise families keep
+        // median-of-3. SPARK_GRAFT_REPS overrides both for probes.
         val medianFamilies =
           name.startsWith("cdc_") || name.startsWith("events_") ||
             name == "text_ppl_buckets" || name == "corpus_cross_source_dups"
-        val reps = if (medianFamilies) 3 else 1
+        val largeTier = {
+          val m = raw".*sf(\d+(?:\.\d+)?).*".r
+          sfDir match {
+            case m(v) => v.toDouble > 1.0
+            case _ => false
+          }
+        }
+        val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt)
+          .getOrElse(if (medianFamilies && !largeTier) 3 else 1)
         name -> (try {
           val times = (1 to reps).map { _ =>
             if (!sys.env.contains("SPARK_GRAFT_NO_HOUSEKEEPING")) {
@@ -282,7 +297,54 @@ object Bench {
         }
         streamingJson = modes
           .map { case (m, j) => "\"" + m + "\":" + j }
-          .mkString(",\"streaming\":{", ",", "}")
+          .mkString(",\"streaming\":{", ",", "")
+        // Contended-writer row (round-13 directive #7): N concurrent
+        // streaming drains merging DISJOINT key slices into the SAME
+        // TxTable — the commit arbiter serializes the version log, so
+        // this measures sustained throughput UNDER optimistic-retry
+        // contention (TxConcurrencySpec proves the serialization is
+        // legal; this prices it). Gated on SPARK_GRAFT_CONTENDED=<N>
+        // (or =1 → 2 writers) so the per-round board bench is
+        // unaffected; the sf10 probe tier sets it.
+        val contended = sys.env.get("SPARK_GRAFT_CONTENDED").map { v =>
+          val nWriters = v.toIntOption.filter(_ > 1).getOrElse(2)
+          val logDirs = (0 until nWriters).map(w => s"$tmp/contlog_$w")
+          (0 until nWriters).foreach { w =>
+            val slice = log.filter(
+              pmod(col(graft.log.ChangeLog.RecordId), lit(nWriters)) === w)
+            (0 until nBatches).foreach { i =>
+              slice.filter(
+                  pmod(col(graft.log.ChangeLog.CdcId), lit(nBatches)) === i)
+                .repartition(1).write.mode("append").parquet(logDirs(w))
+              ()
+            }
+          }
+          val inRows = log.count()
+          val tableDir = s"$tmp/table_contended"
+          val errs = new java.util.concurrent.ConcurrentLinkedQueue[String]
+          val wall0 = System.nanoTime()
+          val threads = (0 until nWriters).map { w =>
+            val t = new Thread(() =>
+              try graft.streaming.CdcStream.drainTxTable(spark, logDirs(w),
+                tableDir, s"$tmp/chk_cont_$w", Fixtures.OrdersSpec, rowSchema,
+                maxFilesPerTrigger = 1, writeMode = "mor")
+              catch { case e: Throwable =>
+                errs.add(s"writer$w: ${e.getClass.getSimpleName}"); ()
+              })
+            t.start(); t
+          }
+          threads.foreach(_.join())
+          val wallSec = (System.nanoTime() - wall0) / 1e9
+          val visible = graft.sources.TxTable.read(spark, tableDir).count()
+          val errJson = if (errs.isEmpty) "[]"
+            else errs.toArray.map("\"" + _ + "\"").mkString("[", ",", "]")
+          s""","contended":{"writers":$nWriters,"rows":$inRows,""" +
+            s""""visible_rows":$visible,""" +
+            s""""wall_sec":${math.rint(wallSec * 1000) / 1000},""" +
+            s""""changes_per_sec":${math.rint(inRows / wallSec)},""" +
+            s""""errors":$errJson}"""
+        }.getOrElse("")
+        streamingJson += contended + "}"
       }
     // 3-dp timings keep the JSON compact (the round-4 driver capture
     // truncated the tail of a 67-query line at full precision).

@@ -260,9 +260,15 @@ object SparkEntry {
     // rides a DECIMAL(38,0) accumulator (BIGINT overflows past ~4 M open
     // intervals at this horizon — found by the sf10 sweep); the mean is
     // back under 2^41 so `div`'s BIGINT result is exact.
+    // total_dwell crosses the oracle-compare boundary as exact-integer
+    // TEXT, not DECIMAL: the driver's value-hasher normalizes Spark
+    // decimal128 and DuckDB HUGEINT differently for beyond-2^53
+    // integrals (same family as the media_image_phash HUGEINT lesson).
+    // The DECIMAL(38,0) accumulator stays internal — scale-0 decimals
+    // render as plain digits in both engines, so the string is portable.
     graft.log.History.dwell(hist, Seq("o_orderstatus"), horizon = 1L << 41)
       .select(col("o_orderstatus").as("status"), col("n_versions"),
-        col("total_dwell"),
+        col("total_dwell").cast("string").as("total_dwell"),
         expr("total_dwell div n_versions").as("avg_dwell"))
       .orderBy("status")
   }
@@ -1558,6 +1564,10 @@ object SparkEntry {
       qTxBloomLookup(s, dir).count()
       qTxMergeMor(s, dir).count()
       qTxSqlInsert(s, dir).count()
+      // round-13: the fold-policy fixture (4 commits + MoR delete batch
+      // + graft_tx_fold) moves here too, so the board row times the
+      // three versioned phase READS, not the one-time build
+      qTxFoldPolicy(s, dir).count()
       ()
     }))
 
@@ -7805,7 +7815,7 @@ object SparkEntry {
          |v AS (SELECT *, lead(cdc_id) OVER (PARTITION BY record_id ORDER BY cdc_id) AS valid_to
          |      FROM ev)
          |SELECT st AS status, CAST(COUNT(*) AS BIGINT) AS n_versions,
-         |       CAST(SUM(COALESCE(valid_to, 2199023255552) - cdc_id) AS DECIMAL(38,0)) AS total_dwell,
+         |       CAST(CAST(SUM(COALESCE(valid_to, 2199023255552) - cdc_id) AS HUGEINT) AS VARCHAR) AS total_dwell,
          |       CAST(SUM(COALESCE(valid_to, 2199023255552) - cdc_id)
          |            // COUNT(*) AS BIGINT) AS avg_dwell
          |FROM v WHERE NOT del

@@ -6,7 +6,7 @@ runs each oracle SQL in DuckDB with tables registered from the sf dir,
 and compares: row count, schema (column names+types after sorting by
 name), and per-value equality.
 """
-import duckdb, glob, json, math, os, sys
+import atexit, duckdb, glob, json, math, os, shutil, sys, tempfile
 
 sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
@@ -25,11 +25,23 @@ if _mem:
 _thr = os.environ.get("GRAFT_DUCKDB_THREADS")
 if _thr:
     con.sql(f"SET threads={int(_thr)}")
-if _mem or _thr:
-    # spill location defaults to a RELATIVE ".tmp" — parallel workers
-    # sharing a cwd clobber each other's spill files (observed as
-    # "Could not read enough bytes from file .tmp/duckdb_temp_storage")
-    con.sql(f"SET temp_directory='/tmp/duckspill_{os.getpid()}'")
+# spill location defaults to a RELATIVE ".tmp" — parallel workers
+# sharing a cwd clobber each other's spill files (observed as
+# "Could not read enough bytes from file .tmp/duckdb_temp_storage").
+# Set it UNCONDITIONALLY (any parallel run hits this, not just the
+# mem/thread-capped sweeps), via mkdtemp, and remove it at exit so a
+# worker killed mid-spill doesn't leak multi-GB temp files. Stale dirs
+# from SIGKILLed workers (atexit never runs) are swept at startup.
+for _stale in glob.glob(f"{tempfile.gettempdir()}/duckspill_*"):
+    try:
+        _pid = int(os.path.basename(_stale).split("_")[1])
+        if not os.path.exists(f"/proc/{_pid}"):
+            shutil.rmtree(_stale, ignore_errors=True)
+    except (ValueError, IndexError, OSError):
+        pass
+_spill = tempfile.mkdtemp(prefix=f"duckspill_{os.getpid()}_")
+atexit.register(shutil.rmtree, _spill, ignore_errors=True)
+con.sql(f"SET temp_directory='{_spill}'")
 for f in glob.glob(f"{sfdir}/*.parquet"):
     name = os.path.basename(f)[:-8]
     # a table may be a single parquet file (driver testdata) or a

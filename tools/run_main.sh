@@ -1,0 +1,20 @@
+#!/bin/bash
+# Launch a graft main (graft.Verify / graft.Bench) straight from the
+# compiled classes + /opt/spark/jars, bypassing sbt — mirrors build.sbt's
+# fork javaOptions (JDK-17 add-opens, UTC, UI off). Usage:
+#   tools/run_main.sh graft.Verify /root/testdata/sf0.01 /tmp/out
+# Env: SPARK_DRIVER_MEM (default 8g) and the usual SPARK_GRAFT_* vars.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
+  OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+exec java $OPENS \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  -cp "target/scala-2.13/classes:/opt/spark/jars/*" "$@"
