@@ -26,5 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default (was 8g): the round-13 A/B isolated the r12 board-wide
+  // +20% bench drift to GC pressure — the engine's resident fixture set
+  // (serving indexes, checkpointed pair tables) grew past what an 8 GiB
+  // heap absorbs, taxing every short query's timed region ~1.2x, while
+  // at 16g+ the r11/r12 trees measure within 4% (BASELINE.md, round-13
+  // A/B). A 32-thread local session on a 128 GiB host sizes its driver
+  // for the working set, same as an executor would at cluster scale.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -283,6 +283,51 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("cosine"))
   }
 
+  /** Shared candidate-generation path for the posting-list pair finders
+    * ([[ngramJaccardDedup]]'s prefix postings, [[containmentPairs]]'
+    * rare-gram postings — round-13 unification): self-join the postings
+    * on their key columns into distinct ordered id pairs. When the
+    * postings carry `nsh` and a `sizeRatioPre` bound t is given, the
+    * size-ratio prefilter runs BEFORE the distinct and any payload
+    * fetch: jaccard <= min(|A|,|B|)/max(|A|,|B|), so pairs failing the
+    * ratio can never reach the threshold. The shuffle key is the full
+    * posting key (shingle-grained — huge key space), so parallelism is
+    * the cluster's without salting.
+    */
+  private def postingCandidates(
+      posts: DataFrame,
+      key: Seq[String],
+      sizeRatioPre: Option[Double]): DataFrame = {
+    val withSize = posts.columns.contains("nsh")
+    val a = posts.select(key.map(col) ++ Seq(col("id").as("id_a")) ++
+      (if (withSize) Seq(col("nsh").as("na")) else Nil): _*)
+    val b = posts.select(key.map(col) ++ Seq(col("id").as("id_b")) ++
+      (if (withSize) Seq(col("nsh").as("nb")) else Nil): _*)
+    val joined = a.join(b, key).filter(col("id_a") < col("id_b"))
+    sizeRatioPre.fold(joined) { t =>
+      joined.filter(least(col("na"), col("nb")).cast("double")
+        >= greatest(col("na"), col("nb")) * t)
+    }.select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** Shared verify stage: re-fetch the two sorted hashed-shingle arrays
+    * by id (candidates carry ids only, never payloads), compute the
+    * pair measure, keep rows at/above `threshold`. `base` must expose
+    * (id, sh).
+    */
+  private def verifyCandidates(
+      cand: DataFrame,
+      base: DataFrame,
+      measure: (Column, Column) => Column,
+      outName: String,
+      threshold: Double): DataFrame =
+    cand
+      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn(outName, measure(col("sh_a"), col("sh_b")))
+      .filter(col(outName) >= threshold)
+      .select(col("id_a"), col("id_b"), col(outName))
+
   def ngramJaccardDedup(
       df: DataFrame,
       textCol: String,
@@ -371,31 +416,14 @@ object Dedup {
     }
 
     // Candidates: prefix postings self-joined on the (block, shingle)
-    // key — the shuffle distributes by shingle (huge key space), so
-    // parallelism needs no salting. The size-ratio prefilter runs
-    // BEFORE the distinct and the array fetches: jaccard <=
-    // min(|A|,|B|)/max(|A|,|B|), so pairs failing the ratio can never
-    // reach the threshold (bound loosened by the 6-dp half-step: the
-    // final filter accepts round(jac,6) >= t, i.e. jac >= t - 5e-7, so
-    // the prefilter must not cut pairs inside that half-step).
-    val cand = prefix
-      .select(col("blk"), col("s"), col("id").as("id_a"), col("nsh").as("na"))
-      .join(prefix
-          .select(col("blk"), col("s"), col("id").as("id_b"), col("nsh").as("nb")),
-        Seq("blk", "s"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(least(col("na"), col("nb")).cast("double")
-        >= greatest(col("na"), col("nb")) * tPre)
-      .select(col("id_a"), col("id_b"))
-      .distinct()
-
-    cand
-      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("jac",
-        round(jaccardSortedAtLeast(col("sh_a"), col("sh_b"), threshold), 6))
-      .filter(col("jac") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jac"))
+    // key via the shared [[postingCandidates]] path. The size-ratio
+    // prefilter bound is loosened by the 6-dp half-step: the final
+    // filter accepts round(jac,6) >= t, i.e. jac >= t - 5e-7, so the
+    // prefilter must not cut pairs inside that half-step.
+    val cand = postingCandidates(prefix, Seq("blk", "s"), Some(tPre))
+    verifyCandidates(cand, base.select(col("id"), col("sh")),
+      (a, b) => round(jaccardSortedAtLeast(a, b, threshold), 6),
+      "jac", threshold)
   }
 
   /** Blocked fuzzy (edit-distance) duplicate pairs: all pairs within a
@@ -470,22 +498,21 @@ object Dedup {
       .filter(col("__df") >= 2 && col("__df") <= maxDf)
       .select(col("gram"))
     val blocked = grams.join(rare, Seq("gram"))
-    val pairs = blocked.select(col("gram"), col("id").as("id_a"))
-      .join(blocked.select(col("gram"), col("id").as("id_b")), Seq("gram"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
-    val inter = org.apache.spark.sql.GraftSqlBridge.column(
-      graft.expr.SortedIntersectCount(
-        org.apache.spark.sql.GraftSqlBridge.expression(col("sh_a")),
-        org.apache.spark.sql.GraftSqlBridge.expression(col("sh_b")))).cast("double")
-    pairs
-      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("cont",
-        round(inter / least(size(col("sh_a")), size(col("sh_b"))).cast("double"), 6))
-      .filter(col("cont") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cont"))
+    // same shared candidate-generation + verify path as
+    // [[ngramJaccardDedup]] (round-13 unification); the measure is the
+    // asymmetric containment instead of jaccard, and rare-df blocking
+    // stands in for the prefix filter (no size-ratio prefilter exists
+    // for containment — a tiny doc inside a huge one is the signal).
+    val pairs = postingCandidates(
+      blocked.select(col("gram"), col("id")), Seq("gram"), None)
+    def inter(a: Column, b: Column): Column =
+      org.apache.spark.sql.GraftSqlBridge.column(
+        graft.expr.SortedIntersectCount(
+          org.apache.spark.sql.GraftSqlBridge.expression(a),
+          org.apache.spark.sql.GraftSqlBridge.expression(b))).cast("double")
+    verifyCandidates(pairs, base,
+      (a, b) => round(inter(a, b) / least(size(a), size(b)).cast("double"), 6),
+      "cont", threshold)
   }
 
   /** MinHash signature: `numHashes` independent permutations simulated by
