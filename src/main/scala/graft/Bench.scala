@@ -329,7 +329,9 @@ object Bench {
                 tableDir, s"$tmp/chk_cont_$w", Fixtures.OrdersSpec, rowSchema,
                 maxFilesPerTrigger = 1, writeMode = "mor")
               catch { case e: Throwable =>
-                errs.add(s"writer$w: ${e.getClass.getSimpleName}"); ()
+                val msg = Option(e.getMessage).getOrElse("")
+                  .linesIterator.take(2).mkString(" | ").replace("\"", "'")
+                errs.add(s"writer$w: ${e.getClass.getSimpleName}: $msg"); ()
               })
             t.start(); t
           }

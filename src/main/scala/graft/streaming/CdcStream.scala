@@ -733,6 +733,32 @@ object CdcStream {
     import graft.log.ChangeLog.{CdcId, NewData, Operation, RecordId}
     import graft.sources.TxTable
     val spark = batch.sparkSession
+    // The body runs THREE actions over the micro-batch (isEmpty, the
+    // ledger max, the merge); unpersisted, each one re-reads the
+    // streaming file source — measured 2.4x numInputRows inflation and
+    // the same factor of redundant I/O per trigger (round-13 find).
+    // Cache for the trigger's lifetime; released in the finally.
+    batch.persist()
+    try applyTxBatchCached(batch, tableDir, spec, rowSchema, strategy,
+      writeMode, foldEvery, foldMinDeletedFraction)
+    finally {
+      batch.unpersist()
+      ()
+    }
+  }
+
+  private def applyTxBatchCached(
+      batch: DataFrame,
+      tableDir: String,
+      spec: CdcTableSpec,
+      rowSchema: StructType,
+      strategy: ConflictStrategy,
+      writeMode: String,
+      foldEvery: Int,
+      foldMinDeletedFraction: Double): Unit = {
+    import graft.log.ChangeLog.{CdcId, NewData, Operation, RecordId}
+    import graft.sources.TxTable
+    val spark = batch.sparkSession
     if (batch.isEmpty) return
     // The applied ledger is DATA-DERIVED — the batch's max cdc_id — not
     // the checkpoint's batch number (`epoch` is ignored for the skip
@@ -865,7 +891,14 @@ object CdcStream {
     startLogStream(spark, logDir, rowSchema, checkpointDir,
       trigger.getOrElse(
         Trigger.ProcessingTime(s"${config.syncIntervalSeconds} seconds")),
-      maxFilesPerTrigger, s"cdc-replicate-tx-${spec.table}") {
+      maxFilesPerTrigger,
+      // name disambiguated by checkpoint: N writers replicating distinct
+      // logs into ONE table are a supported contention pattern (the
+      // commit arbiter serializes them) — a fixed per-table name made
+      // the second writer's start() throw "query with that name is
+      // already active" (round-13 contended-bench find)
+      s"cdc-replicate-tx-${spec.table}-" +
+        Integer.toHexString(checkpointDir.hashCode)) {
       (batch, _) => applyTxBatch(batch, tableDir, spec, rowSchema, strategy,
         writeMode, foldEvery, foldMinDeletedFraction)
     }
