@@ -243,9 +243,46 @@ object Multimodal {
   def fixtureSample(id: Long, i: Int): Int =
     (((id * 31L + i * 17L) % 65536L) - 32768L).toInt
 
-  /** Generate REAL WAV clips (RIFF header + PCM via the JDK's
-    * `AudioSystem.write` encoder) from an id column. 16-bit signed
-    * little-endian mono.
+  /** The canonical 44-byte RIFF/WAVE header + PCM16LE payload — the
+    * exact byte stream `AudioSystem.write` emits for a PCM_SIGNED
+    * 16-bit mono little-endian stream (byte equality spec-pinned in
+    * MultimodalSpec). Hand-rolled because the javax encoder spends ~ms
+    * per clip in per-stream service machinery: at sf10 the 500 k-clip
+    * fixture spent a third of `media_audio_features` inside it
+    * (round-13 probe) — this writer is sub-µs.
+    */
+  private[graft] def canonicalWav(data: Array[Byte], sampleRate: Int): Array[Byte] = {
+    val out = new Array[Byte](44 + data.length)
+    def le32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte
+      out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte
+      out(off + 3) = ((v >>> 24) & 0xff).toByte
+    }
+    def le16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte
+      out(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    def tag(off: Int, s: String): Unit = {
+      var i = 0
+      while (i < 4) { out(off + i) = s.charAt(i).toByte; i += 1 }
+    }
+    tag(0, "RIFF"); le32(4, 36 + data.length); tag(8, "WAVE")
+    tag(12, "fmt "); le32(16, 16)
+    le16(20, 1) // audioFormat = PCM
+    le16(22, 1) // channels = mono
+    le32(24, sampleRate)
+    le32(28, sampleRate * 2) // byte rate
+    le16(32, 2) // block align
+    le16(34, 16) // bits per sample
+    tag(36, "data"); le32(40, data.length)
+    System.arraycopy(data, 0, out, 44, data.length)
+    out
+  }
+
+  /** Generate REAL WAV clips (RIFF container + PCM16LE, the canonical
+    * layout `AudioSystem.write` produces — see [[canonicalWav]]) from an
+    * id column. 16-bit signed little-endian mono.
     */
   def wavPayload(df: DataFrame, idCol: String, nSamples: Int = 2048,
       sampleRate: Int = 8000): Dataset[AudioRecord] = {
@@ -260,16 +297,50 @@ object Multimodal {
           data(2 * i + 1) = ((s >> 8) & 0xff).toByte
           i += 1
         }
-        val fmt = new javax.sound.sampled.AudioFormat(
-          sampleRate.toFloat, 16, 1, true, false)
-        val ais = new javax.sound.sampled.AudioInputStream(
-          new java.io.ByteArrayInputStream(data), fmt, nSamples.toLong)
-        val bos = new java.io.ByteArrayOutputStream()
-        javax.sound.sampled.AudioSystem.write(ais,
-          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-        AudioRecord(id, bos.toByteArray)
+        AudioRecord(id, canonicalWav(data, sampleRate))
       }
     }
+  }
+
+  /** Manual RIFF walk for the PCM16-mono fast path of
+    * [[decodeWavFrames]]: Some((pcm bytes, bigEndian=false)) for a
+    * well-formed little-endian RIFF/WAVE whose fmt chunk declares
+    * PCM_SIGNED 16-bit mono; None hands the payload to the javax
+    * fallback, which preserves the full container semantics (RIFX,
+    * extensible formats, odd chunk layouts, truncated data — decode or
+    * quarantine exactly as before). The fast path exists because
+    * `AudioSystem.getAudioInputStream` costs ~ms per clip in provider
+    * discovery + stream setup: two thirds of `media_audio_features` at
+    * sf10 (round-13 probe); this walk is sub-µs. Parity manual-vs-javax
+    * is spec-pinned in MultimodalSpec.
+    */
+  private[graft] def parsePcm16MonoWav(b: Array[Byte]): Option[(Array[Byte], Boolean)] = {
+    def tag(off: Int): String =
+      new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    def le32(off: Int): Long =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+    def le16(off: Int): Int = (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    if (b.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var off = 12
+    var fmtOk = false
+    var data: Option[Array[Byte]] = None
+    while (off + 8 <= b.length && (data.isEmpty || !fmtOk)) {
+      val id = tag(off)
+      val size = le32(off + 4)
+      val body = off + 8
+      if (body + size > b.length) return None // truncated: javax decides
+      if (id == "fmt ") {
+        if (size < 16) return None
+        fmtOk = le16(body) == 1 && le16(body + 2) == 1 && le16(body + 14) == 16
+        if (!fmtOk) return None // non-PCM16-mono: javax quarantines
+      } else if (id == "data") {
+        if (!fmtOk) return None // data before fmt: let javax judge it
+        data = Some(java.util.Arrays.copyOfRange(b, body, body + size.toInt))
+      }
+      off = body + size.toInt + (size.toInt & 1) // chunks pad to even
+    }
+    if (fmtOk) data.map((_, false)) else None
   }
 
   /** TRUE WAV decode + exact frame features: `AudioSystem
@@ -286,7 +357,10 @@ object Multimodal {
     implicit val enc = Encoders.product[AudioFrame]
     audio.mapPartitions { it =>
       it.flatMap { r =>
-        val parsed =
+        // fast path: manual RIFF walk for canonical PCM16-mono-LE;
+        // javax keeps judging everything the walk declines (parity
+        // spec-pinned — see parsePcm16MonoWav)
+        val parsed = parsePcm16MonoWav(r.wav).orElse {
           try {
             val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
               new java.io.ByteArrayInputStream(r.wav))
@@ -300,6 +374,7 @@ object Multimodal {
             case _: javax.sound.sampled.UnsupportedAudioFileException => None
             case _: java.io.IOException => None
           }
+        }
         parsed.toSeq.flatMap { case (bytes, bigEndian) =>
           val n = bytes.length / 2
           def sample(i: Int): Int =

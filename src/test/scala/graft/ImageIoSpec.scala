@@ -109,6 +109,73 @@ class ImageIoSpec extends SparkSpecBase {
       .map(_.media_id).distinct.toSeq === Seq(5L))
   }
 
+  test("canonicalWav is byte-identical to the javax AudioSystem.write encoding") {
+    for (id <- Seq(0L, 7L, 123456L); n <- Seq(1, 255, 512)) {
+      val data = new Array[Byte](n * 2)
+      for (i <- 0 until n) {
+        val s = Multimodal.fixtureSample(id, i)
+        data(2 * i) = (s & 0xff).toByte
+        data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      assert(Multimodal.canonicalWav(data, 8000).toSeq === bos.toByteArray.toSeq,
+        s"id=$id n=$n")
+    }
+  }
+
+  test("parsePcm16MonoWav parity with the javax reader") {
+    def javaxParse(b: Array[Byte]): Option[(Seq[Byte], Boolean)] =
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(b))
+        val fmt = ais.getFormat
+        if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1) None
+        else Some((ais.readAllBytes().toSeq, fmt.isBigEndian))
+      } catch { case _: Exception => None }
+    // canonical: both parse, same pcm bytes, little-endian
+    val data = Array.tabulate(512 * 2)(i => (i * 13 % 251).toByte)
+    val wav = Multimodal.canonicalWav(data, 8000)
+    val manual = Multimodal.parsePcm16MonoWav(wav)
+    assert(manual.map { case (p, be) => (p.toSeq, be) } === javaxParse(wav))
+    assert(manual.get._1.toSeq === data.toSeq)
+    // non-PCM16-mono payloads: manual declines, javax quarantines too —
+    // stereo 16-bit
+    val stereoFmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+    val stereoAis = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(new Array[Byte](64)), stereoFmt, 16L)
+    val sb = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(stereoAis,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, sb)
+    assert(Multimodal.parsePcm16MonoWav(sb.toByteArray) === None)
+    assert(javaxParse(sb.toByteArray) === None)
+    // truncated data chunk: manual hands off (None); junk: both None
+    val truncated = wav.take(wav.length - 10)
+    assert(Multimodal.parsePcm16MonoWav(truncated) === None)
+    assert(Multimodal.parsePcm16MonoWav(Array[Byte](1, 2, 3)) === None)
+    // an extra chunk between fmt and data still parses (chunk walk)
+    val extra = {
+      val junk = Array[Byte]('L', 'I', 'S', 'T', 3, 0, 0, 0, 1, 2, 3, 0)
+      val head = wav.take(36) // RIFF..fmt chunk
+      val tail = wav.drop(36) // data chunk
+      val out = new Array[Byte](head.length + junk.length + tail.length)
+      System.arraycopy(head, 0, out, 0, head.length)
+      System.arraycopy(junk, 0, out, head.length, junk.length)
+      System.arraycopy(tail, 0, out, head.length + junk.length, tail.length)
+      // fix the RIFF size field
+      val sz = out.length - 8
+      out(4) = (sz & 0xff).toByte; out(5) = ((sz >> 8) & 0xff).toByte
+      out(6) = ((sz >> 16) & 0xff).toByte; out(7) = ((sz >>> 24) & 0xff).toByte
+      out
+    }
+    assert(Multimodal.parsePcm16MonoWav(extra).map(_._1.toSeq) === Some(data.toSeq))
+  }
+
   test("the dHash kernel over a decoded grid matches a driver recompute") {
     val df = Multimodal.decodeImages(
         Multimodal.pngPayload(Seq(7L, 250L, 999L).toDF("doc_id"), "doc_id"))
