@@ -186,8 +186,14 @@ object Bench {
             case _ => false
           }
         }
-        val reps = sys.env.get("SPARK_GRAFT_REPS").map(_.toInt)
-          .getOrElse(if (medianFamilies && !largeTier) 3 else 1)
+        // toIntOption: a malformed override must not crash the whole
+        // bench run — fall back loudly to the per-tier policy
+        val reps = sys.env.get("SPARK_GRAFT_REPS").flatMap { v =>
+          val p = v.toIntOption.filter(_ > 0)
+          if (p.isEmpty)
+            System.err.println(s"[bench] ignoring malformed SPARK_GRAFT_REPS='$v'")
+          p
+        }.getOrElse(if (medianFamilies && !largeTier) 3 else 1)
         name -> (try {
           val times = (1 to reps).map { _ =>
             if (!sys.env.contains("SPARK_GRAFT_NO_HOUSEKEEPING")) {
@@ -222,7 +228,7 @@ object Bench {
     if ((only.isEmpty || sys.env.contains("SPARK_GRAFT_STREAMING")) &&
         !sys.env.contains("SPARK_GRAFT_NO_STREAMING"))
       prep("streaming_latency") {
-        import org.apache.spark.sql.functions.{col, lit, pmod}
+        import org.apache.spark.sql.functions.{col, expr, lit, max, min, pmod}
         import org.apache.spark.sql.types.StructType
         val tmp = java.nio.file.Files.createTempDirectory("graft_stream_bench")
           .toString
@@ -231,11 +237,26 @@ object Bench {
           .dataType.asInstanceOf[StructType]
         val nBatches = 16
         val logDir = s"$tmp/log"
-        (0 until nBatches).foreach { i =>
-          log.filter(pmod(col(graft.log.ChangeLog.CdcId), lit(nBatches)) === i)
-            .repartition(1).write.mode("append").parquet(logDir)
-          ()
+        // CONTIGUOUS cdc_id ranges per file (round 14): the old
+        // pmod(cdc_id, nBatches) split gave every file ids from the whole
+        // range, so per-file max cdc_ids were non-monotonic in file order
+        // — violating the in-order-log contract the replay-skip ledger
+        // requires, and the drain silently skipped over half its batches
+        // (the r13 streaming rows/s timed mostly-dropped work). Range
+        // slicing keeps each file's max above the previous file's.
+        def writeContiguousBatches(src: org.apache.spark.sql.DataFrame,
+            outDir: String): Unit = {
+          val cdc = graft.log.ChangeLog.CdcId
+          val b = src.agg(min(col(cdc)), max(col(cdc))).first()
+          val (lo, hi) = (b.getLong(0), b.getLong(1))
+          val span = math.max(1L, (hi - lo) / nBatches + 1)
+          (0 until nBatches).foreach { i =>
+            src.filter(expr(s"($cdc - $lo) div $span") === i)
+              .repartition(1).write.mode("append").parquet(outDir)
+            ()
+          }
         }
+        writeContiguousBatches(log, logDir)
         def percentile(xs: Seq[Long], p: Double): Long =
           if (xs.isEmpty) -1L
           else xs.sorted.apply(math.min(xs.size - 1,
@@ -310,16 +331,22 @@ object Bench {
           val nWriters = v.toIntOption.filter(_ > 1).getOrElse(2)
           val logDirs = (0 until nWriters).map(w => s"$tmp/contlog_$w")
           (0 until nWriters).foreach { w =>
+            // disjoint KEY slices per writer; within a slice the same
+            // contiguous-range split as the single-writer log (each
+            // writer's own file sequence must satisfy the in-order
+            // contract)
             val slice = log.filter(
               pmod(col(graft.log.ChangeLog.RecordId), lit(nWriters)) === w)
-            (0 until nBatches).foreach { i =>
-              slice.filter(
-                  pmod(col(graft.log.ChangeLog.CdcId), lit(nBatches)) === i)
-                .repartition(1).write.mode("append").parquet(logDirs(w))
-              ()
-            }
+            writeContiguousBatches(slice, logDirs(w))
           }
           val inRows = log.count()
+          // ground truth: the single-writer COW drain above consumed the
+          // SAME change log into $tmp/table_cow — the contended merge of
+          // disjoint key slices must converge to exactly that many rows,
+          // with zero replay-skips (fresh checkpoints, nothing to replay)
+          val expectedRows =
+            graft.sources.TxTable.read(spark, s"$tmp/table_cow").count()
+          val skipped0 = graft.streaming.CdcStream.skippedBatchCount.get()
           val tableDir = s"$tmp/table_contended"
           val errs = new java.util.concurrent.ConcurrentLinkedQueue[String]
           val wall0 = System.nanoTime()
@@ -338,10 +365,20 @@ object Bench {
           threads.foreach(_.join())
           val wallSec = (System.nanoTime() - wall0) / 1e9
           val visible = graft.sources.TxTable.read(spark, tableDir).count()
+          val skips =
+            graft.streaming.CdcStream.skippedBatchCount.get() - skipped0
+          // a throughput figure over dropped work is not a measurement —
+          // surface the loss as a visible bench failure (round-14: the
+          // r13 contended row reported 81.5k changes/s while the ledger
+          // skipped most batches)
+          if (visible != expectedRows || skips != 0)
+            prepFailed += s"contended_lost_data(visible=$visible," +
+              s"expected=$expectedRows,skipped_batches=$skips)"
           val errJson = if (errs.isEmpty) "[]"
             else errs.toArray.map("\"" + _ + "\"").mkString("[", ",", "]")
           s""","contended":{"writers":$nWriters,"rows":$inRows,""" +
-            s""""visible_rows":$visible,""" +
+            s""""visible_rows":$visible,"expected_rows":$expectedRows,""" +
+            s""""skipped_batches":$skips,""" +
             s""""wall_sec":${math.rint(wallSec * 1000) / 1000},""" +
             s""""changes_per_sec":${math.rint(inRows / wallSec)},""" +
             s""""errors":$errJson}"""
@@ -362,8 +399,31 @@ object Bench {
       (results.collect { case (k, Left(_)) => k } ++ prepFailed.map("prep:" + _)).sorted
     val total = results.collect { case (_, Right(s)) => s }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Environment stamp (round 14): two rounds of grading noise came
+    // from benches run on a contended host (concurrent oracle sweeps) or
+    // under a shrunken heap — record the conditions INTO the artifact so
+    // an inflated board is diagnosable from the JSON alone. Additive
+    // keys; the driver contract line shape is unchanged.
+    val envJson = {
+      val load = java.lang.management.ManagementFactory
+        .getOperatingSystemMXBean.getSystemLoadAverage
+      val maxHeapMb = Runtime.getRuntime.maxMemory / (1024 * 1024)
+      val availMb = try {
+        scala.io.Source.fromFile("/proc/meminfo").getLines()
+          .collectFirst { case l if l.startsWith("MemAvailable:") =>
+            l.split("\\s+")(1).toLong / 1024 }.getOrElse(-1L)
+      } catch { case _: Exception => -1L }
+      val sweepLock = java.nio.file.Files.exists(
+        java.nio.file.Paths.get("/tmp/graft_oracle_sweep.lock"))
+      if (sweepLock) System.err.println(
+        "[bench] WARNING: /tmp/graft_oracle_sweep.lock present — an oracle " +
+          "sweep may be sharing the host; timings are suspect")
+      s""","env":{"load_avg":$load,"max_heap_mb":$maxHeapMb,""" +
+        s""""mem_available_mb":$availMb,"sweep_lock":$sweepLock,""" +
+        s""""cpus":"$cpus"}"""
+    }
     val totalLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"artifacts":$aJson$streamingJson,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"artifacts":$aJson$streamingJson,"failed":$failedJson$envJson,"sf":"$sfDir"}"""
     // The driver captures a bounded TAIL of stdout: at 112+ queries the
     // single line outgrew it and 36 timings vanished from BENCH_r05.json.
     // Emit redundantly — (a) the full JSON to a file inside the repo

@@ -121,7 +121,15 @@ object TxTable {
       dvs: Map[String, String] = Map.empty,
       sizes: Map[String, Long] = Map.empty,
       rows: Map[String, Long] = Map.empty,
-      commitTs: Long = 0L) {
+      commitTs: Long = 0L,
+      /** Identity of the WRITER STREAM that stamped `epoch` (round 14):
+        * N concurrent replicators into one table each carry their own
+        * cdc-id sequence, so the exactly-once high-water must be scoped
+        * per stream — a table-global max silently dropped any batch
+        * whose ids trailed another writer's committed max. Absent on
+        * pre-round-14 manifests and on non-streaming commits.
+        */
+      streamId: Option[String] = None) {
     /** Files whose [min, max] for `col` overlaps the LONG range [lo, hi]
       * — files with no recorded stats (or stats of another kind) are
       * KEPT (skipping must never drop data).
@@ -231,7 +239,9 @@ object TxTable {
       // commit wall-clock (epoch millis, round 11): 0 on older manifests
       // — readers must treat 0 as "unknown", not 1970
       lines.collectFirst { case l if l.startsWith("ts=") =>
-        l.stripPrefix("ts=").toLong }.getOrElse(0L))
+        l.stripPrefix("ts=").toLong }.getOrElse(0L),
+      lines.collectFirst { case l if l.startsWith("stream=") =>
+        l.stripPrefix("stream=") })
   }
 
   /** Latest snapshot, or None for an empty/absent table. */
@@ -361,7 +371,8 @@ object TxTable {
       statsColumns: Seq[String] = Nil, epochId: Option[Long] = None,
       arbiter: CommitArbiter = LocalLinkArbiter,
       bloomColumns: Seq[String] = Nil, bloomBits: Int = 1 << 13,
-      bloomK: Int = 5): Long = {
+      bloomK: Int = 5, streamId: Option[String] = None,
+      expectVersion: Option[Long] = None): Long = {
     require(mode == "append" || mode == "overwrite",
       s"mode must be append or overwrite, got $mode")
     // knob validation BEFORE the batch write — a bad knob must not cost
@@ -376,26 +387,40 @@ object TxTable {
     // 2 + 3. compose against the CURRENT latest and publish; on a lost
     // race, re-read and retry (appends commute; overwrite last-wins)
     var committed = -1L
-    while (committed < 0) {
+    var gaveUp = false
+    while (committed < 0 && !gaveUp) {
       val base = latest(dir)
       val v = base.map(_.version + 1).getOrElse(0L)
-      val (files, schema, stats, blooms, dvs, sizes, rows) =
-        (mode, base) match {
-          case ("overwrite", _) | (_, None) =>
-            (newFiles, newSchema, newStats, newBlooms,
-              Map.empty[String, String], newSizes, newRows)
-          case ("append", Some(b)) =>
-            // deletion vectors carry forward — dropping them would
-            // resurrect every row a prior merge-on-read deleted
-            (b.files ++ newFiles, mergedAppendSchema(b.schema, newSchema, dir),
-              b.stats ++ newStats, b.blooms ++ newBlooms, b.dvs,
-              b.sizes ++ newSizes, b.rows ++ newRows)
-          case other => throw new MatchError(other) // unreachable
-        }
-      if (publishAt(dir, v, mode, schema, files, stats, epochId,
-          tmpTag = commitRel.stripPrefix("data/"), arbiter = arbiter,
-          blooms = blooms, dvs = dvs, sizes = sizes, rows = rows))
-        committed = v
+      // CAS form (round 14): `expectVersion` pins the publish to ONE
+      // version — a concurrent writer taking it means the caller's
+      // premise (e.g. "the table is still empty") no longer holds, so
+      // return -1 instead of silently composing against the new base
+      // (the contended-seed race: two first batches both saw an empty
+      // table; the retry loop turned the loser into an overwrite of the
+      // winner's data). The loser's data dir is an invisible orphan,
+      // retired by vacuum like any lost merge race.
+      if (expectVersion.exists(_ != v)) gaveUp = true
+      else {
+        val (files, schema, stats, blooms, dvs, sizes, rows) =
+          (mode, base) match {
+            case ("overwrite", _) | (_, None) =>
+              (newFiles, newSchema, newStats, newBlooms,
+                Map.empty[String, String], newSizes, newRows)
+            case ("append", Some(b)) =>
+              // deletion vectors carry forward — dropping them would
+              // resurrect every row a prior merge-on-read deleted
+              (b.files ++ newFiles, mergedAppendSchema(b.schema, newSchema, dir),
+                b.stats ++ newStats, b.blooms ++ newBlooms, b.dvs,
+                b.sizes ++ newSizes, b.rows ++ newRows)
+            case other => throw new MatchError(other) // unreachable
+          }
+        if (publishAt(dir, v, mode, schema, files, stats, epochId,
+            tmpTag = commitRel.stripPrefix("data/"), arbiter = arbiter,
+            blooms = blooms, dvs = dvs, sizes = sizes, rows = rows,
+            streamId = streamId))
+          committed = v
+        else if (expectVersion.isDefined) gaveUp = true
+      }
     }
     committed
   }
@@ -780,7 +805,8 @@ object TxTable {
       blooms: Map[String, Map[String, BloomRef]] = Map.empty,
       dvs: Map[String, String] = Map.empty,
       sizes: Map[String, Long] = Map.empty,
-      rows: Map[String, Long] = Map.empty): Boolean = {
+      rows: Map[String, Long] = Map.empty,
+      streamId: Option[String] = None): Boolean = {
     val statsLines = stats.toSeq.sortBy(_._1).flatMap { case (f, cols) =>
       cols.toSeq.sortBy(_._1).map { case (c, r) =>
         s"stats=$f|$c|${r.kind}|${b64enc(r.min)}|${b64enc(r.max)}"
@@ -814,6 +840,9 @@ object TxTable {
       // ignore an unknown line, old manifests parse to commitTs=0)
       s"ts=${System.currentTimeMillis()}") ++
       epochId.map(e => s"epoch=$e").toSeq ++
+      // additive: old readers ignore unknown lines; scopes the epoch
+      // stamp to its writer stream for the per-stream high-water ledger
+      streamId.map(s => s"stream=$s").toSeq ++
       files.map(f => s"file=$f") ++ statsLines ++ bloomLines ++ dvLines ++
       sizeLines ++ rowLines)
       .mkString("", "\n", "\n")
@@ -1383,7 +1412,7 @@ object TxTable {
       keyCols: Seq[String], opCol: String = "operation",
       maxRetries: Int = 10, epochId: Option[Long] = None,
       arbiter: CommitArbiter = LocalLinkArbiter,
-      writeMode: String = "cow"): Long = {
+      writeMode: String = "cow", streamId: Option[String] = None): Long = {
     import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
     require(keyCols.nonEmpty, "merge needs at least one key column")
     require(writeMode == "cow" || writeMode == "mor",
@@ -1496,7 +1525,8 @@ object TxTable {
             base.files ++ newFiles, base.stats ++ newStats,
             epochId, tmpTag = commitRel.stripPrefix("data/"),
             arbiter = arbiter, blooms = base.blooms ++ newBlooms, dvs = dvs,
-            sizes = base.sizes ++ newSizes, rows = base.rows ++ newRows)
+            sizes = base.sizes ++ newSizes, rows = base.rows ++ newRows,
+            streamId = streamId)
         } else {
           // ==Copy-on-write== (the read-optimal default)
           // 2. exact per-file hits: key-only projection + semi join (Spark
@@ -1538,7 +1568,7 @@ object TxTable {
             epochId, tmpTag = commitRel.stripPrefix("data/"), arbiter = arbiter,
             blooms = blooms, dvs = base.dvs -- hitSet,
             sizes = (base.sizes -- hitSet) ++ newSizes,
-            rows = (base.rows -- hitSet) ++ newRows)
+            rows = (base.rows -- hitSet) ++ newRows, streamId = streamId)
         }
       if (published) committed = base.version + 1
       // lost race: the just-written commitRel dir is orphaned (invisible);

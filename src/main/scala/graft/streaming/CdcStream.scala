@@ -729,7 +729,8 @@ object CdcStream {
       strategy: ConflictStrategy = ConflictStrategy.LastWriteWins,
       writeMode: String = "cow",
       foldEvery: Int = 0,
-      foldMinDeletedFraction: Double = 0.0): Unit = {
+      foldMinDeletedFraction: Double = 0.0,
+      streamId: Option[String] = None): Unit = {
     import graft.log.ChangeLog.{CdcId, NewData, Operation, RecordId}
     import graft.sources.TxTable
     val spark = batch.sparkSession
@@ -740,12 +741,18 @@ object CdcStream {
     // Cache for the trigger's lifetime; released in the finally.
     batch.persist()
     try applyTxBatchCached(batch, tableDir, spec, rowSchema, strategy,
-      writeMode, foldEvery, foldMinDeletedFraction)
+      writeMode, foldEvery, foldMinDeletedFraction, streamId)
     finally {
       batch.unpersist()
       ()
     }
   }
+
+  /** Batches dropped by the replay-skip ledger since JVM start — an
+    * observability counter: a drain that expects to apply every batch
+    * (the bench, a fresh replay) can assert this did not move.
+    */
+  val skippedBatchCount = new java.util.concurrent.atomic.AtomicLong(0L)
 
   private def applyTxBatchCached(
       batch: DataFrame,
@@ -755,7 +762,8 @@ object CdcStream {
       strategy: ConflictStrategy,
       writeMode: String,
       foldEvery: Int,
-      foldMinDeletedFraction: Double): Unit = {
+      foldMinDeletedFraction: Double,
+      streamId: Option[String]): Unit = {
     import graft.log.ChangeLog.{CdcId, NewData, Operation, RecordId}
     import graft.sources.TxTable
     val spark = batch.sparkSession
@@ -773,12 +781,17 @@ object CdcStream {
     // epoch-dir overwrite).
     val ledgerId = batch.agg(org.apache.spark.sql.functions.max(col(CdcId)))
       .first().getLong(0)
-    val mark = TxEpochHighWater.maxApplied(tableDir)
+    // per-stream mark (round 14): only THIS writer stream's committed
+    // high-water gates the skip — under N concurrent writers a
+    // table-global mark dropped every batch whose max cdc_id trailed
+    // another writer's committed max (mostly-lost merges at 2 writers)
+    val mark = TxEpochHighWater.maxApplied(tableDir, streamId)
     if (ledgerId <= mark) {
       // sound only under the in-order-log contract ([[startTxTable]]):
       // a replayed batch skips here; a BACKFILLED file (ids below the
       // mark but never applied) would too — warn loudly so an operator
       // backfilling an old log file sees the drop
+      skippedBatchCount.incrementAndGet()
       System.err.println(
         s"[cdc-tx] skipping batch with max cdc_id $ledgerId <= applied " +
           s"high-water $mark at $tableDir (checkpoint replay under the " +
@@ -797,14 +810,20 @@ object CdcStream {
             col(RecordId).cast(pkField.dataType)).as(f.name)
         else col(s"$NewData.${f.name}").as(f.name)
       } :+ col(Operation).as("operation"): _*)
-    if (TxTable.latest(tableDir).isEmpty)
-      TxTable.commit(
-        changes.filter(col("operation") =!= "DELETE").drop("operation"),
-        tableDir, "overwrite", statsColumns = Seq(spec.pkCol),
-        epochId = Some(ledgerId))
-    else {
+    // Seed CAS (round 14): the overwrite is pinned to version 0 — under
+    // N concurrent writers both first batches can see an empty table,
+    // and an unpinned retry loop turned the loser into an overwrite of
+    // the winner's seed. A lost seed race (-1) falls through to the
+    // merge path, which applies the same batch against the winner's
+    // table.
+    val seeded = TxTable.latest(tableDir).isEmpty && 0L <= TxTable.commit(
+      changes.filter(col("operation") =!= "DELETE").drop("operation"),
+      tableDir, "overwrite", statsColumns = Seq(spec.pkCol),
+      epochId = Some(ledgerId), streamId = streamId,
+      expectVersion = Some(0L))
+    if (!seeded) {
       TxTable.merge(spark, tableDir, changes, Seq(spec.pkCol),
-        epochId = Some(ledgerId), writeMode = writeMode)
+        epochId = Some(ledgerId), writeMode = writeMode, streamId = streamId)
       // merge-on-read maintenance cadence: after `foldEvery` MoR merges,
       // fold the accumulated deletion vectors (TxTable.foldDvs rewrites
       // ONLY the dv-carrying files — O(dv'd bytes), not the table). The
@@ -887,7 +906,13 @@ object CdcStream {
       strategy: ConflictStrategy = ConflictStrategy.LastWriteWins,
       writeMode: String = "cow",
       foldEvery: Int = 0,
-      foldMinDeletedFraction: Double = 0.0): StreamingQuery =
+      foldMinDeletedFraction: Double = 0.0): StreamingQuery = {
+    // The stream's ledger identity: deterministic from the checkpoint
+    // dir (a restart of the same stream keeps its high-water; distinct
+    // writers have distinct checkpoints by construction — Spark itself
+    // rejects two active queries on one checkpoint).
+    val streamId = java.util.UUID.nameUUIDFromBytes(
+      checkpointDir.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toString
     startLogStream(spark, logDir, rowSchema, checkpointDir,
       trigger.getOrElse(
         Trigger.ProcessingTime(s"${config.syncIntervalSeconds} seconds")),
@@ -900,8 +925,9 @@ object CdcStream {
       s"cdc-replicate-tx-${spec.table}-" +
         Integer.toHexString(checkpointDir.hashCode)) {
       (batch, _) => applyTxBatch(batch, tableDir, spec, rowSchema, strategy,
-        writeMode, foldEvery, foldMinDeletedFraction)
+        writeMode, foldEvery, foldMinDeletedFraction, Some(streamId))
     }
+  }
 
   /** Shared change-log readStream/writeStream wiring for [[start]] and
     * [[startTxTable]] — one place for the source schema, file throttle,

@@ -291,14 +291,26 @@ class TxTableChangeFeedProvider extends StreamSourceProvider with DataSourceRegi
   * dir that was wiped and rebuilt (versions regressed) resets.
   */
 private[streaming] object TxEpochHighWater {
-  /** dir -> (scanned version, epoch fingerprint AT that version
-    * (-1 = none/absent), max applied epoch).
+  /** (dir, streamId) -> (scanned version, epoch fingerprint AT that
+    * version (-1 = none/absent), max applied epoch).
     */
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Long)]()
 
-  def maxApplied(dir: String): Long =
-    cache.compute(dir, (_, prev) => {
+  /** Max applied epoch at `dir`, SCOPED to `streamId` when given
+    * (round 14): each concurrent writer stream carries its own cdc-id
+    * sequence, so only ITS stamped commits — plus legacy commits with
+    * no stream stamp, which a resumed single-writer table must still
+    * honour — gate its replay-skip decision. A table-global max let any
+    * writer's committed high-water silently drop another writer's
+    * trailing batches (the round-13 contended-bench data loss).
+    */
+  def maxApplied(dir: String, streamId: Option[String] = None): Long =
+    cache.compute(dir + " " + streamId.getOrElse(""), (_, prev) => {
+      def epochOf(s: TxTable.Snapshot): Option[Long] =
+        if (streamId.isEmpty || s.streamId.isEmpty || s.streamId == streamId)
+          s.epoch
+        else None
       val (scanned, fp, maxE) = Option(prev).getOrElse((-1L, -1L, -1L))
       val vsNow = TxTable.versions(dir)
       // Wipe detection: the version count regressing is the cheap
@@ -321,7 +333,7 @@ private[streaming] object TxEpochHighWater {
         if (newScanned < 0 || !vsNow.contains(newScanned)) -1L
         else TxTable.snapshot(dir, newScanned).epoch.getOrElse(-1L)
       (newScanned, newFp,
-        (baseMax +: fresh.flatMap(v => TxTable.snapshot(dir, v).epoch)).max)
+        (baseMax +: fresh.flatMap(v => epochOf(TxTable.snapshot(dir, v)))).max)
     })._3
 }
 

@@ -657,4 +657,65 @@ class CdcStreamSpec extends SparkSpecBase {
     assert(TxTable.versions(dir) === before,
       "a replayed batch must skip on the cdc-id high-water mark")
   }
+
+  test("concurrent writers into one TxTable: per-stream ledger applies every slice") {
+    // Round-14 regression pin: N writers replicate DISJOINT key slices of
+    // one change log into the SAME table; each slice carries interleaved
+    // cdc_ids from the whole range, so under the old TABLE-global
+    // high-water the second writer's batches all trailed the first's
+    // committed max and were silently skipped (24/32 batches dropped in
+    // the round-13 contended bench). The ledger is now scoped per writer
+    // stream (checkpoint-derived streamId stamped into each commit).
+    import graft.sources.TxTable
+    val tmp = Files.createTempDirectory("cdctxcont").toString
+    val table = DemoWorkload.replay(
+      CdcTable(DemoWorkload.users(s, 0), DemoWorkload.UsersSpec),
+      s, inserts = 12, updates = 6, deletes = 3)
+    val rowSchema = table.snapshot.schema
+    val log = table.changeLog
+    // ground truth: the full log drained by a single writer
+    log.write.mode("overwrite").parquet(s"$tmp/log_full")
+    CdcStream.drainTxTable(s, s"$tmp/log_full", s"$tmp/single",
+      s"$tmp/chk_single", DemoWorkload.UsersSpec, rowSchema)
+    // two writers: key-parity slices, each split into 2 files of
+    // CONTIGUOUS cdc_id ranges (per-writer in-order contract holds, but
+    // writer 1's batch maxes interleave below writer 0's)
+    (0 until 2).foreach { w =>
+      val slice = log.filter(pmod(col("record_id"), lit(2)) === w)
+      val b = slice.agg(min(col("cdc_id")), max(col("cdc_id"))).first()
+      val span = math.max(1L, (b.getLong(1) - b.getLong(0)) / 2 + 1)
+      (0 until 2).foreach { i =>
+        slice.filter(expr(s"(cdc_id - ${b.getLong(0)}) div $span") === i)
+          .repartition(1).write.mode("append").parquet(s"$tmp/log_$w")
+        ()
+      }
+    }
+    val skipped0 = CdcStream.skippedBatchCount.get()
+    // writer 0 drains FIRST (commits the higher interleaved cdc_ids),
+    // then writer 1 — the exact ordering the table-global mark corrupted
+    CdcStream.drainTxTable(s, s"$tmp/log_0", s"$tmp/contended",
+      s"$tmp/chk_w0", DemoWorkload.UsersSpec, rowSchema,
+      maxFilesPerTrigger = 1)
+    CdcStream.drainTxTable(s, s"$tmp/log_1", s"$tmp/contended",
+      s"$tmp/chk_w1", DemoWorkload.UsersSpec, rowSchema,
+      maxFilesPerTrigger = 1)
+    assert(CdcStream.skippedBatchCount.get() === skipped0,
+      "no batch may be dropped as a phantom replay")
+    assertSameRows(TxTable.read(s, s"$tmp/contended"),
+      TxTable.read(s, s"$tmp/single"),
+      "two-writer slices must converge to the single-writer table")
+    assert(ReplicationVerifier.fullyReplicated(table.snapshot,
+      TxTable.read(s, s"$tmp/contended")))
+    // and a genuine replay still skips: writer 1 re-drains on a FRESH
+    // checkpoint (checkpoint loss) — same streamId derivation would
+    // differ, but its own committed cdc_ids are stamped per stream, so
+    // only the TABLE-global regression matters here; re-drain on the
+    // SAME checkpoint must be a version no-op
+    val before = TxTable.versions(s"$tmp/contended")
+    CdcStream.drainTxTable(s, s"$tmp/log_1", s"$tmp/contended",
+      s"$tmp/chk_w1", DemoWorkload.UsersSpec, rowSchema,
+      maxFilesPerTrigger = 1)
+    assert(TxTable.versions(s"$tmp/contended") === before,
+      "same-checkpoint replay must remain a no-op")
+  }
 }

@@ -3,7 +3,8 @@
 # compiled classes + /opt/spark/jars, bypassing sbt — mirrors build.sbt's
 # fork javaOptions (JDK-17 add-opens, UTC, UI off). Usage:
 #   tools/run_main.sh graft.Verify /root/testdata/sf0.01 /tmp/out
-# Env: SPARK_DRIVER_MEM (default 8g) and the usual SPARK_GRAFT_* vars.
+# Env: SPARK_DRIVER_MEM (default 24g, matching build.sbt's fork heap)
+# and the usual SPARK_GRAFT_* vars.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 OPENS=""

@@ -11,10 +11,15 @@ sf0.1/sf0.01 for those queries).
 
 Usage: sf1_sweep.py <sfdir> <verify_outdir> <json_out> [timeout_s]
 """
-import json, os, subprocess, sys, tempfile
+import atexit, json, os, subprocess, sys, tempfile
 
 sfdir, outdir, json_out = sys.argv[1], sys.argv[2], sys.argv[3]
 timeout = int(sys.argv[4]) if len(sys.argv) > 4 else 1200
+# advertise the sweep to graft.Bench (see sweep_parallel.py)
+_lock = os.path.join(tempfile.gettempdir(), "graft_oracle_sweep.lock")
+with open(_lock, "w") as _f:
+    _f.write(f"{os.getpid()} {' '.join(sys.argv)}\n")
+atexit.register(lambda: os.path.exists(_lock) and os.remove(_lock))
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
 # resume: entries already recorded in json_out (from a prior partial
 # run) are kept as-is and skipped

@@ -18,6 +18,19 @@ TIMEOUT = int(sys.argv[4]) if len(sys.argv) > 4 else 600
 WORKERS = int(sys.argv[5]) if len(sys.argv) > 5 else 5
 HERE = os.path.dirname(os.path.abspath(__file__))
 
+# Bench/sweep mutual-exclusion signal (round 14): two rounds of board
+# inflation traced to oracle sweeps sharing the host with the official
+# bench. The sweep advertises itself via a lock file; graft.Bench stamps
+# its presence into the bench JSON so a contended run is diagnosable.
+LOCK = os.path.join(tempfile.gettempdir(), "graft_oracle_sweep.lock")
+
+
+def _take_lock():
+    with open(LOCK, "w") as f:
+        f.write(f"{os.getpid()} {' '.join(sys.argv)}\n")
+    import atexit
+    atexit.register(lambda: os.path.exists(LOCK) and os.remove(LOCK))
+
 
 def run_one(name):
     tmp = tempfile.mktemp(suffix=".json")
@@ -45,6 +58,7 @@ def run_one(name):
 
 
 def main():
+    _take_lock()
     oracle = json.load(open(f"{OUTDIR}/oracle_sql.json"))
     records = {}
     if os.path.exists(JSON_OUT):
