@@ -488,23 +488,46 @@ object Dedup {
     // un-unpersisted cache) runs the kernel once; O(corpus) storage,
     // same trade as ngramJaccardDedup's guard-mode base.
     val base = df.select(col(idCol).as("id"), hashedShingles(col(textCol), n).as("sh"))
+      .withColumn("nsh", size(col("sh")))
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .localCheckpoint(true)
-    // (id, gram) — shingle arrays are distinct per doc by construction,
-    // so no per-doc dedup is needed before the df count.
-    val grams = base.select(col("id"), explode(col("sh")).as("gram"))
-    val rare = grams.groupBy(col("gram"))
-      .agg(count(lit(1)).as("__df"))
+    // (id, nsh, gram) — shingle arrays are distinct per doc by
+    // construction, so no per-doc dedup is needed before the df count;
+    // df rides in as a window over the gram key (one exchange) instead
+    // of a separate aggregate joined back (round 14).
+    val grams = base.select(col("id"), col("nsh"), explode(col("sh")).as("gram"))
+    val wdf = org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))
+    val blocked = grams.withColumn("__df", count(lit(1)).over(wdf))
       .filter(col("__df") >= 2 && col("__df") <= maxDf)
-      .select(col("gram"))
-    val blocked = grams.join(rare, Seq("gram"))
-    // same shared candidate-generation + verify path as
-    // [[ngramJaccardDedup]] (round-13 unification); the measure is the
-    // asymmetric containment instead of jaccard, and rare-df blocking
-    // stands in for the prefix filter (no size-ratio prefilter exists
-    // for containment — a tiny doc inside a huge one is the signal).
-    val pairs = postingCandidates(
-      blocked.select(col("gram"), col("id")), Seq("gram"), None)
+    // CONTAINMENT PREFIX FILTER (round 14): for cont >= t the SMALLER
+    // doc S has at most |S| - ceil(t·|S|) shingles outside the
+    // intersection, so among ANY |S| - ceil(t·|S|) + 1 of S's shingles
+    // at least one is shared. Take that many of each doc's RAREST
+    // blocked grams ((df, gram) order — the prefix elements are full
+    // members of S, so the pigeonhole holds even though only blocked
+    // grams are indexed); a qualifying pair must then surface where the
+    // smaller member's PREFIX meets the larger member's FULL blocked
+    // postings. Candidates shrink from O(df²) per gram to O(df·prefix)
+    // with the verified output provably unchanged: a pair sharing
+    // blocked grams only OUTSIDE the smaller side's prefix has
+    // |S\B| >= |S| - ceil(tPre·|S|) + 1, i.e. cont < tPre, and is
+    // dropped by the final filter anyway. tPre backs the threshold off
+    // by the 6-dp rounding half-step (the final filter accepts
+    // round(cont, 6) >= t, i.e. cont >= t - 5e-7), and the 1e-9 nudge
+    // keeps double rounding of tPre·|d| from inflating the ceil.
+    val tPre = threshold - 5e-7
+    val wdoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("__df"), col("gram"))
+    val prefix = blocked
+      .withColumn("__rk", row_number().over(wdoc))
+      .filter(col("__rk") <=
+        col("nsh") - ceil(lit(tPre) * col("nsh") - lit(1e-9)) + 1)
+    val pairs = prefix.select(col("gram"), col("id").as("id_a"))
+      .join(blocked.select(col("gram"), col("id").as("id_b")), Seq("gram"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .distinct()
     def inter(a: Column, b: Column): Column =
       org.apache.spark.sql.GraftSqlBridge.column(
         graft.expr.SortedIntersectCount(

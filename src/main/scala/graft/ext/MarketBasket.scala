@@ -53,10 +53,16 @@ object MarketBasket {
     // With the guard on, d gains a fifth consumer (the guard count);
     // materialize once so the distinct shuffle isn't re-run per consumer
     // (ReusedExchange dedups within ONE action, not across the guard's
-    // separate collect()).
+    // separate collect()). Round 14: the materialized frame is
+    // partitioned by the BASKET key, not round-robin — the (bk, it)
+    // distinct only needs clustering by bk, and the self-join then
+    // consumes the checkpoint's partitioning directly (LogicalRDD
+    // carries it), so the whole pair derivation runs on ONE exchange
+    // instead of three (distinct by (bk,it), then each join side by bk).
     val d =
       if (maxBasketSize.isDefined)
-        d0.repartition(items.sparkSession.sparkContext.defaultParallelism)
+        items.select(col(basketCol).as("__bk"), col(itemCol).as("__it"))
+          .repartition(col("__bk")).distinct()
           .localCheckpoint(true)
       else d0
     maxBasketSize.foreach(cap => guardFanout(d, "__bk", cap, "pairLift"))
