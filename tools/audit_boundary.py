@@ -50,19 +50,31 @@ for d in sorted(glob.glob(f"{OUTDIR}/*")):
         if not is_int and not tu.startswith(("DOUBLE", "FLOAT")):
             continue
         try:
-            mx = con.sql(
-                f'SELECT max(abs(CAST("{c}" AS DOUBLE))) '
-                f"FROM '{d}/*.parquet'").fetchone()[0]
+            if is_int:
+                # Compare in the column's NATIVE integer/decimal type inside
+                # DuckDB and fetch the max as VARCHAR: a CAST AS DOUBLE rounds
+                # 2^53+1 down to exactly 2^53 and evades the strict check —
+                # precisely the boundary this tool exists to flag.
+                over, mx_s = con.sql(
+                    f'SELECT max(abs("{c}")) > {LIMIT}, '
+                    f'CAST(max(abs("{c}")) AS VARCHAR) '
+                    f"FROM '{d}/*.parquet'").fetchone()
+                mx = None if mx_s is None else float(mx_s)
+            else:
+                over, mx_s = None, None
+                mx = con.sql(
+                    f'SELECT max(abs("{c}")) '
+                    f"FROM '{d}/*.parquet'").fetchone()[0]
         except Exception as e:
             flagged.append({"query": name, "column": c, "type": t,
                             "err": f"max scan failed: {e}"})
             continue
         if mx is None:
             continue
-        if is_int and mx * MULT > LIMIT:
+        if is_int and (over or mx * MULT > LIMIT):
             flagged.append({"query": name, "column": c, "type": t,
-                            "max_abs": mx, "extrapolated": mx * MULT,
-                            "measured_over": mx > LIMIT})
+                            "max_abs": mx_s, "extrapolated": mx * MULT,
+                            "measured_over": bool(over)})
         elif not is_int and mx > LIMIT:
             info.append({"query": name, "column": c, "type": t,
                          "max_abs": mx})
