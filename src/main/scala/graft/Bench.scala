@@ -201,7 +201,18 @@ object Bench {
               Thread.sleep(100)
             }
             val t0 = System.nanoTime()
-            fn(spark, sfDir).count()
+            // Round 14 measurement fix (optimization guide sec. 1.4): the
+            // timed action is the NOOP SINK, which computes every column
+            // of every row, not count() -- count() let the optimizer
+            // prune the final sort AND any projection nothing downstream
+            // consumed, so queries whose cost lives in the output
+            // projection's per-row kernels (text_stats, text_pii_redact,
+            // emb_whiten, media_image_phash, ...) were under-timed 4-10x
+            // (probed count vs noop at sf0.1: text_stats 0.27 -> 2.84 s,
+            // text_pii_redact 0.19 -> 1.01 s, corpus_pack 0.16 -> 0.68 s).
+            // Declared in OPTIMIZATION_r14.md; pre-r14 boards are
+            // count()-based and comparable only to each other.
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
             (System.nanoTime() - t0) / 1e9
           }
           Right(times.sorted.apply(times.size / 2))

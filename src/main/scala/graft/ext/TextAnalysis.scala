@@ -284,11 +284,19 @@ object TextAnalysis {
   def bigramLm(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val tk = tokens(lower(col(textCol)))
+    // bigrams as zip_with over two O(n) pre-slices — the index form
+    // (slice inside transform(sequence(...))) accesses array elements
+    // per lambda invocation and runs INTERPRETED at ~10x cost (the
+    // corpus_bigrams round-5 lesson; round-14 noop-sink timing exposed
+    // this copy too: 13.2 s on the board for 500 docs). Same strings,
+    // same order, same size>=2 guard — output identical.
     val base = df.select(col(idCol).as("doc_id"), tk.as("tk"))
       .select(col("doc_id"),
         when(size(col("tk")) >= 2,
-          transform(sequence(lit(0), size(col("tk")) - 2),
-            i => concat_ws(" ", slice(col("tk"), i + 1, lit(2)))))
+          zip_with(
+            slice(col("tk"), lit(1), size(col("tk")) - 1),
+            slice(col("tk"), lit(2), size(col("tk")) - 1),
+            (a, b) => concat_ws(" ", a, b)))
           .otherwise(array().cast("array<string>")).as("g2"))
     val pos = base.select(col("doc_id"), explode(col("g2")).as("g"))
     val cb = pos.groupBy(col("g")).agg(count(lit(1)).as("cb"))
@@ -322,9 +330,14 @@ object TextAnalysis {
           .otherwise(round(lit(1.0) -
             size(array_distinct(col("tk"))).cast("double") /
               size(col("tk")).cast("double"), 6)).as("dup_token_frac"),
+        // zip_with over pre-slices, not slice-inside-transform: the
+        // index form runs interpreted (see [[bigramLm]]) — 12.4 s on
+        // the round-14 noop board for this query alone.
         when(size(col("tk")) >= 2,
-          transform(sequence(lit(0), size(col("tk")) - 2),
-            i => concat_ws(" ", slice(col("tk"), i + 1, lit(2)))))
+          zip_with(
+            slice(col("tk"), lit(1), size(col("tk")) - 1),
+            slice(col("tk"), lit(2), size(col("tk")) - 1),
+            (a, b) => concat_ws(" ", a, b)))
           .otherwise(array().cast("array<string>")).as("g2"))
     val top = base
       .select(col("doc_id"), explode(col("g2")).as("g"))
