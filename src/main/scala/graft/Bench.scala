@@ -25,6 +25,19 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Scan-parallelism FLOOR, derived from the session's core count
+      // (guide sec. 6.1 / sec. 2.5 — scale-adaptive, not a constant):
+      // the generated large-SF tiers ship each table as 32 smallish
+      // files, and the default 128 MB split packing (openCost 4 MB)
+      // folds them into 2-9 scan partitions — every per-row kernel and
+      // partial aggregate below the first exchange then runs on a
+      // fraction of the machine (measured at the sf10 tier: the kNN
+      // coarse assignment ran 2 tasks wide, 305 s vs ~40 s expected).
+      // minPartitionNum only prevents PACKING below the floor; a true
+      // single-row-group file still yields one task, and at production
+      // scale (files >> cores) the floor is inert. SPARK_GRAFT_CPUS
+      // parameterizes it, so the driver's own runs stay comparable.
+      .config("spark.sql.files.minPartitionNum", cpus)
       .config("spark.sql.extensions", "graft.expr.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

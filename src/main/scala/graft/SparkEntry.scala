@@ -30,24 +30,6 @@ object SparkEntry {
   private val ShipCutoff =
     java.sql.Timestamp.from(java.time.Instant.parse("2000-09-02T00:00:00Z"))
 
-  /** Unsplittable-input remedy (optimization guide §2.5, round 14): the
-    * testdata ships each table as ONE parquet row group, so a scan stage
-    * runs as a single task regardless of split configuration — every
-    * per-row kernel and partial aggregate BELOW the first exchange is
-    * serialized onto one core. When (and only when) the planned scan
-    * yields fewer partitions than the session's parallelism, redistribute
-    * before the heavy work; at production scale a multi-file scan already
-    * parallelizes and this is an exact no-op (the check reads the planned
-    * partitioning — no job runs). Applied per query, AFTER the narrow
-    * projection (so only needed columns shuffle) and only where the
-    * downstream per-row work dominates — an unconditional repartition
-    * would re-shuffle the full input at scale for nothing.
-    */
-  private def fanOutScan(df: DataFrame): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < par) df.repartition(par) else df
-  }
-
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("lineitem_agg")(spark, "/root/testdata/sf0.001")
@@ -1847,9 +1829,7 @@ object SparkEntry {
     */
   private def qAnnIvfTrain(s: SparkSession, dir: String): DataFrame = {
     val cents = Similarity.collectCentroids(embCodebook(s, dir), "vec_id", "embedding")
-    // fanOutScan: assignment + the 64 per-dim partial sums run below the
-    // first exchange — single-task on the one-row-group scan (round 14)
-    Similarity.ivfTrainStep(fanOutScan(embeddings(s, dir)), cents, "embedding", dim = 64)
+    Similarity.ivfTrainStep(embeddings(s, dir), cents, "embedding", dim = 64)
       .select(col("centroid_id"), col("n_members"),
         posexplode(col("mean")).as(Seq("dim_i", "mean_val")))
       .orderBy("centroid_id", "dim_i")
@@ -1862,15 +1842,15 @@ object SparkEntry {
     * k×dim codebook reaches the driver between steps.
     */
   private def qAnnIvfTrain3(s: SparkSession, dir: String): DataFrame = {
-    // Iterated-scan input is materialized ONCE (round 14): three Lloyd
-    // steps otherwise re-read the parquet and re-run assignment on the
-    // one-row-group scan's single task; the checkpoint both parallelizes
-    // the per-iteration assign+partial-mean and cuts 3 scans to 1 —
-    // the standard cache-the-training-set discipline of any iterative
-    // solver (MLlib k-means does the same).
-    val corpus = fanOutScan(
-        embeddings(s, dir).select(col("vec_id"), col("embedding")))
-      .localCheckpoint(true)
+    // Round-14 A/B, kept as 3 PLAIN SCANS: materializing the projected
+    // corpus once (fanOutScan + eager localCheckpoint, the iterative-
+    // solver discipline) cut 3 scans to 1 and won at sf0.1, but measured
+    // 2.8x WORSE at the sf10 tier (4.3 -> 12.1 s) — at scale the scan is
+    // already parallel and nearly free, while the checkpoint pays a full
+    // serialize-through-the-block-manager pass and pins the corpus for
+    // the query's lifetime. Re-scanning columnar parquet three times is
+    // the cheaper trade at 100 TB (OPTIMIZATION_r14.md).
+    val corpus = embeddings(s, dir)
     var cents = Similarity.collectCentroids(embCodebook(s, dir), "vec_id", "embedding")
     for (_ <- 0 until 2) {
       val means = Similarity.ivfTrainStep(corpus, cents, "embedding", dim = 64)
@@ -3226,16 +3206,17 @@ object SparkEntry {
     // >100-distinct-part order fails the job fast instead of going
     // quadratic, at zero extra actions (the eager checkpoint+collect
     // form measured +2 s at sf0.1; this one is plan-only)
-    // repartition by the basket key BEFORE the distinct (round 14): the
-    // (ok, pk) grouping only needs rows clustered by ok, and the guard,
-    // the self-join and the distinct then all run on ONE exchange —
-    // a plain .distinct() shuffled by (ok, pk) and the join re-shuffled
-    // by ok, two exchanges of the same rows (guide §2.4; focused bench
-    // 4.56 → measured below). Map-side partial dedup is lost, but the
-    // (ok, pk) dup rate is structurally ~0 (a part twice on one order).
+    // Round-14 A/B, kept as the CLASSIC shape: a keyed
+    // repartition(ok) before the distinct shares one exchange across
+    // distinct/guard/self-join and won ~30% at sf0.1, but at the sf10
+    // tier it measured 2.4x WORSE (25.7 -> 61.8 s) — the single keyed
+    // exchange feeds the quadratic pair join directly with whatever
+    // partition count AQE coalesced the small pre-join bytes to, so the
+    // post-join fanout runs under-parallelized. The two-exchange form
+    // lets AQE size the explosive stage separately; at 100 TB that is
+    // the difference that matters (details in OPTIMIZATION_r14.md).
     val items = lineitem(s, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .repartition(col("ok")).distinct()
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
     val guarded = graft.ext.MarketBasket.guardFanoutInline(items, "ok",
       cap = 100L, what = "partTriangles edge derivation")
     val pairs = guarded
@@ -3364,12 +3345,16 @@ object SparkEntry {
         col("l_orderkey") === col("o_orderkey"))
       .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
       .select(col("l_orderkey"), col("l_suppkey"))
-    // keyed repartition before the distinct (round 14): the (o2, s2)
-    // grouping only needs clustering by o2, and the semi-join probes on
-    // o2 — one exchange instead of two (guide §2.4)
+    // Round-14 A/B, kept as the CLASSIC two-exchange shape: a keyed
+    // repartition(o2) before the distinct shared one exchange with the
+    // semi-join probe and won at sf0.1, but measured 8.5x WORSE at the
+    // sf10 tier (15.6 -> 133.3 s) — losing the map-side partial distinct
+    // shuffles every raw lineitem row, and the semi-join stage inherits
+    // an exchange sized for the pre-distinct bytes. The plain distinct
+    // keeps the partial aggregate ahead of the shuffle, which is the
+    // shape that holds at 100 TB (OPTIMIZATION_r14.md).
     val others = lineitem(s, dir)
-      .select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2"))
-      .repartition(col("o2")).distinct()
+      .select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2")).distinct()
     val lateOthers = late
       .select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3")).distinct()
     late
@@ -4140,9 +4125,14 @@ object SparkEntry {
     */
   private def qAnnKnnGraph(s: SparkSession, dir: String): DataFrame = {
     val cents = Similarity.collectCentroids(embCentroids(s, dir), "vec_id", "embedding")
-    // fanOutScan: the coarse assignment runs below the cluster shuffle —
-    // single-task on the one-row-group scan (round 14)
-    Similarity.knnGraph(fanOutScan(embeddings(s, dir)), "vec_id", "embedding", cents, k = 5)
+    // Round-14 A/B, kept as the PLAIN scan: fanOutScan before the coarse
+    // assignment parallelized the one-row-group test scan and won at
+    // sf0.1, but measured 5.8x WORSE at the sf10 tier (40.8 -> 234.8 s)
+    // — the repartition splits the literal-codebook kernel away from the
+    // scan stage, and the k-proportional centroid literal (3,278 at
+    // sf10) re-ships and re-JITs per stage. The scan-fused form is what
+    // holds at scale (OPTIMIZATION_r14.md).
+    Similarity.knnGraph(embeddings(s, dir), "vec_id", "embedding", cents, k = 5)
       .orderBy("src_id", "rnk")
   }
 
@@ -5276,8 +5266,8 @@ object SparkEntry {
     val B = 32
     val P = PortableHash.P
     val ab = bootAB
-    val base = fanOutScan(orders(s, dir)
-      .select(col("o_orderkey"), col("o_totalprice").cast(DecimalType(18, 2)).as("x")))
+    val base = orders(s, dir)
+      .select(col("o_orderkey"), col("o_totalprice").cast(DecimalType(18, 2)).as("x"))
     // Two projections BELOW the aggregate: the B uniforms first, then
     // the threshold CASE on the hash column ref (inlining would
     // recompute the hash per CASE branch). CollapseProject keeps them

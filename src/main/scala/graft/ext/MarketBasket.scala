@@ -53,16 +53,17 @@ object MarketBasket {
     // With the guard on, d gains a fifth consumer (the guard count);
     // materialize once so the distinct shuffle isn't re-run per consumer
     // (ReusedExchange dedups within ONE action, not across the guard's
-    // separate collect()). Round 14: the materialized frame is
-    // partitioned by the BASKET key, not round-robin — the (bk, it)
-    // distinct only needs clustering by bk, and the self-join then
-    // consumes the checkpoint's partitioning directly (LogicalRDD
-    // carries it), so the whole pair derivation runs on ONE exchange
-    // instead of three (distinct by (bk,it), then each join side by bk).
+    // separate collect()). Round 14 A/B, kept ROUND-ROBIN: partitioning
+    // the checkpoint by the basket key shared one exchange across
+    // distinct/guard/self-join and won ~35% at sf0.1, but measured 4.5x
+    // WORSE at the sf10 tier (23.7 -> 106.8 s) — the pair self-join then
+    // inherits the checkpoint's partition count, sized by the SMALL
+    // pre-join bytes, and the quadratic post-join fanout runs
+    // under-parallelized. Letting the join re-exchange keeps AQE free to
+    // size the explosive stage (OPTIMIZATION_r14.md).
     val d =
       if (maxBasketSize.isDefined)
-        items.select(col(basketCol).as("__bk"), col(itemCol).as("__it"))
-          .repartition(col("__bk")).distinct()
+        d0.repartition(items.sparkSession.sparkContext.defaultParallelism)
           .localCheckpoint(true)
       else d0
     maxBasketSize.foreach(cap => guardFanout(d, "__bk", cap, "pairLift"))
